@@ -1,0 +1,78 @@
+"""Table access for the driver's synthetic star schema (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an ``sf_dir``.
+
+``table()`` is the single scan entry point so every operator inherits
+the same scan behavior: schema from the parquet footer, Catalyst
+predicate pushdown / column pruning into the scan (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the only change is the path layout: fact tables become
+date-partitioned directories (``.../lineitem/l_shipdate=.../*.parquet``)
+and the identical ``spark.read.parquet`` call picks up partition
+pruning for free.  ``DIM_TABLES`` marks the always-broadcastable side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that stay ~KB-to-MB at any scale factor (region/nation
+#: are fixed-cardinality; supplier/part grow sub-linearly) → always safe to
+#: broadcast in joins against the fact tables.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Raises if the name is unknown (typo guard).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw int64 nanoseconds
+    (legacy conf, runtime-settable) and truncate to Spark's native
+    microsecond timestamps with integer division — bit-identical to
+    DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation, which every oracle
+    query uses on its side.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Defensive: parity with the DuckDB oracle (naive-UTC timestamps)
+    # regardless of which session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan a dimension table wrapped in a broadcast hint."""
+    if name not in DIM_TABLES:
+        raise KeyError(f"{name!r} is not a dimension table: {sorted(DIM_TABLES)}")
+    return F.broadcast(table(spark, sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the ``spark.sql`` path)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,130 @@
+"""Core scan / project / filter / sort operators + the flagship query.
+
+Reference anchors (SURVEY.md §2.1): R1 typed source, R4 projection+rename
+(``/root/reference/dags/etl.py:48-64``), R5 null-tolerant access, R6 type
+coercion, R7 keyed dedup (``/root/reference/dags/etl.py:66-89``).
+
+Scale notes: every query here is a narrow scan→project→filter pipeline
+(zero or one shuffle).  Filters and projections are written on base
+columns so Catalyst pushes them into the Parquet scan (check
+``PushedFilters`` / ``ReadSchema`` in ``df.explain("formatted")``) —
+at 100 TB that is the difference between scanning 10 TB and 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT * FROM part",
+    doc="Typed table scan straight off the parquet footer schema.",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "part")
+
+
+@register(
+    "project_rename",
+    oracle="""
+        SELECT event_id AS id,
+               event_type AS kind,
+               CAST(ts AS TIMESTAMP) AS event_ts,
+               value AS score
+        FROM events
+    """,
+    doc="Projection + rename (reference R4: camelCase→snake_case, 8-of-15 fields).",
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("kind"),
+        F.col("ts").alias("event_ts"),
+        F.col("value").alias("score"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        WHERE (event_type = 'purchase' AND value > 100.0)
+           OR (event_type = 'error' AND value <= 50.0)
+           OR user_id IS NULL
+    """,
+    doc="Compound predicate with explicit NULL branch (reference R5 null tolerance).",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pred = (
+        ((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        | ((F.col("event_type") == "error") & (F.col("value") <= 50.0))
+        | F.col("user_id").isNull()
+    )
+    return e.where(pred).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "sort_limit",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    doc="Total sort + limit; unique tie-break key keeps the top-100 set deterministic. "
+    "Physically a TakeOrderedAndProject — per-partition top-k then driver merge, no full sort at scale.",
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "flagship_daily_events",
+    oracle=f"""
+        WITH deduped AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+            FROM events
+        )
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               {sql_dsum('value', 'total_value')}
+        FROM deduped
+        WHERE rn = 1
+        GROUP BY 1, 2
+    """,
+    doc="Flagship: the reference ETL re-expressed (ingest→project→dedup-by-key→daily rollup); "
+    "reference semantics of dags/etl.py:36-89 as one lazy Spark plan.",
+)
+def flagship_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    # First-wins keyed dedup (reference R7: ON CONFLICT DO NOTHING) made
+    # deterministic: rank within key by (ts, user_id) and keep rank 1.
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    deduped = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        deduped.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", "total_value"),
+        )
+    )
