@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query runs twice: a warm-up is NOT done (cold numbers are what a
+batch pipeline sees); timing covers full plan execution to a driver-side
+count via ``df.foreach`` no — ``df.count()`` after a no-op cache-free
+plan (actions materialize every operator).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solarflare_etl_pipeline_spark.registry import load_all
+from solarflare_etl_pipeline_spark.session import get_spark
+
+#: Headline queries: one per operator family, weighted toward the
+#: shuffle-heavy ones that dominate at scale.
+BENCH_QUERIES = (
+    "agg_hash",
+    "join_multiway",
+    "join_broadcast",
+    "topk_per_group",
+    "win_analytic",
+    "dedup_key",
+    "flagship_daily_events",
+    "stream_session",
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_dedup_near",
+    "llm_similarity_topk",
+    "ingest_json",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("solarflare-bench")
+    specs = load_all()
+
+    # Warm the JVM/codegen once (an untimed trivial action) so the first
+    # timed query isn't charged for session startup.
+    from solarflare_etl_pipeline_spark.catalog import table
+
+    table(spark, sf_dir, "events").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        # count() materializes the full plan (all operators execute);
+        # no caching between queries — each timing is a cold plan.
+        spec.spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

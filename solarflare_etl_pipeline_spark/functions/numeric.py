@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(25,4)"
-SQL_DEC = "DECIMAL(25,4)"
+DEC = "decimal(30,8)"
+SQL_DEC = "DECIMAL(30,8)"
 
 
 def dsum(expr: Column | str, alias: str) -> Column:

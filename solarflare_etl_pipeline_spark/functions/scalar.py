@@ -1,1 +1,230 @@
-"""(stub — filled in later this round)"""
+"""Scalar function surface: string / date / math / JSON / array / map / UDF.
+
+Reference anchors (SURVEY.md §2.1): R12 string formatting
+(``/root/reference/dags/exampledag.py:88``), R6 timestamp coercion
+(``/root/reference/dags/etl.py:25-29``), R1 JSON payload parsing
+(``/root/reference/dags/etl.py:41``), R11 per-element fan-out
+(``/root/reference/dags/exampledag.py:92-94`` → explode), R4's
+arbitrary-Python transform (``/root/reference/dags/etl.py:48-64`` →
+the vectorized pandas_udf escape hatch).
+
+Everything except ``udf_scalar`` is built-in ``pyspark.sql.functions``
+— JVM-side, inside whole-stage codegen, no Python in the hot path.
+``udf_scalar`` demonstrates the sanctioned slow path: an Arrow-batched
+``pandas_udf`` (vectorized; ~10-100× over row-at-a-time Python UDFs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               SUBSTR(c_name, 1, 8) AS name_prefix,
+               c_name || '/' || c_mktsegment AS name_seg,
+               LENGTH(c_name) AS name_len,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits,
+               REPLACE(c_mktsegment, 'O', '0') AS seg_leet,
+               TRIM(LOWER(c_mktsegment)) AS seg_lower,
+               LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded
+        FROM customer
+    """,
+    doc="String built-ins: upper/substr/concat/length/regexp_extract/replace/trim/lpad "
+    "(reference R12 formatting generalized).",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_mktsegment"), F.lit("O"), F.lit("0")).alias("seg_leet"),
+        F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               EXTRACT(MONTH FROM o_orderdate) AS order_month,
+               EXTRACT(QUARTER FROM o_orderdate) AS order_quarter,
+               EXTRACT(DAY FROM o_orderdate) AS order_day,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+               DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP) AS due_date
+        FROM orders
+    """,
+    doc="Temporal built-ins: extract parts, truncate, date arithmetic "
+    "(reference R6's implicit string→timestamp coercion made explicit).",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).cast("timestamp").alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice / 3.0, 2) AS third_price,
+               ABS(l_discount - 0.05) AS disc_dev,
+               CEIL(l_quantity / 7.0) AS qty_ceil,
+               FLOOR(l_quantity / 7.0) AS qty_floor,
+               CAST(l_quantity AS INT) % 5 AS qty_mod,
+               SQRT(l_extendedprice) AS price_sqrt,
+               CASE WHEN l_discount > 0.05 THEN 'HIGH'
+                    WHEN l_discount > 0.02 THEN 'MID'
+                    ELSE 'LOW' END AS disc_band,
+               GREATEST(l_tax, l_discount) AS max_rate,
+               LEAST(l_tax, l_discount) AS min_rate
+        FROM lineitem
+    """,
+    doc="Arithmetic/rounding/conditional built-ins incl. CASE WHEN banding.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 3.0, 2).alias("third_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        (F.col("l_quantity").cast("int") % 5).alias("qty_mod"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.when(F.col("l_discount") > 0.05, "HIGH")
+        .when(F.col("l_discount") > 0.02, "MID")
+        .otherwise("LOW")
+        .alias("disc_band"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               json_extract_string(props, '$.missing') AS absent
+        FROM events
+    """,
+    doc="Semi-structured JSON field extraction from events.props "
+    "(reference R1's response.json() parsing, dags/etl.py:41).",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("absent"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique,
+               STRING_SPLIT(text, ' ')[1] AS first_token,
+               ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), '|') AS sorted_vocab
+        FROM documents
+    """,
+    doc="Array ops over tokenized text: size, distinct, indexing, sort+join "
+    "(reference R11 fan-out → array semantics).",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.array_join(F.array_sort(F.array_distinct(toks)), "|").alias("sorted_vocab"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    doc="explode (lateral unnest) + re-aggregate: corpus token frequencies "
+    "(reference R11's per-element task fan-out, dags/exampledag.py:92-94).",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+        SELECT event_id, 'event_type' AS prop_key, event_type AS prop_value
+        FROM events WHERE event_type IN ('purchase', 'signup')
+    """,
+    doc="Map construction + explode back to key/value rows (MapType round-trip).",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("event_type").isin("purchase", "signup"))
+    m = F.create_map(F.lit("event_type"), F.col("event_type"))
+    return e.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+        SELECT event_id, value,
+               value * 2.0 + 1.0 AS boosted
+        FROM events
+    """,
+    doc="Vectorized pandas_udf (Arrow-batched) — the sanctioned Python escape hatch "
+    "(reference R4's arbitrary-Python transform, dags/etl.py:48-64). Exact double "
+    "arithmetic keeps it oracle-checkable; real workloads put model scoring etc. here.",
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def boost(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    e = table(spark, sf_dir, "events")
+    return e.select("event_id", "value", boost("value").alias("boosted"))

@@ -1,1 +1,200 @@
-"""(stub — filled in later this round)"""
+"""Aggregation operators: hash aggregate, distinct/approx, rollup/cube, pivot.
+
+Declared target surface (SURVEY.md §2.2; the reference has no
+aggregation — closest is the scalar count at
+``/root/reference/dags/exampledag.py:52-53``).
+
+Scale notes: ``groupBy().agg()`` compiles to partial (map-side) +
+final hash aggregation — the shuffle carries one row per (partition,
+group), not per input row, so low-cardinality groups (returnflag ×
+linestatus = 6) cost almost nothing at 100 TB.  ``countDistinct``
+triggers a per-key expand + two-phase aggregate; prefer
+``approx_count_distinct`` (HLL sketch, mergeable, constant memory) in
+the hot path at scale — both variants are registered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "agg_hash",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity', 'sum_qty')},
+               {sql_dsum('l_extendedprice', 'sum_base_price')},
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+               {sql_davg('l_quantity', 'avg_qty')},
+               {sql_davg('l_extendedprice', 'avg_price')},
+               {sql_davg('l_discount', 'avg_disc')},
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: partial+final hash aggregate over 6 groups.",
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact multi-column count-distinct (Catalyst expand + two-phase aggregate).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # sketch-based: estimates differ per implementation → rows-only
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for distinct counts — "
+    "mergeable sketch, constant memory, no expand. Accuracy asserted in unit tests (±5%).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS g_id,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical grouping sets: (flag,status) → (flag) → (); grouping_id disambiguates NULL-as-total from NULL data.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("g_id"),
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_id", "sum_qty", "n_rows")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS g_id,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="All 2^k grouping sets over (flag, status).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("g_id"),
+            dsum("l_quantity", "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_id", "sum_qty", "n_rows")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS qty_open,
+               CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Pivot = grouped conditional aggregation; explicit value list keeps it one pass (no distinct-values pre-scan).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double"))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+               CAST(MIN(l_shipdate) AS TIMESTAMP) AS first_ship,
+               CAST(MAX(l_shipdate) AS TIMESTAMP) AS last_ship,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Min/max over numeric + temporal columns (order-independent → no decimal detour needed).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+            F.count("*").alias("n_rows"),
+        )
+    )

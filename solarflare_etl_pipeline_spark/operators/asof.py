@@ -1,1 +1,146 @@
-"""(stub — filled in later this round)"""
+"""Range joins and as-of joins (temporal composites).
+
+Declared target surface (SURVEY.md §2.2 ``join_range`` / ``join_asof``);
+no Spark-native as-of operator exists, so both are compositions of
+built-ins (SURVEY.md §4.2 flags this as composition, not a custom rule).
+
+Scale notes:
+  * ``join_range`` keeps an equi key in the join condition so Catalyst
+    plans a sort-merge join with the band predicate as a post-join
+    filter — never a nested-loop cross product.  For a *pure* band
+    join (no equi key) the 100 TB strategy is binning: join on
+    overlapping time buckets (equi) then filter to the exact band —
+    registered as ``join_range_binned``.
+  * ``join_asof`` uses the union + last(ignoreNulls) window pattern:
+    tag both streams, union them (zero-shuffle concat), one window
+    shuffle on (user_id) ordered by time — state per key is O(1),
+    nothing quadratic, late/duplicate timestamps resolved by explicit
+    tie-break.  This is the canonical scalable as-of (vs. range-join +
+    rank-1 which re-materializes every candidate pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "join_range",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_shipdate AS TIMESTAMP) AS l_shipdate,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               DATE_DIFF('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS ship_lag_days
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    """,
+    doc="Equi + band join: lineitems shipped within 60 days of their order date. "
+    "Equi key keeps it sort-merge; band predicate is a join-condition filter.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < o.o_orderdate + F.expr("INTERVAL 60 DAYS"))
+    )
+    return l.join(o, cond).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "o_orderdate",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("ship_lag_days"),
+    )
+
+
+@register(
+    "join_range_binned",
+    oracle="""
+        SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type,
+               CAST(w.win_start AS TIMESTAMP) AS win_start
+        FROM events e
+        JOIN (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS win_start,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) + INTERVAL 6 HOUR AS win_end
+            FROM events WHERE event_type = 'error'
+        ) w
+          ON CAST(DATE_TRUNC('day', e.ts) AS TIMESTAMP) = w.win_start
+         AND CAST(e.ts AS TIMESTAMP) >= w.win_start
+         AND CAST(e.ts AS TIMESTAMP) <  w.win_end
+        WHERE e.event_type = 'purchase'
+    """,
+    doc="Pure band join made scalable by binning: derive day-bucket windows, join on the "
+    "bucket (equi) and filter to the exact range — the 100 TB replacement for a "
+    "nested-loop interval join. (Windows spanning bin boundaries would join on an "
+    "exploded bucket list; these are single-bin by construction.)",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wins = (
+        e.where(F.col("event_type") == "error")
+        .select(F.date_trunc("day", "ts").alias("win_start"))
+        .distinct()
+        .withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase")
+    return (
+        purchases.withColumn("bin", F.date_trunc("day", "ts"))
+        .join(
+            F.broadcast(wins),
+            (F.col("bin") == F.col("win_start"))
+            & (F.col("ts") >= F.col("win_start"))
+            & (F.col("ts") < F.col("win_end")),
+        )
+        .select("event_id", "ts", "user_id", "event_type", "win_start")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+               (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)) AS last_view_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    doc="As-of join: for each purchase, the latest prior 'view' by the same user. "
+    "Spark plan: tag+union both streams, one window per user ordered by (ts, tag, "
+    "event_id), last(ignoreNulls) carry-forward — O(1) state per key, no candidate "
+    "pair materialization (the scalable as-of; cf. SURVEY.md §7 stage 3).",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"), F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_purchase"),
+        "event_id", "value",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    # Order views before purchases at identical ts so "<= ts" semantics hold.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "value", "last_view_ts")
+    )

@@ -1,1 +1,127 @@
-"""(stub — filled in later this round)"""
+"""Deduplication operators: keyed first-wins, idempotent anti-join append,
+exact text dedup.
+
+Reference anchor: R7 — the keyed deduplicating sink
+(``/root/reference/dags/etl.py:66-89``: one INSERT per row with
+``ON CONFLICT (flr_id) DO NOTHING``, unique key declared at
+``dags/etl.py:23``; cross-run idempotence over overlapping 30-day
+windows per ``README.md:74``).  Here the same semantics are one
+shuffle each, instead of O(N) network round-trips:
+
+  * within-batch dedup  → rank-1-per-key (deterministic first-wins);
+  * cross-batch dedup   → left-anti join against existing keys;
+  * content dedup       → hash(text) as the key (LLM-pipeline mandate).
+
+Scale notes: rank-1-per-key is one hash shuffle on the key — strictly
+cheaper than a sort-based distinct.  ``dropDuplicates`` would pick an
+*arbitrary* row per key (fine in production, not oracle-checkable), so
+the registered form makes first-wins explicit with a total order.  The
+anti-join's build side is keys-only (projected before the join), which
+at 100 TB is the difference between shuffling the full table and
+shuffling an 8-byte column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "dedup_key",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey, l_linenumber
+                       ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    doc="Keyed first-wins dedup on (l_orderkey, l_linenumber) — deterministic "
+    "representative via total order (reference R7's ON CONFLICT DO NOTHING).",
+)
+def dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "dedup_antijoin",
+    oracle="""
+        SELECT b.event_id, CAST(b.ts AS TIMESTAMP) AS ts, b.user_id, b.event_type, b.value
+        FROM events b
+        WHERE b.ts >= TIMESTAMP '2024-01-10'
+          AND NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE e.ts < TIMESTAMP '2024-01-10' AND e.event_id = b.event_id
+          )
+    """,
+    doc="Idempotent append: an overlapping re-fetch batch minus already-loaded keys "
+    "(reference R7 cross-run semantics, README.md:74 — the 30-day overlapping window). "
+    "Existing side projected to keys-only before the anti join.",
+)
+def dedup_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cut = "2024-01-10"
+    batch = e.where(F.col("ts") >= cut).select("event_id", "ts", "user_id", "event_type", "value")
+    existing_keys = e.where(F.col("ts") < cut).select("event_id")
+    return batch.join(existing_keys, "event_id", "left_anti")
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+        SELECT doc_id, lang, source, n_chars, fingerprint
+        FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   SHA256(text) AS fingerprint,
+                   ROW_NUMBER() OVER (PARTITION BY SHA256(text) ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Exact content dedup: sha256(text) grouping, lowest doc_id wins. At 100 TB the "
+    "hash (32 bytes) shuffles instead of the document bodies.",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        d.withColumn("fingerprint", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "fingerprint")
+    )
+
+
+@register(
+    "llm_dedup_exact_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT SHA256(text)) AS n_distinct,
+               COUNT(*) - COUNT(DISTINCT SHA256(text)) AS n_duplicates
+        FROM documents
+    """,
+    doc="Corpus-level duplication metrics off the same content hash.",
+)
+def llm_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("h", F.sha2("text", 256))
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("h")).alias("n_duplicates"),
+    )

@@ -1,1 +1,111 @@
-"""(stub — filled in later this round)"""
+"""Set operators: union / union all / intersect / except (distinct + multiset).
+
+Declared target surface (SURVEY.md §2.2); no reference anchor.
+
+Scale notes: ``unionByName`` is a zero-cost plan concatenation (no
+shuffle); the DISTINCT variants add one hash-aggregate shuffle on all
+columns.  ``intersect``/``exceptAll`` compile to aggregate + join
+under Catalyst — fine at scale because both sides here are already
+projected to narrow key columns before the op (project-then-setop, not
+setop-then-project).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+def _cust_nations(spark, sf_dir):
+    return table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+
+
+def _supp_nations(spark, sf_dir):
+    return table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+
+
+@register(
+    "set_union",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION DISTINCT of customer and supplier nation keys.",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir)).distinct()
+
+
+@register(
+    "set_union_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION ALL — pure plan concatenation, no shuffle.",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).unionByName(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT (distinct semantics): nations with customers but no suppliers.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        EXCEPT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="EXCEPT ALL (multiset semantics — per-row multiplicity subtraction).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    r = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(r)
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc="INTERSECT ALL (multiset semantics).",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select("l_orderkey")
+    r = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.intersectAll(r)

@@ -1,1 +1,262 @@
-"""(stub — filled in later this round)"""
+"""Text-analysis operators for LLM training-data pipelines: token stats,
+quality scoring, language ID, n-gram Jaccard pairs, document fingerprints.
+
+Driver-mandate surface (SURVEY.md §2.2 ``llm_*``).  The reference's
+closest analogue is its per-record Python transform (R4,
+``/root/reference/dags/etl.py:48-64``) — here every scorer is built-in
+column expressions (JVM, whole-stage codegen), no Python in the path.
+
+Scale notes: all per-document scorers are narrow (no shuffle).  The
+pairwise Jaccard op restricts candidate pairs to same-(lang, source)
+blocks — at 100 TB you never emit the quadratic cross product; blocking
+(here) or MinHash-LSH banding (``similarity.py``) bounds the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic
+#: language scorer. Deterministic and engine-portable (plain array
+#: intersections) — a real deployment would swap in fastText/CLD3 via a
+#: pandas_udf without changing the query shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "wo", "ni"),
+}
+
+
+def shingles_expr(n: int = 3, toks_col: str | None = None):
+    """Distinct n-token shingles (narrow, no explode).
+
+    When ``toks_col`` is given it must name a materialized array column;
+    expressions inside ``transform`` lambdas are NOT common-subexpression
+    eliminated, so inlining ``split(text)`` in the lambda body would
+    re-split the text once per shingle — O(n²) per document.
+    """
+    c = toks_col if toks_col else "split(text, ' ')"
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, size({c}) - {n}), "
+            f"i -> concat_ws(' ', slice({c}, i + 1, {n})))"
+        )
+    )
+
+
+def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """documents → (doc_id, lang, source, shingles) with the token array
+    materialized as a real column (single split per row)."""
+    return df.withColumn("__toks", F.split("text", " ")).withColumn(
+        "shingles", shingles_expr(n, "__toks")
+    )
+
+
+@register(
+    "llm_text_stats",
+    oracle="""
+        SELECT doc_id, lang, n_chars,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS ttr,
+               CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' ')) AS chars_per_token
+        FROM documents
+    """,
+    doc="Per-document token statistics: counts, type-token ratio, chars/token.",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        (n_unique.cast("double") / n_tokens).alias("ttr"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle=r"""
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS ws_tokens,
+               LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+')) AS re_tokens,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+        FROM documents
+    """,
+    doc="Token counting three ways: whitespace, BPE-ish regex word pieces, and the "
+    "chars/4 LLM heuristic. Narrow map — safe at any scale.",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+"), 0)).alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("approx_llm_tokens"),
+    )
+
+
+@register(
+    "llm_quality_score",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS n_unique,
+                   LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                                      ['the','and','of','to','a'])) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(n_unique AS DOUBLE) / n_tokens AS diversity,
+               CAST(n_stop AS DOUBLE) / 5.0 AS stopword_coverage,
+               CASE WHEN n_tokens BETWEEN 20 AND 2000
+                         AND CAST(n_unique AS DOUBLE) / n_tokens > 0.2
+                    THEN 1 ELSE 0 END AS passes_filter
+        FROM t
+    """,
+    doc="Heuristic quality scoring: lexical diversity, stopword coverage, and a "
+    "Gopher-style keep/drop gate — the standard pre-training corpus filter shape.",
+)
+def llm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    stopwords = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(toks, stopwords))
+    diversity = n_unique.cast("double") / n_tokens
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        diversity.alias("diversity"),
+        (n_stop.cast("double") / 5.0).alias("stopword_coverage"),
+        F.when((n_tokens.between(20, 2000)) & (diversity > 0.2), 1).otherwise(0).alias("passes_filter"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), {arr}))"
+
+
+@register(
+    "llm_lang_id",
+    oracle=f"""
+        SELECT doc_id, lang AS actual_lang,
+               {_lang_score_sql('en')} AS score_en,
+               {_lang_score_sql('de')} AS score_de,
+               {_lang_score_sql('es')} AS score_es,
+               {_lang_score_sql('fr')} AS score_fr,
+               {_lang_score_sql('zh')} AS score_zh
+        FROM documents
+    """,
+    doc="Marker-lexicon language scores per document (n-gram-heuristic language ID; "
+    "argmax + confidence gating live in the downstream filter).",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    cols = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]))).alias(
+            f"score_{lang}"
+        )
+        for lang in ("en", "de", "es", "fr", "zh")
+    ]
+    return d.select("doc_id", F.col("lang").alias("actual_lang"), *cols)
+
+
+@register(
+    "llm_dedup_ngram_jaccard",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                   / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                  / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.5
+    """,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs, blocked by (lang, source) so the "
+    "pair space stays bounded — the exact-verify stage behind MinHash-LSH candidates. "
+    "Shingling (not raw tokens) matters: the fixture vocabulary is ~31 words, so "
+    "token sets are degenerate (every doc resembles every doc); 3-gram space is 31^3.",
+)
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", F.col("shingles").alias("toks")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               MIN(MD5(shingle)) AS fingerprint,
+               COUNT(*) AS n_shingles
+        FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        )
+        GROUP BY doc_id
+    """,
+    doc="Rolling 3-gram shingle fingerprint: min-of-hashes over sliding windows "
+    "(winnowing-style content signature; shuffle-free per-doc aggregation). "
+    "Docs with <3 tokens have no shingles and drop out in both engines.",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
+    # sliding 3-token shingles via sequence + transform over the
+    # materialized token column (no explode: stays narrow; no per-lambda
+    # re-split — see shingles_expr)
+    shingles = F.expr(
+        "transform(sequence(0, size(__toks) - 3), "
+        "i -> concat_ws(' ', slice(__toks, i + 1, 3)))"
+    )
+    return (
+        d.where(F.size("__toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_min(F.transform(shingles, lambda s: F.md5(s))).alias("fingerprint"),
+            F.size(shingles).cast("long").alias("n_shingles"),
+        )
+    )

@@ -1,1 +1,139 @@
-"""(stub — filled in later this round)"""
+"""Window-function operators: ranking, analytic (lag/lead/frames), top-k per group.
+
+Declared target surface (SURVEY.md §2.2) — the reference has no windows.
+
+Determinism rules for oracle parity:
+  * ``row_number``/``ntile`` order by a key made unique with explicit
+    tie-breakers (partition ordering is otherwise engine-dependent);
+  * ``rank``/``dense_rank`` may order by non-unique keys (their output
+    depends only on the sort key, not row order);
+  * running sums accumulate in decimal (DuckDB evaluates window sums
+    with a segment tree → different double association than Spark's
+    running buffer).
+
+Scale notes: a window = one shuffle on ``partitionBy`` + per-partition
+sort.  Top-k per group deliberately avoids a global sort: filter
+``rn <= k`` after the per-group window, so only k·groups rows survive
+the exchange.  Skewed partition keys are the main 100 TB risk —
+mitigate by salting the partition key or pre-aggregating where the
+frame allows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "win_rank",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+               RANK()       OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderstatus) AS drnk,
+               NTILE(4)     OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+        FROM orders
+    """,
+    doc="Ranking windows; row_number/ntile on unique ordering, rank/dense_rank on a tied key.",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    unique_order = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    tied_order = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(unique_order).alias("rn"),
+        F.rank().over(tied_order).alias("rnk"),
+        F.dense_rank().over(tied_order).alias("drnk"),
+        F.ntile(4).over(unique_order).alias("quartile"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(ts AS TIMESTAMP) AS ts,
+               value,
+               LAG(value)  OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               CAST(SUM(CAST(value AS DECIMAL(30,8)))
+                    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+               CAST(SUM(CAST(value AS DECIMAL(30,8)))
+                    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    doc="lag/lead + running & rolling frame sums per user ordered by event time.",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec_val = F.col("value").cast("decimal(30,8)")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(dec_val).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_total"),
+        F.sum(dec_val).over(w.rowsBetween(-2, 0)).cast("double").alias("rolling3"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rn <= 3
+    """,
+    doc="Top-3 orders per market segment: per-group window + filter, no global sort.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_cume",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+               CUME_DIST()    OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cume
+        FROM orders
+    """,
+    doc="Distribution windows (percent_rank, cume_dist) — exact rational values, engine-stable on unique ordering.",
+)
+def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -1,1 +1,176 @@
-"""(stub — filled in later this round)"""
+"""Event-time windowing: tumbling / sliding / session + watermark dedup.
+
+Reference anchor: R13 — the daily micro-batch cadence with an
+overlapping 30-day fetch window (``/root/reference/dags/etl.py:12``,
+``README.md:74``); its sink-side dedup (R7) is exactly what
+``withWatermark + dropDuplicates`` does with bounded state.
+
+Each operator is registered in its *batch-equivalent* form (same
+``F.window``/``F.session_window`` expressions, oracle-checkable);
+``streaming.runtime`` wires the identical expressions behind
+``readStream`` (tested with file-source micro-batches in
+``tests/test_streaming.py`` — rows-only by nature).
+
+Scale notes: event-time windows aggregate with partial+final hash
+aggregation like any groupBy — state in true streaming mode is bounded
+by the watermark, never by stream length.  Session windows merge
+per-key in the aggregation, no self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+        SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time windows (epoch-aligned ≡ date_trunc). Same "
+    "expression runs under readStream with a watermark.",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win0,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       - INTERVAL 1 HOUR AS win1,
+                   value
+            FROM events
+        ),
+        exploded AS (
+            SELECT win0 AS window_start, value FROM assigned
+            UNION ALL
+            SELECT win1 AS window_start, value FROM assigned
+        )
+        SELECT window_start,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'total_value')}
+        FROM exploded
+        GROUP BY window_start
+    """,
+    doc="Sliding windows (2h length, 1h slide): each event lands in 2 windows. Oracle "
+    "expresses the same assignment by exploding the two hour-aligned starts.",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-min gap) per user. Spark merges sessions inside the "
+    "aggregation (session_window); oracle uses the classic gaps-and-islands "
+    "formulation. Spark's session end = last event + gap, mirrored in SQL.",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_watermark_dedup",
+    oracle="""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), user_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Keyed dedup, batch-equivalent of withWatermark + dropDuplicates (reference "
+    "R7+R13: overlapping daily re-fetch windows deduped with bounded state; true "
+    "streaming form exercised in tests/test_streaming.py).",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# True Structured Streaming wiring (used by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+def streaming_events(spark: SparkSession, json_dir: str, schema) -> DataFrame:
+    """File-source micro-batch stream of events (one file ≈ one batch)."""
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(json_dir)
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling-window counts with a 2-hour watermark — identical window
+    expression to stream_tumbling above."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame) -> DataFrame:
+    """Watermarked keyed dedup — bounded state (reference R7 in streaming form)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
