@@ -1,0 +1,84 @@
+"""Grouped-aggregate pandas UDAF + the first-class ``spark.sql`` path.
+
+SURVEY.md §2.2 closes with "UDAF/UDTF surface: cover minimally via
+pandas_udf grouped-agg and mapInPandas" (the UDTF-like path lives in
+``operators/multimodal.py``); §3.3 keeps ad-hoc ``spark.sql`` over
+registered views first-class.
+
+Determinism note: a float sum inside pandas is order-dependent, and
+group rows arrive in shuffle order — so the UDAF does integer-cents
+arithmetic (order-independent) and divides once at the end, keeping it
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import register_views, table
+from solarflare_etl_pipeline_spark.functions.numeric import sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "udaf_grouped",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                   / COUNT(o_totalprice) AS mean_price,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Grouped-agg pandas UDAF (Arrow-batched): exact mean via integer-cents "
+    "accumulation — order-independent, hence oracle-checkable. The escape hatch for "
+    "aggregations Catalyst can't express (reference R4's arbitrary Python, grouped).",
+)
+def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def exact_mean_price(v: pd.Series) -> float:
+        # integer cents: order-independent sum (2-decimal money is exact)
+        cents = (v * 100).round().astype("int64").sum()
+        return float(cents) / 100.0 / len(v)
+
+    @F.pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg()
+        # — count comes from a second pandas UDAF
+        return len(v)
+
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        exact_mean_price("o_totalprice").alias("mean_price"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )
+
+
+@register(
+    "sql_adhoc",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o.o_orderpriority
+    """,
+    doc="The interactive SQL entry point (reference §3.3: ad-hoc SELECT over the loaded "
+    "table, documentation.md:402-418): same Catalyst plan as the DataFrame API, via "
+    "spark.sql over registered views.",
+)
+def sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o.o_orderpriority
+        """
+    )

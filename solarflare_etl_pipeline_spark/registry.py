@@ -65,7 +65,9 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        udaf,
     )
+    from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
     from solarflare_etl_pipeline_spark.sources import json_ingest  # noqa: F401
     from solarflare_etl_pipeline_spark.streaming import event_windows  # noqa: F401

@@ -1,0 +1,110 @@
+"""Sinks: bulk parquet (partitioned) and JDBC.
+
+Reference anchor: R7's row-at-a-time INSERT loop
+(``/root/reference/dags/etl.py:76-89``) — replaced by single bulk
+writes; SURVEY.md §4.1 calls out the O(N) round-trips this removes.
+
+``sink_parquet`` is registered as a query: it writes a date-partitioned
+parquet dataset (overwrite), reads it back, and returns a per-partition
+summary — exercising the full write→read round-trip so the oracle can
+check it end-to-end (the write path is part of the plan, not a side
+effect the driver can't see).
+
+``write_jdbc`` is wiring only: the container has no reachable database,
+so it is exercised for argument plumbing in unit tests but not
+registered (SURVEY.md §2.2 lists it as an optional sink).
+
+Scale notes: the partitioned write repartitions by the partition column
+first so each task writes one directory (no small-files explosion:
+without it, every task writes a file into every partition dir —
+tasks × partitions files).  At 100 TB add
+``maxRecordsPerFile`` and sort-within-partition for row-group locality.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, partition_col: str) -> None:
+    """Bulk partitioned write: one shuffle on the partition column, one
+    file per partition-dir per task (vs. the reference's one INSERT per
+    row, dags/etl.py:76-89)."""
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def write_jdbc(df: DataFrame, url: str, table_name: str, mode: str = "append", **options) -> None:
+    """JDBC bulk sink (replaces the reference's per-row PostgresHook.run
+    round-trips). Batched inserts; numPartitions bounds connection count."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table_name)
+    for k, v in {"batchsize": "10000", "numPartitions": "8", **options}.items():
+        writer = writer.option(k, str(v))
+    writer.mode(mode).save()
+
+
+@register(
+    "sink_jdbc",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_balance
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    doc="JDBC sink round-trip against embedded Derby (the JDBC driver Spark ships): "
+    "bulk batched write (replacing the reference's per-row INSERT loop, "
+    "dags/etl.py:76-89), then spark.read.jdbc back. Same wiring works against "
+    "Postgres/MySQL by swapping the URL.",
+)
+def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = f"jdbc:derby:{os.path.join(tempfile.gettempdir(), 'solarflare_derby')};create=true"
+    agg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+    )
+    write_jdbc(agg, url, "customer_summary", mode="overwrite", numPartitions="1")
+    back = spark.read.format("jdbc").option("url", url).option("dbtable", "customer_summary").load()
+    return back.select("c_mktsegment", "n_customers", "total_balance")
+
+
+@register(
+    "sink_parquet",
+    oracle=f"""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_price')}
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Partitioned parquet sink round-trip: write orders partitioned by year "
+    "(overwrite), read the dataset back, aggregate per partition — verifies schema "
+    "fidelity and partition completeness through the write→read cycle.",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = os.path.join(tempfile.gettempdir(), "solarflare_sink_parquet")
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    write_partitioned_parquet(o, target, "order_year")
+    back = spark.read.parquet(target)
+    return back.groupBy("order_year").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
