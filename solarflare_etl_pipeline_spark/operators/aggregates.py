@@ -173,6 +173,34 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filtered",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shaped selective aggregate: every predicate pushes to the parquet "
+    "scan (PushedFilters carries all four), then a single global agg — the "
+    "scan-bound query shape that dominates real warehouse workloads.",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount").between(0.04, 0.06))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
     "agg_stats",
     oracle="""
         SELECT l_returnflag,

@@ -27,7 +27,17 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct"),
         "shuffles": plan.count("Exchange"),
         "has_pushed_filters": "PushedFilters: [" in plan and "PushedFilters: []" not in plan,
-        "python_stages": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "python_stages": sum(
+            plan.count(marker)
+            for marker in (
+                "BatchEvalPython",
+                "ArrowEvalPython",
+                "MapInPandas",
+                "FlatMapGroupsInPandas",
+                "ArrowAggregatePython",
+                "AggregateInPandas",
+            )
+        ),
         "wholestage_codegen": "WholeStageCodegen" in plan,
     }
 

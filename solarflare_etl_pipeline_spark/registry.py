@@ -70,6 +70,6 @@ def load_all() -> dict[str, QuerySpec]:
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
     from solarflare_etl_pipeline_spark.sources import json_ingest  # noqa: F401
-    from solarflare_etl_pipeline_spark.streaming import event_windows  # noqa: F401
+    from solarflare_etl_pipeline_spark.streaming import event_windows, stateful  # noqa: F401
 
     return REGISTRY

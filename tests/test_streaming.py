@@ -109,6 +109,32 @@ def test_windowed_counts_stream(spark, stream_dir, tmp_path):
     q.stop()
 
 
+def test_stateful_user_totals_stream(spark, stream_dir, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches —
+    user 2's count reflects batch-1 AND batch-2 events."""
+    from solarflare_etl_pipeline_spark.streaming.stateful import stateful_user_totals
+
+    events = streaming_events(spark, stream_dir, SCHEMA)
+    q = (
+        stateful_user_totals(events)
+        .writeStream.format("memory")
+        .queryName("sink_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n FROM sink_state GROUP BY user_id"
+    ).collect()
+    by_user = {r.user_id: r.n for r in rows}
+    # user 1: 3 events in batch 1; user 2: 1 (b1) + 2 (b2) = 3 total
+    assert by_user[1] == 3
+    assert by_user[2] == 3
+    q.stop()
+
+
 def test_windowed_counts_complete_mode(spark, stream_dir, tmp_path):
     events = streaming_events(spark, stream_dir, SCHEMA)
     counts = (
