@@ -211,6 +211,47 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_posexplode",
+    oracle="""
+        SELECT doc_id,
+               UNNEST(RANGE(0, LEN(toks))) AS pos,
+               UNNEST(toks) AS token
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+              WHERE doc_id < 20)
+    """,
+    doc="posexplode: ordinal-preserving flatten (token position matters for n-gram work).",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@register(
+    "fn_string_sim",
+    oracle="""
+        SELECT a.n_name AS name_a, b.n_name AS name_b,
+               levenshtein(a.n_name, b.n_name) AS edit_distance
+        FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        WHERE levenshtein(a.n_name, b.n_name) <= 4
+    """,
+    doc="String similarity: Levenshtein edit distance over name pairs (fuzzy matching "
+    "primitive; blocked self-join keeps the pair space bounded at scale).",
+)
+def fn_string_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_nationkey").alias("ka"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_nationkey").alias("kb"))
+    return (
+        a.join(b, F.col("ka") < F.col("kb"))
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_distance") <= 4)
+        .select("name_a", "name_b", "edit_distance")
+    )
+
+
+@register(
     "udf_scalar",
     oracle="""
         SELECT event_id, value,

@@ -173,6 +173,47 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_median",
+    oracle="""
+        SELECT l_returnflag,
+               MEDIAN(l_extendedprice) AS median_price,
+               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact median + continuous percentile (linear interpolation in both engines; "
+    "midpoints of identical doubles are bit-identical). Exact percentiles need a "
+    "per-group sort — approx_percentile is the 100 TB path (see agg_approx_stats).",
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("median_price"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "agg_approx_stats",
+    oracle=None,  # sketch-based (KLL/GK) → rows-only; bounds asserted in unit tests
+    doc="approx_percentile: the mergeable-sketch percentile for 100 TB (no per-group "
+    "sort, bounded memory, map-side combinable).",
+)
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
     "agg_filtered",
     oracle=f"""
         SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},

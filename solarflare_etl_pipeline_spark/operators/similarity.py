@@ -249,30 +249,39 @@ def llm_dedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, [k minhash values]) over 3-gram shingles.
+    """(doc_id, [k minhash values]) over 3-gram shingles — shuffle-free.
 
     Shingling is load-bearing: the fixture vocabulary is ~31 words, so
     raw token sets are degenerate (all docs mutually similar ⇒ LSH
     candidates go quadratic); 3-gram shingles live in a 31³ space where
     only true near-dups collide.
+
+    Each minhash is ``array_min`` of an affine transform over the
+    per-row hash array — a narrow map, no explode, no groupBy: at any
+    scale, signatures cost one pass over the documents with zero
+    exchange (the old explode + 32-min-agg formulation shuffled ~50×
+    the corpus row count).  ``repartition`` only widens local
+    parallelism for the CPU-heavy map when the scan is a single file.
     """
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
-    # Repartition BEFORE the ~50× explode: the scan may be few
-    # partitions (one small file locally; at scale, post-filter
-    # coalesced splits), and everything downstream of an amplifying
-    # operator inherits its parallelism.
     d = with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
-    toks = (
-        d.select("doc_id", F.explode("shingles").alias("tok"))
-        # fold the 64-bit base hash into the 31-bit field (pmod ⇒ non-negative)
-        .withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(1 << 31)))
+    # base hash per shingle, folded into the 31-bit field; materialized
+    # as a column so the k affine transforms don't re-hash (no CSE
+    # inside lambdas)
+    d = d.withColumn(
+        "__h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
     )
+    def affine(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so constants
+        # can't ride in as default args
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)
+
     mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE)).alias(f"mh{i}")
+        F.array_min(F.transform("__h", affine(a, b))).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_AB)
     ]
-    return toks.groupBy("doc_id").agg(*mins)
+    return d.select("doc_id", *mins)
 
 
 @register(

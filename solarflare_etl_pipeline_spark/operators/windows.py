@@ -119,6 +119,38 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_value",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_orderpriority
+                                             ORDER BY o_totalprice, o_orderkey
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND UNBOUNDED FOLLOWING) AS priciest_key,
+               NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                              ORDER BY o_totalprice, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                                       AND UNBOUNDED FOLLOWING) AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Value windows: first/last/nth over a full-partition frame (last/nth need the "
+    "UNBOUNDED FOLLOWING frame — the default frame stops at CURRENT ROW).",
+)
+def win_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(ordered).alias("cheapest_key"),
+        F.last("o_orderkey").over(full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_key"),
+    )
+
+
+@register(
     "win_cume",
     oracle="""
         SELECT o_orderpriority, o_orderkey,

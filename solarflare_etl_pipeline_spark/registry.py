@@ -66,6 +66,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         multimodal,
         udaf,
+        subqueries,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401

@@ -14,7 +14,7 @@ SPECS = load_all()
 
 #: Queries that intentionally cross-join (exact pairwise similarity —
 #: the registered brute-force baselines; their scale path is the LSH op).
-DELIBERATE_CROSS = {"llm_similarity_topk", "llm_dedup_embcos"}
+DELIBERATE_CROSS = {"llm_similarity_topk", "llm_dedup_embcos", "join_cross", "fn_string_sim"}
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
 #: grouped-map — the sanctioned escape hatches).

@@ -89,6 +89,32 @@ def test_asof_spot_check(spark, sf_dir):
         assert best == row.last_view_ts, (row.event_id, best, row.last_view_ts)
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Bucketed orders ⋈ lineitem must sort-merge with no Exchange above
+    either scan (the 100 TB co-located fact-fact join strategy)."""
+    from solarflare_etl_pipeline_spark.plans.bucketing import demo_bucketed_join
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+
+    # at fixture scale the dims fit under the broadcast threshold and
+    # AQE would broadcast instead; disable it so the plan shows the
+    # at-scale shape (both tables too big to broadcast → SMJ)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = demo_bucketed_join(spark, sf_dir)
+        plan = physical_plan(df)
+        # the only exchange allowed is the one for the final groupBy —
+        # below the join there must be none (scans feed the join directly)
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:3000]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:3000]
+        # and it still computes the right thing
+        rows = {r.o_orderpriority: r.n_lineitems for r in df.collect()}
+        assert sum(rows.values()) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_broadcast_join_plan(spark, sf_dir):
     plan = SPECS["join_broadcast"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
