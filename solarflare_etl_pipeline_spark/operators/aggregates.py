@@ -176,22 +176,23 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median",
     oracle="""
         SELECT l_returnflag,
-               MEDIAN(l_extendedprice) AS median_price,
-               PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price
+               ROUND(MEDIAN(l_extendedprice), 4) AS median_price,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    doc="Exact median + continuous percentile (linear interpolation in both engines; "
-    "midpoints of identical doubles are bit-identical). Exact percentiles need a "
-    "per-group sort — approx_percentile is the 100 TB path (see agg_approx_stats).",
+    doc="Exact median + continuous percentile. Outputs rounded to 4 decimals on both "
+    "sides: the interpolation formula's operation order isn't pinned across engines, "
+    "so the raw double can differ in the last ulp. Exact percentiles need a per-group "
+    "sort — approx_percentile is the 100 TB path (see agg_approx_stats).",
 )
 def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.median("l_extendedprice").alias("median_price"),
-            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+            F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
         )
     )
 

@@ -1,0 +1,171 @@
+"""Reshaping + order-sensitive aggregates: unpivot/melt, collect_list/
+set, arg-min/max, percent-of-total windows, date formatting, and the
+two-phase salted aggregation pattern for skewed keys.
+
+Determinism rules: collected lists are sorted before output
+(collection order is partition-dependent); arg-min/max use orderings
+made unique by construction (min_by/max_by tie behavior is
+engine-defined otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, rate_kind, rate
+        FROM (SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem)
+        UNPIVOT (rate FOR rate_kind IN (l_discount AS 'discount', l_tax AS 'tax'))
+    """,
+    doc="Unpivot/melt: wide rate columns → (kind, value) rows (inverse of agg_pivot).",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_tax"
+    )
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_discount", "l_tax"],
+        variableColumnName="rate_kind",
+        valueColumnName="rate",
+    ).withColumn(
+        "rate_kind",
+        F.when(F.col("rate_kind") == "l_discount", "discount").otherwise("tax"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+        SELECT n_regionkey,
+               LIST_SORT(LIST(n_name)) AS nations,
+               LIST_SORT(LIST(DISTINCT n_name)) AS distinct_nations
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+    doc="collect_list/collect_set with explicit sort — collection order is "
+    "partition-dependent, so lists are canonicalized before comparison/output.",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set("n_name")).alias("distinct_nations"),
+    )
+
+
+@register(
+    "agg_argminmax",
+    oracle="""
+        SELECT o_orderpriority,
+               ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+               ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="arg-min/max (min_by/max_by): the key of the extremal row per group. "
+    "o_totalprice values are unique per group in the fixture (asserted in unit "
+    "tests) so tie behavior never fires.",
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "win_share",
+    oracle="""
+        SELECT c_mktsegment,
+               n_customers,
+               CAST(n_customers AS DOUBLE)
+                   / SUM(n_customers) OVER () AS segment_share
+        FROM (SELECT c_mktsegment, COUNT(*) AS n_customers
+              FROM customer GROUP BY c_mktsegment)
+    """,
+    doc="Percent-of-total: unpartitioned window over a pre-aggregated (small) input — "
+    "the safe shape; an OVER () on raw rows would serialize the whole table through "
+    "one partition.",
+)
+def win_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return seg.select(
+        "c_mktsegment",
+        "n_customers",
+        (F.col("n_customers").cast("double") / F.sum("n_customers").over(Window.partitionBy()))
+        .alias("segment_share"),
+    )
+
+
+@register(
+    "fn_date_format",
+    oracle="""
+        SELECT o_orderkey,
+               STRFTIME(o_orderdate, '%Y-%m-%d') AS iso_day,
+               STRFTIME(o_orderdate, '%Y/%m') AS year_month,
+               CAST(EPOCH(o_orderdate) AS BIGINT) AS unix_ts,
+               CAST(TO_TIMESTAMP(CAST(EPOCH(o_orderdate) AS BIGINT)) AS TIMESTAMP) AS from_unix
+        FROM orders
+    """,
+    doc="Timestamp formatting + unix epoch round-trip (date_format patterns on the "
+    "Spark side, strftime on the oracle side — same rendered text).",
+)
+def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("iso_day"),
+        F.date_format("o_orderdate", "yyyy/MM").alias("year_month"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp("o_orderdate"))).alias("from_unix"),
+    )
+
+
+@register(
+    "agg_salted",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               {sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Two-phase salted aggregation — the skewed-key pattern: group by (key, salt) "
+    "for the partial (spreads one hot key over S reducers), then re-aggregate by key. "
+    "Result is identical to the direct groupBy (the oracle IS the direct form); at "
+    "100 TB this is the fix when one key holds half the table. Salt derives from a "
+    "stable row attribute, not rand() (determinism + retry-safety).",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 16
+    l = table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALTS))
+    )
+    partial = l.groupBy("l_returnflag", "__salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("pq"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+    )

@@ -67,6 +67,8 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         udaf,
         subqueries,
+        nulls,
+        reshape,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401

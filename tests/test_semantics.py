@@ -89,6 +89,27 @@ def test_asof_spot_check(spark, sf_dir):
         assert best == row.last_view_ts, (row.event_id, best, row.last_view_ts)
 
 
+def test_argminmax_no_ties(spark, sf_dir):
+    """agg_argminmax's determinism rests on unique extremal prices per
+    priority group — assert the precondition actually holds."""
+    from solarflare_etl_pipeline_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    dup_extremes = (
+        o.groupBy("o_orderpriority", "o_totalprice")
+        .count()
+        .where(F.col("count") > 1)
+        .join(
+            o.groupBy("o_orderpriority").agg(
+                F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+            ),
+            "o_orderpriority",
+        )
+        .where((F.col("o_totalprice") == F.col("mn")) | (F.col("o_totalprice") == F.col("mx")))
+    )
+    assert dup_extremes.count() == 0
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     """Bucketed orders ⋈ lineitem must sort-merge with no Exchange above
     either scan (the 100 TB co-located fact-fact join strategy)."""
