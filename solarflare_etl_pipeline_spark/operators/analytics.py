@@ -1,0 +1,144 @@
+"""Event-analytics composites: funnel, cohort retention, TF-IDF.
+
+The composite shapes a real pipeline runs daily over the events/
+documents tables — each is pure DataFrame composition (windows +
+aggregates + joins), exercising several §2.2 primitives together.
+
+Scale notes: funnel and retention aggregate per user first (shrinking
+to |users| rows) before any joins; TF-IDF joins per-token document
+frequencies (|vocab| rows — broadcastable) against per-doc term counts.
+Nothing quadratic, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.registry import register
+
+
+@register(
+    "funnel_steps",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t_view) AS step_view,
+               COUNT(CASE WHEN t_click > t_view THEN 1 END) AS step_click,
+               COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS step_purchase
+        FROM per_user
+    """,
+    doc="Ordered funnel view→click→purchase: first-occurrence timestamps per user "
+    "(one aggregation), then ordered-step counts. Per-user reduction happens before "
+    "anything else — the scalable funnel shape.",
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("step_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("step_click"),
+        F.count(
+            F.when((F.col("t_purchase") > F.col("t_click")) & (F.col("t_click") > F.col("t_view")), 1)
+        ).alias("step_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS active_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               DATE_DIFF('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7 AS week_offset,
+               COUNT(*) AS n_active_users
+        FROM firsts f JOIN activity a ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen week, counted per later active "
+    "week. Two per-user aggregations + one equi join on user_id.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+@register(
+    "llm_tfidf",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tokens GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM tokens GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT tf.doc_id, tf.token,
+               tf.tf,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        WHERE df.df < (SELECT n_docs FROM n)
+    """,
+    doc="TF-IDF term weighting: per-doc term counts ⋈ corpus document frequencies "
+    "(|vocab| rows — broadcastable) × corpus size. ln() rounded to 6 decimals both "
+    "sides (libm may differ in the last ulp). Tokens present in every document carry "
+    "zero signal and are dropped.",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").repartition("doc_id")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar corpus size (one job; a literal thereafter)
+    return (
+        tf.join(F.broadcast(df.where(F.col("df") < n_docs)), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )

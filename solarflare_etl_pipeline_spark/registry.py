@@ -69,6 +69,7 @@ def load_all() -> dict[str, QuerySpec]:
         subqueries,
         nulls,
         reshape,
+        analytics,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
