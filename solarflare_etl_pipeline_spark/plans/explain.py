@@ -38,6 +38,8 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
                 "AggregateInPandas",
             )
         ),
+        # NOTE: under AQE the pre-execution plan (isFinalPlan=false) hides
+        # WholeStageCodegen spans — False here is inconclusive, True is real
         "wholestage_codegen": "WholeStageCodegen" in plan,
     }
 
