@@ -142,6 +142,65 @@ def fn_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted",
+    oracle=f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o.o_totalprice', 'total_price')}
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    doc="Salted skew join — the hot-key fix for fact⋈dim when one key dominates: "
+    "fact side salts its key (stable hash, not rand()); the small side is exploded "
+    "×S so every (key, salt) finds its match; result equals the plain join (the "
+    "oracle IS the plain form). At 100 TB apply only to diagnosed hot keys, not "
+    "the whole table.",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 8
+    o = table(spark, sf_dir, "orders").withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALTS))
+    )
+    c = table(spark, sf_dir, "customer").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(s).cast("long") for s in range(SALTS)]))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o["__salt"] == c["__salt"]))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "dedup_keep_last",
+    oracle="""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+        FROM (
+            SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="Keep-LAST keyed dedup (latest state per (user, event_type)) — the CDC/upsert "
+    "complement to dedup_key's first-wins (reference R7 keeps first; state stores "
+    "keep last).",
+)
+def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
     "agg_salted",
     oracle=f"""
         SELECT l_returnflag,

@@ -1,1 +1,1 @@
-"""(stub — filled in later this round)"""
+"""Plan inspection and physical-layout strategies (explain audits, bucketing)."""

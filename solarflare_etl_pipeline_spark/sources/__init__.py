@@ -1,1 +1,1 @@
-"""(stub — filled in later this round)"""
+"""Source connectors (JSON ingest; parquet scans live in catalog.py)."""

@@ -1,1 +1,1 @@
-"""(stub — filled in later this round)"""
+"""Structured Streaming operators: event-time windows, watermark dedup, custom state."""
