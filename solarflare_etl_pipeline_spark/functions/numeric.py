@@ -45,5 +45,49 @@ def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
 
 
+# ---------------------------------------------------------------------------
+# Decimal-native money arithmetic
+# ---------------------------------------------------------------------------
+# Casting a *computed* double (e.g. price × (1-disc) × (1+tax)) to decimal
+# is NOT engine-stable: the product carries a few ulp of float noise, and
+# when its shortest repr lands on a '5' at the rounding digit Spark
+# (HALF_UP on BigDecimal.valueOf's shortest repr) and DuckDB (rounding the
+# exact binary expansion) can disagree — observed at sf0.1 in sum_charge.
+# Casting the *inputs* is safe (2-decimal money doubles sit half-an-ulp
+# from their decimal value, 3 orders below the rounding grain), and
+# decimal × decimal is exact in both engines.  So money expressions are
+# built decimal-native: cast inputs, multiply in decimal, sum exactly.
+
+D_PRICE = "decimal(18,2)"
+D_RATE = "decimal(4,2)"
+
+
+def price_dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(D_PRICE)
+
+
+def rate_dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(D_RATE)
+
+
+def dsum_exact(dec_expr: Column, alias: str) -> Column:
+    """Exact decimal sum of an (already decimal) expression → double."""
+    return F.sum(dec_expr).cast("double").alias(alias)
+
+
+def sql_price(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,2))"
+
+
+def sql_rate(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(4,2))"
+
+
+def sql_dsum_exact(dec_expr: str, alias: str) -> str:
+    return f"CAST(SUM({dec_expr}) AS DOUBLE) AS {alias}"
+
+
 def sql_davg(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT({expr}) AS {alias}"

@@ -19,7 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import table
-from solarflare_etl_pipeline_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_exact,
+    price_dec,
+    rate_dec,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_exact,
+    sql_price,
+    sql_rate,
+)
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -29,8 +40,8 @@ from solarflare_etl_pipeline_spark.registry import register
         SELECT l_returnflag, l_linestatus,
                {sql_dsum('l_quantity', 'sum_qty')},
                {sql_dsum('l_extendedprice', 'sum_base_price')},
-               {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-               {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)', 'sum_charge')},
+               {sql_dsum_exact(f'{sql_price("l_extendedprice")} * (1 - {sql_rate("l_discount")})', 'sum_disc_price')},
+               {sql_dsum_exact(f'({sql_price("l_extendedprice")} * (1 - {sql_rate("l_discount")})) * (1 + {sql_rate("l_tax")})', 'sum_charge')},
                {sql_davg('l_quantity', 'avg_qty')},
                {sql_davg('l_extendedprice', 'avg_price')},
                {sql_davg('l_discount', 'avg_disc')},
@@ -43,12 +54,13 @@ from solarflare_etl_pipeline_spark.registry import register
 )
 def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # decimal-native money arithmetic (engine-stable; see functions.numeric)
+    disc_price = price_dec("l_extendedprice") * (1 - rate_dec("l_discount"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"),
         dsum("l_extendedprice", "sum_base_price"),
-        dsum(disc_price, "sum_disc_price"),
-        dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+        dsum_exact(disc_price, "sum_disc_price"),
+        dsum_exact(disc_price * (1 + rate_dec("l_tax")), "sum_charge"),
         davg("l_quantity", "avg_qty"),
         davg("l_extendedprice", "avg_price"),
         davg("l_discount", "avg_disc"),
@@ -217,7 +229,7 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_filtered",
     oracle=f"""
-        SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+        SELECT {sql_dsum_exact(f'{sql_price("l_extendedprice")} * {sql_rate("l_discount")}', 'revenue')},
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -237,7 +249,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return l.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        dsum_exact(price_dec("l_extendedprice") * rate_dec("l_discount"), "revenue"),
         F.count("*").alias("n_rows"),
     )
 

@@ -23,7 +23,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import dim, table
-from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import (
+    dsum,
+    dsum_exact,
+    price_dec,
+    rate_dec,
+    sql_dsum,
+    sql_dsum_exact,
+    sql_price,
+    sql_rate,
+)
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -138,7 +147,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT p.p_brand,
                COUNT(*) AS n_items,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+               {sql_dsum_exact(f'{sql_price("l.l_extendedprice")} * (1 - {sql_rate("l.l_discount")})', 'revenue')}
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE p.p_type = 'PROMO'
         GROUP BY p.p_brand
@@ -153,7 +162,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum_exact(price_dec("l_extendedprice") * (1 - rate_dec("l_discount")), "revenue"),
         )
     )
 
@@ -163,7 +172,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT n.n_name AS nation, r.r_name AS region,
                COUNT(*) AS n_lineitems,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+               {sql_dsum_exact(f'{sql_price("l.l_extendedprice")} * (1 - {sql_rate("l.l_discount")})', 'revenue')}
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -192,6 +201,6 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("n_lineitems"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            dsum_exact(price_dec("l_extendedprice") * (1 - rate_dec("l_discount")), "revenue"),
         )
     )

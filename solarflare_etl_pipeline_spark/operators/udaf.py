@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import register_views, table
-from solarflare_etl_pipeline_spark.functions.numeric import sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import sql_dsum_exact, sql_price, sql_rate
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -61,7 +61,7 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT o.o_orderpriority,
                COUNT(DISTINCT o.o_orderkey) AS n_orders,
-               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+               {sql_dsum_exact(f'{sql_price("l.l_extendedprice")} * (1 - {sql_rate("l.l_discount")})', 'revenue')}
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY o.o_orderpriority
@@ -76,7 +76,7 @@ def sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o.o_orderpriority,
                COUNT(DISTINCT o.o_orderkey) AS n_orders,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
         GROUP BY o.o_orderpriority
