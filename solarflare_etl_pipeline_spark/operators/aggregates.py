@@ -110,6 +110,42 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_bounds",
+    # Driver-checkable companion to agg_approx_distinct (sketch estimates
+    # are engine-specific, so the raw numbers can't be oracled): emit the
+    # exact distinct count plus a boolean asserting the HLL estimate lands
+    # within ±5% of it. The sketch is deterministic for fixed data, so the
+    # boolean is stable; DuckDB derives the exact side and the theorem side
+    # (TRUE). A sketch-accuracy regression flips Spark to FALSE → driver
+    # hash-mismatch.
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS approx_within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="approx_count_distinct accuracy gate: exact distinct count per group plus "
+    "a within-±5% boolean over the HLL estimate (rsd=2%) — converts the sketch "
+    "op into a driver-green correctness row.",
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+    )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_orders"))
+        <= 0.05 * F.col("exact_orders")
+    )
+    return g.select("l_returnflag", "exact_orders", within.alias("approx_within_5pct"))
+
+
+@register(
     "agg_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus,
@@ -223,6 +259,45 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+@register(
+    "agg_approx_stats_bounds",
+    # Same bounds-companion pattern as agg_approx_distinct_bounds, for the
+    # percentile sketch: exact median per group plus a boolean asserting
+    # the approx_percentile(accuracy=10000) estimate lies within ±1% of
+    # it. Both sides round the exact median to 4 decimals (the
+    # interpolation order isn't pinned across engines — same rule as
+    # agg_median).
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(MEDIAN(l_extendedprice), 4) AS exact_median,
+               COUNT(*) AS n_rows,
+               TRUE AS approx_within_1pct
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="approx_percentile accuracy gate: exact median per group plus a within-±1% "
+    "boolean over the KLL/GK-style sketch estimate — the driver-green companion "
+    "to agg_approx_stats.",
+)
+def agg_approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+            F.median("l_extendedprice").alias("exact"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    within = F.abs(F.col("approx") - F.col("exact")) <= 0.01 * F.col("exact")
+    return g.select(
+        "l_returnflag",
+        F.round("exact", 4).alias("exact_median"),
+        "n_rows",
+        within.alias("approx_within_1pct"),
     )
 
 

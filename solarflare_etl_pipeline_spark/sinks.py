@@ -108,3 +108,44 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+def pruned_orders_scan(spark: SparkSession, sf_dir: str, year: int = 1997) -> DataFrame:
+    """Write orders date-partitioned once, read back with a partition
+    predicate — the scan Spark plans with ``PartitionFilters`` (directory
+    pruning: non-matching years are never opened). This is the executable
+    form of the 100 TB layout claim in ``catalog.py``/SCALING.md, asserted
+    on the physical plan in tests/test_plan_audit.py."""
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_scan_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    write_partitioned_parquet(o, target, "order_year")
+    return spark.read.parquet(target).where(F.col("order_year") == year)
+
+
+@register(
+    "scan_pruned",
+    oracle=f"""
+        SELECT EXTRACT(MONTH FROM o_orderdate) AS order_month,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_price')}
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        GROUP BY 1
+    """,
+    doc="Partition-pruned scan: orders written partitioned by year, read back with "
+    "an order_year predicate that resolves to PartitionFilters (directory-level "
+    "pruning — at 100 TB only the matching year's files are listed/opened), then "
+    "a per-month aggregate over the pruned scan.",
+)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pruned = pruned_orders_scan(spark, sf_dir, year=1997)
+    return (
+        pruned.withColumn("order_month", F.month("o_orderdate").cast("long"))
+        .groupBy("order_month")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )

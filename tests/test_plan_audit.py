@@ -14,7 +14,10 @@ SPECS = load_all()
 
 #: Queries that intentionally cross-join (exact pairwise similarity —
 #: the registered brute-force baselines; their scale path is the LSH op).
-DELIBERATE_CROSS = {"llm_similarity_topk", "llm_dedup_embcos", "join_cross", "fn_string_sim"}
+#: llm_dedup_embcos and fn_string_sim left this set in round 2: embcos now
+#: routes candidates through the LSH bucket equi-join, string_sim through a
+#: lossless length-band equi-join.
+DELIBERATE_CROSS = {"llm_similarity_topk", "join_cross"}
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
 #: grouped-map — the sanctioned escape hatches).
@@ -45,3 +48,37 @@ def test_no_accidental_python(name, spark, sf_dir):
 def test_dimension_joins_broadcast(name, spark, sf_dir):
     report = plan_report(SPECS[name].spark(spark, sf_dir))
     assert report["broadcast_joins"] >= 1, f"{name}: dimension join did not broadcast {report}"
+
+
+def test_scan_pruned_has_partition_filters(spark, sf_dir):
+    """The partition-pruning claim, executable: the pruned scan's physical
+    plan must carry the order_year predicate as a PartitionFilter
+    (directory-level pruning), not a post-scan Filter."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+    from solarflare_etl_pipeline_spark.sinks import pruned_orders_scan
+
+    plan = physical_plan(pruned_orders_scan(spark, sf_dir, year=1997))
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    segment = plan[start : plan.index("]", start) + 1]
+    assert "1997" in segment, f"partition predicate not pushed: {segment}"
+
+
+def test_driver_window_ordering():
+    """All 44 SURVEY §2.2 declared keys plus the 6 headline extras must be
+    the first 50 entries of queries() — the driver checks exactly that
+    window (round-1 finding)."""
+    from solarflare_etl_pipeline_spark.registry import (
+        DECLARED_INVENTORY,
+        DRIVER_WINDOW,
+        load_all,
+    )
+
+    ordered = list(load_all())
+    assert len(DECLARED_INVENTORY) == 44
+    assert len(DRIVER_WINDOW) == 50
+    assert ordered[:50] == list(DRIVER_WINDOW)
+    # every window query must be oracle-checked (no rows-only slot waste)
+    specs = load_all()
+    no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
+    assert no_oracle == [], f"rows-only queries inside the driver window: {no_oracle}"
