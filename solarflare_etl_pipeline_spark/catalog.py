@@ -40,24 +40,38 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only when it differs — sessions built by
+    ``session.get_spark`` already carry these at construction, so the
+    common path is a read, not a mutation (no conf flips mid-plan on a
+    shared session); a foreign session (the driver's) still gets fixed
+    up on first table access."""
+    try:
+        current = spark.conf.get(key, None)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Raises if the name is unknown (typo guard).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects; we read it as raw int64 nanoseconds
-    (legacy conf, runtime-settable) and truncate to Spark's native
-    microsecond timestamps with integer division — bit-identical to
-    DuckDB's ``CAST(ts AS TIMESTAMP)`` truncation, which every oracle
-    query uses on its side.
+    (legacy conf, set at session construction and ensured here) and
+    truncate to Spark's native microsecond timestamps with integer
+    division — bit-identical to DuckDB's ``CAST(ts AS TIMESTAMP)``
+    truncation, which every oracle query uses on its side.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Defensive: parity with the DuckDB oracle (naive-UTC timestamps)
-    # regardless of which session the driver hands us.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parity with the DuckDB oracle (naive-UTC timestamps) regardless of
+    # which session the driver hands us.
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
@@ -76,3 +90,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the ``spark.sql`` path)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_managed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "solarflare",
+    tables: tuple[str, ...] = TABLES,
+) -> None:
+    """Persist fixtures as managed catalog tables via ``saveAsTable``
+    (reference R14: the starter DAG materializes a named dataset into the
+    metastore, ``/root/reference/dags/exampledag.py:38-41``). Unlike temp
+    views these survive the session and serve any ``spark.sql`` query
+    without per-query setup; on a cluster the same call against a Hive
+    metastore / Unity-style catalog is the production path."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in tables:
+        table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(f"{database}.{name}")

@@ -34,6 +34,12 @@ def get_spark(app_name: str = "solarflare-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read as int64 ns and truncate in catalog.table().
+        # Set here at construction so per-query code never flips session
+        # conf mid-plan (catalog.table() only re-sets it defensively when a
+        # foreign session — e.g. the driver's — arrives without it).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
