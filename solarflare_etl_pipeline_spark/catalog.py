@@ -104,6 +104,18 @@ def register_managed_tables(
     views these survive the session and serve any ``spark.sql`` query
     without per-query setup; on a cluster the same call against a Hive
     metastore / Unity-style catalog is the production path."""
+    import shutil
+
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
     for name in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+        # Local-mode only: with the default in-memory catalog, a previous
+        # process's managed-table directory survives as a stale location
+        # the new catalog doesn't know about — clear it so saveAsTable
+        # doesn't refuse. A real metastore makes DROP TABLE sufficient.
+        stale = os.path.join(warehouse, f"{database}.db", name)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
         table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(f"{database}.{name}")

@@ -302,6 +302,36 @@ def agg_approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS g_id,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """,
+    doc="Explicit GROUPING SETS (a set rollup/cube can't express: both one-column "
+    "marginals, no grand total) via the spark.sql path — Catalyst expands to the "
+    "same Expand + partial/final hash aggregate as rollup/cube, one shuffle.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id() AS g_id,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
     "agg_filtered",
     oracle=f"""
         SELECT {sql_dsum_exact(f'{sql_price("l_extendedprice")} * {sql_rate("l_discount")}', 'revenue')},

@@ -330,6 +330,13 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(deterministic constants; equality asserted in tests).",
 )
 def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_dup_pairs(spark, sf_dir)
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard): MinHash-LSH candidates, exact-verified.
+    Shared by llm_dedup_near (the pair list) and llm_dedup_cluster (the
+    connected-components grouping over the same pairs)."""
     # localCheckpoint truncates the 32-aggregate lineage before the
     # banding self-join — otherwise Catalyst re-analyzes the duplicated
     # expression tree on both join sides (driver-side planning dominated
@@ -367,6 +374,95 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", inter.cast("double") / union)
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "llm_dedup_cluster",
+    # Oracle: transitive closure via DuckDB's recursive CTE over the same
+    # exact-Jaccard pair set (valid for the same reason llm_dedup_near's
+    # oracle is — LSH candidate recall 1.0 on the fixtures).
+    oracle="""
+        WITH RECURSIVE
+        t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                      / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.6
+        ),
+        edges AS (SELECT da AS s, db AS d FROM pairs
+                  UNION ALL SELECT db AS s, da AS d FROM pairs),
+        reach AS (
+            SELECT s AS src, d AS dst FROM edges
+            UNION
+            SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+        )
+        SELECT src AS doc_id,
+               LEAST(src, MIN(dst)) AS cluster_id,
+               (LEAST(src, MIN(dst)) = src) AS is_canonical
+        FROM reach
+        GROUP BY src
+    """,
+    doc="Near-duplicate clustering: connected components over the MinHash-verified "
+    "pair graph by iterative min-label propagation (each round is one distributed "
+    "join + partial-agg; the loop is driver-side control flow, data never leaves "
+    "executors). Converges in O(cluster diameter) rounds — near-dup clusters are "
+    "shallow, so 2-3 rounds in practice; for adversarially long chains at 100 TB "
+    "switch to the large-star/small-star alternation (Kiveris et al., 'Connected "
+    "Components in MapReduce and Beyond'), same per-round plan shape. cluster_id "
+    "is the component's minimum doc_id; is_canonical marks the kept representative "
+    "(the dedup decision a training pipeline consumes).",
+)
+def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .localCheckpoint()  # reused every round: pin it once
+    )
+    # init: own id vs best neighbor (one round of propagation for free)
+    labels = (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("mn"))
+        .select(F.col("s").alias("doc_id"), F.least("s", "mn").alias("label"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nl"))
+            .select(F.col("s").alias("doc_id"), "nl")
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()  # truncate per-round lineage growth
+        )
+        changed = (
+            labels.select("doc_id", F.col("label").alias("old"))
+            .join(new_labels, "doc_id")
+            .where(F.col("old") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
     )
 
 
@@ -460,5 +556,124 @@ def llm_dedup_simhash_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             (F.col("simhash") == F.col("simhash_b")).alias("sig_stable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustered alternative to hyperplane LSH
+# ---------------------------------------------------------------------------
+
+IVF_K = 16       # coarse centroids
+IVF_NPROBE = 4   # clusters probed per query
+IVF_ITERS = 2    # Lloyd refinement rounds
+
+
+def _centroid_lit(c: list[float]):
+    return F.array(*[F.lit(x) for x in c])
+
+
+def _sq_dist(vcol, cent_lit):
+    return _fold_sum(F.zip_with(vcol, cent_lit, lambda x, y: (x - y) * (x - y)))
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """K coarse centroids by Lloyd iteration with deterministic seeding
+    (the first K vectors by vec_id). Components are rounded to 6 decimals
+    after each driver-side collect: the per-(cluster, dim) mean is a
+    distributed double sum whose low bits depend on partition order, and
+    rounding three orders above that noise pins the centroids — and hence
+    every downstream assignment — run-to-run. Centroids are metadata
+    (K × DIM floats), so the collect is legitimate driver-side state; at
+    100 TB the same loop runs on a deterministic sample."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    e = e.localCheckpoint()  # scanned IVF_ITERS+1 times: pin it
+    cents = [
+        [round(float(x), 6) for x in r.v]
+        for r in e.where(F.col("vec_id") < IVF_K).orderBy("vec_id").collect()
+    ]
+    for _ in range(IVF_ITERS):
+        assigned = e.withColumn("cid", _assign_expr(cents))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        # empty clusters keep their previous centroid
+        cents = [
+            [round(by_cid[c][p], 6) for p in range(DIM)] if c in by_cid else cents[c]
+            for c in range(IVF_K)
+        ]
+    return cents
+
+
+def _assign_expr(cents: list[list[float]]):
+    """Nearest-centroid id: array_min over (distance, cid) structs —
+    lexicographic struct ordering breaks distance ties by centroid id."""
+    entries = F.array(
+        *[
+            F.struct(_sq_dist(F.col("v"), _centroid_lit(c)).alias("dist"), F.lit(i).alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.array_min(entries)["cid"]
+
+
+def _probe_expr(cents: list[list[float]], n_probe: int):
+    """The n_probe nearest centroid ids, as an array column."""
+    entries = F.array(
+        *[
+            F.struct(_sq_dist(F.col("qv"), _centroid_lit(c)).alias("dist"), F.lit(i).alias("cid"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(entries), 1, n_probe), lambda s: s["cid"])
+
+
+@register(
+    "llm_similarity_ivf",
+    oracle=None,  # approximate (probe subset): recall vs exact asserted in tests
+    doc="IVF ANN: K deterministic Lloyd centroids partition the corpus into "
+    "inverted lists (one narrow assignment pass, no shuffle); each query probes "
+    "its IVF_NPROBE nearest lists via an equi join on centroid id, then exact "
+    "cosine + per-query top-k among candidates. Candidates shrink ~K/NPROBE-fold; "
+    "at 100 TB this is the classic FAISS-style coarse quantizer shape — raise K "
+    "with corpus size (K ≈ sqrt(N)) and train on a sample. Complements the "
+    "hyperplane-LSH variant: IVF adapts to the data distribution, LSH is "
+    "data-independent.",
+)
+def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", _vec_double().alias("v"))
+    inv = e.withColumn("cid", _assign_expr(cents)).localCheckpoint()
+    q = (
+        inv.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+        .withColumn("probe", F.explode(_probe_expr(cents, IVF_NPROBE)))
+    )
+    pairs = (
+        inv.join(F.broadcast(q), F.col("cid") == F.col("probe"))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("n_label"),
+            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("n_label").alias("neighbor_label"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
         )
     )

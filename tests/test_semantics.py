@@ -111,6 +111,37 @@ def test_embcos_lsh_recall_and_precision(spark, sf_dir):
         assert recall >= 0.7, f"embcos LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_ivf_recall(spark, sf_dir):
+    """IVF ANN (deterministic Lloyd centroids, nprobe=4 of 16 lists) must
+    recover most of the exact top-k; measured 0.90 at sf0.001 and sf0.01."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["llm_similarity_topk"].spark(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in SPECS["llm_similarity_ivf"].spark(spark, sf_dir).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.75, f"IVF recall {recall:.2f} too low"
+
+
+def test_cluster_is_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in one cluster, and every cluster id
+    must be the minimum doc_id of its member set."""
+    pairs = [
+        (r.doc_a, r.doc_b) for r in SPECS["llm_dedup_near"].spark(spark, sf_dir).collect()
+    ]
+    cl = {r.doc_id: r.cluster_id for r in SPECS["llm_dedup_cluster"].spark(spark, sf_dir).collect()}
+    for a, b in pairs:
+        assert cl[a] == cl[b], f"pair ({a},{b}) split across clusters"
+    members: dict[int, list[int]] = {}
+    for doc, c in cl.items():
+        members.setdefault(c, []).append(doc)
+    for c, docs in members.items():
+        assert c == min(docs), f"cluster {c} is not its min member {min(docs)}"
+
+
 def test_simhash_close_for_near_dups(spark, sf_dir):
     """Documents that are exact duplicates by text must have identical
     simhash; compare against the exact-hash dedup grouping."""
