@@ -677,3 +677,70 @@ def llm_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+@register(
+    "llm_corpus_filter",
+    # End-to-end keep-set: quality gate (same thresholds as
+    # llm_quality_score) ∧ dedup gate (not a non-canonical member of a
+    # near-dup cluster). Oracle-checkable end to end: the quality gate is
+    # plain SQL and the dedup gate reuses the recursive-CTE transitive
+    # closure (valid per llm_dedup_near's recall-1.0 argument).
+    oracle="""
+        WITH RECURSIVE
+        t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                      / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.6
+        ),
+        edges AS (SELECT da AS s, db AS d FROM pairs
+                  UNION ALL SELECT db AS s, da AS d FROM pairs),
+        reach AS (
+            SELECT s AS src, d AS dst FROM edges
+            UNION
+            SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+        ),
+        noncanon AS (
+            SELECT src AS doc_id FROM reach
+            GROUP BY src HAVING LEAST(src, MIN(dst)) <> src
+        )
+        SELECT d.doc_id, d.lang,
+               LEN(STRING_SPLIT(d.text, ' ')) AS n_tokens
+        FROM documents d
+        WHERE LEN(STRING_SPLIT(d.text, ' ')) BETWEEN 20 AND 2000
+          AND CAST(LEN(LIST_DISTINCT(STRING_SPLIT(d.text, ' '))) AS DOUBLE)
+                  / LEN(STRING_SPLIT(d.text, ' ')) > 0.2
+          AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+    """,
+    doc="The training-data curation capstone: documents that pass the Gopher-style "
+    "quality gate (token count in [20, 2000], lexical diversity > 0.2 — same "
+    "thresholds as llm_quality_score) AND survive dedup (not a non-canonical "
+    "member of a near-dup cluster). One anti-join against the cluster table — "
+    "the shape of every production corpus-filter pipeline: cheap narrow gates "
+    "first, the expensive pairwise gate as a keyed anti-join, never a scan of "
+    "dropped content.",
+)
+def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    gated = d.where(n_tokens.between(20, 2000) & (diversity > 0.2))
+    non_canonical = (
+        llm_dedup_cluster(spark, sf_dir)
+        .where(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return (
+        gated.join(non_canonical, "doc_id", "left_anti")
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    )

@@ -169,3 +169,39 @@ def win_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+               COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS n_within_5,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                    OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_within_5
+        FROM lineitem
+        WHERE l_orderkey < 1000
+    """,
+    doc="Value-range window frames (RANGE BETWEEN 5 PRECEDING): the frame is "
+    "defined by the ORDER BY value, not row position — peer rows (equal quantity) "
+    "share one frame, which makes the result deterministic without a tiebreaker "
+    "(unlike ROWS frames). Same shuffle+sort shape as any window; the range frame "
+    "is evaluated with a sliding pointer per partition.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    dec_qty = F.col("l_quantity").cast("decimal(30,8)")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.count("*").over(w).alias("n_within_5"),
+        F.sum(dec_qty).over(w).cast("double").alias("qty_within_5"),
+    )
