@@ -278,6 +278,11 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
     d = with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+    return _minhash_from_shingles(d)
+
+
+def _minhash_from_shingles(d: DataFrame) -> DataFrame:
+    """k minhashes from a (doc_id, shingles) frame — a narrow map."""
     # base hash per shingle, folded into the 31-bit field; materialized
     # as a column so the k affine transforms don't re-hash (no CSE
     # inside lambdas)
@@ -336,12 +341,28 @@ def llm_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, jaccard): MinHash-LSH candidates, exact-verified.
     Shared by llm_dedup_near (the pair list) and llm_dedup_cluster (the
-    connected-components grouping over the same pairs)."""
-    # localCheckpoint truncates the 32-aggregate lineage before the
-    # banding self-join — otherwise Catalyst re-analyzes the duplicated
-    # expression tree on both join sides (driver-side planning dominated
-    # the runtime: ~20s of optimizer time for ~2s of execution).
-    sig = _minhash_signature(spark, sf_dir).localCheckpoint()
+    connected-components grouping over the same pairs).
+
+    The shingle array is computed ONCE and pinned (``localCheckpoint``):
+    the signature pass and both sides of the exact-verify join all read
+    the same materialized (doc_id, shingles) — the previous formulation
+    re-shingled the corpus three times (once for signatures, once per
+    verify-join branch). At 100 TB the shingle pass dominates, so one
+    pass instead of three is the difference that matters.
+    """
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    base = (
+        with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    # second checkpoint after the 32-min signature: truncates the
+    # aggregate lineage before the banding self-join — otherwise Catalyst
+    # re-analyzes the duplicated expression tree on both join sides
+    # (driver-side planning dominated the runtime: ~20s of optimizer time
+    # for ~2s of execution).
+    sig = _minhash_from_shingles(base).localCheckpoint()
     band_cols = [
         F.struct(
             F.lit(bidx).alias("band"),
@@ -359,13 +380,8 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    from solarflare_etl_pipeline_spark.operators.text import with_shingles
-
-    toksets = with_shingles(table(spark, sf_dir, "documents")).select(
-        "doc_id", F.col("shingles").alias("toks")
-    )
-    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("toks_a"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
     return (
