@@ -128,3 +128,37 @@ def flagship_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "total_value"),
         )
     )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 < 8
+                        THEN 'train'
+                    WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 < 9
+                        THEN 'val'
+                    ELSE 'test' END AS split,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by key hash (md5 of the "
+    "document key, first 16 bits mod 10) — reproducible at any parallelism and "
+    "across reruns, unlike rand()-based sampling; membership is a pure function "
+    "of the key, so late-arriving rows land in a stable split and the assignment "
+    "never shuffles (narrow map). The split column is the partition key a "
+    "training exporter writes by.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return d.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )

@@ -260,3 +260,42 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(shingles).cast("long").alias("n_shingles"),
         )
     )
+
+
+CHUNK_TOKENS = 32
+
+
+@register(
+    "llm_chunk_docs",
+    oracle=f"""
+        SELECT doc_id,
+               UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT)),
+                      i -> ARRAY_TO_STRING(toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' '))) AS chunk_text,
+               UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT)),
+                      i -> LEN(toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]))) AS chunk_tokens
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+    """,
+    doc=f"Context-window preparation: split each document's token stream into "
+    f"fixed-size chunks ({CHUNK_TOKENS} tokens; the last chunk is the remainder) — "
+    f"the sequence-packing precursor every training pipeline runs. Pure per-document "
+    f"fan-out (posexplode of an in-row slice list): narrow until the explode, no "
+    f"shuffle, parallelism = input partitions; chunk ordinals are stable for "
+    f"deterministic downstream packing.",
+)
+def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {CHUNK_TOKENS}.0) as int) - 1), "
+        f"i -> slice(__toks, i * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS}))"
+    )
+    out = d.select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_id", "chunk_toks"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").cast("long").alias("chunk_tokens"),
+    )
