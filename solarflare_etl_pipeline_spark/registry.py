@@ -142,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
+    from solarflare_etl_pipeline_spark.plans import bucketing  # noqa: F401
     from solarflare_etl_pipeline_spark.sources import http_ingest, json_ingest  # noqa: F401
     from solarflare_etl_pipeline_spark.streaming import event_windows, stateful  # noqa: F401
 

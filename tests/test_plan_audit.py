@@ -50,6 +50,18 @@ def test_dimension_joins_broadcast(name, spark, sf_dir):
     assert report["broadcast_joins"] >= 1, f"{name}: dimension join did not broadcast {report}"
 
 
+#: Queries whose filters must reach the parquet scan as PushedFilters —
+#: a scan that reads everything and filters afterwards is the wrong plan
+#: at 100 TB even when the answer is right.
+MUST_PUSH_FILTERS = {"filter_pred", "agg_filtered", "join_multiway", "agg_hash"}
+
+
+@pytest.mark.parametrize("name", sorted(MUST_PUSH_FILTERS))
+def test_filters_reach_the_scan(name, spark, sf_dir):
+    report = plan_report(SPECS[name].spark(spark, sf_dir))
+    assert report["has_pushed_filters"], f"{name}: no PushedFilters in scan {report}"
+
+
 def test_scan_pruned_has_partition_filters(spark, sf_dir):
     """The partition-pruning claim, executable: the pruned scan's physical
     plan must carry the order_year predicate as a PartitionFilter
