@@ -760,3 +760,50 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         gated.join(non_canonical, "doc_id", "left_anti")
         .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
     )
+
+
+@register(
+    "llm_embed_centroids",
+    # AVG over doubles is association-order-dependent in the low bits
+    # (distributed partial sums vs DuckDB's sequential scan), so both
+    # sides round the per-dimension mean to 6 decimals — component
+    # magnitudes are O(0.1) and n per label is O(10^2), putting the
+    # float noise ~8 orders below the rounding grain.
+    oracle="""
+        WITH ex AS (
+            SELECT label,
+                   UNNEST(RANGE(0, 64)) AS pos,
+                   UNNEST(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) AS val
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, pos, AVG(val) AS m
+            FROM ex GROUP BY label, pos
+        ),
+        cents AS (
+            SELECT label, LIST(ROUND(m, 6) ORDER BY pos) AS centroid
+            FROM dims GROUP BY label
+        )
+        SELECT c.label, c.centroid, n.n_vectors
+        FROM cents c
+        JOIN (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label) n
+          ON c.label = n.label
+    """,
+    doc="Per-label embedding centroid (the class-prototype / cluster-seed "
+    "primitive): posexplode to (label, dim, value), one partial+final hash "
+    "aggregate over label×64 groups — the shuffle carries per-group partial sums, "
+    "never vectors — then re-assembly into ordered arrays. At 100 TB this is the "
+    "canonical mergeable shape for any per-group vector mean (same plan as a "
+    "matrix column-mean).",
+)
+def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode(_vec_double()).alias("pos", "val"))
+    dims = ex.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    cents = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s["m"], 6)
+        ).alias("centroid")
+    )
+    counts = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return cents.join(counts, "label").select("label", "centroid", "n_vectors")
