@@ -59,3 +59,48 @@ def test_idempotent_append_invariant(spark, tmp_path_factory, b1, b2, dropped):
     keys = sorted(r.flr_id for r in state.select("flr_id").collect())
     expected = sorted(f"FLR-{i:03d}" for i in set(b1) | set(b2))
     assert keys == expected
+
+
+def test_hash_split_is_stable_and_complete(spark, sf_dir):
+    """sample_hash_split must be a pure function of the key: two runs
+    agree row-for-row, every doc gets exactly one split, and the split
+    ratios are within loose bounds of 80/10/10 (hash uniformity)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    q = load_all()["sample_hash_split"].spark
+    a = {r.doc_id: r.split for r in q(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in q(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.6 * n <= c["train"] <= 0.95 * n, c
+
+
+def test_chunking_reassembles_documents(spark, sf_dir):
+    """Chunks, concatenated in chunk_id order, must reproduce each
+    document's token stream exactly — nothing dropped or duplicated."""
+    from pyspark.sql import functions as F
+
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    chunks = load_all()["llm_chunk_docs"].spark(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.chunk_tokens))
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        assert [cid for cid, _, _ in parts] == list(range(len(parts)))
+        rebuilt = " ".join(text for _, text, _ in parts)
+        assert rebuilt == docs[doc_id], f"doc {doc_id} chunk reassembly mismatch"
+        # every chunk except the last is full-size
+        sizes = [n for _, _, n in parts]
+        assert all(s == sizes[0] or i == len(sizes) - 1 for i, s in enumerate(sizes)) or len(sizes) == 1
