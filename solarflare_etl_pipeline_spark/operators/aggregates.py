@@ -385,3 +385,68 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "agg_corr",
+    # CORR/COVAR use different streaming formulations per engine (Welford
+    # vs co-moment accumulation): relative divergence ~1e-14, absorbed by
+    # rounding ~6-8 orders above the noise floor on both sides.
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+               ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+               ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistical aggregates (correlation, population covariance, "
+    "sample stddev) per group — single-pass co-moment accumulation, partial+final "
+    "mergeable like any hash aggregate (the shape that matters at scale: no "
+    "second pass over the data for the means).",
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        )
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        SELECT user_id, event_type AS top_event, n
+        FROM (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type) AS rnk
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        WHERE rnk = 1
+    """,
+    doc="Deterministic per-key mode: most frequent event_type per user, ties broken "
+    "lexicographically — formulated as count + rank-1 window rather than the "
+    "engine-specific MODE() (whose tie-breaking is unspecified and hence not "
+    "oracle-checkable). Two hash shuffles: (user, type) count, then per-user "
+    "window over the tiny count table.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
