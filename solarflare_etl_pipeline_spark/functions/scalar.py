@@ -286,3 +286,32 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return e.select("event_id", "value", boost("value").alias("boosted"))
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_orderkey << 2 AS key_shl,
+               l_orderkey >> 1 AS key_shr,
+               l_orderkey & 255 AS key_low_byte,
+               l_orderkey | 4096 AS key_or,
+               xor(l_orderkey, l_partkey) AS key_xor
+        FROM lineitem
+        WHERE l_orderkey < 500
+    """,
+    doc="Bitwise built-ins (shifts, and/or/xor) — integer plumbing for hash "
+    "partitioning, bitmask flags, and sketch bit manipulation; all JVM-side "
+    "whole-stage codegen.",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.shiftleft("l_orderkey", 2).alias("key_shl"),
+        F.shiftright("l_orderkey", 1).alias("key_shr"),
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("key_low_byte"),
+        F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("key_or"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+    )

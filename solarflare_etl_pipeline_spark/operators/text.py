@@ -299,3 +299,47 @@ def llm_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("chunk_toks", " ").alias("chunk_text"),
         F.size("chunk_toks").cast("long").alias("chunk_tokens"),
     )
+
+
+@register(
+    "llm_ngram_freq",
+    oracle="""
+        SELECT bigram, n, rnk AS rank
+        FROM (
+            SELECT bigram, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rnk
+            FROM (
+                SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1])) AS bigram
+                FROM documents
+            )
+            GROUP BY bigram
+        )
+        WHERE rnk <= 50
+    """,
+    doc="Corpus-level top-50 bigram frequencies (n-gram LM statistics / benchmark-"
+    "contamination screening primitive): in-row bigram construction (narrow), one "
+    "explode, partial+final count aggregation — the shuffle carries (bigram, "
+    "partial_count), never documents — then a global top-k. Deterministic rank "
+    "ties broken lexicographically.",
+)
+def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
+    bigrams = F.expr(
+        "transform(sequence(0, size(__toks) - 2), "
+        "i -> concat_ws(' ', slice(__toks, i + 1, 2)))"
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("bigram", "n", "rank")
+    )
