@@ -343,3 +343,75 @@ def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 50)
         .select("bigram", "n", "rank")
     )
+
+
+DECON_BENCH_SOURCE = "src0"   # stands in for the benchmark/eval set
+DECON_NGRAM = 4               # 3-grams are saturated in the fixture's 31-word vocab
+DECON_THRESHOLD = 0.5
+
+
+@register(
+    "llm_decontaminate",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {DECON_NGRAM - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+3])) AS toks
+            FROM documents
+        ),
+        corpus AS (SELECT DISTINCT UNNEST(toks) AS sh FROM t WHERE source <> '{DECON_BENCH_SOURCE}'),
+        bx AS (SELECT doc_id, UNNEST(toks) AS sh FROM t WHERE source = '{DECON_BENCH_SOURCE}'),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hit
+            FROM bx WHERE sh IN (SELECT sh FROM corpus)
+            GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               LEN(t.toks) AS n_shingles,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEN(t.toks) AS containment,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / LEN(t.toks) >= {DECON_THRESHOLD} AS flagged
+        FROM t LEFT JOIN hits h USING (doc_id)
+        WHERE t.source = '{DECON_BENCH_SOURCE}'
+    """,
+    doc=f"Benchmark decontamination: {DECON_NGRAM}-gram containment of each held-out "
+    f"('{DECON_BENCH_SOURCE}') document against the distinct shingle set of the rest "
+    f"of the corpus — flagged when ≥ {DECON_THRESHOLD} of its shingles appear in "
+    f"training data (the eval-leakage screen every pretraining pipeline runs). "
+    f"Plan: corpus shingles explode + distinct (partial-agg shuffle of shingle "
+    f"strings; at 100 TB join on xxhash64(shingle) to shrink the exchange), then a "
+    f"left-semi join from the small benchmark side and a per-doc ratio. No pairwise "
+    f"document comparison anywhere — cost scales with distinct-shingle volume, not "
+    f"docs².",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(table(spark, sf_dir, "documents"), n=DECON_NGRAM)
+    corpus = (
+        d.where(F.col("source") != DECON_BENCH_SOURCE)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    bench = d.where(F.col("source") == DECON_BENCH_SOURCE).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_shingles")
+    )
+    hits = (
+        bench.select("doc_id", F.explode("shingles").alias("sh"))
+        .join(corpus, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    out = (
+        bench.join(hits, "doc_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+        .withColumn("containment", F.col("n_hit").cast("double") / F.col("n_shingles"))
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        "containment",
+        (F.col("containment") >= DECON_THRESHOLD).alias("flagged"),
+    )
