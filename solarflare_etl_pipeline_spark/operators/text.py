@@ -415,3 +415,58 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment",
         (F.col("containment") >= DECON_THRESHOLD).alias("flagged"),
     )
+
+
+PACK_BUDGET = 64  # tokens per packed sequence (2 full chunks)
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT)),
+                          i -> LEN(toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]))) AS chunk_tokens
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        ),
+        placed AS (
+            SELECT doc_id, chunk_id, chunk_tokens,
+                   CAST(FLOOR((SUM(chunk_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_id
+                                                       ROWS UNBOUNDED PRECEDING)
+                               - chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+            FROM chunks
+        )
+        SELECT doc_id, bin_id,
+               COUNT(*) AS n_chunks,
+               SUM(chunk_tokens) AS bin_tokens
+        FROM placed
+        GROUP BY doc_id, bin_id
+    """,
+    doc=f"Sequence packing: chunks are placed greedily into {PACK_BUDGET}-token "
+    f"training sequences by a running-cumsum window over chunk ordinals — "
+    f"deterministic first-fit within each document. Per-document packing is "
+    f"embarrassingly parallel (one window shuffle on doc_id); cross-document "
+    f"packing at 100 TB runs the same cumsum per partition after a salt-free "
+    f"repartition, trading global optimality for a shuffle-free second pass — "
+    f"the standard large-corpus compromise.",
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    chunks = REGISTRY["llm_chunk_docs"].spark(spark, sf_dir).select(
+        "doc_id", "chunk_id", "chunk_tokens"
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = chunks.withColumn(
+        "bin_id",
+        F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / float(PACK_BUDGET)),
+    )
+    return placed.groupBy("doc_id", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").alias("bin_tokens"),
+    )

@@ -149,3 +149,43 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("order_month")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
     )
+
+
+@register(
+    "join_dpp",
+    oracle=f"""
+        SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_price')}
+        FROM orders
+        WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+        GROUP BY 1
+    """,
+    doc="Dynamic partition pruning: a date-partitioned fact joined to a filtered "
+    "dimension — Spark builds the partition filter AT RUNTIME from the dim's "
+    "surviving keys (SubqueryAdaptiveBroadcast dynamicpruning in the plan, "
+    "asserted in tests/test_plan_audit.py), so only the matching year directories "
+    "are scanned even though the years are not a literal in the fact predicate. "
+    "At 100 TB this is what makes star-join queries scan 2 of 84 month partitions "
+    "instead of all of them.",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partitioned fact (written per call, same dataset scan_pruned uses)
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_scan_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o = table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("long")
+    )
+    write_partitioned_parquet(o, target, "order_year")
+    fact = spark.read.parquet(target)
+    dim = spark.createDataFrame(
+        [(1995, "drop"), (1996, "keep"), (1997, "keep"), (1998, "drop")],
+        "yr long, tag string",
+    )
+    return (
+        fact.join(dim.where(F.col("tag") == "keep"), fact["order_year"] == F.col("yr"))
+        .groupBy("order_year")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )

@@ -76,6 +76,16 @@ def test_scan_pruned_has_partition_filters(spark, sf_dir):
     assert "1997" in segment, f"partition predicate not pushed: {segment}"
 
 
+def test_join_dpp_prunes_dynamically(spark, sf_dir):
+    """The partitioned-fact ⋈ filtered-dim join must carry a runtime
+    dynamic-pruning subquery (partitions selected by the dim's surviving
+    keys, not scanned wholesale)."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(SPECS["join_dpp"].spark(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_driver_window_ordering():
     """All 44 SURVEY §2.2 declared keys plus the 6 headline extras must be
     the first 50 entries of queries() — the driver checks exactly that
