@@ -117,8 +117,10 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") / 3.0, 2).alias("third_price"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
-        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
-        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor"),
+        # Spark CEIL/FLOOR return LONG; DuckDB's on DOUBLE return DOUBLE.
+        # Cast so the typed value hash matches (ORACLE_PARITY.md rule 14).
+        F.ceil(F.col("l_quantity") / 7.0).cast("double").alias("qty_ceil"),
+        F.floor(F.col("l_quantity") / 7.0).cast("double").alias("qty_floor"),
         (F.col("l_quantity").cast("int") % 5).alias("qty_mod"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
         F.when(F.col("l_discount") > 0.05, "HIGH")

@@ -69,7 +69,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         )
         SELECT f.cohort_week,
-               DATE_DIFF('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7 AS week_offset,
+               CAST(DATE_DIFF('day', CAST(f.cohort_week AS DATE), CAST(a.active_week AS DATE)) / 7 AS BIGINT) AS week_offset,
                COUNT(*) AS n_active_users
         FROM firsts f JOIN activity a ON a.user_id = f.user_id
         GROUP BY 1, 2

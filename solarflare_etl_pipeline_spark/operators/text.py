@@ -33,6 +33,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def sliding_ngrams_sql(n: int, toks_col: str) -> str:
+    """SQL for the ordered sliding n-token shingle list over an array column.
+
+    Guarded for documents shorter than ``n`` tokens: Spark's
+    ``sequence(0, size - n)`` DESCENDS when size < n (e.g. ``[0, -1]``)
+    and the subsequent ``slice(toks, 0, n)`` throws at runtime
+    ("array indices start at 1"), killing the whole query — while
+    DuckDB's RANGE yields an empty list. The CASE makes short docs
+    produce ``[]`` on both engines.
+    """
+    return (
+        f"case when size({toks_col}) >= {n} then "
+        f"transform(sequence(0, size({toks_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i + 1, {n}))) "
+        f"else cast(array() as array<string>) end"
+    )
+
+
 def shingles_expr(n: int = 3, toks_col: str | None = None):
     """Distinct n-token shingles (narrow, no explode).
 
@@ -42,12 +60,7 @@ def shingles_expr(n: int = 3, toks_col: str | None = None):
     re-split the text once per shingle — O(n²) per document.
     """
     c = toks_col if toks_col else "split(text, ' ')"
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, size({c}) - {n}), "
-            f"i -> concat_ws(' ', slice({c}, i + 1, {n})))"
-        )
-    )
+    return F.array_distinct(F.expr(sliding_ngrams_sql(n, c)))
 
 
 def with_shingles(df: DataFrame, n: int = 3) -> DataFrame:
@@ -248,10 +261,7 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliding 3-token shingles via sequence + transform over the
     # materialized token column (no explode: stays narrow; no per-lambda
     # re-split — see shingles_expr)
-    shingles = F.expr(
-        "transform(sequence(0, size(__toks) - 3), "
-        "i -> concat_ws(' ', slice(__toks, i + 1, 3)))"
-    )
+    shingles = F.expr(sliding_ngrams_sql(3, "__toks"))
     return (
         d.where(F.size("__toks") >= 3)
         .select(
@@ -328,19 +338,20 @@ def llm_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
-    bigrams = F.expr(
-        "transform(sequence(0, size(__toks) - 2), "
-        "i -> concat_ws(' ', slice(__toks, i + 1, 2)))"
-    )
+    bigrams = F.expr(sliding_ngrams_sql(2, "__toks"))
     counts = (
         d.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
     )
+    # Global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # partial top-k, no single-partition Window exchange over every distinct
+    # bigram — which grows ~vocab² at 100 TB). The row_number window then
+    # runs over the ≤50 pre-limited rows only (the win_share-safe pattern).
+    top = counts.orderBy(F.col("n").desc(), "bigram").limit(50)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w))
         .select("bigram", "n", "rank")
     )
 

@@ -5,6 +5,7 @@ Spark-vs-DuckDB comparator that mirrors the driver's correctness gate
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -43,14 +44,23 @@ def oracle(sf_dir):
 
 
 def _norm_cell(v):
+    # TYPE-SENSITIVE on purpose: the driver hashes typed values, so int 4
+    # vs float 4.0 must mismatch here too (ORACLE_PARITY.md rule 14; the
+    # round-2 fn_math FAIL was masked locally by Python's 4 == 4.0).
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         # round to 9 significant-ish decimals: parity helpers make floats
         # bit-identical, this only absorbs repr noise
-        return round(v, 9)
+        return ("float", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", v)
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, (list, tuple)):

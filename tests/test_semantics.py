@@ -234,3 +234,34 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # only the three projected columns are read from parquet
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan, plan[:3000]
+
+
+def test_shingles_short_doc_yields_empty(spark):
+    """Docs with fewer than n tokens must yield an EMPTY shingle list, not
+    crash: unguarded sequence(0, size-n) descends ([0, -1]) and slice(.., 0, n)
+    throws 'array indices start at 1' — while the DuckDB oracle's RANGE
+    yields []. Regression for llm_decontaminate (n=4) on 3-token docs."""
+    from solarflare_etl_pipeline_spark.operators.text import shingles_expr
+
+    df = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a b c d e"), ("d3", "a"), ("d4", "")],
+        ["doc_id", "text"],
+    ).withColumn("__toks", F.split("text", " "))
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", shingles_expr(4, "__toks").alias("sh")).collect()
+    }
+    assert rows["d1"] == []
+    assert rows["d3"] == []
+    assert rows["d4"] == []
+    assert rows["d2"] == ["a b c d", "b c d e"]
+
+
+def test_type_sensitive_comparator():
+    """The parity comparator must distinguish int 4 from float 4.0 — the
+    driver's typed hash does (round-2 fn_math fail was masked by ==)."""
+    from tests.conftest import _norm_cell
+
+    assert _norm_cell(4) != _norm_cell(4.0)
+    assert _norm_cell(True) != _norm_cell(1)
+    assert _norm_cell(4.0) == _norm_cell(4.0 + 1e-12)
