@@ -92,16 +92,18 @@ DECLARED_INVENTORY: tuple[str, ...] = (
 )
 
 #: Slots 45-50 of the driver window: the flagship pipeline, the heaviest
-#: multi-join plan, the executable partition-pruning proof, and the three
-#: bounds/property companions that convert sketch-based rows-only ops
-#: into driver-green rows.
+#: multi-join plan, and the four curation-pipeline capstones (round-3
+#: rotation: scan_pruned / agg_approx_*_bounds / llm_dedup_simhash_props
+#: were driver-verified green in CORRECTNESS_r02 and rotate out so the
+#: connected-components dedup, the corpus filter, the decontamination
+#: screen, and the deterministic split get hard driver evidence too).
 WINDOW_EXTRAS: tuple[str, ...] = (
     "flagship_daily_events",
     "join_multiway",
-    "scan_pruned",
-    "agg_approx_distinct_bounds",
-    "agg_approx_stats_bounds",
-    "llm_dedup_simhash_props",
+    "llm_dedup_cluster",
+    "llm_corpus_filter",
+    "llm_decontaminate",
+    "sample_hash_split",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = DECLARED_INVENTORY + WINDOW_EXTRAS
