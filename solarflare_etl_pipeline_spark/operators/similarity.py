@@ -576,6 +576,153 @@ def llm_dedup_simhash_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SimHash Hamming-band candidate generation -----------------------------
+#
+# 60-bit PORTABLE simhash (md5-prefix hash, reproducible in DuckDB) split
+# into 4 bands of 15 bits. Pigeonhole: two signatures within Hamming
+# distance 3 differ in at most 3 bands, so at least one band is identical
+# and the banded equi-join finds the pair — candidate recall is EXACTLY
+# 1.0 by theorem (data-independent, unlike MinHash's measured recall), so
+# the banded pipeline equals the exact all-pairs Hamming join and gets a
+# REAL DuckDB oracle (ORACLE_PARITY.md rule 13 taken to its limit).
+
+SIMHASH_PORT_BITS = 60       # 15 hex chars of md5 → fits signed 64-bit both engines
+SIMHASH_N_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = SIMHASH_N_BANDS - 1
+
+
+def _portable_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit sign-packed votes over distinct 3-gram
+    shingles, hashed with the engine-portable md5-prefix hash (same value
+    in DuckDB via CAST('0x'||SUBSTR(MD5(s),1,15) AS BIGINT)). Docs with
+    no shingles (<3 tokens) drop out in both engines."""
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    toks = with_shingles(docs).select("doc_id", F.explode("shingles").alias("tok"))
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_PORT_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(SIMHASH_PORT_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_band_pairs(sigs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Banded near-dup pairs from (doc_id, simhash): posexplode the 4
+    15-bit bands, equi-join on (band_id, band_val), dedup candidates,
+    verify ``bit_count(xor) <= max_hamming``. No cross join anywhere; at
+    100 TB a degenerate hot band value (e.g. boilerplate-heavy corpora
+    collapsing to one signature) is the skew to watch — AQE skew-join
+    splitting or salting the band key handles it without changing the
+    result set."""
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i).bitwiseAND(
+                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                    )
+                    for i in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_pairs_oracle() -> str:
+    sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_PORT_BITS)
+    )
+    pack = "\n                   | ".join(
+        f"((CASE WHEN v{b} > 0 THEN 1 ELSE 0 END)::BIGINT << {b})"
+        for b in range(SIMHASH_PORT_BITS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2]))) AS tok
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, CAST('0x' || SUBSTR(MD5(tok), 1, 15) AS BIGINT) AS h FROM sh
+        ),
+        votes AS (
+            SELECT doc_id,
+                   {sums}
+            FROM toks GROUP BY doc_id
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   {pack} AS simhash
+            FROM votes
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "llm_dedup_simhash_pairs",
+    oracle=_simhash_pairs_oracle(),
+    doc=f"SimHash near-dup DECISIONS (not just signatures): portable 60-bit "
+    f"simhash over distinct 3-gram shingles, split into {SIMHASH_N_BANDS} bands of "
+    f"{SIMHASH_BAND_BITS} bits, banded equi self-join for candidates, exact "
+    f"bit_count(xor) <= {SIMHASH_MAX_HAMMING} verify. Pigeonhole makes banding "
+    f"recall exactly 1.0, so the output EQUALS the exact all-pairs Hamming join — "
+    f"which is what the (brute-force, oracle-side-only) DuckDB SQL computes. Plan: "
+    f"one explode + one partial-agg shuffle for signatures, 4-rows/doc band "
+    f"explode, shuffle equi-join — pair cost scales with band collisions, never "
+    f"docs².",
+)
+def llm_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # localCheckpoint: the 60-column vote aggregate feeds both sides of the
+    # band self-join — truncating the lineage keeps Catalyst from re-planning
+    # the wide agg twice (the llm_dedup_near lesson).
+    sigs = _portable_simhash_sigs(spark, sf_dir).localCheckpoint()
+    return simhash_band_pairs(sigs)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the clustered alternative to hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -265,3 +265,66 @@ def test_type_sensitive_comparator():
     assert _norm_cell(4) != _norm_cell(4.0)
     assert _norm_cell(True) != _norm_cell(1)
     assert _norm_cell(4.0) == _norm_cell(4.0 + 1e-12)
+
+
+def test_simhash_band_pairs_pigeonhole(spark):
+    """Banded candidate generation must recover EVERY pair within Hamming
+    distance 3 (pigeonhole over 4 bands) and reject pairs at distance > 3 —
+    checked against a Python brute force over synthetic signatures."""
+    from itertools import combinations
+
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        SIMHASH_MAX_HAMMING,
+        simhash_band_pairs,
+    )
+
+    base = 0x0FA5_A5A5_5A5A_5A5A  # arbitrary 60-bit pattern
+    sigs = {
+        1: base,
+        2: base ^ 0b1,                       # ham 1 vs base
+        3: base ^ (0b11 << 20),              # ham 2 vs base
+        4: base ^ ((1 << 5) | (1 << 21) | (1 << 37)),   # ham 3, 3 bands touched
+        5: base ^ ((1 << 5) | (1 << 21) | (1 << 37) | (1 << 53)),  # ham 4, all bands
+        6: base ^ 0x0FFF_0000_0000_0000,     # far away
+    }
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    df = spark.createDataFrame(list(sigs.items()), ["doc_id", "simhash"])
+    got = {(r.doc_a, r.doc_b) for r in simhash_band_pairs(df).collect()}
+    assert got == expected, f"missed={expected - got} spurious={got - expected}"
+    # sanity: the synthetic set exercises both accept and reject paths
+    assert (1, 4) in expected and (1, 5) not in expected
+
+
+def test_simhash_pairs_equals_exact_sf01(spark):
+    """Banded simhash pairs == exact all-pairs Hamming join at sf0.1
+    (Spark-side brute force — the DuckDB all-pairs oracle is only run at
+    the driver's sf0.01; this pins the banding theorem at 10× that)."""
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        SIMHASH_MAX_HAMMING,
+        _portable_simhash_sigs,
+        simhash_band_pairs,
+    )
+
+    sigs = _portable_simhash_sigs(spark, "/root/testdata/sf0.1").localCheckpoint()
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_band_pairs(sigs).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    exact = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    assert banded == exact, (
+        f"missed={sorted(exact - banded)[:5]} spurious={sorted(banded - exact)[:5]}"
+    )
