@@ -481,3 +481,79 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tokens").alias("bin_tokens"),
     )
+
+
+PACK_PARTS = 16  # packing partitions; at 100 TB set ≈ executor-cores × executors
+
+
+@register(
+    "llm_pack_sequences_global",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT)),
+                          i -> LEN(toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]))) AS chunk_tokens
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        ),
+        parted AS (
+            SELECT *,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       % {PACK_PARTS} AS part_id
+            FROM chunks
+        ),
+        placed AS (
+            SELECT part_id, doc_id, chunk_id, chunk_tokens,
+                   CAST(FLOOR((SUM(chunk_tokens) OVER (PARTITION BY part_id
+                                                       ORDER BY doc_id, chunk_id
+                                                       ROWS UNBOUNDED PRECEDING)
+                               - chunk_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id
+            FROM parted
+        )
+        SELECT part_id, bin_id,
+               COUNT(*) AS n_chunks,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               SUM(chunk_tokens) AS bin_tokens,
+               ROUND(SUM(chunk_tokens) / {PACK_BUDGET}.0, 6) AS fill_ratio
+        FROM placed
+        GROUP BY part_id, bin_id
+    """,
+    doc=f"CROSS-document sequence packing — the partition-local second pass the "
+    f"per-doc variant's docstring promises. Chunks are routed to {PACK_PARTS} "
+    f"packing partitions by a portable key hash (md5-mod, the sample_hash_split "
+    f"hash — every chunk of a doc lands on one partition, so docs stay contiguous), "
+    f"then a single cumsum window per partition first-fits them into "
+    f"{PACK_BUDGET}-token bins shared ACROSS documents: bins at the seam hold the "
+    f"tail of one doc and the head of the next, which is what lifts fill ratio vs "
+    f"per-doc packing. Exactly one shuffle (the part_id window); bin ids are "
+    f"(part_id, bin_id)-scoped so no global coordination exists to bottleneck — at "
+    f"100 TB raise PACK_PARTS to cluster parallelism and the plan is unchanged. "
+    f"Deterministic at any input parallelism: placement is a pure function of "
+    f"(doc_id, chunk_id).",
+)
+def llm_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    chunks = REGISTRY["llm_chunk_docs"].spark(spark, sf_dir).select(
+        "doc_id", "chunk_id", "chunk_tokens"
+    )
+    part_id = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % PACK_PARTS
+    )
+    parted = chunks.withColumn("part_id", part_id)
+    w = Window.partitionBy("part_id").orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = parted.withColumn(
+        "bin_id",
+        F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / float(PACK_BUDGET)),
+    )
+    return placed.groupBy("part_id", "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("chunk_tokens").alias("bin_tokens"),
+        F.round(F.sum("chunk_tokens") / float(PACK_BUDGET), 6).alias("fill_ratio"),
+    )

@@ -328,3 +328,30 @@ def test_simhash_pairs_equals_exact_sf01(spark):
     assert banded == exact, (
         f"missed={sorted(exact - banded)[:5]} spurious={sorted(banded - exact)[:5]}"
     )
+
+
+def test_pack_sequences_global_properties(spark, sf_dir):
+    """Cross-document packing invariants: (a) every non-final bin in a
+    partition is filled past PACK_BUDGET - CHUNK_TOKENS (cumsum first-fit
+    can only leave a gap smaller than one chunk), (b) packing actually
+    crosses document boundaries (some bin holds >1 doc), (c) token totals
+    are conserved vs the raw chunk stream."""
+    from solarflare_etl_pipeline_spark.operators.text import (
+        CHUNK_TOKENS,
+        PACK_BUDGET,
+        llm_pack_sequences_global,
+    )
+
+    rows = llm_pack_sequences_global(spark, sf_dir).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part_id, []).append(r)
+    for part, bins in by_part.items():
+        last = max(b.bin_id for b in bins)
+        for b in bins:
+            if b.bin_id != last:
+                assert b.bin_tokens > PACK_BUDGET - CHUNK_TOKENS, (part, b)
+    assert any(r.n_docs > 1 for r in rows), "packing never crossed a doc boundary"
+    chunks = SPECS["llm_chunk_docs"].spark(spark, sf_dir)
+    total = chunks.agg(F.sum("chunk_tokens")).collect()[0][0]
+    assert sum(r.bin_tokens for r in rows) == total
