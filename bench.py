@@ -46,6 +46,11 @@ BENCH_QUERIES = (
     "llm_dedup_near",
     "llm_similarity_topk",
     "llm_tfidf",
+    "llm_dedup_cluster",
+    "llm_corpus_filter",
+    "llm_decontaminate",
+    "llm_dedup_simhash_pairs",
+    "llm_pack_sequences_global",
     "ingest_json",
     "sink_parquet",
 )

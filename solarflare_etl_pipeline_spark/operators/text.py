@@ -36,17 +36,24 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def sliding_ngrams_sql(n: int, toks_col: str) -> str:
     """SQL for the ordered sliding n-token shingle list over an array column.
 
-    Guarded for documents shorter than ``n`` tokens: Spark's
-    ``sequence(0, size - n)`` DESCENDS when size < n (e.g. ``[0, -1]``)
-    and the subsequent ``slice(toks, 0, n)`` throws at runtime
-    ("array indices start at 1"), killing the whole query — while
-    DuckDB's RANGE yields an empty list. The CASE makes short docs
-    produce ``[]`` on both engines.
+    Built as n-1 chained ``zip_with``s over length-aligned ``slice`` views
+    (shift-and-zip) rather than ``transform(sequence(...), i ->
+    concat_ws(slice(...)))``: the per-shingle lambda allocates a sub-array
+    per element, which measured 4x slower than the zip formulation at
+    sf0.1 (1.34s vs 0.33s for the corpus shingle pass) — and this
+    expression sits under the whole near-dup family.
+
+    Guarded for documents shorter than ``n`` tokens: the slice views
+    would misalign (and Spark's ``sequence(0, size - n)`` DESCENDS for
+    short docs, making the old form throw) — the CASE makes short docs
+    produce ``[]``, matching DuckDB RANGE semantics.
     """
+    m = f"(size({toks_col}) - {n} + 1)"
+    acc = f"slice({toks_col}, 1, {m})"
+    for k in range(1, n):
+        acc = f"zip_with({acc}, slice({toks_col}, {k + 1}, {m}), (a, b) -> concat(a, ' ', b))"
     return (
-        f"case when size({toks_col}) >= {n} then "
-        f"transform(sequence(0, size({toks_col}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks_col}, i + 1, {n}))) "
+        f"case when size({toks_col}) >= {n} then {acc} "
         f"else cast(array() as array<string>) end"
     )
 

@@ -98,7 +98,12 @@ def sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fidelity and partition completeness through the write→read cycle.",
 )
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = os.path.join(tempfile.gettempdir(), "solarflare_sink_parquet")
+    # pid-scoped: two engine processes at the same sf must not race on one
+    # overwrite target (and a sink should rewrite per call — that IS the op).
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_sink_parquet_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
     o = table(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("long")
     )
@@ -110,20 +115,41 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (abs sf_dir) -> path of the year-partitioned orders copy this process
+#: already wrote. Registered queries must be side-effect-idempotent: the
+#: first builder of round 2 rewrote (mode=overwrite) a FIXED path on every
+#: invocation, so two processes at the same sf raced on the directory and
+#: a DataFrame planned before a rewrite held a stale file index
+#: (FileNotFoundException at execution). Pid-scoped path + write-once cache
+#: removes both failure modes.
+_ORDERS_BY_YEAR: dict[str, str] = {}
+
+
+def ensure_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Return the path of a year-partitioned copy of ``orders`` for this
+    (process, sf), writing it exactly once per process."""
+    key = os.path.abspath(sf_dir)
+    path = _ORDERS_BY_YEAR.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_orders_by_year_{os.path.basename(key)}_{os.getpid()}",
+        )
+        o = table(spark, sf_dir, "orders").withColumn(
+            "order_year", F.year("o_orderdate").cast("long")
+        )
+        write_partitioned_parquet(o, path, "order_year")
+        _ORDERS_BY_YEAR[key] = path
+    return path
+
+
 def pruned_orders_scan(spark: SparkSession, sf_dir: str, year: int = 1997) -> DataFrame:
     """Write orders date-partitioned once, read back with a partition
     predicate — the scan Spark plans with ``PartitionFilters`` (directory
     pruning: non-matching years are never opened). This is the executable
     form of the 100 TB layout claim in ``catalog.py``/SCALING.md, asserted
     on the physical plan in tests/test_plan_audit.py."""
-    target = os.path.join(
-        tempfile.gettempdir(),
-        f"solarflare_scan_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    o = table(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("long")
-    )
-    write_partitioned_parquet(o, target, "order_year")
+    target = ensure_partitioned_orders(spark, sf_dir)
     return spark.read.parquet(target).where(F.col("order_year") == year)
 
 
@@ -170,16 +196,8 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of all of them.",
 )
 def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # partitioned fact (written per call, same dataset scan_pruned uses)
-    target = os.path.join(
-        tempfile.gettempdir(),
-        f"solarflare_scan_pruned_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    o = table(spark, sf_dir, "orders").withColumn(
-        "order_year", F.year("o_orderdate").cast("long")
-    )
-    write_partitioned_parquet(o, target, "order_year")
-    fact = spark.read.parquet(target)
+    # same write-once partitioned fact scan_pruned uses
+    fact = spark.read.parquet(ensure_partitioned_orders(spark, sf_dir))
     dim = spark.createDataFrame(
         [(1995, "drop"), (1996, "keep"), (1997, "keep"), (1998, "drop")],
         "yr long, tag string",

@@ -110,9 +110,16 @@ def ingest_http(
     identical either way."""
     try:
         records = fetch_json(url, retries=retries, timeout=timeout, backoff=backoff)
+        # Shape-validate INSIDE the guard: a live endpoint returning
+        # well-formed JSON of the wrong shape (an error object instead of
+        # a list of dicts) must take the fallback path too, not blow up
+        # in _normalize_records with an AttributeError.
+        if not isinstance(records, list) or not all(isinstance(r, dict) for r in records):
+            raise ValueError("payload is not a JSON array of objects")
+        rows = _normalize_records(records)
     except Exception:
-        records = list(fallback)
-    raw = spark.createDataFrame(_normalize_records(records), FLARE_RAW_SCHEMA)
+        rows = _normalize_records(list(fallback))
+    raw = spark.createDataFrame(rows, FLARE_RAW_SCHEMA)
     return transform_flares(raw)
 
 

@@ -89,3 +89,32 @@ def test_ingest_http_falls_back(spark):
     assert {r.flr_id for r in rows} == {rec["flrID"] for rec in FALLBACK_FLARES}
     # the null-ARN fallback record keeps the nullable-int path covered
     assert any(r.active_region_num is None for r in rows)
+
+@pytest.fixture()
+def malformed_server():
+    """Well-formed JSON, wrong shape: an error OBJECT, not a record array."""
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = json.dumps({"error": "rate limited", "retryAfter": 60}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}/donki/flr"
+    srv.shutdown()
+
+
+def test_ingest_http_malformed_payload_falls_back(spark, malformed_server):
+    """A 200 response whose JSON is not a list of dicts must take the
+    fallback relation, not raise inside record normalization."""
+    rows = ingest_http(spark, malformed_server, retries=1).collect()
+    assert {r.flr_id for r in rows} == {rec["flrID"] for rec in FALLBACK_FLARES}
