@@ -97,6 +97,24 @@ def main() -> None:
         )
     )
 
+    # Untimed post-bench gate (ADVICE r2): llm_dedup_near's exact-Jaccard
+    # oracle is only valid while MinHash-LSH candidate recall is exactly 1.0
+    # at the scale being run — certify that here against the deterministic
+    # exact algorithm (prefix-filtered set-similarity join) so a fixture or
+    # scale change that drops recall fails the bench loudly instead of
+    # surfacing later as an inscrutable driver hash mismatch.
+    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+        from solarflare_etl_pipeline_spark.operators.similarity import exact_jaccard_pairs
+
+        lsh = {(r.doc_a, r.doc_b) for r in specs["llm_dedup_near"].spark(spark, sf_dir).collect()}
+        exact = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(spark, sf_dir).collect()}
+        assert lsh == exact, (
+            f"MinHash-LSH recall gate FAILED at {sf_dir}: "
+            f"missed={sorted(exact - lsh)[:5]} spurious={sorted(lsh - exact)[:5]} "
+            "— llm_dedup_near's exact-Jaccard oracle is no longer valid here"
+        )
+        print(f"[bench] recall gate: lsh==exact ({len(lsh)} pairs)", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

@@ -394,6 +394,90 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_prefix_join",
+    # EXACT by construction (no LSH-recall caveat): Jaccard >= t forces the
+    # two shingle sets to share an element inside their frequency-ordered
+    # prefixes (All-Pairs / prefix-filtering bound, Bayardo et al. WWW'07),
+    # so candidate generation over prefixes alone loses nothing.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                   / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                  / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.6
+    """,
+    doc="EXACT set-similarity self-join (3-gram shingle Jaccard >= 0.6) via "
+    "inverted index + prefix filtering: each doc explodes only its "
+    "|S| - ceil(t*|S|) + 1 globally-rarest shingles (ascending document "
+    "frequency), candidates come from the equi self-join on those prefix "
+    "shingles, then exact-Jaccard verification. Same output as llm_dedup_near "
+    "but deterministic-exact at any scale — this is the algorithm that "
+    "certifies the MinHash pipeline's recall (bench.py gate). Rare-first "
+    "ordering keeps hot shingles out of prefixes, so posting-list skew "
+    "never drives the candidate count quadratic; the oracle runs the "
+    "naive all-pairs form, equality proving the filter lossless.",
+)
+def llm_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_jaccard_pairs(spark, sf_dir, threshold=0.6)
+
+
+def exact_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6) -> DataFrame:
+    """(doc_a, doc_b, jaccard): ALL pairs with shingle-Jaccard >= threshold,
+    computed exactly with prefix-filtered candidate generation.
+
+    Correctness of the filter: J(A,B) >= t implies |A∩B| >= ceil(t·|A|)
+    (since J <= min/max forces min >= t·max), so at most
+    |A| - ceil(t·|A|) elements of A lie outside the intersection — any
+    global ordering therefore puts at least one intersection element in
+    A's first |A| - ceil(t·|A|) + 1 shingles, and likewise for B. Joining
+    prefix-to-prefix under one global (df, shingle) order misses nothing.
+    """
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    base = (
+        with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+        .select("doc_id", "shingles")
+        .localCheckpoint()
+    )
+    ex = base.select("doc_id", F.size("shingles").alias("len"), F.explode("shingles").alias("sh"))
+    df_counts = ex.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        ex.join(df_counts, "sh")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("len") - F.ceil(F.lit(threshold) * F.col("len")) + 1)
+        .select("doc_id", "sh")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("toks_a"))
+    tb = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
     "llm_dedup_cluster",
     # Oracle: transitive closure via DuckDB's recursive CTE over the same
     # exact-Jaccard pair set (valid for the same reason llm_dedup_near's

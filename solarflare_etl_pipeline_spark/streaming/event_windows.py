@@ -151,6 +151,49 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               v.event_id AS view_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    doc="Batch-equivalent of the watermarked stream-stream interval join: purchases "
+    "matched to the same user's views within the prior hour. Equi-key (user_id) + "
+    "range predicate — plans as a shuffle join on user, never a nested loop; the "
+    "identical join condition runs under readStream with 2h watermarks on both "
+    "sides (interval_join_stream below, exercised in tests/test_streaming.py), "
+    "where the watermark + time bound let Spark expire join state.",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
 # ---------------------------------------------------------------------------
 # True Structured Streaming wiring (used by tests/test_streaming.py)
 # ---------------------------------------------------------------------------
@@ -174,3 +217,34 @@ def windowed_counts_stream(events: DataFrame) -> DataFrame:
 def deduped_stream(events: DataFrame) -> DataFrame:
     """Watermarked keyed dedup — bounded state (reference R7 in streaming form)."""
     return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def interval_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream inner join, same condition as ``stream_interval_join``:
+    purchases × same-user views within the prior hour.  The watermarks plus
+    the two-sided time bound are what let Spark expire buffered join state."""
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")

@@ -73,6 +73,40 @@ def test_minhash_near_dup_equals_exact(spark, sf_dir):
     )
 
 
+def test_prefix_join_equals_crossjoin_exact(spark, sf_dir):
+    """The prefix-filtered set-similarity join (llm_dedup_prefix_join /
+    the bench recall gate) must equal the naive cross-join exact baseline
+    — proving the All-Pairs prefix filter lossless on real data. Checked
+    at a second threshold too, since the prefix length depends on t."""
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.similarity import exact_jaccard_pairs
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    toks = with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("shingles").alias("toks")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    jac = inter.cast("double") / union
+    for thr in (0.6, 0.35):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in exact_jaccard_pairs(spark, sf_dir, threshold=thr).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b)
+            for r in ta.crossJoin(tb)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .where(jac >= thr)
+            .collect()
+        }
+        assert got == want, (
+            f"t={thr}: missed={sorted(want - got)[:5]} spurious={sorted(got - want)[:5]}"
+        )
+
+
 def test_embcos_lsh_recall_and_precision(spark, sf_dir):
     """llm_dedup_embcos (LSH candidates + exact verify) against the exact
     all-pairs baseline: precision must be 1.0 (every emitted pair is

@@ -142,25 +142,13 @@ def test_foreachbatch_idempotent_sink(spark, stream_dir, tmp_path):
 
 def test_stream_stream_join(spark, stream_dir, tmp_path):
     """Stream-stream inner join with watermarks + time-range condition:
-    purchases matched to views by the same user within the prior hour."""
+    purchases matched to views by the same user within the prior hour.
+    Uses the same helper expression as the registered batch-equivalent
+    key ``stream_interval_join``."""
+    from solarflare_etl_pipeline_spark.streaming.event_windows import interval_join_stream
+
     events = streaming_events(spark, stream_dir, SCHEMA)
-    views = (
-        events.where(F.col("event_type") == "view")
-        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
-        .withWatermark("v_ts", "2 hours")
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "2 hours")
-    )
-    joined = purchases.join(
-        views,
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "inner",
-    )
+    joined = interval_join_stream(events)
     q = (
         joined.writeStream.format("memory")
         .queryName("sink_ssj")
@@ -173,7 +161,7 @@ def test_stream_stream_join(spark, stream_dir, tmp_path):
     rows = spark.sql("SELECT * FROM sink_ssj").collect()
     # purchase id=4 (user 2 @01:10) matches user 2's view @00:45 (within 1h);
     # the duplicate re-delivery of view 3 in batch 2 creates a second match
-    assert {r.event_id for r in rows} == {4}
+    assert {r.purchase_id for r in rows} == {4}
     assert len(rows) == 2
     q.stop()
 
