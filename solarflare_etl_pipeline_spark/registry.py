@@ -141,11 +141,16 @@ def load_all() -> dict[str, QuerySpec]:
         nulls,
         reshape,
         analytics,
+        merge,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
     from solarflare_etl_pipeline_spark.plans import bucketing  # noqa: F401
-    from solarflare_etl_pipeline_spark.sources import http_ingest, json_ingest  # noqa: F401
+    from solarflare_etl_pipeline_spark.sources import (  # noqa: F401
+        csv_ingest,
+        http_ingest,
+        json_ingest,
+    )
     from solarflare_etl_pipeline_spark.streaming import event_windows, stateful  # noqa: F401
 
     # Driver-window ordering: the 44 declared §2.2 keys + 6 headline extras
