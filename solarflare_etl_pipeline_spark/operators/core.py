@@ -162,3 +162,35 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         F.size(F.split("text", " ")).alias("n_tokens"),
     )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT doc_id, lang, source,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+                       AS bucket,
+                   CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END AS rate
+            FROM documents
+        )
+        WHERE bucket < rate
+    """,
+    doc="Deterministic stratified sampling: per-stratum (lang) keep-rates applied "
+    "by key-hash bucket (md5 of doc_id, first 16 bits mod 100) — en 50%, de 25%, "
+    "rest 10%. Same reproducibility argument as sample_hash_split (membership is "
+    "a pure function of the key: stable across reruns, parallelism, and late "
+    "data), unlike df.sampleBy whose Bernoulli draw is seed- and "
+    "partitioning-dependent. Narrow map + filter: no shuffle at any scale; "
+    "down-weighting over-represented strata is the standard corpus-mix lever.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 25).otherwise(10)
+    )
+    return d.where(bucket < rate).select("doc_id", "lang", "source")

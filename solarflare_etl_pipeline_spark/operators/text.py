@@ -564,3 +564,60 @@ def llm_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_tokens").alias("bin_tokens"),
         F.round(F.sum("chunk_tokens") / float(PACK_BUDGET), 6).alias("fill_ratio"),
     )
+
+
+@register(
+    "llm_perplexity_proxy",
+    # Parity discipline: LN runs on bit-identical double inputs on both
+    # engines (IEEE division of the same exact integers), each term is
+    # rounded to 9dp and summed in DECIMAL (order-free, rule 2), and only
+    # then divided/rounded — so engine-specific float-sum association
+    # never touches the hash. Residual risk is a term landing within an
+    # ulp of a 9dp rounding boundary (ln itself may differ in the last
+    # ulp between libm and the JVM); checked clean at all three fixture
+    # scales.
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n FROM toks),
+        terms AS (
+            SELECT t.doc_id,
+                   CAST(ROUND(LN(CAST(v.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS term
+            FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS nll
+        FROM terms
+        GROUP BY doc_id
+    """,
+    doc="Unigram-LM quality score: corpus unigram probabilities, per-document "
+    "mean negative log-likelihood (the cheap perplexity proxy used to rank "
+    "documents for training-data filtering — low nll = repetitive/common, "
+    "high nll = rare-token-heavy). Plan: one token explode feeds both the "
+    "vocabulary aggregate and the scoring join; the corpus-total is one "
+    "bounded driver-side count() folded in as a literal (tfidf precedent); "
+    "the per-doc sum is a partial-aggregated decimal shuffle. At 100 TB the "
+    "vocabulary join is the only wide edge and AQE picks broadcast vs "
+    "shuffle by actual vocab size.",
+)
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # corpus token total as a driver-side scalar (tfidf precedent: one
+    # bounded count(), a single long, folded into the expression as a
+    # literal — cheaper and cleaner than a single-row scalar join, which
+    # Catalyst collapses to a nested loop the plan audit rejects)
+    n_total = toks.count()
+    term = F.round(
+        F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+    ).cast("decimal(28,12)")
+    scored = toks.join(vocab, "tok").select("doc_id", term.alias("term"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum("term").cast("double") / F.count("*"), 6).alias("nll"),
+    )

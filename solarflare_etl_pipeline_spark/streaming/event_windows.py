@@ -194,6 +194,35 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT e.event_id,
+               CAST(e.ts AS TIMESTAMP) AS ts,
+               e.user_id,
+               e.event_type,
+               c.c_mktsegment AS segment
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="Stream-static enrichment join: the event stream joined to a static "
+    "dimension (customer) on user_id. Registered in batch form; the identical "
+    "expression runs under readStream (static_enriched_stream below) where "
+    "Spark re-plans the static side per micro-batch with NO join state — the "
+    "standard dimension-enrichment shape. Dim side broadcasts (asserted in the "
+    "plan audit); at 100 TB a too-big dim graduates to a shuffle join or a "
+    "key-range-bucketed layout, never a nested loop.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return e.join(F.broadcast(c), "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "segment"
+    )
+
+
 # ---------------------------------------------------------------------------
 # True Structured Streaming wiring (used by tests/test_streaming.py)
 # ---------------------------------------------------------------------------
@@ -217,6 +246,17 @@ def windowed_counts_stream(events: DataFrame) -> DataFrame:
 def deduped_stream(events: DataFrame) -> DataFrame:
     """Watermarked keyed dedup — bounded state (reference R7 in streaming form)."""
     return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def static_enriched_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join — same expression as ``stream_static_join``;
+    the static side is re-read each micro-batch, no watermark needed."""
+    c = dim.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return events.join(F.broadcast(c), "user_id").select(
+        "event_id", "ts", "user_id", "event_type", "segment"
+    )
 
 
 def interval_join_stream(events: DataFrame) -> DataFrame:

@@ -214,3 +214,33 @@ def test_windowed_counts_complete_mode(spark, stream_dir, tmp_path):
     assert rows[(0, "click")] == 2
     assert rows[(1, "purchase")] == 1
     q.stop()
+
+
+def test_stream_static_join(spark, stream_dir, tmp_path):
+    """Stream-static enrichment: every event picks up its user's segment
+    from a static dim, re-read per micro-batch with no join state."""
+    from solarflare_etl_pipeline_spark.streaming.event_windows import (
+        static_enriched_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "c_custkey long, c_mktsegment string"
+    )
+    events = streaming_events(spark, stream_dir, SCHEMA)
+    q = (
+        static_enriched_stream(events, dim)
+        .writeStream.format("memory")
+        .queryName("sink_ssj_static")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj_static"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sink_ssj_static").collect()
+    assert len(rows) > 0
+    by_user = {r.user_id for r in rows}
+    assert by_user <= {1, 2}
+    for r in rows:
+        assert r.segment == ("BUILDING" if r.user_id == 1 else "MACHINERY")
+    q.stop()
