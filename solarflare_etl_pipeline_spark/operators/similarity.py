@@ -535,6 +535,10 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").alias("doc_id"), F.least("s", "mn").alias("label"))
         .localCheckpoint()
     )
+    # Convergence check: labels only ever DECREASE under min-label
+    # propagation, so "no label changed" ⟺ "sum(label) unchanged" — one
+    # cheap aggregate per round instead of a self-join + count.
+    label_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
         neigh = (
             edges.join(labels, edges["d"] == labels["doc_id"])
@@ -542,7 +546,7 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("nl"))
             .select(F.col("s").alias("doc_id"), "nl")
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
@@ -550,15 +554,10 @@ def llm_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()  # truncate per-round lineage growth
         )
-        changed = (
-            labels.select("doc_id", F.col("label").alias("old"))
-            .join(new_labels, "doc_id")
-            .where(F.col("old") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),
