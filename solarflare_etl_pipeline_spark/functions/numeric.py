@@ -41,8 +41,23 @@ def davg(expr: Column | str, alias: str) -> Column:
     return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
 
 
+def sql_dec_to_double(dec_expr: str) -> str:
+    """DuckDB decimal→double via a VARCHAR detour.
+
+    DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` divides the int128
+    mantissa by 10^scale in floating point, which can land 1 ulp off the
+    correctly-rounded double for sums ≥ ~1e10 (observed: sf0.1 orders
+    revenue 11927346018.29 → …18.289999).  Java's BigDecimal→double
+    (what Spark's decimal cast uses) is correctly rounded, as is
+    strtod — so forcing DuckDB through decimal→VARCHAR→DOUBLE makes
+    both engines produce the identical bit pattern at any magnitude.
+    ORACLE_PARITY.md rule 15.
+    """
+    return f"CAST(CAST({dec_expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) AS {alias}"
+    return f"{sql_dec_to_double(f'SUM(CAST({expr} AS {SQL_DEC}))')} AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -86,8 +101,8 @@ def sql_rate(expr: str) -> str:
 
 
 def sql_dsum_exact(dec_expr: str, alias: str) -> str:
-    return f"CAST(SUM({dec_expr}) AS DOUBLE) AS {alias}"
+    return f"{sql_dec_to_double(f'SUM({dec_expr})')} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {SQL_DEC})) AS DOUBLE) / COUNT({expr}) AS {alias}"
+    return f"{sql_dec_to_double(f'SUM(CAST({expr} AS {SQL_DEC}))')} / COUNT({expr}) AS {alias}"

@@ -150,7 +150,7 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag, l_linestatus) AS g_id,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -175,7 +175,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag, l_linestatus) AS g_id,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -199,8 +199,8 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
         SELECT l_returnflag,
-               CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS qty_open,
-               CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS DOUBLE) AS qty_filled
+               CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS qty_open,
+               CAST(CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS qty_filled
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -306,7 +306,7 @@ def agg_approx_stats_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag, l_linestatus) AS g_id,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
@@ -449,4 +449,65 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
         .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
+                              x -> ROUND(x, 4)) AS price_quartiles,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Exact multi-quantile in one pass: percentile(col, array(...)) returns the "
+    "whole quartile vector per group from a single per-group sort (vs one sort per "
+    "requested quantile). Elements rounded to 4 decimals on both sides — the "
+    "interpolation formula's operation order isn't pinned across engines (same "
+    "rule as agg_median). At 100 TB prefer the approx_percentile sketch "
+    "(agg_approx_stats); this is the exact companion.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.transform(
+                F.percentile("l_extendedprice", pcts), lambda x: F.round(x, 4)
+            ).alias("price_quartiles"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(30,8)) / 50000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Fixed-width histogram (equi-width binning): bucket = floor(price / 50000) "
+    "computed in DECIMAL so boundary values bin identically in both engines "
+    "(double division can land an exact boundary on 1.9999… in one engine and "
+    "2.0 in the other — ORACLE_PARITY.md rule 11). One partial+final hash "
+    "aggregate over ~12 buckets; the shuffle carries one row per "
+    "(partition, bucket) — free at 100 TB.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.floor(price_dec("o_totalprice") / 50000).cast("long").alias("bucket")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
     )

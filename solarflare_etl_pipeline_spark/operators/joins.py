@@ -57,7 +57,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey, c.c_mktsegment,
                COUNT(o.o_orderkey) AS n_orders,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_spend
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_spend
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_mktsegment
     """,

@@ -24,10 +24,10 @@ from solarflare_etl_pipeline_spark.registry import register
     "subq_scalar",
     oracle="""
         SELECT o_orderkey, o_totalprice,
-               o_totalprice - (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+               o_totalprice - (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                                       / COUNT(o_totalprice) FROM orders) AS delta_from_mean
         FROM orders
-        WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)
+        WHERE o_totalprice > (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE)
                                      / COUNT(o_totalprice) FROM orders) * 1.5
     """,
     doc="Uncorrelated scalar subquery (global mean) used in both projection and filter — "
@@ -107,4 +107,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(n)
         .where(F.col("n_regionkey") != F.col("r_regionkey"))
         .select("region", "nation")
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.n_orders, o.max_price
+        FROM customer c, LATERAL (
+            SELECT COUNT(o_orderkey) AS n_orders,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc="LATERAL correlated subquery (aggregate per outer row) — Catalyst "
+    "de-correlates it into one hash aggregate over orders plus a left outer "
+    "equi join on the correlation key; nothing re-executes per customer row. "
+    "Customers with no orders get n_orders=0 / max_price=NULL (COUNT over the "
+    "empty group), same as the oracle's lateral semantics.",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.n_orders, o.max_price
+        FROM customer c, LATERAL (
+            SELECT COUNT(o_orderkey) AS n_orders,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
     )

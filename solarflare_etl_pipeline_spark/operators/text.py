@@ -621,3 +621,80 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         F.round(-F.sum("term").cast("double") / F.count("*"), 6).alias("nll"),
     )
+
+
+@register(
+    "llm_normalize_text",
+    oracle="""
+        SELECT doc_id, lang,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS text_norm,
+               LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                          ' +', ' ', 'g'))) AS n_chars_norm,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) <> text AS changed
+        FROM documents
+    """,
+    doc="Text normalization (the canonical pre-dedup pass): lowercase, strip "
+    "non-alphanumerics, collapse runs of spaces, trim. Pure narrow column "
+    "expressions — JVM regexp under whole-stage codegen, no shuffle, no Python. "
+    "The character classes are deliberately portable between Java regex (Spark) "
+    "and RE2 (DuckDB): no lookaround, no shorthand classes whose Unicode "
+    "semantics differ.",
+)
+def llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        norm.alias("text_norm"),
+        F.length(norm).alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+@register(
+    "llm_entropy",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_unique,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 6) AS token_entropy
+        FROM tf
+        GROUP BY doc_id
+    """,
+    doc="Per-document token-level Shannon entropy — the low-entropy screen for "
+    "boilerplate/repetitive documents (near-zero entropy = the same token over "
+    "and over; prime gibberish-filter signal). Identity used: "
+    "H = log2(N) - sum(c*log2(c))/N, which needs only ONE aggregate over the "
+    "term-frequency table instead of a self-join to bring N alongside each "
+    "count. Two partial+final hash aggregates, keys (doc_id, tok) then doc_id — "
+    "both map-side combinable; the explode is the only row amplification and "
+    "feeds straight into the partial agg. Rounded to 6dp: the sum of "
+    "c*log2(c) doubles is association-sensitive across engines.",
+)
+def llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repartition before the row-amplifying explode: a single parquet file
+    # scans as one partition, which would serialize the explode + partial agg
+    tf = (
+        table(spark, sf_dir, "documents")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        F.count("*").alias("n_unique"),
+        n.alias("n_tokens"),
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6).alias("token_entropy"),
+    )

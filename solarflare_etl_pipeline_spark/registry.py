@@ -149,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
     from solarflare_etl_pipeline_spark.sources import (  # noqa: F401
         csv_ingest,
         http_ingest,
+        jdbc_ingest,
         json_ingest,
     )
     from solarflare_etl_pipeline_spark.streaming import event_windows, stateful  # noqa: F401

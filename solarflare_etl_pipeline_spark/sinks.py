@@ -60,7 +60,7 @@ def write_jdbc(df: DataFrame, url: str, table_name: str, mode: str = "append", *
     oracle="""
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_balance
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS total_balance
         FROM customer
         GROUP BY c_mktsegment
     """,
@@ -206,4 +206,50 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact.join(dim.where(F.col("tag") == "keep"), fact["order_year"] == F.col("yr"))
         .groupBy("order_year")
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+#: (abs sf_dir) -> path of the ORC copy of lineitem this process wrote
+#: (write-once per process+sf, same idempotency discipline as
+#: ensure_partitioned_orders).
+_ORC_LINEITEM: dict[str, str] = {}
+
+
+def ensure_orc_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Write an ORC copy of ``lineitem`` exactly once per (process, sf)."""
+    key = os.path.abspath(sf_dir)
+    path = _ORC_LINEITEM.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_lineitem_orc_{os.path.basename(key)}_{os.getpid()}",
+        )
+        table(spark, sf_dir, "lineitem").write.mode("overwrite").orc(path)
+        _ORC_LINEITEM[key] = path
+    return path
+
+
+@register(
+    "scan_orc",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               {sql_dsum('l_extendedprice', 'sum_price')}
+        FROM lineitem
+        WHERE l_quantity >= 30
+        GROUP BY l_returnflag
+    """,
+    doc="ORC source round-trip: lineitem written as ORC once per process, read "
+    "back through spark.read.orc with a predicate that reaches the ORC reader "
+    "as PushedFilters (ORC carries min/max stripe statistics like parquet row "
+    "groups, so non-matching stripes are skipped). Proves the engine is not "
+    "parquet-only — same declarative plan, second columnar format.",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_orc_lineitem(spark, sf_dir)
+    return (
+        spark.read.orc(path)
+        .where(F.col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice", "sum_price"))
     )
