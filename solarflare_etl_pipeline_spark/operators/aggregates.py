@@ -511,3 +511,30 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "agg_custdist",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+    """,
+    doc="TPC-H Q13-shaped two-level aggregate: orders-per-customer via a left "
+    "outer join (customers with no orders count 0), then the distribution of "
+    "those counts. First aggregate shuffles on custkey (same key as the join — "
+    "one exchange serves both under AQE), second on the tiny count domain.",
+)
+def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

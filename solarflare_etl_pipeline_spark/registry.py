@@ -152,7 +152,11 @@ def load_all() -> dict[str, QuerySpec]:
         jdbc_ingest,
         json_ingest,
     )
-    from solarflare_etl_pipeline_spark.streaming import event_windows, stateful  # noqa: F401
+    from solarflare_etl_pipeline_spark.streaming import (  # noqa: F401
+        event_windows,
+        foreach_batch,
+        stateful,
+    )
 
     # Driver-window ordering: the 44 declared §2.2 keys + 6 headline extras
     # first (a missing key here is a registration drift bug — fail loud),

@@ -244,3 +244,38 @@ def test_stream_static_join(spark, stream_dir, tmp_path):
     for r in rows:
         assert r.segment == ("BUILDING" if r.user_id == 1 else "MACHINERY")
     q.stop()
+
+
+def test_foreachbatch_partial_agg_replay_idempotent(spark, tmp_path):
+    """The exactly-once protocol behind the registered key
+    ``stream_foreach_batch``: a replayed micro-batch (same batch_id —
+    what Structured Streaming does after a sink failure) OVERWRITES its
+    own partition, so the merged result is unchanged; a distinct batch_id
+    accumulates. This is the property that makes the final state equal
+    the one-shot batch aggregate."""
+    from solarflare_etl_pipeline_spark.streaming.foreach_batch import partial_agg_sink
+
+    out = str(tmp_path / "fb_out")
+    sink = partial_agg_sink(out)
+    b0 = spark.createDataFrame(
+        [("view", 1.0), ("view", 2.0), ("purchase", 10.0)], "event_type string, value double"
+    )
+    b1 = spark.createDataFrame([("view", 4.0)], "event_type string, value double")
+
+    def merged():
+        return {
+            r.event_type: (r.n, float(r.total))
+            for r in spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(F.sum("n_part").alias("n"), F.sum("sum_part").cast("double").alias("total"))
+            .collect()
+        }
+
+    sink(b0, 0)
+    sink(b1, 1)
+    first = merged()
+    assert first == {"view": (3, 7.0), "purchase": (1, 10.0)}
+    sink(b1, 1)  # replay of batch 1 — overwrite, not append
+    assert merged() == first
+    sink(b0, 2)  # genuinely new batch with the same payload DOES accumulate
+    assert merged() == {"view": (5, 10.0), "purchase": (2, 20.0)}
