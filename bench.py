@@ -53,6 +53,9 @@ BENCH_QUERIES = (
     "llm_pack_sequences_global",
     "ingest_json",
     "sink_parquet",
+    "agg_custdist",
+    "win_sessionize",
+    "stream_foreach_batch",
 )
 
 

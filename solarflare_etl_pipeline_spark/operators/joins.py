@@ -204,3 +204,55 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_exact(price_dec("l_extendedprice") * (1 - rate_dec("l_discount")), "revenue"),
         )
     )
+
+
+@register(
+    "join_sortmerge",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               {sql_dsum('l.l_extendedprice', 'total_price')}
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Fact-fact equi join pinned to SORT-MERGE via the merge hint (plan "
+    "asserted in tests/test_plan_audit.py): both sides shuffle on the key and "
+    "sort — the strategy of choice when both sides are huge and neither fits "
+    "a hash table, and the one that degrades gracefully by spilling sorted "
+    "runs. Same logical result as the hash variants; the point is explicit "
+    "physical-strategy control.",
+)
+def join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        l.hint("merge")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice", "total_price"))
+    )
+
+
+@register(
+    "join_shuffle_hash",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lines,
+               {sql_dsum('l.l_extendedprice', 'total_price')}
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+    doc="Same join pinned to SHUFFLED HASH via the shuffle_hash hint (plan "
+    "asserted): shuffle both sides, build a hash table on the smaller — beats "
+    "sort-merge when one side is much smaller per partition (no sort of the "
+    "big side) but cannot spill the build side; at 100 TB pick it when the "
+    "per-partition build fits executor memory, else sort-merge.",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        l.join(o.hint("shuffle_hash"), l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice", "total_price"))
+    )

@@ -205,3 +205,53 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_within_5"),
         F.sum(dec_qty).over(w).cast("double").alias("qty_within_5"),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN EPOCH(CAST(ts AS TIMESTAMP))
+                             - EPOCH(LAG(CAST(ts AS TIMESTAMP)) OVER
+                                     (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                             > 1800
+                             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_idx
+    """,
+    doc="Batch sessionization by inactivity gap (30 min), lag + running-sum "
+    "technique: flag a session break where the gap to the previous event "
+    "exceeds the threshold, number sessions with a cumulative sum, aggregate "
+    "per (user, session). One shuffle on user_id serves the window AND the "
+    "final aggregate. Complements stream_session (F.session_window): same "
+    "semantics, the formulation that works when you also need the events "
+    "annotated with their session id mid-query.",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(order)
+    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    numbered = e.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )

@@ -104,3 +104,15 @@ def test_driver_window_ordering():
     specs = load_all()
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert no_oracle == [], f"rows-only queries inside the driver window: {no_oracle}"
+
+
+def test_join_strategy_hints_bind(spark, sf_dir):
+    """The physical-strategy keys must actually get their pinned strategy:
+    join_sortmerge plans a SortMergeJoin, join_shuffle_hash a
+    ShuffledHashJoin — neither silently falls back to broadcast."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+
+    smj = physical_plan(SPECS["join_sortmerge"].spark(spark, sf_dir))
+    assert "SortMergeJoin" in smj
+    shj = physical_plan(SPECS["join_shuffle_hash"].spark(spark, sf_dir))
+    assert "ShuffledHashJoin" in shj
