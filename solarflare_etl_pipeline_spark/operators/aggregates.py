@@ -538,3 +538,29 @@ def agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "agg_bool",
+    oracle="""
+        SELECT l_returnflag,
+               BOOL_AND(l_quantity > 0) AS all_positive,
+               BOOL_OR(l_discount > 0.05) AS any_big_discount,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_big_discount
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Boolean aggregates (every/any) + count_if — short-circuit-friendly "
+    "predicates the partial aggregate folds map-side; the shuffle carries one "
+    "boolean per (partition, group).",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+            F.bool_or(F.col("l_discount") > 0.05).alias("any_big_discount"),
+            F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
+        )
+    )

@@ -151,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
         http_ingest,
         jdbc_ingest,
         json_ingest,
+        text_ingest,
     )
     from solarflare_etl_pipeline_spark.streaming import (  # noqa: F401
         event_windows,
