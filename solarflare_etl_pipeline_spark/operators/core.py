@@ -194,3 +194,33 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 50).when(F.col("lang") == "de", 25).otherwise(10)
     )
     return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "scan_observed",
+    oracle=f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice', 'total_price')}
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc="Aggregation with in-flight data-quality observation: df.observe attaches "
+    "a CollectMetrics node (row count + violation count for price<=0) that rides "
+    "the same scan — zero extra passes, metrics delivered with the action. The "
+    "production pattern for row-level quality monitoring at 100 TB, where a "
+    "separate validation query would double the scan cost. Metric delivery is "
+    "asserted in tests/test_semantics.py.",
+)
+def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    o = table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price_rows"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price")
+    )

@@ -389,3 +389,24 @@ def test_pack_sequences_global_properties(spark, sf_dir):
     chunks = SPECS["llm_chunk_docs"].spark(spark, sf_dir)
     total = chunks.agg(F.sum("chunk_tokens")).collect()[0][0]
     assert sum(r.bin_tokens for r in rows) == total
+
+
+def test_scan_observed_delivers_metrics(spark, sf_dir):
+    """df.observe metrics ride the action that consumes the plan: after
+    collecting the aggregate, the observation reports the scan's row count
+    and the quality-violation count without a second pass."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from solarflare_etl_pipeline_spark.catalog import table
+
+    obs = Observation()
+    o = table(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price_rows"),
+    )
+    agg = o.groupBy("o_orderstatus").count().collect()
+    total = table(spark, sf_dir, "orders").count()
+    assert obs.get["rows_seen"] == total == sum(r["count"] for r in agg)
+    assert obs.get["bad_price_rows"] == 0
