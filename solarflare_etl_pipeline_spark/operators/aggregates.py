@@ -564,3 +564,35 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("l_discount") > 0.05).alias("n_big_discount"),
         )
     )
+
+
+@register(
+    "agg_regr",
+    # Same engine-divergence treatment as agg_corr: regression aggregates
+    # accumulate co-moments in different orders per engine (~1e-14
+    # relative); rounding sits orders above the noise on both sides.
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS price_per_qty,
+               ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS price_at_zero,
+               ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+               CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Linear-regression aggregates (slope, intercept, R², pair count) per "
+    "group — one-pass mergeable co-moments like corr/covar; the in-database "
+    "trend-fit that avoids exporting 100 TB to fit y = ax + b.",
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("price_per_qty"),
+            F.round(F.regr_intercept(y, x), 4).alias("price_at_zero"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n_pairs"),
+        )
+    )

@@ -53,7 +53,15 @@ def test_dimension_joins_broadcast(name, spark, sf_dir):
 #: Queries whose filters must reach the parquet scan as PushedFilters —
 #: a scan that reads everything and filters afterwards is the wrong plan
 #: at 100 TB even when the answer is right.
-MUST_PUSH_FILTERS = {"filter_pred", "agg_filtered", "join_multiway", "agg_hash"}
+MUST_PUSH_FILTERS = {
+    "filter_pred",
+    "agg_filtered",
+    "join_multiway",
+    "agg_hash",
+    # non-parquet sources push too: ORC stripe stats, JDBC remote SQL
+    "scan_orc",
+    "ingest_jdbc",
+}
 
 
 @pytest.mark.parametrize("name", sorted(MUST_PUSH_FILTERS))
