@@ -91,19 +91,22 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window: the flagship pipeline, the heaviest
-#: multi-join plan, and the four curation-pipeline capstones (round-3
-#: rotation: scan_pruned / agg_approx_*_bounds / llm_dedup_simhash_props
-#: were driver-verified green in CORRECTNESS_r02 and rotate out so the
-#: connected-components dedup, the corpus filter, the decontamination
-#: screen, and the deterministic split get hard driver evidence too).
+#: Slots 45-50 of the driver window (round-4 rotation). Everything that
+#: held these slots before is already driver-verified green — flagship +
+#: join_multiway in CORRECTNESS_r01-r03, the four curation capstones
+#: (llm_dedup_cluster / llm_corpus_filter / llm_decontaminate /
+#: sample_hash_split) in CORRECTNESS_r03 — so the slots rotate to the
+#: round-3 additions that so far rest on the local parity suite only:
+#: the simhash banded dedup, cross-document packing, the exact
+#: set-similarity join, MERGE upsert, the exactly-once streaming sink,
+#: and the perplexity quality score.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "flagship_daily_events",
-    "join_multiway",
-    "llm_dedup_cluster",
-    "llm_corpus_filter",
-    "llm_decontaminate",
-    "sample_hash_split",
+    "llm_dedup_simhash_pairs",
+    "llm_pack_sequences_global",
+    "llm_dedup_prefix_join",
+    "merge_upsert",
+    "stream_foreach_batch",
+    "llm_perplexity_proxy",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = DECLARED_INVENTORY + WINDOW_EXTRAS
