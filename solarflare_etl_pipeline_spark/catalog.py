@@ -57,12 +57,18 @@ def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Raises if the name is unknown (typo guard).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw int64 nanoseconds
-    (legacy conf, set at session construction and ensured here) and
-    truncate to Spark's native microsecond timestamps with integer
-    division — bit-identical to DuckDB's ``CAST(ts AS TIMESTAMP)``
-    truncation, which every oracle query uses on its side.
+    ``events.ts`` has shipped in two parquet encodings across driver
+    fixture generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — the nanosAsLong conf reads it as raw int64 ns and
+    we truncate to microsecond timestamps below) and plain
+    ``timestamp[us]`` with no timezone (reads natively as
+    TIMESTAMP_NTZ; the bigint branch below is skipped). Both end as a
+    microsecond-precision timestamp column matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` truncation on the oracle side. Operators
+    must therefore compare ``ts`` natively (timestamp + INTERVAL), never
+    via numeric epoch casts — TIMESTAMP_NTZ→DOUBLE is an
+    AnalysisException (tests/test_fixture_regimes.py covers both
+    encodings).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

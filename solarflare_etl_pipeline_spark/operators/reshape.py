@@ -228,3 +228,50 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_rows"),
         F.sum("pq").cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "join_skew_aqe",
+    oracle=f"""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 4 <> 0
+                        THEN 0 ELSE l_orderkey % 1024 END AS hot_key,
+                   l_extendedprice
+            FROM lineitem
+        ),
+        dim AS (
+            SELECT UNNEST(RANGE(0, 1024)) AS hot_key
+        )
+        SELECT CAST(d.hot_key % 16 AS BIGINT) AS bucket,
+               COUNT(*) AS n_rows,
+               {sql_dsum('f.l_extendedprice', 'sum_price')}
+        FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+        GROUP BY 1
+    """,
+    doc="AQE skew join — the runtime complement to join_salted's compile-time "
+    "salting: the fact side's join key is DELIBERATELY skewed (~75% of lineitem "
+    "rows collapse onto hot_key 0) and the join is pinned to sort-merge (MERGE "
+    "hint — at 100 TB the right side is a fact-sized table no broadcast can "
+    "absorb). With spark.sql.adaptive.skewJoin.enabled (set at session "
+    "construction, session.py) AQE measures the shuffled partition sizes at "
+    "runtime and SPLITS the oversized hot_key-0 partition across many tasks, "
+    "replicating the matching right rows — no code change, no salt column, no "
+    "prior knowledge of which key is hot. Locally the fixture is below the "
+    "256 MB skew threshold, so tests/test_plan_audit.py proves the mechanism "
+    "on a threshold-lowered spark.newSession() and asserts 'skew=true' in the "
+    "final adaptive plan. The oracle is the plain join — AQE must not change "
+    "the answer.",
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 4 != 0, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey") % 1024)
+        .alias("hot_key"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, 1024).select(F.col("id").alias("hot_key"))
+    joined = fact.join(dim.hint("merge"), "hot_key")
+    return joined.groupBy((F.col("hot_key") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice", "sum_price"),
+    )

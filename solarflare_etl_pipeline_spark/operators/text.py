@@ -521,7 +521,8 @@ PACK_PARTS = 16  # packing partitions; at 100 TB set ≈ executor-cores × execu
                COUNT(*) AS n_chunks,
                COUNT(DISTINCT doc_id) AS n_docs,
                SUM(chunk_tokens) AS bin_tokens,
-               ROUND(SUM(chunk_tokens) / {PACK_BUDGET}.0, 6) AS fill_ratio
+               CAST(SUM(chunk_tokens) * 1000000 // {PACK_BUDGET} AS BIGINT)
+                   AS fill_ratio_ppm
         FROM placed
         GROUP BY part_id, bin_id
     """,
@@ -558,11 +559,17 @@ def llm_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin_id",
         F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / float(PACK_BUDGET)),
     )
+    # fill_ratio is reported in exact parts-per-million via pure BIGINT
+    # arithmetic (sum * 1e6 DIV budget) — no float division or ROUND anywhere,
+    # so the value is bit-identical on any engine/version (double ROUND has
+    # engine-dependent tie-breaking; integers do not).
     return placed.groupBy("part_id", "bin_id").agg(
         F.count("*").alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("chunk_tokens").alias("bin_tokens"),
-        F.round(F.sum("chunk_tokens") / float(PACK_BUDGET), 6).alias("fill_ratio"),
+        F.expr(f"CAST(SUM(chunk_tokens) * 1000000L DIV {PACK_BUDGET} AS BIGINT)").alias(
+            "fill_ratio_ppm"
+        ),
     )
 
 

@@ -243,9 +243,13 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.col("ts").cast("double")
-    prev = F.lag(sec).over(order)
-    new_sess = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    # Native timestamp comparison: legal for both TIMESTAMP and TIMESTAMP_NTZ
+    # column types (a cast-to-double epoch trick is an AnalysisException on
+    # TIMESTAMP_NTZ under Spark 4; see tests/test_fixture_regimes.py).
+    prev = F.lag("ts").over(order)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
     numbered = e.withColumn(
         "session_idx",
         F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)),

@@ -91,22 +91,22 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-4 rotation). Everything that
-#: held these slots before is already driver-verified green — flagship +
-#: join_multiway in CORRECTNESS_r01-r03, the four curation capstones
-#: (llm_dedup_cluster / llm_corpus_filter / llm_decontaminate /
-#: sample_hash_split) in CORRECTNESS_r03 — so the slots rotate to the
-#: round-3 additions that so far rest on the local parity suite only:
-#: the simhash banded dedup, cross-document packing, the exact
-#: set-similarity join, MERGE upsert, the exactly-once streaming sink,
-#: and the perplexity quality score.
+#: Slots 45-50 of the driver window (round-5 rotation). Round-4 greens
+#: (simhash pairs, prefix join, merge_upsert, stream_foreach_batch,
+#: perplexity proxy — CORRECTNESS_r04) rotate out; two queries fixed this
+#: round stay/enter to prove their fixes under the driver's environment
+#: (llm_pack_sequences_global — r4's one red cell, now hash-portable via
+#: integer-ppm fill ratio; win_sessionize — r4's bench-crasher, now on
+#: native timestamp+INTERVAL comparison); the other four slots go to
+#: never-driver-checked families per VERDICT r4 #5: lateral join,
+#: percentile aggregates, Shannon entropy, CSV ingest.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "llm_dedup_simhash_pairs",
     "llm_pack_sequences_global",
-    "llm_dedup_prefix_join",
-    "merge_upsert",
-    "stream_foreach_batch",
-    "llm_perplexity_proxy",
+    "win_sessionize",
+    "join_lateral",
+    "agg_percentiles",
+    "llm_entropy",
+    "ingest_csv",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = DECLARED_INVENTORY + WINDOW_EXTRAS

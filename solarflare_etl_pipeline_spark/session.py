@@ -34,11 +34,13 @@ def get_spark(app_name: str = "solarflare-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet carries TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read as int64 ns and truncate in catalog.table().
-        # Set here at construction so per-query code never flips session
-        # conf mid-plan (catalog.table() only re-sets it defensively when a
-        # foreign session — e.g. the driver's — arrives without it).
+        # Fixture regimes have varied across driver rounds: events.parquet
+        # has shipped both as TIMESTAMP(NANOS) (rejected by the vectorized
+        # reader unless read as int64 ns) and as timestamp[us] (reads as
+        # TIMESTAMP_NTZ natively). The conf is harmless in the latter case;
+        # catalog.table() handles BOTH by converting only when the column
+        # actually arrives as bigint. Set at construction so per-query code
+        # never flips session conf mid-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

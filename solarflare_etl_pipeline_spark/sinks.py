@@ -253,3 +253,91 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+#: (abs sf_dir) -> path of the day-partitioned events sink state this
+#: process wrote (write-once per process+sf, same idempotency discipline
+#: as ensure_partitioned_orders).
+_EVENTS_BY_DAY: dict[str, str] = {}
+
+#: The reference re-fetches a 30-day overlapping window each run and
+#: relies on key conflicts for idempotence (dags/etl.py:74, README.md:74).
+#: Here: sink state holds everything before CUT; the incoming batch
+#: overlaps it from OVERLAP_START.
+_INCR_CUT = "2024-01-10"
+_INCR_OVERLAP_START = "2024-01-05"
+
+
+def ensure_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the pre-cutoff slice of ``events`` day-partitioned exactly
+    once per (process, sf) — the simulated sink state of all previous
+    daily runs."""
+    key = os.path.abspath(sf_dir)
+    path = _EVENTS_BY_DAY.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_events_by_day_{os.path.basename(key)}_{os.getpid()}",
+        )
+        e = (
+            table(spark, sf_dir, "events")
+            .where(F.col("ts") < _INCR_CUT)
+            .withColumn("event_date", F.to_date("ts"))
+        )
+        write_partitioned_parquet(e, path, "event_date")
+        _EVENTS_BY_DAY[key] = path
+    return path
+
+
+def pruned_existing_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The already-loaded keys a new batch must dedup against, read from
+    the day-partitioned sink with a partition predicate covering ONLY the
+    overlap window — PartitionFilters in the plan (asserted in
+    tests/test_plan_audit.py), so at 100 TB the dedup scan lists 5 day
+    directories, not years of history."""
+    path = ensure_day_partitioned_events(spark, sf_dir)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("event_date") >= F.lit(_INCR_OVERLAP_START).cast("date"))
+        .select("event_id")
+    )
+
+
+@register(
+    "sink_incremental_dedup",
+    oracle=f"""
+        SELECT CAST(CAST(b.ts AS TIMESTAMP) AS DATE) AS event_date,
+               COUNT(*) AS n_new
+        FROM events b
+        WHERE CAST(b.ts AS TIMESTAMP) >= TIMESTAMP '{_INCR_OVERLAP_START}'
+          AND NOT EXISTS (
+              SELECT 1 FROM events e
+              WHERE CAST(e.ts AS TIMESTAMP) >= TIMESTAMP '{_INCR_OVERLAP_START}'
+                AND CAST(e.ts AS TIMESTAMP) < TIMESTAMP '{_INCR_CUT}'
+                AND e.event_id = b.event_id
+          )
+        GROUP BY 1
+    """,
+    doc="Incremental idempotent append at PARTITION granularity — "
+    "dedup_antijoin upgraded to the shape a daily 100 TB pipeline actually "
+    "runs: sink state is a date-partitioned parquet dataset (one directory "
+    "per load day); the overlapping re-fetch batch (reference R7 cross-run "
+    "semantics, dags/etl.py:74 + README.md:74 — the 30-day window) anti-joins "
+    "against already-loaded keys read back from ONLY the overlap-window "
+    "partitions (PartitionFilters — directory pruning keeps the dedup scan "
+    "O(overlap), not O(history)). Sound exactly when duplicates cannot be "
+    "older than the overlap window, which is the reference's own contract. "
+    "Returns per-day counts of genuinely-new rows. The oracle states the "
+    "same semantics purely over the events table (the sink state is a "
+    "deterministic slice of it).",
+)
+def sink_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = (
+        table(spark, sf_dir, "events")
+        .where(F.col("ts") >= _INCR_OVERLAP_START)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    new_rows = batch.join(pruned_existing_keys(spark, sf_dir), "event_id", "left_anti")
+    return new_rows.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("n_new")
+    )

@@ -124,3 +124,76 @@ def test_join_strategy_hints_bind(spark, sf_dir):
     assert "SortMergeJoin" in smj
     shj = physical_plan(SPECS["join_shuffle_hash"].spark(spark, sf_dir))
     assert "ShuffledHashJoin" in shj
+
+
+def test_incremental_dedup_prunes_partitions(spark, sf_dir):
+    """The incremental-append dedup must read sink state through a
+    partition-pruned scan: only the overlap-window day directories, as a
+    PartitionFilter — not a full-history scan with a post-filter."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+    from solarflare_etl_pipeline_spark.sinks import pruned_existing_keys
+
+    plan = physical_plan(pruned_existing_keys(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    start = plan.index("PartitionFilters")
+    segment = plan[start : plan.index("]", start) + 1]
+    assert "event_date" in segment and "2024-01-05" in segment, (
+        f"overlap predicate not pushed to partition pruning: {segment}"
+    )
+
+
+def test_join_skew_aqe_pins_sortmerge(spark, sf_dir):
+    """The skew demo must not silently broadcast its dim (at 100 TB the
+    right side is fact-sized): the MERGE hint has to hold."""
+    from solarflare_etl_pipeline_spark.plans.explain import plan_report
+
+    report = plan_report(SPECS["join_skew_aqe"].spark(spark, sf_dir))
+    assert report["sortmerge_joins"] >= 1 and report["broadcast_joins"] == 0, report
+
+
+def test_join_skew_aqe_splits_hot_partition(spark, sf_dir, tmp_path):
+    """Prove the AQE skew-split mechanism actually fires. Two fixture-scale
+    gaps must be bridged without touching the operator or the shared
+    session: (a) thresholds — lowered on an isolated spark.newSession();
+    (b) mapper count — AQE splits a skewed reduce partition at MAP-OUTPUT
+    granularity, and the single-file fixture yields exactly one shuffle
+    mapper, which is unsplittable by construction. At 100 TB a table is
+    thousands of files (many mappers), so the honest fixture is lineitem
+    rewritten as multiple part-files in a tmp sf_dir (other tables
+    symlinked). The executed adaptive plan must then mark the sort-merge
+    join skew=true: the hot_key-0 partition (~75% of lineitem) was split
+    across tasks at runtime."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from solarflare_etl_pipeline_spark.catalog import TABLES
+
+    for t in TABLES:
+        if t != "lineitem":
+            os.symlink(os.path.join(sf_dir, f"{t}.parquet"), tmp_path / f"{t}.parquet")
+    tbl = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"))
+    part_dir = tmp_path / "lineitem.parquet"
+    os.makedirs(part_dir)
+    n_files = 4
+    step = (tbl.num_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        pq.write_table(tbl.slice(i * step, step), part_dir / f"part-{i}.parquet")
+
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        ns.conf.set(k, v)
+    df = SPECS["join_skew_aqe"].spark(ns, str(tmp_path))
+    df.collect()  # AQE decides from runtime shuffle stats — must execute
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "skew=true" in final_plan, final_plan[:3000]
