@@ -56,6 +56,11 @@ BENCH_QUERIES = (
     "agg_custdist",
     "win_sessionize",
     "stream_foreach_batch",
+    # round-5 additions: runtime skew handling, partition-pruned
+    # incremental dedup, real-container multimodal decode
+    "join_skew_aqe",
+    "sink_incremental_dedup",
+    "mm_decode_wav",
 )
 
 

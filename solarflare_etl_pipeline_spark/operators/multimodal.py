@@ -2,11 +2,16 @@
 
 Driver-mandate surface (SURVEY.md §2.2 adjunct): treat image/audio/video
 as ``binary`` columns with typed metadata; decode / feature-extract run
-as Arrow-batched ``mapInPandas`` over the binary column.  The container
-has no image/audio libraries, so the *decode* step is a clearly-marked
-deterministic stub (``decode_image_stub``) — the Spark-side plumbing
-(schema, batch shape, partitioning) is real and oracle-checked where
-the arithmetic is exact.
+as Arrow-batched ``mapInPandas`` over the binary column.  Two regimes:
+
+* ``mm_decode_wav`` / ``mm_decode_png`` decode REAL containers — genuine
+  RIFF/PCM16 WAV and CRC-verified zlib-deflated PNG built by
+  ``ensure_payloads`` — with stdlib ``struct``/``zlib`` + numpy byte
+  parsing (no codec library needed), oracle-checked value-for-value.
+* ``mm_decode_features`` keeps the clearly-marked deterministic stub
+  (``decode_image_stub``) standing in for codec-dependent formats
+  (JPEG/H.264…) the container cannot decode; its plumbing (schema,
+  batch shape, partitioning) is identical to the real decoders.
 
 Scale notes: binary payloads stay opaque until the last possible
 operator (no JVM→Python crossing except inside the single mapInPandas
@@ -138,3 +143,298 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(4))).alias("frame_idx"),
     ).select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: genuine container formats, byte-level parsers.
+#
+# The container ships no image/audio codec libraries, but WAV (RIFF/PCM16)
+# and PNG (zlib IDAT + per-row filters) are decodable with stdlib + numpy
+# alone. The fixture builder below synthesizes REAL files of both formats —
+# every byte a spec-conforming container, payload samples/pixels a pure
+# function of (doc_id, n_chars) — and the decode operators walk the actual
+# byte layout (chunk walking, CRC verification, zlib inflate, defiltering),
+# so the mapInPandas stage computes verifiable values, not stub arithmetic.
+# The oracles state the SAME decoded features in closed form over
+# documents, which only match if the encode→parse round-trip is correct.
+# ---------------------------------------------------------------------------
+
+_WAV_RATE = 16000
+
+
+def _wav_n_samples(n_chars: int) -> int:
+    return n_chars % 100 + 10
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 8 + 1, doc_id % 6 + 1
+
+
+def encode_wav(doc_id: int, n_chars: int) -> bytes:
+    """A complete little-endian RIFF/WAVE container: fmt chunk (PCM16
+    mono @16 kHz) + data chunk whose samples are
+    ``(doc_id*31 + i*7) % 65536 - 32768``."""
+    import struct
+
+    import numpy as np
+
+    n = _wav_n_samples(n_chars)
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 7) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """Parse the RIFF container for real: verify magics, WALK the chunk
+    list (no fixed offsets past the header), read the sample rate from
+    fmt, and decode data as int16 LE. Returns (sample_rate, n_samples,
+    sum_amplitude)."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    (riff_size,) = struct.unpack_from("<I", payload, 4)
+    assert riff_size == len(payload) - 8, "RIFF size field inconsistent"
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            assert audio_fmt == 1 and channels == 1, "expected PCM mono"
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    assert rate is not None and samples is not None, "missing fmt/data chunk"
+    return rate, len(samples), int(samples.astype(np.int64).sum())
+
+
+def encode_png(doc_id: int) -> bytes:
+    """A complete spec-conforming PNG: signature, IHDR (8-bit grayscale),
+    one zlib-deflated IDAT holding filter-0 scanlines with pixel
+    ``(doc_id + x + y) % 256``, IEND — every chunk CRC-correct."""
+    import struct
+    import zlib
+
+    w, h = _png_dims(doc_id)
+    raw = b"".join(
+        b"\x00" + bytes((doc_id + x + y) % 256 for x in range(w)) for y in range(h)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the PNG for real: signature, chunk walk with CRC verification
+    on every chunk, IHDR geometry, zlib-inflate of the concatenated IDAT
+    stream, scanline defiltering (filter 0). Returns (width, height,
+    bit_depth, sum_pixels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        assert crc == zlib.crc32(ctype + body), f"CRC mismatch in {ctype!r}"
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            assert depth == 8 and color == 0 and interlace == 0, "expected 8-bit gray"
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + size
+    assert w is not None, "missing IHDR"
+    raw = zlib.decompress(idat)
+    assert len(raw) == h * (w + 1), "scanline payload size mismatch"
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    assert (rows[:, 0] == 0).all(), "only filter type 0 expected"
+    return w, h, depth, int(rows[:, 1:].astype(np.int64).sum())
+
+
+#: (abs sf_dir) -> path of the binary-payload parquet this process wrote
+#: (write-once per process+sf, the sinks.py idempotency discipline).
+_PAYLOADS: dict[str, str] = {}
+
+
+def ensure_payloads(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (doc_id, wav, png) — real WAV and PNG bytes per
+    document — exactly once per (process, sf). The encode runs
+    distributed (one Arrow mapInPandas pass over documents); at 100 TB
+    this table IS the multimodal source (payloads arrive from object
+    storage) and only the decode operators below exist."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    path = _PAYLOADS.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_mm_payloads_{os.path.basename(key)}_{os.getpid()}",
+        )
+
+        def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "wav": [
+                            encode_wav(int(d), int(c))
+                            for d, c in zip(pdf["doc_id"], pdf["n_chars"])
+                        ],
+                        "png": [encode_png(int(d)) for d in pdf["doc_id"]],
+                    }
+                )
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("wav", T.BinaryType()),
+                T.StructField("png", T.BinaryType()),
+            ]
+        )
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        docs.mapInPandas(build, schema).write.mode("overwrite").parquet(path)
+        _PAYLOADS[key] = path
+    return path
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_decode_wav",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   n_chars % 100 + 10 AS n,
+                   UNNEST(RANGE(0, n_chars % 100 + 10)) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+               CAST({_WAV_RATE} AS INT) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+               CAST(SUM((doc_id * 31 + i * 7) % 65536 - 32768) AS BIGINT) AS sum_amp
+        FROM s
+        GROUP BY doc_id, n
+    """,
+    doc="REAL audio decode (not a stub): genuine RIFF/WAVE PCM16 containers "
+    "are chunk-walked and sample-decoded with numpy inside one Arrow "
+    "mapInPandas stage — header magics and size fields verified, sample rate "
+    "read from the fmt chunk, amplitudes summed from the int16 data chunk. "
+    "The oracle restates the decoded features in closed form over documents, "
+    "so parity proves the byte-level encode→parse round-trip. Binary stays "
+    "opaque until this single Python crossing (metadata ops like n_bytes "
+    "never decode).",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "wav")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(p) for p in pdf["wav"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["wav"].map(len).astype("int64"),
+                    "sample_rate": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "n_samples": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "duration_ms": pd.Series(
+                        [d[1] * 1000 // _WAV_RATE for d in decoded], dtype="int64"
+                    ),
+                    "sum_amp": pd.Series([d[2] for d in decoded], dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(decode, WAV_SCHEMA)
+
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("sum_pixels", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_decode_png",
+    oracle="""
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 + 1 AS INT) AS width,
+                   CAST(doc_id % 6 + 1 AS INT) AS height,
+                   UNNEST(RANGE(0, (doc_id % 8 + 1) * (doc_id % 6 + 1))) AS p
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               CAST(8 AS INT) AS bit_depth,
+               CAST(SUM((doc_id + p % width + p // width) % 256) AS BIGINT)
+                   AS sum_pixels
+        FROM px
+        GROUP BY doc_id, width, height
+    """,
+    doc="REAL image decode (not a stub): spec-conforming PNGs (signature, "
+    "CRC-verified IHDR/IDAT/IEND, zlib-deflated filter-0 scanlines) are "
+    "inflated and defiltered with stdlib zlib + numpy inside one Arrow "
+    "mapInPandas stage; geometry comes from IHDR and the pixel sum from the "
+    "decompressed scanlines. The oracle restates width/height/pixel-sum in "
+    "closed form (pixel (x,y) = (doc_id+x+y) % 256), so parity proves "
+    "inflate + defilter really ran. Corrupt bytes fail loudly on CRC.",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "png")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_png(p) for p in pdf["png"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "bit_depth": pd.Series([d[2] for d in decoded], dtype="int32"),
+                    "sum_pixels": pd.Series([d[3] for d in decoded], dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(decode, PNG_SCHEMA)

@@ -21,7 +21,14 @@ DELIBERATE_CROSS = {"llm_similarity_topk", "join_cross"}
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
 #: grouped-map — the sanctioned escape hatches).
-PYTHON_OK = {"udf_scalar", "udaf_grouped", "udtf_grouped_state", "mm_decode_features"}
+PYTHON_OK = {
+    "udf_scalar",
+    "udaf_grouped",
+    "udtf_grouped_state",
+    "mm_decode_features",
+    "mm_decode_wav",
+    "mm_decode_png",
+}
 
 #: Queries that read a dimension table and must broadcast it.
 MUST_BROADCAST = {"join_broadcast", "join_multiway"}
