@@ -705,3 +705,107 @@ def llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_tokens"),
         F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6).alias("token_entropy"),
     )
+
+
+@register(
+    "llm_repetition_stats",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                          i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                               STRING_SPLIT(text, ' ')[i+1])) AS gram
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_grams,
+               CAST(MAX(c) AS BIGINT) AS top_gram_n,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_gram_n,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(c) AS DOUBLE) AS dup_gram_frac
+        FROM cnt
+        GROUP BY doc_id
+    """,
+    doc="Repetition quality signals (the Gopher/MassiveText repetition filters): "
+    "per-document fraction of word-bigram occurrences held by the single most "
+    "frequent bigram (top_gram_frac) and by any repeated bigram (dup_gram_frac) "
+    "— high values flag boilerplate/spam for removal before training. In-row "
+    "bigram construction (narrow), one explode, then two hash aggregations "
+    "keyed by (doc_id, gram) and doc_id — partial aggregation means the "
+    "shuffle carries counts, not text. Fractions are a single IEEE division "
+    "of exact integers (no ROUND — engine-portable hash).",
+)
+def llm_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
+    grams = d.select("doc_id", F.explode(F.expr(sliding_ngrams_sql(2, "__toks"))).alias("gram"))
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_unique_grams"),
+        F.max("c").alias("top_gram_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_gram_n"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias("top_gram_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_gram_frac"),
+    )
+
+
+#: Portable across Java regex (Spark) and RE2 (DuckDB): plain character
+#: classes, no lookaround/backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_ID_RE = r"\d+"
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+        WITH augmented AS (
+            SELECT doc_id,
+                   text || ' contact ' || source || '.user@' || lang ||
+                       '.example.com ref ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LEN(REGEXP_EXTRACT_ALL(raw, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+               CAST(LEN(REGEXP_EXTRACT_ALL(
+                   REGEXP_REPLACE(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_ID_RE}')) AS INT) AS n_ids,
+               REGEXP_REPLACE(
+                   REGEXP_REPLACE(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_ID_RE}', '<ID>', 'g') AS clean_text
+        FROM augmented
+    """,
+    doc="PII scrubbing (pre-training redaction pass): emails then standalone "
+    "digit runs replaced by typed placeholders, with per-doc match counts for "
+    "the removal audit. The fixture corpus carries no PII, so a synthetic "
+    "contact line (pure function of doc metadata) is appended first — the "
+    "operator under test is the regex machinery, which must behave "
+    "identically under Java regex and RE2 (patterns restricted to the "
+    "portable subset: character classes only, no lookaround). Narrow "
+    "per-row transform — no shuffle, whole-stage codegen end to end.",
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit(".user@"),
+        F.col("lang"),
+        F.lit(".example.com ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    no_email = F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(no_email, F.lit(PII_ID_RE)).alias("n_ids"),
+        F.regexp_replace(no_email, PII_ID_RE, "<ID>").alias("clean_text"),
+    )
