@@ -224,3 +224,43 @@ def scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price")
     )
+
+
+@register(
+    "sample_shuffle_order",
+    oracle="""
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                   % 8 AS shard_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                    AS INTEGER) % 8
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS shuffle_rank
+        FROM documents
+    """,
+    doc="Deterministic sharded corpus shuffle - the training-order "
+    "randomization pass: every example is routed to one of 8 shards by key "
+    "hash (sample_hash_split's proven md5 arithmetic) and ordered WITHIN its "
+    "shard by the full digest - reproducible at any parallelism and across "
+    "reruns (rand() is neither) and uncorrelated with ingest order. A "
+    "training job reads shards round-robin for an unbiased mix. The window "
+    "is PARTITIONED by shard (one ordinary hash shuffle; contrast a global "
+    "ORDER BY rank, which serializes the corpus through one partition - the "
+    "win_share/ngram_freq lesson); at 100 TB raise the shard count to the "
+    "writer parallelism and each shard becomes one exported file.",
+)
+def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("int") % 8
+    )
+    w = Window.partitionBy(shard).orderBy(digest, "doc_id")
+    return d.select(
+        "doc_id",
+        shard.alias("shard_id"),
+        F.row_number().over(w).alias("shuffle_rank"),
+    )

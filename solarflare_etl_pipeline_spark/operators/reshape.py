@@ -275,3 +275,36 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice", "sum_price"),
     )
+
+
+@register(
+    "join_runtime_bloom",
+    oracle=f"""
+        SELECT p.p_brand,
+               COUNT(*) AS n_rows,
+               {sql_dsum('l.l_extendedprice', 'sum_price')}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 5
+        GROUP BY p.p_brand
+    """,
+    doc="Runtime bloom-filter semi-join reduction — the third runtime-filtering "
+    "pattern next to join_dpp (partition pruning) and join_skew_aqe (skew "
+    "split): a selective predicate on the build side (p_size < 5 keeps ~11% "
+    "of part) makes Catalyst inject a bloom-filter aggregate over the "
+    "surviving join keys and push might_contain(l_partkey) INTO the probe "
+    "side's scan, discarding ~89% of lineitem before the join shuffle. At "
+    "100 TB this is what turns a full-fact shuffle into a filtered one when "
+    "the dim predicate is selective but the key is not a partition column "
+    "(where DPP can't help). Fixture scans sit below the 10 GB "
+    "application-side threshold, so tests/test_plan_audit.py proves the "
+    "injection on a threshold-lowered newSession; the semantics are the "
+    "plain join (the oracle IS the plain form) with or without the filter.",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") < 5).select("p_partkey", "p_brand")
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice", "sum_price"))
+    )

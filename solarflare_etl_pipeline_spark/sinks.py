@@ -341,3 +341,64 @@ def sink_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_rows.groupBy(F.to_date("ts").alias("event_date")).agg(
         F.count("*").alias("n_new")
     )
+
+
+#: (abs sf_dir) -> (small_dir, compacted_dir) for the compaction demo
+#: (write-once per process+sf).
+_COMPACT_DIRS: dict[str, tuple[str, str]] = {}
+
+_SMALL_FILES = 16
+_COMPACT_FILES = 2
+
+
+def _parquet_part_files(path: str) -> list[str]:
+    return [f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")]
+
+
+@register(
+    "maintenance_compact",
+    oracle=f"""
+        SELECT CAST({_SMALL_FILES} AS INT) AS n_files_before,
+               CAST({_COMPACT_FILES} AS INT) AS n_files_after,
+               COUNT(*) AS n_rows,
+               {sql_dsum('value', 'total_value')}
+        FROM events
+    """,
+    doc="Small-files compaction — the table-maintenance pass every "
+    "long-running ingest needs (a daily micro-batch writer accretes one-file-"
+    "per-trigger; thousands of KB-files make listing and scan task overhead "
+    "dominate): a 16-file events dataset is compacted to 2 files via "
+    "coalesce(), which MERGES partitions map-side with no shuffle — at "
+    "100 TB compaction jobs move data once through the disks, never through "
+    "a hash exchange (repartition() would). The registered result re-reads "
+    "the COMPACTED dataset and proves bit-level preservation (row count + "
+    "decimal-exact value sum against the source oracle) plus the before/"
+    "after file arithmetic. At scale, add maxRecordsPerFile to bound file "
+    "size and sortWithinPartitions for row-group locality; the shape is "
+    "unchanged.",
+)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = os.path.abspath(sf_dir)
+    dirs = _COMPACT_DIRS.get(key)
+    if dirs is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_compact_{os.path.basename(key)}_{os.getpid()}",
+        )
+        small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
+        e = table(spark, sf_dir, "events")
+        # the small-files state a per-trigger streaming writer accretes
+        e.repartition(_SMALL_FILES).write.mode("overwrite").parquet(small)
+        # the compaction pass: merge map-side, no shuffle
+        spark.read.parquet(small).coalesce(_COMPACT_FILES).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+        _COMPACT_DIRS[key] = dirs = (small, compacted)
+    small, compacted = dirs
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.lit(len(_parquet_part_files(small))).cast("int").alias("n_files_before"),
+        F.lit(len(_parquet_part_files(compacted))).cast("int").alias("n_files_after"),
+        F.count("*").alias("n_rows"),
+        dsum("value", "total_value"),
+    )

@@ -204,3 +204,24 @@ def test_join_skew_aqe_splits_hot_partition(spark, sf_dir, tmp_path):
     final_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final_plan
     assert "skew=true" in final_plan, final_plan[:3000]
+
+
+def test_join_runtime_bloom_injects_filter(spark, sf_dir):
+    """Prove the runtime bloom-filter injection fires: with the
+    application-side scan threshold lowered to fixture scale (isolated
+    newSession, the shared session untouched) and broadcast disabled so
+    the join shuffles, the probe side's scan filter must contain
+    might_contain(...) — Catalyst built a bloom filter from the selective
+    part predicate and pushed it into the lineitem scan."""
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }.items():
+        ns.conf.set(k, v)
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(SPECS["join_runtime_bloom"].spark(ns, sf_dir))
+    assert "might_contain" in plan, plan[:3000]

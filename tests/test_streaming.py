@@ -279,3 +279,43 @@ def test_foreachbatch_partial_agg_replay_idempotent(spark, tmp_path):
     assert merged() == first
     sink(b0, 2)  # genuinely new batch with the same payload DOES accumulate
     assert merged() == {"view": (5, 10.0), "purchase": (2, 20.0)}
+
+
+def test_dedup_rocksdb_state_store(spark, stream_dir, tmp_path):
+    """The production state backend: the watermarked dedup runs with the
+    RocksDB state store provider (per-query writeStream option — the
+    shared session conf is untouched). At 100 TB stream state (every live
+    key within the watermark) outgrows the default JVM-heap HDFS-backed
+    provider; RocksDB keeps state off-heap on local disk with incremental
+    checkpointing and is the standard large-state deployment. Semantics
+    must be identical to the default provider: exactly the 4 distinct keys
+    survive, with the cross-batch re-delivery of key 3 dropped — which
+    requires batch-1 state to be visible in batch 2 through RocksDB."""
+    # providerClass is a SESSION conf (silently ignored as a per-query
+    # option) — isolate it on a newSession, shared session untouched.
+    ns = spark.newSession()
+    ns.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = streaming_events(ns, stream_dir, SCHEMA)
+    q = (
+        deduped_stream(events)
+        .writeStream.format("memory")
+        .queryName("sink_rocks")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = ns.sql("SELECT * FROM sink_rocks").collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
+    # Provider actually engaged: RocksDB checkpoints state as zip archives
+    # (+ changelogs), never the HDFS provider's .delta files.
+    state_files = [
+        p.name for p in (tmp_path / "ckpt_rocks" / "state").rglob("*") if p.is_file()
+    ]
+    assert not any(n.endswith(".delta") for n in state_files), state_files
+    assert any(n.endswith((".zip", ".changelog")) for n in state_files), state_files
+    q.stop()
