@@ -596,3 +596,48 @@ def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_count(y, x).alias("n_pairs"),
         )
     )
+
+
+@register(
+    "agg_sketch_mergeable",
+    # Same boolean-theorem oracle discipline as agg_approx_distinct_bounds:
+    # Datasketches HLL binaries are engine-specific, so the driver checks
+    # the exact side plus two deterministic booleans — the estimate lands
+    # within ±5% of exact, and re-aggregating the stored per-group sketches
+    # with hll_union_agg reproduces the direct whole-table estimate
+    # EXACTLY (merge is lossless by construction). A regression in either
+    # property flips a boolean → driver hash mismatch.
+    oracle="""
+        SELECT COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS est_within_5pct,
+               TRUE AS merge_equals_direct
+        FROM events
+    """,
+    doc="Sketch MERGEABILITY — the property that makes approximate distinct "
+    "counting work at 100 TB: per-event_type HLL sketches (the form you'd "
+    "persist in a metrics store, one small binary per group/partition/day) "
+    "are re-aggregated with hll_union_agg and must reproduce the direct "
+    "whole-table estimate exactly — counting 100 TB once, then answering "
+    "any rollup from stored sketches without rescanning. Emitted as exact "
+    "count + two theorem booleans (estimates themselves are engine-"
+    "specific; the bounds pattern of agg_approx_distinct_bounds).",
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_group = e.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    j = direct.crossJoin(merged)  # two single-row locals — not a data join
+    return j.select(
+        "exact_users",
+        (
+            F.abs(F.col("direct_est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_within_5pct"),
+        (F.col("merged_est") == F.col("direct_est")).alias("merge_equals_direct"),
+    )

@@ -86,3 +86,64 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("merge_action"),
     )
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+        WITH changed AS (
+            SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT c.c_custkey,
+               1 AS version,
+               c.c_mktsegment,
+               c.c_acctbal,
+               DATE '2024-01-01' AS valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-06-01' END
+                   AS valid_to,
+               ch.c_custkey IS NULL AS is_current
+        FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+        UNION ALL
+        SELECT c_custkey,
+               2 AS version,
+               (SELECT c2.c_mktsegment FROM customer c2
+                WHERE c2.c_custkey = changed.c_custkey) AS c_mktsegment,
+               c_acctbal + 100.0 AS c_acctbal,
+               DATE '2024-06-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to,
+               TRUE AS is_current
+        FROM changed
+    """,
+    doc="Slowly-changing-dimension Type 2 — the versioned-history MERGE every "
+    "warehouse dimension eventually needs (reference R7 keeps only the latest "
+    "row; SCD2 keeps every version with validity intervals so facts join to "
+    "the dimension AS OF their event time via join_range/join_asof): a change "
+    "batch (10% of keys, new balance, effective 2024-06-01) closes the "
+    "affected version-1 rows (valid_to set, is_current false) and appends "
+    "open version-2 rows. Narrow CASE + union over one change-flag join — "
+    "history grows by |changes|, not |dimension|; at 100 TB partition the "
+    "history by valid_from and the incremental append touches only the new "
+    "date partition (sink_incremental_dedup's layout).",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    changed_flag = F.col("c_custkey") % 10 == 0
+    v1 = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.when(changed_flag, F.lit("2024-06-01").cast("date")).alias("valid_to"),
+        (~changed_flag).alias("is_current"),
+    )
+    v2 = c.where(changed_flag).select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        "c_mktsegment",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return v1.unionAll(v2)

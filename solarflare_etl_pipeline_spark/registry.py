@@ -154,6 +154,7 @@ def load_all() -> dict[str, QuerySpec]:
         http_ingest,
         jdbc_ingest,
         json_ingest,
+        python_source,
         text_ingest,
     )
     from solarflare_etl_pipeline_spark.streaming import (  # noqa: F401

@@ -43,6 +43,10 @@ def get_spark(app_name: str = "solarflare-spark", cpus: int | None = None) -> Sp
         # never flips session conf mid-plan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source filter pushdown (sources/python_source.py);
+        # default-off in Spark 4, required when a reader implements
+        # pushFilters. Also ensured defensively for foreign sessions.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -17,7 +17,13 @@ SPECS = load_all()
 #: llm_dedup_embcos and fn_string_sim left this set in round 2: embcos now
 #: routes candidates through the LSH bucket equi-join, string_sim through a
 #: lossless length-band equi-join.
-DELIBERATE_CROSS = {"llm_similarity_topk", "join_cross"}
+DELIBERATE_CROSS = {
+    "llm_similarity_topk",
+    "join_cross",
+    # two SINGLE-ROW global aggregates combined for the theorem booleans —
+    # a 1×1 nested-loop join, not a data-scale cross product
+    "agg_sketch_mergeable",
+}
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
 #: grouped-map — the sanctioned escape hatches).
@@ -225,3 +231,27 @@ def test_join_runtime_bloom_injects_filter(spark, sf_dir):
 
     plan = physical_plan(SPECS["join_runtime_bloom"].spark(ns, sf_dir))
     assert "might_contain" in plan, plan[:3000]
+
+
+def test_python_source_scan_and_pushdown(spark, sf_dir):
+    """The custom Python Data Source must appear as a parallel Python
+    BatchScan, and the event_type equality must be accepted by
+    pushFilters — i.e. vanish from the post-scan Filter (rows are never
+    generated, the Python-source analogue of PushedFilters)."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+    from solarflare_etl_pipeline_spark.sources.python_source import synthetic_events
+
+    import pyspark.sql.functions as F
+
+    df = synthetic_events(spark).where(F.col("event_type") == "view")
+    plan = physical_plan(df)
+    assert "BatchScan synthetic_events" in plan and "(Python)" in plan, plan[:1500]
+    # the equality literal must be gone from the post-scan Filter (only the
+    # unsupported isnotnull, which the reader yields back, may remain)
+    assert "view" not in plan.split("BatchScan")[0], (
+        f"event_type = 'view' not pushed into the source: {plan[:1500]}"
+    )
+    # and the pushdown changes nothing semantically
+    n_pushed = df.count()
+    n_plain = synthetic_events(spark).collect()
+    assert n_pushed == sum(1 for r in n_plain if r.event_type == "view")
