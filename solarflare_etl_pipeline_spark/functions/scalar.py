@@ -317,3 +317,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").bitwiseOR(F.lit(4096)).alias("key_or"),
         F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+               'BIGINT' AS k_type,
+               json_extract_string(props, '$.nope') AS missing_path,
+               CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        FROM events
+    """,
+    doc="Semi-structured VARIANT type (Spark 4): events.props parsed ONCE with "
+    "parse_json into a binary-encoded variant, fields then extracted with "
+    "variant_get path/type expressions — unlike get_json_object (fn_json), "
+    "which re-parses the JSON text per extraction, the variant parse cost is "
+    "paid once and extractions are cheap binary probes; columnar formats "
+    "shred frequently-accessed variant paths into real columns, making this "
+    "the 100 TB semi-structured answer. schema_of_variant documents the "
+    "inferred shape; try_variant_get returns NULL (never throws) on missing "
+    "paths — R1's tolerant field access (dags/etl.py:48-64).",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    return e.select(
+        "event_id",
+        F.variant_get("v", "$.k", "int").alias("k_int"),
+        F.schema_of_variant(F.variant_get("v", "$.k", "variant")).alias("k_type"),
+        F.try_variant_get("v", "$.nope", "string").alias("missing_path"),
+        (F.variant_get("v", "$.k", "int") % 10).alias("k_bucket"),
+    )

@@ -641,3 +641,50 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_within_5pct"),
         (F.col("merged_est") == F.col("direct_est")).alias("merge_equals_direct"),
     )
+
+
+@register(
+    "agg_approx_percentile_bounds",
+    # Quantile-sketch companion to agg_approx_distinct_bounds: the
+    # approx_percentile values are engine-specific, so the driver checks
+    # the EXACT quantiles plus a boolean theorem — each approximate
+    # quantile must land within the rank-error guarantee (accuracy 1000 ⇒
+    # ±0.1% rank ⇒ comfortably within the 1st-to-99th percentile VALUE
+    # span here because l_quantity is integer-valued 1..50 with dense
+    # uniform mass, giving value error ≤ 1).
+    oracle="""
+        SELECT l_returnflag,
+               CAST(QUANTILE_DISC(l_quantity, 0.5) AS DOUBLE) AS p50_exact,
+               CAST(QUANTILE_DISC(l_quantity, 0.95) AS DOUBLE) AS p95_exact,
+               TRUE AS approx_within_1
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="approx_percentile accuracy gate (Greenwald-Khanna quantile sketch — "
+    "the mergeable one-pass structure that answers percentile queries at "
+    "100 TB without sorting): exact discrete quantiles per group plus a "
+    "boolean asserting the sketch lands within ±1 quantity unit. Sketch "
+    "quantiles are order-insensitive and deterministic for fixed data, so "
+    "the boolean is stable; a sketch regression flips it → driver hash "
+    "mismatch.",
+)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("a50"),
+            F.percentile_approx("l_quantity", 0.95, 1000).alias("a95"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("p50_exact"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").alias("p95_exact"),
+        )
+    )
+    within = (F.abs(F.col("a50") - F.col("p50_exact")) <= 1) & (
+        F.abs(F.col("a95") - F.col("p95_exact")) <= 1
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("p50_exact").cast("double").alias("p50_exact"),
+        F.col("p95_exact").cast("double").alias("p95_exact"),
+        within.alias("approx_within_1"),
+    )

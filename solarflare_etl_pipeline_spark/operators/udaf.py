@@ -82,3 +82,54 @@ def sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o.o_orderpriority
         """
     )
+
+
+CHUNK_WORDS = 10
+
+
+@register(
+    "udtf_lateral_chunks",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_WORDS}.0) AS INT)))
+                   AS chunk_idx,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_WORDS}.0) AS INT)),
+                   i -> ARRAY_TO_STRING(
+                       toks[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}],
+                       ' ')))
+                   AS chunk_text,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_WORDS}.0) AS INT)),
+                   i -> LEN(toks[i * {CHUNK_WORDS} + 1 : i * {CHUNK_WORDS} + {CHUNK_WORDS}])))
+                   AS n_words
+        FROM t
+    """,
+    doc=f"True Python UDTF (Spark 4 @udtf API) applied via LATERAL: each document "
+    f"expands to {CHUNK_WORDS}-word chunks with ordinal and word count — the "
+    f"row→table form the reference's dynamic task fan-out takes per element "
+    f"(exampledag.py:38-41), and the API-surface complement to udf_scalar "
+    f"(scalar), udaf_grouped (aggregate), udtf_grouped_state (grouped-map). "
+    f"Row-at-a-time Python is the SLOW path by design here — the vectorized "
+    f"equivalent is llm_chunk_docs (pure column expressions, in-row slicing); "
+    f"use a UDTF only when per-row expansion logic genuinely needs Python "
+    f"(sentencizers, parsers). Oracle: the same chunking in closed form.",
+)
+def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_words int")
+    class DocChunks:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, (len(words) + CHUNK_WORDS - 1) // CHUNK_WORDS):
+                piece = words[i * CHUNK_WORDS : (i + 1) * CHUNK_WORDS]
+                yield i, " ".join(piece), len(piece)
+
+    spark.udtf.register("doc_chunks", DocChunks)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words "
+        "FROM documents d, LATERAL doc_chunks(d.text) c"
+    )

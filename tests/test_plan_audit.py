@@ -31,6 +31,7 @@ PYTHON_OK = {
     "udf_scalar",
     "udaf_grouped",
     "udtf_grouped_state",
+    "udtf_lateral_chunks",
     "mm_decode_features",
     "mm_decode_wav",
     "mm_decode_png",
