@@ -125,3 +125,19 @@ def register_managed_tables(
         if os.path.exists(stale):
             shutil.rmtree(stale)
         table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(f"{database}.{name}")
+
+
+def repartition_compute(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition with the partition count PINNED to the cluster's
+    default parallelism.
+
+    ``df.repartition(cols...)`` without a count leaves the exchange
+    eligible for AQE partition coalescing, which decides by SHUFFLE BYTES
+    — the wrong metric for compute-dense downstream stages (shingle
+    explodes, signature aggregation, per-row crypto hashing), where a few
+    MB of text fan out into orders of magnitude more work. Measured at
+    sf0.1: AQE coalesced the post-repartition stage to ONE task on 32
+    cores and the simhash signature pass ran 2x slower. An explicit count
+    (REPARTITION_BY_NUM) is exempt from coalescing, so the compute stage
+    keeps cluster-wide parallelism at any data size."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)

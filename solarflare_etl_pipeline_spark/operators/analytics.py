@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.catalog import repartition_compute, table
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -128,7 +128,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero signal and are dropped.",
 )
 def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").repartition("doc_id")
+    d = repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))

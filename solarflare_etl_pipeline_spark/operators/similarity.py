@@ -33,7 +33,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.catalog import repartition_compute, table
 from solarflare_etl_pipeline_spark.registry import register
 
 DIM = 64
@@ -277,7 +277,7 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
-    d = with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+    d = with_shingles(repartition_compute(table(spark, sf_dir, "documents"), "doc_id"))
     return _minhash_from_shingles(d)
 
 
@@ -353,7 +353,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
     base = (
-        with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+        with_shingles(repartition_compute(table(spark, sf_dir, "documents"), "doc_id"))
         .select("doc_id", "shingles")
         .localCheckpoint()
     )
@@ -444,7 +444,7 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.6
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
     base = (
-        with_shingles(table(spark, sf_dir, "documents").repartition("doc_id"))
+        with_shingles(repartition_compute(table(spark, sf_dir, "documents"), "doc_id"))
         .select("doc_id", "shingles")
         .localCheckpoint()
     )
@@ -577,7 +577,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str, n_parts: int | None = 
     # repartition before the explode — same parallelism rationale as minhash;
     # shingles (not raw tokens) for the same degeneracy reason
     docs = table(spark, sf_dir, "documents")
-    docs = docs.repartition(n_parts) if n_parts else docs.repartition("doc_id")
+    docs = docs.repartition(n_parts) if n_parts else repartition_compute(docs, "doc_id")
     d = with_shingles(docs)
     toks = d.select("doc_id", F.explode("shingles").alias("tok"))
     toks = toks.withColumn("h", F.xxhash64("tok"))
@@ -694,7 +694,7 @@ def _portable_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shingles (<3 tokens) drop out in both engines."""
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
-    docs = table(spark, sf_dir, "documents").repartition("doc_id")
+    docs = repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
     toks = with_shingles(docs).select("doc_id", F.explode("shingles").alias("tok"))
     toks = toks.withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.catalog import repartition_compute, table
 from solarflare_etl_pipeline_spark.registry import register
 
 #: Tiny per-language marker lexicons for the n-gram/stopword heuristic
@@ -693,8 +693,7 @@ def llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the row-amplifying explode: a single parquet file
     # scans as one partition, which would serialize the explode + partial agg
     tf = (
-        table(spark, sf_dir, "documents")
-        .repartition("doc_id")
+        repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("c"))
