@@ -264,3 +264,73 @@ def sample_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard_id"),
         F.row_number().over(w).alias("shuffle_rank"),
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+        SELECT 'orders_pk_unique' AS rule,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations,
+               COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders' AS rule,
+               COUNT(*) AS n_violations,
+               COUNT(*) = 0 AS passed
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders_price_positive' AS rule,
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_violations,
+               COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'orders_date_not_null' AS rule,
+               COUNT(*) - COUNT(o_orderdate) AS n_violations,
+               COUNT(*) - COUNT(o_orderdate) = 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_qty_range' AS rule,
+               COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END)
+                   AS n_violations,
+               COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) = 0
+                   AS passed
+        FROM lineitem
+    """,
+    doc="Declarative data-quality expectations — the contract-validation pass "
+    "(DLT expectations / Great Expectations shape) a pipeline runs before "
+    "publishing a dataset: primary-key uniqueness, referential integrity "
+    "(orphaned lineitem FKs via anti semi-join), non-negativity, "
+    "non-null, and value-range rules, one result row per rule with a "
+    "violation count and verdict. Each rule is a single aggregate over its "
+    "table (the FK rule one anti join); all five union into one plan so "
+    "shared scans dedupe under reuse. Complements scan_observed (in-flight "
+    "metrics riding a production query) with the standalone audit form.",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+
+    def rule(name, viol):
+        return F.lit(name).alias("rule"), viol.alias("n_violations"), (
+            viol == 0
+        ).alias("passed")
+
+    pk = o.agg(*rule("orders_pk_unique", F.count("*") - F.countDistinct("o_orderkey")))
+    fk_orphans = (
+        l.join(o.select("o_orderkey"), l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(*rule("lineitem_fk_orders", F.count("*")))
+    )
+    price = o.agg(
+        *rule("orders_price_positive", F.count_if(F.col("o_totalprice") <= 0))
+    )
+    notnull = o.agg(
+        *rule("orders_date_not_null", F.count("*") - F.count("o_orderdate"))
+    )
+    qty = l.agg(
+        *rule(
+            "lineitem_qty_range",
+            F.count_if((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        )
+    )
+    return pk.unionAll(fk_orphans).unionAll(price).unionAll(notnull).unionAll(qty)
