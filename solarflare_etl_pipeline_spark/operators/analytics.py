@@ -142,3 +142,112 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
         )
     )
+
+
+PR_SCALE = 1_000_000_000  # fixed-point rank unit (1e-9 resolution)
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+
+
+def _pagerank_oracle() -> str:
+    it = """
+        r{k} AS (
+            SELECT n.pid,
+                   CAST({base} + {dn} * COALESCE(s.contrib, 0) // {dd} AS BIGINT)
+                       AS rank_fp
+            FROM nodes n
+            LEFT JOIN (
+                SELECT e.dst AS pid,
+                       SUM(r{p}.rank_fp // deg.out_deg) AS contrib
+                FROM edges e
+                JOIN r{p} ON r{p}.pid = e.src
+                JOIN deg ON deg.pid = e.src
+                GROUP BY e.dst
+            ) s ON s.pid = n.pid
+        )"""
+    iters = ",".join(
+        it.format(
+            k=k,
+            p=k - 1,
+            base=f"((CAST({PR_SCALE} AS BIGINT) - CAST({PR_SCALE} AS BIGINT) * {PR_DAMP_NUM} // {PR_DAMP_DEN}) // (SELECT n_nodes FROM cnt))",
+            dn=PR_DAMP_NUM,
+            dd=PR_DAMP_DEN,
+        )
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        nodes AS (SELECT DISTINCT src AS pid FROM edges),
+        cnt AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        deg AS (SELECT src AS pid, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        r0 AS (
+            SELECT pid, CAST(CAST({PR_SCALE} AS BIGINT) // (SELECT n_nodes FROM cnt) AS BIGINT)
+                       AS rank_fp
+            FROM nodes
+        ),
+        {iters}
+        SELECT pid AS part_id, rank_fp FROM r{PR_ITERS}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=f"Iterative PageRank over the part CO-PURCHASE graph (parts linked when "
+    f"they appear in the same order — the co-occurrence graph item-embedding "
+    f"and recommendation pipelines build from transaction logs), {PR_ITERS} "
+    f"Jacobi iterations at damping 0.85. Arithmetic is FIXED-POINT integer "
+    f"(ranks in 1e-9 units, DIV for every division): float PageRank sums "
+    f"contributions in partition order and no two engines associate alike, "
+    f"while integer arithmetic is exact — so the driver can hash-verify an "
+    f"ITERATIVE graph algorithm, which float formulations never allow. Plan "
+    f"per iteration: edges ⋈ ranks (shuffle on src) → partial-agg on dst → "
+    f"left join nodes; lineage truncated with localCheckpoint per round (the "
+    f"llm_dedup_cluster discipline). The graph is symmetric ⇒ no dangling "
+    f"nodes. At 100 TB: ranks and degree co-partition on pid across "
+    f"iterations (one persistent shuffle key), edges are the big static side "
+    f"— the same shape GraphX/Pregel lowers to.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("src").alias("pid")).distinct().localCheckpoint()
+    n_nodes = nodes.count()  # one scalar (graph size), reused as a literal
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    base = (PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN) // n_nodes
+    ranks = nodes.select("pid", F.lit(PR_SCALE // n_nodes).alias("rank_fp"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["pid"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank_fp DIV out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["pid"] == contrib["dst"], "left")
+            .select(
+                "pid",
+                (
+                    F.lit(base)
+                    + F.expr(f"{PR_DAMP_NUM} * coalesce(contrib, 0L) DIV {PR_DAMP_DEN}")
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("pid").alias("part_id"), "rank_fp")
