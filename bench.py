@@ -57,10 +57,12 @@ BENCH_QUERIES = (
     "win_sessionize",
     "stream_foreach_batch",
     # round-5 additions: runtime skew handling, partition-pruned
-    # incremental dedup, real-container multimodal decode
+    # incremental dedup, real-container multimodal decode, and the
+    # end-to-end corpus-build flagship
     "join_skew_aqe",
     "sink_incremental_dedup",
     "mm_decode_wav",
+    "flagship_training_corpus",
 )
 
 

@@ -808,3 +808,75 @@ def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(no_email, F.lit(PII_ID_RE)).alias("n_ids"),
         F.regexp_replace(no_email, PII_ID_RE, "<ID>").alias("clean_text"),
     )
+
+
+@register(
+    "flagship_training_corpus",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS diversity
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens BETWEEN 20 AND 2000 AND diversity > 0.2
+        ),
+        deduped AS (
+            SELECT doc_id, lang, n_tokens
+            FROM (
+                SELECT doc_id, lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY SHA256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        )
+        SELECT CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS INTEGER) % 10 < 8 THEN 'train'
+                    WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                             AS INTEGER) % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM deduped
+        GROUP BY 1, 2
+    """,
+    doc="FLAGSHIP corpus build — the complete pre-training data pipeline as ONE "
+    "lazy plan, the query a user of this engine actually ships: Gopher-style "
+    "quality gate (length + lexical-diversity thresholds, llm_quality_score's "
+    "exact gate) -> exact content dedup (sha256 keyed, first doc_id wins, "
+    "llm_dedup_exact's rule) -> deterministic 80/10/10 hash split "
+    "(sample_hash_split's md5 arithmetic) -> per-(split, lang) doc counts and "
+    "token budgets, the numbers a training run is provisioned from. Plan: "
+    "narrow scoring, one hash shuffle for the dedup window, partial+final "
+    "aggregation — at 100 TB the same plan holds with the near-dup cluster "
+    "gate (llm_corpus_filter) swapped in ahead of the split.",
+)
+def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    kept = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"), diversity.alias("diversity")
+    ).where(F.col("n_tokens").between(20, 2000) & (F.col("diversity") > 0.2))
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    return deduped.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

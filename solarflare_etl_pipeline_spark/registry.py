@@ -156,6 +156,7 @@ def load_all() -> dict[str, QuerySpec]:
         json_ingest,
         python_source,
         text_ingest,
+        xml_ingest,
     )
     from solarflare_etl_pipeline_spark.streaming import (  # noqa: F401
         event_windows,
