@@ -495,13 +495,21 @@ PACK_PARTS = 16  # packing partitions; at 100 TB set ≈ executor-cores × execu
 
 @register(
     "llm_pack_sequences_global",
+    # The chunks CTE deliberately avoids list slicing: a chunk's token
+    # count is pure arithmetic — LEAST(C, n - i*C) — so the driver-graded
+    # oracle leans only on constructs already driver-green elsewhere
+    # (RANGE+UNNEST: simhash oracle; md5-substring mod: sample_hash_split).
     oracle=f"""
         WITH chunks AS (
-            SELECT doc_id,
-                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT))) AS chunk_id,
-                   UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(toks) / {CHUNK_TOKENS}.0) AS INT)),
-                          i -> LEN(toks[i * {CHUNK_TOKENS} + 1 : i * {CHUNK_TOKENS} + {CHUNK_TOKENS}]))) AS chunk_tokens
-            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+            SELECT doc_id, chunk_id,
+                   LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_TOKENS}) AS chunk_tokens
+            FROM (
+                SELECT doc_id,
+                       LEN(STRING_SPLIT(text, ' ')) AS n,
+                       UNNEST(RANGE(0, CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / {CHUNK_TOKENS}.0)
+                                            AS INT))) AS chunk_id
+                FROM documents
+            )
         ),
         parted AS (
             SELECT *,
