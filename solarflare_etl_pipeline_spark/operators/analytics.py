@@ -228,6 +228,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = edges.select(F.col("src").alias("pid")).distinct().localCheckpoint()
     n_nodes = nodes.count()  # one scalar (graph size), reused as a literal
+    if n_nodes == 0:
+        # empty graph (no co-purchases — e.g. an empty partition): the
+        # rank equations are vacuous; return the empty typed result
+        # rather than divide by zero in the base-rank literal
+        return spark.createDataFrame([], "part_id long, rank_fp long")
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     base = (PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN) // n_nodes
     ranks = nodes.select("pid", F.lit(PR_SCALE // n_nodes).alias("rank_fp"))

@@ -8,7 +8,13 @@ user per batch.
 
 Scale notes: state lives in the state store keyed by user_id — O(keys)
 not O(events); a processing-time timeout (``GroupStateTimeout``) is the
-knob that bounds state for abandoned keys.  The same grouped-map shape
+knob that bounds state for abandoned keys.  Spark 4's successor API
+(``transformWithStateInPandas``: typed ValueState/ListState/MapState,
+timers, RocksDB-only) is the forward path, but its Python worker
+imports ``google.protobuf``, which this container does not ship — so
+the engine stays on ``applyInPandasWithState`` (verified here and, with
+the RocksDB provider, in tests/test_streaming.py) and the processor
+port is mechanical when protobuf is available.  The same grouped-map shape
 runs in batch mode via ``applyInPandas`` (registered as
 ``udtf_grouped_state`` there — oracle-checkable), so the logic is
 testable both ways with one implementation.

@@ -1,0 +1,75 @@
+"""Zero-row robustness: a daily pipeline will eventually meet an empty
+partition (no events yesterday, an empty late-arriving source), and an
+operator that crashes or divides by zero on empty input takes the whole
+run down. Every core-shape query must execute and return a well-formed
+(possibly empty) result over an sf_dir whose tables carry the real
+schemas but zero rows.
+
+Excluded by design: ops whose contract REQUIRES data — the ANN family
+seeds centroids/hyperplanes from the first vectors (llm_similarity_*),
+and ingest_http_* / ingest_python_source do not read the sf_dir at all.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from solarflare_etl_pipeline_spark.catalog import TABLES
+from solarflare_etl_pipeline_spark.registry import load_all
+
+#: One query per core plan shape — scan/filter/project, hash agg, window,
+#: every join flavor the driver window holds, set ops, sessionize, the
+#: text/dedup/curation family, both flagships.
+CORE_QUERIES = (
+    "scan_parquet",
+    "filter_pred",
+    "project_rename",
+    "agg_hash",
+    "agg_rollup",
+    "win_rank",
+    "win_sessionize",
+    "topk_per_group",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "set_union",
+    "dedup_key",
+    "dedup_antijoin",
+    "llm_dedup_exact",
+    "llm_dedup_near",
+    "llm_text_stats",
+    "llm_repetition_stats",
+    "llm_pack_sequences_global",
+    "llm_pii_scrub",
+    "stream_tumbling",
+    "stream_session",
+    "merge_upsert",
+    "merge_scd2",
+    "graph_pagerank",
+    "dq_expectations",
+    "flagship_daily_events",
+    "flagship_training_corpus",
+)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, 0), out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", CORE_QUERIES)
+def test_runs_on_empty_tables(spark, empty_sf_dir, name):
+    df = load_all()[name].spark(spark, empty_sf_dir)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
