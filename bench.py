@@ -63,6 +63,10 @@ BENCH_QUERIES = (
     "sink_incremental_dedup",
     "mm_decode_wav",
     "flagship_training_corpus",
+    # incremental near-dedup: same semantics as llm_dedup_near restricted
+    # to batch-touching pairs, at O(batch) daily cost — the per-query
+    # delta vs llm_dedup_near IS the incremental win
+    "llm_dedup_near_incremental",
 )
 
 

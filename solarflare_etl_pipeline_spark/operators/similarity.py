@@ -363,16 +363,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (driver-side planning dominated the runtime: ~20s of optimizer time
     # for ~2s of execution).
     sig = _minhash_from_shingles(base).localCheckpoint()
-    band_cols = [
-        F.struct(
-            F.lit(bidx).alias("band"),
-            F.hash(*[F.col(f"mh{bidx * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("bh"),
-        )
-        for bidx in range(LSH_BANDS)
-    ]
-    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
+    banded = _band_explode(sig)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
@@ -1079,3 +1070,133 @@ def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
     return cents.join(counts, "label").select("label", "centroid", "n_vectors")
+
+
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): the LSH banding table — 8 rows per doc, band
+    hash over 4 consecutive minhashes. This row shape IS the signature
+    store's on-disk layout in the incremental variant."""
+    band_cols = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.hash(*[F.col(f"mh{bidx * LSH_ROWS + r}") for r in range(LSH_ROWS)]).alias("bh"),
+        )
+        for bidx in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+#: (abs sf_dir) -> path of the persisted LSH signature store (docs with
+#: doc_id % 5 != 0 — "yesterday's corpus") for the incremental variant.
+_SIG_STORE: dict[str, str] = {}
+
+
+def ensure_signature_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the banding table of the existing corpus once per
+    (process, sf) — the state a daily near-dedup job carries forward."""
+    import os
+    import tempfile
+
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    key = os.path.abspath(sf_dir)
+    path = _SIG_STORE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_sig_store_{os.path.basename(key)}_{os.getpid()}",
+        )
+        store_docs = with_shingles(
+            repartition_compute(
+                table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 != 0),
+                "doc_id",
+            )
+        ).select("doc_id", "shingles")
+        _band_explode(_minhash_from_shingles(store_docs)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SIG_STORE[key] = path
+    return path
+
+
+@register(
+    "llm_dedup_near_incremental",
+    # Same exact-Jaccard oracle as llm_dedup_near (valid under the same
+    # recall-1.0 argument — identical constants, and the incremental pair
+    # set is a subset of the full pair set), restricted to pairs touching
+    # the new batch.
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                   / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+          AND CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                  / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.6
+    """,
+    doc="INCREMENTAL MinHash-LSH near-dedup — the form a daily 100 TB ingest "
+    "actually runs: the existing corpus is never re-shingled; its LSH banding "
+    "table (8 small rows per doc: band, band-hash — the signature STORE) is "
+    "persisted state, and each day only the NEW batch (doc_id % 5 = 0 here, "
+    "~20%) is shingled and signed. Candidates = batch bands equi-joined "
+    "against store+batch bands; exact-Jaccard verification then fetches "
+    "shingles for CANDIDATE ids only (a keyed semi-join fetch against the "
+    "doc store, not a corpus scan). Per-day cost is O(batch + collisions) "
+    "— the full-corpus variant (llm_dedup_near) re-pays the whole shingle "
+    "pass daily, which is the difference between a nightly job that runs "
+    "in minutes and one that re-reads 100 TB. Minhash signatures are "
+    "mergeable state: the store is append-only (new day's bands union in). "
+    "At scale, bucket the store by (band, bh) so the candidate join "
+    "co-locates without a shuffle of history.",
+)
+def llm_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.operators.text import with_shingles
+
+    store_bands = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    batch_docs = with_shingles(
+        repartition_compute(
+            table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0), "doc_id"
+        )
+    ).select("doc_id", "shingles").localCheckpoint()
+    batch_bands = _band_explode(_minhash_from_shingles(batch_docs)).localCheckpoint()
+    all_bands = store_bands.unionByName(batch_bands)
+    cand = (
+        batch_bands.alias("x")
+        .join(all_bands.alias("y"), ["band", "bh"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    # keyed fetch of candidate shingles only (doc-store point lookups)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    fetched = with_shingles(
+        table(spark, sf_dir, "documents").join(cand_ids, "doc_id")
+    ).select("doc_id", "shingles")
+    ta = fetched.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("toks_a"))
+    tb = fetched.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
