@@ -109,6 +109,15 @@ WINDOW_EXTRAS: tuple[str, ...] = (
     "ingest_csv",
 )
 
+#: Round-6 rotation shortlist (never driver-checked, oracle-backed, in
+#: rough value order) — once the round-5 slots go green, rotate to:
+#: flagship_training_corpus, graph_pagerank, llm_dedup_near_incremental,
+#: mm_decode_wav, dq_expectations, ingest_xml; then scan_orc, fn_variant,
+#: mm_decode_png, merge_scd2, agg_sketch_mergeable, join_runtime_bloom,
+#: join_skew_aqe, sink_incremental_dedup, maintenance_compact,
+#: sample_shuffle_order, llm_repetition_stats, llm_pii_scrub,
+#: ingest_python_source, udtf_lateral_chunks, agg_approx_percentile_bounds.
+
 DRIVER_WINDOW: tuple[str, ...] = DECLARED_INVENTORY + WINDOW_EXTRAS
 
 
