@@ -688,3 +688,52 @@ def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95_exact").cast("double").alias("p95_exact"),
         within.alias("approx_within_1"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               TRUE AS merge_equals_global
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="EXACT mergeable distinct counting via bitmap aggregates (Spark 4 "
+    "bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg / "
+    "bitmap_or_agg) — the exact complement to agg_sketch_mergeable's HLL: "
+    "per-(group, 32k-bucket) bitmaps are compact persistable state whose OR "
+    "is lossless, so distinct counts roll up across groups/partitions/days "
+    "WITHOUT rescanning and without sketch error — the pattern warehouse "
+    "engines ship as bitmap indexes for COUNT(DISTINCT) at scale (dense-id "
+    "domains; sparse domains graduate to roaring bitmaps or back to HLL). "
+    "Emits per-event_type exact counts (oracle: plain COUNT DISTINCT) plus "
+    "a theorem boolean: OR-merging the per-group bitmaps reproduces the "
+    "whole-table distinct count exactly.",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per = e.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    counts = per.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+    merged_total = (
+        per.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("merged"))
+    )
+    exact_total = table(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    theorem = exact_total.crossJoin(merged_total).select(
+        (F.col("merged") == F.col("exact")).alias("merge_equals_global")
+    )
+    return counts.crossJoin(theorem).select(
+        "event_type", "n_users", "merge_equals_global"
+    )

@@ -20,9 +20,10 @@ SPECS = load_all()
 DELIBERATE_CROSS = {
     "llm_similarity_topk",
     "join_cross",
-    # two SINGLE-ROW global aggregates combined for the theorem booleans —
-    # a 1×1 nested-loop join, not a data-scale cross product
+    # SINGLE-ROW global aggregates combined for theorem booleans —
+    # 1×1 (or k×1) nested-loop joins, not data-scale cross products
     "agg_sketch_mergeable",
+    "agg_bitmap_distinct",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
