@@ -456,29 +456,38 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
         SELECT l_returnflag,
-               LIST_TRANSFORM(QUANTILE_CONT(l_extendedprice, [0.25, 0.5, 0.75]),
-                              x -> ROUND(x, 4)) AS price_quartiles,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    doc="Exact multi-quantile in one pass: percentile(col, array(...)) returns the "
+    doc="Exact multi-quantile in one pass: percentile(col, array(...)) computes the "
     "whole quartile vector per group from a single per-group sort (vs one sort per "
-    "requested quantile). Elements rounded to 4 decimals on both sides — the "
+    "requested quantile), then the vector is unpacked into three scalar columns — "
+    "the driver's canonicalizer hashes scalar cells, never arrays "
+    "(ORACLE_PARITY.md rule 18). Rounded to 4 decimals on both sides — the "
     "interpolation formula's operation order isn't pinned across engines (same "
     "rule as agg_median). At 100 TB prefer the approx_percentile sketch "
     "(agg_approx_stats); this is the exact companion.",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    q = F.percentile("l_extendedprice", pcts)
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.transform(
-                F.percentile("l_extendedprice", pcts), lambda x: F.round(x, 4)
-            ).alias("price_quartiles"),
+            q.alias("_q"),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 4).alias("p25"),
+            F.round(F.col("_q")[1], 4).alias("p50"),
+            F.round(F.col("_q")[2], 4).alias("p75"),
+            "n_rows",
         )
     )
 

@@ -98,9 +98,9 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                1 AS version,
                c.c_mktsegment,
                c.c_acctbal,
-               DATE '2024-01-01' AS valid_from,
-               CASE WHEN ch.c_custkey IS NOT NULL THEN DATE '2024-06-01' END
-                   AS valid_to,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CASE WHEN ch.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
                ch.c_custkey IS NULL AS is_current
         FROM customer c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
         UNION ALL
@@ -109,8 +109,8 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT c2.c_mktsegment FROM customer c2
                 WHERE c2.c_custkey = changed.c_custkey) AS c_mktsegment,
                c_acctbal + 100.0 AS c_acctbal,
-               DATE '2024-06-01' AS valid_from,
-               CAST(NULL AS DATE) AS valid_to,
+               TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
                TRUE AS is_current
         FROM changed
     """,
@@ -121,7 +121,10 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch (10% of keys, new balance, effective 2024-06-01) closes the "
     "affected version-1 rows (valid_to set, is_current false) and appends "
     "open version-2 rows. Narrow CASE + union over one change-flag join — "
-    "history grows by |changes|, not |dimension|; at 100 TB partition the "
+    "history grows by |changes|, not |dimension|. Validity bounds are TIMESTAMP "
+    "(not DATE) end-to-end: Spark DATE reaches the driver's pandas canon as "
+    "object-dtype datetime.date vs DuckDB's datetime64 — a guaranteed hash "
+    "red (ORACLE_PARITY.md rule 19). At 100 TB partition the "
     "history by valid_from and the incremental append touches only the new "
     "date partition (sink_incremental_dedup's layout).",
 )
@@ -133,8 +136,8 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("version"),
         "c_mktsegment",
         "c_acctbal",
-        F.lit("2024-01-01").cast("date").alias("valid_from"),
-        F.when(changed_flag, F.lit("2024-06-01").cast("date")).alias("valid_to"),
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.when(changed_flag, F.lit("2024-06-01").cast("timestamp")).alias("valid_to"),
         (~changed_flag).alias("is_current"),
     )
     v2 = c.where(changed_flag).select(
@@ -142,8 +145,8 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"),
         "c_mktsegment",
         (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
-        F.lit("2024-06-01").cast("date").alias("valid_from"),
-        F.lit(None).cast("date").alias("valid_to"),
+        F.lit("2024-06-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     return v1.unionAll(v2)

@@ -197,20 +197,26 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
 
     import numpy as np
 
-    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not a RIFF/WAVE file"
+    # Container-validation failures raise ValueError (NOT assert: asserts
+    # vanish under `python -O`, silently decoding corrupt bytes).
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
-    assert riff_size == len(payload) - 8, "RIFF size field inconsistent"
+    if riff_size != len(payload) - 8:
+        raise ValueError("RIFF size field inconsistent")
     pos, rate, samples = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
-            assert audio_fmt == 1 and channels == 1, "expected PCM mono"
+            if audio_fmt != 1 or channels != 1:
+                raise ValueError("expected PCM mono")
         elif cid == b"data":
             samples = np.frombuffer(body, dtype="<i2")
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
-    assert rate is not None and samples is not None, "missing fmt/data chunk"
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
     return rate, len(samples), int(samples.astype(np.int64).sum())
 
 
@@ -253,26 +259,35 @@ def decode_png(payload: bytes) -> tuple[int, int, int, int]:
 
     import numpy as np
 
-    assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad PNG signature"
-    pos, w = 8, None
+    # ValueError (not assert) for every container-validation failure:
+    # asserts are stripped under `python -O`, turning corrupt input into
+    # silent wrong answers (and a NameError on h/depth for missing IHDR).
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos, w, h, depth = 8, None, None, None
     idat = b""
     while pos < len(payload):
         (size,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
-        assert crc == zlib.crc32(ctype + body), f"CRC mismatch in {ctype!r}"
+        if crc != zlib.crc32(ctype + body):
+            raise ValueError(f"CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", body)
-            assert depth == 8 and color == 0 and interlace == 0, "expected 8-bit gray"
+            if depth != 8 or color != 0 or interlace != 0:
+                raise ValueError("expected 8-bit gray")
         elif ctype == b"IDAT":
             idat += body
         pos += 12 + size
-    assert w is not None, "missing IHDR"
+    if w is None or h is None or depth is None:
+        raise ValueError("missing IHDR")
     raw = zlib.decompress(idat)
-    assert len(raw) == h * (w + 1), "scanline payload size mismatch"
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline payload size mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
-    assert (rows[:, 0] == 0).all(), "only filter type 0 expected"
+    if not (rows[:, 0] == 0).all():
+        raise ValueError("only filter type 0 expected")
     return w, h, depth, int(rows[:, 1:].astype(np.int64).sum())
 
 

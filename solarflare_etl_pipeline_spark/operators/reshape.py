@@ -46,19 +46,25 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
         SELECT n_regionkey,
-               LIST_SORT(LIST(n_name)) AS nations,
-               LIST_SORT(LIST(DISTINCT n_name)) AS distinct_nations
+               ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), '|') AS nations,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), '|')
+                   AS distinct_nations
         FROM nation
         GROUP BY n_regionkey
     """,
     doc="collect_list/collect_set with explicit sort — collection order is "
-    "partition-dependent, so lists are canonicalized before comparison/output.",
+    "partition-dependent, so lists are canonicalized (sorted) before output, "
+    "then serialized to a delimited string: the driver's pandas canonicalizer "
+    "cannot hash list cells (ORACLE_PARITY.md rule 18), and a "
+    "deterministically-ordered join is the scalar form of the same result.",
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set("n_name")).alias("distinct_nations"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), "|").alias(
+            "distinct_nations"
+        ),
     )
 
 

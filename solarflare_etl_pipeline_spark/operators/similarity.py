@@ -1042,34 +1042,29 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims AS (
             SELECT label, pos, AVG(val) AS m
             FROM ex GROUP BY label, pos
-        ),
-        cents AS (
-            SELECT label, LIST(ROUND(m, 6) ORDER BY pos) AS centroid
-            FROM dims GROUP BY label
         )
-        SELECT c.label, c.centroid, n.n_vectors
-        FROM cents c
+        SELECT d.label, d.pos, ROUND(d.m, 6) AS centroid_val, n.n_vectors
+        FROM dims d
         JOIN (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label) n
-          ON c.label = n.label
+          ON d.label = n.label
     """,
     doc="Per-label embedding centroid (the class-prototype / cluster-seed "
     "primitive): posexplode to (label, dim, value), one partial+final hash "
     "aggregate over label×64 groups — the shuffle carries per-group partial sums, "
-    "never vectors — then re-assembly into ordered arrays. At 100 TB this is the "
-    "canonical mergeable shape for any per-group vector mean (same plan as a "
-    "matrix column-mean).",
+    "never vectors. Emitted in exploded (label, pos, centroid_val) row form: "
+    "scalar cells the driver can hash (ORACLE_PARITY.md rule 18); downstream "
+    "consumers re-assemble with collect_list over pos when they need the "
+    "vector. At 100 TB this is the canonical mergeable shape for any per-group "
+    "vector mean (same plan as a matrix column-mean).",
 )
 def llm_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode(_vec_double()).alias("pos", "val"))
-    dims = ex.groupBy("label", "pos").agg(F.avg("val").alias("m"))
-    cents = dims.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: F.round(s["m"], 6)
-        ).alias("centroid")
-    )
+    dims = ex.groupBy("label", "pos").agg(F.round(F.avg("val"), 6).alias("centroid_val"))
     counts = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
-    return cents.join(counts, "label").select("label", "centroid", "n_vectors")
+    return dims.join(counts, "label").select(
+        "label", F.col("pos").cast("long").alias("pos"), "centroid_val", "n_vectors"
+    )
 
 
 def _band_explode(sig: DataFrame) -> DataFrame:

@@ -457,7 +457,7 @@ PACK_BUDGET = 64  # tokens per packed sequence (2 full chunks)
         )
         SELECT doc_id, bin_id,
                COUNT(*) AS n_chunks,
-               SUM(chunk_tokens) AS bin_tokens
+               CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens
         FROM placed
         GROUP BY doc_id, bin_id
     """,
@@ -528,7 +528,7 @@ PACK_PARTS = 16  # packing partitions; at 100 TB set ≈ executor-cores × execu
         SELECT part_id, bin_id,
                COUNT(*) AS n_chunks,
                COUNT(DISTINCT doc_id) AS n_docs,
-               SUM(chunk_tokens) AS bin_tokens,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS bin_tokens,
                CAST(SUM(chunk_tokens) * 1000000 // {PACK_BUDGET} AS BIGINT)
                    AS fill_ratio_ppm
         FROM placed

@@ -77,9 +77,96 @@ def _normalize(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _tag_pandas_cell(v):
+    """Type-tag a pandas cell the way the driver's canonicalization
+    distinguishes values. The load-bearing asymmetries vs `_norm_cell`:
+
+    * DuckDB HUGEINT (``SUM(int)``) reaches pandas as float64 → tagged
+      ('float', 64.0) and mismatches Spark's int64 ('int', 64) — the
+      r4+r5 ``llm_pack_sequences_global`` red (ORACLE_PARITY.md rule 19),
+      which the fetchall leg cannot see (HUGEINT → Python int there).
+    * Spark DateType reaches pandas as object-dtype ``datetime.date``
+      while DuckDB DATE arrives datetime64 → ('date', …) vs ('ts', …)
+      mismatch — the ``merge_scd2`` trap.
+    * list/ndarray/dict cells raise, mirroring the driver's
+      ``unhashable type: 'list'`` err on ARRAY result columns (rule 18).
+    """
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise TypeError(
+            f"driver-unhashable result cell of type {type(v).__name__}: "
+            "ARRAY/MAP results cannot pass the driver's pandas canonicalization "
+            "(ORACLE_PARITY.md rule 18) — emit scalar columns"
+        )
+    if isinstance(v, (bool, np.bool_)):
+        return ("bool", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("int", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("float", "NaN")
+        return ("float", round(f, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", v)
+    if isinstance(v, pd.Timestamp):
+        return ("ts", v.to_pydatetime().isoformat())
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.isoformat())
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    return v
+
+
+def _canon_pandas(pdf):
+    """Driver-faithful canonicalization of a pandas frame: project columns
+    in sorted-name order, then type-tag every cell and sort rows by the
+    tagged representation (sorting tagged cells rather than raw columns
+    keeps mixed None/value object columns orderable while still raising
+    on list-valued cells, as the driver does)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = [
+        tuple(_tag_pandas_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def assert_pandas_parity(spark_df, con, sql):
+    """The driver-faithful leg: Spark ``.toPandas()`` vs DuckDB ``.df()``,
+    compared with dtype-sensitive cell tags. Catches HUGEINT→float64,
+    object-date vs datetime64, and array-column traps that the fetchall
+    leg structurally cannot observe (both reds of CORRECTNESS_r05)."""
+    s_pdf = spark_df.toPandas()
+    o_pdf = con.sql(sql).df()
+
+    assert len(s_pdf) == len(o_pdf), f"row count: spark={len(s_pdf)} oracle={len(o_pdf)}"
+    assert sorted(s_pdf.columns) == sorted(
+        o_pdf.columns
+    ), f"columns: spark={sorted(s_pdf.columns)} oracle={sorted(o_pdf.columns)}"
+    s_cols, s_rows = _canon_pandas(s_pdf)
+    o_cols, o_rows = _canon_pandas(o_pdf)
+    mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
+    assert not mismatches, (
+        "pandas-path value mismatches (spark vs oracle) — these WOULD go red "
+        f"under the driver even if fetchall parity passes: {mismatches[:3]}"
+    )
+
+
 def assert_parity(spark_df, con, sql, *, check_values=True):
     """Mirror of the driver's compare: count, sorted column names, and
-    order-insensitive normalized values."""
+    order-insensitive normalized values — two legs. Leg 1 (fetchall)
+    compares Python-native values; leg 2 (pandas) mirrors the driver's
+    actual canonicalization path and is the one that catches dtype traps
+    (ORACLE_PARITY.md rules 18–19)."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.sql(sql)
@@ -96,3 +183,4 @@ def assert_parity(spark_df, con, sql, *, check_values=True):
         (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
     ]
     assert not mismatches, f"first value mismatches (spark vs oracle): {mismatches[:3]}"
+    assert_pandas_parity(spark_df, con, sql)

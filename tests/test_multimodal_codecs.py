@@ -63,11 +63,31 @@ def test_png_corruption_fails_loudly(doc_id, pos, bit):
 
 def test_wav_truncation_fails():
     payload = encode_wav(7, 500)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         decode_wav(payload[: len(payload) // 2])
 
 
 def test_wav_bad_magic_fails():
     payload = b"JUNK" + encode_wav(7, 500)[4:]
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         decode_wav(payload)
+
+
+def test_png_missing_ihdr_raises_value_error():
+    # A signature + IEND-only stream must raise the 'missing IHDR'
+    # ValueError — not a NameError on h/depth (the round-5 ADVICE bug) —
+    # and must do so even under `python -O` (no asserts on this path).
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    payload = b"\x89PNG\r\n\x1a\n" + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(payload)

@@ -257,3 +257,25 @@ def test_python_source_scan_and_pushdown(spark, sf_dir):
     n_pushed = df.count()
     n_plain = synthetic_events(spark).collect()
     assert n_pushed == sum(1 for r in n_plain if r.event_type == "view")
+
+
+def test_merge_aggregate_is_incremental(spark, sf_dir):
+    """The merge-into-aggregate rollup must be a partial-agg merge, not a
+    full-history re-aggregation: exactly ONE events (raw) scan in the
+    plan, carrying the pushed batch ts-filter; the other input is the
+    persisted rollup parquet (state), and the merge itself is one
+    hash-aggregate over rollup-sized input."""
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+
+    plan = physical_plan(SPECS["sink_merge_aggregate"].spark(spark, sf_dir))
+    raw_scans = plan.count("events.parquet")
+    assert raw_scans == 1, f"expected one raw events scan, saw {raw_scans}:\n{plan[:2000]}"
+    assert "solarflare_daily_rollup" in plan, "rollup state parquet not in plan"
+    # the pushed batch-cutoff predicate sits on the EVENTS scan line (the
+    # state scan legitimately has PushedFilters: [])
+    events_line = next(l for l in plan.splitlines() if "events.parquet" in l)
+    start = events_line.index("PushedFilters")
+    segment = events_line[start : events_line.index("]", start) + 1]
+    assert "GreaterThanOrEqual(ts" in segment, (
+        f"batch cutoff not pushed to the raw scan: {segment}"
+    )
