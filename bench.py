@@ -67,6 +67,12 @@ BENCH_QUERIES = (
     # to batch-touching pairs, at O(batch) daily cost — the per-query
     # delta vs llm_dedup_near IS the incremental win
     "llm_dedup_near_incremental",
+    # round-6 additions: incremental rollup merge, gap-filled resampling
+    # (spine explode + LOCF window), content-defined chunking (posexplode
+    # + two windows + aggregate — the heaviest new text op)
+    "sink_merge_aggregate",
+    "ts_gapfill_locf",
+    "llm_chunk_cdc",
 )
 
 

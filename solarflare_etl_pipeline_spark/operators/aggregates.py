@@ -746,3 +746,43 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(theorem).select(
         "event_type", "n_users", "merge_equals_global"
     )
+
+
+@register(
+    "agg_weighted_avg",
+    # Quantity-weighted mean price per return flag. Weights and values go
+    # decimal-native (rule 11: cast the INPUTS, multiply in decimal —
+    # exact and order-free), the final division is ONE IEEE divide of two
+    # correctly-rounded doubles (rule 15 detour on the DuckDB side).
+    oracle="""
+        SELECT l_returnflag,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                    AS DOUBLE)
+               / CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                      AS DOUBLE) AS weighted_avg_price,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+                    AS DOUBLE) AS total_weight,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Weighted mean (sum(w*x)/sum(w)) per group — the aggregation shape "
+    "behind any importance-weighted metric (sampling weights, exposure-"
+    "weighted averages). Both sums accumulate decimal-exact (mergeable "
+    "partial+final, order-free), so one partial hash aggregate serves the "
+    "whole thing; the single final division is bit-deterministic on "
+    "identical operands. At 100 TB this is the same one-shuffle plan as "
+    "agg_hash.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    wx = price_dec("l_extendedprice") * price_dec("l_quantity")
+    w = price_dec("l_quantity")
+    return l.groupBy("l_returnflag").agg(
+        (F.sum(wx).cast("double") / F.sum(w).cast("double")).alias(
+            "weighted_avg_price"
+        ),
+        F.sum(w).cast("double").alias("total_weight"),
+        F.count("*").alias("n_rows"),
+    )

@@ -1195,3 +1195,58 @@ def llm_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@register(
+    "llm_embed_quantize",
+    # FLOOR(x + 0.5), not ROUND: round-half tie-breaking is engine-
+    # dependent on doubles (ORACLE_PARITY.md rule 16); floor of a
+    # bit-identical double is bit-identical everywhere. The scaled
+    # component q is clamped to [-127, 127] symmetric int8 range.
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, v,
+                   SQRT(LIST_REDUCE(LIST_TRANSFORM(RANGE(1, 65), i -> v[i] * v[i]),
+                                    (a, b) -> a + b)) AS nrm
+            FROM e
+        )
+        SELECT vec_id,
+               UNNEST(RANGE(0, 64)) AS pos,
+               UNNEST(LIST_TRANSFORM(RANGE(0, 64),
+                   i -> CAST(GREATEST(-127, LEAST(127,
+                            FLOOR(v[i + 1] / nrm * 127 + 0.5))) AS INT)))
+                   AS q_int8,
+               ROUND(nrm, 6) AS norm
+        FROM n
+    """,
+    doc="Symmetric int8 quantization of L2-normalized embeddings — the "
+    "memory-layout prep every billion-vector ANN index does (4x smaller "
+    "than float32, SIMD int8 dot products): per vector, one sequential-"
+    "fold norm (rule-7 association parity), then each component maps to "
+    "floor(x/norm*127 + 0.5) clamped to [-127,127] — integer output, no "
+    "rounding-mode dependence. Emitted exploded (vec_id, pos, q_int8) so "
+    "every cell is scalar (rule 18). Narrow map per vector — no shuffle; "
+    "at 100 TB this runs scan-speed and the quantized table is the one "
+    "the IVF/LSH variants would load.",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    n = e.withColumn("nrm", _norm(F.col("v")))
+    q = n.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "v",
+                lambda x: F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.floor(x / F.col("nrm") * 127 + 0.5)),
+                ).cast("int"),
+            )
+        ).alias("pos", "q_int8"),
+        F.round("nrm", 6).alias("norm"),
+    )
+    return q.select(F.col("vec_id"), F.col("pos").cast("long").alias("pos"), "q_int8", "norm")

@@ -888,3 +888,94 @@ def flagship_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+CDC_WINDOW = 4  # rolling-hash window (tokens)
+CDC_DIVISOR = 16  # boundary when window hash % DIVISOR == 0 → ~16-token chunks
+
+
+@register(
+    "llm_chunk_cdc",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, LEN(STRING_SPLIT(text, ' '))),
+                       i -> CAST(('0x' || SUBSTR(MD5(STRING_SPLIT(text, ' ')[i + 1]), 1, 4))
+                                 AS INTEGER)))
+                       AS th
+            FROM documents
+        ),
+        rolled AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos >= {CDC_WINDOW} - 1
+                        AND SUM(th) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS {CDC_WINDOW - 1} PRECEDING)
+                            % {CDC_DIVISOR} = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM toks
+        ),
+        assigned AS (
+            SELECT doc_id, pos,
+                   CAST(COALESCE(SUM(boundary) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS chunk_id
+            FROM rolled
+        )
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(MIN(pos) AS BIGINT) AS first_pos,
+               CAST(MAX(pos) AS BIGINT) AS last_pos
+        FROM assigned
+        GROUP BY doc_id, chunk_id
+    """,
+    doc=f"Content-defined chunking (the FastCDC/rsync boundary principle in "
+    f"window-sum form): token hashes (portable md5-substring, the "
+    f"sample_hash_split construct) are summed over a {CDC_WINDOW}-token "
+    f"sliding window; positions where the window sum is 0 mod "
+    f"{CDC_DIVISOR} end a chunk. Unlike llm_chunk_docs' fixed-width "
+    f"split, boundaries depend only on LOCAL content, so an edit early in "
+    f"a document shifts at most one chunk — the property that makes "
+    f"chunk-level dedup/delta-encoding stable across re-crawls of "
+    f"near-identical pages. Plan: one narrow posexplode, one window per "
+    f"doc_id (boundary + running chunk assignment share the partition "
+    f"sort), one hash aggregate — a single shuffle on doc_id end-to-end. "
+    f"Pure integer arithmetic throughout: hash-stable with no decimal or "
+    f"rounding detours.",
+)
+def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("th"),
+    )
+    w_roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(CDC_WINDOW - 1), Window.currentRow
+    )
+    rolled = toks.withColumn(
+        "boundary",
+        F.when(
+            (F.col("pos") >= CDC_WINDOW - 1)
+            & (F.sum("th").over(w_roll) % CDC_DIVISOR == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_assign = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    assigned = rolled.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w_assign), F.lit(0))
+    )
+    return assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.min("pos").cast("long").alias("first_pos"),
+        F.max("pos").cast("long").alias("last_pos"),
+    )

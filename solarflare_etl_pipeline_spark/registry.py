@@ -156,6 +156,7 @@ def load_all() -> dict[str, QuerySpec]:
         reshape,
         analytics,
         merge,
+        timeseries,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401

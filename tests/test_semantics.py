@@ -410,3 +410,15 @@ def test_scan_observed_delivers_metrics(spark, sf_dir):
     total = table(spark, sf_dir, "orders").count()
     assert obs.get["rows_seen"] == total == sum(r["count"] for r in agg)
     assert obs.get["bad_price_rows"] == 0
+
+
+def test_user_ts_unique_for_ohlc(spark, sf_dir):
+    """ts_ohlc_bars' open/close determinism rests on (user_id, ts) being
+    unique — min_by/max_by tie behavior is unspecified, so assert the
+    precondition holds in the fixture (same discipline as
+    test_argminmax_no_ties)."""
+    from solarflare_etl_pipeline_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    dups = e.groupBy("user_id", "ts").count().where(F.col("count") > 1)
+    assert dups.count() == 0, "duplicate (user_id, ts): tie-dependent OHLC"
