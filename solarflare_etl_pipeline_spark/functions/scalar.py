@@ -348,3 +348,57 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get("v", "$.nope", "string").alias("missing_path"),
         (F.variant_get("v", "$.k", "int") % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "fn_url",
+    # The fixtures carry no URL column, so a deterministic URL is
+    # CONSTRUCTED per document and then parsed back — the operator under
+    # test is the parse side (Spark's parse_url, JVM-native); DuckDB
+    # restates the extraction with anchored regexes.
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2'
+                       AS url
+            FROM documents
+        )
+        SELECT doc_id, url,
+               REGEXP_EXTRACT(url, '^https?://([^/]+)', 1) AS host,
+               REGEXP_EXTRACT(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+               REGEXP_EXTRACT(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+               REGEXP_EXTRACT(REGEXP_EXTRACT(url, '^https?://([^/]+)', 1),
+                              '^([^.]+)', 1) AS subdomain
+        FROM u
+    """,
+    doc="URL parsing — the first step of every web-corpus pipeline (host-"
+    "level dedup, domain quality priors, per-site budgets): parse_url "
+    "extracts HOST/PATH/QUERY-param JVM-side (codegen, no regex "
+    "compilation per row in Python); the subdomain is the first host "
+    "label. Narrow map, scan-speed at any scale; downstream host-level "
+    "aggregation is then an ordinary hash shuffle on the extracted "
+    "column. The oracle re-derives each part with anchored regexes — "
+    "engine-agnostic semantics, not parser internals.",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    return u.select(
+        "doc_id",
+        "url",
+        host.alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.split(host, "\\.").getItem(0).alias("subdomain"),
+    )

@@ -144,3 +144,91 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("is_purchase") == 1)
         .select("event_id", "user_id", "ts", "value", "last_view_ts")
     )
+
+
+@register(
+    "join_interval_overlap",
+    # Sampled key set (o_orderkey % 50 = 0) keeps the PAIR count bounded
+    # in the fixture; the bin-join plan below is what bounds it at scale.
+    oracle="""
+        WITH iv AS (
+            SELECT o_orderkey AS k, o_orderpriority AS prio,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE)
+                       + CAST((o_orderkey % 7 + 1) AS INT) AS e
+            FROM orders
+            WHERE o_orderkey % 50 = 0
+        )
+        SELECT a.k AS a_key, b.k AS b_key, a.prio AS prio,
+               CAST(DATE_DIFF('day',
+                              GREATEST(a.s, b.s),
+                              LEAST(a.e, b.e)) + 1 AS BIGINT) AS overlap_days
+        FROM iv a JOIN iv b
+          ON a.prio = b.prio AND a.k < b.k
+         AND a.s <= b.e AND b.s <= a.e
+    """,
+    doc="Interval-overlap self-join ([s,e] ranges that intersect, per "
+    "priority group) — the genomics/outage/session-overlap shape that a "
+    "naive formulation makes quadratic. Scale plan: each interval is "
+    "EXPLODED into the week bins it covers (intervals are <=8 days, so "
+    "<=3 bins — bounded fan-out), candidates come from an equi join on "
+    "(priority, week_bin), the exact overlap predicate filters, and "
+    "DISTINCT collapses pairs that met in several bins. The shuffle key "
+    "is (prio, bin), candidates are per-bin local, and nothing quadratic "
+    "exists at any scale — the same binning as join_range_binned, "
+    "extended to interval×interval. The oracle states the overlap "
+    "predicate directly (quadratic is fine at oracle scale).",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 7 + 1).cast("int"),
+        ).alias("e"),
+    )
+    # epoch-week bins (floor(days-since-epoch / 7)): plain integer
+    # arithmetic with no ISO-week year-boundary seam — weekofyear-based
+    # bins would put Dec 31 and Jan 2 in non-adjacent bins and silently
+    # drop an overlapping pair.
+    epoch = F.lit("1970-01-01").cast("date")
+    binned = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("s"), epoch) / 7),
+                F.floor(F.datediff(F.col("e"), epoch) / 7),
+            )
+        ).alias("wbin"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.prio") == F.col("b.prio"))
+            & (F.col("a.wbin") == F.col("b.wbin"))
+            & (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.k").alias("a_key"),
+            F.col("b.k").alias("b_key"),
+            F.col("a.prio").alias("prio"),
+            (
+                F.datediff(
+                    F.least(F.col("a.e"), F.col("b.e")),
+                    F.greatest(F.col("a.s"), F.col("b.s")),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+        .distinct()
+    )
+    return pairs

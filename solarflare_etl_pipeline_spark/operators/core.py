@@ -334,3 +334,58 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return pk.unionAll(fk_orphans).unionAll(price).unionAll(notnull).unionAll(qty)
+
+
+@register(
+    "dq_volume_anomaly",
+    # Day-over-day volume drift as integer ppm (rule 16: no float ratios
+    # in the hash); the first day has no predecessor -> NULL delta.
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP)
+                       AS event_date,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1
+        )
+        SELECT event_date, n_events,
+               LAG(n_events) OVER (ORDER BY event_date) AS prev_events,
+               CAST(FLOOR((n_events - LAG(n_events) OVER (ORDER BY event_date))
+                          * 1000000.0
+                          / LAG(n_events) OVER (ORDER BY event_date)) AS BIGINT)
+                   AS delta_ppm,
+               COALESCE(ABS(CAST(FLOOR((n_events
+                                        - LAG(n_events) OVER (ORDER BY event_date))
+                                       * 1000000.0
+                                       / LAG(n_events) OVER (ORDER BY event_date))
+                                 AS BIGINT))
+                        > 300000, FALSE) AS is_anomaly
+        FROM daily
+    """,
+    doc="Volume-anomaly monitor — the first data-quality alarm every daily "
+    "pipeline wires (the reference's daily cadence, dags/etl.py:12, with "
+    "no volume check means a silent upstream outage ships an empty day): "
+    "per-day counts, day-over-day delta in integer parts-per-million "
+    "(floor division — no float rounding in the hash, rule 16), and a "
+    "+/-30% anomaly flag. The daily rollup is one hash aggregate; the lag "
+    "window runs over calendar-sized rows (days, not events) so the "
+    "single-partition window is ~365 rows/year at ANY raw scale — the "
+    "one case where an unpartitioned window is correct.",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").cast("timestamp").alias("event_date")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("event_date")
+    prev = F.lag("n_events").over(w)
+    delta_ppm = F.floor((F.col("n_events") - prev) * 1000000 / prev).cast("long")
+    return daily.select(
+        "event_date",
+        "n_events",
+        prev.alias("prev_events"),
+        delta_ppm.alias("delta_ppm"),
+        F.coalesce(F.abs(delta_ppm) > 300000, F.lit(False)).alias("is_anomaly"),
+    )

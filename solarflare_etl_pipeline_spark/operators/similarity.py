@@ -121,10 +121,18 @@ def _sql_norm(a: str) -> str:
     "fixture gives the ground truth asserted in unit tests.",
 )
 def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", _vec_double().alias("v"))
-    q = (
-        e.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    # Norms are precomputed ONCE per side before the pair expansion: the
+    # naive per-pair cos = dot/(|q||v|) folds three 64-element lambdas per
+    # candidate row; hoisting |q| and |v| leaves only the dot in the pair
+    # loop (~3x less expression work on the O(Q·N) hot path). Bit-identical
+    # to the per-pair form — same sequential fold over the same doubles —
+    # so the oracle (which still states norms inline) matches unchanged.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("v")
+    )
+    e = e.withColumn("n", _norm(F.col("v")))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("n").alias("qn")
     )
     pairs = (
         e.crossJoin(F.broadcast(q))
@@ -133,7 +141,7 @@ def llm_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("nid"),
             F.col("label").alias("n_label"),
-            (_dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cos"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))

@@ -894,6 +894,40 @@ CDC_WINDOW = 4  # rolling-hash window (tokens)
 CDC_DIVISOR = 16  # boundary when window hash % DIVISOR == 0 → ~16-token chunks
 
 
+def cdc_assigned(d: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok, chunk_id): every token labeled with its
+    content-defined chunk — the shared core of llm_chunk_cdc (chunk
+    geometry) and llm_dedup_cdc_chunks (chunk-content dedup)."""
+    from pyspark.sql import Window
+
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("th"),
+    )
+    w_roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(CDC_WINDOW - 1), Window.currentRow
+    )
+    rolled = toks.withColumn(
+        "boundary",
+        F.when(
+            (F.col("pos") >= CDC_WINDOW - 1)
+            & (F.sum("th").over(w_roll) % CDC_DIVISOR == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w_assign = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return rolled.withColumn(
+        "chunk_id", F.coalesce(F.sum("boundary").over(w_assign), F.lit(0))
+    ).select("doc_id", "pos", "tok", "chunk_id")
+
+
 @register(
     "llm_chunk_cdc",
     oracle=f"""
@@ -946,36 +980,95 @@ CDC_DIVISOR = 16  # boundary when window hash % DIVISOR == 0 → ~16-token chunk
     f"rounding detours.",
 )
 def llm_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int").alias("th"),
-    )
-    w_roll = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        -(CDC_WINDOW - 1), Window.currentRow
-    )
-    rolled = toks.withColumn(
-        "boundary",
-        F.when(
-            (F.col("pos") >= CDC_WINDOW - 1)
-            & (F.sum("th").over(w_roll) % CDC_DIVISOR == 0),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    w_assign = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    assigned = rolled.withColumn(
-        "chunk_id", F.coalesce(F.sum("boundary").over(w_assign), F.lit(0))
-    )
+    assigned = cdc_assigned(table(spark, sf_dir, "documents"))
     return assigned.groupBy("doc_id", "chunk_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.min("pos").cast("long").alias("first_pos"),
         F.max("pos").cast("long").alias("last_pos"),
+    )
+
+
+@register(
+    "llm_dedup_cdc_chunks",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, LEN(STRING_SPLIT(text, ' ')))) AS pos,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, LEN(STRING_SPLIT(text, ' '))),
+                       i -> CAST(('0x' || SUBSTR(MD5(STRING_SPLIT(text, ' ')[i + 1]), 1, 4))
+                                 AS INTEGER)))
+                       AS th
+            FROM documents
+        ),
+        rolled AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos >= {CDC_WINDOW} - 1
+                        AND SUM(th) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS {CDC_WINDOW - 1} PRECEDING)
+                            % {CDC_DIVISOR} = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM toks
+        ),
+        assigned AS (
+            SELECT doc_id, pos, tok,
+                   CAST(COALESCE(SUM(boundary) OVER (
+                            PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS chunk_id
+            FROM rolled
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   SHA256(STRING_AGG(tok, ' ' ORDER BY pos)) AS chunk_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM assigned
+            GROUP BY doc_id, chunk_id
+        )
+        SELECT chunk_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+        FROM chunks
+        GROUP BY chunk_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Chunk-level exact dedup over content-defined chunks — what CDC "
+    "chunking exists FOR: boilerplate blocks (headers, licenses, nav "
+    "text) that repeat across near-identical pages land in identical "
+    "chunks (boundaries are content-local, so surrounding edits don't "
+    "shift them), and hashing chunk text finds every cross-document "
+    "repeat without any pairwise comparison. Plan: the shared "
+    "cdc_assigned labeling (one doc_id window), per-chunk text "
+    "re-assembly ordered by pos, sha256, then one hash aggregate on the "
+    "digest — shuffles on doc_id then chunk_hash, both O(corpus), "
+    "nothing quadratic. Returns chunks appearing in >= 2 documents: the "
+    "removal list a curation pass anti-joins against (llm_corpus_filter's "
+    "pattern). At 100 TB this is the RefinedWeb-style line/block dedup "
+    "generalized to edit-stable chunks.",
+)
+def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = cdc_assigned(table(spark, sf_dir, "documents"))
+    chunks = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("chunk_hash"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
     )

@@ -259,3 +259,59 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "win_streak",
+    # Gaps-and-islands: day_index - dense_rank is constant within a run
+    # of consecutive active days; grouping on it isolates each streak.
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_DIFF('day', DATE '1970-01-01',
+                                  CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                        AS BIGINT) AS day_idx
+            FROM events
+        ),
+        islands AS (
+            SELECT user_id, day_idx,
+                   day_idx - DENSE_RANK() OVER (PARTITION BY user_id
+                                                ORDER BY day_idx) AS island
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_days
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id,
+               CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+               CAST(SUM(streak_days) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM streaks
+        GROUP BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user (gaps-and-"
+    "islands): distinct active days -> day_idx minus dense_rank is "
+    "constant within each unbroken run, so grouping on that difference "
+    "isolates streaks without self-joins or recursion. Two hash "
+    "aggregates and one per-user window, all partitioned on user_id — "
+    "per-key state is distinct DAYS (calendar-bounded), so the plan is "
+    "unchanged at 100 TB. Integer arithmetic end-to-end.",
+)
+def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01").cast("date")
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), epoch).cast("long").alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    islands = days.withColumn("island", F.col("day_idx") - F.dense_rank().over(w))
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count("*").cast("long").alias("streak_days")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+    )

@@ -510,3 +510,70 @@ def sink_merge_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+#: (abs sf_dir) -> base path of the two-epoch schema-evolution dataset
+#: this process wrote (write-once per process+sf).
+_EVOLVED_DIRS: dict[str, str] = {}
+
+_EVOLVE_CUT = "2024-01-15"
+
+
+def ensure_evolved_dataset(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as TWO parquet epochs with different
+    schemas — epoch 1 (pre-cut) lacks the ``value`` column, epoch 2
+    (post-cut) carries it — the long-lived-table reality every 100 TB
+    dataset reaches (columns get added; history is never rewritten)."""
+    key = os.path.abspath(sf_dir)
+    base = _EVOLVED_DIRS.get(key)
+    if base is None:
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_evolved_{os.path.basename(key)}_{os.getpid()}",
+        )
+        e = table(spark, sf_dir, "events")
+        e.where(F.col("ts") < _EVOLVE_CUT).select(
+            "event_id", "ts", "user_id", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(base, "epoch=1"))
+        e.where(F.col("ts") >= _EVOLVE_CUT).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).write.mode("overwrite").parquet(os.path.join(base, "epoch=2"))
+        _EVOLVED_DIRS[key] = base
+    return base
+
+
+@register(
+    "scan_schema_evolution",
+    oracle=f"""
+        SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{_EVOLVE_CUT}'
+                    THEN 1 ELSE 2 END AS epoch,
+               event_type,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN CAST(ts AS TIMESTAMP)
+                                  < TIMESTAMP '{_EVOLVE_CUT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_value_nulls,
+               {sql_dsum(f"CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_EVOLVE_CUT}' THEN value END", 'sum_value')}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Schema-evolution read: a dataset whose early files LACK a column "
+    "added later is read through one mergeSchema scan — the union schema "
+    "materializes, old files surface NULL for the missing column, and the "
+    "directory name becomes a typed ``epoch`` partition column. This is "
+    "how a 100 TB table ages (columns accrete; rewriting history is a "
+    "100 TB job you never run); the footer-merge cost is per-FILE, so at "
+    "scale you pin the merged schema from the catalog instead and the "
+    "scan is identical. The oracle restates per-epoch row counts, the "
+    "all-NULL accounting for the pre-evolution epoch, and the "
+    "decimal-exact post-evolution sum from the raw table.",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.functions.numeric import DEC
+
+    base = ensure_evolved_dataset(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy(F.col("epoch").cast("int").alias("epoch"), "event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_value_nulls"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )

@@ -36,6 +36,7 @@ PYTHON_OK = {
     "mm_decode_features",
     "mm_decode_wav",
     "mm_decode_png",
+    "mm_resize_nearest",
 }
 
 #: Queries that read a dimension table and must broadcast it.
