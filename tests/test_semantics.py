@@ -422,3 +422,51 @@ def test_user_ts_unique_for_ohlc(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     dups = e.groupBy("user_id", "ts").count().where(F.col("count") > 1)
     assert dups.count() == 0, "duplicate (user_id, ts): tie-dependent OHLC"
+
+
+def test_cdc_boundaries_are_edit_stable(spark):
+    """THE content-defined-chunking property: editing one token moves
+    only boundaries within the rolling window's reach; every boundary
+    more than CDC_WINDOW tokens past the edit is unchanged (a fixed-
+    width chunker shifts every later boundary instead)."""
+    from solarflare_etl_pipeline_spark.operators.text import CDC_WINDOW, cdc_assigned
+
+    base = ("tok%d" % (i % 97) for i in range(400))
+    toks = list(base)
+    edited = list(toks)
+    edit_pos = 50
+    edited[edit_pos] = "EDITED"
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(edited))], "doc_id long, text string"
+    )
+    rows = cdc_assigned(df).collect()
+    bounds = {1: set(), 2: set()}
+    # boundary positions = positions where chunk_id increments at pos+1;
+    # recover from chunk transitions
+    by_doc = {1: {}, 2: {}}
+    for r in rows:
+        by_doc[r.doc_id][r.pos] = r.chunk_id
+    for d in (1, 2):
+        seq = by_doc[d]
+        for p in range(1, len(seq)):
+            if seq[p] != seq[p - 1]:
+                bounds[d].add(p)
+    far = edit_pos + CDC_WINDOW
+    assert {b for b in bounds[1] if b > far} == {b for b in bounds[2] if b > far}, (
+        "a local edit moved distant CDC boundaries"
+    )
+    # sanity: chunking actually fired
+    assert bounds[1], "no boundaries produced on a 400-token document"
+
+
+def test_resize_nearest_identity_and_downsample():
+    """resize_nearest at the source resolution is the identity; a 2x
+    downsample picks exactly the even-index grid."""
+    import numpy as np
+
+    from solarflare_etl_pipeline_spark.operators.multimodal import resize_nearest
+
+    px = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert (resize_nearest(px, 6, 4) == px).all()
+    half = resize_nearest(px, 3, 2)
+    assert (half == px[::2, ::2]).all()
