@@ -232,3 +232,125 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+ASOF_TOL_US = 3_600_000_000  # nearest-match tolerance: 1 hour, in microseconds
+
+
+@register(
+    "join_asof_nearest",
+    # Gaps are compared in exact integer MICROSECONDS (timestampdiff /
+    # DATE_DIFF) — the fixtures carry microsecond timestamps, and a
+    # seconds-truncating diff could flip the nearest decision between
+    # engines. Ties (equidistant prev/next) resolve backward.
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+                    WHERE v.event_type = 'view' AND v.user_id = p0.user_id
+                      AND CAST(v.ts AS TIMESTAMP) <= CAST(p0.ts AS TIMESTAMP))
+                       AS prev_ts,
+                   (SELECT MIN(CAST(v.ts AS TIMESTAMP)) FROM events v
+                    WHERE v.event_type = 'view' AND v.user_id = p0.user_id
+                      AND CAST(v.ts AS TIMESTAMP) >= CAST(p0.ts AS TIMESTAMP))
+                       AS next_ts
+            FROM events p0
+            WHERE event_type = 'purchase'
+        ),
+        g AS (
+            SELECT *,
+                   DATE_DIFF('microsecond', prev_ts, ts) AS gap_back,
+                   DATE_DIFF('microsecond', ts, next_ts) AS gap_fwd
+            FROM p
+        )
+        SELECT event_id, user_id, ts, value,
+               CASE WHEN prev_ts IS NOT NULL AND gap_back <= {ASOF_TOL_US}
+                         AND (next_ts IS NULL OR gap_fwd > {ASOF_TOL_US}
+                              OR gap_back <= gap_fwd)
+                    THEN prev_ts
+                    WHEN next_ts IS NOT NULL AND gap_fwd <= {ASOF_TOL_US}
+                    THEN next_ts
+               END AS nearest_view_ts,
+               CASE WHEN prev_ts IS NOT NULL AND gap_back <= {ASOF_TOL_US}
+                         AND (next_ts IS NULL OR gap_fwd > {ASOF_TOL_US}
+                              OR gap_back <= gap_fwd)
+                    THEN CAST(gap_back AS BIGINT)
+                    WHEN next_ts IS NOT NULL AND gap_fwd <= {ASOF_TOL_US}
+                    THEN CAST(gap_fwd AS BIGINT)
+               END AS gap_us
+        FROM g
+    """,
+    doc=f"NEAREST-match as-of join (pandas merge_asof direction='nearest' "
+    f"with tolerance): each purchase matches its closest 'view' by the "
+    f"same user in EITHER direction, within 1 hour, ties resolving "
+    f"backward — sensor/quote alignment semantics that backward-only "
+    f"join_asof cannot express. Plan: the same tag+union stream, ONE "
+    f"user_id exchange, two window passes over it (carry-forward last "
+    f"view and carry-backward first view — the equal-ts tie order flips "
+    f"between passes so a view at exactly the purchase time is visible "
+    f"to both), then a narrow arbitration on exact integer microsecond "
+    f"gaps. O(1) window state per key, no candidate pairs — the same "
+    f"100 TB shape as join_asof.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_purchase"),
+        "event_id",
+        "value",
+        F.lit(None).cast(views.schema["view_ts"].dataType).alias("view_ts"),
+    )
+    u = views.unionByName(purchases)
+    # backward: views sort BEFORE purchases at equal ts (<= semantics)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: purchases sort BEFORE views at equal ts (>= semantics)
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_purchase").desc(), "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    g = (
+        u.withColumn("prev_ts", F.last("view_ts", ignorenulls=True).over(w_back))
+        .withColumn("next_ts", F.first("view_ts", ignorenulls=True).over(w_fwd))
+        .where(F.col("is_purchase") == 1)
+        .withColumn(
+            "gap_back", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+        )
+        .withColumn("gap_fwd", F.expr("timestampdiff(MICROSECOND, ts, next_ts)"))
+    )
+    pick_back = (
+        F.col("prev_ts").isNotNull()
+        & (F.col("gap_back") <= ASOF_TOL_US)
+        & (
+            F.col("next_ts").isNull()
+            | (F.col("gap_fwd") > ASOF_TOL_US)
+            | (F.col("gap_back") <= F.col("gap_fwd"))
+        )
+    )
+    pick_fwd = F.col("next_ts").isNotNull() & (F.col("gap_fwd") <= ASOF_TOL_US)
+    return g.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(pick_back, F.col("prev_ts"))
+        .when(pick_fwd, F.col("next_ts"))
+        .alias("nearest_view_ts"),
+        F.when(pick_back, F.col("gap_back").cast("long"))
+        .when(pick_fwd, F.col("gap_fwd").cast("long"))
+        .alias("gap_us"),
+    )

@@ -389,3 +389,64 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_ppm.alias("delta_ppm"),
         F.coalesce(F.abs(delta_ppm) > 300000, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@register(
+    "sample_quality_weighted",
+    # Keep probability is a pure function of the quality tier:
+    # high-diversity docs keep 1000/1000, mid 500/1000, low 100/1000 —
+    # and membership is a pure function of (doc_id, tier), so the SAME
+    # docs are kept at any parallelism, on any rerun, and when the
+    # corpus grows (late docs don't reshuffle earlier keeps).
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   CASE WHEN CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                             / LEN(STRING_SPLIT(text, ' ')) > 0.5 THEN 'high'
+                        WHEN CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                             / LEN(STRING_SPLIT(text, ' ')) > 0.3 THEN 'mid'
+                        ELSE 'low' END AS tier
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens, tier
+        FROM scored
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 1000
+              < CASE tier WHEN 'high' THEN 1000 WHEN 'mid' THEN 500 ELSE 100 END
+    """,
+    doc="Quality-weighted deterministic downsampling — the corpus-mixing "
+    "step between scoring and training (keep all high-quality text, half "
+    "the mid tier, a tenth of the low tier — the upsample/downsample "
+    "mixture every pre-training data recipe specifies): the keep decision "
+    "compares the key's md5 bucket (sample_hash_split's portable hash) "
+    "against a per-tier threshold, so sampling is reproducible at any "
+    "parallelism and stable as the corpus grows — rand() gives neither. "
+    "Narrow map end-to-end (score, tier, hash, filter fuse into the scan "
+    "stage); at 100 TB this runs at scan speed and composes with "
+    "flagship_training_corpus's per-(split, lang) budgeting.",
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    tier = (
+        F.when(diversity > 0.5, "high").when(diversity > 0.3, "mid").otherwise("low")
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 1000
+    threshold = (
+        F.when(F.col("tier") == "high", 1000)
+        .when(F.col("tier") == "mid", 500)
+        .otherwise(100)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            tier.alias("tier"),
+        )
+        .where(bucket < threshold)
+    )

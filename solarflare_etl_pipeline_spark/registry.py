@@ -114,11 +114,18 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 
 #: Round-7 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-6 slots go green, rotate to:
-#: dq_expectations, ingest_xml, scan_orc, fn_variant, mm_decode_png,
-#: merge_scd2, agg_sketch_mergeable, join_runtime_bloom, join_skew_aqe,
+#: dq_expectations, ingest_xml, sink_merge_aggregate, ts_gapfill_locf,
+#: llm_chunk_cdc, llm_dedup_cdc_chunks, scan_schema_evolution, fn_url,
+#: join_interval_overlap, dq_volume_anomaly, ts_ohlc_bars,
+#: mm_resize_nearest, llm_embed_quantize, agg_weighted_avg, win_streak,
+#: scan_orc, fn_variant, mm_decode_png, merge_scd2,
+#: agg_sketch_mergeable, join_runtime_bloom, join_skew_aqe,
 #: sink_incremental_dedup, maintenance_compact, sample_shuffle_order,
 #: llm_repetition_stats, llm_pii_scrub, ingest_python_source,
 #: udtf_lateral_chunks, agg_approx_percentile_bounds.
+#: All round-6 additions were verified under BOTH comparator legs
+#: (fetchall + driver-faithful pandas) at sf0.001 and sf0.01 before
+#: entering this list.
 
 DRIVER_WINDOW: tuple[str, ...] = DECLARED_INVENTORY + WINDOW_EXTRAS
 
