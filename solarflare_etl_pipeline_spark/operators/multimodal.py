@@ -548,3 +548,128 @@ def mm_resize_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(decode_resize, RESIZE_SCHEMA)
+
+
+MM_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+#: Modality gates for the multimodal flagship: audio must carry >=2 ms
+#: of PCM, images >=12 px — thresholds chosen so the fixture population
+#: is genuinely split (not all-pass / all-fail).
+MM_MIN_AUDIO_MS = 2
+MM_MIN_PIXELS = 12
+
+
+@register(
+    "flagship_multimodal_corpus",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS diversity
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE n_tokens BETWEEN 20 AND 2000 AND diversity > 0.2
+        ),
+        deduped AS (
+            SELECT doc_id, lang, n_tokens
+            FROM (
+                SELECT doc_id, lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY SHA256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        ),
+        mm AS (
+            SELECT doc_id,
+                   CAST((n_chars % 100 + 10) * 1000 // {_WAV_RATE} AS BIGINT)
+                       AS duration_ms,
+                   CAST((doc_id % 8 + 1) * (doc_id % 6 + 1) AS BIGINT)
+                       AS n_pixels
+            FROM documents
+        )
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(m.duration_ms) AS BIGINT) AS total_audio_ms,
+               CAST(SUM(m.n_pixels) AS BIGINT) AS total_pixels
+        FROM deduped d JOIN mm m ON d.doc_id = m.doc_id
+        WHERE m.duration_ms >= {MM_MIN_AUDIO_MS} AND m.n_pixels >= {MM_MIN_PIXELS}
+        GROUP BY d.lang
+    """,
+    doc="FLAGSHIP multimodal corpus build — flagship_training_corpus "
+    "extended to (text, audio, image) training rows, the curation query a "
+    "multimodal pre-training run ships: text-side Gopher gate + sha256 "
+    "exact dedup (identical to the text flagship), payload-side REAL "
+    "container decode (RIFF chunk walk + PNG CRC/inflate in ONE Arrow "
+    "mapInPandas pass over both columns — one Python crossing for both "
+    "modalities), per-modality gates (>=2 ms audio, >=12 px image), one "
+    "doc_id equi-join between the curated text and decoded metadata, and "
+    "a per-language manifest (docs / token / audio-ms / pixel budgets). "
+    "The oracle restates the decoded quantities in closed form over the "
+    "generator pattern, so parity proves decode + gates + join + budgets "
+    "end-to-end. Plan: narrow decode stage, one dedup window shuffle, one "
+    "join shuffle on doc_id, partial+final aggregate — every stage the "
+    "100 TB multimodal pipeline runs, in one lazy plan.",
+)
+def flagship_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # payload side: decode BOTH containers in one Arrow pass
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select(
+        "doc_id", "wav", "png"
+    )
+
+    def decode_both(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, wav, png in zip(pdf["doc_id"], pdf["wav"], pdf["png"]):
+                _, n_samples, _ = decode_wav(wav)
+                w, h, _, _ = decode_png_pixels(png)
+                rows.append((doc_id, n_samples * 1000 // _WAV_RATE, w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "duration_ms": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "n_pixels": pd.Series([r[2] for r in rows], dtype="int64"),
+                }
+            )
+
+    mm = payloads.mapInPandas(decode_both, MM_CORPUS_SCHEMA).where(
+        (F.col("duration_ms") >= MM_MIN_AUDIO_MS)
+        & (F.col("n_pixels") >= MM_MIN_PIXELS)
+    )
+
+    # text side: the text flagship's gate + dedup
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    kept = d.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens")
+    ).where(n_tokens.between(20, 2000) & (diversity > 0.2))
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    return (
+        deduped.join(mm, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("duration_ms").cast("long").alias("total_audio_ms"),
+            F.sum("n_pixels").cast("long").alias("total_pixels"),
+        )
+    )

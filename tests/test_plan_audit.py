@@ -37,6 +37,7 @@ PYTHON_OK = {
     "mm_decode_wav",
     "mm_decode_png",
     "mm_resize_nearest",
+    "flagship_multimodal_corpus",
 }
 
 #: Queries that read a dimension table and must broadcast it.
