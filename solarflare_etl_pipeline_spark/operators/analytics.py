@@ -256,3 +256,128 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select(F.col("pid").alias("part_id"), "rank_fp")
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        c AS (
+            SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, n_trans,
+               CAST(n_trans * 1000000 //
+                    CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)
+                    AS BIGINT) AS prob_ppm
+        FROM c
+    """,
+    doc="First-order Markov transition matrix over per-user event streams "
+    "(the session-flow model behind next-event prediction and anomalous-"
+    "sequence detection): lag(event_type) over (user, ts, event_id) pairs "
+    "each event with its predecessor, transitions are counted per "
+    "(prev, next), and row-normalized probabilities are emitted in integer "
+    "ppm (count*1e6 DIV row_total — exact, hash-stable; rule 13). Plan: one "
+    "hash shuffle on user_id for the lag window, one partial+final agg down "
+    "to |types|^2 rows, then a window over that tiny matrix. At 100 TB the "
+    "only data-sized stage is the lag window, and event streams are "
+    "naturally partitioned by user — no skew beyond the heaviest user.",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n_trans"))
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.expr("CAST(n_trans * 1000000 DIV sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)").alias(
+            "prob_ppm"
+        ),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.src AS pa, e1.dst AS pb, e2.dst AS pc
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.dst
+            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        member AS (
+            SELECT pa AS part_id FROM tri
+            UNION ALL SELECT pb FROM tri
+            UNION ALL SELECT pc FROM tri
+        )
+        SELECT part_id, COUNT(*) AS n_triangles
+        FROM member GROUP BY part_id
+    """,
+    doc="Per-node triangle counting over the part co-purchase graph (the "
+    "clustering-coefficient numerator community detection and spam/fraud "
+    "graph features start from). Edges are ORIENTED (src < dst) so each "
+    "triangle {a<b<c} is enumerated exactly once as the wedge a->b->c "
+    "closed by a->c — the standard node-iterator algorithm: edges ⋈ edges "
+    "on the wedge pivot (shuffle on dst=src), then an equi semi-check "
+    "against the closing edge (shuffle on (src,dst)). Per-node counts come "
+    "from a unioned projection of the three corners — all integer, hash-"
+    "exact. At 100 TB: orientation bounds wedge fan-out by max out-degree "
+    "in the DAG; production systems orient by (degree, id) so that bound "
+    "is the graph arboricity (Chiba-Nishizeki) — noted here, id-orientation "
+    "suffices for the fixture's near-uniform degrees. Both joins are plain "
+    "equi shuffles; nothing quadratic in |V|.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("pa"),
+            F.col("e1.dst").alias("pb"),
+            F.col("e2.dst").alias("pc"),
+        )
+    )
+    member = (
+        tri.select(F.col("pa").alias("part_id"))
+        .unionAll(tri.select(F.col("pb").alias("part_id")))
+        .unionAll(tri.select(F.col("pc").alias("part_id")))
+    )
+    return member.groupBy("part_id").agg(F.count("*").alias("n_triangles"))

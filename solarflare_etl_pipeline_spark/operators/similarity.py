@@ -1258,3 +1258,60 @@ def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("nrm", 6).alias("norm"),
     )
     return q.select(F.col("vec_id"), F.col("pos").cast("long").alias("pos"), "q_int8", "norm")
+
+
+@register(
+    "llm_dedup_fuzzy_blocked",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id, lang,
+                   SUBSTR(text, 1, 16) AS blk,
+                   SUBSTR(text, 1, 128) AS head
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, a.lang,
+               CAST(levenshtein(a.head, c.head) AS BIGINT) AS edit_distance
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+        WHERE levenshtein(a.head, c.head) <= 24
+    """,
+    doc="Blocked fuzzy (edit-distance) near-dedup: candidate pairs come "
+    "from an equi self-join on the (lang, 16-char-prefix) BLOCK — never "
+    "all-pairs — and survive if the Levenshtein distance of their "
+    "128-char heads is <= 24. Spark evaluates the JVM built-in "
+    "levenshtein with its THRESHOLD form (banded DP, O(len*k) instead of "
+    "O(len^2) per pair, returning -1 past the band — the filter keeps "
+    "only in-band pairs, so the cheap form is semantics-preserving); the "
+    "oracle computes the plain distance. Head truncation caps per-pair "
+    "cost constant. This is the record-linkage complement to MinHash "
+    "(llm_dedup_near): edit distance catches small in-place edits that "
+    "shingle sets blur. At 100 TB: one shuffle on the block key; block "
+    "sizes are bounded by prefix cardinality (salt long blocks with a "
+    "second prefix window if a hot prefix appears — same discipline as "
+    "agg_salted).",
+)
+def llm_dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 16).alias("blk"),
+        F.substring("text", 1, 128).alias("head"),
+    )
+    a = d.alias("fa")
+    c = d.alias("fc")
+    lev = F.levenshtein(F.col("fa.head"), F.col("fc.head"), 24)
+    return (
+        a.join(
+            c,
+            (F.col("fa.lang") == F.col("fc.lang"))
+            & (F.col("fa.blk") == F.col("fc.blk"))
+            & (F.col("fa.doc_id") < F.col("fc.doc_id")),
+        )
+        .select(
+            F.col("fa.doc_id").alias("doc_a"),
+            F.col("fc.doc_id").alias("doc_b"),
+            F.col("fa.lang").alias("lang"),
+            lev.cast("long").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") >= 0)
+    )

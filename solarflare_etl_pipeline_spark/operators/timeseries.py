@@ -134,3 +134,135 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("high_value"),
         F.count("*").alias("n_obs"),
     )
+
+
+EWMA_K = 8  # truncated-kernel length; tail mass below (1/2)^8 ≈ 0.4%
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(LAG(value, {j}) OVER w * {0.5 ** j!r}, 0.0)" for j in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(value, {j}) OVER w IS NOT NULL THEN {0.5 ** j!r} ELSE 0.0 END)"
+        for j in range(EWMA_K)
+    )
+    return f"""
+        SELECT user_id, event_id, value,
+               ROUND(({num}) / ({den}), 6) AS ewma8
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        )
+    """
+
+
+@register(
+    "ts_ewma_kernel",
+    oracle=_ewma_oracle(),
+    doc=f"Exponentially-weighted moving average (alpha=0.5) via a TRUNCATED "
+    f"{EWMA_K}-tap shift-register kernel: ewma_t = sum_j w_j*v_(t-j) / "
+    f"sum_j w_j with w_j = 2^-j, lags materialized by {EWMA_K} LAG calls "
+    f"inside ONE window pass and missing leading taps renormalized out. "
+    f"The recursive EWMA is inherently sequential (each value depends on "
+    f"the full prefix) — the truncated kernel is the distributed-safe "
+    f"reformulation, with error bounded by the dropped tail mass "
+    f"(1/2)^{EWMA_K} < 0.4%. Hash-exact across engines because every "
+    f"weight is a power of two (multiplication exact), the additions are "
+    f"written as the same left-to-right chain on both sides, and the "
+    f"result is rounded to 6 decimals (rule 7). One hash shuffle on "
+    f"user_id; all {EWMA_K} lags share a single window frame — at 100 TB "
+    f"this is scan + one shuffle, state bounded by {EWMA_K} rows per key.",
+)
+def ts_ewma_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(EWMA_K)]
+    num = F.coalesce(lags[0] * F.lit(1.0), F.lit(0.0))
+    den = F.when(lags[0].isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    for j in range(1, EWMA_K):
+        wj = F.lit(0.5**j)
+        num = num + F.coalesce(lags[j] * wj, F.lit(0.0))
+        den = den + F.when(lags[j].isNotNull(), wj).otherwise(F.lit(0.0))
+    return e.select(
+        "user_id", "event_id", "value", F.round(num / den, 6).alias("ewma8")
+    )
+
+
+@register(
+    "ts_zscore_anomaly",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, value,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS s1,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)
+                            * CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS s2,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_win
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT user_id, event_id, value, n_win,
+               CAST((n_win * v3 - s1) * (n_win * v3 - s1) * (n_win - 1) * 1000
+                    // (n_win * (n_win * s2 - s1 * s1)) AS BIGINT) AS z_sq_milli
+        FROM s
+        WHERE n_win >= 12
+          AND (n_win * s2 - s1 * s1) > 0
+          AND (n_win * v3 - s1) * (n_win * v3 - s1) * (n_win - 1)
+              >= 9 * n_win * (n_win * s2 - s1 * s1)
+    """,
+    doc="Rolling z-score anomaly detection (|z| >= 3 against a trailing "
+    "24-observation window, warm-up 12): the streaming-telemetry outlier "
+    "gate. The entire test is EXACT INTEGER arithmetic — values are "
+    "deterministically quantized to milli-units (FLOOR(value*1000), an "
+    "IEEE-deterministic double op), window sum/sum-of-squares/count stay "
+    "in BIGINT, and |z|>=3 is evaluated as the cross-multiplied inequality "
+    "(n*v - s1)^2 * (n-1) >= 9 * n * (n*s2 - s1^2) — no float mean, no "
+    "float stddev, so no engine-association or ulp-boundary flakes ever "
+    "(window aggregates associate differently across engines — DuckDB "
+    "segment-trees, Spark running frames — which float formulations "
+    "inherit; integers don't care). z^2 is reported in exact milli-units "
+    "by the same integer division. One hash shuffle on user_id, "
+    "constant per-row state (24-row frame) — scan-speed at 100 TB.",
+)
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    ).select(
+        "*",
+        F.sum("v3").over(wf).alias("s1"),
+        F.sum(F.col("v3") * F.col("v3")).over(wf).alias("s2"),
+        F.count("*").over(wf).alias("n_win"),
+    )
+    dev = F.col("n_win") * F.col("v3") - F.col("s1")
+    m = F.col("n_win") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        s.where(
+            (F.col("n_win") >= 12)
+            & (m > 0)
+            & (dev * dev * (F.col("n_win") - 1) >= 9 * F.col("n_win") * m)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            "n_win",
+            F.expr(
+                "CAST((n_win * v3 - s1) * (n_win * v3 - s1) * (n_win - 1) * 1000"
+                " DIV (n_win * (n_win * s2 - s1 * s1)) AS BIGINT)"
+            ).alias("z_sq_milli"),
+        )
+    )

@@ -122,7 +122,9 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: agg_sketch_mergeable, join_runtime_bloom, join_skew_aqe,
 #: sink_incremental_dedup, maintenance_compact, sample_shuffle_order,
 #: llm_repetition_stats, llm_pii_scrub, ingest_python_source,
-#: udtf_lateral_chunks, agg_approx_percentile_bounds.
+#: udtf_lateral_chunks, agg_approx_percentile_bounds,
+#: markov_transitions, graph_triangle_count, ts_ewma_kernel,
+#: ts_zscore_anomaly, llm_dedup_fuzzy_blocked.
 #: All round-6 additions were verified under BOTH comparator legs
 #: (fetchall + driver-faithful pandas) at sf0.001 and sf0.01 before
 #: entering this list.
