@@ -188,11 +188,11 @@ def encode_wav(doc_id: int, n_chars: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, int]:
+def decode_wav_samples(payload: bytes):
     """Parse the RIFF container for real: verify magics, WALK the chunk
     list (no fixed offsets past the header), read the sample rate from
-    fmt, and decode data as int16 LE. Returns (sample_rate, n_samples,
-    sum_amplitude)."""
+    fmt, and decode data as int16 LE. Returns (sample_rate, samples)
+    where samples is an int16 numpy array."""
     import struct
 
     import numpy as np
@@ -217,6 +217,15 @@ def decode_wav(payload: bytes) -> tuple[int, int, int]:
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int]:
+    """``decode_wav_samples`` reduced to (sample_rate, n_samples,
+    sum_amplitude) — the summary shape the decode operator emits."""
+    import numpy as np
+
+    rate, samples = decode_wav_samples(payload)
     return rate, len(samples), int(samples.astype(np.int64).sum())
 
 
@@ -673,3 +682,146 @@ def flagship_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pixels").cast("long").alias("total_pixels"),
         )
     )
+
+
+MM_FRAME = 4  # audio analysis frame length in samples
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_id", T.LongType()),
+        T.StructField("n_in_frame", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_audio_energy",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, UNNEST(RANGE(0, n_chars % 100 + 10)) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i // {MM_FRAME} AS BIGINT) AS frame_id,
+               COUNT(*) AS n_in_frame,
+               CAST(SUM(((doc_id * 31 + i * 7) % 65536 - 32768)
+                        * ((doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT)
+                   AS energy
+        FROM s
+        GROUP BY 1, 2
+    """,
+    doc=f"Framed audio energy extraction — the first stage of every speech "
+    f"pipeline (VAD, silence trimming, loudness normalization works on "
+    f"per-frame energy, not raw samples): each stored WAV is chunk-walked "
+    f"and PCM16-decoded (same real container parse as mm_decode_wav), then "
+    f"the sample stream is framed into {MM_FRAME}-sample windows and each "
+    f"frame's energy (sum of squared amplitudes, int64) is computed with "
+    f"one vectorized reduceat — decode and featurize fused in a single "
+    f"Arrow mapInPandas stage, exploding one row per frame. All-integer "
+    f"output, and the oracle restates frame energies in closed form over "
+    f"the generator pattern, so parity proves the decode+framing really "
+    f"ran. At 100 TB: embarrassingly parallel over payload rows; the "
+    f"frame explosion is bounded by audio length, and downstream "
+    f"aggregations (silence ratio, loudness percentiles) are plain "
+    f"groupBys on (doc_id).",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "wav")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fids, ns, ens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                _, samples = decode_wav_samples(payload)
+                a = samples.astype(np.int64)
+                n = len(a)
+                starts = np.arange(0, n, MM_FRAME)
+                energy = np.add.reduceat(a * a, starts)
+                n_in = np.minimum(starts + MM_FRAME, n) - starts
+                ids.extend([doc_id] * len(starts))
+                fids.extend(range(len(starts)))
+                ns.extend(n_in.tolist())
+                ens.extend(energy.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(fids, dtype="int64"),
+                    "n_in_frame": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(ens, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(frames, ENERGY_SCHEMA)
+
+
+MM_HIST_BINS = 16  # gray-level histogram bins (256 levels / 16 per bin)
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_image_histogram",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 + 1 AS BIGINT) AS width,
+                   UNNEST(RANGE(0, (doc_id % 8 + 1) * (doc_id % 6 + 1))) AS p
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(((doc_id + p % width + p // width) % 256)
+                    // {256 // MM_HIST_BINS} AS BIGINT) AS bin,
+               COUNT(*) AS n_px
+        FROM px
+        GROUP BY 1, 2
+    """,
+    doc=f"Per-image gray-level histogram ({MM_HIST_BINS} bins) — the "
+    f"brightness/contrast profile image-curation pipelines gate on (all-"
+    f"dark, all-white, low-dynamic-range screens get dropped before "
+    f"training): each stored PNG is CRC-verified, inflated, defiltered "
+    f"(the real decode path of mm_decode_png), then binned with one "
+    f"numpy bincount per image — decode and featurize fused in a single "
+    f"Arrow mapInPandas stage, emitting one row per OCCUPIED bin (sparse, "
+    f"matching the oracle's group-by). The oracle restates bin counts in "
+    f"closed form over the generator pattern, so parity proves inflate + "
+    f"defilter + binning ran. All-integer output. At 100 TB this is "
+    f"scan-parallel over payloads; the result is corpus-sized x "
+    f"{MM_HIST_BINS}, and the curation gate (entropy of the histogram, "
+    f"clipping fraction) is a cheap follow-on groupBy.",
+)
+def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "png")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+                _, _, _, px = decode_png_pixels(payload)
+                c = np.bincount(
+                    px.ravel() // (256 // MM_HIST_BINS), minlength=MM_HIST_BINS
+                )
+                nz = np.nonzero(c)[0]
+                ids.extend([doc_id] * len(nz))
+                bins.extend(nz.tolist())
+                counts.extend(c[nz].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bins, dtype="int64"),
+                    "n_px": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(hist, HIST_SCHEMA)

@@ -470,3 +470,172 @@ def test_resize_nearest_identity_and_downsample():
     assert (resize_nearest(px, 6, 4) == px).all()
     half = resize_nearest(px, 3, 2)
     assert (half == px[::2, ::2]).all()
+
+
+def test_triangle_counts_close_under_rotation(spark, sf_dir):
+    """Every triangle contributes exactly one count to each of its three
+    corners, so the global per-node total must be divisible by 3; and no
+    node can sit in more triangles than C(deg, 2) wedge pairs allow."""
+    from solarflare_etl_pipeline_spark.operators.analytics import graph_triangle_count
+
+    rows = graph_triangle_count(spark, sf_dir).collect()
+    assert rows, "fixture co-purchase graph produced no triangles"
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+
+    from pyspark.sql import functions as F
+    from solarflare_etl_pipeline_spark.catalog import table
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").alias("deg"))
+    )
+    deg = {r.src: r.deg for r in und.collect()}
+    for r in rows:
+        d = deg[r.part_id]
+        assert r.n_triangles <= d * (d - 1) // 2, (
+            f"node {r.part_id}: {r.n_triangles} triangles exceeds C({d},2)"
+        )
+
+
+def test_ewma_bounded_by_window_extrema(spark, sf_dir):
+    """The EWMA kernel is a convex combination of the last 8 values, so
+    every output must lie within [min, max] of that trailing window; a
+    user's first observation must equal its own value."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.timeseries import ts_ewma_kernel
+
+    out = ts_ewma_kernel(spark, sf_dir).alias("o")
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    ext = e.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    ).alias("x")
+    joined = out.join(ext, "event_id").collect()
+    assert joined
+    for r in joined:
+        assert r.lo - 1e-6 <= r.ewma8 <= r.hi + 1e-6
+        if r.rn == 1:
+            assert abs(r.ewma8 - round(r.value, 6)) <= 1e-9
+
+
+def test_zscore_anomaly_spot_check(spark, sf_dir):
+    """Recompute one reported anomaly from the raw event stream in plain
+    Python and confirm the integer inequality; every reported row must
+    satisfy the z^2 >= 9 threshold in its emitted milli-units."""
+    import math
+
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.timeseries import ts_zscore_anomaly
+
+    rows = ts_zscore_anomaly(spark, sf_dir).collect()
+    assert rows, "no anomalies at this sf — fixture regression"
+    for r in rows:
+        assert r.n_win >= 12
+        assert r.z_sq_milli >= 9000  # z^2 >= 9 in milli-units
+
+    pick = rows[0]
+    ev = sorted(
+        (
+            (x.ts, x.event_id, x.value)
+            for x in table(spark, sf_dir, "events")
+            .where(f"user_id = {pick.user_id}")
+            .collect()
+        ),
+    )
+    idx = next(i for i, x in enumerate(ev) if x[1] == pick.event_id)
+    win = [math.floor(v * 1000) for _, _, v in ev[max(0, idx - 23) : idx + 1]]
+    n, v3 = len(win), math.floor(pick.value * 1000)
+    s1, s2 = sum(win), sum(x * x for x in win)
+    m = n * s2 - s1 * s1
+    assert n == pick.n_win
+    assert (n * v3 - s1) ** 2 * (n - 1) >= 9 * n * m
+    assert (n * v3 - s1) ** 2 * (n - 1) * 1000 // (n * m) == pick.z_sq_milli
+
+
+def test_fuzzy_blocked_pairs_verified(spark, sf_dir):
+    """Reported fuzzy pairs must be ordered, within threshold, and their
+    edit distance must match an independent pure-Python DP on the heads."""
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        llm_dedup_fuzzy_blocked,
+    )
+
+    pairs = llm_dedup_fuzzy_blocked(spark, sf_dir).collect()
+    assert pairs, "no fuzzy pairs in the fixture — blocking regression"
+    texts = {
+        r.doc_id: r.text[:128]
+        for r in table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.edit_distance <= 24
+        assert lev(texts[r.doc_a], texts[r.doc_b]) == r.edit_distance
+
+
+def test_markov_rows_normalize_to_unity(spark, sf_dir):
+    """Per prev_type, floor-divided ppm probabilities must sum to at most
+    1e6 and miss it by less than the number of successor types (floor
+    loss is < 1 ppm per cell)."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.operators.analytics import markov_transitions
+
+    rows = markov_transitions(spark, sf_dir).collect()
+    assert rows
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r.prev_type].append(r.prob_ppm)
+    for prev, ppms in by_prev.items():
+        assert sum(ppms) <= 1_000_000
+        assert sum(ppms) > 1_000_000 - len(ppms), f"{prev}: floor loss too large"
+
+
+def test_mm_feature_totals_match_decode(spark, sf_dir):
+    """Cross-operator conservation: framed audio energies must partition
+    the sample stream (frame sizes sum to n_samples), and histogram bin
+    counts must sum to width*height per image."""
+    from solarflare_etl_pipeline_spark.operators.multimodal import (
+        mm_audio_energy,
+        mm_decode_png,
+        mm_decode_wav,
+        mm_image_histogram,
+    )
+
+    frames = mm_audio_energy(spark, sf_dir).groupBy("doc_id").sum("n_in_frame")
+    n_samples = {r.doc_id: r.n_samples for r in mm_decode_wav(spark, sf_dir).collect()}
+    for r in frames.collect():
+        assert r["sum(n_in_frame)"] == n_samples[r.doc_id]
+
+    hist = mm_image_histogram(spark, sf_dir).groupBy("doc_id").sum("n_px")
+    dims = {r.doc_id: r.width * r.height for r in mm_decode_png(spark, sf_dir).collect()}
+    for r in hist.collect():
+        assert r["sum(n_px)"] == dims[r.doc_id]
