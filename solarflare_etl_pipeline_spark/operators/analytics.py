@@ -381,3 +381,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("pc").alias("part_id")))
     )
     return member.groupBy("part_id").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "llm_keywords_topk",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tokens GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM tokens GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+            WHERE df.df < (SELECT n_docs FROM n)
+        )
+        SELECT doc_id, rk, token, tfidf
+        FROM (
+            SELECT doc_id, token, tfidf,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS BIGINT) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
+    doc="Per-document keyword extraction: the top-3 TF-IDF terms of every "
+    "document (the tagging/labeling primitive search indexes and topic "
+    "dashboards consume). Reuses the llm_tfidf composition (per-doc term "
+    "counts ⋈ broadcast vocab document-frequencies) and stacks a "
+    "row_number window partitioned by doc_id — ordering on the ROUNDED "
+    "6-decimal score with a token tiebreak, so rank order is identical "
+    "across engines even at score ties (rule 7 + deterministic-order "
+    "discipline). Plan: the window re-uses the tf stage's doc_id "
+    "partitioning — one shuffle for tf, broadcast for df, zero extra "
+    "exchange for the window; per-doc state is vocabulary-of-one-doc "
+    "sized. At 100 TB this is the tfidf plan plus a free window.",
+)
+def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = llm_tfidf(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.select(
+            "doc_id", "token", "tfidf", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "token", "tfidf")
+    )

@@ -450,3 +450,40 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(bucket < threshold)
     )
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle="""
+        SELECT doc_id, lang, rk
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rk
+            FROM documents
+        ) WHERE rk <= 20
+    """,
+    doc="Exact-quota per-group sampling (a deterministic 'reservoir' of "
+    "k=20 docs per language): rows ranked inside each stratum by the md5 "
+    "of their key — a uniform, data-independent order — and the first k "
+    "kept. Complements rate-based sample_stratified when the recipe says "
+    "'exactly k per group' (eval-set carving, per-language probes): "
+    "membership is a pure function of the key set, reproducible across "
+    "reruns, parallelism, and input order, unlike reservoir algorithms "
+    "seeded per partition. Plan: one hash shuffle on lang for the "
+    "window; at 100 TB, replace the full sort with a per-partition "
+    "top-k + merge (rank-then-filter already lets Spark push the limit "
+    "via WindowGroupLimit) — the pushed form ships only k rows per "
+    "(partition, group) to the exchange.",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= 20)
+    )

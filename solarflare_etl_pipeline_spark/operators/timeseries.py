@@ -266,3 +266,128 @@ def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z_sq_milli"),
         )
     )
+
+
+@register(
+    "ts_seasonality_profile",
+    oracle="""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT event_type, hr, n_events,
+               CAST(n_events * 1000000 //
+                    CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+                    AS BIGINT) AS share_ppm,
+               n_events * 24 >
+                   CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS over_uniform
+        FROM c
+    """,
+    doc="Hour-of-day seasonality profile per event type — the diurnal "
+    "baseline capacity planning and seasonality-adjusted anomaly "
+    "detection both start from: events bucketed by EXTRACT(HOUR), "
+    "per-type shares emitted in integer ppm (count*1e6 DIV type total — "
+    "exact), plus an over-uniform flag via the cross-multiplied "
+    "comparison n*24 > total (no 1/24 float). One partial+final hash agg "
+    "collapses any event volume to |types|x24 rows before the window "
+    "touches anything — the profile table is constant-sized at 100 TB.",
+)
+def ts_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count("*").alias("n_events"))
+    return c.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.expr(
+            "CAST(n_events * 1000000 DIV sum(n_events)"
+            " OVER (PARTITION BY event_type) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "n_events * 24 > sum(n_events) OVER (PARTITION BY event_type)"
+        ).alias("over_uniform"),
+    )
+
+
+CUSUM_H3 = 300_000  # drift alarm threshold in milli-value units
+
+
+@register(
+    "ts_cusum_drift",
+    oracle=f"""
+        WITH q AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(SUM(v3) AS BIGINT) // COUNT(*) AS mean3
+            FROM q GROUP BY 1
+        ),
+        p AS (
+            SELECT q.user_id, q.event_id, q.tss,
+                   CAST(SUM(q.v3 - m.mean3) OVER (
+                       PARTITION BY q.user_id ORDER BY q.tss, q.event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS pfx
+            FROM q JOIN m USING (user_id)
+        ),
+        c AS (
+            SELECT user_id, event_id,
+                   pfx - CAST(MIN(pfx) OVER (
+                       PARTITION BY user_id ORDER BY tss, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cusum3
+            FROM p
+        )
+        SELECT user_id, event_id, cusum3
+        FROM c WHERE cusum3 >= {CUSUM_H3}
+    """,
+    doc=f"CUSUM positive-drift detection (Page's cumulative-sum control "
+    f"chart — the change-point alarm for metric drift and sensor bias): "
+    f"the textbook recurrence S_t = max(0, S_(t-1) + (x_t - target)) is "
+    f"sequential, but it has a CLOSED FORM — S_t = P_t - min_(j<=t) P_j "
+    f"with P the running sum of deviations — so the whole detector is "
+    f"two stacked prefix windows (cumsum, then running min) over one "
+    f"user_id partitioning, fully distributed. Per-user targets are the "
+    f"integer floor-mean of the milli-quantized values (one agg, joined "
+    f"back); every step is BIGINT arithmetic, so output is hash-exact "
+    f"across engines. Rows where S_t >= {CUSUM_H3} (drift episodes) are "
+    f"emitted. At 100 TB: one shuffle on user_id shared by both windows "
+    f"and the join; nothing is data-sized except the stream itself.",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    m = q.groupBy("user_id").agg(
+        F.expr("CAST(SUM(v3) AS BIGINT) DIV COUNT(*)").alias("mean3")
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = q.join(m, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("v3") - F.col("mean3")).over(wc).alias("pfx"),
+    )
+    c = p.select(
+        "user_id",
+        "event_id",
+        (F.col("pfx") - F.min("pfx").over(wc)).alias("cusum3"),
+    )
+    return c.where(F.col("cusum3") >= CUSUM_H3)

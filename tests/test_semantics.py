@@ -639,3 +639,80 @@ def test_mm_feature_totals_match_decode(spark, sf_dir):
     dims = {r.doc_id: r.width * r.height for r in mm_decode_png(spark, sf_dir).collect()}
     for r in hist.collect():
         assert r["sum(n_px)"] == dims[r.doc_id]
+
+
+def test_reservoir_group_limit_pushed_below_exchange(spark, sf_dir):
+    """The per-group quota must be enforced BEFORE the shuffle (partial
+    WindowGroupLimit) so only k rows per (partition, group) ship — the
+    property that makes exact-quota sampling scale."""
+    from solarflare_etl_pipeline_spark.operators.core import sample_reservoir_per_group
+
+    plan = (
+        sample_reservoir_per_group(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    partial = plan.find("Partial")
+    exchange = plan.find("Exchange")
+    assert "WindowGroupLimit" in plan
+    # plan strings print top-down: the Partial limit must appear BELOW
+    # (after) the Exchange line, i.e. executed before the shuffle
+    assert 0 <= exchange < partial, "partial group-limit did not push below shuffle"
+
+    rows = sample_reservoir_per_group(spark, sf_dir).collect()
+    per_lang = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+    assert all(c <= 20 for c in per_lang.values())
+
+
+def test_cusum_closed_form_equals_recurrence(spark, sf_dir):
+    """The distributed closed form (prefix sum minus running min) must
+    equal Page's sequential recurrence S_t = max(0, S_{t-1} + dev_t),
+    replayed in plain Python for one flagged user."""
+    import math
+
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.timeseries import (
+        CUSUM_H3,
+        ts_cusum_drift,
+    )
+
+    flagged = ts_cusum_drift(spark, sf_dir).collect()
+    assert flagged, "no drift episodes at this sf — threshold regression"
+    uid = flagged[0].user_id
+    by_event = {r.event_id: r.cusum3 for r in flagged if r.user_id == uid}
+
+    ev = sorted(
+        (r.ts, r.event_id, math.floor(r.value * 1000))
+        for r in table(spark, sf_dir, "events").where(f"user_id = {uid}").collect()
+    )
+    mean3 = sum(v for _, _, v in ev) // len(ev)
+    s = 0
+    for _, event_id, v3 in ev:
+        s = max(0, s + (v3 - mean3))
+        if event_id in by_event:
+            assert s == by_event[event_id]
+            assert s >= CUSUM_H3
+        else:
+            assert s < CUSUM_H3
+
+
+def test_keywords_rank_dense_and_bounded(spark, sf_dir):
+    """Each document gets at most 3 keywords, ranked 1..k contiguously,
+    with non-increasing scores down the ranks."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.operators.analytics import llm_keywords_topk
+
+    rows = llm_keywords_topk(spark, sf_dir).collect()
+    assert rows
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append((r.rk, r.tfidf))
+    for doc, rks in by_doc.items():
+        rks.sort()
+        assert [r for r, _ in rks] == list(range(1, len(rks) + 1))
+        scores = [s for _, s in rks]
+        assert scores == sorted(scores, reverse=True)
