@@ -402,3 +402,54 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.split(host, "\\.").getItem(0).alias("subdomain"),
     )
+
+
+@register(
+    "fn_minmax_scale",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        ext AS (
+            SELECT event_type,
+                   MIN(v3) AS lo3, MAX(v3) AS hi3
+            FROM q GROUP BY 1
+        )
+        SELECT q.event_id, q.event_type,
+               CAST((q.v3 - ext.lo3) * 1000000 // (ext.hi3 - ext.lo3) AS BIGINT)
+                   AS scaled_ppm
+        FROM q JOIN ext USING (event_type)
+        WHERE ext.hi3 > ext.lo3
+    """,
+    doc="Per-group min-max feature scaling — the normalize-to-[0,1] prep "
+    "step of any ML feature pipeline, done exactly: values are milli-"
+    "quantized (deterministic FLOOR), per-type extrema come from one "
+    "partial+final agg (a |types|-row table, broadcast back), and the "
+    "scaled position is the integer ppm (v-lo)*1e6 DIV (hi-lo) — no "
+    "float division, hash-exact. Degenerate groups (hi == lo) are "
+    "excluded rather than divided by zero. Plan: scan + tiny-agg + "
+    "broadcast join + narrow map — no data-sized shuffle at all; at "
+    "100 TB the extrema table stays |types|-sized and the scale pass "
+    "runs at scan speed.",
+)
+def fn_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id", "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    ext = q.groupBy("event_type").agg(
+        F.min("v3").alias("lo3"), F.max("v3").alias("hi3")
+    )
+    return (
+        q.join(F.broadcast(ext), "event_type")
+        .where(F.col("hi3") > F.col("lo3"))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("CAST((v3 - lo3) * 1000000 DIV (hi3 - lo3) AS BIGINT)").alias(
+                "scaled_ppm"
+            ),
+        )
+    )

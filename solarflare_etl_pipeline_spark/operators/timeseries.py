@@ -391,3 +391,67 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pfx") - F.min("pfx").over(wc)).alias("cusum3"),
     )
     return c.where(F.col("cusum3") >= CUSUM_H3)
+
+
+@register(
+    "ts_mad_outliers",
+    oracle="""
+        WITH q AS (
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        med AS (
+            SELECT user_id, CAST(QUANTILE_DISC(v3, 0.5) AS BIGINT) AS med3
+            FROM q GROUP BY 1
+        ),
+        d AS (
+            SELECT q.user_id, q.event_id, med.med3,
+                   ABS(q.v3 - med.med3) AS dev3
+            FROM q JOIN med USING (user_id)
+        ),
+        mad AS (
+            SELECT user_id, CAST(QUANTILE_DISC(dev3, 0.5) AS BIGINT) AS mad3
+            FROM d GROUP BY 1
+        )
+        SELECT d.user_id, d.event_id, d.med3, d.dev3, mad.mad3
+        FROM d JOIN mad USING (user_id)
+        WHERE mad.mad3 > 0 AND d.dev3 > 3 * mad.mad3
+    """,
+    doc="Robust outlier detection via median absolute deviation — the "
+    "heavy-tail-safe complement to ts_zscore_anomaly (mean/stddev are "
+    "themselves dragged by the outliers they should flag; median/MAD "
+    "have a 50% breakdown point): per-user discrete median of the "
+    "milli-quantized values (percentile_disc ≡ QUANTILE_DISC lower "
+    "convention, the agg_approx_percentile_bounds discipline), absolute "
+    "deviations, their discrete median (the MAD), and the integer "
+    "comparison dev > 3*MAD — every step BIGINT, hash-exact. Plan: two "
+    "percentile aggregations and two joins, ALL partitioned on user_id — "
+    "one logical shuffle key end to end; exact discrete medians at "
+    "100 TB come from the same single-key repartition (or the sketch "
+    "variant when rank error is acceptable — see "
+    "agg_approx_percentile_bounds).",
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id", "event_id", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    med = q.groupBy("user_id").agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v3) AS BIGINT)").alias(
+            "med3"
+        )
+    )
+    d = q.join(med, "user_id").select(
+        "user_id", "event_id", "med3", F.abs(F.col("v3") - F.col("med3")).alias("dev3")
+    )
+    mad = d.groupBy("user_id").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev3) AS BIGINT)"
+        ).alias("mad3")
+    )
+    return (
+        d.join(mad, "user_id")
+        .where((F.col("mad3") > 0) & (F.col("dev3") > 3 * F.col("mad3")))
+        .select("user_id", "event_id", "med3", "dev3", "mad3")
+    )

@@ -102,3 +102,67 @@ def udtf_grouped_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return e.groupBy("user_id").applyInPandas(batch_fold, OUTPUT_SCHEMA)
+
+
+CUSUM_STATE_SCHEMA = "cusum3 LONG, n_seen LONG"
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cusum3", T.LongType()),
+    ]
+)
+
+
+def stateful_cusum_alarms(
+    events: DataFrame, baselines: DataFrame, threshold3: int
+) -> DataFrame:
+    """Streaming twin of the batch ``ts_cusum_drift`` operator (Page's
+    CUSUM, operators/timeseries.py): per-key drift statistic
+    S = max(0, S + (v3 - target3)) carried across micro-batches in the
+    state store, alarm rows emitted the moment S crosses ``threshold3``.
+
+    ``baselines`` is a STATIC (user_id, mean3) table — the batch-computed
+    targets, joined stream-static before the stateful fold (the lambda
+    architecture seam: batch owns the baseline, streaming owns the
+    incremental statistic). Inside a micro-batch events are folded in
+    (ts, event_id) order; cross-batch order is arrival order, the
+    standard CUSUM operating regime (a late event re-orders the
+    statistic only within its own batch — bounded by the source's
+    delivery discipline, same caveat as any sequential detector fed by
+    a stream). State is two BIGINTs per key — O(keys), never O(events).
+    """
+
+    def fold(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        s, n_seen = state.get if state.exists else (0, 0)
+        out_ids, out_vals = [], []
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for event_id, v3, mean3 in zip(
+                pdf["event_id"], pdf["v3"], pdf["mean3"]
+            ):
+                s = max(0, s + (int(v3) - int(mean3)))
+                n_seen += 1
+                if s >= threshold3:
+                    out_ids.append(int(event_id))
+                    out_vals.append(s)
+        state.update((s, n_seen))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(out_ids), dtype="int64"),
+                "event_id": pd.Series(out_ids, dtype="int64"),
+                "cusum3": pd.Series(out_vals, dtype="int64"),
+            }
+        )
+
+    quantized = events.withColumn(
+        "v3", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)")
+    ).join(baselines, "user_id")  # stream-static equi join: broadcastable
+    return quantized.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

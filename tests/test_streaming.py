@@ -319,3 +319,36 @@ def test_dedup_rocksdb_state_store(spark, stream_dir, tmp_path):
     assert not any(n.endswith(".delta") for n in state_files), state_files
     assert any(n.endswith((".zip", ".changelog")) for n in state_files), state_files
     q.stop()
+
+
+def test_stateful_cusum_alarm_crosses_batches(spark, stream_dir, tmp_path):
+    """Streaming CUSUM: the drift statistic must accumulate ACROSS
+    micro-batches — no single batch reaches the threshold alone, but
+    the carried state does, and the alarm fires in the later batch."""
+    from solarflare_etl_pipeline_spark.streaming.stateful import stateful_cusum_alarms
+
+    events = streaming_events(spark, stream_dir, SCHEMA)
+    # static baselines: target 0 for every user, so each event adds
+    # floor(value*1000) to the statistic. user 2's events are worth
+    # 3000 (b1) then 3000 + 4000 (b2): threshold 9000 is only reachable
+    # with batch-1 state carried into batch 2.
+    baselines = spark.createDataFrame(
+        [(1, 0), (2, 0)], "user_id long, mean3 long"
+    )
+    q = (
+        stateful_cusum_alarms(events, baselines, threshold3=9000)
+        .writeStream.format("memory")
+        .queryName("sink_cusum")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sink_cusum").collect()
+    q.stop()
+    assert len(rows) == 1, f"expected exactly one alarm, got {rows}"
+    r = rows[0]
+    # user 2: 3000 (event 3, b1) + 3000 (dup event 3, b2) + 4000
+    # (event 4) = 10000 >= 9000 — fires on event 4 in batch 2
+    assert r.user_id == 2 and r.event_id == 4 and r.cusum3 == 10000
