@@ -73,6 +73,13 @@ BENCH_QUERIES = (
     "sink_merge_aggregate",
     "ts_gapfill_locf",
     "llm_chunk_cdc",
+    # round-6 extension batch: graph wedge join (heaviest new op),
+    # stacked-window CUSUM, decode-fused audio framing, and blocked
+    # edit-distance dedup (banded-threshold levenshtein inside blocks)
+    "graph_triangle_count",
+    "ts_cusum_drift",
+    "mm_audio_energy",
+    "llm_dedup_fuzzy_blocked",
 )
 
 

@@ -786,3 +786,37 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(w).cast("double").alias("total_weight"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               ARRAY_TO_STRING(LIST_SORT(LIST(o_orderpriority)), '|')
+                   AS priorities_csv
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    doc="Deterministic LISTAGG / string_agg (the denormalize-to-one-row "
+    "export shape reporting extracts and feature stores ask for): per "
+    "customer, every order priority concatenated in SORTED order. "
+    "collect_list alone is partition-order-dependent — the one "
+    "nondeterminism trap of concatenating aggregates — so the list is "
+    "sort_array'd before array_join on the Spark side and LIST_SORT'd "
+    "before ARRAY_TO_STRING oracle-side, making the string a pure "
+    "function of the multiset and the result hash-stable at any "
+    "parallelism (the ts_ohlc_bars determinism discipline applied to "
+    "order-sensitive aggregates). Emitted as ONE scalar string per key "
+    "(rule 18: no array columns). One partial+final hash agg; per-key "
+    "state is that key's own value list — the operator to cap or "
+    "slice-limit if a 100 TB key can be unbounded.",
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(F.sort_array(F.collect_list("o_orderpriority")), "|").alias(
+            "priorities_csv"
+        ),
+    )

@@ -315,3 +315,32 @@ def win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_days").cast("long").alias("n_active_days"),
         F.count("*").cast("long").alias("n_streaks"),
     )
+
+
+@register(
+    "win_ntile",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(NTILE(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey
+               ) AS BIGINT) AS price_quartile
+        FROM orders
+    """,
+    doc="Equal-frequency bucketing (ntile): every order assigned its "
+    "price quartile within its priority class — the binning step behind "
+    "quartile features, A/B bucket splits, and decile reports. The "
+    "ordering carries the o_orderkey tiebreak, so bucket boundaries are "
+    "deterministic at value ties (same discipline as win_rank) and the "
+    "integer output is hash-exact. One hash shuffle on the partition "
+    "key; ntile is O(1) per row once the partition is sorted — the same "
+    "cost envelope as row_number at any scale.",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )

@@ -37,6 +37,8 @@ PYTHON_OK = {
     "mm_decode_wav",
     "mm_decode_png",
     "mm_resize_nearest",
+    "mm_audio_energy",
+    "mm_image_histogram",
     "flagship_multimodal_corpus",
 }
 
