@@ -1072,3 +1072,129 @@ def llm_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "llm_inverted_index",
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        )
+        SELECT token,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               COUNT(*) AS tf_total,
+               ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT doc_id))[1:20], ',')
+                   AS postings_head
+        FROM tokens
+        GROUP BY token
+    """,
+    doc="Inverted-index build (token -> document frequency + posting "
+    "list): the core artifact of lexical search and the BM25 side of "
+    "hybrid retrieval. Per token: distinct-doc df, total term "
+    "frequency, and the first 20 doc_ids of the SORTED posting list "
+    "emitted as one csv string (deterministic: collect_set is order-"
+    "free as a set, sort_array fixes emission order, the slice caps "
+    "the cell — rules 6/18). Plan: one explode + one partial+final agg "
+    "on token; posting-list state is df-bounded per token. At 100 TB "
+    "postings shard by (token, doc_id range) instead of one cell — the "
+    "cap here marks exactly where that sharding slots in; df/tf stay "
+    "plain mergeable aggregates at any scale.",
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("tf_total"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )
+
+
+BIGRAM_MIN_COUNT = 5
+
+
+@register(
+    "llm_bigram_pmi",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+        ),
+        big AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i])) AS tok_a,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i+1])) AS tok_b
+            FROM t
+        ),
+        uni AS (
+            SELECT tok, COUNT(*) AS n_tok
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        ab AS (
+            SELECT tok_a, tok_b, COUNT(*) AS n_ab
+            FROM big GROUP BY 1, 2
+            HAVING COUNT(*) >= {BIGRAM_MIN_COUNT}
+        ),
+        n AS (SELECT COUNT(*) AS n_big FROM big)
+        SELECT ab.tok_a, ab.tok_b, ab.n_ab,
+               ua.n_tok AS n_a, ub.n_tok AS n_b,
+               CAST(ab.n_ab * n.n_big * 1000000 // (ua.n_tok * ub.n_tok)
+                    AS BIGINT) AS pmi_ratio_ppm
+        FROM ab
+        JOIN uni ua ON ua.tok = ab.tok_a
+        JOIN uni ub ON ub.tok = ab.tok_b
+        CROSS JOIN n
+    """,
+    doc=f"Bigram collocation strength by pointwise mutual information — "
+    f"the phrase-mining signal ('new york' vs chance adjacency) behind "
+    f"tokenizer merges and multi-word expression detection. PMI's log is "
+    f"dropped and the RATIO p(a,b)/(p(a)p(b)) is emitted in integer ppm "
+    f"(n_ab*N*1e6 DIV n_a*n_b — monotone in PMI, hash-exact; rule 22's "
+    f"clear-the-division discipline applied to a score instead of a "
+    f"threshold). Adjacent pairs come from one in-array transform (zero "
+    f"shuffle to form bigrams); unigram counts are a |vocab|-row "
+    f"broadcast; the corpus total is a driver scalar like llm_tfidf's "
+    f"n_docs. Pairs below {BIGRAM_MIN_COUNT} occurrences are dropped "
+    f"(PMI is noise at tiny counts). One agg shuffle on the bigram key "
+    f"at any scale.",
+)
+def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("l"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(l) - 2),"
+                " i -> struct(l[i] AS tok_a, l[i + 1] AS tok_b))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    n_big = big.count()  # corpus scalar (one job; a literal thereafter)
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    ab = (
+        big.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BIGRAM_MIN_COUNT)
+    )
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (
+        ab.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST(n_ab * {n_big}L * 1000000 DIV (n_a * n_b) AS BIGINT)").alias(
+                "pmi_ratio_ppm"
+            ),
+        )
+    )
