@@ -487,3 +487,92 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+@register(
+    "dq_histogram_drift",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(FLOOR(value * 1000) AS BIGINT) // 50000 AS bin
+            FROM events
+        ),
+        mid AS (
+            SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS cut FROM q
+        ),
+        c AS (
+            SELECT event_type, us < (SELECT cut FROM mid) AS early, bin,
+                   COUNT(*) AS n
+            FROM q GROUP BY 1, 2, 3
+        ),
+        t AS (
+            SELECT event_type, early, CAST(SUM(n) AS BIGINT) AS tot
+            FROM c GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT c.event_type, c.bin,
+                   CAST(SUM(CASE WHEN c.early THEN c.n * 1000000 // t.tot
+                            ELSE 0 END) AS BIGINT) AS p_early_ppm,
+                   CAST(SUM(CASE WHEN NOT c.early THEN c.n * 1000000 // t.tot
+                            ELSE 0 END) AS BIGINT) AS p_late_ppm
+            FROM c JOIN t ON c.event_type = t.event_type AND c.early = t.early
+            GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(ABS(p_early_ppm - p_late_ppm)) AS BIGINT)
+                   AS l1_drift_ppm,
+               COUNT(*) AS n_bins
+        FROM p GROUP BY 1
+    """,
+    doc="Distribution-drift monitor (the PSI/KS sibling every feature "
+    "store runs nightly): per event type, the value distribution of the "
+    "stream's FIRST time half is compared against its SECOND half — "
+    "fixed-width value bins, per-epoch bin shares in integer ppm, drift "
+    "reported as the L1 distance sum|p_early - p_late| (total-variation "
+    "x2, monotone in PSI for fixed bins and — unlike PSI — log-free, so "
+    "exact in BIGINT; the rule-22 discipline). The epoch cut is the "
+    "integer midpoint of the observed epoch-microsecond range (unix_"
+    "micros ≡ EPOCH_US), a pure function of the data. Plan: one hash "
+    "agg to (type, epoch, bin) grains — constant-sized — then windowless "
+    "small joins; the only data-sized stage is the first scan+agg, at "
+    "100 TB pruned by partition columns when halves are calendar "
+    "partitions.",
+)
+def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        # ts is TIMESTAMP_NTZ; cast via the UTC-pinned session so
+        # unix_micros matches DuckDB's EPOCH_US on the naive value
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT) DIV 50000").alias("bin"),
+    )
+    mid = q.agg(
+        (F.min("us") + F.expr("(MAX(us) - MIN(us)) DIV 2")).alias("cut")
+    )
+    c = (
+        q.join(F.broadcast(mid))
+        .select("event_type", (F.col("us") < F.col("cut")).alias("early"), "bin")
+        .groupBy("event_type", "early", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.groupBy("event_type", "early").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, ["event_type", "early"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN early THEN n * 1000000 DIV tot ELSE 0 END) AS BIGINT)"
+            ).alias("p_early_ppm"),
+            F.expr(
+                "CAST(SUM(CASE WHEN NOT early THEN n * 1000000 DIV tot ELSE 0 END) AS BIGINT)"
+            ).alias("p_late_ppm"),
+        )
+    )
+    return p.groupBy("event_type").agg(
+        F.expr("CAST(SUM(ABS(p_early_ppm - p_late_ppm)) AS BIGINT)").alias(
+            "l1_drift_ppm"
+        ),
+        F.count("*").alias("n_bins"),
+    )

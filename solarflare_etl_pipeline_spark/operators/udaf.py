@@ -133,3 +133,81 @@ def udtf_lateral_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words "
         "FROM documents d, LATERAL doc_chunks(d.text) c"
     )
+
+
+@register(
+    "flagship_sql_corpus",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 2000
+        ),
+        dedup AS (
+            SELECT doc_id, lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY SHA256(text)
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        ),
+        canon AS (SELECT doc_id, lang, n_tokens FROM dedup WHERE rn = 1),
+        assigned AS (
+            SELECT lang,
+                   CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4))
+                                 AS INTEGER) % 10 < 9
+                        THEN 'train' ELSE 'eval' END AS split,
+                   n_tokens
+            FROM canon
+        )
+        SELECT lang, split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+        FROM assigned GROUP BY lang, split
+    """,
+    doc="The curation pipeline as ONE SQL STRING — the API-surface twin "
+    "of flagship_training_corpus for teams that live in pure SQL: a "
+    "four-CTE chain (token-count quality gate → sha256 exact dedup "
+    "keeping the lowest doc_id → deterministic md5-bucket train/eval "
+    "split → per-(lang, split) manifest) submitted through spark.sql "
+    "over registered views, compiling to the same Catalyst plan the "
+    "DataFrame flagship produces. Every construct is driver-proven "
+    "(sha2/SHA256 r3, md5-bucket CONV arithmetic r3 via "
+    "sample_hash_split, rule-19 SUM cast). One scan, one window "
+    "shuffle on the content hash, one final tiny agg — the lazy-plan "
+    "economics are identical in either API, which is the point.",
+)
+def flagship_sql_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH scored AS (
+            SELECT doc_id, lang, text,
+                   size(split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored WHERE n_tokens BETWEEN 20 AND 2000
+        ),
+        dedup AS (
+            SELECT doc_id, lang, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY sha2(text, 256)
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        ),
+        canon AS (SELECT doc_id, lang, n_tokens FROM dedup WHERE rn = 1),
+        assigned AS (
+            SELECT lang,
+                   CASE WHEN CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 4),
+                                       16, 10) AS INT) % 10 < 9
+                        THEN 'train' ELSE 'eval' END AS split,
+                   n_tokens
+            FROM canon
+        )
+        SELECT lang, split,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens) AS n_tokens_total
+        FROM assigned GROUP BY lang, split
+        """
+    )

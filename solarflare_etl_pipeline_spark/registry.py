@@ -124,7 +124,11 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: llm_repetition_stats, llm_pii_scrub, ingest_python_source,
 #: udtf_lateral_chunks, agg_approx_percentile_bounds,
 #: markov_transitions, graph_triangle_count, ts_ewma_kernel,
-#: ts_zscore_anomaly, llm_dedup_fuzzy_blocked.
+#: ts_zscore_anomaly, llm_dedup_fuzzy_blocked, ts_cusum_drift,
+#: ts_mad_outliers, ts_seasonality_profile, fn_minmax_scale,
+#: mm_audio_energy, mm_image_histogram, llm_keywords_topk,
+#: llm_inverted_index, llm_bigram_pmi, sample_reservoir_per_group,
+#: agg_listagg_ordered, win_ntile, dq_histogram_drift.
 #: All round-6 additions were verified under BOTH comparator legs
 #: (fetchall + driver-faithful pandas) at sf0.001 and sf0.01 before
 #: entering this list.

@@ -24,6 +24,9 @@ DELIBERATE_CROSS = {
     # 1×1 (or k×1) nested-loop joins, not data-scale cross products
     "agg_sketch_mergeable",
     "agg_bitmap_distinct",
+    # broadcast of a SINGLE-ROW scalar (the epoch-midpoint cut) onto the
+    # stream — an N×1 broadcast nested loop, not a data-scale product
+    "dq_histogram_drift",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
