@@ -455,3 +455,85 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "rk", "token", "tfidf")
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.src AS pa, e1.dst AS pb, e2.dst AS pc
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.dst
+            JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        member AS (
+            SELECT pa AS part_id FROM tri
+            UNION ALL SELECT pb FROM tri
+            UNION ALL SELECT pc FROM tri
+        ),
+        tric AS (
+            SELECT part_id, COUNT(*) AS n_triangles
+            FROM member GROUP BY part_id
+        ),
+        und AS (
+            SELECT src AS part_id, dst AS nb FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT part_id, COUNT(*) AS degree FROM und GROUP BY part_id
+        )
+        SELECT d.part_id, d.degree,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(COALESCE(t.n_triangles, 0) * 2000000
+                    // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
+        FROM deg d LEFT JOIN tric t USING (part_id)
+        WHERE d.degree >= 2
+    """,
+    doc="Local clustering coefficient per node — triangles closed over "
+    "wedges possible, THE cohesion feature community detection and "
+    "fraud-ring scoring consume: cc = 2*tri/(deg*(deg-1)), emitted in "
+    "integer ppm (numerator cross-multiplied, rule 22 — no float "
+    "division). Composes the oriented triangle pipeline (broadcast-"
+    "closure wedge join, see graph_triangle_count) with an undirected "
+    "degree count (each oriented edge projected both ways, one agg); "
+    "nodes of degree < 2 have no wedges and are excluded rather than "
+    "divided by zero. All shuffles are the triangle pipeline's own plus "
+    "one |V|-sized join — free relative to wedge generation at any "
+    "scale.",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tric = graph_triangle_count(spark, sf_dir)
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.alias("a")
+    b = l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    und = edges.select(F.col("src").alias("part_id")).unionAll(
+        edges.select(F.col("dst").alias("part_id"))
+    )
+    deg = und.groupBy("part_id").agg(F.count("*").alias("degree"))
+    return (
+        deg.join(tric, "part_id", "left")
+        .where(F.col("degree") >= 2)
+        .select(
+            "part_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(COALESCE(n_triangles, 0) * 2000000"
+                " DIV (degree * (degree - 1)) AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )

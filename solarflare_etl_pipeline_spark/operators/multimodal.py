@@ -825,3 +825,55 @@ def mm_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(hist, HIST_SCHEMA)
+
+
+MM_SILENCE_MSQ = 400_000_000  # per-sample mean-square silence threshold
+
+
+@register(
+    "mm_audio_silence_ratio",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, UNNEST(RANGE(0, n_chars % 100 + 10)) AS i
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(i // {MM_FRAME} AS BIGINT) AS frame_id,
+                   CAST(SUM(((doc_id * 31 + i * 7) % 65536 - 32768)
+                            * ((doc_id * 31 + i * 7) % 65536 - 32768))
+                        AS BIGINT) AS energy,
+                   COUNT(*) AS n
+            FROM s GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(CASE WHEN energy < {MM_SILENCE_MSQ} * n
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+               CAST(SUM(CASE WHEN energy < {MM_SILENCE_MSQ} * n
+                        THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                   AS silence_ppm
+        FROM f GROUP BY doc_id
+    """,
+    doc=f"Per-recording silence ratio — the voice-activity gate that "
+    f"drops dead air before ASR/diarization spends GPU time on it: the "
+    f"framed energies of mm_audio_energy (same decode-fused Arrow "
+    f"stage) classified quiet when frame energy < {MM_SILENCE_MSQ} per "
+    f"sample (cross-multiplied by frame length — no division, rule 22), "
+    f"then one groupBy to (quiet frames / total frames) in integer ppm. "
+    f"Composition cost over the energy op is a single doc_id agg on "
+    f"frame-sized rows; everything stays integer and hash-exact.",
+)
+def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = mm_audio_energy(spark, sf_dir)
+    quiet = F.when(
+        F.col("energy") < F.lit(MM_SILENCE_MSQ) * F.col("n_in_frame"), 1
+    ).otherwise(0)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(quiet).alias("n_quiet"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN energy < {MM_SILENCE_MSQ} * n_in_frame"
+            " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("silence_ppm"),
+    )

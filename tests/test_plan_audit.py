@@ -42,6 +42,7 @@ PYTHON_OK = {
     "mm_resize_nearest",
     "mm_audio_energy",
     "mm_image_histogram",
+    "mm_audio_silence_ratio",
     "flagship_multimodal_corpus",
 }
 
