@@ -55,6 +55,19 @@ CORE_QUERIES = (
     "dq_expectations",
     "flagship_daily_events",
     "flagship_training_corpus",
+    # round-6 extension ops with division / empty-group seams: each must
+    # return an empty well-formed frame, not divide by zero or crash
+    "graph_triangle_count",
+    "graph_clustering_coeff",
+    "markov_transitions",
+    "ts_ewma_kernel",
+    "ts_zscore_anomaly",
+    "ts_cusum_drift",
+    "ts_mad_outliers",
+    "fn_minmax_scale",
+    "dq_histogram_drift",
+    "llm_bigram_pmi",
+    "flagship_sql_corpus",
 )
 
 
