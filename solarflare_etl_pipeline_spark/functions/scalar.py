@@ -453,3 +453,36 @@ def fn_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "fn_safe_arith",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
+               l_quantity / NULLIF(l_discount, 0) AS qty_per_disc,
+               COALESCE(l_extendedprice / NULLIF(l_quantity, 0), 0.0)
+                   AS unit_price_or_zero
+        FROM lineitem
+    """,
+    doc="Error-safe arithmetic (ANSI-mode division that yields NULL "
+    "instead of failing the job): Spark's try_divide is the ANSI-"
+    "compliant escape hatch — one poisoned row (zero denominator) must "
+    "not kill a 100 TB job; the oracle states the equivalent "
+    "x / NULLIF(y, 0) algebra. The division COPIES IEEE semantics on "
+    "the same operands in both engines (single op, no accumulation — "
+    "no rule-16 detour needed), and the COALESCE column shows the "
+    "sentinel-fill idiom downstream aggregates want. Narrow map, "
+    "scan-speed, no shuffle.",
+)
+def fn_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_extendedprice", "l_quantity").alias("unit_price"),
+        F.try_divide("l_quantity", "l_discount").alias("qty_per_disc"),
+        F.coalesce(
+            F.try_divide("l_extendedprice", "l_quantity"), F.lit(0.0)
+        ).alias("unit_price_or_zero"),
+    )
