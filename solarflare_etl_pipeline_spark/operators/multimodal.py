@@ -877,3 +877,103 @@ def mm_audio_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
         ).alias("silence_ppm"),
     )
+
+
+PHASH_W, PHASH_H = 8, 8  # dHash grid: compare 9x8 resample along rows
+
+
+def dhash_bits(px) -> int:
+    """Difference hash of an (h, w) grayscale array: nearest-resample to
+    (PHASH_H x PHASH_W+1), then bit (x, y) = 1 iff px[y, x] > px[y, x+1]
+    — 64 bits packed little-endian by k = y*PHASH_W + x, with bit 63
+    masked off so the value stays in BIGINT range on every engine."""
+    g = resize_nearest(px, PHASH_W + 1, PHASH_H)
+    h = 0
+    for y in range(PHASH_H):
+        for x in range(PHASH_W):
+            if int(g[y, x]) > int(g[y, x + 1]):
+                k = y * PHASH_W + x
+                if k < 63:
+                    h |= 1 << k
+    return h
+
+
+@register(
+    "mm_phash_dedup",
+    oracle=f"""
+        WITH cells AS (
+            SELECT doc_id,
+                   CAST(doc_id % 8 + 1 AS BIGINT) AS w,
+                   CAST(doc_id % 6 + 1 AS BIGINT) AS h,
+                   UNNEST(RANGE(0, {PHASH_H} * {PHASH_W})) AS k
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id, k,
+                   (doc_id + ((k % {PHASH_W}) * w // {PHASH_W + 1})
+                           + ((k // {PHASH_W}) * h // {PHASH_H})) % 256 AS pl,
+                   (doc_id + (((k % {PHASH_W}) + 1) * w // {PHASH_W + 1})
+                           + ((k // {PHASH_W}) * h // {PHASH_H})) % 256 AS pr
+            FROM cells
+        ),
+        ph AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN pl > pr AND k < 63
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                        AS BIGINT) AS phash
+            FROM bits GROUP BY doc_id
+        )
+        SELECT phash,
+               CAST(COUNT(*) AS BIGINT) AS n_imgs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+        FROM ph GROUP BY phash
+        HAVING COUNT(*) >= 2
+    """,
+    doc=f"Perceptual-hash image dedup (dHash): every stored PNG is "
+    f"CRC-verified, inflated, defiltered (the real mm_decode_png path), "
+    f"nearest-resampled to {PHASH_W + 1}x{PHASH_H}, and hashed by "
+    f"adjacent-pixel gradient signs into one BIGINT — the "
+    f"resolution/brightness-insensitive fingerprint image-corpus "
+    f"curation dedups on (exact byte-hashing misses re-encoded or "
+    f"resized copies; dHash doesn't). Decode+resample+hash fuse into "
+    f"one Arrow mapInPandas stage; duplicate FAMILIES then fall out of "
+    f"a plain groupBy on the hash — one shuffle of one BIGINT per "
+    f"image, the same economics as llm_dedup_exact at any scale. The "
+    f"oracle restates the full chain (integer resample indexing + "
+    f"gradient-sign packing) in closed form over the generator pattern, "
+    f"so parity proves decode, resample, and bit packing all ran "
+    f"correctly. Banded Hamming verify for near-misses slots in "
+    f"exactly like llm_dedup_simhash_pairs' band join.",
+)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "png")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(decode_png_pixels(p)[3]) for p in pdf["png"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    ph = payloads.mapInPandas(
+        hash_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("phash", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(
+            F.count("*").alias("n_imgs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .where(F.col("n_imgs") >= 2)
+    )

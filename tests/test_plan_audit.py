@@ -43,6 +43,7 @@ PYTHON_OK = {
     "mm_audio_energy",
     "mm_image_histogram",
     "mm_audio_silence_ratio",
+    "mm_phash_dedup",
     "flagship_multimodal_corpus",
 }
 
