@@ -537,3 +537,189 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cc_ppm"),
         )
     )
+
+
+BASKET_MIN_SUP = 3
+
+
+@register(
+    "basket_rules",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        ic AS (
+            SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT DISTINCT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        pc AS (
+            SELECT pa, pb, COUNT(*) AS n_ab
+            FROM pairs GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUP}
+        )
+        SELECT pc.pa, pc.pb, pc.n_ab,
+               ia.n_item AS n_a, ib.n_item AS n_b,
+               CAST(pc.n_ab * 1000000 // (SELECT n_orders FROM n) AS BIGINT)
+                   AS support_ppm,
+               CAST(pc.n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_a_to_b_ppm,
+               CAST(pc.n_ab * 1000000 // ib.n_item AS BIGINT) AS conf_b_to_a_ppm,
+               CAST(pc.n_ab * (SELECT n_orders FROM n) * 1000000
+                    // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+        FROM pc
+        JOIN ic ia ON ia.l_partkey = pc.pa
+        JOIN ic ib ON ib.l_partkey = pc.pb
+    """,
+    doc=f"Association-rule mining over order baskets (the Apriori level-2 "
+    f"support/confidence/lift every recommender and store-layout "
+    f"analysis starts with): items deduped per basket, pair supports "
+    f"from the oriented basket self-join (same blocking as the "
+    f"co-purchase graph — pair cost scales with basket sizes, never "
+    f"items²), rules below support {BASKET_MIN_SUP} pruned EARLY "
+    f"(the Apriori downward-closure cut, applied before any metric "
+    f"join), then support / both confidences / lift emitted in integer "
+    f"ppm with divisions cleared (rule 22) — lift is the basket-level "
+    f"sibling of llm_bigram_pmi's ratio. Item counts are a |items|-row "
+    f"broadcast; the basket total is a driver scalar. One shuffle for "
+    f"the basket join, one for the pair agg — at 100 TB both key on "
+    f"basket/pair ids with no skew beyond the largest basket.",
+)
+def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = l.select("l_orderkey").distinct().count()  # driver scalar
+    ic = l.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+    )
+    pc = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUP)
+    )
+    ia = ic.select(F.col("l_partkey").alias("pa"), F.col("n_item").alias("n_a"))
+    ib = ic.select(F.col("l_partkey").alias("pb"), F.col("n_item").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(f"CAST(n_ab * 1000000 DIV {n_orders}L AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_ab * 1000000 DIV n_a AS BIGINT)").alias("conf_a_to_b_ppm"),
+            F.expr("CAST(n_ab * 1000000 DIV n_b AS BIGINT)").alias("conf_b_to_a_ppm"),
+            F.expr(
+                f"CAST(n_ab * {n_orders}L * 1000000 DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+@register(
+    "funnel_sessionized",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tss,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_type, tss,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY tss
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM marked
+        ),
+        per_sess AS (
+            SELECT user_id, session_id,
+                   MIN(CASE WHEN event_type = 'view' THEN tss END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN tss END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN tss END) AS t_purchase
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT COUNT(*) AS n_sessions,
+               COUNT(t_view) AS sess_view,
+               COUNT(CASE WHEN t_click > t_view THEN 1 END) AS sess_click,
+               COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                     THEN 1 END) AS sess_purchase
+        FROM per_sess
+    """,
+    doc="The ordered funnel at SESSION grain — per-user funnels "
+    "(funnel_steps) overcount conversion when the view and the purchase "
+    "are weeks apart; product analytics wants them inside one visit: "
+    "30-minute-gap sessionization (lag + cumulative new-session sum, "
+    "the win_sessionize construct) feeds the same first-occurrence "
+    "ordered-step counting, now keyed by (user, session). All "
+    "timestamps COPY inputs and every count is integer — hash-exact. "
+    "Plan: one user_id shuffle shared by the lag window, the running "
+    "sum, and the session aggregate; the final rollup is four counters. "
+    "The two-operator composition (sessionize → funnel) runs as ONE "
+    "lazy plan — the point of an engine over a script pipeline.",
+)
+def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+            - F.lag(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).over(wl)
+            > 1_800_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("new_sess").over(wc).alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_sess.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t_view").alias("sess_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("sess_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("sess_purchase"),
+    )
