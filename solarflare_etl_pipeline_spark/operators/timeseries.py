@@ -455,3 +455,76 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("mad3") > 0) & (F.col("dev3") > 3 * F.col("mad3")))
         .select("user_id", "event_id", "med3", "dev3", "mad3")
     )
+
+
+@register(
+    "ts_session_stats",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                             - LAG(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_id, tss,
+                   CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY tss, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               CAST(EPOCH_US(MAX(tss)) - EPOCH_US(MIN(tss)) AS BIGINT)
+                   AS duration_us,
+               CAST(MIN(event_id) AS BIGINT) AS first_event
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc="Session-level statistics (the session table engagement "
+    "dashboards, bounce-rate metrics, and duration histograms read): "
+    "30-minute-gap sessionization (the win_sessionize / "
+    "funnel_sessionized construct — this family shares ONE session "
+    "definition across three grains: per-event labels, per-session "
+    "stats, corpus funnel) aggregated to one row per (user, session): "
+    "event count, exact integer duration in epoch microseconds, and "
+    "the anchoring first event. One user_id shuffle serves the lag "
+    "window, the running sum, and the session aggregate; output is "
+    "session-count sized. All integer/copied values — hash-exact.",
+)
+def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(us - F.lag(us).over(wl) > 1_800_000_000, 1).otherwise(0).alias(
+            "new_sess"
+        ),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("new_sess").over(wc).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(unix_micros(CAST(MAX(ts) AS TIMESTAMP))"
+            " - unix_micros(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)"
+        ).alias("duration_us"),
+        F.min("event_id").alias("first_event"),
+    )

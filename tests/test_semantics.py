@@ -753,3 +753,18 @@ def test_jaccard_candidates_bounds(spark, sf_dir):
         assert 0 <= r.jaccard_ppm <= 1_000_000
     rules = {(r.pa, r.pb) for r in basket_rules(spark, sf_dir).collect()}
     assert {(r.pa, r.pb) for r in jac} == rules
+
+
+def test_session_definition_consistent_across_grains(spark, sf_dir):
+    """One session definition, three grains: the session-stats table,
+    the sessionized funnel, and the per-event sessionize labels must
+    all agree on the total session count."""
+    from solarflare_etl_pipeline_spark.operators.analytics import funnel_sessionized
+    from solarflare_etl_pipeline_spark.operators.timeseries import ts_session_stats
+    from solarflare_etl_pipeline_spark.operators.windows import win_sessionize
+
+    n_stats = ts_session_stats(spark, sf_dir).count()
+    n_funnel = funnel_sessionized(spark, sf_dir).collect()[0].n_sessions
+    # win_sessionize already aggregates to session grain: one row/session
+    n_windows = win_sessionize(spark, sf_dir).count()
+    assert n_stats == n_funnel == n_windows
