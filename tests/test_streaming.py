@@ -352,3 +352,29 @@ def test_stateful_cusum_alarm_crosses_batches(spark, stream_dir, tmp_path):
     # user 2: 3000 (event 3, b1) + 3000 (dup event 3, b2) + 4000
     # (event 4) = 10000 >= 9000 — fires on event 4 in batch 2
     assert r.user_id == 2 and r.event_id == 4 and r.cusum3 == 10000
+
+
+def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates landing within the
+    watermark delay (the in-batch and cross-batch redeliveries of the
+    fixture) are removed exactly like dropDuplicates, while key state
+    is evictable after the delay — each event_id must appear once."""
+    from solarflare_etl_pipeline_spark.streaming.event_windows import (
+        deduped_within_watermark_stream,
+    )
+
+    events = streaming_events(spark, stream_dir, SCHEMA)
+    q = (
+        deduped_within_watermark_stream(events)
+        .writeStream.format("memory")
+        .queryName("sink_wmdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wmdedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, COUNT(*) AS n FROM sink_wmdedup GROUP BY event_id").collect()
+    q.stop()
+    counts = {r.event_id: r.n for r in rows}
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 1}, counts
