@@ -820,3 +820,35 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "priorities_csv"
         ),
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP with explicit grouping indicators: GROUPING()/"
+    "grouping_id() distinguishes 'the subtotal row for flag A' from 'a "
+    "detail row whose status happens to be NULL' — the disambiguation "
+    "every report consumer of multi-level aggregates needs (NULL data "
+    "vs NULL-as-ALL are different rows; the id makes it queryable). "
+    "Spark's grouping_id() packs the bits in declaration order, "
+    "restated oracle-side as GROUPING(a)*2 + GROUPING(b). Same "
+    "partial+final rollup aggregation as agg_rollup — the indicator is "
+    "computed from the grouping-set id, zero extra cost at any scale.",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows")
+    )

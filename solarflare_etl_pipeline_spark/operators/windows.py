@@ -344,3 +344,53 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.ntile(4).over(w).cast("long").alias("price_quartile"),
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle="""
+        WITH q AS (
+            SELECT user_id, event_id,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        )
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(SUM(v3) OVER w AS BIGINT) AS v3_sum_last_hour
+        FROM q
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY us
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="TIME-based window frames (trailing 1 hour per user) — the "
+    "rolling rate-limit / burst-detection shape: unlike ROWS frames "
+    "(fixed row count) the frame holds however many events landed in "
+    "the last hour of EVENT TIME. Expressed portably as a numeric RANGE "
+    "over epoch microseconds (unix_micros ≡ EPOCH_US) — identical "
+    "semantics to RANGE BETWEEN INTERVAL 1 HOUR PRECEDING with none of "
+    "the dialect skew, and the summed values are milli-quantized "
+    "BIGINTs (rule 22), so the whole result is hash-exact. One hash "
+    "shuffle + sort on user_id; range frames advance two pointers over "
+    "the sorted run — O(n) per partition at any scale.",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return q.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum("v3").over(w).alias("v3_sum_last_hour"),
+    )
