@@ -109,3 +109,36 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = l.where(F.col("l_returnflag") == "A").select("l_orderkey")
     r = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return a.intersectAll(r)
+
+
+@register(
+    "set_union_by_name",
+    oracle="""
+        SELECT event_id, event_type,
+               value, NULL AS user_id
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, event_type,
+               NULL AS value, user_id
+        FROM events WHERE event_type = 'signup'
+    """,
+    doc="Schema-tolerant union (unionByName with allowMissingColumns): "
+    "the two sides carry DIFFERENT column subsets — purchases expose "
+    "value, signups expose user_id — and the union aligns by NAME, "
+    "null-filling the gaps, where positional UNION would silently pair "
+    "mismatched columns (the classic schema-drift landmine when two "
+    "pipeline epochs disagree; the batch sibling of "
+    "scan_schema_evolution's reader-side merge). Narrow concat, no "
+    "shuffle at any scale.",
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "value"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "event_id", "event_type", "user_id"
+    )
+    return purchases.unionByName(signups, allowMissingColumns=True).select(
+        "event_id", "event_type", "value", "user_id"
+    )

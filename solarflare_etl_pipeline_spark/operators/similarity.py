@@ -1315,3 +1315,36 @@ def llm_dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_distance") >= 0)
     )
+
+
+@register(
+    "llm_label_balance",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               CAST(COUNT(*) * 1000000 //
+                    (SELECT COUNT(*) FROM embeddings) AS BIGINT) AS share_ppm,
+               COUNT(*) * (SELECT COUNT(DISTINCT label) FROM embeddings)
+                   > (SELECT COUNT(*) FROM embeddings) AS over_represented
+        FROM embeddings
+        GROUP BY label
+    """,
+    doc="Training-set class-balance report over the embeddings table: "
+    "per label, count, corpus share in integer ppm, and an "
+    "over-represented flag via the cross-multiplied comparison "
+    "n*|labels| > N (no 1/k float; rule 22) — the skew check run "
+    "before any stratified rebalance (sample_stratified is the lever "
+    "this report decides to pull). One partial+final agg to |labels| "
+    "rows; totals are driver scalars.",
+)
+def llm_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    n_total = e.count()
+    n_labels = e.select("label").distinct().count()
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.expr(f"CAST(COUNT(*) * 1000000 DIV {n_total}L AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        (F.count("*") * n_labels > n_total).alias("over_represented"),
+    )
