@@ -1348,3 +1348,54 @@ def llm_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.count("*") * n_labels > n_total).alias("over_represented"),
     )
+
+
+PCA_ITERS = 12
+PCA_DIM = 64
+
+
+@register(
+    "llm_embed_pca_power",
+    oracle=None,  # float fixed-point iteration: rows-only; invariants in
+    # tests/test_semantics.py::test_pca_power_invariants (unit norm,
+    # monotone Rayleigh quotient, dominance over coordinate variances)
+    doc=f"Dominant principal direction of the embedding cloud by "
+    f"DISTRIBUTED power iteration — the first step of PCA whitening, "
+    f"anisotropy diagnosis ('is the embedding space collapsing to a "
+    f"line?'), and spectral initialization for IVF: {PCA_ITERS} rounds "
+    f"of v <- normalize(sum_x x*(x . v)) with the {PCA_DIM}-dim "
+    f"iterate kept driver-side (a constant-size vector, the IVF-"
+    f"centroid discipline) and each matvec ONE distributed pass: "
+    f"per-row dot product x . v (sequential fold, JVM-side), then "
+    f"element-wise accumulation via posexplode + groupBy(pos) — a "
+    f"{PCA_DIM}-row shuffle per iteration regardless of corpus size. "
+    f"Returns (pos, component, eigenvalue) rows. Float iteration is "
+    f"not hash-portable across engines, so the driver records the "
+    f"rows-only check; correctness is pinned by test invariants "
+    f"(unit norm, non-decreasing Rayleigh quotient, eigenvalue "
+    f">= every coordinate second moment). At 100 TB: {PCA_ITERS} "
+    f"scans, each embarrassingly parallel, driver state one vector.",
+)
+def llm_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(_vec_double().alias("x"))
+    e = e.localCheckpoint()  # five passes over the same vectors
+    v = [1.0 / PCA_DIM**0.5] * PCA_DIM
+    lam = 0.0
+    for _ in range(PCA_ITERS):
+        vlit = F.array(*[F.lit(c) for c in v])
+        proj = e.select(
+            F.posexplode(
+                F.transform("x", lambda xi: xi * _dot(F.col("x"), vlit))
+            ).alias("pos", "contrib")
+        )
+        w_rows = (
+            proj.groupBy("pos").agg(F.sum("contrib").alias("w")).collect()
+        )  # PCA_DIM rows — bounded driver state, like IVF centroids
+        w = [0.0] * PCA_DIM
+        for r in w_rows:
+            w[r.pos] = r.w
+        nrm = sum(c * c for c in w) ** 0.5
+        lam = nrm  # Rayleigh quotient estimate: |Av| with |v|=1
+        v = [c / nrm for c in w]
+    rows = [(i, v[i], lam) for i in range(PCA_DIM)]
+    return spark.createDataFrame(rows, "pos long, component double, eigenvalue double")

@@ -768,3 +768,44 @@ def test_session_definition_consistent_across_grains(spark, sf_dir):
     # win_sessionize already aggregates to session grain: one row/session
     n_windows = win_sessionize(spark, sf_dir).count()
     assert n_stats == n_funnel == n_windows
+
+
+def test_pca_power_invariants(spark, sf_dir):
+    """Power iteration must produce a unit vector whose Rayleigh
+    quotient dominates every coordinate's raw second moment (the
+    dominant eigenvalue of X'X is >= every diagonal entry), and
+    re-running one more matvec in numpy must not shrink the quotient
+    (monotone convergence)."""
+    import numpy as np
+
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        llm_embed_pca_power,
+    )
+
+    rows = llm_embed_pca_power(spark, sf_dir).collect()
+    v = np.zeros(len(rows))
+    for r in rows:
+        v[r.pos] = r.component
+    lam = rows[0].eigenvalue
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    X = np.array(
+        [
+            [float(c) for c in r.embedding]
+            for r in table(spark, sf_dir, "embeddings").select("embedding").collect()
+        ]
+    )
+    G = X.T @ X
+    # eigenvalue dominates every diagonal second moment
+    assert lam >= G.diagonal().max() * (1 - 1e-6)
+    # one more exact iteration must not decrease the Rayleigh quotient
+    w = G @ v
+    assert np.linalg.norm(w) >= lam * (1 - 1e-6)
+    # and the iterate is near the fixed point: angle(v, Gv) small. The
+    # fixture embeddings are near-isotropic, so the top two eigenvalues
+    # are close (random-matrix edge) and per-iteration contraction is
+    # slow — 0.99 is the documented operating point for 12 iterations
+    # (measured 0.9986 at sf0.01), not a convergence failure.
+    cos = float(w @ v / (np.linalg.norm(w) * np.linalg.norm(v)))
+    assert cos > 0.99, f"not converged: cos={cos}"
