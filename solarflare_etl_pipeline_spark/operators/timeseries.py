@@ -528,3 +528,56 @@ def ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("duration_us"),
         F.min("event_id").alias("first_event"),
     )
+
+
+@register(
+    "ts_rolling_extrema",
+    oracle="""
+        WITH q AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        )
+        SELECT user_id, event_id, v3,
+               CAST(MIN(v3) OVER w AS BIGINT) AS lo24,
+               CAST(MAX(v3) OVER w AS BIGINT) AS hi24,
+               v3 >= MAX(v3) OVER w AS is_breakout_high,
+               v3 <= MIN(v3) OVER w AS is_breakout_low
+        FROM q
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY tss, event_id
+            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Rolling extrema channel (the Donchian/breakout shape: trailing "
+    "24-observation min/max per user, with breakout flags when the "
+    "current value touches the channel edge). Extremes complement the "
+    "variance (z-score) and median (MAD) detectors: a slow drift never "
+    "trips a breakout, a single spike always does. Values are milli-"
+    "quantized BIGINTs, min/max are exact order statistics — no "
+    "arithmetic at all, hash-exact by construction. One user_id "
+    "shuffle; rolling min/max over a ROWS frame is a monotonic-deque "
+    "pass, O(1) amortized per row at any scale.",
+)
+def ts_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    q = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    return q.select(
+        "user_id",
+        "event_id",
+        "v3",
+        F.min("v3").over(wf).alias("lo24"),
+        F.max("v3").over(wf).alias("hi24"),
+        (F.col("v3") >= F.max("v3").over(wf)).alias("is_breakout_high"),
+        (F.col("v3") <= F.min("v3").over(wf)).alias("is_breakout_low"),
+    )
