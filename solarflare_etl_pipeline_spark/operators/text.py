@@ -1198,3 +1198,59 @@ def llm_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2]))) AS tok
+            FROM documents
+        ),
+        firsts AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM sh GROUP BY tok
+        )
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM sh JOIN firsts f ON f.tok = sh.tok
+        GROUP BY sh.doc_id
+    """,
+    doc="Per-document n-gram novelty — the self-repetition signal of a "
+    "growing corpus (a feed that keeps syndicating the same passages "
+    "shows decaying novelty; dataset curators plot exactly this curve "
+    "before deciding dedup thresholds): each document's DISTINCT "
+    "3-gram shingles (the llm_dedup_near shingle definition, shared "
+    "verbatim) are attributed to the LOWEST doc_id that contains them "
+    "(min-aggregate over the corpus shingle stream — arrival order by "
+    "ingestion id), and a document's novelty is its share of first-"
+    "seen shingles in integer ppm. Plan: one shingle explode, one agg "
+    "to the distinct-shingle grain, one join back on the shingle key, "
+    "one per-doc agg — the same two-shuffle economics as "
+    "llm_decontaminate, nothing pairwise. Docs under 3 tokens carry no "
+    "shingles and are correctly absent.",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = with_shingles(d).select("doc_id", F.explode("shingles").alias("sh"))
+    firsts = s.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        s.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.expr(
+                "CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
