@@ -577,3 +577,44 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_value_nulls"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "sink_csv",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="CSV export round-trip (the interchange format every downstream "
+    "spreadsheet/legacy consumer still asks for): orders written as "
+    "headered CSV with explicit timestamp formatting, schema-inferred "
+    "back, and aggregated — proving type fidelity through the lossy "
+    "text cycle. Money survives as exact integer cents "
+    "(ROUND(price*100) — CSV prints doubles in shortest-roundtrip "
+    "form, so the double itself round-trips, but the AGGREGATE detours "
+    "through cents to stay association-proof like every money sum; "
+    "rule 2). Writer cost mirrors sink_parquet: one narrow write per "
+    "partition, no shuffle; at 100 TB CSV is ~3x parquet bytes and "
+    "loses pushdown/pruning — this op exists for the export edge, not "
+    "the storage layer, and the doc says so.",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_sink_csv_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").option("header", True).csv(target)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(target)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("total_cents"),
+    )
