@@ -125,3 +125,41 @@ def llm_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h").alias("n_distinct"),
         (F.count("*") - F.countDistinct("h")).alias("n_duplicates"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY SHA256(text)
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    doc="Quality-preferring exact dedup: within each content-hash group "
+    "the LONGEST copy survives (ties to the lowest doc_id) — the "
+    "curation policy when duplicates differ in truncation (a scraped "
+    "page and its cut-off mirror hash differently only if bytes "
+    "differ; when a family is defined by near-dup clustering the same "
+    "keep-best rank runs per cluster_id, see llm_corpus_filter). "
+    "Completes the dedup survivorship triple: first-wins (dedup_key), "
+    "last-wins (dedup_keep_last), best-wins (here) — all the same "
+    "one-shuffle rank-and-filter plan, which Spark lowers to a partial "
+    "WindowGroupLimit below the exchange (the sample_reservoir_per_"
+    "group property), so only one candidate row per partition-group "
+    "ships at any scale.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
