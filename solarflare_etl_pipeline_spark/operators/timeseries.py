@@ -581,3 +581,76 @@ def ts_rolling_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v3") >= F.max("v3").over(wf)).alias("is_breakout_high"),
         (F.col("v3") <= F.min("v3").over(wf)).alias("is_breakout_low"),
     )
+
+
+@register(
+    "ts_rolling_robust",
+    oracle="""
+        WITH q AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        )
+        SELECT user_id, event_id, v3,
+               MEDIAN(v3) OVER w AS med24,
+               QUANTILE_CONT(v3, 0.25) OVER w AS q1_24,
+               QUANTILE_CONT(v3, 0.75) OVER w AS q3_24,
+               QUANTILE_CONT(v3, 0.75) OVER w
+                   - QUANTILE_CONT(v3, 0.25) OVER w AS iqr24,
+               v3 > QUANTILE_CONT(v3, 0.75) OVER w
+                   + 1.5 * (QUANTILE_CONT(v3, 0.75) OVER w
+                            - QUANTILE_CONT(v3, 0.25) OVER w)
+                   AS is_outlier_high,
+               v3 < QUANTILE_CONT(v3, 0.25) OVER w
+                   - 1.5 * (QUANTILE_CONT(v3, 0.75) OVER w
+                            - QUANTILE_CONT(v3, 0.25) OVER w)
+                   AS is_outlier_low
+        FROM q
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY tss, event_id
+            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc="Rolling robust statistics (trailing 24-observation median and "
+    "interquartile range per user, with Tukey-fence outlier flags at "
+    "1.5x IQR). The robust complement of ts_rolling_extrema (order-"
+    "statistic channel) and ts_zscore_anomaly (moment-based): the IQR "
+    "fence ignores up to 25% contamination in the window, where mean/"
+    "stddev are dragged by every spike. Spark's percentile() is a true "
+    "window-frame function (median() is not — it rejects frames), and "
+    "its linear interpolation index p*(n-1) matches DuckDB's "
+    "QUANTILE_CONT exactly; on milli-quantized BIGINTs with quarter "
+    "fractions every interpolated value is an exact dyadic double, so "
+    "the result is hash-portable with NO rounding. One user_id shuffle; "
+    "the frame sort is per-partition. Rolling percentile has no "
+    "invertible update, so Spark recomputes per frame — O(frame log "
+    "frame) per row with frame=24 fixed, still linear in rows at any "
+    "corpus size.",
+)
+def ts_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    q = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    med = F.percentile("v3", F.lit(0.5)).over(wf)
+    q1 = F.percentile("v3", F.lit(0.25)).over(wf)
+    q3 = F.percentile("v3", F.lit(0.75)).over(wf)
+    return q.select(
+        "user_id",
+        "event_id",
+        "v3",
+        med.alias("med24"),
+        q1.alias("q1_24"),
+        q3.alias("q3_24"),
+        (q3 - q1).alias("iqr24"),
+        (F.col("v3") > q3 + 1.5 * (q3 - q1)).alias("is_outlier_high"),
+        (F.col("v3") < q1 - 1.5 * (q3 - q1)).alias("is_outlier_low"),
+    )
