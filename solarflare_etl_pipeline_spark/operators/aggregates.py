@@ -852,3 +852,114 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n_rows")
     )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle="""
+        WITH keyed AS (
+            SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        ),
+        probes AS (
+            SELECT k, s.seed,
+                   CAST(('0x' || SUBSTR(MD5(s.seed || ':' || k), 1, 4))
+                        AS INTEGER) % 1024 AS bucket
+            FROM keyed,
+                 (SELECT UNNEST(['0', '1', '2', '3']) AS seed) AS s
+        ),
+        cells AS (
+            SELECT seed, bucket, COUNT(*) AS cell_cnt
+            FROM probes GROUP BY seed, bucket
+        ),
+        exact AS (
+            SELECT k, COUNT(*) AS exact_cnt FROM keyed GROUP BY k
+        ),
+        top AS (
+            SELECT k, exact_cnt,
+                   ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, k) AS rnk
+            FROM exact QUALIFY rnk <= 20
+        ),
+        est AS (
+            SELECT t.k, t.exact_cnt, t.rnk,
+                   CAST(MIN(c.cell_cnt) AS BIGINT) AS cms_est
+            FROM top t
+            JOIN (SELECT DISTINCT k, seed, bucket FROM probes) p
+              ON p.k = t.k
+            JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+            GROUP BY t.k, t.exact_cnt, t.rnk
+        )
+        SELECT k AS user_key, rnk, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+               cms_est, cms_est >= exact_cnt AS never_undercounts,
+               CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+        FROM est
+    """,
+    doc="Count-Min sketch heavy hitters, built from PORTABLE primitives "
+    "(md5 16-bit bucketing, depth 4 x width 1024) so Spark and the "
+    "DuckDB oracle compute bit-identical sketches — unlike the opaque "
+    "binary of count_min_sketch(), every cell here is a queryable row "
+    "and the CMS guarantee (estimate never undercounts; overcount "
+    "bounded by collisions) is ASSERTED per key in the result. The "
+    "sketch is mergeable by construction: cells are plain (seed, "
+    "bucket) counts, so shards combine by cell-wise SUM — the partial+"
+    "final hash aggregate does exactly that, shuffling at most "
+    "4x1024 cells per map task regardless of input size. Estimates "
+    "come from a broadcast join of the 80 probe rows against the "
+    "<=4096-cell table. At 100 TB this replaces a full groupBy on a "
+    "hot high-cardinality key with constant-size state — the same "
+    "partial-aggregation economics as the HLL/bitmap pair "
+    "(agg_sketch_mergeable / agg_bitmap_distinct), for frequency "
+    "instead of cardinality.",
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    DEPTH, WIDTH, TOPK = 4, 1024, 20
+    e = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def bucket(seed: int):
+        h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("k")))
+        return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % WIDTH
+
+    probes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(str(s)).alias("seed"), bucket(s).alias("bucket")
+            )
+            for s in range(DEPTH)
+        ]
+    )
+    probed = e.select("k", F.explode(probes_arr).alias("p")).select(
+        "k", F.col("p.seed").alias("seed"), F.col("p.bucket").alias("bucket")
+    )
+    cells = probed.groupBy("seed", "bucket").agg(F.count("*").alias("cell_cnt"))
+
+    exact = e.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    from pyspark.sql import Window as W
+
+    top = (
+        exact.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("exact_cnt").desc(), F.col("k"))
+            ),
+        )
+        .filter(F.col("rnk") <= TOPK)
+    )
+    top_probes = top.select(
+        "k", "exact_cnt", "rnk", F.explode(probes_arr).alias("p")
+    ).select("k", "exact_cnt", "rnk", "p.seed", "p.bucket")
+    est = (
+        top_probes.join(broadcast(cells), ["seed", "bucket"])
+        .groupBy("k", "exact_cnt", "rnk")
+        .agg(F.min("cell_cnt").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("user_key"),
+        "rnk",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
