@@ -80,6 +80,12 @@ BENCH_QUERIES = (
     "ts_cusum_drift",
     "mm_audio_energy",
     "llm_dedup_fuzzy_blocked",
+    # round-6 second batch: frame-recomputed rolling percentiles (the
+    # heaviest window shape), the portable CMS build (4x explode +
+    # cell aggregate), and the Morton-key layout probe
+    "ts_rolling_robust",
+    "agg_cms_heavy_hitters",
+    "maintenance_zorder",
 )
 
 

@@ -618,3 +618,97 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)"
         ).alias("total_cents"),
     )
+
+
+def _morton_spread(expr: str) -> str:
+    """16-bit -> even-bit spread (classic magic-number interleave step),
+    spelled with `<<` / `&` so the SAME string parses in Spark SQL and
+    DuckDB (masks in decimal: 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
+    0x55555555)."""
+    x = f"({expr})"
+    x = f"(({x} | ({x} << 8)) & 16711935)"
+    x = f"(({x} | ({x} << 4)) & 252645135)"
+    x = f"(({x} | ({x} << 2)) & 858993459)"
+    x = f"(({x} | ({x} << 1)) & 1431655765)"
+    return x
+
+
+def _zorder_sql(intdiv: str) -> str:
+    """The full z-order layout probe, parameterized only by the
+    integer-division spelling (`DIV` in Spark, `//` in DuckDB)."""
+    b_pk = f"((l_partkey - lo_pk) * 65535 {intdiv} GREATEST(hi_pk - lo_pk, 1))"
+    b_sk = f"((l_suppkey - lo_sk) * 65535 {intdiv} GREATEST(hi_sk - lo_sk, 1))"
+    zkey = f"({_morton_spread(b_pk)} | ({_morton_spread(b_sk)} << 1))"
+    return f"""
+        WITH ext AS (
+            SELECT MIN(l_partkey) AS lo_pk, MAX(l_partkey) AS hi_pk,
+                   MIN(l_suppkey) AS lo_sk, MAX(l_suppkey) AS hi_sk
+            FROM lineitem
+        ),
+        keyed AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST({zkey} {intdiv} 67108864 AS BIGINT) AS zbucket
+            FROM lineitem, ext
+        )
+        SELECT zbucket,
+               COUNT(*) AS n_rows,
+               MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+               MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk,
+               CAST(MAX(l_partkey) - MIN(l_partkey) AS BIGINT) AS pk_span,
+               CAST(MAX(l_suppkey) - MIN(l_suppkey) AS BIGINT) AS sk_span
+        FROM keyed
+        GROUP BY zbucket
+    """
+
+
+@register(
+    "maintenance_zorder",
+    oracle=_zorder_sql("//"),
+    doc="Z-order (Morton) clustering — multi-dimensional data skipping, "
+    "the public Delta/Databricks OPTIMIZE ZORDER technique: interleave "
+    "the bits of two range-bucketed dimensions so that sorting by ONE "
+    "key co-locates rows that are close in BOTH, giving parquet "
+    "min/max footer pruning on either predicate column. The registered "
+    "result is the layout PROOF, not a side effect: rows are assigned "
+    "to 64 z-buckets (the files a repartitionByRange(zkey) write would "
+    "produce) and each bucket reports its min/max/span per dimension — "
+    "z-ordered buckets have spans ~sqrt(bucket_share) of the domain in "
+    "EACH dim, where a single-column sort gives perfect spans in one "
+    "dim and full-domain spans in the other. All arithmetic is BIGINT "
+    "bit twiddling (`<<`/`&`/`|`, shared verbatim with the oracle), "
+    "hash-exact. Plan: tiny extrema agg broadcast back, narrow map for "
+    "the zkey, one 64-group aggregate — at 100 TB the real write is "
+    "repartitionByRange + sortWithinPartitions on zkey (one range "
+    "shuffle, the same cost as any global sort), after which every "
+    "engine that reads footers prunes on both dims; see "
+    "tests/test_zorder_layout.py for the parquet-footer proof.",
+)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    ext = l.agg(
+        F.min("l_partkey").alias("lo_pk"),
+        F.max("l_partkey").alias("hi_pk"),
+        F.min("l_suppkey").alias("lo_sk"),
+        F.max("l_suppkey").alias("hi_sk"),
+    ).withColumn("one", F.lit(1))
+    b_pk = "((l_partkey - lo_pk) * 65535 DIV GREATEST(hi_pk - lo_pk, 1))"
+    b_sk = "((l_suppkey - lo_sk) * 65535 DIV GREATEST(hi_sk - lo_sk, 1))"
+    zkey = f"({_morton_spread(b_pk)} | ({_morton_spread(b_sk)} << 1))"
+    keyed = (
+        l.withColumn("one", F.lit(1))
+        .join(F.broadcast(ext), "one")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr(f"CAST({zkey} DIV 67108864 AS BIGINT)").alias("zbucket"),
+        )
+    )
+    return keyed.groupBy("zbucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+        (F.max("l_partkey") - F.min("l_partkey")).cast("long").alias("pk_span"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).cast("long").alias("sk_span"),
+    )
