@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import table
-from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import (
+    dsum,
+    sql_dsum,
+    sql_dsum_exact,
+    sql_price,
+    sql_rate,
+)
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -711,4 +717,113 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_suppkey").alias("max_sk"),
         (F.max("l_partkey") - F.min("l_partkey")).cast("long").alias("pk_span"),
         (F.max("l_suppkey") - F.min("l_suppkey")).cast("long").alias("sk_span"),
+    )
+
+
+#: (abs sf_dir) -> path of the persisted join-aggregate state this
+#: process wrote (write-once per process+sf, the sinks idempotency
+#: discipline).
+_IVM_STATE: dict[str, str] = {}
+
+#: Portable 10%-of-keys "latest ingest batch" selectors. Hash-based ON
+#: PURPOSE (not a date cutoff): real pipelines receive LATE-ARRIVING
+#: rows on both sides of a join, so the maintenance algebra must hold
+#: for arbitrary delta membership — a date cut would (here) leave the
+#: new-orders x old-shipments quadrant provably empty (TPC-H ships
+#: after ordering) and silently skip one of the three delta terms.
+_IVM_ORD_DELTA = (
+    "conv(substring(md5(concat('O:', CAST(o_orderkey AS STRING))), 1, 4), 16, 10)"
+    " % 10 = 9"
+)
+_IVM_LI_DELTA = (
+    "conv(substring(md5(concat('L:', CAST(l_orderkey AS STRING), '-', "
+    "CAST(l_linenumber AS STRING))), 1, 4), 16, 10) % 10 = 9"
+)
+
+
+def _ivm_partials(joined: DataFrame) -> DataFrame:
+    """Per-priority partial aggregates of a (sub)join in MERGEABLE form:
+    count + exact-decimal revenue (decimal survives the merge; the
+    double cast happens once after the final re-aggregation)."""
+    from solarflare_etl_pipeline_spark.functions.numeric import price_dec, rate_dec
+
+    revenue = price_dec("l_extendedprice") * (1 - rate_dec("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(revenue).alias("revenue_dec"),
+    )
+
+
+def ensure_ivm_join_state(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the old-orders x old-lineitems join aggregate exactly
+    once per (process, sf) — the state all previous maintenance runs
+    accreted. One row per priority: constant-sized at any history."""
+    key = os.path.abspath(sf_dir)
+    path = _IVM_STATE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_ivm_join_{os.path.basename(key)}_{os.getpid()}",
+        )
+        o_old = table(spark, sf_dir, "orders").where(f"NOT ({_IVM_ORD_DELTA})")
+        l_old = table(spark, sf_dir, "lineitem").where(f"NOT ({_IVM_LI_DELTA})")
+        state = _ivm_partials(
+            o_old.join(l_old, o_old.o_orderkey == l_old.l_orderkey)
+        )
+        state.write.mode("overwrite").parquet(path)
+        _IVM_STATE[key] = path
+    return path
+
+
+@register(
+    "sink_incremental_join",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_items,
+               {sql_dsum_exact(f"{sql_price('l_extendedprice')} * (1 - {sql_rate('l_discount')})", 'revenue')}
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    doc="Incremental view maintenance for a JOIN-aggregate — the "
+    "textbook delta algebra (O+dO)x(L+dL) = OxL + dOxL + OxdL + dOxdL "
+    "realized as a Spark plan: the OxL term is persisted aggregate "
+    "state (per-priority count + exact-decimal revenue, mergeable "
+    "form), the three delta terms are computed fresh against a "
+    "hash-selected 10% 'latest ingest batch' ON EACH SIDE, and one "
+    "rollup-sized union+re-aggregation produces the maintained view. "
+    "The oracle states the soundness invariant: merged deltas == "
+    "one-shot join-aggregate over all of history. Deltas are hash-"
+    "membership (late-arriving rows), not a date cut — a cut would "
+    "leave the new-orders x old-shipments quadrant empty here and "
+    "untested. Cost per run is O(|dO| x fanout + |dL| + state), never "
+    "a full OxL recompute; at 100 TB the two delta-vs-history joins "
+    "are the co-located bucketed-join shape (history bucketed by "
+    "orderkey, see join_bucketed) and the state is |priorities| rows. "
+    "On an ACID format the final re-agg becomes MERGE INTO on the "
+    "group key; the algebra and costs are identical.",
+)
+def sink_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.functions.numeric import dsum_exact
+
+    state = spark.read.parquet(ensure_ivm_join_state(spark, sf_dir))
+    o_old = table(spark, sf_dir, "orders").where(f"NOT ({_IVM_ORD_DELTA})")
+    o_new = table(spark, sf_dir, "orders").where(_IVM_ORD_DELTA)
+    l_old = table(spark, sf_dir, "lineitem").where(f"NOT ({_IVM_LI_DELTA})")
+    l_new = table(spark, sf_dir, "lineitem").where(_IVM_LI_DELTA)
+
+    deltas = [
+        _ivm_partials(o_new.join(l_old, o_new.o_orderkey == l_old.l_orderkey)),
+        _ivm_partials(o_old.join(l_new, o_old.o_orderkey == l_new.l_orderkey)),
+        _ivm_partials(o_new.join(l_new, o_new.o_orderkey == l_new.l_orderkey)),
+    ]
+    merged = state
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").alias("n_items"),
+            dsum_exact(F.col("revenue_dec"), "revenue"),
+        )
+        .select("o_orderpriority", "n_items", "revenue")
     )

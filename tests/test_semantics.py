@@ -809,3 +809,21 @@ def test_pca_power_invariants(spark, sf_dir):
     # (measured 0.9986 at sf0.01), not a convergence failure.
     cos = float(w @ v / (np.linalg.norm(w) * np.linalg.norm(v)))
     assert cos > 0.99, f"not converged: cos={cos}"
+
+
+def test_ivm_join_quadrants_all_nonempty(spark, sf_dir):
+    """The IVM delta algebra (sink_incremental_join) is only exercised
+    if all four join quadrants actually hold rows — a date-based delta
+    would leave new-orders x old-shipments empty (TPC-H ships after
+    ordering) and silently skip one delta term. The hash-membership
+    deltas must populate every quadrant."""
+    from solarflare_etl_pipeline_spark.catalog import table
+    from solarflare_etl_pipeline_spark.sinks import _IVM_LI_DELTA, _IVM_ORD_DELTA
+
+    o_new = table(spark, sf_dir, "orders").where(_IVM_ORD_DELTA)
+    o_old = table(spark, sf_dir, "orders").where(f"NOT ({_IVM_ORD_DELTA})")
+    l_new = table(spark, sf_dir, "lineitem").where(_IVM_LI_DELTA)
+    l_old = table(spark, sf_dir, "lineitem").where(f"NOT ({_IVM_LI_DELTA})")
+    for o, l in ((o_old, l_new), (o_new, l_old), (o_new, l_new)):
+        n = o.join(l, o.o_orderkey == l.l_orderkey).count()
+        assert n > 0, "empty delta quadrant — algebra not exercised"
