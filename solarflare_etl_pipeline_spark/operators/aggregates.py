@@ -963,3 +963,237 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercounts"),
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+@register(
+    "agg_spearman",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag AS grp,
+                   2 * AVG(rx) OVER (PARTITION BY l_returnflag, l_quantity)
+                       AS drx,
+                   2 * AVG(ry) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                       AS dry
+            FROM (
+                SELECT l_returnflag, l_quantity, l_extendedprice,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_quantity, l_orderkey, l_linenumber)
+                            AS BIGINT) AS rx,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                            AS BIGINT) AS ry
+                FROM lineitem
+            )
+        ),
+        sums AS (
+            SELECT grp, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(drx AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(dry AS DECIMAL(30,8))) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(SUM(CAST(drx * dry AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(SUM(CAST(drx * drx AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(dry * dry AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
+            FROM ranked GROUP BY grp
+        )
+        SELECT grp, n,
+               ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS spearman
+        FROM sums
+    """,
+    doc="Spearman rank correlation per group — the robust (monotone-"
+    "invariant, outlier-resistant) complement of agg_corr's Pearson: "
+    "rank-transform both variables with AVERAGE ranks for ties "
+    "(row_number over a unique total order, then AVG over the tie "
+    "class — the tie average is independent of the tiebreak), then "
+    "Pearson on the ranks. Hash-portability: doubled ranks are exact "
+    "integers (tie averages are .5-multiples), every sum routes "
+    "through decimal accumulation (rule 2), and the final formula is "
+    "one identical double expression tree rounded to 6 decimals. The "
+    "fixture's quantity and price are independent by construction, so "
+    "near-zero rho IS the correct answer; ties in quantity (50 "
+    "distinct values over ~2k rows/group) exercise the average-rank "
+    "path heavily. Plan: two rank windows + one tie-average window "
+    "inside the same l_returnflag partitioning (one shuffle), then a "
+    "3-group aggregate. At 100 TB ranking is the per-group sort — the "
+    "same cost envelope as any global order statistic; for a sketch "
+    "alternative at extreme scale, rank via approx_percentile buckets "
+    "(documented, not registered).",
+)
+def agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    rx = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(
+            "l_quantity", "l_orderkey", "l_linenumber"
+        )
+    )
+    ry = F.row_number().over(
+        W.partitionBy("l_returnflag").orderBy(
+            "l_extendedprice", "l_orderkey", "l_linenumber"
+        )
+    )
+    base = l.select(
+        F.col("l_returnflag").alias("grp"),
+        "l_quantity",
+        "l_extendedprice",
+        rx.cast("long").alias("rx"),
+        ry.cast("long").alias("ry"),
+    )
+    ranked = base.select(
+        "grp",
+        (2 * F.avg("rx").over(W.partitionBy("grp", "l_quantity"))).alias("drx"),
+        (2 * F.avg("ry").over(W.partitionBy("grp", "l_extendedprice"))).alias(
+            "dry"
+        ),
+    )
+    sums = ranked.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("drx").cast("decimal(30,8)")).cast("double").alias("sx"),
+        F.sum(F.col("dry").cast("decimal(30,8)")).cast("double").alias("sy"),
+        F.sum((F.col("drx") * F.col("dry")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("drx") * F.col("drx")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("dry") * F.col("dry")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return sums.select(
+        "grp",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("spearman"),
+    )
+
+
+@register(
+    "agg_bloom_membership",
+    oracle="""
+        WITH members AS (
+            SELECT CAST(s_suppkey AS VARCHAR) AS k
+            FROM supplier WHERE s_suppkey % 7 = 0
+        ),
+        seeds AS (SELECT UNNEST(['0', '1', '2']) AS seed),
+        bits AS (
+            SELECT DISTINCT seed,
+                   CAST(('0x' || SUBSTR(MD5(seed || ':' || k), 1, 4))
+                        AS INTEGER) % 1024 AS pos
+            FROM members, seeds
+        ),
+        probes AS (
+            SELECT l.l_suppkey,
+                   CAST(l.l_suppkey AS VARCHAR) AS k,
+                   l.l_returnflag,
+                   ROW_NUMBER() OVER () AS rid
+            FROM lineitem l
+        ),
+        hits AS (
+            SELECT p.l_suppkey, p.l_returnflag,
+                   COUNT(b.pos) = 3 AS bloom_maybe
+            FROM (
+                SELECT l_suppkey, l_returnflag, rid, s.seed,
+                       CAST(('0x' || SUBSTR(MD5(s.seed || ':' || k), 1, 4))
+                            AS INTEGER) % 1024 AS pos
+                FROM probes, seeds s
+            ) p
+            LEFT JOIN bits b ON b.seed = p.seed AND b.pos = p.pos
+            GROUP BY p.l_suppkey, p.l_returnflag, p.rid
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (l_suppkey % 7 = 0) AS n_exact_member,
+               COUNT(*) FILTER (bloom_maybe) AS n_bloom_positive,
+               COUNT(*) FILTER (bloom_maybe AND l_suppkey % 7 <> 0)
+                   AS n_false_positive,
+               COUNT(*) FILTER (l_suppkey % 7 = 0 AND NOT bloom_maybe) = 0
+                   AS no_false_negatives
+        FROM hits
+        GROUP BY l_returnflag
+    """,
+    doc="Explicit portable Bloom filter — the MEMBERSHIP sketch "
+    "completing the mergeable family (CMS agg_cms_heavy_hitters = "
+    "frequency, HLL agg_sketch_mergeable = cardinality, bitmap "
+    "agg_bitmap_distinct = exact distinct): a supplier denylist is "
+    "folded to k=3 md5 bit positions in an m=1024 filter represented "
+    "as ROWS of distinct (seed, pos) — not opaque binary — so Spark "
+    "and the oracle build bit-identical filters, filters from shards "
+    "merge by plain DISTINCT union, and the filter persists as an "
+    "ordinary table reusable across jobs (unlike join_runtime_bloom's "
+    "per-query engine-injected bloom). The probe side explodes each "
+    "fact row to its 3 positions and broadcast-left-joins the <=3072-"
+    "row bit table; all-3-hit = maybe-member. The result asserts the "
+    "Bloom contract per group: ZERO false negatives (theorem, checked "
+    "as a column) and a counted, bounded false-positive overshoot. At "
+    "100 TB the filter stays KB-sized and the probe is a narrow map + "
+    "broadcast join at scan speed — the pre-filter that turns a "
+    "denylist anti-join into a two-stage skip-most-rows plan.",
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K, M = 3, 1024
+    sup = table(spark, sf_dir, "supplier").where("s_suppkey % 7 = 0").select(
+        F.col("s_suppkey").cast("string").alias("k")
+    )
+
+    def positions(key_col):
+        return [
+            F.struct(
+                F.lit(str(s)).alias("seed"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{s}:"), key_col)), 1, 4
+                        ),
+                        16,
+                        10,
+                    ).cast("int")
+                    % M
+                ).alias("pos"),
+            )
+            for s in range(K)
+        ]
+    bits = (
+        sup.select(F.explode(F.array(*positions(F.col("k")))).alias("b"))
+        .select("b.seed", "b.pos")
+        .distinct()
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_returnflag")
+    probes = l.withColumn("rid", F.monotonically_increasing_id()).select(
+        "l_suppkey",
+        "l_returnflag",
+        "rid",
+        F.explode(
+            F.array(*positions(F.col("l_suppkey").cast("string")))
+        ).alias("p"),
+    ).select("l_suppkey", "l_returnflag", "rid", "p.seed", "p.pos")
+    hit = F.col("bpos").isNotNull()
+    hits = (
+        probes.join(
+            F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+            (probes.seed == bits.seed) & (probes.pos == F.col("bpos")),
+            "left",
+        )
+        .groupBy("l_suppkey", "l_returnflag", "rid")
+        .agg((F.sum(hit.cast("int")) == K).alias("bloom_maybe"))
+    )
+    member = F.col("l_suppkey") % 7 == 0
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(member.cast("long")).alias("n_exact_member"),
+        F.sum(F.col("bloom_maybe").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("bloom_maybe") & ~member).cast("long")).alias(
+            "n_false_positive"
+        ),
+        (F.sum((member & ~F.col("bloom_maybe")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+    )

@@ -27,6 +27,10 @@ DELIBERATE_CROSS = {
     # broadcast of a SINGLE-ROW scalar (the epoch-midpoint cut) onto the
     # stream — an N×1 broadcast nested loop, not a data-scale product
     "dq_histogram_drift",
+    # broadcast of the SINGLE-ROW global-extrema aggregate onto the fact
+    # scan (the constant 'one' key folds away, leaving an N×1 broadcast
+    # nested loop) — same shape as dq_histogram_drift, not a product
+    "maintenance_zorder",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
