@@ -150,3 +150,86 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return v1.unionAll(v2)
+
+
+@register(
+    "merge_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT o_orderkey AS k, 0 AS seq, 'B' AS op,
+                   o_orderstatus AS status, o_totalprice AS price
+            FROM orders WHERE o_orderkey % 100 < 90
+            UNION ALL
+            SELECT o_orderkey, 1, 'I', o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 100 >= 90
+            UNION ALL
+            SELECT o_orderkey, 2, 'U', 'X', o_totalprice * 1.1
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT o_orderkey, 3, 'D', NULL, NULL
+            FROM orders WHERE o_orderkey % 10 = 7
+        )
+        SELECT k AS o_orderkey, status, price, op AS last_op
+        FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+           AND op <> 'D'
+    """,
+    doc="CDC changelog apply — the missing third of the merge family "
+    "(merge_upsert: unordered U/I via full join; merge_scd2: history "
+    "preservation; THIS: an ORDERED insert/update/delete log compacted "
+    "and applied, the Debezium/binlog-consumer shape). The base "
+    "snapshot enters as op 'B' at seq 0, the log carries I (new keys), "
+    "U (status rewrite + repriced), and D (tombstones); the net state "
+    "is one window pass — latest seq per key wins, tombstoned keys "
+    "vanish. Compaction and apply are THE SAME single shuffle on the "
+    "key: at 100 TB you compact the day's log first (log-sized "
+    "window), then merge log-vs-snapshot with the snapshot bucketed on "
+    "the key so only the log moves; the plan here fuses both because "
+    "the fixture base is table-sized. Deletes are the part "
+    "merge_upsert cannot express — a full-join CASE keeps unmatched "
+    "target rows, while a tombstone must REMOVE them.",
+)
+def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.where("o_orderkey % 100 < 90").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(0).alias("seq"),
+        F.lit("B").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    ins = o.where("o_orderkey % 100 >= 90").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = o.where("o_orderkey % 10 = 3").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+    )
+    dele = o.where("o_orderkey % 10 = 7").select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    from pyspark.sql import Window as W
+
+    log = base.unionByName(ins).unionByName(upd).unionByName(dele)
+    rn = F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
+    return (
+        log.withColumn("rn", rn)
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "status",
+            "price",
+            F.col("op").alias("last_op"),
+        )
+    )
