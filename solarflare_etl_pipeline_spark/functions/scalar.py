@@ -486,3 +486,76 @@ def fn_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide("l_extendedprice", "l_quantity"), F.lit(0.0)
         ).alias("unit_price_or_zero"),
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+        WITH conv AS (
+            SELECT event_id,
+                   CAST(ts AS TIMESTAMP) AS ts_utc,
+                   CAST(timezone('America/New_York',
+                        CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                        AS TIMESTAMP) AS local_ny,
+                   CAST(timezone('Australia/Lord_Howe',
+                        CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                        AS TIMESTAMP) AS local_lordhowe,
+                   CAST(timezone('Asia/Kolkata',
+                        CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')
+                        AS TIMESTAMP) AS local_kolkata
+            FROM events
+        )
+        SELECT event_id, ts_utc, local_ny, local_lordhowe, local_kolkata,
+               CAST((EPOCH_US(local_ny) - EPOCH_US(ts_utc)) // 60000000
+                    AS BIGINT) AS offset_min_ny,
+               CAST((EPOCH_US(local_lordhowe) - EPOCH_US(ts_utc)) // 60000000
+                    AS BIGINT) AS offset_min_lordhowe,
+               CAST(ISODOW(local_ny) AS INT) AS ny_isodow,
+               CAST(HOUR(local_ny) AS INT) AS ny_hour,
+               ISODOW(local_ny) <= 5 AND HOUR(local_ny) BETWEEN 9 AND 16
+                   AS is_ny_business_hours
+        FROM conv
+    """,
+    doc="IANA timezone conversion — the calendar correctness layer "
+    "fn_date/fn_date_format omit: UTC event instants rendered in three "
+    "deliberately awkward zones (America/New_York: negative offset + "
+    "DST; Australia/Lord_Howe: +10:30 base with a HALF-HOUR DST step, "
+    "active during the fixture's January so the emitted offset is "
+    "+11:00; Asia/Kolkata: permanent +5:30 — the zones that break "
+    "every hand-rolled hour-offset hack), plus derived local business "
+    "calendars (ISO weekday, local hour, business-hours flag) and the "
+    "realized offset in minutes computed from the epoch difference — "
+    "so a DST transition inside the data range would surface as a "
+    "mixed-offset group. Spark's from_utc_timestamp and DuckDB's "
+    "timezone() both delegate to the host IANA tzdb and agree to the "
+    "microsecond across DST edges (spring-forward skip and fall-back "
+    "repeat pinned in tests/test_semantics.py); the oracle interprets "
+    "instants via AT TIME ZONE 'UTC' so it is immune to the oracle "
+    "session's TimeZone setting. Narrow map over the scan — zero "
+    "shuffle at any scale; the practical 100 TB use is localizing "
+    "event time before per-market daily rollups, where doing it wrong "
+    "by a fixed offset misbuckets every row within DST of a "
+    "boundary.",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    lh = F.from_utc_timestamp("ts", "Australia/Lord_Howe")
+    kk = F.from_utc_timestamp("ts", "Asia/Kolkata")
+    off_ny = ((F.unix_micros(ny) - F.unix_micros(F.col("ts").cast("timestamp"))) / F.lit(60000000)).cast("long")
+    off_lh = ((F.unix_micros(lh) - F.unix_micros(F.col("ts").cast("timestamp"))) / F.lit(60000000)).cast("long")
+    isodow = (F.weekday(ny) + 1).cast("int")
+    return e.select(
+        "event_id",
+        F.col("ts").alias("ts_utc"),
+        ny.alias("local_ny"),
+        lh.alias("local_lordhowe"),
+        kk.alias("local_kolkata"),
+        off_ny.alias("offset_min_ny"),
+        off_lh.alias("offset_min_lordhowe"),
+        isodow.alias("ny_isodow"),
+        F.hour(ny).cast("int").alias("ny_hour"),
+        ((F.weekday(ny) + 1 <= 5) & F.hour(ny).between(9, 16)).alias(
+            "is_ny_business_hours"
+        ),
+    )

@@ -827,3 +827,45 @@ def test_ivm_join_quadrants_all_nonempty(spark, sf_dir):
     for o, l in ((o_old, l_new), (o_new, l_old), (o_new, l_new)):
         n = o.join(l, o.o_orderkey == l.l_orderkey).count()
         assert n > 0, "empty delta quadrant — algebra not exercised"
+
+
+def test_timezone_dst_edges_match_oracle(spark, oracle):
+    """Pin fn_timezone's engine agreement AT the DST boundaries (the
+    fixture's January range has none): the US spring-forward skip
+    (02:xx doesn't exist) and fall-back repeat (01:xx happens twice)
+    must render identically in Spark and DuckDB, including Lord Howe's
+    half-hour DST step."""
+    from pyspark.sql import functions as F
+
+    probes = [
+        "2024-03-10 06:59:00",  # NY 01:59 EST (-5)
+        "2024-03-10 07:01:00",  # NY 03:01 EDT (-4): 02:xx skipped
+        "2024-11-03 05:59:00",  # NY 01:59 EDT (first pass)
+        "2024-11-03 06:01:00",  # NY 01:01 EST (second pass)
+        "2024-04-06 15:59:00",  # Lord Howe 02:29 +10:30 -> DST end edge
+        "2024-04-06 16:01:00",  # Lord Howe 02:01 +10:00? no: +10:30 std
+    ]
+    sdf = spark.createDataFrame([(p,) for p in probes], "ts string").select(
+        F.date_format(
+            F.from_utc_timestamp(F.to_timestamp("ts"), "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("ny"),
+        F.date_format(
+            F.from_utc_timestamp(F.to_timestamp("ts"), "Australia/Lord_Howe"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("lh"),
+    )
+    got = [(r.ny, r.lh) for r in sdf.collect()]
+    lits = ", ".join(f"TIMESTAMP'{p}'" for p in probes)
+    want = oracle.sql(
+        f"""
+        SELECT STRFTIME(CAST(timezone('America/New_York', ts AT TIME ZONE 'UTC')
+                         AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+               STRFTIME(CAST(timezone('Australia/Lord_Howe', ts AT TIME ZONE 'UTC')
+                         AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        FROM (SELECT UNNEST([{lits}]) AS ts)
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    # and the spring-forward gap really skips: no NY wall time in 02:xx
+    assert not any(g[0][11:13] == "02" for g in got[:2])
