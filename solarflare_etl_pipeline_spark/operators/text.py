@@ -1254,3 +1254,56 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+@register(
+    "llm_bpe_pairs",
+    oracle="""
+        WITH pairs AS (
+            SELECT SUBSTR(d.text, CAST(i AS INT), 2) AS pair
+            FROM documents d, UNNEST(range(1, LEN(d.text))) AS g(i)
+            WHERE LEN(d.text) >= 2
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair)
+                    AS BIGINT) AS rnk,
+               pair,
+               COUNT(*) AS n_occurrences
+        FROM pairs GROUP BY pair
+        QUALIFY rnk <= 30
+    """,
+    doc="Byte-pair frequency census — the inner loop of BPE tokenizer "
+    "training (round one: count every adjacent symbol pair, the merge "
+    "candidate list): each document explodes to its length-1 adjacent "
+    "character bigrams via sequence+substring (all JVM built-ins, no "
+    "Python), partial+final hash aggregate over the ~alphabet^2-"
+    "bounded pair space, then a top-30 ranking with binary-collation "
+    "tiebreak. Complements llm_bigram_pmi (WORD pairs, association "
+    "strength) at the sub-word layer where tokenizers are actually "
+    "built. Scale: the explode is narrow (factor = document length, "
+    "the same cost as reading the text twice); the shuffle carries "
+    "only distinct-pair partials per task (bounded by charset^2, "
+    "KBs), and the final ranking window runs over that bounded set — "
+    "at 100 TB this is a scan-speed map + constant-size reduce, which "
+    "is why full-corpus BPE training is tractable at all. Successive "
+    "merge rounds re-run the same plan over retokenized text (driver-"
+    "side loop, like graph_pagerank's bounded iteration).",
+)
+def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.char_length("text") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.sequence(F.lit(1), F.char_length("text") - 1)
+        ).alias("i"),
+        "text",
+    ).select(F.expr("substring(text, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n_occurrences"))
+    rnk = F.row_number().over(
+        W.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    )
+    return (
+        counted.withColumn("rnk", rnk.cast("long"))
+        .where(F.col("rnk") <= 30)
+        .select("rnk", "pair", "n_occurrences")
+    )
