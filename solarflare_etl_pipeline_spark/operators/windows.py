@@ -394,3 +394,73 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_last_hour"),
         F.sum("v3").over(w).alias("v3_sum_last_hour"),
     )
+
+
+@register(
+    "win_pattern_match",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS journey
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(LEN(journey) AS BIGINT) AS seq_len,
+               CAST(LEN(journey) - LEN(REPLACE(journey, 'p', ''))
+                    AS BIGINT) AS n_purchases,
+               REGEXP_MATCHES(journey, 'v[^e]*p')
+                   AS view_to_purchase_clean,
+               REGEXP_MATCHES(journey, 's.*p') AS signup_then_purchase,
+               REGEXP_MATCHES(journey, 'ee') AS has_double_error,
+               SUBSTR(journey, 1, 3) AS first3
+        FROM seq
+    """,
+    doc="Sequence-pattern matching over per-entity event journeys — the "
+    "MATCH_RECOGNIZE family expressed Spark-first: each user's ordered "
+    "event stream collapses to a compact symbol string (one letter per "
+    "event type; ordering made total by the (ts, event_id) tiebreak so "
+    "collect_list is deterministic at any parallelism), and behavioral "
+    "patterns become ordinary regexes over that string — 'a view that "
+    "reaches purchase with no intervening error' is 'v[^e]*p', "
+    "impossible to state with per-row window flags but trivial on the "
+    "journey. The chosen patterns stay in the regex intersection both "
+    "engines implement identically (character classes, literals, "
+    "greedy stars — no backrefs/lookahead, which RE2-based DuckDB "
+    "lacks). One user_id shuffle; journey length is bounded by "
+    "per-entity activity, not corpus size, and the regex pass is a "
+    "narrow map over |users| rows. At 100 TB guard the collect with a "
+    "per-user event cap (topk_per_group's WindowGroupLimit shape) if "
+    "entities can be unbounded.",
+)
+def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    letter = F.substring("event_type", 1, 1)
+    seq = (
+        e.select("user_id", "ts", "event_id", letter.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "c"))
+                    ),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    j = F.col("journey")
+    return seq.select(
+        "user_id",
+        F.char_length(j).cast("long").alias("seq_len"),
+        (
+            F.char_length(j) - F.char_length(F.replace(j, F.lit("p"), F.lit("")))
+        ).cast("long").alias("n_purchases"),
+        j.rlike("v[^e]*p").alias("view_to_purchase_clean"),
+        j.rlike("s.*p").alias("signup_then_purchase"),
+        j.rlike("ee").alias("has_double_error"),
+        F.substring(j, 1, 3).alias("first3"),
+    )
