@@ -559,3 +559,65 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_ny_business_hours"
         ),
     )
+
+
+@register(
+    "fn_winsorize",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        fences AS (
+            SELECT event_type,
+                   QUANTILE_CONT(v3, 0.25) - 1.5 *
+                       (QUANTILE_CONT(v3, 0.75) - QUANTILE_CONT(v3, 0.25))
+                       AS lo_fence,
+                   QUANTILE_CONT(v3, 0.75) + 1.5 *
+                       (QUANTILE_CONT(v3, 0.75) - QUANTILE_CONT(v3, 0.25))
+                       AS hi_fence
+            FROM q GROUP BY event_type
+        )
+        SELECT q.event_id, q.event_type, q.v3,
+               GREATEST(f.lo_fence, LEAST(f.hi_fence, CAST(q.v3 AS DOUBLE)))
+                   AS v3_winsorized,
+               q.v3 < f.lo_fence OR q.v3 > f.hi_fence AS was_clipped
+        FROM q JOIN fences f USING (event_type)
+    """,
+    doc="Winsorization at Tukey fences — the clip-the-tails feature-"
+    "prep step (robust alternative to z-score clipping; the WRITE "
+    "counterpart of ts_mad_outliers/ts_rolling_robust, which only "
+    "FLAG): per-type interquartile fences (q1/q3 at dyadic quarter "
+    "fractions on milli-quantized BIGINTs, so every fence is an exact "
+    "double and the clip compare never sits on a rounding edge), "
+    "values clamped into [q1-1.5*IQR, q3+1.5*IQR] with a was_clipped "
+    "audit flag. Plan: one per-type percentile aggregate (a |types|-"
+    "row table, broadcast back) + a narrow clamp map — no data-sized "
+    "shuffle; at 100 TB swap the exact percentile for "
+    "approx_percentile (mergeable sketch, same plan shape) when types "
+    "carry billions of rows each.",
+)
+def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    q1 = F.percentile("v3", F.lit(0.25))
+    q3 = F.percentile("v3", F.lit(0.75))
+    fences = q.groupBy("event_type").agg(
+        (q1 - 1.5 * (q3 - q1)).alias("lo_fence"),
+        (q3 + 1.5 * (q3 - q1)).alias("hi_fence"),
+    )
+    v = F.col("v3").cast("double")
+    return q.join(F.broadcast(fences), "event_type").select(
+        "event_id",
+        "event_type",
+        "v3",
+        F.greatest(F.col("lo_fence"), F.least(F.col("hi_fence"), v)).alias(
+            "v3_winsorized"
+        ),
+        ((v < F.col("lo_fence")) | (v > F.col("hi_fence"))).alias("was_clipped"),
+    )
