@@ -828,3 +828,235 @@ def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "agg_gini",
+    oracle="""
+        WITH spend AS (
+            SELECT c.c_mktsegment AS segment, c.c_custkey,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT segment, cents,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                        ORDER BY cents, c_custkey) AS BIGINT) AS i
+            FROM spend
+        ),
+        sums AS (
+            SELECT segment, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(cents AS DECIMAL(30,0))) AS VARCHAR)
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS VARCHAR)
+                        AS DOUBLE) AS six
+            FROM ranked GROUP BY segment
+        )
+        SELECT segment, n,
+               ROUND(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+        FROM sums
+    """,
+    doc="Gini inequality index of customer spend per market segment — "
+    "the concentration statistic behind 'top 1% of customers drive X% "
+    "of revenue' dashboards, computed by the exact rank formula G = "
+    "2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted spend "
+    "(rank made total by the custkey tiebreak; equal values permute "
+    "only within ties, and the formula is tie-invariant because "
+    "sum(i*x) over a tie block is constant). Money stays integer "
+    "cents, both big sums route through decimal accumulation, and the "
+    "final expression is one shared double tree rounded to 6 — hash-"
+    "exact. Plan: customer-key join aggregate, per-segment rank "
+    "window, 5-group reduce. At 100 TB the per-segment sort is the "
+    "cost (the same envelope as any exact order statistic); the "
+    "sketch path is a quantile-bucketed Lorenz-curve approximation "
+    "over approx_percentile bins (documented, not registered).",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    i = F.row_number().over(
+        Window.partitionBy("segment").orderBy("cents", "c_custkey")
+    ).cast("long")
+    ranked = spend.select("segment", "cents", i.alias("i"))
+    sums = ranked.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(30,0)")).cast("double").alias("sx"),
+        F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    return sums.select(
+        "segment",
+        "n",
+        F.round(2.0 * six / (n * sx) - (n + 1.0) / n, 6).alias("gini"),
+    )
+
+
+#: First-digit Benford expectations in integer ppm (floor(log10(1+1/d)*1e6)),
+#: hardcoded so neither engine's log implementation enters the hash.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910,
+    5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INT) AS d
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        expected(d, expected_ppm) AS (
+            VALUES {", ".join(f"({d}, {p})" for d, p in sorted(_BENFORD_PPM.items()))}
+        ),
+        counts AS (
+            SELECT d, COUNT(*) AS n_orders FROM digits GROUP BY d
+        ),
+        tot AS (SELECT SUM(n_orders) AS n FROM counts)
+        SELECT e.d AS first_digit,
+               COALESCE(c.n_orders, 0) AS n_orders,
+               CAST(COALESCE(c.n_orders, 0) * 1000000 // tot.n AS BIGINT)
+                   AS observed_ppm,
+               CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+               CAST(ABS(COALESCE(c.n_orders, 0) * 1000000 // tot.n
+                        - e.expected_ppm) AS BIGINT) AS deviation_ppm
+        FROM expected e LEFT JOIN counts c ON c.d = e.d, tot
+    """,
+    doc="Benford first-digit audit — the classic fabricated-data / "
+    "unit-mixup detector for financial columns: observed first-"
+    "significant-digit shares in integer ppm against the hardcoded "
+    "Benford expectations floor(log10(1+1/d)*1e6) (constants inlined "
+    "on BOTH sides so no engine's log() enters the hash; ppm by floor "
+    "division, rule 16). The fixture's near-uniform synthetic prices "
+    "should FAIL Benford loudly — large deviation_ppm IS the correct "
+    "report, exactly what this monitor exists to flag. All nine rows "
+    "emitted via a LEFT join from the expectation table so absent "
+    "digits surface as 0-count rows rather than vanishing. Plan: "
+    "narrow digit map + 9-group aggregate + one-row total broadcast — "
+    "scan-bound at any scale.",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where("o_totalprice >= 1")
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count("*").alias("n_orders"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "d int, expected_ppm long"
+    )
+    tot = counts.agg(F.sum("n_orders").alias("n")).withColumn("one", F.lit(1))
+    obs_ppm = F.expr("COALESCE(n_orders, 0) * 1000000 DIV n")
+    return (
+        expected.join(counts, "d", "left")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(tot), "one")
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            obs_ppm.cast("long").alias("observed_ppm"),
+            F.col("expected_ppm").cast("long").alias("expected_ppm"),
+            F.abs(obs_ppm - F.col("expected_ppm")).cast("long").alias("deviation_ppm"),
+        )
+    )
+
+
+@register(
+    "agg_rfm_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(DATE_DIFF('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+                        (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders))
+                        AS BIGINT) AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, recency_days, frequency, monetary_cents,
+               CAST(NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                    AS INT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS INT)
+                   AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary_cents, c_custkey) AS INT)
+                   AS m_score,
+               CAST(NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                    AS VARCHAR)
+               || CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS VARCHAR)
+               || CAST(NTILE(5) OVER (ORDER BY monetary_cents, c_custkey)
+                       AS VARCHAR) AS rfm_code
+        FROM base
+    """,
+    doc="RFM segmentation — the recency/frequency/monetary quintile "
+    "scoring every CRM runs: per-customer recency in days from the "
+    "corpus max date (self-contained; production passes 'today'), "
+    "order count, and integer-cents spend, each NTILE(5)-scored with "
+    "5=best (recency ranked DESC so the most recent purchase lands in "
+    "bucket 5) and concatenated into the '555'-style code. NTILE made "
+    "deterministic by the custkey tiebreak. The three global NTILEs "
+    "are single-partition windows over |customers| PRE-AGGREGATED "
+    "rows — fine to ~100M customers; beyond that, score against "
+    "approx_percentile quintile boundaries instead (broadcast 4 "
+    "cut points, same buckets up to sketch error, no global sort). "
+    "One orders shuffle + one scalar broadcast — at 100 TB the "
+    "customer rollup is the only data-sized stage.",
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("timestamp")).alias("maxd")
+                 ).withColumn("one", F.lit(1))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("timestamp")).alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(maxd), "one")
+        .select(
+            "c_custkey",
+            F.datediff(F.col("maxd"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col("c_custkey"))
+    )
+    f = F.ntile(5).over(Window.orderBy("frequency", "c_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "c_custkey"))
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("rfm_code"),
+    )

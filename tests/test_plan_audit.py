@@ -31,6 +31,10 @@ DELIBERATE_CROSS = {
     # scan (the constant 'one' key folds away, leaving an N×1 broadcast
     # nested loop) — same shape as dq_histogram_drift, not a product
     "maintenance_zorder",
+    # SINGLE-ROW total / max-date broadcasts, same N×1 shape (9 rows ×1
+    # and |customers| ×1 respectively)
+    "dq_benford",
+    "agg_rfm_segments",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
