@@ -464,3 +464,77 @@ def win_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.rlike("ee").alias("has_double_error"),
         F.substring(j, 1, 3).alias("first3"),
     )
+
+
+@register(
+    "win_attribution",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS tss,
+                   LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_id END IGNORE NULLS)
+                       OVER w AS touch_event_id,
+                   LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                   THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+                       OVER w AS touch_ts
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT user_id, event_id AS purchase_event_id,
+               touch_event_id,
+               CAST(EPOCH_US(tss) - EPOCH_US(touch_ts) AS BIGINT)
+                   AS touch_age_us,
+               touch_event_id IS NOT NULL AS attributed
+        FROM ordered
+        WHERE event_type = 'purchase'
+    """,
+    doc="Last-touch attribution — for every purchase, the most recent "
+    "PRECEDING click/view by the same user (the marketing-attribution "
+    "primitive; first-touch is the same plan with FIRST_VALUE): a "
+    "conditional carry-forward via LAST_VALUE(CASE...) IGNORE NULLS "
+    "over ROWS UNBOUNDED PRECEDING TO 1 PRECEDING — the frame "
+    "excludes the purchase row itself, so a purchase never attributes "
+    "to itself, and a user's first event attributes to NULL "
+    "(surfaced, not dropped: unattributed conversions are the number "
+    "the channel team argues about). Ordering is total via the "
+    "(ts, event_id) tiebreak; the age in epoch microseconds is exact "
+    "integer arithmetic. One user_id shuffle, running-state window "
+    "O(1) per row. A recency cutoff ('within 7 days') swaps the ROWS "
+    "frame for win_time_range_frame's RANGE spelling — same plan.",
+)
+def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_id = F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True).over(w)
+    touch_ts = F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w)
+    age = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(touch_ts.cast("timestamp"))
+    ).cast("long")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            touch_id.alias("touch_event_id"),
+            age.alias("touch_age_us"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            "touch_event_id",
+            "touch_age_us",
+            F.col("touch_event_id").isNotNull().alias("attributed"),
+        )
+    )
