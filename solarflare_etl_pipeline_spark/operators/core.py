@@ -635,3 +635,129 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (col_name, n_nulls, n_distinct)"
         )
     )
+
+
+@register(
+    "dq_qq_drift",
+    oracle="""
+        WITH q AS (
+            SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP'2024-01-16'
+                        THEN 'w1' ELSE 'w2' END AS epoch,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        ranked AS (
+            SELECT epoch, v3,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY v3)
+                        AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY epoch) AS BIGINT) AS n
+            FROM q
+        ),
+        oct AS (
+            SELECT epoch, k, MAX(v3) AS qv
+            FROM ranked, UNNEST([1, 2, 3, 4, 5, 6, 7]) AS t(k)
+            WHERE rn * 8 <= n * k
+            GROUP BY epoch, k
+        )
+        SELECT CAST(a.k AS INT) AS octile,
+               a.qv AS w1_value, b.qv AS w2_value,
+               CAST(b.qv - a.qv AS BIGINT) AS drift
+        FROM oct a JOIN oct b ON a.k = b.k
+        WHERE a.epoch = 'w1' AND b.epoch = 'w2'
+    """,
+    doc="Quantile-quantile distribution drift — the DQ monitor that "
+    "catches SHAPE changes dq_histogram_drift's fixed bins blur and "
+    "dq_volume_anomaly (counts) cannot see at all: the two epochs' "
+    "empirical octiles side by side with their signed drift. "
+    "Quantiles are EXACT ORDER STATISTICS (largest value whose rank "
+    "satisfies rn*8 <= n*k — pure BIGINT rank arithmetic, no "
+    "interpolation, no division), so the result is hash-exact with "
+    "zero float ops. Epoch split at the fixture's mid-month; "
+    "production parameterizes the cut. Plan: one epoch-partitioned "
+    "rank window + a 7x bounded explode + 14-group aggregate + a "
+    "7-row self-join. At 100 TB swap the exact rank for "
+    "approx_percentile's mergeable sketch per epoch (same output "
+    "shape, documented error bounds) — the comparison logic is "
+    "unchanged.",
+)
+def dq_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.when(
+            F.col("ts").cast("timestamp") < F.lit("2024-01-16").cast("timestamp"),
+            F.lit("w1"),
+        )
+        .otherwise(F.lit("w2"))
+        .alias("epoch"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    wp = W.partitionBy("epoch")
+    ranked = q.select(
+        "epoch",
+        "v3",
+        F.row_number().over(wp.orderBy("v3")).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("n"),
+    )
+    oct_ = (
+        ranked.select(
+            "epoch",
+            "v3",
+            "rn",
+            "n",
+            F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("k"),
+        )
+        .where(F.col("rn") * 8 <= F.col("n") * F.col("k"))
+        .groupBy("epoch", "k")
+        .agg(F.max("v3").alias("qv"))
+    )
+    a = oct_.where("epoch = 'w1'").select(
+        F.col("k").alias("octile"), F.col("qv").alias("w1_value")
+    )
+    b = oct_.where("epoch = 'w2'").select(
+        F.col("k").alias("octile"), F.col("qv").alias("w2_value")
+    )
+    return a.join(b, "octile").select(
+        F.col("octile").cast("int").alias("octile"),
+        "w1_value",
+        "w2_value",
+        (F.col("w2_value") - F.col("w1_value")).cast("long").alias("drift"),
+    )
+
+
+@register(
+    "fn_surrogate_key",
+    oracle="""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                   AS sk,
+               lang
+        FROM documents
+    """,
+    doc="Deterministic surrogate-key assignment — dense sequential "
+    "BIGINT ids for a dimension load, the task people reach for "
+    "monotonically_increasing_id() for and then get burned: that "
+    "function's values depend on partition layout (rerun with "
+    "different parallelism -> different keys), are sparse, and "
+    "cannot be reproduced by a downstream verifier. Here the id IS a "
+    "function of the data: row_number over the md5-of-natural-key "
+    "total order (hash order so the sort is uncorrelated with insert "
+    "order — no hot tail when the natural key is monotone; doc_id "
+    "tiebreak makes it total). Same keys at any parallelism, any "
+    "rerun, any engine — the oracle proves it. Scale: a global sort "
+    "of the DIMENSION (dimensions are the small table; facts never "
+    "get surrogate keys this way) — for billion-row dimensions, "
+    "assign per-range offsets from a counts scan (zipWithIndex's "
+    "two-pass shape) on the same hash order; the determinism argument "
+    "is identical.",
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    sk = F.row_number().over(
+        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return d.select("doc_id", sk.cast("long").alias("sk"), "lang")
