@@ -621,3 +621,89 @@ def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((v < F.col("lo_fence")) | (v > F.col("hi_fence"))).alias("was_clipped"),
     )
+
+
+@register(
+    "fn_quantile_align",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        bucketed AS (
+            SELECT event_id, event_type, v3,
+                   CAST(NTILE(64) OVER (PARTITION BY event_type
+                        ORDER BY v3, event_id) AS INT) AS b
+            FROM q
+        ),
+        pooled AS (
+            SELECT v3,
+                   CAST(ROW_NUMBER() OVER (ORDER BY v3, event_id) AS BIGINT)
+                       AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM q
+        ),
+        ref AS (
+            SELECT k, MAX(v3) AS ref_v3
+            FROM pooled, UNNEST(range(1, 65)) AS t(k)
+            WHERE rn * 64 <= n * k
+            GROUP BY k
+        )
+        SELECT bk.event_id, bk.event_type, bk.v3, bk.b AS bucket,
+               r.ref_v3 AS v3_aligned
+        FROM bucketed bk JOIN ref r ON r.k = bk.b
+    """,
+    doc="Quantile normalization — align every segment's value "
+    "distribution to the POOLED reference (the microarray-normalization "
+    "/ feature-calibration move: after alignment, every event_type has "
+    "the same marginal distribution, so cross-segment models stop "
+    "learning segment identity from scale): each row gets its within-"
+    "type 64-quantile bucket (NTILE with the event_id tiebreak), the "
+    "pooled reference value per bucket is an EXACT ORDER STATISTIC "
+    "(max value with rn*64 <= n*k — same rank arithmetic as "
+    "dq_qq_drift, zero float ops end to end), and the aligned value "
+    "is a 64-row broadcast-join lookup. Everything is BIGINT — hash-"
+    "exact by construction. Plan: one per-type rank window + one "
+    "pooled rank window + bounded 64x explode on the CUT POINTS only "
+    "+ broadcast map join. At 100 TB both rank passes swap for "
+    "approx_percentile cut points (mergeable, same output contract "
+    "modulo sketch error).",
+)
+def fn_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    bucketed = q.select(
+        "event_id",
+        "event_type",
+        "v3",
+        F.ntile(64)
+        .over(W.partitionBy("event_type").orderBy("v3", "event_id"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    pooled = q.select(
+        "v3",
+        F.row_number().over(W.orderBy("v3", "event_id")).cast("long").alias("rn"),
+        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    ref = (
+        pooled.select(
+            "v3",
+            "rn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("k"),
+        )
+        .where(F.col("rn") * 64 <= F.col("n") * F.col("k"))
+        .groupBy("k")
+        .agg(F.max("v3").alias("ref_v3"))
+    )
+    return bucketed.join(
+        F.broadcast(ref.withColumnRenamed("k", "bucket")), "bucket"
+    ).select("event_id", "event_type", "v3", "bucket", F.col("ref_v3").alias("v3_aligned"))
