@@ -1307,3 +1307,113 @@ def llm_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 30)
         .select("rnk", "pair", "n_occurrences")
     )
+
+
+def _greedy_pair_tokenize(text: str, vocab: frozenset[str]) -> tuple[int, int, bool]:
+    """Greedy left-to-right longest-match tokenization against a 2-char
+    merge vocabulary (the APPLY side of one BPE merge round): at each
+    position consume the 2-char pair if it is in the vocab, else one
+    char. Returns (n_tokens, n_pair_tokens, roundtrip_ok) — roundtrip
+    re-concatenates the consumed spans and compares to the input, the
+    tokenizer's safety invariant, computed (not asserted) so corrupt
+    batches surface as a queryable False."""
+    i, n = 0, len(text)
+    n_tokens = n_pairs = 0
+    spans = []
+    while i < n:
+        if i + 1 < n and text[i : i + 2] in vocab:
+            spans.append(text[i : i + 2])
+            n_pairs += 1
+            i += 2
+        else:
+            spans.append(text[i])
+            i += 1
+        n_tokens += 1
+    return n_tokens, n_pairs, "".join(spans) == text
+
+
+@register(
+    "llm_tokenizer_apply",
+    oracle=None,  # greedy longest-match is inherently sequential per
+    # document — not SQL-expressible without per-char recursion; the
+    # driver applies its rows-only check, and exactness is pinned by a
+    # pure-Python reference and invariants in tests/test_semantics.py.
+    doc="Tokenizer APPLY — the consumption side of llm_bpe_pairs' merge "
+    "census: the corpus's top-50 pairs (ties broken by binary pair "
+    "order, the same ranking the census registers) become the merge "
+    "vocabulary, and every document is greedily tokenized left-to-"
+    "right (pair if in vocab else single char) inside ONE Arrow "
+    "mapInPandas stage — the sanctioned custom-op escape hatch for "
+    "per-row sequential logic no relational primitive expresses "
+    "(Spark's own ml tokenizers are regex splitters; merge-table "
+    "tokenization is a scan with lookahead). The 50-pair vocab is a "
+    "bounded driver-side collect (the IVF-centroid discipline) "
+    "broadcast into the closure; per doc the result carries token/"
+    "pair counts, compression in integer ppm, and a roundtrip_ok "
+    "invariant column (concat(tokens) == text) so corruption is "
+    "queryable rather than assert-dependent. Scale: vocab is KBs at "
+    "any corpus size (it is top-K over a charset^2-bounded space); "
+    "the tokenize pass is embarrassingly parallel scan-speed Arrow "
+    "batches; real BPE with longer merges is the same plan with a "
+    "trie in the closure.",
+)
+def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        d.where(F.char_length("text") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.char_length("text") - 1)).alias("i"),
+            "text",
+        )
+        .select(F.expr("substring(text, i, 2)").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(50)
+    )
+    vocab = frozenset(r["pair"] for r in pairs.collect())  # bounded: 50 rows
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_pair_tokens", T.LongType()),
+            T.StructField("compression_ppm", T.LongType()),
+            T.StructField("roundtrip_ok", T.BooleanType()),
+        ]
+    )
+
+    def tokenize(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n_tok, n_pair, ok = _greedy_pair_tokenize(t, vocab)
+                n_chars = len(t)
+                out.append(
+                    (
+                        int(doc_id),
+                        n_chars,
+                        n_tok,
+                        n_pair,
+                        (n_tok * 1_000_000) // n_chars if n_chars else 0,
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_chars",
+                    "n_tokens",
+                    "n_pair_tokens",
+                    "compression_ppm",
+                    "roundtrip_ok",
+                ],
+            )
+
+    return d.mapInPandas(tokenize, schema)

@@ -53,6 +53,7 @@ PYTHON_OK = {
     "mm_audio_silence_ratio",
     "mm_phash_dedup",
     "flagship_multimodal_corpus",
+    "llm_tokenizer_apply",
 }
 
 #: Queries that read a dimension table and must broadcast it.

@@ -869,3 +869,39 @@ def test_timezone_dst_edges_match_oracle(spark, oracle):
     assert got == [tuple(w) for w in want]
     # and the spring-forward gap really skips: no NY wall time in 02:xx
     assert not any(g[0][11:13] == "02" for g in got[:2])
+
+
+def test_tokenizer_apply_matches_reference_and_invariants(spark, sf_dir):
+    """llm_tokenizer_apply has no SQL oracle (greedy matching is
+    sequential); pin it against a pure-Python re-derivation instead:
+    same vocab (top-50 pairs, census tiebreak), same greedy scan, and
+    the arithmetic identity n_tokens = n_chars - n_pair_tokens (every
+    pair token saves exactly one single token)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+    from solarflare_etl_pipeline_spark.operators.text import _greedy_pair_tokenize
+
+    got = {
+        r.doc_id: r
+        for r in load_all()["llm_tokenizer_apply"].spark(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    # reference vocab from raw pair counts
+    from collections import Counter
+
+    counts = Counter()
+    for t in docs.values():
+        counts.update(t[i : i + 2] for i in range(len(t) - 1))
+    vocab = frozenset(
+        p for p, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    )
+    assert len(got) == len(docs)
+    for doc_id, text in docs.items():
+        n_tok, n_pair, ok = _greedy_pair_tokenize(text, vocab)
+        r = got[doc_id]
+        assert (r.n_tokens, r.n_pair_tokens, r.roundtrip_ok) == (n_tok, n_pair, True)
+        assert r.n_tokens == r.n_chars - r.n_pair_tokens
