@@ -104,3 +104,145 @@ def test_chunking_reassembles_documents(spark, sf_dir):
         # every chunk except the last is full-size
         sizes = [n for _, _, n in parts]
         assert all(s == sizes[0] or i == len(sizes) - 1 for i, s in enumerate(sizes)) or len(sizes) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operator math, re-derived in pure Python and checked against
+# the same primitives the SQL uses (md5 16-bit buckets, Morton masks,
+# rank formulas) — invariants the fixture data alone can't stress.
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _h16(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+
+
+def _spread16(x: int) -> int:
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=st.integers(0, 65535), b=st.integers(0, 65535),
+       c=st.integers(0, 65535), d=st.integers(0, 65535))
+def test_morton_interleave_is_injective(a, b, c, d):
+    """maintenance_zorder's magic-number interleave must be a bijection
+    16+16 -> 32 bits: distinct (a,b) pairs get distinct zkeys, and the
+    inverse (compress even/odd bits) recovers the inputs exactly."""
+    z1 = _spread16(a) | (_spread16(b) << 1)
+    z2 = _spread16(c) | (_spread16(d) << 1)
+    assert (z1 == z2) == ((a, b) == (c, d))
+
+    def compress(x):
+        x &= 0x55555555
+        x = (x | (x >> 1)) & 0x33333333
+        x = (x | (x >> 2)) & 0x0F0F0F0F
+        x = (x | (x >> 4)) & 0x00FF00FF
+        x = (x | (x >> 8)) & 0x0000FFFF
+        return x
+
+    assert compress(z1) == a and compress(z1 >> 1) == b
+
+
+@settings(max_examples=50, deadline=None)
+@given(keys=st.lists(st.integers(0, 300), min_size=1, max_size=400))
+def test_cms_never_undercounts(keys):
+    """agg_cms_heavy_hitters' guarantee on ARBITRARY multisets (the
+    fixture only exercises one distribution): with the same md5
+    bucketing (depth 4, width 1024), min-over-rows estimate >= exact
+    count for every key, with equality when no collision hit the key."""
+    DEPTH, WIDTH = 4, 1024
+    cells: dict[tuple[int, int], int] = {}
+    from collections import Counter
+
+    exact = Counter(str(k) for k in keys)
+    for k, n in exact.items():
+        for s in range(DEPTH):
+            b = _h16(f"{s}:{k}") % WIDTH
+            cells[(s, b)] = cells.get((s, b), 0) + n
+    for k, n in exact.items():
+        est = min(cells[(s, _h16(f"{s}:{k}") % WIDTH)] for s in range(DEPTH))
+        assert est >= n
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    members=st.sets(st.integers(0, 10000), max_size=60),
+    probes=st.sets(st.integers(0, 10000), max_size=120),
+)
+def test_bloom_has_no_false_negatives(members, probes):
+    """agg_bloom_membership's theorem on arbitrary sets: every member
+    probe passes; non-member false positives are possible but bounded
+    away from certainty for these sizes (not asserted — only the FN
+    side is a theorem)."""
+    K, M = 3, 1024
+    bits = {(s, _h16(f"{s}:{k}") % M) for k in members for s in range(K)}
+    for k in members | probes:
+        maybe = all((s, _h16(f"{s}:{k}") % M) in bits for s in range(K))
+        if k in members:
+            assert maybe, "Bloom false negative — impossible by construction"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    text=st.text(alphabet="ab c", max_size=60),
+    vocab=st.sets(
+        st.text(alphabet="ab c", min_size=2, max_size=2), max_size=8
+    ),
+)
+def test_greedy_tokenizer_invariants(text, vocab):
+    """llm_tokenizer_apply's scan on arbitrary text/vocab: roundtrip
+    always reconstructs, and every pair token saves exactly one single
+    token (n_tokens = n_chars - n_pair_tokens)."""
+    from solarflare_etl_pipeline_spark.operators.text import _greedy_pair_tokenize
+
+    n_tok, n_pair, ok = _greedy_pair_tokenize(text, frozenset(vocab))
+    assert ok
+    assert n_tok == len(text) - n_pair
+
+
+@settings(max_examples=100, deadline=None)
+@given(xs=st.lists(st.integers(0, 10**6), min_size=2, max_size=200))
+def test_gini_rank_formula_bounds(xs):
+    """agg_gini's rank formula on arbitrary spend vectors: G in [0, 1),
+    exactly 0 for constant vectors, and tie-invariant (permuting equal
+    values never changes the sum-over-tie-block)."""
+    xs_sorted = sorted(xs)
+    n, sx = len(xs_sorted), sum(xs_sorted)
+    if sx == 0:
+        return
+    six = sum(i * x for i, x in enumerate(xs_sorted, start=1))
+    g = 2.0 * six / (n * sx) - (n + 1.0) / n
+    assert -1e-12 <= g < 1.0
+    if len(set(xs_sorted)) == 1:
+        assert abs(g) < 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=st.lists(st.integers(-1000, 1000), min_size=3, max_size=100, unique=True))
+def test_spearman_is_plus_minus_one_on_monotone(xs):
+    """agg_spearman's formula: any strictly monotone relationship gives
+    exactly +1 (and its reversal -1) — the defining property Pearson
+    lacks."""
+
+    def spearman(pairs):
+        n = len(pairs)
+        rx = {v: i for i, v in enumerate(sorted(p[0] for p in pairs), 1)}
+        ry = {v: i for i, v in enumerate(sorted(p[1] for p in pairs), 1)}
+        sx = sy = sxy = sxx = syy = 0
+        for a, b in pairs:
+            i, j = rx[a], ry[b]
+            sx += i; sy += j; sxy += i * j; sxx += i * i; syy += j * j
+        num = n * sxy - sx * sy
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        return num / den
+
+    up = [(x, x * 3 + 7) for x in xs]       # strictly increasing map
+    down = [(x, -2 * x + 1) for x in xs]    # strictly decreasing map
+    assert abs(spearman(up) - 1.0) < 1e-9
+    assert abs(spearman(down) + 1.0) < 1e-9
