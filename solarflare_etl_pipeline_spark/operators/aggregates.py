@@ -1197,3 +1197,157 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
     )
+
+
+ALLOC_BUDGET = 1_000_000  # units to distribute (ppm-like granularity)
+
+
+@register(
+    "agg_proportional_allocate",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   COUNT(*) AS n_cust
+            FROM customer GROUP BY 1
+        ),
+        base AS (
+            SELECT nationkey, n_cust, SUM(n_cust) OVER () AS total FROM cnt
+        ),
+        r AS (
+            SELECT nationkey, n_cust,
+                   (n_cust * {ALLOC_BUDGET}) // total AS floor_alloc,
+                   ROW_NUMBER() OVER (
+                       ORDER BY (n_cust * {ALLOC_BUDGET}) % total DESC,
+                                nationkey) AS rk,
+                   {ALLOC_BUDGET}
+                     - SUM((n_cust * {ALLOC_BUDGET}) // total) OVER ()
+                     AS leftover
+            FROM base
+        )
+        SELECT nationkey, n_cust,
+               CAST(floor_alloc
+                    + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+                 AS allocated
+        FROM r
+    """,
+    doc="Exact proportional allocation by the largest-remainder (Hamilton) "
+    "method: a fixed integer budget is split across nations by customer "
+    "count so that SUM(allocated) == budget EXACTLY — floor shares first, "
+    "then the k groups with the largest remainders (ties broken on the "
+    "group key) each get +1. Naive ROUND(budget * share) drifts by "
+    "±(groups/2) units; financial / quota / shard-assignment pipelines "
+    "need the invariant, which tests/test_semantics.py pins. All-BIGINT "
+    "arithmetic (products bounded by |groups|·budget ≪ 2^63) → "
+    "hash-exact. The unpartitioned windows run over the POST-AGGREGATE "
+    "group table (dimension-sized: 25 nations; bounded group count is a "
+    "precondition, like the IVF centroid collect) — the raw scan still "
+    "aggregates distributed partial+final before anything single-"
+    "partition happens, so the 100 TB cost is one hash agg.",
+)
+def agg_proportional_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cnt = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    everything = W.partitionBy()  # single group: 25 post-agg rows
+    base = cnt.withColumn("total", F.sum("n_cust").over(everything))
+    r = (
+        base.withColumn("floor_alloc", F.expr(f"n_cust * {ALLOC_BUDGET} DIV total"))
+        .withColumn("rem", F.expr(f"(n_cust * {ALLOC_BUDGET}) % total"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                everything.orderBy(F.col("rem").desc(), F.col("nationkey"))
+            ),
+        )
+        .withColumn(
+            "leftover",
+            F.lit(ALLOC_BUDGET)
+            - F.sum("floor_alloc").over(W.partitionBy()),
+        )
+    )
+    return r.select(
+        "nationkey",
+        "n_cust",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                   CAST(l_quantity AS BIGINT) AS w
+            FROM lineitem
+        ),
+        a AS (SELECT l_returnflag, cents, SUM(w) AS w FROM q GROUP BY 1, 2),
+        c AS (
+            SELECT l_returnflag, cents, w,
+                   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+            FROM a
+        )
+        SELECT l_returnflag,
+               CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+               CAST(MAX(tot) AS BIGINT) AS total_weight
+        FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+    """,
+    doc="Exact weighted median (lower): the smallest price x such that the "
+    "quantity-weighted mass at or below x reaches half the total — the "
+    "'median order dollar' statistic percentile() cannot produce because "
+    "each row counts l_quantity times. Pre-aggregating to (flag, cents) "
+    "collapses ties so the cumulative-weight window is deterministic; "
+    "quantized BIGINT cents + integer weights → hash-exact. Plan: one "
+    "partial+final hash agg on (flag, cents), then the window runs inside "
+    "the flag partitioning (3 partitions, each value-distinct — state is "
+    "|distinct prices| per flag, not |rows|). At 100 TB the same plan "
+    "holds because the window input is the post-aggregate distinct-value "
+    "table; if distinct values themselves explode, the documented swap is "
+    "approx_percentile over an exploded-by-weight stream.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    a = (
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    c = a.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w")
+        .over(
+            W.partitionBy("l_returnflag")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum"),
+        F.sum("w").over(W.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        c.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").cast("long").alias("wmedian_cents"),
+            F.max("tot").cast("long").alias("total_weight"),
+        )
+    )

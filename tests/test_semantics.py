@@ -905,3 +905,50 @@ def test_tokenizer_apply_matches_reference_and_invariants(spark, sf_dir):
         r = got[doc_id]
         assert (r.n_tokens, r.n_pair_tokens, r.roundtrip_ok) == (n_tok, n_pair, True)
         assert r.n_tokens == r.n_chars - r.n_pair_tokens
+
+
+def test_allocation_sums_to_budget_exactly(spark, sf_dir):
+    """Largest-remainder invariant: the integer allocations sum to the
+    budget EXACTLY (the property naive per-group rounding violates), and
+    every group's share is off by at most one unit from the real-valued
+    proportional share (the Hamilton method's defining bound)."""
+    from solarflare_etl_pipeline_spark.operators.aggregates import ALLOC_BUDGET
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = (
+        load_all()["agg_proportional_allocate"].spark(spark, sf_dir).collect()
+    )
+    total_cust = sum(r.n_cust for r in rows)
+    assert sum(r.allocated for r in rows) == ALLOC_BUDGET
+    for r in rows:
+        exact = ALLOC_BUDGET * r.n_cust / total_cust
+        assert exact - 1 < r.allocated < exact + 1
+
+
+def test_weighted_median_is_exact_by_definition(spark, sf_dir):
+    """Re-derive the lower weighted median per flag in pure Python from
+    the raw rows and compare — pins the window arithmetic (cum*2 >= tot
+    on the tie-collapsed value table) to the textbook definition."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    got = {
+        r.l_returnflag: (r.wmedian_cents, r.total_weight)
+        for r in load_all()["agg_weighted_median"].spark(spark, sf_dir).collect()
+    }
+    acc = defaultdict(lambda: defaultdict(int))
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        acc[r.l_returnflag][round(r.l_extendedprice * 100)] += int(r.l_quantity)
+    for flag, weights in acc.items():
+        tot = sum(weights.values())
+        cum = 0
+        for cents in sorted(weights):
+            cum += weights[cents]
+            if cum * 2 >= tot:
+                assert got[flag] == (cents, tot), flag
+                break
