@@ -170,6 +170,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         merge,
         timeseries,
+        recursion,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
