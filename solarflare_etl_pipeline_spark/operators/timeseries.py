@@ -654,3 +654,81 @@ def ts_rolling_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v3") > q3 + 1.5 * (q3 - q1)).alias("is_outlier_high"),
         (F.col("v3") < q1 - 1.5 * (q3 - q1)).alias("is_outlier_low"),
     )
+
+
+@register(
+    "ts_interval_merge",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+                   CAST(ts AS TIMESTAMP)
+                     + (30 + event_id % 90) * INTERVAL 1 MINUTE AS e
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, s, e,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM iv
+        ),
+        g AS (
+            SELECT user_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+            FROM m
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island_id,
+               MIN(s) AS start_ts, MAX(e) AS end_ts,
+               COUNT(*) AS n_intervals
+        FROM g GROUP BY user_id, island
+    """,
+    doc="Overlapping-interval merge (gaps-and-islands): each event opens "
+    "an activity interval [ts, ts + (30 + event_id % 90) min] and "
+    "per-user overlapping/touching intervals coalesce into maximal "
+    "islands — the canonical form of session coverage, on-call overlap, "
+    "and machine-uptime consolidation, and a DIFFERENT idiom from "
+    "win_sessionize (fixed inactivity gap between POINTS; here spans "
+    "with heterogeneous lengths merge on actual overlap). Island "
+    "boundary = start strictly past the running MAX(end) over all prior "
+    "intervals (max-so-far, not lag(e) — lag alone breaks on nested "
+    "intervals); the island id is a running sum of boundary flags. Both "
+    "windows and the final agg share ONE hash partitioning on user_id; "
+    "per-key window state is O(1) (running max + running sum). "
+    "Deterministic under (s, e) sort-ties because tied rows are "
+    "interchangeable for both max and boundary-sum. Timestamp + BIGINT "
+    "output → hash-exact; interval arithmetic is integer minutes on "
+    "both engines.",
+)
+def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("ts + make_dt_interval(0, 0, 30 + event_id % 90, 0)").alias(
+            "e"
+        ),
+    )
+    by_time = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("e").over(by_time.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    g = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return g.groupBy(
+        "user_id", F.col("island").cast("long").alias("island_id")
+    ).agg(
+        F.min("s").alias("start_ts"),
+        F.max("e").alias("end_ts"),
+        F.count("*").alias("n_intervals"),
+    )
