@@ -761,3 +761,143 @@ def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     )
     return d.select("doc_id", sk.cast("long").alias("sk"), "lang")
+
+
+ANONYMITY_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment,
+               COUNT(*) AS group_size,
+               COUNT(*) < {ANONYMITY_K} AS below_k,
+               COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                   WHEN c_acctbal < 5000 THEN 'mid'
+                                   ELSE 'high' END) AS l_diversity
+        FROM customer
+        GROUP BY 1, 2
+    """,
+    doc="Privacy-release audit: k-anonymity and l-diversity per quasi-"
+    "identifier group. QI = (nation, market segment); a group smaller "
+    "than k = 5 re-identifies its members and must be generalized or "
+    "suppressed before the table leaves the boundary — the audit a "
+    "training-data pipeline runs before shipping user-derived tables, "
+    "the flag-side complement of llm_pii_scrub's redaction. l-diversity "
+    "counts distinct sensitive-attribute classes (account-balance band) "
+    "inside each group: k-anonymous but l=1 groups still leak the "
+    "sensitive value by membership alone. One partial+final hash agg "
+    "(count + distinct-of-3-classes rewrites to a 3-bit or-merge) — "
+    "dimension-bounded output, 100 TB cost is the single scan.",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("group_size"),
+            (F.count("*") < ANONYMITY_K).alias("below_k"),
+            F.countDistinct(band).alias("l_diversity"),
+        )
+    )
+
+
+@register(
+    "dq_table_diff",
+    oracle="""
+        WITH b AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 101 <> 0
+        ),
+        j AS (
+            SELECT a.o_orderkey IS NULL AS added,
+                   b.o_orderkey IS NULL AS removed,
+                   (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                    AND a.o_orderstatus <> b.o_orderstatus)
+                     AS status_changed,
+                   (a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                    AND a.o_totalprice <> b.o_totalprice) AS price_changed
+            FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT CASE WHEN added THEN 'added'
+                    WHEN removed THEN 'removed'
+                    WHEN status_changed OR price_changed THEN 'changed'
+                    ELSE 'unchanged' END AS diff_type,
+               COUNT(*) AS n_keys,
+               CAST(SUM(CASE WHEN status_changed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_status_changed,
+               CAST(SUM(CASE WHEN price_changed THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_price_changed
+        FROM j
+        GROUP BY 1
+    """,
+    doc="Snapshot reconciliation (table diff): FULL OUTER join of two "
+    "snapshot generations on the business key, classifying every key as "
+    "added / removed / changed / unchanged with per-column change "
+    "counts — the migration-validation and CDC-audit primitive (did the "
+    "new loader produce the same table, and if not, which columns "
+    "drifted?). Snapshot B is derived in-query (keys % 101 deleted, "
+    "status mutated on % 97) so both engines see identical inputs. "
+    "Plan: both sides hash-partition on the key into ONE shuffle join; "
+    "column compares are narrow projections. At 100 TB the documented "
+    "cheap path is a per-bucket checksum pre-pass (compare "
+    "xor(hash(row)) per key-bucket, then full-diff only unequal "
+    "buckets) — the full-outer form registered here is the exact leg "
+    "that runs over the unequal buckets.",
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    b = (
+        a.where(F.col("o_orderkey") % 101 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, "X").otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full"
+    )
+    present = (
+        F.col("a.o_orderkey").isNotNull() & F.col("b.o_orderkey").isNotNull()
+    )
+    j = j.select(
+        F.col("a.o_orderkey").isNull().alias("added"),
+        F.col("b.o_orderkey").isNull().alias("removed"),
+        (present & (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))).alias(
+            "status_changed"
+        ),
+        (present & (F.col("a.o_totalprice") != F.col("b.o_totalprice"))).alias(
+            "price_changed"
+        ),
+    )
+    diff_type = (
+        F.when(F.col("added"), "added")
+        .when(F.col("removed"), "removed")
+        .when(F.col("status_changed") | F.col("price_changed"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.groupBy(diff_type.alias("diff_type")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("status_changed").cast("int"))
+        .cast("long")
+        .alias("n_status_changed"),
+        F.sum(F.col("price_changed").cast("int"))
+        .cast("long")
+        .alias("n_price_changed"),
+    )
