@@ -1417,3 +1417,190 @@ def llm_tokenizer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(tokenize, schema)
+
+
+@register(
+    "llm_mixture_sample",
+    oracle="""
+        WITH s AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_docs, n_chars_total,
+                   CAST(FLOOR(SQRT(CAST(n_chars_total AS DOUBLE)))
+                        AS BIGINT) AS w_sqrt
+            FROM s
+        ),
+        t AS (
+            SELECT source, n_docs, n_chars_total, w_sqrt,
+                   SUM(w_sqrt) OVER () AS w_total,
+                   SUM(n_chars_total) OVER () AS chars_total
+            FROM w
+        )
+        SELECT source, n_docs, n_chars_total,
+               CAST(n_chars_total * 1000000 // chars_total AS BIGINT)
+                 AS natural_ppm,
+               CAST(w_sqrt * 1000000 // w_total AS BIGINT) AS target_ppm,
+               CAST(LEAST(
+                   CAST(1000000 AS BIGINT),
+                   (w_sqrt * 1000000 // w_total) * 1000000
+                     // GREATEST(n_chars_total * 1000000 // chars_total,
+                                 CAST(1 AS BIGINT))
+               ) AS BIGINT) AS sample_rate_ppm
+        FROM t
+    """,
+    doc="Training-mixture reweighting with temperature sampling "
+    "(alpha = 0.5): per-source target share proportional to "
+    "sqrt(char count) — the multilingual-LM mixture rule (mT5/XLM-R "
+    "style) that upweights small domains relative to their natural "
+    "share without letting any giant domain dominate. Emits the natural "
+    "share, the temperature target, and the per-source sampling rate "
+    "(target/natural, capped at 1.0) in integer ppm; a downstream "
+    "sampler applies the rate with sample_hash_split's deterministic "
+    "md5 coin. IEEE sqrt is correctly rounded, so FLOOR(SQRT(bigint)) "
+    "is engine-identical; everything after is BIGINT → hash-exact. The "
+    "unpartitioned window runs over the post-aggregate per-source table "
+    "(bounded: |sources|), after a distributed partial+final agg — same "
+    "discipline as agg_proportional_allocate.",
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    w = s.withColumn(
+        "w_sqrt",
+        F.floor(F.sqrt(F.col("n_chars_total").cast("double"))).cast("long"),
+    )
+    everything = W.partitionBy()
+    t = w.withColumn("w_total", F.sum("w_sqrt").over(everything)).withColumn(
+        "chars_total", F.sum("n_chars_total").over(everything)
+    )
+    natural = F.expr("n_chars_total * 1000000 DIV chars_total")
+    target = F.expr("w_sqrt * 1000000 DIV w_total")
+    return t.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        natural.cast("long").alias("natural_ppm"),
+        target.cast("long").alias("target_ppm"),
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "(w_sqrt * 1000000 DIV w_total) * 1000000"
+                " DIV GREATEST(n_chars_total * 1000000 DIV chars_total,"
+                " CAST(1 AS BIGINT))"
+            ),
+        )
+        .cast("long")
+        .alias("sample_rate_ppm"),
+    )
+
+
+BOILER_CHUNK_WORDS = 5
+BOILER_MIN_OCCUR = 3
+
+
+@register(
+    "llm_boilerplate_strip",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks)
+                       / {BOILER_CHUNK_WORDS}.0) AS INT))) AS chunk_idx,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, CAST(CEIL(LEN(toks)
+                           / {BOILER_CHUNK_WORDS}.0) AS INT)),
+                       i -> ARRAY_TO_STRING(
+                           toks[i * {BOILER_CHUNK_WORDS} + 1
+                                : i * {BOILER_CHUNK_WORDS}
+                                  + {BOILER_CHUNK_WORDS}], ' ')))
+                     AS chunk_text
+            FROM t
+        ),
+        freq AS (
+            SELECT chunk_text, COUNT(*) AS n_occur FROM c
+            GROUP BY chunk_text
+        ),
+        flagged AS (
+            SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+                   f.n_occur >= {BOILER_MIN_OCCUR} AS is_boilerplate
+            FROM c JOIN freq f ON c.chunk_text = f.chunk_text
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN is_boilerplate THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boilerplate,
+               COALESCE(STRING_AGG(
+                   CASE WHEN NOT is_boilerplate THEN chunk_text END,
+                   ' ' ORDER BY chunk_idx), '') AS clean_text
+        FROM flagged
+        GROUP BY doc_id
+    """,
+    doc="Corpus-wide boilerplate removal (the RefinedWeb/Falcon line-"
+    "dedup adapted to unstructured text): documents split into "
+    f"{BOILER_CHUNK_WORDS}-word chunks, any chunk occurring >= "
+    f"{BOILER_MIN_OCCUR} times ACROSS THE CORPUS (nav bars, license "
+    "headers, cookie banners) is stripped from every document, and the "
+    "cleaned text is rebuilt in chunk order. Distinct from "
+    "llm_dedup_near (whole-doc similarity) and llm_decontaminate "
+    "(overlap vs an external benchmark): this removes repeated SPANS "
+    "while keeping the documents. Plan: chunk explode → hash agg on "
+    "chunk_text for global frequencies → equi-join back (no pairwise "
+    "anything) → per-doc rebuild via array_sort(collect_list(struct)); "
+    "the rebuild group state is chunks-per-doc, bounded by document "
+    "length. At 100 TB the frequency table is Zipf-headed — AQE's "
+    "skew-join handles the hot chunks, and the documented refinement "
+    "is hashing chunk_text to a 64-bit key for the join to cut shuffle "
+    "bytes. Deterministic: chunk_idx makes the rebuild order total.",
+)
+def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(BOILER_CHUNK_WORDS))).cast(
+        "int"
+    )
+    c = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                "toks",
+                F.col("chunk_idx") * BOILER_CHUNK_WORDS + 1,
+                BOILER_CHUNK_WORDS,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    freq = c.groupBy("chunk_text").agg(F.count("*").alias("n_occur"))
+    flagged = c.join(freq, "chunk_text").withColumn(
+        "is_boilerplate", F.col("n_occur") >= BOILER_MIN_OCCUR
+    )
+    kept = F.when(
+        ~F.col("is_boilerplate"),
+        F.struct("chunk_idx", "chunk_text"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_boilerplate").cast("int"))
+        .cast("long")
+        .alias("n_boilerplate"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x.chunk_text
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
