@@ -952,3 +952,106 @@ def test_weighted_median_is_exact_by_definition(spark, sf_dir):
             if cum * 2 >= tot:
                 assert got[flag] == (cents, tot), flag
                 break
+
+
+def test_hierarchy_depth_identity(spark, sf_dir):
+    """Every node's depth in the binary forest equals
+    floor(log2(k)) - floor(log2(root)) … more simply: repeatedly halving
+    k reaches root_key in exactly `depth` steps. Also pins totality
+    (every customer appears exactly once) and root self-assignment."""
+    from solarflare_etl_pipeline_spark.operators.recursion import ROOTS
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["hierarchy_flatten"].spark(spark, sf_dir).collect()
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(rows) == n_customers
+    assert len({r.c_custkey for r in rows}) == n_customers
+    for r in rows:
+        k, steps = r.c_custkey, 0
+        while k >= ROOTS:
+            k //= 2
+            steps += 1
+        assert (k, steps) == (r.root_key, r.depth), r
+
+
+def test_interval_islands_disjoint_and_total(spark, sf_dir):
+    """Merged islands must be maximal: per user, islands are strictly
+    disjoint (next start > previous end — otherwise they'd have merged)
+    and interval counts sum to the user's event count."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["ts_interval_merge"].spark(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_events = {r.user_id: r["count"] for r in events}
+    for uid, islands in per_user.items():
+        islands.sort(key=lambda r: r.start_ts)
+        assert sum(r.n_intervals for r in islands) == n_events[uid]
+        for a, b in zip(islands, islands[1:]):
+            assert b.start_ts > a.end_ts, (uid, a, b)
+            assert a.start_ts <= a.end_ts
+
+
+def test_mixture_temperature_flattens_shares(spark, sf_dir):
+    """Temperature-sampling invariants: rates never exceed 1.0 (no
+    upsampling), every target share sits between the natural share and
+    the uniform share (alpha = 0.5 interpolates between alpha=1 natural
+    and alpha=0 uniform), and shares sum to ~1e6 ppm (floor slack only)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["llm_mixture_sample"].spark(spark, sf_dir).collect()
+    n_sources = len(rows)
+    uniform_ppm = 1_000_000 // n_sources
+    for r in rows:
+        assert 0 < r.sample_rate_ppm <= 1_000_000
+        lo, hi = sorted((r.natural_ppm, uniform_ppm))
+        assert lo - 1 <= r.target_ppm <= hi + 1, r
+    assert 1_000_000 - n_sources <= sum(r.target_ppm for r in rows) <= 1_000_000
+
+
+def test_boilerplate_strip_only_removes_repeated_chunks(spark, sf_dir):
+    """The cleaned text must be the original minus exactly the chunks
+    whose corpus frequency reaches the threshold — re-derived in pure
+    Python over the raw documents."""
+    from collections import Counter
+
+    from solarflare_etl_pipeline_spark.operators.text import (
+        BOILER_CHUNK_WORDS,
+        BOILER_MIN_OCCUR,
+    )
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def chunks(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + BOILER_CHUNK_WORDS])
+            for i in range(0, len(toks), BOILER_CHUNK_WORDS)
+        ]
+
+    freq = Counter()
+    for t in docs.values():
+        freq.update(chunks(t))
+    got = load_all()["llm_boilerplate_strip"].spark(spark, sf_dir).collect()
+    assert len(got) == len(docs)
+    for r in got:
+        cs = chunks(docs[r.doc_id])
+        kept = [c for c in cs if freq[c] < BOILER_MIN_OCCUR]
+        assert r.n_chunks == len(cs)
+        assert r.n_boilerplate == len(cs) - len(kept)
+        assert r.clean_text == " ".join(kept)
