@@ -142,3 +142,78 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@register(
+    "subq_exists_chain",
+    oracle="""
+        WITH li AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS AS is_late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM li l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.is_late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late)
+        GROUP BY s.s_name
+    """,
+    doc="The TPC-H Q21 pattern (suppliers who kept orders waiting): a "
+    "chained correlated EXISTS + NOT EXISTS over the same derived "
+    "relation — count, per supplier, late lineitems in multi-supplier "
+    "orders where NO other supplier was late ('late' = shipped > 60 "
+    "days after the order date; this schema carries no receipt/commit "
+    "dates). Spark side expresses the two EXISTS as LEFT SEMI and LEFT "
+    "ANTI joins on (orderkey, suppkey-differs) — the de-correlated "
+    "form Catalyst would produce, stated explicitly so the plan is "
+    "three hash joins on l_orderkey plus the supplier dim join "
+    "(broadcast-sized). One derived `li` lineage feeds all three "
+    "legs; everything shuffles on l_orderkey once per leg, no "
+    "per-row re-execution. BIGINT/VARCHAR output → hash-exact.",
+)
+def subq_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("is_late"),
+        )
+    )
+    l1 = li.where("is_late").alias("l1")
+    other = li.alias("l2")
+    has_other = l1.join(
+        other,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    ).alias("l1")
+    late_other = li.where("is_late").alias("l3")
+    lone_late = has_other.join(
+        late_other,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_anti",
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lone_late.join(
+            F.broadcast(sup), F.col("l1.l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
