@@ -732,3 +732,117 @@ def ts_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_ts"),
         F.count("*").alias("n_intervals"),
     )
+
+
+@register(
+    "ts_acf",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS hr,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        l AS (
+            SELECT user_id, hr, v3,
+                   LEAD(v3) OVER (PARTITION BY user_id ORDER BY hr)
+                     AS v3_next,
+                   LEAD(hr) OVER (PARTITION BY user_id ORDER BY hr)
+                     AS hr_next
+            FROM b
+        ),
+        stats AS (
+            SELECT user_id, COUNT(*) AS n, CAST(SUM(v3) AS BIGINT) AS s
+            FROM b GROUP BY user_id
+        ),
+        dev AS (
+            SELECT l.user_id,
+                   CAST(SUM(CAST(st.n * l.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * l.v3_next - st.s
+                                   AS DECIMAL(18,0))) AS BIGINT) AS num,
+                   COUNT(*) AS n_pairs
+            FROM l JOIN stats st ON st.user_id = l.user_id
+            WHERE l.v3_next IS NOT NULL
+              AND l.hr_next = l.hr + INTERVAL 1 HOUR
+            GROUP BY l.user_id
+        ),
+        den AS (
+            SELECT b.user_id,
+                   CAST(SUM(CAST(st.n * b.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * b.v3 - st.s AS DECIMAL(18,0)))
+                        AS BIGINT) AS den
+            FROM b JOIN stats st ON st.user_id = b.user_id
+            GROUP BY b.user_id
+        )
+        SELECT d.user_id, d.n_pairs, d.num, e.den,
+               CASE WHEN e.den = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(d.num AS DOUBLE) / CAST(e.den AS DOUBLE)
+               END AS acf1
+        FROM dev d JOIN den e ON e.user_id = d.user_id
+    """,
+    doc="Exact lag-1 autocorrelation per user over hourly buckets — the "
+    "seasonality/persistence diagnostic behind forecastability scoring "
+    "(is this series momentum-driven or white noise?). Mean-centering "
+    "is done EXACTLY in integers by scaling through n (n*x - S is n "
+    "times the deviation; the n^2 factors cancel in the ratio), so "
+    "num/den are integer-exact and engine-identical; the single final "
+    "ratio is one correctly-rounded IEEE division. Deviation products "
+    "accumulate through DECIMAL(18)x(18) -> DECIMAL(37) so no partial "
+    "sum can wrap BIGINT before the final cast (bound: |n*v3 - s| < "
+    "1e18 requires n * |v3|_max < 1e18 — calendar-bounded buckets keep "
+    "n small regardless of raw event volume). Adjacent-hour pairs only "
+    "(LEAD + hr gap check): gaps do not fabricate correlations. One "
+    "hash partitioning on user_id serves bucketing, the LEAD window, "
+    "and both reductions; the stats join is a post-aggregate "
+    "key-to-key equi join.",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    by_hr = Window.partitionBy("user_id").orderBy("hr")
+    l = b.select(
+        "user_id",
+        "hr",
+        "v3",
+        F.lead("v3").over(by_hr).alias("v3_next"),
+        F.lead("hr").over(by_hr).alias("hr_next"),
+    )
+    stats = b.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("v3").cast("long").alias("s")
+    )
+    dev_a = F.expr("CAST(n * v3 - s AS DECIMAL(18,0))")
+    dev_b = F.expr("CAST(n * v3_next - s AS DECIMAL(18,0))")
+    dev = (
+        l.join(stats, "user_id")
+        .where(
+            F.col("v3_next").isNotNull()
+            & (F.col("hr_next") == F.col("hr") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(dev_a * dev_b).cast("long").alias("num"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    den = (
+        b.join(stats, "user_id")
+        .groupBy("user_id")
+        .agg(F.sum(dev_a * dev_a).cast("long").alias("den"))
+    )
+    return dev.join(den, "user_id").select(
+        "user_id",
+        "n_pairs",
+        "num",
+        "den",
+        F.when(F.col("den") == 0, F.lit(0.0))
+        .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("acf1"),
+    )
