@@ -86,6 +86,9 @@ BENCH_QUERIES = (
     "ts_rolling_robust",
     "agg_cms_heavy_hitters",
     "maintenance_zorder",
+    "llm_boilerplate_strip",
+    "ts_interval_merge",
+    "hierarchy_rollup",
 )
 
 
