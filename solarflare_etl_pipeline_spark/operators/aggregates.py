@@ -1351,3 +1351,122 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tot").cast("long").alias("total_weight"),
         )
     )
+
+
+@register(
+    "agg_ols2",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_extendedprice) AS BIGINT) AS p,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        ),
+        s AS (
+            SELECT flag, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(p) AS BIGINT) AS sp,
+                   CAST(SUM(x*x) AS BIGINT) AS sxx,
+                   CAST(SUM(d*d) AS BIGINT) AS sdd,
+                   CAST(SUM(x*d) AS BIGINT) AS sxd,
+                   CAST(SUM(p*x) AS BIGINT) AS spx,
+                   CAST(SUM(p*d) AS BIGINT) AS spd
+            FROM q GROUP BY flag
+        ),
+        c AS (
+            SELECT flag, n, sx, sd, sp,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+                   CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd AS cdd,
+                   CAST(n AS HUGEINT) * sxd - CAST(sx AS HUGEINT) * sd AS cxd,
+                   CAST(n AS HUGEINT) * spx - CAST(sp AS HUGEINT) * sx AS cpx,
+                   CAST(n AS HUGEINT) * spd - CAST(sp AS HUGEINT) * sd AS cpd
+            FROM s
+        ),
+        m AS (
+            SELECT flag, n, sx, sd, sp,
+                   CAST(cxx * cdd - cxd * cxd AS DOUBLE) AS det,
+                   CAST(cpx * cdd - cpd * cxd AS DOUBLE) AS num1,
+                   CAST(cpd * cxx - cpx * cxd AS DOUBLE) AS num2
+            FROM c
+        )
+        SELECT flag, n,
+               ROUND(num1 / det, 9) AS b_qty,
+               ROUND(num2 / det, 9) AS b_disc,
+               ROUND((CAST(sp AS DOUBLE) - (num1 / det) * sx
+                      - (num2 / det) * sd) / n, 9) AS b0
+        FROM m
+    """,
+    doc="Distributed two-feature OLS via sufficient statistics: fit "
+    "price ~ quantity + discount per returnflag with ONE partial+final "
+    "hash aggregate collecting the exact integer moments (n, Sx, Sd, "
+    "Sp, Sxx, Sdd, Sxd, Spx, Spd — the map-side-combinable form of the "
+    "normal equations; no second pass, no gradient loop, no driver "
+    "matrix solve), then Cramer's rule on the n-scaled CENTERED 2x2 "
+    "system. Centered moments (n*Sxy - Sx*Sy) and their determinant "
+    "products exceed BIGINT, so the algebra runs in Spark DECIMAL(38,0) "
+    "/ DuckDB HUGEINT — exact on both engines, cast to DOUBLE only for "
+    "the final correctly-rounded divisions (bound: det products < 1e25 "
+    "at sf0.01; at larger n the documented swap is pre-scaling or "
+    "per-group sampling — the STATISTICS stay one-pass mergeable at "
+    "any scale, which is the point: this is how MLlib's normal-"
+    "equation solver shapes the problem). Coefficients rounded to 9 "
+    "decimals for cross-engine hash stability.",
+)
+def agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_extendedprice").cast("long").alias("p"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+    s = q.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("x") * F.col("d")).cast("long").alias("sxd"),
+        F.sum(F.col("p") * F.col("x")).cast("long").alias("spx"),
+        F.sum(F.col("p") * F.col("d")).cast("long").alias("spd"),
+    )
+    c = s.select(
+        "flag",
+        "n",
+        "sx",
+        "sd",
+        "sp",
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").alias("cxx"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sdd - CAST(sd AS DECIMAL(38,0)) * sd").alias("cdd"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sxd - CAST(sx AS DECIMAL(38,0)) * sd").alias("cxd"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * spx - CAST(sp AS DECIMAL(38,0)) * sx").alias("cpx"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * spd - CAST(sp AS DECIMAL(38,0)) * sd").alias("cpd"),
+    )
+    m = c.select(
+        "flag",
+        "n",
+        "sx",
+        "sd",
+        "sp",
+        F.expr("CAST(cxx * cdd - cxd * cxd AS DOUBLE)").alias("det"),
+        F.expr("CAST(cpx * cdd - cpd * cxd AS DOUBLE)").alias("num1"),
+        F.expr("CAST(cpd * cxx - cpx * cxd AS DOUBLE)").alias("num2"),
+    )
+    return m.select(
+        "flag",
+        "n",
+        F.round(F.col("num1") / F.col("det"), 9).alias("b_qty"),
+        F.round(F.col("num2") / F.col("det"), 9).alias("b_disc"),
+        F.round(
+            (
+                F.col("sp").cast("double")
+                - (F.col("num1") / F.col("det")) * F.col("sx")
+                - (F.col("num2") / F.col("det")) * F.col("sd")
+            )
+            / F.col("n"),
+            9,
+        ).alias("b0"),
+    )
