@@ -901,3 +901,68 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_price_changed"),
     )
+
+
+GAP_BUCKET = 1000  # sequence keys per gap-scan bucket
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+        WITH s AS (
+            SELECT o_orderkey AS k,
+                   LAG(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_k
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT prev_k + 1 AS gap_start,
+               k - 1 AS gap_end,
+               k - prev_k - 1 AS gap_len
+        FROM s WHERE k - prev_k > 1
+    """,
+    doc="Sequence-gap detection (missing-key audit over an expected-"
+    "dense id space — the completeness check for ingestion ledgers and "
+    "CDC offset ranges), filtered to 'F' orders so the fixture actually "
+    "has gaps. The ORACLE is the textbook global LAG — which Spark "
+    "would execute on a SINGLE partition (WindowExec with no PARTITION "
+    "BY moves every row to one task: the classic 100 TB killer). The "
+    "Spark side instead runs the TWO-LEVEL form: keys bucket by "
+    "k DIV 1000, intra-bucket gaps come from LAG inside each bucket "
+    "partition (parallel), and cross-bucket gaps from one LAG over the "
+    "per-bucket (min, max) summary table — dimension-sized, same "
+    "bounded-single-partition discipline as agg_proportional_allocate. "
+    "Result sets are provably identical: every gap either lies inside "
+    "one bucket's key run or spans the boundary between two occupied "
+    "buckets' extrema (empty buckets in between collapse into the "
+    "boundary gap). All-BIGINT → hash-exact.",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+        .withColumn("bucket", F.expr(f"k DIV {GAP_BUCKET}"))
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("k")
+    intra = (
+        keys.withColumn("prev_k", F.lag("k").over(in_bucket))
+        .where(F.col("k") - F.col("prev_k") > 1)
+        .select(
+            (F.col("prev_k") + 1).alias("gap_start"),
+            (F.col("k") - 1).alias("gap_end"),
+            (F.col("k") - F.col("prev_k") - 1).alias("gap_len"),
+        )
+    )
+    summary = keys.groupBy("bucket").agg(
+        F.min("k").alias("min_k"), F.max("k").alias("max_k")
+    )
+    by_bucket = Window.partitionBy().orderBy("bucket")  # |buckets| rows only
+    boundary = (
+        summary.withColumn("prev_max", F.lag("max_k").over(by_bucket))
+        .where(F.col("min_k") - F.col("prev_max") > 1)
+        .select(
+            (F.col("prev_max") + 1).alias("gap_start"),
+            (F.col("min_k") - 1).alias("gap_end"),
+            (F.col("min_k") - F.col("prev_max") - 1).alias("gap_len"),
+        )
+    )
+    return intra.unionAll(boundary)
