@@ -91,20 +91,27 @@ def hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c.c_custkey >= {ROOTS}
         )
         SELECT a.root_key,
-               COUNT(DISTINCT a.c_custkey) AS n_members,
-               COUNT(o.o_orderkey) AS n_orders,
-               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)),
-                             0) AS BIGINT) AS subtree_cents
-        FROM anc a LEFT JOIN orders o ON o.o_custkey = a.c_custkey
+               COUNT(*) AS n_members,
+               CAST(COALESCE(SUM(f.n_orders), 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(f.cents), 0) AS BIGINT) AS subtree_cents
+        FROM anc a LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ) f ON f.o_custkey = a.c_custkey
         GROUP BY a.root_key
     """,
     doc="Subtree aggregation over the recursive closure: order volume "
     "rolled up to each hierarchy root (the 'territory total' every org-"
-    "chart report needs). The closure from hierarchy_flatten feeds a "
-    "LEFT join to the fact table then one hash agg on root_key — the "
-    "fact scan is touched ONCE, after the recursion, so fact-side cost "
-    "is identical to a plain agg; recursion cost stays dimension-sided. "
-    "Integer-cents accumulation → hash-exact.",
+    "chart report needs). The fact table is PRE-AGGREGATED to one row "
+    "per customer BEFORE touching the closure — the recursion-side "
+    "join then carries |customers| rows instead of |orders|, members "
+    "are counted with a plain COUNT(*) (the closure is already "
+    "distinct per node — no COUNT(DISTINCT) expand), and the final "
+    "rollup merges pre-summed partials. Fact-side cost is one "
+    "partial+final hash agg regardless of hierarchy shape; recursion "
+    "cost stays dimension-sided. Integer-cents → hash-exact.",
 )
 def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -119,11 +126,15 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE c.c_custkey >= {ROOTS}
         )
         SELECT a.root_key,
-               COUNT(DISTINCT a.c_custkey) AS n_members,
-               COUNT(o.o_orderkey) AS n_orders,
-               CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)),
-                             0) AS BIGINT) AS subtree_cents
-        FROM anc a LEFT JOIN orders o ON o.o_custkey = a.c_custkey
+               COUNT(*) AS n_members,
+               CAST(COALESCE(SUM(f.n_orders), 0) AS BIGINT) AS n_orders,
+               CAST(COALESCE(SUM(f.cents), 0) AS BIGINT) AS subtree_cents
+        FROM anc a LEFT JOIN (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ) f ON f.o_custkey = a.c_custkey
         GROUP BY a.root_key
         """
     )
