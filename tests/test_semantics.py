@@ -1139,3 +1139,44 @@ def test_ivfpq_recall_and_rank_validity(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))
+
+
+def test_ols2_matches_numpy_lstsq(spark, sf_dir):
+    """The sufficient-statistics OLS must agree with numpy's dense
+    least-squares on the same quantized rows (tolerance: the 9-decimal
+    output rounding plus float conditioning)."""
+    import numpy as np
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    got = {
+        r.flag: (r.b0, r.b_qty, r.b_disc)
+        for r in load_all()["agg_ols2"].spark(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity", "l_discount")
+        .collect()
+    )
+    import math
+
+    half_up = lambda x: int(math.floor(x + 0.5))  # SQL ROUND, not banker's
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (half_up(r.l_extendedprice), int(r.l_quantity), half_up(r.l_discount * 100))
+        )
+    for flag, data in by_flag.items():
+        p = np.array([t[0] for t in data], dtype=float)
+        X = np.column_stack(
+            [
+                np.ones(len(data)),
+                np.array([t[1] for t in data], dtype=float),
+                np.array([t[2] for t in data], dtype=float),
+            ]
+        )
+        beta, *_ = np.linalg.lstsq(X, p, rcond=None)
+        b0, b_qty, b_disc = got[flag]
+        assert abs(b0 - beta[0]) < 1e-4 * max(1.0, abs(beta[0])), flag
+        assert abs(b_qty - beta[1]) < 1e-4 * max(1.0, abs(beta[1])), flag
+        assert abs(b_disc - beta[2]) < 1e-4 * max(1.0, abs(beta[2])), flag
