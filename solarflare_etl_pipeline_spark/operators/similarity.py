@@ -1602,3 +1602,83 @@ def llm_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "llm_hard_negatives",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, label AS q_label, v AS qv
+              FROM e WHERE vec_id < {N_QUERIES}),
+        p AS (
+            SELECT q.qid, q.q_label, e.vec_id AS nid, e.label AS n_label,
+                   {_sql_dot('q.qv', 'e.v')}
+                     / ({_sql_norm('q.qv')} * {_sql_norm('e.v')}) AS cos
+            FROM q CROSS JOIN e
+            WHERE e.vec_id <> q.qid AND e.label <> q.q_label
+        )
+        SELECT qid AS query_id, q_label AS query_label,
+               nid AS negative_id, n_label AS negative_label,
+               rnk AS rank, ROUND(cos, 6) AS cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM p)
+        WHERE rnk <= {HARD_NEG_K}
+    """,
+    doc="Hard-negative mining for contrastive retrieval training: per "
+    "query, the top-k most-similar vectors with a DIFFERENT label — "
+    "the negatives that actually move an embedding model, versus "
+    "random negatives the model already separates. Same deliberate "
+    "broadcast-cross-join exact baseline as llm_similarity_topk (the "
+    "label filter just lands in the pair predicate); at 100 TB the "
+    "scale path is identical to the ANN family — mine negatives from "
+    "IVF/LSH candidate lists (llm_similarity_ivfpq's probe join) and "
+    "re-rank, since a hard negative is by definition a near neighbor. "
+    "Norms hoisted out of the pair loop as in the baseline.",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("v")
+    )
+    e = e.withColumn("n", _norm(F.col("v")))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "qid",
+            "q_label",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("n_label"),
+            (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HARD_NEG_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("q_label").alias("query_label"),
+            F.col("nid").alias("negative_id"),
+            F.col("n_label").alias("negative_label"),
+            "rank",
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

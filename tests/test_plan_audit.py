@@ -19,6 +19,7 @@ SPECS = load_all()
 #: lossless length-band equi-join.
 DELIBERATE_CROSS = {
     "llm_similarity_topk",
+    "llm_hard_negatives",  # same exact-baseline shape; scale path = ANN mining
     "join_cross",
     # SINGLE-ROW global aggregates combined for theorem booleans —
     # 1×1 (or k×1) nested-loop joins, not data-scale cross products
@@ -35,6 +36,9 @@ DELIBERATE_CROSS = {
     # and |customers| ×1 respectively)
     "dq_benford",
     "agg_rfm_segments",
+    # SINGLE-ROW scalar threshold broadcast onto the customer scan
+    # (Q22's de-correlated scalar subquery) — N×1, not a product
+    "subq_scalar_threshold_anti",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
