@@ -217,3 +217,53 @@ def subq_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "subq_scalar_threshold_anti",
+    oracle="""
+        WITH thresh AS (
+            SELECT AVG(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_nationkey AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS totacctbal_cents
+        FROM customer c, thresh
+        WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) > thresh.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+    """,
+    doc="The TPC-H Q22 pattern (global-customer sales opportunity): "
+    "customers with above-average positive balance who have NEVER "
+    "ordered, counted per nation — a scalar aggregate subquery used as "
+    "a filter threshold PLUS an anti join, the two classic correlation "
+    "shapes in one query. Spark side: the threshold is a 1-row "
+    "aggregate broadcast onto the scan (N x 1 nested loop, not a data "
+    "cross product), the no-orders test is a LEFT ANTI join on "
+    "o_custkey — exactly how Catalyst de-correlates the SQL form. "
+    "Balance compared and summed in integer cents (AVG of BIGINTs "
+    "yields the same exact rational on both engines only when used as "
+    "a comparison bound — the emitted columns are pure BIGINT) → "
+    "hash-exact.",
+)
+def subq_scalar_threshold_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    thresh = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("bal_cents").alias("avg_bal"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        c.join(F.broadcast(thresh))
+        .where(F.col("bal_cents") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return rich.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("numcust"),
+        F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+    )
