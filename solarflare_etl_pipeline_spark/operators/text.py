@@ -1604,3 +1604,66 @@ def llm_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+SPAN_EVERY = 20   # a span starts every 20 tokens…
+SPAN_LEN = 3      # …and masks 3 consecutive tokens (15% corruption)
+
+
+@register(
+    "llm_span_corruption",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id,
+               UNNEST(RANGE(0, CAST(CEIL((n_tokens - {SPAN_LEN} + 1)
+                   / {SPAN_EVERY}.0) AS INT))) AS span_idx,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(0, CAST(CEIL((n_tokens - {SPAN_LEN} + 1)
+                       / {SPAN_EVERY}.0) AS INT)),
+                   i -> i * {SPAN_EVERY})) AS span_start,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(0, CAST(CEIL((n_tokens - {SPAN_LEN} + 1)
+                       / {SPAN_EVERY}.0) AS INT)),
+                   i -> LEAST(CAST({SPAN_LEN} AS BIGINT),
+                              n_tokens - i * {SPAN_EVERY}))) AS span_len
+        FROM t
+        WHERE n_tokens >= {SPAN_LEN}
+    """,
+    doc="T5-style span-corruption schedule: for each document, the "
+    "deterministic list of masked spans (one every 20 tokens, 3 tokens "
+    "long, ~15% corruption rate) a denoising pretraining objective "
+    "consumes — emitted as (doc_id, span_idx, span_start, span_len) "
+    "rows so the masking step downstream is a pure per-row transform. "
+    "Deterministic BY DESIGN (schedule positions, not RNG draws): "
+    "reproducible across engines, retries, and epochs — the property "
+    "sampled-mask pipelines give up. sequence+explode generates spans "
+    "from each doc's own token count (no cross-row data movement — "
+    "the same narrow explode discipline as udtf_lateral_chunks); "
+    "all-BIGINT output → hash-exact. Tail spans clip to the doc "
+    "boundary via LEAST.",
+)
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") >= SPAN_LEN)
+    n_spans = F.ceil(
+        (F.col("n_tokens") - SPAN_LEN + 1) / F.lit(float(SPAN_EVERY))
+    ).cast("int")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        (F.col("span_idx") * SPAN_EVERY).cast("long").alias("span_start"),
+        F.least(
+            F.lit(SPAN_LEN).cast("long"),
+            F.col("n_tokens") - F.col("span_idx") * SPAN_EVERY,
+        ).alias("span_len"),
+    )
