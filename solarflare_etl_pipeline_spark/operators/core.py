@@ -966,3 +966,65 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return intra.unionAll(boundary)
+
+
+#: The schema's FK edges: (child table, fk col, parent table, pk col).
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+               (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+               (SELECT COUNT(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pk} = c.{fk})) AS n_orphans
+        """
+        for child, fk, parent, pk in FK_EDGES
+    ),
+    doc="Referential-integrity audit over every FK edge of the schema "
+    "(the constraint check a lakehouse can't delegate to the storage "
+    "layer — parquet enforces nothing): per edge, child row count and "
+    "orphan count via a LEFT ANTI join against the parent's key "
+    "projection. All seven edges audit in one job; each anti join "
+    "shuffles on its own key (dimension parents broadcast), and a "
+    "nonzero n_orphans is the signal that gates a load downstream "
+    "(same role as dq_expectations' rule rows). The audit reads each "
+    "parent as a key-only projection — column pruning keeps the "
+    "parent side scan-light at 100 TB. ONE lazy plan: per edge, the "
+    "child-count aggregate and the anti-join-count aggregate combine "
+    "through a 1 x 1 join (the agg_sketch_mergeable theorem-join "
+    "shape, not a data-scale product) and the seven edge rows union — "
+    "no driver-side counting loop, every edge audits in parallel. "
+    "All BIGINT/VARCHAR → hash-exact.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = []
+    for child, fk, parent, pk in FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pk)
+        totals = c.agg(F.count("*").alias("n_child_rows"))
+        orphans = c.join(p, c[fk] == p[pk], "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        edges.append(
+            totals.join(orphans).select(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                "n_child_rows",
+                "n_orphans",
+            )
+        )
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out

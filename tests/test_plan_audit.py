@@ -39,6 +39,9 @@ DELIBERATE_CROSS = {
     # SINGLE-ROW scalar threshold broadcast onto the customer scan
     # (Q22's de-correlated scalar subquery) — N×1, not a product
     "subq_scalar_threshold_anti",
+    # per-FK-edge 1×1 joins of two single-row aggregates (child count
+    # ⋈ orphan count) — theorem-join shape, not data-scale products
+    "dq_referential_integrity",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
