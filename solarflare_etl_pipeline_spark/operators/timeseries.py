@@ -846,3 +846,83 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("num").cast("double") / F.col("den").cast("double"))
         .alias("acf1"),
     )
+
+
+@register(
+    "ts_period_over_period",
+    oracle="""
+        WITH m AS (
+            SELECT c.c_nationkey AS nationkey,
+                   CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+                     AS month_ts,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY 1, 2
+        ),
+        l AS (
+            SELECT nationkey, month_ts, rev_cents,
+                   LAG(rev_cents) OVER (PARTITION BY nationkey
+                                        ORDER BY month_ts) AS prev_rev,
+                   LAG(month_ts) OVER (PARTITION BY nationkey
+                                       ORDER BY month_ts) AS prev_month
+            FROM m
+        )
+        SELECT nationkey, month_ts, rev_cents,
+               CASE WHEN prev_month = month_ts - INTERVAL 1 MONTH
+                    THEN rev_cents - prev_rev END AS mom_delta_cents,
+               CASE WHEN prev_month = month_ts - INTERVAL 1 MONTH
+                         AND prev_rev <> 0
+                    THEN (rev_cents - prev_rev) * 10000 // prev_rev
+               END AS mom_delta_bps
+        FROM l
+    """,
+    doc="Period-over-period reporting (month-over-month revenue per "
+    "nation): monthly pre-aggregation, then LAG within the nation "
+    "partition with an adjacency guard — a missing month yields NULL "
+    "deltas rather than comparing against the wrong period (the "
+    "correctness detail naive LAG reports get wrong). Delta in exact "
+    "integer cents; relative change in integer basis points "
+    "(x*10000 DIV prev — both engines truncate toward zero). One "
+    "shuffle on the custkey join, one on the (nation, month) agg; the "
+    "LAG window input is the post-aggregate month table "
+    "(calendar-bounded per nation, never event-scale).",
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("month", "o_orderdate").alias("month_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("month_ts")
+    l = m.select(
+        "nationkey",
+        "month_ts",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_rev"),
+        F.lag("month_ts").over(w).alias("prev_month"),
+    )
+    adjacent = F.col("prev_month") == F.col("month_ts") - F.expr(
+        "INTERVAL 1 MONTH"
+    )
+    return l.select(
+        "nationkey",
+        "month_ts",
+        "rev_cents",
+        F.when(adjacent, F.col("rev_cents") - F.col("prev_rev")).alias(
+            "mom_delta_cents"
+        ),
+        F.when(
+            adjacent & (F.col("prev_rev") != 0),
+            F.expr("(rev_cents - prev_rev) * 10000 DIV prev_rev"),
+        ).alias("mom_delta_bps"),
+    )
