@@ -1667,3 +1667,309 @@ def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") - F.col("span_idx") * SPAN_EVERY,
         ).alias("span_len"),
     )
+
+
+@register(
+    "llm_preference_pairs",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                        AS BIGINT) * 1000000
+                     // LEN(STRING_SPLIT(text, ' ')) AS score_ppm
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, source, score_ppm,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY score_ppm DESC, doc_id) AS rn_best,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY score_ppm ASC, doc_id) AS rn_worst
+            FROM scored
+        )
+        SELECT b.source,
+               b.doc_id AS chosen_doc_id,
+               b.score_ppm AS chosen_score_ppm,
+               w.doc_id AS rejected_doc_id,
+               w.score_ppm AS rejected_score_ppm,
+               b.score_ppm - w.score_ppm AS score_gap_ppm
+        FROM (SELECT * FROM r WHERE rn_best = 1) b
+        JOIN (SELECT * FROM r WHERE rn_worst = 1) w ON w.source = b.source
+        WHERE b.doc_id <> w.doc_id
+    """,
+    doc="Preference-pair construction for reward-model / DPO training: "
+    "per source, the highest- and lowest-quality documents (lexical-"
+    "diversity score in integer ppm, doc_id tiebreak) become one "
+    "(chosen, rejected) pair with its score gap — the mechanical core "
+    "of turning a scored corpus into preference data; single-document "
+    "groups produce no pair (chosen <> rejected guard). Two ranking "
+    "windows over ONE scored lineage share the source partitioning; "
+    "the rank-1 filters land BELOW the self-join, so the join carries "
+    "|sources| rows per side, not |docs|. All-BIGINT → hash-exact.",
+)
+def llm_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 DIV size(split(text, ' '))"
+        ).alias("score_ppm"),
+    )
+    best_w = W.partitionBy("source").orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id")
+    )
+    worst_w = W.partitionBy("source").orderBy(
+        F.col("score_ppm").asc(), F.col("doc_id")
+    )
+    r = scored.select(
+        "doc_id",
+        "source",
+        "score_ppm",
+        F.row_number().over(best_w).alias("rn_best"),
+        F.row_number().over(worst_w).alias("rn_worst"),
+    )
+    b = r.where("rn_best = 1").select(
+        "source",
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("score_ppm").alias("chosen_score_ppm"),
+    )
+    w = r.where("rn_worst = 1").select(
+        "source",
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("score_ppm").alias("rejected_score_ppm"),
+    )
+    return (
+        b.join(w, "source")
+        .where(F.col("chosen_doc_id") != F.col("rejected_doc_id"))
+        .select(
+            "source",
+            "chosen_doc_id",
+            "chosen_score_ppm",
+            "rejected_doc_id",
+            "rejected_score_ppm",
+            (F.col("chosen_score_ppm") - F.col("rejected_score_ppm")).alias(
+                "score_gap_ppm"
+            ),
+        )
+    )
+
+
+def cleaned_docs(d: DataFrame) -> DataFrame:
+    """Shared boilerplate-strip core (llm_boilerplate_strip /
+    flagship_span_corpus): per doc, the corpus-frequency-filtered
+    clean_text plus its source tag. Same chunk → global-frequency →
+    rebuild plan as the registered op, with source carried through."""
+    t = d.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    n_chunks = F.ceil(
+        F.size("toks") / F.lit(float(BOILER_CHUNK_WORDS))
+    ).cast("int")
+    c = t.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.array_join(
+            F.slice(
+                "toks",
+                F.col("chunk_idx") * BOILER_CHUNK_WORDS + 1,
+                BOILER_CHUNK_WORDS,
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )
+    freq = c.groupBy("chunk_text").agg(F.count("*").alias("n_occur"))
+    flagged = c.join(freq, "chunk_text").withColumn(
+        "is_boilerplate", F.col("n_occur") >= BOILER_MIN_OCCUR
+    )
+    kept = F.when(
+        ~F.col("is_boilerplate"), F.struct("chunk_idx", "chunk_text")
+    )
+    return flagged.groupBy("doc_id", "source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x.chunk_text
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+
+
+@register(
+    "flagship_span_corpus",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks)
+                       / {BOILER_CHUNK_WORDS}.0) AS INT))) AS chunk_idx,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, CAST(CEIL(LEN(toks)
+                           / {BOILER_CHUNK_WORDS}.0) AS INT)),
+                       i -> ARRAY_TO_STRING(
+                           toks[i * {BOILER_CHUNK_WORDS} + 1
+                                : i * {BOILER_CHUNK_WORDS}
+                                  + {BOILER_CHUNK_WORDS}], ' ')))
+                     AS chunk_text
+            FROM t
+        ),
+        freq AS (
+            SELECT chunk_text, COUNT(*) AS n_occur FROM c GROUP BY 1
+        ),
+        clean AS (
+            SELECT c.doc_id, c.source,
+                   COALESCE(STRING_AGG(
+                       CASE WHEN f.n_occur < {BOILER_MIN_OCCUR}
+                            THEN c.chunk_text END,
+                       ' ' ORDER BY c.chunk_idx), '') AS clean_text
+            FROM c JOIN freq f ON f.chunk_text = c.chunk_text
+            GROUP BY c.doc_id, c.source
+        ),
+        sized AS (
+            SELECT doc_id, source, clean_text,
+                   CAST(LEN(clean_text) AS BIGINT) AS clean_chars,
+                   CASE WHEN clean_text = '' THEN CAST(0 AS BIGINT)
+                        ELSE CAST(LEN(STRING_SPLIT(clean_text, ' '))
+                                  AS BIGINT) END AS clean_tokens
+            FROM clean
+        ),
+        srcagg AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(clean_chars) AS BIGINT) AS chars_total
+            FROM sized GROUP BY source
+        ),
+        mix AS (
+            SELECT source, n_docs, chars_total,
+                   CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE)))
+                        AS BIGINT) AS w_sqrt,
+                   SUM(CAST(FLOOR(SQRT(CAST(chars_total AS DOUBLE)))
+                            AS BIGINT)) OVER () AS w_total,
+                   SUM(chars_total) OVER () AS chars_all
+            FROM srcagg
+        ),
+        rates AS (
+            SELECT source, n_docs, chars_total,
+                   CAST(LEAST(
+                       CAST(1000000 AS BIGINT),
+                       (w_sqrt * 1000000 // w_total) * 1000000
+                         // GREATEST(chars_total * 1000000 // chars_all,
+                                     CAST(1 AS BIGINT))
+                   ) AS BIGINT) AS sample_rate_ppm
+            FROM mix
+        ),
+        kept AS (
+            SELECT s.doc_id, s.source, s.clean_tokens
+            FROM sized s JOIN rates r ON r.source = s.source
+            WHERE CAST(('0x' || SUBSTR(MD5(CAST(s.doc_id AS VARCHAR)), 1, 5))
+                       AS BIGINT) % 1000000 < r.sample_rate_ppm
+        ),
+        spans AS (
+            SELECT source,
+                   COUNT(*) AS n_docs_kept,
+                   CAST(SUM(clean_tokens) AS BIGINT) AS tokens_kept,
+                   CAST(SUM(CASE WHEN clean_tokens >= {SPAN_LEN}
+                            THEN CAST(CEIL((clean_tokens - {SPAN_LEN} + 1)
+                                / {SPAN_EVERY}.0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS n_spans_total
+            FROM kept GROUP BY source
+        )
+        SELECT r.source, r.n_docs, r.chars_total, r.sample_rate_ppm,
+               CAST(COALESCE(s.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+               CAST(COALESCE(s.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+               CAST(COALESCE(s.n_spans_total, 0) AS BIGINT) AS n_spans_total
+        FROM rates r LEFT JOIN spans s ON s.source = r.source
+    """,
+    doc="Pretraining-corpus capstone chaining four round-6 operators in "
+    "ONE lazy plan: corpus-wide boilerplate strip (global chunk "
+    "frequencies → per-doc clean text), alpha = 0.5 temperature "
+    "mixture over the CLEANED char mass (not raw — cleaning changes "
+    "the mixture, so ordering matters), a deterministic md5 coin at "
+    "ppm resolution applying each source's sampling rate, and the T5 "
+    "span-corruption schedule counted over the kept docs — reporting "
+    "per source: raw docs, cleaned chars, sampling rate, kept docs, "
+    "kept tokens, total masked spans. Two global barriers (chunk "
+    "frequency agg; source-mixture window over the dimension-sized "
+    "source table) — everything else stays narrow or shuffles on one "
+    "key. The oracle replays the full chain in SQL, so the hash "
+    "certifies the COMPOSITION, not just the parts.",
+)
+def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sized = cleaned_docs(d).select(
+        "doc_id",
+        "source",
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        F.when(F.col("clean_text") == "", F.lit(0).cast("long"))
+        .otherwise(F.size(F.split("clean_text", " ")).cast("long"))
+        .alias("clean_tokens"),
+    )
+    srcagg = sized.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("clean_chars").cast("long").alias("chars_total"),
+    )
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy()
+    mix = srcagg.withColumn(
+        "w_sqrt",
+        F.floor(F.sqrt(F.col("chars_total").cast("double"))).cast("long"),
+    ).withColumn("w_total", F.sum("w_sqrt").over(everything)).withColumn(
+        "chars_all", F.sum("chars_total").over(everything)
+    )
+    rates = mix.select(
+        "source",
+        "n_docs",
+        "chars_total",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr(
+                "(w_sqrt * 1000000 DIV w_total) * 1000000"
+                " DIV GREATEST(chars_total * 1000000 DIV chars_all,"
+                " CAST(1 AS BIGINT))"
+            ),
+        )
+        .cast("long")
+        .alias("sample_rate_ppm"),
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
+        ).cast("long")
+        % 1000000
+    )
+    kept = sized.join(F.broadcast(rates), "source").where(
+        coin < F.col("sample_rate_ppm")
+    )
+    n_spans = F.when(
+        F.col("clean_tokens") >= SPAN_LEN,
+        F.ceil(
+            (F.col("clean_tokens") - SPAN_LEN + 1) / F.lit(float(SPAN_EVERY))
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    spans = kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("clean_tokens").cast("long").alias("tokens_kept"),
+        F.sum(n_spans).cast("long").alias("n_spans_total"),
+    )
+    return rates.join(spans, "source", "left").select(
+        "source",
+        "n_docs",
+        "chars_total",
+        "sample_rate_ppm",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("tokens_kept", F.lit(0)).cast("long").alias("tokens_kept"),
+        F.coalesce("n_spans_total", F.lit(0))
+        .cast("long")
+        .alias("n_spans_total"),
+    )

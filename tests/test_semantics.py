@@ -1232,3 +1232,36 @@ def test_span_corruption_schedule_properties(spark, sf_dir):
             assert a.span_start + a.span_len <= b.span_start  # no overlap
         frac = sum(s.span_len for s in spans) / n
         assert frac <= SPAN_LEN / SPAN_EVERY + SPAN_LEN / n
+
+
+def test_span_corpus_composition_consistency(spark, sf_dir):
+    """The flagship chain must be internally consistent: kept docs are a
+    subset of each source's docs, sampling monotone (rate 1e6 keeps all
+    docs), and total spans bounded by the 15% schedule over kept
+    tokens. Cross-checked against the standalone boilerplate op: chars
+    per source must equal the sum of clean_text lengths."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    S = load_all()
+    rows = S["flagship_span_corpus"].spark(spark, sf_dir).collect()
+    assert rows
+    clean = S["llm_boilerplate_strip"].spark(spark, sf_dir).collect()
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    chars = defaultdict(int)
+    for r in clean:
+        chars[src[r.doc_id]] += len(r.clean_text)
+    for r in rows:
+        assert 0 <= r.n_docs_kept <= r.n_docs
+        assert 0 < r.sample_rate_ppm <= 1_000_000
+        if r.sample_rate_ppm == 1_000_000:
+            assert r.n_docs_kept == r.n_docs
+        assert r.chars_total == chars[r.source], r.source
+        # schedule bound: ceil((n-2)/20) <= n/20 + 1 per doc
+        assert r.n_spans_total <= r.tokens_kept // 20 + r.n_docs_kept
