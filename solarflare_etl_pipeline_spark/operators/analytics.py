@@ -1060,3 +1060,67 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             r.cast("string"), f.cast("string"), m.cast("string")
         ).alias("rfm_code"),
     )
+
+
+K_CORE = 3          # peel to the 3-core
+K_CORE_MAX_ROUNDS = 40  # safety bound; peeling converges in O(diameter)
+
+
+@register(
+    "graph_k_core",
+    oracle=None,  # iterative fixpoint; pure-Python re-derivation in tests
+    doc=f"k-core decomposition (k = {K_CORE}) of the part co-purchase "
+    "graph by iterative peeling: repeatedly delete nodes with degree "
+    f"< {K_CORE} until none remain — the standard subgraph-density "
+    "primitive behind community seeds, spam rings, and graph "
+    "sparsification. Same edge construction as graph_triangle_count "
+    "(oriented co-purchase pairs, de-duplicated), then each round is "
+    "one degree aggregate + one semi join against surviving nodes; "
+    "the driver loop reads ONE convergence scalar per round (the "
+    "llm_dedup_cluster discipline — no data ever collects) and each "
+    "round localCheckpoints to cut the lineage. Rounds are bounded by "
+    "the peeling depth (graph-dependent, typically << diameter); at "
+    "100 TB each round is two shuffles on node id and the loop "
+    "parallelizes per connected component for free since peeling is "
+    "local. Output: surviving nodes with their in-core degree.",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        # both directions so degree = COUNT(*) per node
+        .localCheckpoint()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    for _ in range(K_CORE_MAX_ROUNDS):
+        deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+        weak = deg.where(F.col("degree") < K_CORE)
+        # ONE bounded scalar per round — the convergence check
+        if weak.limit(1).count() == 0:
+            return deg.select(
+                F.col("src").alias("part_id"), F.col("degree").alias("core_degree")
+            )
+        keep = deg.where(F.col("degree") >= K_CORE).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint()
+        )
+    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.where(F.col("degree") >= K_CORE).select(
+        F.col("src").alias("part_id"), F.col("degree").alias("core_degree")
+    )

@@ -1265,3 +1265,44 @@ def test_span_corpus_composition_consistency(spark, sf_dir):
         assert r.chars_total == chars[r.source], r.source
         # schedule bound: ceil((n-2)/20) <= n/20 + 1 per doc
         assert r.n_spans_total <= r.tokens_kept // 20 + r.n_docs_kept
+
+
+def test_k_core_matches_python_peeling(spark, sf_dir):
+    """Re-derive the 3-core in pure Python over the same co-purchase
+    edges and compare membership AND in-core degrees; also assert the
+    defining property directly: every surviving node has >= 3 surviving
+    neighbors."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.operators.analytics import K_CORE
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    got = {
+        r.part_id: r.core_degree
+        for r in load_all()["graph_k_core"].spark(spark, sf_dir).collect()
+    }
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order = defaultdict(set)
+    for r in rows:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                adj[x].add(y)
+                adj[y].add(x)
+    alive = set(adj)
+    while True:
+        weak = {v for v in alive if len(adj[v] & alive) < K_CORE}
+        if not weak:
+            break
+        alive -= weak
+    want = {v: len(adj[v] & alive) for v in alive}
+    assert got == want
+    for v, d in got.items():
+        assert d >= K_CORE
