@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.catalog import register_views, table
 from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
 from solarflare_etl_pipeline_spark.registry import register
 
@@ -141,4 +141,47 @@ def null_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.nullif(F.col("value"), F.lit(0.0)).isNotNull(), "present")
         .otherwise("absent")
         .alias("presence"),
+    )
+
+
+@register(
+    "join_not_in_null",
+    oracle="""
+        SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)
+        UNION ALL
+        SELECT 'not_in_null_free' AS variant, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_custkey IS NOT NULL
+                                  AND o_custkey <> 7)
+    """,
+    doc="The NOT IN null trap, registered as a two-row contrast: with "
+    "ONE NULL in the subquery (NULLIF plants it), x NOT IN (S) can "
+    "never be TRUE — three-valued logic makes it NULL for every "
+    "non-member — so the first variant returns 0 customers; the "
+    "null-filtered variant returns the intended never-ordered set "
+    "(plus key 7, removed from the list). Both engines must agree on "
+    "both counts — the parity IS the point, since this is the single "
+    "most common silent-wrong-answer migration bug. Spark plans the "
+    "null-aware variant as a BroadcastNestedLoopJoin (NullAwareAnti), "
+    "the null-free one as a plain broadcast anti hash join — the "
+    "null-free spelling (or NOT EXISTS) is the 100 TB guidance, and "
+    "this op is the executable reason why.",
+)
+def join_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'not_in_with_null' AS variant, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 7) FROM orders)
+        UNION ALL
+        SELECT 'not_in_null_free' AS variant, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_custkey IS NOT NULL
+                                  AND o_custkey <> 7)
+        """
     )
