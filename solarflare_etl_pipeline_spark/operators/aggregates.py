@@ -1470,3 +1470,112 @@ def agg_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("b0"),
     )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+        WITH q AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_extendedprice / 100) AS BIGINT) AS x
+            FROM lineitem
+        ),
+        s AS (
+            SELECT flag, COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2,
+                   SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                   SUM((CAST(x AS HUGEINT) * x)
+                       * (CAST(x AS HUGEINT) * x)) AS s4
+            FROM q GROUP BY flag
+        ),
+        m AS (
+            SELECT flag, n,
+                   CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2p,
+                   CAST(n AS HUGEINT) * n * s3
+                     - 3 * (CAST(n AS HUGEINT) * s2) * s1
+                     + 2 * (s1 * s1) * s1 AS m3p,
+                   CAST(n AS HUGEINT) * n * n * s4
+                     - 4 * (CAST(n AS HUGEINT) * n * s3) * s1
+                     + 6 * (CAST(n AS HUGEINT) * s2) * (s1 * s1)
+                     - 3 * ((s1 * s1) * (s1 * s1)) AS m4p
+            FROM s
+        )
+        SELECT flag, n,
+               ROUND(CAST(m3p AS DOUBLE)
+                     / (CAST(m2p AS DOUBLE) * SQRT(CAST(m2p AS DOUBLE))), 9)
+                 AS skewness,
+               ROUND(CAST(m4p AS DOUBLE)
+                     / (CAST(m2p AS DOUBLE) * CAST(m2p AS DOUBLE)) - 3, 9)
+                 AS kurtosis_excess
+        FROM m
+    """,
+    doc="Population skewness and excess kurtosis from EXACT integer "
+    "power sums — one mergeable partial+final agg collects S1..S4 on "
+    "quantized hecto-dollar values, then the n-scaled central moments "
+    "m2' = n*S2 - S1^2, m3' = n^2*S3 - 3n*S2*S1 + 2*S1^3, m4' = "
+    "n^3*S4 - 4n^2*S3*S1 + 6n*S2*S1^2 - 3*S1^4 are formed in Spark "
+    "DECIMAL(38,0) / DuckDB HUGEINT. The normalizations CANCEL "
+    "EXACTLY: skew = m3'/m2'^1.5 and excess kurtosis = m4'/m2'^2 - 3 "
+    "with no n anywhere, so the only float ops are correctly-rounded "
+    "casts, one sqrt (spelled x*SQRT(x), never POWER(x,1.5) whose "
+    "last-ulp differs across libm builds), multiplies and divides on "
+    "bit-identical inputs. Quantization to /100 keeps n^3*S4 under "
+    "1e38 through sf1 (bound documented; beyond that, shift-by-"
+    "running-mean or coarser buckets). Engines' own skewness()/"
+    "kurtosis() builtins disagree on sample-vs-population correction "
+    "— this spelling sidesteps the trap entirely.",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") / 100).cast("long").alias("x"),
+    )
+    s = q.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.expr("CAST(x AS DECIMAL(19,0)) * x * x")).cast("decimal(38,0)").alias("s3"),
+        F.sum(
+            F.expr(
+                "(CAST(x AS DECIMAL(19,0)) * x) * (CAST(x AS DECIMAL(19,0)) * x)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s4"),
+    )
+    m = s.select(
+        "flag",
+        "n",
+        F.expr("CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1").alias("m2p"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n * s3"
+            " - 3 * (CAST(n AS DECIMAL(38,0)) * s2) * s1"
+            " + 2 * (s1 * s1) * s1"
+        ).alias("m3p"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n * n * s4"
+            " - 4 * (CAST(n AS DECIMAL(38,0)) * n * s3) * s1"
+            " + 6 * (CAST(n AS DECIMAL(38,0)) * s2) * (s1 * s1)"
+            " - 3 * ((s1 * s1) * (s1 * s1))"
+        ).alias("m4p"),
+    )
+    return m.select(
+        "flag",
+        "n",
+        F.round(
+            F.expr(
+                "CAST(m3p AS DOUBLE)"
+                " / (CAST(m2p AS DOUBLE) * SQRT(CAST(m2p AS DOUBLE)))"
+            ),
+            9,
+        ).alias("skewness"),
+        F.round(
+            F.expr(
+                "CAST(m4p AS DOUBLE)"
+                " / (CAST(m2p AS DOUBLE) * CAST(m2p AS DOUBLE)) - 3"
+            ),
+            9,
+        ).alias("kurtosis_excess"),
+    )
