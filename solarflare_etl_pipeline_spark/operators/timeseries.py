@@ -926,3 +926,66 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(rev_cents - prev_rev) * 10000 DIV prev_rev"),
         ).alias("mom_delta_bps"),
     )
+
+
+@register(
+    "gen_calendar_dim",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(DATE_TRUNC('day', MIN(o_orderdate)) AS TIMESTAMP)
+                     AS d0,
+                   CAST(DATE_TRUNC('day', MAX(o_orderdate)) AS TIMESTAMP)
+                     AS d1
+            FROM orders
+        ),
+        spine AS (
+            SELECT UNNEST(GENERATE_SERIES(d0, d1, INTERVAL 1 DAY)) AS cal_ts
+            FROM bounds
+        )
+        SELECT cal_ts,
+               CAST(EXTRACT(YEAR FROM cal_ts) AS BIGINT) AS year,
+               CAST(EXTRACT(QUARTER FROM cal_ts) AS BIGINT) AS quarter,
+               CAST(EXTRACT(MONTH FROM cal_ts) AS BIGINT) AS month,
+               CAST(EXTRACT(DAY FROM cal_ts) AS BIGINT) AS day,
+               CAST(EXTRACT(ISODOW FROM cal_ts) AS BIGINT) AS isodow,
+               EXTRACT(ISODOW FROM cal_ts) >= 6 AS is_weekend,
+               CAST(cal_ts AS DATE) = LAST_DAY(CAST(cal_ts AS DATE))
+                 AS is_month_end
+        FROM spine
+    """,
+    doc="Calendar dimension generation — the date spine every star "
+    "schema joins against, derived from the fact table's own min/max "
+    "day (one aggregate) and exploded via sequence: year/quarter/"
+    "month/day, ISO day-of-week (Spark's weekday()+1 == DuckDB's "
+    "ISODOW — the raw dayofweek() functions DISAGREE on week start, "
+    "the classic cross-engine calendar bug), weekend and month-end "
+    "flags. Emitted as TIMESTAMP, not DATE, because DATE round-trips "
+    "through pandas as object-dtype datetime.date on the Spark side "
+    "but datetime64 from DuckDB (ORACLE_PARITY.md rule 18's sibling "
+    "trap). Calendar-sized output (rows = days spanned) regardless of "
+    "fact volume; the spine explode is a narrow map off a 1-row "
+    "aggregate.",
+)
+def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("d0"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("cal_ts")
+    )
+    return spine.select(
+        "cal_ts",
+        F.year("cal_ts").cast("long").alias("year"),
+        F.quarter("cal_ts").cast("long").alias("quarter"),
+        F.month("cal_ts").cast("long").alias("month"),
+        F.dayofmonth("cal_ts").cast("long").alias("day"),
+        (F.weekday("cal_ts") + 1).cast("long").alias("isodow"),
+        (F.weekday("cal_ts") + 1 >= 6).alias("is_weekend"),
+        (
+            F.to_date("cal_ts") == F.last_day(F.to_date("cal_ts"))
+        ).alias("is_month_end"),
+    )

@@ -1306,3 +1306,53 @@ def test_k_core_matches_python_peeling(spark, sf_dir):
     assert got == want
     for v, d in got.items():
         assert d >= K_CORE
+
+
+def test_skew_kurt_against_numpy_moments(spark, sf_dir):
+    """The exact-integer moment algebra must reproduce numpy's
+    population skewness / excess kurtosis on the same quantized data."""
+    import math
+
+    import numpy as np
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    got = {
+        r.flag: (r.skewness, r.kurtosis_excess)
+        for r in load_all()["agg_skew_kurt"].spark(spark, sf_dir).collect()
+    }
+    half_up = lambda v: math.floor(v + 0.5)
+    by_flag = {}
+    for r in (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        by_flag.setdefault(r.l_returnflag, []).append(
+            half_up(r.l_extendedprice / 100)
+        )
+    for flag, xs in by_flag.items():
+        a = np.array(xs, dtype=float)
+        d = a - a.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        skew, kurt = m3 / m2**1.5, m4 / m2**2 - 3
+        g_skew, g_kurt = got[flag]
+        assert abs(g_skew - skew) < 1e-6, flag
+        assert abs(g_kurt - kurt) < 1e-6, flag
+
+
+def test_calendar_dim_covers_span_densely(spark, sf_dir):
+    """One row per day, no gaps, ISO weekday arithmetic correct."""
+    import datetime
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["gen_calendar_dim"].spark(spark, sf_dir).collect()
+    days = sorted(r.cal_ts for r in rows)
+    assert len(days) == len(set(days))
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    for r in rows:
+        assert r.isodow == r.cal_ts.isoweekday()
+        assert r.is_weekend == (r.cal_ts.isoweekday() >= 6)
+        nxt = r.cal_ts + datetime.timedelta(days=1)
+        assert r.is_month_end == (nxt.month != r.cal_ts.month)
