@@ -1973,3 +1973,96 @@ def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_spans_total"),
     )
+
+
+@register(
+    "llm_bpe_train2",
+    oracle="""
+        WITH pairs1 AS (
+            SELECT SUBSTR(d.text, CAST(i AS INT), 2) AS pair
+            FROM documents d, UNNEST(range(1, LEN(d.text))) AS g(i)
+            WHERE LEN(d.text) >= 2
+        ),
+        top1 AS (
+            SELECT pair FROM (
+                SELECT pair,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair)
+                         AS rnk
+                FROM pairs1 GROUP BY pair) WHERE rnk = 1
+        ),
+        merged AS (
+            SELECT REPLACE(d.text, t.pair, CHR(1)) AS text2
+            FROM documents d, top1 t
+        ),
+        pairs2 AS (
+            SELECT SUBSTR(m.text2, CAST(i AS INT), 2) AS pair
+            FROM merged m, UNNEST(range(1, LEN(m.text2))) AS g(i)
+            WHERE LEN(m.text2) >= 2
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair)
+                    AS BIGINT) AS rnk,
+               REPLACE(pair, CHR(1), '<m1>') AS pair,
+               COUNT(*) AS n_occurrences
+        FROM pairs2 GROUP BY pair
+        QUALIFY rnk <= 10
+    """,
+    doc="BPE training round TWO, proving the training loop is oracle-"
+    "checkable end to end: round one's census elects the top merge "
+    "pair (binary-collation tiebreak), the merge is APPLIED corpus-"
+    "wide (left-to-right non-overlapping literal REPLACE with an "
+    "out-of-alphabet placeholder — both engines scan identically), "
+    "and the re-census ranks the next merge candidates, placeholder "
+    "rendered as '<m1>' in the output. This is the iterative "
+    "structure tokenizer training actually has — each round is one "
+    "bounded-alphabet census plus one narrow map; the elected pair "
+    "is a 1-row broadcast (the scalar-threshold shape). N training "
+    "rounds = N such stages; state between rounds is the merge "
+    "table, KB-sized at any corpus scale.",
+)
+def llm_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.char_length("text") >= 2)
+
+    def census(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.sequence(F.lit(1), F.char_length(col) - 1)
+                ).alias("i"),
+                F.col(col),
+            )
+            .select(F.expr(f"SUBSTR({col}, CAST(i AS INT), 2)").alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n_occurrences"))
+        )
+
+    r1 = census(d, "text")
+    top1 = (
+        r1.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+            ),
+        )
+        .where("rnk = 1")
+        .select(F.col("pair").alias("merge1"))
+    )
+    merged = d.join(F.broadcast(top1)).select(
+        F.expr("REPLACE(text, merge1, CHAR(1))").alias("text2")
+    )
+    r2 = census(merged.where(F.char_length("text2") >= 2), "text2")
+    return (
+        r2.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.col("n_occurrences").desc(), F.col("pair")))
+            .cast("long"),
+        )
+        .where("rnk <= 10")
+        .select(
+            "rnk",
+            F.expr("REPLACE(pair, CHAR(1), '<m1>')").alias("pair"),
+            "n_occurrences",
+        )
+    )

@@ -42,6 +42,9 @@ DELIBERATE_CROSS = {
     # per-FK-edge 1×1 joins of two single-row aggregates (child count
     # ⋈ orphan count) — theorem-join shape, not data-scale products
     "dq_referential_integrity",
+    # SINGLE-ROW elected merge pair broadcast onto the corpus scan
+    # (N×1 nested loop — the scalar-threshold shape)
+    "llm_bpe_train2",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
