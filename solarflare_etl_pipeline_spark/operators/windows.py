@@ -538,3 +538,57 @@ def win_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("touch_event_id").isNotNull().alias("attributed"),
         )
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+                   event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS occ
+            FROM events
+        )
+        SELECT user_id, ts,
+               CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_type
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS distinct_types_so_far
+        FROM firsts
+    """,
+    doc="Running COUNT(DISTINCT) over an event stream — the window "
+    "spec engines reject outright (DISTINCT is not framable), solved "
+    "exactly by the first-occurrence decomposition: rank each "
+    "(user, event_type) by time, flag occ = 1 rows, and running-SUM "
+    "the flags — the standard exact rewrite (feature-breadth curves, "
+    "catalog-coverage growth). Two windows share the user_id hash "
+    "partitioning (the first adds event_type to the key — a narrow "
+    "re-sort, not a second shuffle under the same hash); per-row "
+    "state is O(1). Deterministic: (user_id, ts) is unique in the "
+    "fixtures and event_id breaks residual ties.",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    occ_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    firsts = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(occ_w).alias("occ"),
+    )
+    return firsts.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+        .over(run_w)
+        .cast("long")
+        .alias("distinct_types_so_far"),
+    )

@@ -1356,3 +1356,64 @@ def test_calendar_dim_covers_span_densely(spark, sf_dir):
         assert r.is_weekend == (r.cal_ts.isoweekday() >= 6)
         nxt = r.cal_ts + datetime.timedelta(days=1)
         assert r.is_month_end == (nxt.month != r.cal_ts.month)
+
+
+def test_bpe_train2_matches_python_two_rounds(spark, sf_dir):
+    """Re-derive two BPE rounds in pure Python (Counter census, top-pair
+    election with the same tiebreak, str.replace merge) and compare the
+    round-2 top-10 exactly."""
+    from collections import Counter
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+        if len(r.text) >= 2
+    ]
+    c1 = Counter()
+    for t in texts:
+        c1.update(t[i : i + 2] for i in range(len(t) - 1))
+    merge1 = sorted(c1.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    c2 = Counter()
+    for t in texts:
+        t2 = t.replace(merge1, "\x01")
+        c2.update(t2[i : i + 2] for i in range(len(t2) - 1))
+    want = [
+        (i + 1, p.replace("\x01", "<m1>"), n)
+        for i, (p, n) in enumerate(
+            sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        )
+    ]
+    got = [
+        (r.rnk, r.pair, r.n_occurrences)
+        for r in load_all()["llm_bpe_train2"].spark(spark, sf_dir).collect()
+    ]
+    assert sorted(got) == want
+
+
+def test_running_distinct_is_monotone_and_caps(spark, sf_dir):
+    """Per user the running distinct count is non-decreasing over time
+    and its final value equals the exact COUNT(DISTINCT event_type)."""
+    from collections import defaultdict
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["win_running_distinct"].spark(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+    exact = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: r.ts)
+        vals = [r.distinct_types_so_far for r in rs]
+        assert all(a <= b for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == exact[uid]
