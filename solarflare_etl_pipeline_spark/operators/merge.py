@@ -233,3 +233,80 @@ def merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("op").alias("last_op"),
         )
     )
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+        WITH dim AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN TIMESTAMP '1997-01-01 00:00:00'
+                        ELSE TIMESTAMP '9999-12-31 00:00:00'
+                   END AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment || '_v2' AS segment,
+                   TIMESTAMP '1997-01-01 00:00:00' AS valid_from,
+                   TIMESTAMP '9999-12-31 00:00:00' AS valid_to
+            FROM customer WHERE c_custkey % 3 = 0
+        )
+        SELECT d.segment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders o
+        JOIN dim d ON d.c_custkey = o.o_custkey
+                  AND o.o_orderdate >= d.valid_from
+                  AND o.o_orderdate < d.valid_to
+        GROUP BY d.segment
+    """,
+    doc="Point-in-time (temporal) join against an SCD2 dimension: each "
+    "order joins the customer-segment version that was valid ON ITS "
+    "ORDER DATE (half-open [valid_from, valid_to) intervals; a v2 "
+    "version splits history at 1997 for every third customer) — the "
+    "no-leakage join feature stores and training-data builds require: "
+    "joining current attributes onto historical facts leaks the "
+    "future into features, the classic offline/online skew bug. The "
+    "version history is derived in-query so both engines see one "
+    "input. Plan: the equi key (custkey) drives ONE hash join; the "
+    "interval predicate is a post-join filter on the (few) versions "
+    "per key — never a range cross product, because SCD2 guarantees "
+    "O(versions) rows per key. Integer-cents rollup by effective "
+    "segment → hash-exact.",
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    far = F.lit("9999-12-31").cast("timestamp")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lit("1997-01-01").cast("timestamp"),
+        )
+        .otherwise(far)
+        .alias("valid_to"),
+    )
+    v2 = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_mktsegment"), F.lit("_v2")).alias("segment"),
+        F.lit("1997-01-01").cast("timestamp").alias("valid_from"),
+        far.alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    o = table(spark, sf_dir, "orders")
+    j = o.join(
+        dim,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return j.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    )

@@ -1417,3 +1417,27 @@ def test_running_distinct_is_monotone_and_caps(spark, sf_dir):
         vals = [r.distinct_types_so_far for r in rs]
         assert all(a <= b for a, b in zip(vals, vals[1:]))
         assert vals[-1] == exact[uid]
+
+
+def test_point_in_time_every_order_exactly_one_version(spark, sf_dir):
+    """PIT correctness: each order matches EXACTLY one dimension
+    version (half-open intervals tile the timeline with no gap or
+    overlap), so total joined orders equals the order count and the
+    effective segment is _v2 iff custkey % 3 == 0 and date >= 1997."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["join_point_in_time"].spark(spark, sf_dir).collect()
+    n_orders_joined = sum(r.n_orders for r in rows)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert n_orders_joined == n_orders
+    v2 = {r.segment: r.n_orders for r in rows if r.segment.endswith("_v2")}
+    import datetime
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    want_v2 = sum(
+        1
+        for r in o
+        if r.o_custkey % 3 == 0
+        and r.o_orderdate >= datetime.datetime(1997, 1, 1)
+    )
+    assert sum(v2.values()) == want_v2
