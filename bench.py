@@ -89,6 +89,8 @@ BENCH_QUERIES = (
     "llm_boilerplate_strip",
     "ts_interval_merge",
     "hierarchy_rollup",
+    "flagship_span_corpus",
+    "join_point_in_time",
 )
 
 
