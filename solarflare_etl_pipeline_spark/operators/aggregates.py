@@ -1579,3 +1579,109 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "agg_decile_lift",
+    oracle="""
+        WITH scored AS (
+            SELECT c.c_custkey,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS score,
+                   CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_custkey = c.c_custkey)
+                        THEN 1 ELSE 0 END AS responded
+            FROM customer c
+        ),
+        deciled AS (
+            SELECT score, responded,
+                   NTILE(10) OVER (ORDER BY score DESC, c_custkey)
+                     AS decile
+            FROM scored
+        ),
+        per AS (
+            SELECT decile, COUNT(*) AS n,
+                   CAST(SUM(responded) AS BIGINT) AS responders
+            FROM deciled GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile, n, responders,
+                   SUM(n) OVER (ORDER BY decile
+                                ROWS UNBOUNDED PRECEDING) AS cum_n,
+                   SUM(responders) OVER (ORDER BY decile
+                                         ROWS UNBOUNDED PRECEDING)
+                     AS cum_responders,
+                   SUM(n) OVER () AS total_n,
+                   SUM(responders) OVER () AS total_responders
+            FROM per
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n, responders,
+               CAST(cum_responders * total_n * 1000000
+                    // (cum_n * total_responders) AS BIGINT)
+                 AS cum_lift_ppm
+        FROM cum
+    """,
+    doc="Decile lift / gains table — the model-evaluation analytics "
+    "behind targeting decisions: customers ranked by score (balance "
+    "as the pseudo-score; any model score column drops in), split "
+    "into deciles with a deterministic tiebreak, response = has-"
+    "orders via EXISTS (a semi join), and cumulative lift = "
+    "(cum responders / cum n) / (total responders / total n) in "
+    "EXACT integer ppm — the cross-multiplied spelling "
+    "cum_r * total_n * 1e6 DIV (cum_n * total_r) never divides "
+    "floats. The NTILE and cumulative windows run over the scored "
+    "CUSTOMER table and the 10-row decile table respectively — the "
+    "first is the one data-scale window (range-partitioned sort at "
+    "100 TB: swap NTILE for the documented approx_percentile decile "
+    "boundaries + broadcast, the agg_rfm_segments discipline); "
+    "everything after is dimension-sized.",
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    scored = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("score"),
+            F.when(F.col("o_custkey").isNotNull(), 1)
+            .otherwise(0)
+            .alias("responded"),
+        )
+    )
+    deciled = scored.select(
+        "score",
+        "responded",
+        F.ntile(10)
+        .over(W.orderBy(F.col("score").desc(), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("responded").cast("long").alias("responders"),
+    )
+    cum_w = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    all_w = W.partitionBy()
+    cum = per.select(
+        "decile",
+        "n",
+        "responders",
+        F.sum("n").over(cum_w).alias("cum_n"),
+        F.sum("responders").over(cum_w).alias("cum_responders"),
+        F.sum("n").over(all_w).alias("total_n"),
+        F.sum("responders").over(all_w).alias("total_responders"),
+    )
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        "responders",
+        F.expr(
+            "cum_responders * total_n * 1000000"
+            " DIV (cum_n * total_responders)"
+        )
+        .cast("long")
+        .alias("cum_lift_ppm"),
+    )

