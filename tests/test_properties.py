@@ -246,3 +246,132 @@ def test_spearman_is_plus_minus_one_on_monotone(xs):
     down = [(x, -2 * x + 1) for x in xs]    # strictly decreasing map
     assert abs(spearman(up) - 1.0) < 1e-9
     assert abs(spearman(down) + 1.0) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 10**6), min_size=1, max_size=60),
+    budget=st.integers(1, 10**7),
+)
+def test_largest_remainder_allocation_properties(counts, budget):
+    """agg_proportional_allocate's method on arbitrary group sizes:
+    allocations are non-negative, sum EXACTLY to the budget, and each
+    is within one unit of the real-valued proportional share."""
+    total = sum(counts)
+    floors = [c * budget // total for c in counts]
+    rems = [(-(c * budget % total), i) for i, c in enumerate(counts)]
+    leftover = budget - sum(floors)
+    assert 0 <= leftover < len(counts) or len(counts) == 1
+    order = sorted(range(len(counts)), key=lambda i: rems[i])
+    alloc = list(floors)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    for c, a in zip(counts, alloc):
+        exact = budget * c / total
+        assert exact - 1 < a < exact + 1
+        assert a >= 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 10**4), st.integers(1, 50)),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_weighted_median_definition(data):
+    """agg_weighted_median's cum*2 >= tot rule on arbitrary
+    (value, weight) multisets: at least half the total weight lies at
+    or below the reported median, and strictly less than half lies
+    strictly below it (the defining sandwich of the lower weighted
+    median)."""
+    from collections import defaultdict
+
+    acc = defaultdict(int)
+    for v, w in data:
+        acc[v] += w
+    tot = sum(acc.values())
+    cum = 0
+    med = None
+    for v in sorted(acc):
+        cum += acc[v]
+        if cum * 2 >= tot:
+            med = v
+            break
+    below = sum(w for v, w in acc.items() if v < med)
+    at_or_below = below + acc[med]
+    assert at_or_below * 2 >= tot
+    assert below * 2 < tot
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(1, 120)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_interval_merge_islands_are_maximal(iv):
+    """ts_interval_merge's running-max boundary rule on arbitrary
+    (start, length) interval sets: islands are disjoint with strict
+    gaps between them, cover every interval, and no interval spans an
+    island boundary."""
+    spans = sorted((s, s + l) for s, l in iv)
+    islands = []
+    for s, e in spans:
+        if islands and s <= islands[-1][1]:
+            islands[-1][1] = max(islands[-1][1], e)
+            islands[-1][2] += 1
+        else:
+            islands.append([s, e, 1])
+    assert sum(i[2] for i in islands) == len(spans)
+    for (s1, e1, _), (s2, e2, _) in zip(islands, islands[1:]):
+        assert s2 > e1
+    for s, e in spans:
+        assert any(i[0] <= s and e <= i[1] for i in islands)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 10), st.integers(1, 500)),
+        min_size=4,
+        max_size=120,
+    )
+)
+def test_ols_normal_equations_give_least_squares(rows):
+    """agg_ols2's centered Cramer solution on arbitrary (x, d, noise)
+    data: the normal-equation coefficients minimize squared error —
+    perturbing either slope must not reduce the residual sum."""
+    n = len(rows)
+    ps = [3 * x - 2 * d + e for x, d, e in rows]
+    xs = [x for x, _, _ in rows]
+    ds = [d for _, d, _ in rows]
+    sx, sd, sp = sum(xs), sum(ds), sum(ps)
+    sxx = sum(x * x for x in xs)
+    sdd = sum(d * d for d in ds)
+    sxd = sum(x * d for x, d in zip(xs, ds))
+    spx = sum(p * x for p, x in zip(ps, xs))
+    spd = sum(p * d for p, d in zip(ps, ds))
+    cxx, cdd = n * sxx - sx * sx, n * sdd - sd * sd
+    cxd = n * sxd - sx * sd
+    cpx, cpd = n * spx - sp * sx, n * spd - sp * sd
+    det = cxx * cdd - cxd * cxd
+    if det == 0:
+        return
+    b1 = (cpx * cdd - cpd * cxd) / det
+    b2 = (cpd * cxx - cpx * cxd) / det
+    b0 = (sp - b1 * sx - b2 * sd) / n
+
+    def sse(a0, a1, a2):
+        return sum((p - a0 - a1 * x - a2 * d) ** 2 for p, x, d in zip(ps, xs, ds))
+
+    base = sse(b0, b1, b2)
+    eps = 1e-3
+    assert base <= sse(b0, b1 + eps, b2) + 1e-9
+    assert base <= sse(b0, b1 - eps, b2) + 1e-9
+    assert base <= sse(b0, b1, b2 + eps) + 1e-9
+    assert base <= sse(b0, b1, b2 - eps) + 1e-9
