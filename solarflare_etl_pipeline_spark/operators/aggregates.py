@@ -1741,3 +1741,99 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 9).alias("ci_low"),
         F.round((center + half) / denom, 9).alias("ci_high"),
     )
+
+
+@register(
+    "agg_welch_t",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(v3 AS HUGEINT)) AS s1,
+                   SUM(CAST(v3 AS HUGEINT) * v3) AS s2
+            FROM q GROUP BY event_type
+        ),
+        m AS (
+            SELECT event_type, n,
+                   CAST(s1 AS DOUBLE) / n AS mean3,
+                   CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1)) AS var3
+            FROM s
+        )
+        SELECT a.n AS n_a, b.n AS n_b,
+               ROUND((a.mean3 - b.mean3)
+                     / SQRT(a.var3 / a.n + b.var3 / b.n), 9) AS t_stat,
+               ROUND((a.var3 / a.n + b.var3 / b.n)
+                     * (a.var3 / a.n + b.var3 / b.n)
+                     / ((a.var3 / a.n) * (a.var3 / a.n) / (a.n - 1)
+                        + (b.var3 / b.n) * (b.var3 / b.n) / (b.n - 1)),
+                     9) AS welch_df
+        FROM (SELECT * FROM m WHERE event_type = 'purchase') a,
+             (SELECT * FROM m WHERE event_type = 'view') b
+    """,
+    doc="Welch's unequal-variance t statistic between two event "
+    "populations (purchase vs view values) — the A/B significance "
+    "primitive pairing agg_wilson_ci's proportions with a means test. "
+    "Sufficient statistics only (n, S1, S2 per arm — one mergeable "
+    "hash agg); sample variance from the exact n-scaled form "
+    "(n*S2 - S1^2) / (n*n*(n-1)) and the Welch-Satterthwaite df from "
+    "the same exact inputs, all spelled identically on both engines "
+    "(squares written x*x, never POWER). The two 1-row arms combine "
+    "via a 1x1 join. Quantized v3 = floor(value*1000) keeps inputs "
+    "integer-exact; ROUND 9 absorbs repr noise only.",
+)
+def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("CAST(v3 AS DECIMAL(38,0))")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(v3 AS DECIMAL(19,0)) * v3")).cast("decimal(38,0)").alias("s2"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        F.expr("CAST(s1 AS DOUBLE) / n").alias("mean3"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+        ).alias("var3"),
+    )
+    a = m.where("event_type = 'purchase'").select(
+        F.col("n").alias("n_a"),
+        F.col("mean3").alias("mean_a"),
+        F.col("var3").alias("var_a"),
+    )
+    b = m.where("event_type = 'view'").select(
+        F.col("n").alias("n_b"),
+        F.col("mean3").alias("mean_b"),
+        F.col("var3").alias("var_b"),
+    )
+    j = a.join(b)
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b), 9
+        ).alias("t_stat"),
+        F.round(
+            (se_a + se_b)
+            * (se_a + se_b)
+            / (
+                se_a * se_a / (F.col("n_a") - 1)
+                + se_b * se_b / (F.col("n_b") - 1)
+            ),
+            9,
+        ).alias("welch_df"),
+    )

@@ -123,3 +123,63 @@ def ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return parsed.where(F.col("k").isNotNull())
+
+
+@register(
+    "ingest_json_corrupt",
+    oracle="""
+        SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Malformed-input ingestion (PERMISSIVE mode with "
+    "columnNameOfCorruptRecord): a JSONL feed is derived from the "
+    "documents table with every doc_id % 7 == 0 line TRUNCATED "
+    "mid-record; the reader parses good lines into typed columns and "
+    "lands broken ones in the _corrupt_record column instead of "
+    "failing the job — the quarantine pattern (reference R1's fetch "
+    "never validates payloads; a production feed needs the bad-line "
+    "path). The summary groups by parsed lang (NULL = quarantined) "
+    "with corrupt counts; the ORACLE predicts it from the corruption "
+    "rule alone, so parsing fidelity is hash-certified. FAILFAST and "
+    "DROPMALFORMED are the documented alternatives; PERMISSIVE + "
+    "quarantine audit is the 100 TB default because one bad byte "
+    "must not kill a 10-hour load.",
+)
+def ingest_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    target = _os.path.join(
+        _tempfile.gettempdir(),
+        f"solarflare_corrupt_jsonl_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}.json",
+    )
+    # the corrupted feed is generated DISTRIBUTED (to_json + conditional
+    # truncation, then a text write) — no driver-side row loop
+    line = F.to_json(F.struct("doc_id", "lang"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.substring(line, 1, 14),  # truncate mid-record: unparseable
+    ).otherwise(line)
+    (
+        table(spark, sf_dir, "documents")
+        .select(corrupted.alias("value"))
+        .write.mode("overwrite")
+        .text(target)
+    )
+    schema = "doc_id LONG, lang STRING, _corrupt_record STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(target)
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_corrupt"),
+    )

@@ -47,6 +47,8 @@ DELIBERATE_CROSS = {
     "llm_bpe_train2",
     # SINGLE-ROW corpus watermark broadcast onto the per-user table
     "dq_freshness",
+    # 1×1 join of the two single-row test arms (purchase vs view)
+    "agg_welch_t",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/

@@ -1510,3 +1510,57 @@ def test_markov_stationary_is_fixed_point(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.stationary_prob <= 1.0
         assert r.residual < 1e-9
+
+
+def test_welch_t_matches_python(spark, sf_dir):
+    """Welch statistic and Satterthwaite df re-derived in pure Python
+    from the quantized values."""
+    import math
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["agg_welch_t"].spark(spark, sf_dir).collect()
+    vals = {"purchase": [], "view": []}
+    for row in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        if row.event_type in vals:
+            vals[row.event_type].append(math.floor(row.value * 1000))
+    stats = {}
+    for k, xs in vals.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        var = sum((x - mean) ** 2 for x in xs) / (n - 1)
+        stats[k] = (n, mean, var)
+    na, ma, va = stats["purchase"]
+    nb, mb, vb = stats["view"]
+    se = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se)
+    df = se * se / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.t_stat - t) < 1e-6
+    assert abs(r.welch_df - df) < 1e-4
+
+
+def test_corrupt_ingest_quarantines_exactly_the_bad_lines(spark, sf_dir):
+    """PERMISSIVE parsing lands exactly the doc_id % 7 == 0 truncated
+    lines in quarantine (lang NULL) and parses everything else."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = load_all()["ingest_json_corrupt"].spark(spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    n_bad = sum(1 for r in docs if r.doc_id % 7 == 0)
+    got_bad = next(r for r in rows if r.lang is None)
+    assert got_bad.n_rows == n_bad == got_bad.n_corrupt
+    good = {r.lang: r.n_rows for r in rows if r.lang is not None}
+    from collections import Counter
+
+    want = Counter(r.lang for r in docs if r.doc_id % 7 != 0)
+    assert good == dict(want)
+    assert all(r.n_corrupt == 0 for r in rows if r.lang is not None)
