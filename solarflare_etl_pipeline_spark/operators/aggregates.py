@@ -1837,3 +1837,74 @@ def agg_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("welch_df"),
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type,
+                   CASE WHEN value >= 500 THEN 'high' ELSE 'low' END
+                     AS value_band,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT event_type, value_band, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                   SUM(o) OVER (PARTITION BY value_band) AS col_tot,
+                   SUM(o) OVER () AS grand_tot
+            FROM obs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(MAX(grand_tot) AS BIGINT) AS n_events,
+               ROUND(SUM(
+                   CAST((grand_tot * o - row_tot * col_tot) AS DOUBLE)
+                   * (grand_tot * o - row_tot * col_tot)
+                   / (CAST(grand_tot AS DOUBLE) * row_tot * col_tot)
+               ), 9) AS chi_square
+        FROM margins
+    """,
+    doc="Chi-square test of independence (event type x value band) — "
+    "the categorical-association sibling of agg_welch_t/agg_wilson_ci "
+    "completing the experimentation-stats trio. The textbook "
+    "(O - E)^2 / E with E = row*col/N is rewritten cross-multiplied: "
+    "(N*O - row*col)^2 / (N * row * col) so every numerator/"
+    "denominator is an EXACT integer product before the one float "
+    "division per cell (spelled x*x, identical both engines; the "
+    "per-cell terms sum through ROUND 9). Contingency margins come "
+    "from three windows over the CELL table (|types| x 2 rows — "
+    "dimension-sized; the raw scan is one hash agg). At 100 TB the "
+    "single-partition cell windows are irrelevant because the cell "
+    "count is category-bounded.",
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        F.when(F.col("value") >= 500, "high").otherwise("low").alias(
+            "value_band"
+        ),
+    ).agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "value_band",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("value_band")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("grand_tot"),
+    )
+    term = (
+        F.expr(
+            "CAST((grand_tot * o - row_tot * col_tot) AS DOUBLE)"
+            " * (grand_tot * o - row_tot * col_tot)"
+            " / (CAST(grand_tot AS DOUBLE) * row_tot * col_tot)"
+        )
+    )
+    return margins.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("grand_tot").cast("long").alias("n_events"),
+        F.round(F.sum(term), 9).alias("chi_square"),
+    )

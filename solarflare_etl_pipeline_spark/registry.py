@@ -114,6 +114,17 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 
 #: Round-7 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-6 slots go green, rotate to:
+#: flagship_span_corpus, hierarchy_flatten, llm_boilerplate_strip,
+#: llm_mixture_sample, dq_referential_integrity, join_point_in_time,
+#: agg_ols2, agg_proportional_allocate, ts_interval_merge,
+#: dq_sequence_gaps, subq_exists_chain, llm_span_corruption,
+#: agg_skew_kurt, win_running_distinct, llm_bpe_train2, ts_acf,
+#: dq_table_diff, dq_k_anonymity, gen_calendar_dim, agg_decile_lift,
+#: ts_period_over_period, llm_preference_pairs, agg_wilson_ci,
+#: agg_welch_t, agg_chi_square, sink_dynamic_overwrite, dq_freshness,
+#: llm_hard_negatives, subq_scalar_threshold_anti, join_not_in_null,
+#: ingest_json_corrupt, hierarchy_rollup, agg_weighted_median — then
+#: the pre-existing backlog:
 #: dq_expectations, ingest_xml, sink_merge_aggregate, ts_gapfill_locf,
 #: llm_chunk_cdc, llm_dedup_cdc_chunks, scan_schema_evolution, fn_url,
 #: join_interval_overlap, dq_volume_anomaly, ts_ohlc_bars,

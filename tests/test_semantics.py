@@ -1564,3 +1564,34 @@ def test_corrupt_ingest_quarantines_exactly_the_bad_lines(spark, sf_dir):
     want = Counter(r.lang for r in docs if r.doc_id % 7 != 0)
     assert good == dict(want)
     assert all(r.n_corrupt == 0 for r in rows if r.lang is not None)
+
+
+def test_chi_square_matches_python_contingency(spark, sf_dir):
+    """Chi-square re-derived from the raw contingency table in pure
+    Python (textbook (O-E)^2/E form) must agree with the
+    cross-multiplied exact-integer spelling."""
+    from collections import Counter
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["agg_chi_square"].spark(spark, sf_dir).collect()
+    cells = Counter()
+    for row in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        cells[(row.event_type, "high" if row.value >= 500 else "low")] += 1
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (et, vb), o in cells.items():
+        rows[et] += o
+        cols[vb] += o
+    chi = sum(
+        (o - rows[et] * cols[vb] / n) ** 2 / (rows[et] * cols[vb] / n)
+        for (et, vb), o in cells.items()
+    )
+    assert r.n_cells == len(cells)
+    assert r.n_events == n
+    assert abs(r.chi_square - chi) < 1e-6
