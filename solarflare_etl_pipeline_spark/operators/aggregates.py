@@ -1908,3 +1908,103 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("grand_tot").cast("long").alias("n_events"),
         F.round(F.sum(term), 9).alias("chi_square"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+        WITH q AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        vals AS (
+            SELECT grp, v3, COUNT(*) AS c FROM q GROUP BY grp, v3
+        ),
+        allv AS (
+            SELECT v3, SUM(c) AS tot FROM vals GROUP BY v3
+        ),
+        ranked AS (
+            SELECT v3,
+                   SUM(tot) OVER (ORDER BY v3 ROWS UNBOUNDED PRECEDING)
+                     - tot AS below,
+                   tot AS ties
+            FROM allv
+        ),
+        r2 AS (
+            SELECT v3, 2 * below + ties + 1 AS rank2 FROM ranked
+        ),
+        sums AS (
+            SELECT v.grp,
+                   CAST(SUM(v.c) AS BIGINT) AS n,
+                   CAST(SUM(v.c * r.rank2) AS BIGINT) AS ranksum2
+            FROM vals v JOIN r2 r ON r.v3 = v.v3
+            GROUP BY v.grp
+        )
+        SELECT a.n AS n_purchase, b.n AS n_view,
+               CAST(a.ranksum2 - a.n * (a.n + 1) AS BIGINT)
+                 AS u2_purchase,
+               CAST(2 * a.n * b.n - (a.ranksum2 - a.n * (a.n + 1))
+                    AS BIGINT) AS u2_view
+        FROM (SELECT * FROM sums WHERE grp = 'purchase') a,
+             (SELECT * FROM sums WHERE grp = 'view') b
+    """,
+    doc="Mann-Whitney U — the nonparametric two-sample test completing "
+    "the stats family (Welch assumes near-normal means; U compares "
+    "full distributions). EXACT under ties: ranks live on the "
+    "DISTINCT-VALUE table (average rank = (2*count_below + ties + 1) "
+    "/ 2, kept integer by carrying 2x ranks), per-group rank sums "
+    "come from a weighted join of group value-counts against that "
+    "table, and the DOUBLED statistics 2*U are emitted as exact "
+    "BIGINTs (U itself can be half-integer under ties — halving "
+    "would truncate). The identity 2*U_a + 2*U_b = 2*n_a*n_b is "
+    "pinned in tests. The one ordered window runs over DISTINCT "
+    "values (value-cardinality-bounded, NOT row-bounded); at extreme "
+    "cardinality the two-level bucket scheme of dq_sequence_gaps "
+    "applies verbatim.",
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    vals = q.groupBy("grp", "v3").agg(F.count("*").alias("c"))
+    allv = vals.groupBy("v3").agg(F.sum("c").alias("tot"))
+    cum = W.orderBy("v3").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = allv.select(
+        "v3",
+        (
+            2 * (F.sum("tot").over(cum) - F.col("tot"))
+            + F.col("tot")
+            + 1
+        ).alias("rank2"),
+    )
+    sums = (
+        vals.join(r2, "v3")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("rank2")).cast("long").alias("ranksum2"),
+        )
+    )
+    a = sums.where("grp = 'purchase'").select(
+        F.col("n").alias("n_purchase"), F.col("ranksum2").alias("rs_a")
+    )
+    b = sums.where("grp = 'view'").select(
+        F.col("n").alias("n_view"), F.col("ranksum2").alias("rs_b")
+    )
+    j = a.join(b)
+    u2a = F.col("rs_a") - F.col("n_purchase") * (F.col("n_purchase") + 1)
+    return j.select(
+        "n_purchase",
+        "n_view",
+        u2a.cast("long").alias("u2_purchase"),
+        (2 * F.col("n_purchase") * F.col("n_view") - u2a)
+        .cast("long")
+        .alias("u2_view"),
+    )

@@ -49,6 +49,7 @@ DELIBERATE_CROSS = {
     "dq_freshness",
     # 1×1 join of the two single-row test arms (purchase vs view)
     "agg_welch_t",
+    "agg_mann_whitney",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/

@@ -1595,3 +1595,39 @@ def test_chi_square_matches_python_contingency(spark, sf_dir):
     assert r.n_cells == len(cells)
     assert r.n_events == n
     assert abs(r.chi_square - chi) < 1e-6
+
+
+def test_mann_whitney_matches_python_ranks(spark, sf_dir):
+    """2U statistics re-derived from directly-computed average ranks in
+    Python; the 2U_a + 2U_b == 2 n_a n_b identity must also hold."""
+    from collections import Counter
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["agg_mann_whitney"].spark(spark, sf_dir).collect()
+    import math
+
+    groups = {"purchase": Counter(), "view": Counter()}
+    for row in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        if row.event_type in groups:
+            groups[row.event_type][math.floor(row.value * 1000)] += 1
+    merged = Counter()
+    for c in groups.values():
+        merged.update(c)
+    rank2 = {}
+    below = 0
+    for v in sorted(merged):
+        rank2[v] = 2 * below + merged[v] + 1
+        below += merged[v]
+    na = sum(groups["purchase"].values())
+    nb = sum(groups["view"].values())
+    rs2_a = sum(c * rank2[v] for v, c in groups["purchase"].items())
+    u2a = rs2_a - na * (na + 1)
+    assert (r.n_purchase, r.n_view) == (na, nb)
+    assert r.u2_purchase == u2a
+    assert r.u2_view == 2 * na * nb - u2a
+    assert r.u2_purchase + r.u2_view == 2 * na * nb
