@@ -2008,3 +2008,86 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("u2_view"),
     )
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+        WITH q AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        cells AS (
+            SELECT v3,
+                   CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM q GROUP BY v3
+        ),
+        cum AS (
+            SELECT SUM(ca) OVER (ORDER BY v3 ROWS UNBOUNDED PRECEDING)
+                     AS cum_a,
+                   SUM(cb) OVER (ORDER BY v3 ROWS UNBOUNDED PRECEDING)
+                     AS cum_b,
+                   SUM(ca) OVER () AS n_a,
+                   SUM(cb) OVER () AS n_b
+            FROM cells
+        )
+        SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+               CAST(MAX(n_b) AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+                 AS d_num,
+               ROUND(CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS DOUBLE)
+                     / (CAST(MAX(n_a) AS DOUBLE) * MAX(n_b)), 9)
+                 AS ks_d
+        FROM cum
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic, EXACT: D = "
+    "max |ECDF_a - ECDF_b| evaluated on the distinct-value table with "
+    "the cross-multiplied integer numerator |cum_a*n_b - cum_b*n_a| "
+    "(the ECDF difference times n_a*n_b — no float until the single "
+    "final division), completing the distribution-test family: "
+    "Wilson (proportions), Welch (means), Mann-Whitney (ranks), "
+    "chi-square (categoricals), KS (full distribution shape). The "
+    "supremum over a step function is attained at observed values, "
+    "so the distinct-value grid is lossless. Same value-cardinality-"
+    "bounded ordered window as agg_mann_whitney, same two-level "
+    "bucket swap at extreme cardinality.",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    cells = q.groupBy("v3").agg(
+        F.sum((F.col("grp") == "purchase").cast("int"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("grp") == "view").cast("int")).cast("long").alias("cb"),
+    )
+    cum_w = W.orderBy("v3").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = cells.select(
+        F.sum("ca").over(cum_w).alias("cum_a"),
+        F.sum("cb").over(cum_w).alias("cum_b"),
+        F.sum("ca").over(all_w).alias("n_a"),
+        F.sum("cb").over(all_w).alias("n_b"),
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max(diff).cast("long").alias("d_num"),
+        F.round(
+            F.max(diff).cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b")),
+            9,
+        ).alias("ks_d"),
+    )

@@ -1631,3 +1631,33 @@ def test_mann_whitney_matches_python_ranks(spark, sf_dir):
     assert r.u2_purchase == u2a
     assert r.u2_view == 2 * na * nb - u2a
     assert r.u2_purchase + r.u2_view == 2 * na * nb
+
+
+def test_ks_statistic_matches_python_ecdf(spark, sf_dir):
+    """D re-derived from explicit ECDFs in Python; D in [0,1] and the
+    integer numerator reproduces the float exactly."""
+    import math
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    (r,) = load_all()["agg_ks_test"].spark(spark, sf_dir).collect()
+    groups = {"purchase": [], "view": []}
+    for row in (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        if row.event_type in groups:
+            groups[row.event_type].append(math.floor(row.value * 1000))
+    a, b = sorted(groups["purchase"]), sorted(groups["view"])
+    na, nb = len(a), len(b)
+    import bisect
+
+    grid = sorted(set(a) | set(b))
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        for v in grid
+    )
+    assert (r.n_a, r.n_b, r.d_num) == (na, nb, d_num)
+    assert 0.0 <= r.ks_d <= 1.0
+    assert r.ks_d == round(d_num / (na * nb), 9)
