@@ -375,3 +375,49 @@ def test_ols_normal_equations_give_least_squares(rows):
     assert base <= sse(b0, b1 - eps, b2) + 1e-9
     assert base <= sse(b0, b1, b2 + eps) + 1e-9
     assert base <= sse(b0, b1, b2 - eps) + 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    b=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+)
+def test_mann_whitney_identity_and_bounds(a, b):
+    """The 2x-scaled tied-rank construction on arbitrary samples:
+    2U_a + 2U_b == 2 n_a n_b always, and 0 <= 2U <= 2 n_a n_b."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    merged = Counter(a) + Counter(b)
+    rank2, below = {}, 0
+    for v in sorted(merged):
+        rank2[v] = 2 * below + merged[v] + 1
+        below += merged[v]
+    na, nb = len(a), len(b)
+    u2a = sum(c * rank2[v] for v, c in ca.items()) - na * (na + 1)
+    u2b = sum(c * rank2[v] for v, c in cb.items()) - nb * (nb + 1)
+    assert u2a + u2b == 2 * na * nb
+    assert 0 <= u2a <= 2 * na * nb
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+    b=st.lists(st.integers(0, 50), min_size=1, max_size=80),
+)
+def test_ks_numerator_bounds_and_identical_samples(a, b):
+    """KS cross-multiplied numerator on arbitrary samples: within
+    [0, n_a*n_b], zero iff the ECDFs coincide on the grid — in
+    particular exactly zero when a == b as multisets."""
+    import bisect
+
+    sa, sb = sorted(a), sorted(b)
+    na, nb = len(sa), len(sb)
+    grid = sorted(set(sa) | set(sb))
+    d_num = max(
+        abs(bisect.bisect_right(sa, v) * nb - bisect.bisect_right(sb, v) * na)
+        for v in grid
+    )
+    assert 0 <= d_num <= na * nb
+    if sorted(a) == sorted(b):
+        assert d_num == 0
