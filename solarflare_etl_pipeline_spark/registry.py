@@ -91,31 +91,24 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-6 rotation). Round-5 greens
-#: (win_sessionize, join_lateral, llm_entropy, ingest_csv —
-#: CORRECTNESS_r05) rotate out. The two r5 REDS STAY to prove their
-#: root-cause fixes under the driver itself:
-#:   * llm_pack_sequences_global — red r4+r5; r5 judge diagnosed the
-#:     oracle's uncast SUM(chunk_tokens) (DuckDB HUGEINT → pandas
-#:     float64); now CAST(... AS BIGINT) per ORACLE_PARITY.md rule 19.
-#:   * agg_percentiles — erred r5 (ARRAY column unhashable in the
-#:     driver's pandas canon); now scalarized to p25/p50/p75 (rule 18).
-#: The other four slots take the head of the round-6 shortlist, each
-#: verified under the driver-faithful pandas comparator leg
-#: (tests/conftest.assert_pandas_parity) before rotating in.
+#: Slots 45-50 of the driver window (round-7 rotation). All six
+#: round-6 slots went GREEN under the driver (CORRECTNESS_r06 — the
+#: first fully green window) and rotate out; in come the head of the
+#: round-7 shortlist below, per VERDICT r6 task #1. Every key here is
+#: oracle-backed and was verified under BOTH comparator legs (fetchall
+#: + driver-faithful pandas, tests/test_oracle_parity.py) at sf0.001
+#: and sf0.01 before rotating in; none has ever had a driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "llm_pack_sequences_global",
-    "agg_percentiles",
-    "flagship_training_corpus",
-    "graph_pagerank",
-    "llm_dedup_near_incremental",
-    "mm_decode_wav",
+    "flagship_span_corpus",
+    "hierarchy_flatten",
+    "llm_boilerplate_strip",
+    "llm_mixture_sample",
+    "dq_referential_integrity",
+    "join_point_in_time",
 )
 
-#: Round-7 rotation shortlist (never driver-checked, oracle-backed, in
-#: rough value order) — once the round-6 slots go green, rotate to:
-#: flagship_span_corpus, hierarchy_flatten, llm_boilerplate_strip,
-#: llm_mixture_sample, dq_referential_integrity, join_point_in_time,
+#: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
+#: rough value order) — once the round-7 slots go green, rotate to:
 #: agg_ols2, agg_proportional_allocate, ts_interval_merge,
 #: dq_sequence_gaps, subq_exists_chain, llm_span_corruption,
 #: agg_skew_kurt, win_running_distinct, llm_bpe_train2, ts_acf,

@@ -49,6 +49,10 @@ def get_spark(app_name: str = "solarflare-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # \r-chunked stage-progress bars interleave with stdout under
+        # captured output (they clipped the BENCH_r06 JSON line); the
+        # bench/driver contract needs a clean final stdout line.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()
