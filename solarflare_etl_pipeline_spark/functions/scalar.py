@@ -664,14 +664,18 @@ def fn_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(max value with rn*64 <= n*k — same rank arithmetic as "
     "dq_qq_drift, zero float ops end to end), and the aligned value "
     "is a 64-row broadcast-join lookup. Everything is BIGINT — hash-"
-    "exact by construction. Plan: one per-type rank window + one "
-    "pooled rank window + bounded 64x explode on the CUT POINTS only "
-    "+ broadcast map join. At 100 TB both rank passes swap for "
-    "approx_percentile cut points (mergeable, same output contract "
-    "modulo sketch error).",
+    "exact by construction. Plan (r7 rewrite, no single-task sorts): "
+    "the per-type NTILE runs as a distributed exact rank (range-"
+    "repartition + per-partition row_number + bounded offset join, "
+    "plans/rank.py) + pure NTILE arithmetic, and the pooled cut "
+    "points come from the cumulative distinct-value grid (bounded by "
+    "the x1000 discretization) — both provably identical to the "
+    "oracle's window spellings, both skew-proof at 100 TB.",
 )
 def fn_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
+
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_grouped_rank
 
     e = table(spark, sf_dir, "events")
     q = e.select(
@@ -679,30 +683,40 @@ def fn_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
     )
-    bucketed = q.select(
+    # r7 rewrite: the oracle's NTILE over a low-cardinality partitionBy
+    # (|event_type| tasks) becomes a distributed exact rank (range-
+    # repartition + bounded offsets, plans/rank.py) + NTILE arithmetic —
+    # identical buckets, no single-task sort.
+    bucketed = with_grouped_rank(
+        q, ["event_type"], ["v3", "event_id"], "rn", group_total_col="nt"
+    ).select(
         "event_id",
         "event_type",
         "v3",
-        F.ntile(64)
-        .over(W.partitionBy("event_type").orderBy("v3", "event_id"))
-        .cast("int")
-        .alias("bucket"),
+        exact_ntile(F.col("rn"), F.col("nt"), 64).cast("int").alias("bucket"),
     )
-    pooled = q.select(
+    # Pooled reference cut points via the cumulative DISTINCT-VALUE grid
+    # (the dq_qq_drift discipline — grid size bounded by the x1000
+    # discretization, not by row count): value at pooled rank
+    # t_k = (n*k) DIV 64 is the smallest grid value whose cumulative
+    # count reaches t_k (the event_id tiebreak cannot change which
+    # VALUE sits at a given rank).
+    hist = q.groupBy("v3").agg(F.count("*").cast("long").alias("cnt"))
+    grid = hist.select(
         "v3",
-        F.row_number().over(W.orderBy("v3", "event_id")).cast("long").alias("rn"),
-        F.count("*").over(W.partitionBy()).cast("long").alias("n"),
+        F.sum("cnt").over(W.orderBy("v3")).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("long").alias("n"),
     )
     ref = (
-        pooled.select(
-            "v3",
-            "rn",
-            "n",
-            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("k"),
+        grid.select(
+            "v3", "cum", "n", F.explode(F.sequence(F.lit(1), F.lit(64))).alias("k")
         )
-        .where(F.col("rn") * 64 <= F.col("n") * F.col("k"))
+        .where(
+            (F.col("cum") >= F.expr("(n * k) DIV 64"))
+            & (F.expr("(n * k) DIV 64") >= F.lit(1))
+        )
         .groupBy("k")
-        .agg(F.max("v3").alias("ref_v3"))
+        .agg(F.min("v3").alias("ref_v3"))
     )
     return bucketed.join(
         F.broadcast(ref.withColumnRenamed("k", "bucket")), "bucket"

@@ -1628,12 +1628,12 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(cum responders / cum n) / (total responders / total n) in "
     "EXACT integer ppm — the cross-multiplied spelling "
     "cum_r * total_n * 1e6 DIV (cum_n * total_r) never divides "
-    "floats. The NTILE and cumulative windows run over the scored "
-    "CUSTOMER table and the 10-row decile table respectively — the "
-    "first is the one data-scale window (range-partitioned sort at "
-    "100 TB: swap NTILE for the documented approx_percentile decile "
-    "boundaries + broadcast, the agg_rfm_segments discipline); "
-    "everything after is dimension-sized.",
+    "floats. r7 rewrite: the data-scale NTILE runs as a distributed "
+    "exact rank (range-repartition + per-partition row_number + "
+    "bounded offset join, plans/rank.py) + pure NTILE arithmetic — "
+    "identical deciles to the oracle's global window with no single-"
+    "task sort; the cumulative windows after it touch only the "
+    "10-row decile table.",
 )
 def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1650,12 +1650,14 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("responded"),
         )
     )
-    deciled = scored.select(
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_global_rank
+
+    deciled = with_global_rank(
+        scored, [F.col("score").desc(), F.col("c_custkey")], "rn", total_col="n"
+    ).select(
         "score",
         "responded",
-        F.ntile(10)
-        .over(W.orderBy(F.col("score").desc(), F.col("c_custkey")))
-        .alias("decile"),
+        exact_ntile(F.col("rn"), F.col("n"), 10).alias("decile"),
     )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n"),

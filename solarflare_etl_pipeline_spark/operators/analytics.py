@@ -1011,13 +1011,15 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order count, and integer-cents spend, each NTILE(5)-scored with "
     "5=best (recency ranked DESC so the most recent purchase lands in "
     "bucket 5) and concatenated into the '555'-style code. NTILE made "
-    "deterministic by the custkey tiebreak. The three global NTILEs "
-    "are single-partition windows over |customers| PRE-AGGREGATED "
-    "rows — fine to ~100M customers; beyond that, score against "
-    "approx_percentile quintile boundaries instead (broadcast 4 "
-    "cut points, same buckets up to sketch error, no global sort). "
-    "One orders shuffle + one scalar broadcast — at 100 TB the "
-    "customer rollup is the only data-sized stage.",
+    "deterministic by the custkey tiebreak. r7 rewrite: each of the "
+    "three NTILEs runs as a distributed exact rank (range-repartition "
+    "on the score order + per-partition row_number + bounded offset "
+    "join, plans/rank.py) + pure NTILE arithmetic — identical buckets "
+    "to the oracle's global windows with no single-task sort, at any "
+    "customer count and under any score skew (range boundaries are "
+    "sampled, so a heavy-tailed monetary distribution still balances). "
+    "The customer rollup is checkpointed once and feeds all three "
+    "rank passes plus the final three custkey equi-joins.",
 )
 def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -1042,23 +1044,40 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        # one materialization feeds three rank passes + three joins
+        .localCheckpoint()
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.col("recency_days").desc(), F.col("c_custkey"))
-    )
-    f = F.ntile(5).over(Window.orderBy("frequency", "c_custkey"))
-    m = F.ntile(5).over(Window.orderBy("monetary_cents", "c_custkey"))
-    return base.select(
-        "c_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        r.cast("int").alias("r_score"),
-        f.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
-        F.concat(
-            r.cast("string"), f.cast("string"), m.cast("string")
-        ).alias("rfm_code"),
+
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_global_rank
+
+    def quintile(order_cols, score_name: str) -> DataFrame:
+        ranked = with_global_rank(base, order_cols, "rn", total_col="n")
+        return ranked.select(
+            "c_custkey",
+            exact_ntile(F.col("rn"), F.col("n"), 5).cast("int").alias(score_name),
+        )
+
+    r = quintile([F.col("recency_days").desc(), F.col("c_custkey")], "r_score")
+    f = quintile(["frequency", "c_custkey"], "f_score")
+    m = quintile(["monetary_cents", "c_custkey"], "m_score")
+    return (
+        base.join(r, "c_custkey")
+        .join(f, "c_custkey")
+        .join(m, "c_custkey")
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("rfm_code"),
+        )
     )
 
 

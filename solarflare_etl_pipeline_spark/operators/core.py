@@ -673,12 +673,17 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "satisfies rn*8 <= n*k — pure BIGINT rank arithmetic, no "
     "interpolation, no division), so the result is hash-exact with "
     "zero float ops. Epoch split at the fixture's mid-month; "
-    "production parameterizes the cut. Plan: one epoch-partitioned "
-    "rank window + a 7x bounded explode + 14-group aggregate + a "
-    "7-row self-join. At 100 TB swap the exact rank for "
-    "approx_percentile's mergeable sketch per epoch (same output "
-    "shape, documented error bounds) — the comparison logic is "
-    "unchanged.",
+    "production parameterizes the cut. Plan (r7 rewrite — the oracle's "
+    "epoch-partitioned rank window over RAW rows would be two single-"
+    "task sorts at scale): the rank never needed per-row assignment — "
+    "value-at-rank-t over a sorted multiset is a cumulative-histogram "
+    "lookup, so the Spark side aggregates to the DISTINCT-VALUE grid "
+    "first (groupBy(epoch, v3).count(), map-side combinable; grid size "
+    "is bounded by the x1000 discretization, NOT by row count — the "
+    "agg_ks_test discipline), cumulates over that bounded grid, and "
+    "reads octile k as MIN v3 with cum >= (n*k) DIV 8 — provably the "
+    "same value the oracle's MAX-under-rank form selects. 7x explode "
+    "on the grid only + 14-group aggregate + 7-row self-join.",
 )
 def dq_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -693,24 +698,32 @@ def dq_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epoch"),
         F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
     )
-    wp = W.partitionBy("epoch")
-    ranked = q.select(
+    hist = q.groupBy("epoch", "v3").agg(F.count("*").cast("long").alias("cnt"))
+    grid = hist.select(
         "epoch",
         "v3",
-        F.row_number().over(wp.orderBy("v3")).cast("long").alias("rn"),
-        F.count("*").over(wp).cast("long").alias("n"),
+        # windows over the bounded distinct-value grid, not raw rows
+        F.sum("cnt").over(W.partitionBy("epoch").orderBy("v3")).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy("epoch")).cast("long").alias("n"),
     )
     oct_ = (
-        ranked.select(
+        grid.select(
             "epoch",
             "v3",
-            "rn",
+            "cum",
             "n",
             F.explode(F.array(*[F.lit(k) for k in range(1, 8)])).alias("k"),
         )
-        .where(F.col("rn") * 8 <= F.col("n") * F.col("k"))
+        # value at rank t_k = (n*k) DIV 8 == smallest grid value whose
+        # cumulative count reaches t_k (== the oracle's MAX v3 with
+        # rn*8 <= n*k, since ranks of equal values are consecutive);
+        # t_k >= 1 guard mirrors the oracle dropping empty rank sets
+        .where(
+            (F.col("cum") >= F.expr("(n * k) DIV 8"))
+            & (F.expr("(n * k) DIV 8") >= F.lit(1))
+        )
         .groupBy("epoch", "k")
-        .agg(F.max("v3").alias("qv"))
+        .agg(F.min("v3").alias("qv"))
     )
     a = oct_.where("epoch = 'w1'").select(
         F.col("k").alias("octile"), F.col("qv").alias("w1_value")
