@@ -1898,10 +1898,16 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(W.partitionBy("value_band")).alias("col_tot"),
         F.sum("o").over(W.partitionBy()).alias("grand_tot"),
     )
+    # ADVICE r6: the cross-multiplied numerator exceeds BIGINT once
+    # n_events^2 > 2^63 (the oracle's window SUMs are HUGEINT) — run
+    # the integer algebra in DECIMAL(38,0) like agg_ols2/agg_skew_kurt
+    # so Spark never silently wraps under non-ANSI mode.
     term = (
         F.expr(
-            "CAST((grand_tot * o - row_tot * col_tot) AS DOUBLE)"
-            " * (grand_tot * o - row_tot * col_tot)"
+            "CAST(CAST(grand_tot AS DECIMAL(38,0)) * o"
+            "     - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE)"
+            " * CAST(CAST(grand_tot AS DECIMAL(38,0)) * o"
+            "        - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE)"
             " / (CAST(grand_tot AS DOUBLE) * row_tot * col_tot)"
         )
     )

@@ -1139,9 +1139,13 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    deg = sym.groupBy("src").agg(F.count("*").alias("degree"))
-    return deg.where(F.col("degree") >= K_CORE).select(
-        F.col("src").alias("part_id"), F.col("degree").alias("core_degree")
+    # ADVICE r6: nodes with degree >= K in an UNCONVERGED graph are not
+    # the k-core (removals can still cascade) — failing loudly beats
+    # returning a silently-wrong approximation.
+    raise RuntimeError(
+        f"graph_k_core did not converge within {K_CORE_MAX_ROUNDS} peeling "
+        "rounds — raise K_CORE_MAX_ROUNDS (peeling depth exceeds the cap); "
+        "the partial result is NOT a k-core and is deliberately not returned"
     )
 
 

@@ -160,9 +160,13 @@ def ingest_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corrupted feed is generated DISTRIBUTED (to_json + conditional
     # truncation, then a text write) — no driver-side row loop
     line = F.to_json(F.struct("doc_id", "lang"))
+    # ADVICE r6: truncate RELATIVE to line length (drop the closing two
+    # chars) — a fixed substring(…, 1, 14) could leave a short line
+    # (e.g. to_json dropping a NULL lang for a small doc_id) intact and
+    # parseable, breaking the oracle's every-7th-row-is-corrupt rule.
     corrupted = F.when(
         F.col("doc_id") % 7 == 0,
-        F.substring(line, 1, 14),  # truncate mid-record: unparseable
+        line.substr(F.lit(1), F.length(line) - 2),
     ).otherwise(line)
     (
         table(spark, sf_dir, "documents")
