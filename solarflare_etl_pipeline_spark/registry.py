@@ -109,7 +109,7 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to:
-#: agg_ols2, agg_proportional_allocate, ts_interval_merge,
+#: ingest_avro (new r7 — full-fidelity OCF round trip), agg_ols2, agg_proportional_allocate, ts_interval_merge,
 #: dq_sequence_gaps, subq_exists_chain, llm_span_corruption,
 #: agg_skew_kurt, win_running_distinct, llm_bpe_train2, ts_acf,
 #: dq_table_diff, dq_k_anonymity, gen_calendar_dim, agg_decile_lift,
@@ -180,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
     from solarflare_etl_pipeline_spark.plans import bucketing  # noqa: F401
     from solarflare_etl_pipeline_spark.sources import (  # noqa: F401
+        avro_ingest,
         csv_ingest,
         http_ingest,
         jdbc_ingest,
