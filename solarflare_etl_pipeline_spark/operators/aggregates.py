@@ -2099,3 +2099,506 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("ks_d"),
     )
+
+
+HLL_M = 1024  # registers (p=10): standard error 1.04/sqrt(m) ~ 3.3%
+HLL_WBITS = 50  # 60-bit portable hash minus 10 register-index bits
+
+
+@register(
+    "agg_hll_portable",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT
+                   CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h,
+                   user_id % 4 AS shard
+            FROM events
+        ),
+        rr AS (
+            SELECT shard, h % {HLL_M} AS reg, h // {HLL_M} AS w,
+                   CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                        ELSE {HLL_WBITS + 1} - LENGTH(BIN(h // {HLL_M}))
+                   END AS rho
+            FROM h
+        ),
+        direct AS (
+            SELECT reg, MAX(rho) AS mrho FROM rr GROUP BY reg
+        ),
+        sharded AS (
+            SELECT shard, reg, MAX(rho) AS mrho FROM rr GROUP BY shard, reg
+        ),
+        merged AS (
+            SELECT reg, MAX(mrho) AS mrho FROM sharded GROUP BY reg
+        ),
+        summary AS (
+            SELECT COUNT(*) AS n_occupied,
+                   CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - mrho))
+                        + ({HLL_M} - COUNT(*))
+                          * (CAST(1 AS BIGINT) << {HLL_WBITS + 1})
+                        AS BIGINT) AS s_harmonic
+            FROM direct
+        ),
+        exact AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events),
+        est AS (
+            SELECT s.*, e.n_exact,
+                   CASE WHEN (0.7213 / (1.0 + 1.079 / {HLL_M}))
+                             * {HLL_M} * {HLL_M}
+                             * CAST(CAST(1 AS BIGINT) << {HLL_WBITS + 1}
+                                    AS DOUBLE) / s.s_harmonic
+                             <= 2.5 * {HLL_M}
+                             AND s.v_zero > 0
+                        THEN {HLL_M} * LN(CAST({HLL_M} AS DOUBLE) / s.v_zero)
+                        ELSE (0.7213 / (1.0 + 1.079 / {HLL_M}))
+                             * {HLL_M} * {HLL_M}
+                             * CAST(CAST(1 AS BIGINT) << {HLL_WBITS + 1}
+                                    AS DOUBLE) / s.s_harmonic
+                   END AS estimate
+            FROM summary s, exact e
+        )
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(n_occupied AS BIGINT) AS n_occupied,
+               v_zero, s_harmonic,
+               ABS(estimate - n_exact) <= 0.10 * n_exact
+                   AS estimate_within_10pct,
+               (SELECT BOOL_AND(d.mrho = m.mrho)
+                FROM direct d JOIN merged m ON d.reg = m.reg)
+               AND (SELECT COUNT(*) FROM direct)
+                   = (SELECT COUNT(*) FROM merged)
+                   AS merged_matches_direct
+        FROM est
+    """,
+    doc=f"HyperLogLog from first principles with a PORTABLE hash — the "
+    f"mergeable-sketch story agg_sketch_mergeable tells with Spark's "
+    f"opaque Datasketches binaries, retold with every register value "
+    f"cross-engine checkable: a 60-bit integer parsed from md5 hex "
+    f"(identical in Spark's conv() and DuckDB's 0x-cast, probed r7) "
+    f"splits into {HLL_M} register indexes + {HLL_WBITS}-bit suffixes; "
+    f"rho = leading zeros + 1 via LENGTH(BIN(w)) (no float log2 — "
+    f"exact in both engines); registers are groupBy reg -> MAX(rho), "
+    f"the associative/commutative form that makes per-shard sketches "
+    f"(here: 4 shards by user_id%4) merge losslessly into the direct "
+    f"sketch — asserted register-by-register. The harmonic denominator "
+    f"sum(2^-rho) is kept EXACT as the 2^{HLL_WBITS + 1}-scaled BIGINT "
+    f"s_harmonic (each term a dyadic rational — no float-summation "
+    f"order sensitivity), so the only doubles are the final estimate "
+    f"(alpha_m*m^2/S, linear-counting m*ln(m/V) when E<=2.5m) behind a "
+    f"10%-margin boolean (theoretical HLL error at m={HLL_M} is 3.3%). "
+    f"At 100 TB the register table IS the persisted artifact: 1024 "
+    f"BIGINTs answer any distinct-count rollup without rescanning.",
+)
+def agg_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m, wb = HLL_M, HLL_WBITS
+    h = e.select("user_id").distinct().select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("h"),
+        (F.col("user_id") % 4).alias("shard"),
+    )
+    rr = h.select(
+        "shard",
+        (F.col("h") % m).alias("reg"),
+        F.expr(f"h DIV {m}").alias("w"),
+    ).select(
+        "shard",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(wb + 1))
+        .otherwise(F.lit(wb + 1) - F.length(F.expr("bin(w)")))
+        .cast("long")
+        .alias("rho"),
+    )
+    direct = rr.groupBy("reg").agg(F.max("rho").alias("mrho"))
+    sharded = rr.groupBy("shard", "reg").agg(F.max("rho").alias("mrho"))
+    merged = sharded.groupBy("reg").agg(F.max("mrho").alias("mrho"))
+    match = (
+        direct.join(merged.withColumnRenamed("mrho", "mrho2"), "reg", "full")
+        .agg(
+            F.bool_and(
+                F.col("mrho").isNotNull()
+                & F.col("mrho2").isNotNull()
+                & (F.col("mrho") == F.col("mrho2"))
+            ).alias("merged_matches_direct")
+        )
+    )
+    summary = direct.agg(
+        F.count("*").cast("long").alias("n_occupied"),
+        (F.lit(m) - F.count("*")).cast("long").alias("v_zero"),
+        (
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({wb + 1} - mrho)"))
+            + (F.lit(m) - F.count("*")) * F.lit(1 << (wb + 1))
+        )
+        .cast("long")
+        .alias("s_harmonic"),
+    )
+    exact = e.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    j = summary.crossJoin(exact).crossJoin(match)  # three single-row locals
+    raw = F.lit(alpha) * m * m * F.lit(float(1 << (wb + 1))) / F.col("s_harmonic")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    return j.select(
+        "n_exact",
+        "n_occupied",
+        "v_zero",
+        "s_harmonic",
+        (F.abs(est - F.col("n_exact")) <= 0.10 * F.col("n_exact")).alias(
+            "estimate_within_10pct"
+        ),
+        "merged_matches_direct",
+    )
+
+
+#: The fixture's closed event-type domain, alphabetical — ANOVA pivots
+#: the per-group moments into ONE row so the cross-group float sums have
+#: a FIXED left-to-right order (identical IEEE ops in both engines).
+ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_anova_oneway",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        s AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n_total,
+                {", ".join(
+                    f'''CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{i},
+                    SUM(CAST(v3 AS HUGEINT)) FILTER (event_type = '{t}') AS s1_{i},
+                    SUM(CAST(v3 AS HUGEINT) * v3) FILTER (event_type = '{t}') AS s2_{i}'''
+                    for i, t in enumerate(ANOVA_TYPES)
+                )}
+            FROM q
+        ),
+        t AS (
+            SELECT n_total,
+                   {" + ".join(f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(len(ANOVA_TYPES)))} AS tt,
+                   CAST({" + ".join(f"s1_{i}" for i in range(len(ANOVA_TYPES)))} AS DOUBLE) AS s_all,
+                   CAST({" + ".join(f"s2_{i}" for i in range(len(ANOVA_TYPES)))} AS DOUBLE) AS q_all
+            FROM s
+        )
+        SELECT n_total,
+               CAST({len(ANOVA_TYPES)} AS BIGINT) AS k_groups,
+               tt - s_all * s_all / n_total AS ss_between,
+               q_all - tt AS ss_within,
+               ((tt - s_all * s_all / n_total) / {len(ANOVA_TYPES) - 1})
+                   / ((q_all - tt) / (n_total - {len(ANOVA_TYPES)}))
+                   AS f_stat
+        FROM t
+    """,
+    doc="One-way ANOVA (does mean value differ across event types?) — "
+    "the k-group generalization completing the experimentation-stats "
+    "family (welch_t: 2 groups; chi_square: categorical; this: k "
+    "means). All moments are EXACT integer sums in DECIMAL/HUGEINT "
+    "(v3^2 exceeds BIGINT at 100x); the five per-group terms pivot "
+    "into ONE row via FILTER aggregates so the float combination "
+    "T = sum(s1_g^2/n_g) is a single fixed-order expression — no "
+    "engine-dependent float summation order anywhere (the weakness "
+    "a naive SUM-over-groups spelling would have). One hash "
+    "aggregate over the data, scalar algebra after — the mergeable "
+    "sufficient-statistics shape that works unchanged at 100 TB.",
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    aggs = [F.count("*").cast("long").alias("n_total")]
+    for i, t in enumerate(ANOVA_TYPES):
+        cond = F.col("event_type") == t
+        aggs += [
+            F.count(F.when(cond, 1)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(cond, F.col("v3").cast("decimal(38,0)"))).alias(f"s1_{i}"),
+            F.sum(
+                F.when(cond, (F.col("v3").cast("decimal(19,0)") * F.col("v3")).cast("decimal(38,0)"))
+            ).alias(f"s2_{i}"),
+        ]
+    s = q.agg(*aggs)
+    k = len(ANOVA_TYPES)
+    tt = " + ".join(
+        f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(k)
+    )
+    s_all = "CAST(" + " + ".join(f"s1_{i}" for i in range(k)) + " AS DOUBLE)"
+    q_all = "CAST(" + " + ".join(f"s2_{i}" for i in range(k)) + " AS DOUBLE)"
+    t = s.select(
+        "n_total",
+        F.expr(tt).alias("tt"),
+        F.expr(s_all).alias("s_all"),
+        F.expr(q_all).alias("q_all"),
+    )
+    return t.select(
+        "n_total",
+        F.lit(k).cast("long").alias("k_groups"),
+        # NO ROUND anywhere (ORACLE_PARITY rule 16): both engines run the
+        # identical IEEE expression chain on identical exact-integer-cast
+        # inputs, so the raw doubles are bit-identical, while ROUND(x, 6)
+        # at 1e13 magnitude rounds DIFFERENTLY per engine (caught by the
+        # r7 full-sweep gate at sf0.01).
+        F.expr("tt - s_all * s_all / n_total").alias("ss_between"),
+        F.expr("q_all - tt").alias("ss_within"),
+        F.expr(
+            f"((tt - s_all * s_all / n_total) / {k - 1})"
+            f" / ((q_all - tt) / (n_total - {k}))"
+        ).alias("f_stat"),
+    )
+
+
+BH_ALPHA_INV = 20  # alpha = 0.05 spelled as the exact rational 1/20
+
+
+@register(
+    "agg_bh_fdr",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
+                        AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT SUM(n) AS nn, SUM(conv) AS cc, COUNT(*) AS m FROM cells
+        ),
+        pv AS (
+            SELECT c.event_type, c.dow, c.n, c.conv,
+                   CASE WHEN CAST(c.conv AS HUGEINT) * t.nn
+                             - CAST(t.cc AS HUGEINT) * c.n = 0 THEN 1.0
+                        ELSE LEAST(1.0,
+                            CAST(CAST(c.n AS HUGEINT) * t.cc * (t.nn - t.cc)
+                                 AS DOUBLE)
+                            / CAST((CAST(c.conv AS HUGEINT) * t.nn
+                                    - CAST(t.cc AS HUGEINT) * c.n)
+                                   * (CAST(c.conv AS HUGEINT) * t.nn
+                                      - CAST(t.cc AS HUGEINT) * c.n)
+                                   AS DOUBLE) / t.nn)
+                   END AS p_value,
+                   t.m
+            FROM cells c, tot t
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       ORDER BY p_value, event_type, dow) AS BIGINT) AS p_rank
+            FROM pv
+        ),
+        kmax AS (
+            SELECT COALESCE(MAX(p_rank), 0) AS k
+            FROM ranked WHERE p_value * m * 20 <= p_rank
+        )
+        SELECT r.event_type, r.dow, r.n, r.conv,
+               ROUND(r.p_value, 9) AS p_value, r.p_rank,
+               r.p_rank <= k.k AS rejected
+        FROM ranked r, kmax k
+    """,
+    doc="Benjamini-Hochberg FDR control over a family of "
+    "type x day-of-week conversion tests — the multiple-comparisons "
+    "step every experimentation platform runs after per-cell tests "
+    "(alpha=0.05 naive testing of 35 cells expects ~2 false "
+    "positives; BH caps the false-discovery RATE). Per-cell p-value "
+    "proxy is the distribution-free Chebyshev bound min(1, 1/z^2) "
+    "with z^2 = (c*N - C*n)^2 / (n*C*(N-C)/N) spelled as exact "
+    "HUGEINT/DECIMAL cross-products and ONE float division (no erf "
+    "needed — both engines lack a portable one). The BH step-up "
+    "(max rank k with p_(k) <= alpha*k/m, reject 1..k) runs on the "
+    "CELL table — |types| x 7 bounded rows; day-of-week is date "
+    "arithmetic from a fixed epoch (portable, unlike the engines' "
+    "conflicting dayofweek numbering). At 100 TB only the cell "
+    "aggregate touches data.",
+)
+def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.pmod(
+            F.datediff(F.col("ts").cast("timestamp").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 500, 1).otherwise(0)).cast("long").alias("conv"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("conv").cast("long").alias("cc"),
+        F.count("*").cast("long").alias("m"),
+    )
+    pv = cells.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "dow",
+        "n",
+        "conv",
+        "m",
+        F.when(
+            F.expr(
+                "CAST(conv AS DECIMAL(38,0)) * nn - CAST(cc AS DECIMAL(38,0)) * n"
+            )
+            == 0,
+            F.lit(1.0),
+        )
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                F.expr(
+                    "CAST(CAST(n AS DECIMAL(38,0)) * cc * (nn - cc) AS DOUBLE)"
+                    " / CAST((CAST(conv AS DECIMAL(38,0)) * nn"
+                    "         - CAST(cc AS DECIMAL(38,0)) * n)"
+                    "        * (CAST(conv AS DECIMAL(38,0)) * nn"
+                    "           - CAST(cc AS DECIMAL(38,0)) * n) AS DOUBLE)"
+                    " / nn"
+                ),
+            )
+        )
+        .alias("p_value"),
+    )
+    # bounded: |types| x 7 rows
+    ranked = pv.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(W.orderBy("p_value", "event_type", "dow"))
+        .cast("long"),
+    )
+    kmax = ranked.where(
+        F.col("p_value") * F.col("m") * BH_ALPHA_INV <= F.col("p_rank")
+    ).agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("k"))
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type",
+        "dow",
+        "n",
+        "conv",
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        (F.col("p_rank") <= F.col("k")).alias("rejected"),
+    )
+
+
+BOOT_B = 100  # bootstrap replicates
+BOOT_LO_RANK = 5   # 5th smallest of 100 = 5th percentile
+BOOT_HI_RANK = 96  # 96th smallest = 95th percentile (ceil(0.95*100)+1 form)
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type, event_id,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        reps AS (
+            SELECT q.event_type, b.b,
+                   2 * (CAST(('0x' || SUBSTR(MD5(
+                            CAST(q.event_id AS VARCHAR) || ':'
+                            || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 2)
+                       AS w,
+                   q.v3
+            FROM q, (SELECT UNNEST(RANGE(0, {BOOT_B})) AS b) b
+        ),
+        means AS (
+            SELECT event_type, b,
+                   ROUND(CAST(SUM(CAST(w AS HUGEINT) * v3) AS DOUBLE)
+                         / SUM(w), 9) AS mean_b
+            FROM reps GROUP BY event_type, b
+            HAVING SUM(w) > 0
+        ),
+        ranked AS (
+            SELECT event_type, mean_b,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY mean_b, b) AS rn
+            FROM means
+        ),
+        point AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(CAST(v3 AS HUGEINT)) AS DOUBLE)
+                         / COUNT(*), 9) AS point_mean
+            FROM q GROUP BY event_type
+        )
+        SELECT p.event_type, p.n_rows, p.point_mean,
+               MIN(CASE WHEN r.rn = {BOOT_LO_RANK} THEN r.mean_b END)
+                   AS ci_lo,
+               MIN(CASE WHEN r.rn = {BOOT_HI_RANK} THEN r.mean_b END)
+                   AS ci_hi
+        FROM point p JOIN ranked r ON r.event_type = p.event_type
+        GROUP BY p.event_type, p.n_rows, p.point_mean
+    """,
+    doc=f"Distributed bootstrap confidence intervals for per-type mean "
+    f"value — the resampling-based uncertainty quantification that "
+    f"needs NO distributional assumptions and NO second scan per "
+    f"replicate: all {BOOT_B} replicates materialize in one explode "
+    f"(x{BOOT_B}) -> one hash aggregate, because each row's multiplicity "
+    f"in replicate b is a deterministic PORTABLE weight "
+    f"w = 2*(md5_hash(event_id, b) % 2) — the published double-or-"
+    f"nothing (Bernoulli) bootstrap: E[w]=1, Var[w]=1, matching "
+    f"Poisson-bootstrap moments while staying exactly reproducible "
+    f"across engines and reruns (no RNG state, the sample_hash_split "
+    f"discipline). Replicate means are exact HUGEINT/DECIMAL ratios "
+    f"rounded once; the percentile CI is an exact order statistic "
+    f"over the BOUNDED |types| x {BOOT_B} replicate table. At 100 TB "
+    f"the explode never lands on disk — it fuses into the partial "
+    f"aggregation, shipping only |types| x {BOOT_B} partials per "
+    f"partition (sufficient-statistics economics, like agg_anova).",
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", "event_id", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    reps = q.select(
+        "event_type",
+        "v3",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "b",
+        "v3",
+        F.expr(
+            "2 * (CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',"
+            " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"
+        ).alias("w"),
+    )
+    means = (
+        reps.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * v3")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.round(F.expr("CAST(swv AS DOUBLE) / sw"), 9).alias("mean_b"),
+        )
+    )
+    # bounded: |types| x B rows
+    ranked = means.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("mean_b", "b"))
+    )
+    point = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.round(
+            F.expr("CAST(SUM(CAST(v3 AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)"), 9
+        ).alias("point_mean"),
+    )
+    return (
+        point.join(ranked, "event_type")
+        .groupBy("event_type", "n_rows", "point_mean")
+        .agg(
+            F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_b"))).alias("ci_lo"),
+            F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_b"))).alias("ci_hi"),
+        )
+    )

@@ -985,3 +985,135 @@ def phash_families(payloads: DataFrame) -> DataFrame:
         )
         .where(F.col("n_imgs") >= 2)
     )
+
+
+#: Planted-duplicate pattern geometry (constant across docs so the
+#: closed-form oracle's resample indexing is fixed arithmetic).
+PLANT_W, PLANT_H = 16, 12
+PLANT_FAMILIES = 97  # content_id = doc_id % 97 → real multi-doc families
+
+
+def pattern_pixel(content_id: int, x: int, y: int) -> int:
+    """Gradient-rich deterministic pixel — unlike the smooth generator
+    ramp (doc_id + x + y) % 256, whose rows are monotone so EVERY image
+    dhashes to 0 (found while planting duplicates in round 7), this
+    pattern's gradient signs vary, giving distinct non-degenerate
+    fingerprints per content."""
+    return (content_id * 37 + x * 41 + y * 59 + ((x * y) % 83) * 97) % 256
+
+
+def encode_png_pattern(content_id: int) -> bytes:
+    """A spec-conforming PNG (same container as encode_png) whose pixels
+    are ``pattern_pixel(content_id, x, y)`` at fixed 16x12 geometry."""
+    import struct
+    import zlib
+
+    raw = b"".join(
+        b"\x00"
+        + bytes(pattern_pixel(content_id, x, y) for x in range(PLANT_W))
+        for y in range(PLANT_H)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", PLANT_W, PLANT_H, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@register(
+    "mm_phash_dedup_planted",
+    oracle=f"""
+        WITH bits AS (
+            SELECT doc_id,
+                   doc_id % {PLANT_FAMILIES} AS cid,
+                   UNNEST(RANGE(0, {PHASH_H} * {PHASH_W})) AS k
+            FROM documents
+        ),
+        px AS (
+            SELECT doc_id, k,
+                   (cid * 37 + (((k % {PHASH_W}) * {PLANT_W}) // {PHASH_W + 1}) * 41
+                    + (((k // {PHASH_W}) * {PLANT_H}) // {PHASH_H}) * 59
+                    + (((((k % {PHASH_W}) * {PLANT_W}) // {PHASH_W + 1})
+                        * (((k // {PHASH_W}) * {PLANT_H}) // {PHASH_H})) % 83) * 97
+                   ) % 256 AS pl,
+                   (cid * 37 + ((((k % {PHASH_W}) + 1) * {PLANT_W}) // {PHASH_W + 1}) * 41
+                    + (((k // {PHASH_W}) * {PLANT_H}) // {PHASH_H}) * 59
+                    + ((((((k % {PHASH_W}) + 1) * {PLANT_W}) // {PHASH_W + 1})
+                        * (((k // {PHASH_W}) * {PLANT_H}) // {PHASH_H})) % 83) * 97
+                   ) % 256 AS pr
+            FROM bits
+        ),
+        ph AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN pl > pr AND k < 63
+                            THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                        AS BIGINT) AS phash
+            FROM px GROUP BY doc_id
+        )
+        SELECT phash,
+               CAST(COUNT(*) AS BIGINT) AS n_imgs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+        FROM ph GROUP BY phash
+        HAVING COUNT(*) >= 2
+    """,
+    doc=f"Perceptual-hash dedup over a corpus with REAL planted "
+    f"duplicate families — the de-degenerated companion to "
+    f"mm_phash_dedup (whose fixture derives one unique image per doc "
+    f"from a smooth ramp, so its grouping arm never fires on data and "
+    f"every ramp image dhashes to 0; VERDICT r6 'What's missing #3'): "
+    f"content_id = doc_id % {PLANT_FAMILIES} gives every content ~"
+    f"|docs|/{PLANT_FAMILIES} genuine byte-identical-pixel copies, and "
+    f"the gradient-rich pattern makes fingerprints non-degenerate. "
+    f"The Spark side runs the FULL container path — encode each doc's "
+    f"PNG, CRC-verified decode, defilter, nearest-resample, dhash — "
+    f"fused in one Arrow mapInPandas stage; the oracle restates "
+    f"encode->decode->resample->hash in closed form over the pattern, "
+    f"so a family appearing by luck of hash collision, a wrong "
+    f"resample index, or a bit-packing slip all break parity. Same "
+    f"one-BIGINT-per-image shuffle economics as llm_dedup_exact.",
+)
+def mm_phash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                dhash_bits(
+                    decode_png_pixels(
+                        encode_png_pattern(int(d) % PLANT_FAMILIES)
+                    )[3]
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    ph = docs.mapInPandas(
+        hash_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("phash", T.LongType()),
+            ]
+        ),
+    )
+    return (
+        ph.groupBy("phash")
+        .agg(F.count("*").alias("n_imgs"), F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_imgs") >= 2)
+    )

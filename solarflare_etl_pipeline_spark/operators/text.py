@@ -2066,3 +2066,145 @@ def llm_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_occurrences",
         )
     )
+
+
+PARA_TOKENS = 10  # pseudo-paragraph width (fixture text has no punctuation)
+
+
+@register(
+    "llm_paragraph_dedup",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(0, CAST(CEIL(LEN(toks) / {PARA_TOKENS}.0) AS INT)))
+                       AS pos,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(0, CAST(CEIL(LEN(toks) / {PARA_TOKENS}.0) AS INT)),
+                       i -> ARRAY_TO_STRING(
+                           toks[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}],
+                           ' '))) AS para
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents)
+        ),
+        keep AS (
+            SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) AS occ
+            FROM chunks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paras,
+               CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               COALESCE(STRING_AGG(CASE WHEN occ = 1 THEN para END,
+                                   ' ' ORDER BY pos), '')
+                   AS clean_text
+        FROM keep
+        GROUP BY doc_id
+    """,
+    doc=f"Corpus-wide paragraph-level exact dedup, first occurrence "
+    f"wins — the C4/RefinedWeb 'remove repeated spans across the "
+    f"whole corpus' policy, distinct from llm_boilerplate_strip "
+    f"(which drops spans by FREQUENCY threshold; here the FIRST copy "
+    f"always survives, later copies are removed wherever they appear): "
+    f"documents split into {PARA_TOKENS}-token pseudo-paragraphs "
+    f"(fixture text has no punctuation), each paragraph's canonical "
+    f"occurrence chosen by the global (doc_id, pos) order via one "
+    f"rank-and-filter window partitioned by paragraph content (high-"
+    f"cardinality key — per-group size = duplicate count, so the "
+    f"window parallelizes; Spark lowers the occ=1 filter to "
+    f"WindowGroupLimit below the exchange), and surviving paragraphs "
+    f"reassembled in position order. At 100 TB: hash the paragraph to "
+    f"a 128-bit digest before the shuffle so the exchange ships "
+    f"16 B/paragraph, and keep the reassembly aggregate keyed by the "
+    f"same doc partitioning.",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("__toks", F.split("text", " "))
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {PARA_TOKENS}.0) as int) - 1), "
+        f"i -> array_join(slice(__toks, i * {PARA_TOKENS} + 1, {PARA_TOKENS}), ' '))"
+    )
+    from pyspark.sql import Window
+
+    chunks = d.select("doc_id", F.posexplode(paras).alias("pos", "para"))
+    occ = F.row_number().over(
+        Window.partitionBy("para").orderBy("doc_id", "pos")
+    )
+    keep = chunks.withColumn("occ", occ)
+    return (
+        keep.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("occ") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("occ") == 1,
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "llm_oversample_mixture",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang
+            FROM documents GROUP BY lang
+        ),
+        target AS (SELECT MAX(n_lang) AS n_max FROM counts),
+        reps AS (
+            SELECT c.lang, c.n_lang,
+                   CAST(CEIL(CAST(t.n_max AS DOUBLE) / c.n_lang) AS BIGINT)
+                       AS rep
+            FROM counts c, target t
+        )
+        SELECT d.doc_id, d.lang, r.n_lang, r.rep,
+               CAST(UNNEST(RANGE(0, r.rep)) AS BIGINT) AS copy_idx
+        FROM documents d JOIN reps r ON r.lang = d.lang
+    """,
+    doc="Oversampling mixture balance — the UPsampling half of corpus "
+    "mixing (llm_mixture_sample downsamples dominant sources; "
+    "low-resource languages instead get replicated toward parity, the "
+    "standard multilingual-pretraining move): per-language replication "
+    "factor ceil(n_max/n_lang) from the bounded language histogram "
+    "(broadcast), then a deterministic explode emits each document "
+    "rep times with a copy ordinal (downstream shuffling/packing keys "
+    "on (doc_id, copy_idx) so copies spread across shards). No RNG — "
+    "reruns are byte-identical. At 100 TB the explode is narrow "
+    "(factor bounded by the rarest language's deficit) and fuses into "
+    "the following stage; the histogram is |langs| rows.",
+)
+def llm_oversample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_lang"))
+    target = counts.agg(F.max("n_lang").alias("n_max"))
+    reps = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_lang",
+        F.ceil(F.col("n_max").cast("double") / F.col("n_lang"))
+        .cast("long")
+        .alias("rep"),
+    )
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(reps), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_lang",
+            "rep",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("rep") - 1)).alias("copy_idx"),
+        )
+    )

@@ -989,3 +989,170 @@ def gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("cal_ts") == F.last_day(F.to_date("cal_ts"))
         ).alias("is_month_end"),
     )
+
+
+M4_BUCKETS = 64  # target pixel-columns per series
+
+
+@register(
+    "ts_downsample_m4",
+    oracle=f"""
+        WITH q AS (
+            SELECT user_id, event_id,
+                   CAST(ts AS TIMESTAMP) AS ts,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        ext AS (
+            SELECT user_id,
+                   MIN(ts) AS t0, MAX(ts) AS t1, COUNT(*) AS n
+            FROM q GROUP BY user_id
+        ),
+        bucketed AS (
+            SELECT q.user_id, q.event_id, q.ts, q.v3,
+                   CAST(LEAST({M4_BUCKETS - 1},
+                        {M4_BUCKETS} * DATE_DIFF('microseconds', e.t0, q.ts)
+                        // GREATEST(1, DATE_DIFF('microseconds', e.t0, e.t1) + 1)
+                   ) AS BIGINT) AS bucket
+            FROM q JOIN ext e ON e.user_id = q.user_id
+        )
+        SELECT user_id, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               MIN(ts) AS t_first, MAX(ts) AS t_last,
+               MIN(v3) AS v_min, MAX(v3) AS v_max
+        FROM bucketed
+        GROUP BY user_id, bucket
+    """,
+    doc=f"M4 visualization-oriented downsampling (Jugel et al., VLDB "
+    f"2014): per series (user), split the time span into "
+    f"{M4_BUCKETS} equal pixel-column buckets and keep each bucket's "
+    f"min/max value and first/last timestamp — the four points that "
+    f"make a line chart of the reduced series PIXEL-IDENTICAL to the "
+    f"full one at that width. Chosen over LTTB (the other standard "
+    f"downsampler) deliberately: LTTB's selected point depends on the "
+    f"previously selected point — inherently sequential — while M4 is "
+    f"a pure per-bucket aggregate: one shuffle on (user, bucket), "
+    f"map-side combinable, embarrassingly parallel at 100 TB. Bucket "
+    f"index is exact integer microsecond arithmetic against each "
+    f"key's own span (broadcast |users| extents), clamped so the "
+    f"max-timestamp row lands in the last bucket.",
+)
+def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    ext = q.groupBy("user_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    b = q.join(F.broadcast(ext), "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "v3",
+        F.least(
+            F.lit(M4_BUCKETS - 1),
+            F.expr(
+                f"{M4_BUCKETS} * (unix_micros(ts) - unix_micros(t0))"
+                f" DIV GREATEST(1, unix_micros(t1) - unix_micros(t0) + 1)"
+            ),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return b.groupBy("user_id", "bucket").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.min("ts").alias("t_first"),
+        F.max("ts").alias("t_last"),
+        F.min("v3").alias("v_min"),
+        F.max("v3").alias("v_max"),
+    )
+
+
+LAG_RANGE = 3  # cross-correlation lags: -3 .. +3 days
+
+
+@register(
+    "ts_lead_lag_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS a,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS b
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT l.lag, da.a, db.b
+            FROM (SELECT UNNEST(RANGE(-{LAG_RANGE}, {LAG_RANGE + 1})) AS lag) l
+            JOIN daily da ON TRUE
+            JOIN daily db ON db.d = da.d + CAST(l.lag AS INT)
+        ),
+        moments AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(a AS HUGEINT)) AS sa,
+                   SUM(CAST(b AS HUGEINT)) AS sb,
+                   SUM(CAST(a AS HUGEINT) * a) AS saa,
+                   SUM(CAST(b AS HUGEINT) * b) AS sbb,
+                   SUM(CAST(a AS HUGEINT) * b) AS sab
+            FROM lagged GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n,
+               ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+                     / SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                     / SQRT(CAST(n * sbb - sb * sb AS DOUBLE)), 9)
+                   AS xcorr
+        FROM moments
+    """,
+    doc=f"Lead-lag cross-correlation between the daily view series and "
+    f"the daily purchase series at lags -{LAG_RANGE}..+{LAG_RANGE} — "
+    f"the 'does activity today predict conversions in k days' "
+    f"diagnostic behind attribution windows and campaign timing. One "
+    f"data-scale aggregate (events -> |days| x 2 counters); the lag "
+    f"self-join and Pearson moments run on the bounded calendar table "
+    f"(|days| x 7 rows). Moments are exact HUGEINT/DECIMAL "
+    f"cross-products; each correlation is two float square roots and "
+    f"a division in fixed expression order — hash-stable to ROUND 9.",
+)
+def ts_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("a"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).cast("long").alias("b"),
+    )
+    lags = spark.range(-LAG_RANGE, LAG_RANGE + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    da = daily.select(F.col("d").alias("da_d"), F.col("a"))
+    db = daily.select(F.col("d").alias("db_d"), F.col("b"))
+    lagged = (
+        lags.crossJoin(da)  # bounded: 7 lags x |days|
+        .join(db, F.expr("db_d = date_add(da_d, lag)"))
+        .select("lag", "a", "b")
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    moments = lagged.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr(dec.format("a"))).alias("sa"),
+        F.sum(F.expr(dec.format("b"))).alias("sb"),
+        F.sum(F.expr(dec.format("a") + " * a")).alias("saa"),
+        F.sum(F.expr(dec.format("b") + " * b")).alias("sbb"),
+        F.sum(F.expr(dec.format("a") + " * b")).alias("sab"),
+    )
+    return moments.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        F.round(
+            F.expr(
+                "CAST(n * sab - sa * sb AS DOUBLE)"
+                " / SQRT(CAST(n * saa - sa * sa AS DOUBLE))"
+                " / SQRT(CAST(n * sbb - sb * sb AS DOUBLE))"
+            ),
+            9,
+        ).alias("xcorr"),
+    )

@@ -880,3 +880,61 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_restated"),
     )
+
+
+#: Columns profiled by maintenance_stats_collect, with their SQL text
+#: rendering (numerics via CAST to VARCHAR — identical in both engines
+#: for integers; doubles are excluded from min/max strings).
+_STATS_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@register(
+    "maintenance_stats_collect",
+    oracle="\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+               MIN(CAST({c} AS VARCHAR)) AS min_str,
+               MAX(CAST({c} AS VARCHAR)) AS max_str,
+               ROUND(CAST(SUM(CAST(LENGTH(CAST({c} AS VARCHAR)) AS HUGEINT))
+                          AS DOUBLE) / COUNT({c}), 9) AS avg_len
+        FROM documents
+        """
+        for c in _STATS_COLS
+    ),
+    doc="ANALYZE TABLE-style statistics collection over every column of "
+    "documents — the maintenance pass that feeds any cost-based "
+    "planner and data-quality dashboard (Spark's own ANALYZE .. "
+    "COMPUTE STATISTICS persists to the catalog; this emits the same "
+    "numbers as a queryable result): per column, row/null counts, "
+    "exact NDV, lexicographic min/max of the string rendering, and "
+    "exact-ratio mean rendered length. One pass per column over a "
+    "columnar scan that prunes to just that column; at 100 TB swap "
+    "exact NDV for approx_count_distinct per the agg_hll_portable "
+    "register story and the pass stays one scan per column group. "
+    "Long-format output so new columns never change the schema.",
+)
+def maintenance_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    out = None
+    for c in _STATS_COLS:
+        s = F.col(c).cast("string")
+        piece = d.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("*") - F.count(c)).cast("long").alias("n_nulls"),
+            F.countDistinct(c).cast("long").alias("ndv"),
+            F.min(s).alias("min_str"),
+            F.max(s).alias("max_str"),
+            F.round(
+                F.expr(
+                    f"CAST(SUM(CAST(LENGTH(CAST({c} AS STRING)) AS DECIMAL(38,0)))"
+                    f" AS DOUBLE) / COUNT({c})"
+                ),
+                9,
+            ).alias("avg_len"),
+        )
+        out = piece if out is None else out.unionAll(piece)
+    return out

@@ -50,6 +50,18 @@ DELIBERATE_CROSS = {
     # 1×1 join of the two single-row test arms (purchase vs view)
     "agg_welch_t",
     "agg_mann_whitney",
+    # r7: single-row summary ⋈ exact-count ⋈ merge-check booleans (1×1×1)
+    "agg_hll_portable",
+    # r7: single-row totals + single-row BH cutoff broadcast onto the
+    # bounded |types|×7 cell table — N×1 theorem shapes
+    "agg_bh_fdr",
+    # r7: single-row language-count maximum broadcast onto the bounded
+    # |langs| histogram
+    "llm_oversample_mixture",
+    # r7: DELIBERATE bounded product — 7 lag offsets × |days| calendar
+    # rows (both dimension-sized; the data-scale stage is the daily
+    # aggregate before it)
+    "ts_lead_lag_corr",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
@@ -67,6 +79,7 @@ PYTHON_OK = {
     "mm_image_histogram",
     "mm_audio_silence_ratio",
     "mm_phash_dedup",
+    "mm_phash_dedup_planted",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
 }
