@@ -721,3 +721,41 @@ def fn_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.join(
         F.broadcast(ref.withColumnRenamed("k", "bucket")), "bucket"
     ).select("event_id", "event_type", "v3", "bucket", F.col("ref_v3").alias("v3_aligned"))
+
+
+#: A deliberately RE2-safe pattern (no backrefs/lookaround — Java regex
+#: and DuckDB's RE2 agree on this subset): engine-architecture words.
+REGEX_PATTERN = r"\b(scan|sort|merge|hash|join)\b"
+
+
+@register(
+    "fn_regex_extract_all",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(UNNEST(RANGE(0, LEN(toks))) AS BIGINT) AS match_idx,
+               UNNEST(toks) AS match
+        FROM (
+            SELECT doc_id,
+                   REGEXP_EXTRACT_ALL(text, '\b(scan|sort|merge|hash|join)\b')
+                       AS toks
+            FROM documents
+        )
+    """,
+    doc="Log/text field extraction via regexp_extract_all + ordinal "
+    "explode — the parse-the-unstructured-column workhorse (access "
+    "logs, stack traces, markup). The pattern is restricted to the "
+    "RE2-safe subset (alternation, word boundaries — no backrefs or "
+    "lookaround) so Java regex (Spark) and RE2 (DuckDB) provably "
+    "agree; the oracle replays the same extraction, certifying "
+    "dialect-compatible semantics plus ordinal stability through "
+    "posexplode. Per-row narrow work: no shuffle, codegen'd, "
+    "parallelism = input partitions — the ideal 100 TB shape.",
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.expr(f"regexp_extract_all(text, r'{REGEX_PATTERN}', 0)")).alias(
+            "match_idx", "match"
+        ),
+    ).select("doc_id", F.col("match_idx").cast("long").alias("match_idx"), "match")

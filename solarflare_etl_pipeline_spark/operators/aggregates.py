@@ -2360,7 +2360,7 @@ BH_ALPHA_INV = 20  # alpha = 0.05 spelled as the exact rational 1/20
                    CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
                         AS BIGINT) AS dow,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CASE WHEN value > 500 THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
                         AS BIGINT) AS conv
             FROM events
             GROUP BY 1, 2
@@ -2379,7 +2379,7 @@ BH_ALPHA_INV = 20  # alpha = 0.05 spelled as the exact rational 1/20
                                     - CAST(t.cc AS HUGEINT) * c.n)
                                    * (CAST(c.conv AS HUGEINT) * t.nn
                                       - CAST(t.cc AS HUGEINT) * c.n)
-                                   AS DOUBLE) / t.nn)
+                                   AS DOUBLE))
                    END AS p_value,
                    t.m
             FROM cells c, tot t
@@ -2404,7 +2404,7 @@ BH_ALPHA_INV = 20  # alpha = 0.05 spelled as the exact rational 1/20
     "(alpha=0.05 naive testing of 35 cells expects ~2 false "
     "positives; BH caps the false-discovery RATE). Per-cell p-value "
     "proxy is the distribution-free Chebyshev bound min(1, 1/z^2) "
-    "with z^2 = (c*N - C*n)^2 / (n*C*(N-C)/N) spelled as exact "
+    "with z^2 = (c*N - C*n)^2 / (n*C*(N-C)) spelled as exact "
     "HUGEINT/DECIMAL cross-products and ONE float division (no erf "
     "needed — both engines lack a portable one). The BH step-up "
     "(max rank k with p_(k) <= alpha*k/m, reject 1..k) runs on the "
@@ -2427,7 +2427,7 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dow"),
     ).agg(
         F.count("*").cast("long").alias("n"),
-        F.sum(F.when(F.col("value") > 500, 1).otherwise(0)).cast("long").alias("conv"),
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0)).cast("long").alias("conv"),
     )
     tot = cells.agg(
         F.sum("n").cast("long").alias("nn"),
@@ -2456,7 +2456,6 @@ def agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "         - CAST(cc AS DECIMAL(38,0)) * n)"
                     "        * (CAST(conv AS DECIMAL(38,0)) * nn"
                     "           - CAST(cc AS DECIMAL(38,0)) * n) AS DOUBLE)"
-                    " / nn"
                 ),
             )
         )
@@ -2601,4 +2600,101 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == BOOT_LO_RANK, F.col("mean_b"))).alias("ci_lo"),
             F.min(F.when(F.col("rn") == BOOT_HI_RANK, F.col("mean_b"))).alias("ci_hi"),
         )
+    )
+
+
+def _mi_term(nxy: str, nx: str, ny: str) -> str:
+    """One (n_xy/N)*ln(n_xy*N/(n_x*n_y)) term, zero-guarded — rendered
+    identically into Spark SQL and DuckDB SQL so the cross-cell float
+    sum is a FIXED-ORDER expression (the agg_anova_oneway discipline)."""
+    return (
+        f"CASE WHEN {nxy} = 0 THEN 0.0 ELSE "
+        f"(CAST({nxy} AS DOUBLE) / n_total)"
+        f" * LN(CAST({nxy} AS DOUBLE) * n_total"
+        f"      / (CAST({nx} AS DOUBLE) * {ny})) END"
+    )
+
+
+def _h_term(nx: str) -> str:
+    """One -(n_x/N)*ln(n_x/N) entropy term, zero-guarded."""
+    return (
+        f"CASE WHEN {nx} = 0 THEN 0.0 ELSE "
+        f"-(CAST({nx} AS DOUBLE) / n_total)"
+        f" * LN(CAST({nx} AS DOUBLE) / n_total) END"
+    )
+
+
+_MI_CELLS = [(i, b) for i in range(len(ANOVA_TYPES)) for b in (0, 1)]
+_MI_EXPR = " + ".join(_mi_term(f"c_{i}_{b}", f"r_{i}", f"b_{b}") for i, b in _MI_CELLS)
+_HX_EXPR = " + ".join(_h_term(f"r_{i}") for i in range(len(ANOVA_TYPES)))
+_HY_EXPR = " + ".join(_h_term(f"b_{b}") for b in (0, 1))
+
+
+@register(
+    "agg_mutual_info",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                   {", ".join(
+                       f'''CAST(COUNT(*) FILTER (event_type = '{t}'
+                            AND (value > 35) = {bool(b)}) AS BIGINT)
+                            AS c_{i}_{b}'''
+                       for i, t in enumerate(ANOVA_TYPES) for b in (0, 1)
+                   )},
+                   {", ".join(
+                       f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS r_{i}"
+                       for i, t in enumerate(ANOVA_TYPES)
+                   )},
+                   CAST(COUNT(*) FILTER ((value > 35) = false) AS BIGINT) AS b_0,
+                   CAST(COUNT(*) FILTER ((value > 35) = true) AS BIGINT) AS b_1
+            FROM events
+        )
+        SELECT n_total,
+               {_MI_EXPR} AS mutual_info_nats,
+               {_HX_EXPR} AS h_type_nats,
+               {_HY_EXPR} AS h_band_nats,
+               CASE WHEN ({_HX_EXPR}) * ({_HY_EXPR}) = 0 THEN 0.0
+                    ELSE ({_MI_EXPR}) / SQRT(({_HX_EXPR}) * ({_HY_EXPR}))
+               END AS normalized_mi
+        FROM s
+    """,
+    doc="Mutual information between event type and value band — the "
+    "information-theoretic association measure completing the "
+    "chi-square/ANOVA family (chi-square tests independence; MI "
+    "QUANTIFIES dependence in nats, comparable across tables — the "
+    "feature-selection score). All 10 cell counts + margins come from "
+    "ONE filtered-aggregate pass (map-side combinable); every float "
+    "term is zero-guarded and summed in a fixed left-to-right "
+    "expression rendered from the same Python template into both "
+    "engines — no SUM-over-rows float order anywhere, no ROUND "
+    "(rule 10's large-magnitude corollary; values here are O(1) but "
+    "the discipline is uniform). Normalized MI = I/sqrt(HxHy).",
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    aggs = [F.count("*").cast("long").alias("n_total")]
+    for i, t in enumerate(ANOVA_TYPES):
+        for b in (0, 1):
+            cond = (F.col("event_type") == t) & ((F.col("value") > 35) == bool(b))
+            aggs.append(F.count(F.when(cond, 1)).cast("long").alias(f"c_{i}_{b}"))
+    for i, t in enumerate(ANOVA_TYPES):
+        aggs.append(
+            F.count(F.when(F.col("event_type") == t, 1)).cast("long").alias(f"r_{i}")
+        )
+    for b in (0, 1):
+        aggs.append(
+            F.count(F.when((F.col("value") > 35) == bool(b), 1))
+            .cast("long")
+            .alias(f"b_{b}")
+        )
+    s = e.agg(*aggs)
+    return s.select(
+        "n_total",
+        F.expr(_MI_EXPR).alias("mutual_info_nats"),
+        F.expr(_HX_EXPR).alias("h_type_nats"),
+        F.expr(_HY_EXPR).alias("h_band_nats"),
+        F.expr(
+            f"CASE WHEN ({_HX_EXPR}) * ({_HY_EXPR}) = 0 THEN 0.0"
+            f" ELSE ({_MI_EXPR}) / SQRT(({_HX_EXPR}) * ({_HY_EXPR})) END"
+        ).alias("normalized_mi"),
     )

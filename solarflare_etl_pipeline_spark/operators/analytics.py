@@ -1192,3 +1192,71 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, stationary_prob double, residual double"
     )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (
+                SELECT src AS node FROM edges
+                UNION ALL
+                SELECT dst AS node FROM edges
+            ) GROUP BY node
+        ),
+        hist AS (
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg GROUP BY degree
+        )
+        SELECT degree, n_nodes,
+               CAST(SUM(n_nodes) OVER (ORDER BY degree DESC
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_nodes_at_least,
+               CAST(SUM(n_nodes * degree) OVER () AS BIGINT) AS total_degree
+        FROM hist
+    """,
+    doc="Degree distribution of the part co-purchase graph — the "
+    "first diagnostic run on any production graph (the tail shape "
+    "decides everything downstream: a power-law hub tail mandates "
+    "skew handling in every graph op; the complementary cumulative "
+    "count n_nodes_at_least IS the CCDF whose log-log slope "
+    "estimates the exponent). Same de-duplicated oriented edge "
+    "construction as graph_triangle_count/k_core; degrees are one "
+    "symmetric-union aggregate; the histogram windows run over the "
+    "DISTINCT-DEGREE grid (bounded by max degree, not node count — "
+    "the dq_qq_drift discipline). All-BIGINT, hash-exact.",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count("*").cast("long").alias("n_nodes"))
+    ccdf = W.orderBy(F.col("degree").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(ccdf).cast("long").alias("n_nodes_at_least"),
+        F.sum(F.col("n_nodes") * F.col("degree")).over(W.partitionBy()).cast("long").alias("total_degree"),
+    )

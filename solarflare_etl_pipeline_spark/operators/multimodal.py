@@ -1117,3 +1117,74 @@ def mm_phash_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_imgs"), F.min("doc_id").alias("canonical_doc"))
         .where(F.col("n_imgs") >= 2)
     )
+
+
+@register(
+    "mm_audio_zcr",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, UNNEST(RANGE(0, n_chars % 100 + 10 - 1)) AS i,
+                   n_chars % 100 + 10 AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN
+                   (((doc_id * 31 + i * 7) % 65536 - 32768) >= 0)
+                   <> (((doc_id * 31 + (i + 1) * 7) % 65536 - 32768) >= 0)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings,
+               CAST(SUM(CASE WHEN
+                   (((doc_id * 31 + i * 7) % 65536 - 32768) >= 0)
+                   <> (((doc_id * 31 + (i + 1) * 7) % 65536 - 32768) >= 0)
+                   THEN 1 ELSE 0 END) AS DOUBLE) / (MAX(n) - 1) AS zcr
+        FROM s
+        GROUP BY doc_id
+    """,
+    doc="Zero-crossing rate per audio clip — the classic O(n) "
+    "voicing/silence discriminator (speech segmentation, audio-corpus "
+    "quality gates) and the integer-exact companion to "
+    "mm_audio_energy: each clip's REAL WAV container is decoded "
+    "(magic/size-verified chunk walk, int16 LE) inside the same "
+    "Arrow mapInPandas stage that counts sign changes between "
+    "consecutive samples; rate = crossings/(n-1), ONE division of "
+    "exact integers. The oracle replays the sample generator in "
+    "closed form, so a decode misalignment of even one byte flips "
+    "sign patterns and breaks parity. Per-clip narrow work, no "
+    "shuffle — at 100 TB the scan/decode stage is the whole cost.",
+)
+def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select("doc_id", "wav")
+
+    def zcr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, crossings, zcrs = [], [], [], []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _, samples = decode_wav_samples(bytes(wav))
+                nonneg = samples >= 0
+                k = int(np.count_nonzero(nonneg[:-1] != nonneg[1:]))
+                ids.append(int(doc_id))
+                ns.append(len(samples))
+                crossings.append(k)
+                zcrs.append(k / (len(samples) - 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_crossings": pd.Series(crossings, dtype="int64"),
+                    "zcr": pd.Series(zcrs, dtype="float64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        zcr_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_samples", T.LongType()),
+                T.StructField("n_crossings", T.LongType()),
+                T.StructField("zcr", T.DoubleType()),
+            ]
+        ),
+    )

@@ -2208,3 +2208,248 @@ def llm_oversample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0).cast("long"), F.col("rep") - 1)).alias("copy_idx"),
         )
     )
+
+
+VOCAB_K = 50  # tokenizer vocabulary size (top-K corpus tokens)
+
+
+@register(
+    "llm_vocab_coverage",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS freq,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+                FROM toks GROUP BY tok
+            ) WHERE rk <= {VOCAB_K}
+        )
+        SELECT t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.lang
+    """,
+    doc=f"Tokenizer-vocabulary coverage audit: the top-{VOCAB_K} corpus "
+    f"tokens stand in for a trained vocabulary (drop-in: any vocab "
+    f"table), and every language's out-of-vocabulary token rate is "
+    f"measured by a broadcast left join — the pre-training check that "
+    f"catches a tokenizer trained on English silently shredding other "
+    f"languages into bytes (OOV rate per lang IS that signal). Vocab "
+    f"selection is a deterministic top-K (count desc, token "
+    f"tiebreak) over the token histogram; the coverage rate is ONE "
+    f"division of exact counts (no rounding, rule 16). At 100 TB the "
+    f"vocab is dimension-sized (32-256k entries — always broadcast) "
+    f"and the scan aggregates map-side per (lang, in-vocab) flag.",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    hist = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = (
+        hist.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("freq"), "tok"))
+        )
+        .where(F.col("rk") <= VOCAB_K)
+        .select("tok")
+    )
+    j = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        (
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "llm_rouge_overlap",
+    oracle="""
+        WITH pairs AS (
+            SELECT doc_id AS cand_id,
+                   LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS ref_id
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   toks[i] || ' ' || toks[i + 1] AS gram
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+                  FROM documents),
+                 UNNEST(RANGE(1, GREATEST(1, LEN(toks)))) t(i)
+        ),
+        counts AS (
+            SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM grams GROUP BY doc_id, gram
+        ),
+        ref_tot AS (
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM counts GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT p.cand_id, p.ref_id,
+                   CAST(SUM(LEAST(c.cnt, r.cnt)) AS BIGINT) AS clipped
+            FROM pairs p
+            JOIN counts c ON c.doc_id = p.cand_id
+            JOIN counts r ON r.doc_id = p.ref_id AND r.gram = c.gram
+            GROUP BY p.cand_id, p.ref_id
+        )
+        SELECT p.cand_id, p.ref_id,
+               COALESCE(h.clipped, 0) AS n_matched_bigrams,
+               t.total AS n_ref_bigrams,
+               CAST(COALESCE(h.clipped, 0) AS DOUBLE) / t.total
+                   AS rouge2_recall
+        FROM pairs p
+        JOIN ref_tot t ON t.doc_id = p.ref_id
+        LEFT JOIN hits h ON h.cand_id = p.cand_id AND h.ref_id = p.ref_id
+        WHERE p.ref_id IS NOT NULL
+    """,
+    doc="ROUGE-2 recall at corpus scale — the n-gram-overlap eval "
+    "metric (summarization/decontamination reporting) computed "
+    "distributively with proper CLIPPED counts (sum of min(cand "
+    "count, ref count) per bigram — multiset intersection, the real "
+    "ROUGE definition, not the set approximation): candidate/"
+    "reference pairs here are each doc vs its successor within "
+    "language (a deterministic pairing that exercises the machinery; "
+    "production feeds any (cand, ref) pair table), bigram count "
+    "tables join on (gram) within pairs, and recall is ONE exact-"
+    "integer division. The bigram tables shuffle once on gram hash; "
+    "pairs with zero overlap survive via the left join (recall 0). "
+    "At 100 TB this is two token-scale shuffles — the same "
+    "economics as llm_tfidf.",
+)
+def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("cand_id"),
+        F.lead("doc_id").over(Window.partitionBy("lang").orderBy("doc_id")).alias(
+            "ref_id"
+        ),
+    ).where(F.col("ref_id").isNotNull())
+    toks = d.withColumn("toks", F.split("text", " "))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(1, size(toks) - 1)),"
+                " i -> concat(toks[i - 1], ' ', toks[i]))"
+            )
+        ).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    ref_tot = counts.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("total"))
+    cand = counts.select(
+        F.col("doc_id").alias("cand_id"), "gram", F.col("cnt").alias("c_cnt")
+    )
+    ref = counts.select(
+        F.col("doc_id").alias("ref_id"), "gram", F.col("cnt").alias("r_cnt")
+    )
+    hits = (
+        pairs.join(cand, "cand_id")
+        .join(ref, ["ref_id", "gram"])
+        .groupBy("cand_id", "ref_id")
+        .agg(F.sum(F.least("c_cnt", "r_cnt")).cast("long").alias("clipped"))
+    )
+    return (
+        pairs.join(ref_tot.withColumnRenamed("doc_id", "ref_id"), "ref_id")
+        .join(hits, ["cand_id", "ref_id"], "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            F.coalesce(F.col("clipped"), F.lit(0)).cast("long").alias("n_matched_bigrams"),
+            F.col("total").alias("n_ref_bigrams"),
+            (
+                F.coalesce(F.col("clipped"), F.lit(0)).cast("double") / F.col("total")
+            ).alias("rouge2_recall"),
+        )
+    )
+
+
+@register(
+    "llm_data_card",
+    oracle="""
+        WITH per_doc AS (
+            SELECT source, lang, n_chars,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_toks,
+                   MD5(text) AS h
+            FROM documents
+        ),
+        by_source AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+            FROM per_doc GROUP BY source
+        ),
+        top_lang AS (
+            SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY COUNT(*) DESC, lang) AS rk
+                FROM per_doc GROUP BY source, lang
+            ) WHERE rk = 1
+        )
+        SELECT b.source, b.n_docs, b.n_tokens, b.n_langs, b.n_exact_dups,
+               b.avg_chars, t.top_lang
+        FROM by_source b JOIN top_lang t ON t.source = b.source
+    """,
+    doc="Per-source data card — the one-page corpus report every "
+    "dataset release ships (datasheets-for-datasets distilled to the "
+    "queryable numbers): document and token volumes, language "
+    "breadth, within-source exact-duplicate count (docs minus "
+    "distinct content hashes), mean document length (one exact-"
+    "integer division), and the modal language (deterministic "
+    "count-desc/lang tiebreak). Two hash aggregates + one bounded "
+    "|source|x|lang| mode window; every number a user would quote "
+    "from the card is recomputed by the oracle. At 100 TB this is "
+    "the same one-scan sufficient-statistics shape as "
+    "maintenance_stats_collect, partitioned by the release unit.",
+)
+def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.md5("text").alias("h"),
+    )
+    by_source = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count("*") - F.countDistinct("h")).cast("long").alias("n_exact_dups"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+    )
+    lang_counts = per_doc.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    top_lang = (
+        lang_counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return by_source.join(F.broadcast(top_lang), "source")

@@ -80,6 +80,7 @@ PYTHON_OK = {
     "mm_audio_silence_ratio",
     "mm_phash_dedup",
     "mm_phash_dedup_planted",
+    "mm_audio_zcr",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
 }
