@@ -2289,8 +2289,9 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id,
                    toks[i] || ' ' || toks[i + 1] AS gram
             FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
-                  FROM documents),
-                 UNNEST(RANGE(1, GREATEST(1, LEN(toks)))) t(i)
+                  FROM documents
+                  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+                 UNNEST(RANGE(1, LEN(toks))) t(i)
         ),
         counts AS (
             SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2343,11 +2344,13 @@ def llm_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).where(F.col("ref_id").isNotNull())
     toks = d.withColumn("toks", F.split("text", " "))
-    grams = toks.select(
+    # single-token docs emit NO bigrams on either side (see the
+    # llm_contamination_report short-doc note)
+    grams = toks.where(F.expr("size(toks) >= 2")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(1, size(toks) - 1)),"
+                "transform(sequence(1, size(toks) - 1),"
                 " i -> concat(toks[i - 1], ' ', toks[i]))"
             )
         ).alias("gram"),
@@ -2453,3 +2456,97 @@ def llm_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("lang").alias("top_lang"))
     )
     return by_source.join(F.broadcast(top_lang), "source")
+
+
+CONTAM_NGRAM = 4  # shingle width for the cross-source overlap matrix
+
+
+@register(
+    "llm_contamination_report",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {CONTAM_NGRAM - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+3])) AS g
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {CONTAM_NGRAM}
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT s.src_a, s.src_b, s.n_shared,
+               na.n AS n_a, nb.n AS n_b,
+               CAST(s.n_shared AS DOUBLE) / (na.n + nb.n - s.n_shared)
+                   AS jaccard,
+               CAST(s.n_shared AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+        FROM shared s
+        JOIN sizes na ON na.source = s.src_a
+        JOIN sizes nb ON nb.source = s.src_b
+    """,
+    doc=f"Cross-source contamination matrix — the corpus-release audit "
+    f"generalizing llm_decontaminate's one-direction screen to EVERY "
+    f"source pair: distinct {CONTAM_NGRAM}-gram shingle sets per "
+    f"source, pairwise shared-shingle counts from ONE equi self-join "
+    f"on the shingle (the |sources|^2 output is bounded; the join "
+    f"shuffles shingle-scale data once), and exact-ratio Jaccard + "
+    f"max-containment per pair (single divisions of exact counts). "
+    f"This is the table a data-governance review reads to find which "
+    f"crawls duplicate which (and whether an eval split leaks into "
+    f"any training source). At 100 TB hash shingles to 64-bit before "
+    f"the distinct (16 B/shingle through the exchange) — the "
+    f"llm_dedup_near discipline.",
+)
+def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    # short docs (< ngram tokens) contribute NO shingles — filtered on
+    # BOTH sides (a greatest(1, ...) sequence bound would emit a short
+    # gram in Spark while DuckDB's exclusive RANGE emits none: the
+    # latent-divergence class ADVICE r6 flagged in ingest_json_corrupt)
+    sh = d.where(F.expr(f"size(toks) >= {CONTAM_NGRAM}")).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {CONTAM_NGRAM - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {CONTAM_NGRAM})))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+            (
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )

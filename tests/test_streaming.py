@@ -378,3 +378,68 @@ def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
     q.stop()
     counts = {r.event_id: r.n for r in rows}
     assert counts == {1: 1, 2: 1, 3: 1, 4: 1}, counts
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-resume: a NEW query object restarted from the SAME
+    checkpoint must (a) not reprocess batch-1 files, and (b) drop a
+    cross-RESTART re-delivery via state recovered from the checkpoint —
+    the exactly-once contract a daily pipeline relies on after a crash
+    (reference R7's idempotent load, surviving process death). The
+    foreachBatch parquet sink proves output-side idempotence too: rows
+    written before the stop are not written again."""
+    import pathlib
+
+    src = tmp_path / "restart_in"
+    src.mkdir()
+    out = tmp_path / "restart_out"
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            (1, "2024-01-01T00:05:00", 1, "view", 1.0),
+            (2, "2024-01-01T00:15:00", 1, "click", 2.0),
+        ],
+    )
+
+    def sink_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(str(out))
+
+    def start_query():
+        events = streaming_events(spark, str(src), SCHEMA)
+        return (
+            deduped_stream(events)
+            .writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start_query()
+    q1.awaitTermination(120)
+    q1.stop()
+    first = {r.event_id for r in spark.read.parquet(str(out)).collect()}
+    assert first == {1, 2}
+
+    # process dies; new files arrive, including a RE-DELIVERY of key 2
+    _write_batch(
+        src,
+        "b2.json",
+        [
+            (2, "2024-01-01T00:15:00", 1, "click", 2.0),  # cross-restart dup
+            (5, "2024-01-01T00:55:00", 2, "purchase", 5.0),
+        ],
+    )
+
+    q2 = start_query()  # brand-new query object, same checkpoint
+    q2.awaitTermination(120)
+    q2.stop()
+
+    rows = spark.read.parquet(str(out)).collect()
+    ids = sorted(r.event_id for r in rows)
+    # exactly once: batch-1 rows appear once (not re-read, not re-written),
+    # the cross-restart duplicate of key 2 is dropped by RECOVERED state,
+    # and the genuinely new key 5 lands.
+    assert ids == [1, 2, 5], ids
