@@ -1,0 +1,335 @@
+"""TPC-H-shaped analytics — the five classic decision-support query
+shapes not yet represented in the registry, adapted to the fixture
+schema (no partsupp table, no commit/receipt dates; money arithmetic
+follows the functions/numeric.py exact-decimal discipline throughout).
+
+Reference anchor: the reference is an ETL DAG, not a query engine, but
+its loaded table is consumed by exactly this class of analyst SQL
+(SURVEY.md §0); these shapes — deep multi-joins, nested aggregates,
+global-threshold HAVING, correlated-average filters, and the Q21
+double-correlation — are the canonical benchmark for whether a SQL
+surface is complete.
+
+Scale notes per query in the docstrings; the common themes: dimensions
+(region/nation/customer/supplier/part) broadcast, fact-fact joins
+shuffle once on the join key, correlated subqueries are rewritten as
+aggregate-then-join (Catalyst gets a chance to pick broadcast for the
+per-group side), and the Q21 exists/not-exists pair collapses into one
+per-order aggregate — no correlated re-scan per row at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarflare_etl_pipeline_spark.catalog import table
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.registry import register
+
+REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "tpch_q7_volume",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+               COUNT(*) AS n_lineitems,
+               {sql_dsum(REV.replace('l_', 'l.l_'), 'revenue')}
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    doc="Q7 (volume shipping) shape: cross-border revenue between every "
+    "supplier-nation / customer-nation pair per ship year — the "
+    "deepest join chain in the benchmark (lineitem⋈orders⋈customer⋈"
+    "nation ⋈ supplier⋈nation). Plan: the one fact-fact join "
+    "(lineitem⋈orders) shuffles on orderkey; customer/supplier/nation "
+    "are dimensions and broadcast, so the nation tagging adds zero "
+    "exchanges; the final aggregate is |nations|^2 x |years| bounded. "
+    "Domestic flows excluded as in the spec.",
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["ck"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sk"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.count("*").alias("n_lineitems"),
+        dsum(F.expr(REV), "revenue"),
+    )
+
+
+Q8_NATION = "NATION_3"
+Q8_REGION = "ASIA"
+
+
+@register(
+    "tpch_q8_share",
+    oracle=f"""
+        WITH flows AS (
+            SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+                   sn.n_name AS supp_nation,
+                   CAST({REV.replace('l_', 'l.l_')} AS DECIMAL(30,8)) AS rev
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = cn.n_regionkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            WHERE r.r_name = '{Q8_REGION}'
+        )
+        SELECT o_year,
+               CAST(CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                                  THEN rev ELSE CAST(0 AS DECIMAL(30,8)) END)
+                         AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_lineitems
+        FROM flows
+        GROUP BY o_year
+    """,
+    doc=f"Q8 (national market share) shape: {Q8_NATION}'s share of "
+    f"revenue sold into {Q8_REGION} customers per order year — the "
+    f"nested-aggregate ratio (conditional sum / total sum in ONE "
+    f"grouped pass, not two scans). Both sums accumulate in exact "
+    f"decimal and convert once via the VARCHAR detour (rule 15); the "
+    f"share is a single double division of identical operands. Same "
+    f"broadcast-dimension economics as Q7.",
+)
+def tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("c_region")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == cn["ck"])
+        .join(
+            F.broadcast(r.where(F.col("r_name") == Q8_REGION)),
+            F.col("c_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == sn["sk"])
+    )
+    dec = "decimal(30,8)"
+    flows = j.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.expr(REV).cast(dec).alias("rev"),
+        (F.col("supp_nation") == Q8_NATION).alias("is_target"),
+    )
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("is_target"), F.col("rev")).otherwise(F.lit(0).cast(dec)))
+            .cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle=f"""
+        WITH pa AS (
+            SELECT l_partkey,
+                   0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                               AS VARCHAR) AS DOUBLE) / COUNT(*)) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               {sql_dsum('l.l_extendedprice', 'total_price')},
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,8)))
+                    AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE l.l_quantity < pa.qty_cut
+    """,
+    doc="Q17 (small-quantity-order revenue) shape: revenue locked in "
+    "orders below 20% of the part's average quantity — the correlated "
+    "AVG subquery rewritten aggregate-then-join (per-part cuts are "
+    "|parts| rows, broadcast; the textbook correlated form re-scans "
+    "lineitem per row). The cut itself is an exact-decimal ratio "
+    "scaled by 0.2 with identical IEEE ops both engines, so the "
+    "comparison is deterministic. avg_yearly converts the exact "
+    "decimal sum once, then divides by 7.0 in double on both sides "
+    "(decimal-division scale rules differ per engine; IEEE doesn't).",
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(30,8)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_cut")
+    )
+    j = l.join(F.broadcast(pa), "l_partkey").where(F.col("l_quantity") < F.col("qty_cut"))
+    return j.agg(
+        F.count("*").cast("long").alias("n_small"),
+        dsum("l_extendedprice", "total_price"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly"),
+    )
+
+
+Q18_QTY = 250  # sum-quantity threshold (fixture p99 ≈ 262)
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(30,8)))
+                                    AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(30,8))) > {Q18_QTY}
+        )
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc=f"Q18 (large-volume orders) shape: orders whose total quantity "
+    f"exceeds {Q18_QTY} (the fixture's ~p99), with their customers, "
+    f"top-100 by price — the HAVING-on-aggregate + join + sort-limit "
+    f"composite. The HAVING prunes to a tiny key set BEFORE the "
+    f"orders/customer joins (semi-join economics: at 100 TB the big "
+    f"orders list is thousands of keys, so both joins broadcast the "
+    f"FILTERED side, never the fact). Sort-limit lowers to "
+    f"TakeOrderedAndProject. Threshold comparison runs on the exact "
+    f"decimal sum; the emitted sum_qty converts once to double.",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("qd"))
+        .where(F.col("qd") > Q18_QTY)
+        .select("l_orderkey", F.col("qd").cast("double").alias("sum_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q21_LATE_DAYS = 60  # shipped > 60 days after order date = "late"
+
+
+@register(
+    "tpch_q21_late_supplier",
+    oracle=f"""
+        WITH lf AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                       AS is_late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                       AS n_late_supps,
+                   MAX(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+            FROM lf GROUP BY l_orderkey
+        )
+        SELECT s.s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order p
+        JOIN supplier s ON s.s_suppkey = p.late_supp
+        WHERE p.n_supps > 1 AND p.n_late_supps = 1
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
+    doc=f"Q21 (suppliers who kept orders waiting) shape, adapted to the "
+    f"fixture's dates (late = shipped > {Q21_LATE_DAYS} days after "
+    f"order date): the benchmark's hardest correlation — EXISTS "
+    f"(another supplier in the order) AND NOT EXISTS (another LATE "
+    f"supplier) — rewritten as ONE per-order aggregate: an order "
+    f"blames supplier S exactly when it has >1 distinct suppliers and "
+    f"exactly 1 distinct late supplier (then MAX over the late set IS "
+    f"that supplier). Equivalence is an identity, not an "
+    f"approximation: n_late_supps = 1 ⟺ the late supplier exists and "
+    f"no OTHER late supplier exists. One lineitem⋈orders shuffle + "
+    f"one per-order aggregate replaces two correlated re-scans per "
+    f"row — the difference between a plan that runs at 100 TB and one "
+    f"that never finishes.",
+)
+def tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lf = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
+        ).alias("is_late"),
+    )
+    per_order = lf.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    return (
+        blamed.join(F.broadcast(s), blamed["late_supp"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

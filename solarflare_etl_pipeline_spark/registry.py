@@ -175,6 +175,7 @@ def load_all() -> dict[str, QuerySpec]:
         merge,
         timeseries,
         recursion,
+        tpch,
     )
     from solarflare_etl_pipeline_spark import sinks  # noqa: F401
     from solarflare_etl_pipeline_spark.functions import scalar  # noqa: F401
