@@ -110,6 +110,15 @@ BENCH_QUERIES = (
     "agg_decile_lift",
     "flagship_multimodal_corpus",
     "flagship_sql_corpus",
+    # round-7 second batch: the shingle-matrix audit (heaviest new text
+    # op — one distinct-shingle self-join), the x100 bootstrap explode,
+    # cluster-local semantic dedup, the deepest TPC-H join chain, and
+    # the double-correlation Q21 rewrite
+    "llm_contamination_report",
+    "agg_bootstrap_ci",
+    "llm_semdedup",
+    "tpch_q7_volume",
+    "tpch_q21_late_supplier",
 )
 
 

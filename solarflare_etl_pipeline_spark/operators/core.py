@@ -759,21 +759,23 @@ def dq_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total order (hash order so the sort is uncorrelated with insert "
     "order — no hot tail when the natural key is monotone; doc_id "
     "tiebreak makes it total). Same keys at any parallelism, any "
-    "rerun, any engine — the oracle proves it. Scale: a global sort "
-    "of the DIMENSION (dimensions are the small table; facts never "
-    "get surrogate keys this way) — for billion-row dimensions, "
-    "assign per-range offsets from a counts scan (zipWithIndex's "
-    "two-pass shape) on the same hash order; the determinism argument "
-    "is identical.",
+    "rerun, any engine — the oracle proves it. r7: executes through "
+    "plans/rank.py's distributed exact rank (range-repartition on the "
+    "md5 order + bounded per-range offsets — exactly the zipWithIndex "
+    "two-pass shape the r2 docstring promised for billion-row "
+    "dimensions), so even a dimension that isn't small sorts in "
+    "parallel; output unchanged.",
 )
 def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
 
     d = table(spark, sf_dir, "documents")
-    sk = F.row_number().over(
-        W.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = with_global_rank(
+        d.select("doc_id", "lang"),
+        [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        "sk",
     )
-    return d.select("doc_id", sk.cast("long").alias("sk"), "lang")
+    return ranked.select("doc_id", "sk", "lang")
 
 
 ANONYMITY_K = 5

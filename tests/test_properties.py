@@ -421,3 +421,80 @@ def test_ks_numerator_bounds_and_identical_samples(a, b):
     assert 0 <= d_num <= na * nb
     if sorted(a) == sorted(b):
         assert d_num == 0
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10_000),
+    k=st.integers(min_value=1, max_value=128),
+    rank=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_exact_ntile_formula_matches_definition(n, k, rank):
+    """plans/rank.exact_ntile's integer arithmetic == the SQL NTILE
+    definition (first n%k buckets take floor(n/k)+1 rows, the rest
+    floor(n/k)) — pure-Python re-derivation, no Spark session."""
+    if rank > n:
+        return
+    # the definition, built by materializing bucket sizes
+    q, r = divmod(n, k)
+    sizes = [q + 1] * r + [q] * (k - r)
+    acc, expected = 0, None
+    for b, s in enumerate(sizes, start=1):
+        acc += s
+        if rank <= acc:
+            expected = b
+            break
+    # the closed form the Spark expression implements
+    threshold = r * (q + 1)
+    if rank <= threshold:
+        got = (rank - 1) // (q + 1) + 1
+    else:
+        got = r + (rank - threshold - 1) // max(q, 1) + 1
+    assert got == expected, (n, k, rank)
+
+
+@given(st.integers(min_value=-(2**62), max_value=2**62))
+@settings(max_examples=300, deadline=None)
+def test_avro_zigzag_roundtrip(v):
+    from solarflare_etl_pipeline_spark.sources.avro_ingest import (
+        zigzag_decode,
+        zigzag_encode,
+    )
+
+    buf = zigzag_encode(v) + b"\x99"
+    got, pos = zigzag_decode(buf, 0)
+    assert got == v and pos == len(buf) - 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),
+            st.text(max_size=40),
+            st.sampled_from(["en", "de", "zh", ""]),
+            st.text(max_size=10),
+            st.integers(min_value=-(2**40), max_value=2**40),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_ocf_roundtrip_arbitrary_rows(rows):
+    """write_ocf ∘ read_ocf == identity for arbitrary unicode strings
+    (incl. surrogate-free astral chars hypothesis generates) and signed
+    longs, across block boundaries."""
+    import io
+    import os
+    import tempfile
+
+    from solarflare_etl_pipeline_spark.sources.avro_ingest import read_ocf, write_ocf
+
+    fh = io.BytesIO()
+    write_ocf(rows, fh)
+    with tempfile.NamedTemporaryFile(suffix=".avro", delete=False) as tf:
+        tf.write(fh.getvalue())
+        path = tf.name
+    try:
+        assert list(read_ocf(path)) == [tuple(r) for r in rows]
+    finally:
+        os.unlink(path)
