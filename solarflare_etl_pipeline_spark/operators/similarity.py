@@ -1753,3 +1753,159 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_cos", 6).alias("max_cos_to_earlier"),
         (F.coalesce(F.col("max_cos"), F.lit(0.0)) <= SEMDEDUP_T).alias("kept"),
     )
+
+
+MHP_K = 16  # portable minhash components
+MHP_NGRAM = 3
+
+
+@register(
+    "llm_minhash_portable",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT doc_id AS cand_id,
+                   LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS ref_id
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {MHP_NGRAM - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS g
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {MHP_NGRAM}
+        ),
+        sig AS (
+            SELECT doc_id, j,
+                   MIN(CAST(('0x' || SUBSTR(MD5(g || ':' || CAST(j AS VARCHAR)),
+                                            1, 15)) AS BIGINT)) AS mh
+            FROM sh, (SELECT UNNEST(RANGE(0, {MHP_K})) AS j)
+            GROUP BY doc_id, j
+        ),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+        matches AS (
+            SELECT p.cand_id, p.ref_id,
+                   CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_match
+            FROM pairs p
+            JOIN sig a ON a.doc_id = p.cand_id
+            JOIN sig b ON b.doc_id = p.ref_id AND b.j = a.j
+            GROUP BY p.cand_id, p.ref_id
+        ),
+        inter AS (
+            SELECT p.cand_id, p.ref_id, CAST(COUNT(*) AS BIGINT) AS ni
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.cand_id
+            JOIN sh b ON b.doc_id = p.ref_id AND b.g = a.g
+            GROUP BY p.cand_id, p.ref_id
+        )
+        SELECT m.cand_id, m.ref_id, m.n_match,
+               CAST(m.n_match AS DOUBLE) / {MHP_K} AS est_jaccard,
+               CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                   / (na.n + nb.n - COALESCE(i.ni, 0)) AS exact_jaccard,
+               ABS(CAST(m.n_match AS DOUBLE) / {MHP_K}
+                   - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                     / (na.n + nb.n - COALESCE(i.ni, 0))) AS abs_err
+        FROM matches m
+        JOIN sizes na ON na.doc_id = m.cand_id
+        JOIN sizes nb ON nb.doc_id = m.ref_id
+        LEFT JOIN inter i ON i.cand_id = m.cand_id AND i.ref_id = m.ref_id
+    """,
+    doc=f"MinHash estimator audit with a fully PORTABLE hash — the "
+    f"cross-engine-checkable twin of the production MinHash "
+    f"(llm_dedup_near derives its k hashes from one xxhash64, which "
+    f"DuckDB lacks, so only its FINAL pair set is oracle-checked; "
+    f"here every signature component is md5-derived and the entire "
+    f"sketch pipeline — shingling, {MHP_K}-way explode, per-component "
+    f"MIN, component matching — is hash-certified end to end). Per "
+    f"within-language successor pair: component-match estimate "
+    f"n_match/{MHP_K} next to the EXACT distinct-shingle Jaccard and "
+    f"their absolute error — the telemetry that justifies (or "
+    f"recalibrates) the production sketch's k. The md5-per-(shingle, "
+    f"component) cost is why production derives k hashes from one "
+    f"base hash; this is the audit path, run on samples. All ratios "
+    f"are single divisions of exact integers.",
+)
+def llm_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    pairs = d.select(
+        F.col("doc_id").alias("cand_id"),
+        F.lead("doc_id").over(Window.partitionBy("lang").orderBy("doc_id")).alias(
+            "ref_id"
+        ),
+    ).where(F.col("ref_id").isNotNull())
+    sh = (
+        d.where(F.expr(f"size(toks) >= {MHP_NGRAM}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {MHP_NGRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {MHP_NGRAM})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds signatures, sizes, and the exact join
+    )
+    sig = (
+        sh.select(
+            "doc_id",
+            "g",
+            F.explode(F.sequence(F.lit(0), F.lit(MHP_K - 1))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.expr(
+                "CAST(conv(substr(md5(concat(g, ':', CAST(j AS STRING))), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("mh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    sa = sig.select(F.col("doc_id").alias("cand_id"), "j", F.col("mh").alias("mha"))
+    sb = sig.select(F.col("doc_id").alias("ref_id"), "j", F.col("mh").alias("mhb"))
+    matches = (
+        pairs.join(sa, "cand_id")
+        .join(sb, ["ref_id", "j"])
+        .groupBy("cand_id", "ref_id")
+        .agg(
+            F.sum(F.when(F.col("mha") == F.col("mhb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_match")
+        )
+    )
+    a = sh.select(F.col("doc_id").alias("cand_id"), "g")
+    b = sh.select(F.col("doc_id").alias("ref_id"), "g")
+    inter = (
+        pairs.join(a, "cand_id")
+        .join(b, ["ref_id", "g"])
+        .groupBy("cand_id", "ref_id")
+        .agg(F.count("*").cast("long").alias("ni"))
+    )
+    na = sizes.select(F.col("doc_id").alias("cand_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("nb"))
+    est = F.col("n_match").cast("double") / MHP_K
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    exact = ni.cast("double") / (F.col("na") + F.col("nb") - ni)
+    return (
+        matches.join(F.broadcast(na), "cand_id")
+        .join(F.broadcast(nb), "ref_id")
+        .join(inter, ["cand_id", "ref_id"], "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            "n_match",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -304,3 +304,52 @@ def deduped_within_watermark_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+LATE_DELAY_MIN = 30  # watermark delay for the lateness audit
+
+
+@register(
+    "stream_late_audit",
+    oracle=f"""
+        WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN CAST(e.ts AS TIMESTAMP)
+                                  < m.max_ts - INTERVAL {LATE_DELAY_MIN} MINUTE
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+               CAST(SUM(CASE WHEN CAST(e.ts AS TIMESTAMP)
+                                  < m.max_ts - INTERVAL {LATE_DELAY_MIN} MINUTE
+                             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                   AS at_risk_rate
+        FROM events e, m
+        GROUP BY e.event_type
+    """,
+    doc=f"Late-data exposure audit for a {LATE_DELAY_MIN}-minute "
+    f"watermark: per event type, how many rows sit earlier than "
+    f"(corpus max ts - delay) — the deterministic batch proxy for "
+    f"'how much data would a late re-delivery of this row LOSE under "
+    f"the configured watermark' (true lateness depends on arrival "
+    f"order; the proxy is the worst case where the row arrives after "
+    f"everything else). This is the number you check BEFORE tightening "
+    f"a watermark in production — state size vs data loss is exactly "
+    f"this trade. The true streaming behavior (a late row actually "
+    f"DROPPED by the watermark while on-time rows aggregate) is "
+    f"asserted in tests/test_streaming.py::test_late_row_dropped_by_"
+    f"watermark. One scalar broadcast + one hash aggregate.",
+)
+def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    m = e.agg(F.max(F.col("ts").cast("timestamp")).alias("max_ts"))
+    j = e.crossJoin(F.broadcast(m))  # N x 1 scalar broadcast
+    at_risk = (
+        F.col("ts").cast("timestamp")
+        < F.col("max_ts") - F.expr(f"INTERVAL {LATE_DELAY_MIN} MINUTE")
+    ).cast("int")
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(at_risk).cast("long").alias("n_at_risk"),
+        (F.sum(at_risk).cast("double") / F.count("*")).alias("at_risk_rate"),
+    )

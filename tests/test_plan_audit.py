@@ -62,6 +62,9 @@ DELIBERATE_CROSS = {
     # rows (both dimension-sized; the data-scale stage is the daily
     # aggregate before it)
     "ts_lead_lag_corr",
+    # r7: SINGLE-ROW max-ts watermark scalar broadcast onto the scan
+    # (N×1, the dq_freshness shape)
+    "stream_late_audit",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/

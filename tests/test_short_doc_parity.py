@@ -27,6 +27,7 @@ SHINGLING_OPS = (
     "llm_chunk_docs",
     "llm_vocab_coverage",
     "llm_data_card",
+    "llm_minhash_portable",
 )
 
 

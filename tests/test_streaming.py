@@ -443,3 +443,64 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # the cross-restart duplicate of key 2 is dropped by RECOVERED state,
     # and the genuinely new key 5 lands.
     assert ids == [1, 2, 5], ids
+
+
+def test_late_row_dropped_by_watermark(spark, tmp_path):
+    """The true streaming behavior stream_late_audit's batch proxy
+    models: with a 30-minute watermark and append-mode windowed
+    aggregation, a row arriving in a later micro-batch with an event
+    time far behind the advanced watermark is DROPPED — the on-time
+    window's count excludes it — while the identical batch aggregation
+    would include it. This is the actual data-loss mechanism the audit
+    quantifies."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    # batch 1: two on-time rows advance the watermark to ~03:00
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            (1, "2024-01-01T00:10:00", 1, "view", 1.0),
+            (2, "2024-01-01T03:00:00", 1, "view", 1.0),
+        ],
+    )
+    events = streaming_events(spark, str(src), SCHEMA)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    out = tmp_path / "late_out"
+
+    def sink_batch(bdf, batch_id):
+        bdf.write.mode("append").parquet(str(out))
+
+    def run_once():
+        q = (
+            agg.writeStream.foreachBatch(sink_batch)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+
+    # batch 2: one GENUINELY late row (00:15 against a ~02:30 watermark)
+    _write_batch(src, "b2.json", [(3, "2024-01-01T00:15:00", 2, "view", 9.0)])
+    run_once()
+
+    emitted = (
+        spark.read.parquet(str(out))
+        .groupBy("ws")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    by_window = {str(r.ws): r.n for r in emitted}
+    # the 00:00 window CLOSED with only event 1 — the late event 3 never
+    # lands anywhere (dropped), so no window reports 2 rows
+    assert by_window.get("2024-01-01 00:00:00") == 1, by_window
+    assert all(n == 1 for n in by_window.values()), by_window
