@@ -2698,3 +2698,79 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ({_MI_EXPR}) / SQRT(({_HX_EXPR}) * ({_HY_EXPR})) END"
         ).alias("normalized_mi"),
     )
+
+
+#: Expected split weights for the SRM check (matches sample_hash_split).
+SRM_WEIGHTS = (("train", 8), ("val", 1), ("test", 1))
+SRM_CHI2_CRIT = 5.991  # chi-square df=2, alpha=0.05
+
+
+@register(
+    "agg_srm_check",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
+                                    1, 4)) AS INTEGER) % 10 < 8 THEN 'train'
+                        WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
+                                    1, 4)) AS INTEGER) % 10 < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {", ".join(
+                       f"CAST(COUNT(*) FILTER (split = '{name}') AS BIGINT) AS o_{name}"
+                       for name, _ in SRM_WEIGHTS
+                   )}
+            FROM assigned
+        )
+        SELECT n, {", ".join(f"o_{name}" for name, _ in SRM_WEIGHTS)},
+               {" + ".join(
+                   f"CAST((10 * o_{name} - {k} * n) AS DOUBLE)"
+                   f" * (10 * o_{name} - {k} * n) / (10.0 * {k} * n)"
+                   for name, k in SRM_WEIGHTS
+               )} AS chi2,
+               {" + ".join(
+                   f"CAST((10 * o_{name} - {k} * n) AS DOUBLE)"
+                   f" * (10 * o_{name} - {k} * n) / (10.0 * {k} * n)"
+                   for name, k in SRM_WEIGHTS
+               )} > {SRM_CHI2_CRIT} AS srm_detected
+        FROM s
+    """,
+    doc="Sample-ratio-mismatch check over the deterministic 80/10/10 "
+    "hash split (sample_hash_split's assignment restated) — the "
+    "guardrail every experimentation platform runs before reading an "
+    "A/B result: chi-square of observed split counts against the "
+    "declared weights, spelled with exact-integer numerators "
+    "(10*obs - k*n is exact; one double division per term, three "
+    "terms summed in fixed order) and the df=2 critical value as a "
+    "boolean. A true SRM here would mean the hash itself is biased — "
+    "the check doubles as a continuous integrity test of the "
+    "splitter. One filtered-aggregate scan.",
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    assigned = d.select(split.alias("split"))
+    aggs = [F.count("*").cast("long").alias("n")] + [
+        F.count(F.when(F.col("split") == name, 1)).cast("long").alias(f"o_{name}")
+        for name, _ in SRM_WEIGHTS
+    ]
+    s = assigned.agg(*aggs)
+    chi2 = " + ".join(
+        f"CAST((10 * o_{name} - {k} * n) AS DOUBLE)"
+        f" * (10 * o_{name} - {k} * n) / (10.0 * {k} * n)"
+        for name, k in SRM_WEIGHTS
+    )
+    return s.select(
+        "n",
+        *[f"o_{name}" for name, _ in SRM_WEIGHTS],
+        F.expr(chi2).alias("chi2"),
+        (F.expr(chi2) > SRM_CHI2_CRIT).alias("srm_detected"),
+    )

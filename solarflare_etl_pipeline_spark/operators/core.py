@@ -1096,3 +1096,78 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.col("watermark") - F.expr(f"INTERVAL {STALE_DAYS} DAY")
         ).alias("is_stale"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        hist AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM q GROUP BY event_type, v3
+        ),
+        grid AS (
+            SELECT event_type, v3,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY v3) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n
+            FROM hist
+        ),
+        quart AS (
+            SELECT event_type, MAX(n) AS n,
+                   MIN(CASE WHEN cum >= (n * 1) // 4 THEN v3 END) AS q1,
+                   MIN(CASE WHEN cum >= (n * 3) // 4 THEN v3 END) AS q3
+            FROM grid GROUP BY event_type
+        )
+        SELECT qt.event_type, qt.n, qt.q1, qt.q3,
+               qt.q3 - qt.q1 AS iqr,
+               CAST(SUM(CASE WHEN 2 * q.v3 < 2 * qt.q1 - 3 * (qt.q3 - qt.q1)
+                               OR 2 * q.v3 > 2 * qt.q3 + 3 * (qt.q3 - qt.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM q JOIN quart qt ON qt.event_type = q.event_type
+        GROUP BY qt.event_type, qt.n, qt.q1, qt.q3
+    """,
+    doc="Tukey-fence outlier audit (1.5x IQR) per event type — the "
+    "robust complement to ts_zscore_anomaly (fences from order "
+    "statistics are insensitive to the outliers they hunt; z-scores "
+    "are not): quartiles are EXACT order statistics read off the "
+    "cumulative distinct-value grid (the dq_qq_drift discipline — "
+    "grid bounded by the x1000 discretization), the 1.5x fence "
+    "comparison is kept in integers by doubling both sides (2v < "
+    "2q1 - 3iqr), and the verdict pass is one broadcast join of the "
+    "|types|-row fence table back onto the scan. Zero floats end to "
+    "end — hash-exact.",
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    hist = q.groupBy("event_type", "v3").agg(F.count("*").cast("long").alias("cnt"))
+    grid = hist.select(
+        "event_type",
+        "v3",
+        F.sum("cnt").over(W.partitionBy("event_type").orderBy("v3")).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy("event_type")).cast("long").alias("n"),
+    )
+    quart = grid.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("cum") >= F.expr("(n * 1) DIV 4"), F.col("v3"))).alias("q1"),
+        F.min(F.when(F.col("cum") >= F.expr("(n * 3) DIV 4"), F.col("v3"))).alias("q3"),
+    )
+    j = q.join(F.broadcast(quart), "event_type")
+    is_out = (
+        (2 * F.col("v3") < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")))
+        | (2 * F.col("v3") > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")))
+    ).cast("int")
+    return j.groupBy("event_type", "n", "q1", "q3").agg(
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+    ).select("event_type", "n", "q1", "q3", "iqr", "n_outliers")

@@ -2550,3 +2550,54 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+CURRICULUM_STAGES = 4
+
+
+@register(
+    "llm_curriculum_order",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(n_chars AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) AS difficulty
+            FROM documents
+        )
+        SELECT doc_id, lang, difficulty,
+               CAST(NTILE({CURRICULUM_STAGES}) OVER (
+                   ORDER BY difficulty, doc_id) AS BIGINT) AS stage
+        FROM scored
+    """,
+    doc=f"Curriculum ordering — documents ranked easy-to-hard by a "
+    f"difficulty proxy (mean rendered word length: chars per token, "
+    f"ONE exact-integer division) and split into "
+    f"{CURRICULUM_STAGES} equal-frequency training stages; stage is "
+    f"the column a curriculum dataloader partitions the corpus by "
+    f"(stage 1 first, 4 last — the standard easy-first schedule). "
+    f"The global NTILE runs through plans/rank.py's distributed "
+    f"exact rank (range-repartition + bounded offsets), so the "
+    f"assignment is identical to the oracle's window at any corpus "
+    f"size with no single-task sort — the same machinery as "
+    f"agg_decile_lift, reused on the corpus-curation side.",
+)
+def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (
+            F.col("n_chars").cast("double") / F.size(F.split("text", " "))
+        ).alias("difficulty"),
+    )
+    ranked = with_global_rank(
+        scored, [F.col("difficulty"), F.col("doc_id")], "rn", total_col="n"
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "difficulty",
+        exact_ntile(F.col("rn"), F.col("n"), CURRICULUM_STAGES).alias("stage"),
+    )

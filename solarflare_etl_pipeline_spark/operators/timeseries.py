@@ -1156,3 +1156,101 @@ def ts_lead_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("xcorr"),
     )
+
+
+@register(
+    "ts_step_changepoint",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, d, c,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY d)
+                        AS BIGINT) AS cum_c,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                        AS BIGINT) AS k,
+                   CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n_days
+            FROM daily
+        ),
+        splits AS (
+            SELECT event_type, d AS split_day, k, n_days, cum_c, tot,
+                   ABS(cum_c * (n_days - k) - (tot - cum_c) * k) AS diff_num
+            FROM cum WHERE k < n_days
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY diff_num DESC, split_day) AS rk
+            FROM splits
+        )
+        SELECT event_type, CAST(split_day AS TIMESTAMP) AS split_day,
+               diff_num,
+               CAST(cum_c AS DOUBLE) / k AS mean_before,
+               CAST(tot - cum_c AS DOUBLE) / (n_days - k) AS mean_after
+        FROM best WHERE rk = 1
+    """,
+    doc="Single step-changepoint detection per event type — the "
+    "largest mean-shift split of the daily-count series (binary-"
+    "segmentation's first step; monitoring teams read this as 'when "
+    "did the level change'): every day k is a candidate split, scored "
+    "by the cross-multiplied EXACT integer |cum_k*(n-k) - "
+    "(tot-cum_k)*k| (= k*(n-k)*|mean_before - mean_after| — "
+    "monotone-equivalent scoring with zero float comparisons; note "
+    "the k(n-k) weighting is also the correct variance weighting for "
+    "a mean-shift scan), argmax with a deterministic day tiebreak, "
+    "and the two means emitted as single exact-integer divisions. "
+    "Everything after the daily rollup runs on the bounded "
+    "|types| x |days| grid. At 100 TB only the rollup touches data.",
+)
+def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(wt.orderBy("d")).cast("long").alias("cum_c"),
+        F.row_number().over(wt.orderBy("d")).cast("long").alias("k"),
+        F.sum("c").over(wt).cast("long").alias("tot"),
+        F.count("*").over(wt).cast("long").alias("n_days"),
+    )
+    splits = cum.where(F.col("k") < F.col("n_days")).select(
+        "event_type",
+        F.col("d").alias("split_day"),
+        "k",
+        "n_days",
+        "cum_c",
+        "tot",
+        F.abs(
+            F.col("cum_c") * (F.col("n_days") - F.col("k"))
+            - (F.col("tot") - F.col("cum_c")) * F.col("k")
+        ).alias("diff_num"),
+    )
+    best = splits.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("diff_num"), "split_day")
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("split_day").cast("timestamp").alias("split_day"),
+        "diff_num",
+        (F.col("cum_c").cast("double") / F.col("k")).alias("mean_before"),
+        (
+            (F.col("tot") - F.col("cum_c")).cast("double")
+            / (F.col("n_days") - F.col("k"))
+        ).alias("mean_after"),
+    )
