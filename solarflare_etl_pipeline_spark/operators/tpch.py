@@ -333,3 +333,235 @@ def tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q2_min_cost",
+    oracle="""
+        WITH sp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8)))
+                        AS VARCHAR) AS DOUBLE) / SUM(l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        best AS (
+            SELECT l_partkey, l_suppkey, unit_cost,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY unit_cost, l_suppkey) AS rk
+            FROM sp
+        )
+        SELECT p.p_partkey, p.p_brand, s.s_name, b.unit_cost,
+               n.n_name AS supp_nation
+        FROM best b
+        JOIN part p ON p.p_partkey = b.l_partkey
+        JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE b.rk = 1
+    """,
+    doc="Q2 (minimum-cost supplier) shape, adapted (no partsupp: unit "
+    "cost = observed revenue/quantity per supplier-part from "
+    "lineitem): the correlated 'supplier with MIN cost for this part' "
+    "subquery as a rank-1 window per part with a supplier tiebreak — "
+    "one shuffle on partkey, WindowGroupLimit keeps one candidate "
+    "per part per map partition; dimensions broadcast after. The "
+    "unit cost is an exact-decimal sum divided once by the exact "
+    "quantity sum (l_quantity is integral in double form — the "
+    "division is one IEEE op both engines).",
+)
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sp = l.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(30,8)")).cast("double")
+            / F.sum("l_quantity")
+        ).alias("unit_cost")
+    )
+    best = sp.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+        ),
+    ).where(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "unit_cost",
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS yr,
+                   CAST(EXTRACT(QUARTER FROM l_shipdate) AS BIGINT) AS qtr,
+                   SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(30,8))) AS revenue_dec
+            FROM lineitem GROUP BY 1, 2, 3
+        ),
+        mx AS (
+            SELECT yr, qtr, MAX(revenue_dec) AS max_rev
+            FROM rev GROUP BY yr, qtr
+        )
+        SELECT r.yr, r.qtr, s.s_name,
+               CAST(CAST(r.revenue_dec AS VARCHAR) AS DOUBLE) AS revenue
+        FROM rev r
+        JOIN mx ON mx.yr = r.yr AND mx.qtr = r.qtr
+                AND r.revenue_dec = mx.max_rev
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+    doc="Q15 (top supplier) shape: per quarter, the supplier(s) whose "
+    "revenue EQUALS the quarterly maximum — the create-view + "
+    "max-equality join the spec writes (ties all surface, per spec; "
+    "a rank window would arbitrarily break them). The equality runs "
+    "on the EXACT DECIMAL revenue, never on doubles (float equality "
+    "across engines is the classic Q15 trap); conversion to double "
+    "happens after the join, once. The max table is |quarters| rows "
+    "— broadcast.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = l.groupBy(
+        F.col("l_suppkey"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.quarter("l_shipdate").cast("long").alias("qtr"),
+    ).agg(
+        F.sum(F.expr(f"CAST({REV} AS DECIMAL(30,8))")).alias("revenue_dec")
+    )
+    mx = (
+        rev.groupBy("yr", "qtr")
+        .agg(F.max("revenue_dec").alias("max_rev"))
+        .select(
+            F.col("yr").alias("m_yr"),
+            F.col("qtr").alias("m_qtr"),
+            "max_rev",
+        )
+    )
+    return (
+        rev.join(
+            F.broadcast(mx),
+            (F.col("yr") == F.col("m_yr"))
+            & (F.col("qtr") == F.col("m_qtr"))
+            & (F.col("revenue_dec") == F.col("max_rev")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "yr", "qtr", "s_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+        SELECT p.p_brand, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (5, 10, 15, 20)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_size
+    """,
+    doc="Q16 (parts/supplier relationship) shape: distinct supplier "
+    "count per (brand, size) over selected sizes, EXCLUDING "
+    "complaint suppliers (negative balance stands in for the spec's "
+    "comment LIKE) — the NOT IN + COUNT(DISTINCT) composite. The "
+    "exclusion list is dimension-sized, and s_suppkey is non-null, "
+    "so the NOT IN compiles to a safe broadcast anti join (the "
+    "join_not_in_null op documents why a NULLABLE column here would "
+    "force BroadcastNestedLoopJoin); p_size IN (...) pushes into the "
+    "part scan, pruning before the fact join.",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").where(
+        F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(bad, l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+Q20_SHARE_PCT = 30  # suppliers shipping > 30% of a part's total volume
+
+
+@register(
+    "tpch_q20_excess",
+    oracle=f"""
+        WITH vol AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(30,8))) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (
+            SELECT l_partkey, SUM(q) AS tq FROM vol GROUP BY l_partkey
+        ),
+        dominant AS (
+            SELECT DISTINCT v.l_suppkey
+            FROM vol v
+            JOIN tot t ON t.l_partkey = v.l_partkey
+            JOIN part p ON p.p_partkey = v.l_partkey
+            WHERE p.p_size > 25
+              AND v.q * 100 > t.tq * {Q20_SHARE_PCT}
+        )
+        SELECT s.s_name, n.n_name AS supp_nation
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+        ORDER BY s.s_name
+    """,
+    doc=f"Q20 (potential promotion) shape, adapted: suppliers who ship "
+    f"more than {Q20_SHARE_PCT}% of some large part's total volume — "
+    f"the nested semi-join chain (suppliers IN (parts filtered IN "
+    f"(volume threshold))) the spec builds from partsupp+availqty, "
+    f"rebuilt from observed lineitem volumes. The share comparison "
+    f"is exact decimal cross-multiplication (q*100 > tq*{Q20_SHARE_PCT} "
+    f"— no division); the dominant-supplier set is dimension-sized "
+    f"and drives a LEFT SEMI join against supplier. Two volume "
+    f"aggregates + semi joins — nothing correlated re-scans.",
+)
+def tpch_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = table(spark, sf_dir, "part").where(F.col("p_size") > 25).select("p_partkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vol = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("q")
+    )
+    tot = vol.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dominant = (
+        vol.join(tot, "l_partkey")
+        .join(F.broadcast(p), vol["l_partkey"] == p["p_partkey"], "left_semi")
+        .where(F.col("q") * 100 > F.col("tq") * Q20_SHARE_PCT)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", F.col("n_name").alias("supp_nation"))
+        .orderBy("s_name")
+    )

@@ -108,8 +108,24 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 )
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
-#: rough value order) — once the round-7 slots go green, rotate to:
-#: ingest_avro (new r7 — full-fidelity OCF round trip), agg_ols2, agg_proportional_allocate, ts_interval_merge,
+#: rough value order) — once the round-7 slots go green, rotate to the
+#: head below. Round-7 additions leading the list (each hash-certifies
+#: a whole subsystem): ingest_avro (full-fidelity OCF byte loop),
+#: agg_hll_portable (register-exact sketch), mm_phash_dedup_planted
+#: (real duplicate families through the decode path),
+#: llm_paragraph_dedup, tpch_q21_late_supplier (the double-correlation
+#: rewrite), llm_semdedup / llm_minhash_portable /
+#: llm_contamination_report (the new dedup-audit trio),
+#: llm_curriculum_order + agg_decile_lift (the distributed-rank
+#: family under the driver), agg_bootstrap_ci, agg_anova_oneway,
+#: agg_bh_fdr, agg_mutual_info, agg_srm_check, ts_downsample_m4,
+#: ts_lead_lag_corr, ts_step_changepoint, dq_outlier_iqr,
+#: stream_late_audit, llm_rouge_overlap, llm_vocab_coverage,
+#: llm_data_card, llm_oversample_mixture, maintenance_stats_collect,
+#: fn_regex_extract_all, graph_degree_histogram, mm_audio_zcr,
+#: tpch_q7_volume, tpch_q8_share, tpch_q17_small_qty,
+#: tpch_q18_large_orders — then the round-6 backlog:
+#: agg_ols2, agg_proportional_allocate, ts_interval_merge,
 #: dq_sequence_gaps, subq_exists_chain, llm_span_corruption,
 #: agg_skew_kurt, win_running_distinct, llm_bpe_train2, ts_acf,
 #: dq_table_diff, dq_k_anonymity, gen_calendar_dim, agg_decile_lift,
