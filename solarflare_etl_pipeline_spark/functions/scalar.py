@@ -759,3 +759,35 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "match_idx", "match"
         ),
     ).select("doc_id", F.col("match_idx").cast("long").alias("match_idx"), "match")
+
+
+@register(
+    "fn_base64_codec",
+    oracle="""
+        SELECT doc_id,
+               base64(encode(text)) AS b64,
+               LENGTH(base64(encode(text))) AS b64_len,
+               decode(from_base64(base64(encode(text)))) = text AS roundtrip_ok
+        FROM documents
+    """,
+    doc="Base64 encode/decode round trip over document text — the "
+    "binary-payload transport codec (webhooks, JSON-embedded blobs, "
+    "key material). Found while building this op: Spark's base64() "
+    "emits MIME-CHUNKED output (a CRLF every 76 chars, "
+    "java.util.Base64.getMimeEncoder) while DuckDB emits unwrapped "
+    "RFC 4648 — byte-identical only after stripping CRLF, which the "
+    "Spark side does explicitly (and unbase64 accepts both). Narrow "
+    "per-row work, codegen'd, no shuffle.",
+)
+def fn_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # normalize Spark's MIME chunking to RFC 4648 (no line breaks)
+    b64 = F.replace(
+        F.base64(F.encode("text", "UTF-8")), F.lit("\r\n"), F.lit("")
+    )
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.length(b64).alias("b64_len"),
+        (F.decode(F.unbase64(b64), "UTF-8") == F.col("text")).alias("roundtrip_ok"),
+    )

@@ -2774,3 +2774,167 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(chi2).alias("chi2"),
         (F.expr(chi2) > SRM_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+@register(
+    "agg_cohens_d",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        s AS (
+            SELECT
+                CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n1,
+                SUM(CAST(v3 AS HUGEINT)) FILTER (event_type = 'purchase') AS s1,
+                SUM(CAST(v3 AS HUGEINT) * v3) FILTER (event_type = 'purchase') AS q1,
+                CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n2,
+                SUM(CAST(v3 AS HUGEINT)) FILTER (event_type = 'view') AS s2,
+                SUM(CAST(v3 AS HUGEINT) * v3) FILTER (event_type = 'view') AS q2
+            FROM q
+        )
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS mean_diff,
+               SQRT((
+                   (CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE) / n1)
+                   + (CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS DOUBLE) / n2)
+               ) / (n1 + n2 - 2)) AS pooled_sd,
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+               / SQRT((
+                   (CAST(CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS DOUBLE) / n1)
+                   + (CAST(CAST(n2 AS HUGEINT) * q2 - s2 * s2 AS DOUBLE) / n2)
+               ) / (n1 + n2 - 2)) AS cohens_d
+        FROM s
+    """,
+    doc="Cohen's d effect size for purchase-vs-view values — the "
+    "practical-significance companion to agg_welch_t (a tiny p-value "
+    "on a huge n can mean a trivial effect; d is the standardized "
+    "magnitude decision-makers need): pooled SD from exact HUGEINT/"
+    "DECIMAL moments via the n*(SS) - S^2 identity ((n-1)-scaled "
+    "sums of squares: (n*q - s^2)/n = (n-1)*sample variance), both "
+    "groups pivoted into one row so every float op has fixed order, "
+    "raw unrounded doubles (rule 16). One filtered-aggregate scan.",
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    d = "decimal(38,0)"
+    aggs = []
+    for i, t in [(1, "purchase"), (2, "view")]:
+        cond = F.col("event_type") == t
+        aggs += [
+            F.count(F.when(cond, 1)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(cond, F.col("v3").cast(d))).alias(f"s{i}"),
+            F.sum(F.when(cond, (F.col("v3").cast("decimal(19,0)") * F.col("v3")).cast(d))).alias(f"q{i}"),
+        ]
+    s = q.agg(*aggs)
+    pooled = (
+        "SQRT(((CAST(CAST(n1 AS DECIMAL(38,0)) * q1 - s1 * s1 AS DOUBLE) / n1)"
+        " + (CAST(CAST(n2 AS DECIMAL(38,0)) * q2 - s2 * s2 AS DOUBLE) / n2))"
+        " / (n1 + n2 - 2))"
+    )
+    mdiff = "CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2"
+    return s.select(
+        "n1",
+        "n2",
+        F.expr(mdiff).alias("mean_diff"),
+        F.expr(pooled).alias("pooled_sd"),
+        F.expr(f"({mdiff}) / {pooled}").alias("cohens_d"),
+    )
+
+
+RATIO_Z = 1.96  # 95% normal CI half-width multiplier
+
+
+@register(
+    "agg_ratio_delta_ci",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS x,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(y AS HUGEINT)) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(y AS HUGEINT) * y) AS syy,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM per_user WHERE x > 0
+        )
+        SELECT n,
+               CAST(sy AS DOUBLE) / sx AS ratio,
+               SQRT((
+                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                   - 2 * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS se,
+               CAST(sy AS DOUBLE) / sx
+                 - {RATIO_Z} * SQRT((
+                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                   - 2 * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS ci_lo,
+               CAST(sy AS DOUBLE) / sx
+                 + {RATIO_Z} * SQRT((
+                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                   - 2 * (CAST(sy AS DOUBLE) / sx)
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS ci_hi
+        FROM m
+    """,
+    doc="Delta-method CI for a ratio-of-sums metric (clicks per view, "
+    "revenue per session — the metric class where naive per-user-"
+    "ratio averaging is WRONG because users contribute unequal "
+    "denominators): R = sum(y)/sum(x) with SE from the first-order "
+    "Taylor expansion Var(R) = (s_y^2 + R^2 s_x^2 - 2 R s_xy) "
+    "/ (n x-bar^2), the standard experimentation-platform spelling "
+    "(Deng et al.). All five moments are exact HUGEINT/DECIMAL sums "
+    "from ONE per-user rollup; every float appears in a fixed-order "
+    "expression template shared by both engines. The cluster-robust "
+    "structure (user = randomization unit) is exactly why this "
+    "beats row-level variance at any scale.",
+)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).cast("long").alias("x"),
+        F.count(F.when(F.col("event_type") == "click", 1)).cast("long").alias("y"),
+    ).where(F.col("x") > 0)
+    d = "decimal(38,0)"
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum(F.col("y").cast(d)).alias("sy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("x")).cast(d)).alias("sxx"),
+        F.sum((F.col("y").cast("decimal(19,0)") * F.col("y")).cast(d)).alias("syy"),
+        F.sum((F.col("x").cast("decimal(19,0)") * F.col("y")).cast(d)).alias("sxy"),
+    )
+    ratio = "CAST(sy AS DOUBLE) / sx"
+    se = (
+        f"SQRT(((CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) / (n - 1))"
+        f" + ({ratio}) * ({ratio})"
+        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) / (n - 1))"
+        f" - 2 * ({ratio})"
+        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) / (n - 1))"
+        f") / n) / (CAST(sx AS DOUBLE) / n) / n"
+    )
+    return m.select(
+        "n",
+        F.expr(ratio).alias("ratio"),
+        F.expr(se).alias("se"),
+        F.expr(f"{ratio} - {RATIO_Z} * {se}").alias("ci_lo"),
+        F.expr(f"{ratio} + {RATIO_Z} * {se}").alias("ci_hi"),
+    )

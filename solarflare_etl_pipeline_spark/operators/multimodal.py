@@ -1188,3 +1188,88 @@ def mm_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+EDGE_T = 64  # absolute-gradient threshold for an "edge" pixel pair
+
+
+@register(
+    "mm_image_edge_density",
+    oracle=f"""
+        WITH px AS (
+            SELECT doc_id,
+                   doc_id % {PLANT_FAMILIES} AS cid,
+                   UNNEST(RANGE(0, {PLANT_H})) AS y
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, cid, y, UNNEST(RANGE(0, {PLANT_W - 1})) AS x
+            FROM px
+        ),
+        grads AS (
+            SELECT doc_id,
+                   ABS(
+                     ((cid * 37 + (x + 1) * 41 + y * 59
+                       + (((x + 1) * y) % 83) * 97) % 256)
+                   - ((cid * 37 + x * 41 + y * 59
+                       + ((x * y) % 83) * 97) % 256)
+                   ) AS g
+            FROM cells
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN g > {EDGE_T} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_edges,
+               CAST(SUM(CASE WHEN g > {EDGE_T} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS edge_density
+        FROM grads GROUP BY doc_id
+    """,
+    doc=f"Horizontal edge density per image (fraction of adjacent-pixel "
+    f"pairs with |gradient| > {EDGE_T}) — the cheap sharpness/detail "
+    f"score image-corpus curation filters on (near-flat images are "
+    f"usually banners, color cards, or corrupted frames; dHash "
+    f"ignores magnitude, this keeps it). Runs the FULL container "
+    f"path on the planted-pattern corpus: encode PNG, CRC-verified "
+    f"decode, numpy |diff| along rows — fused in one Arrow "
+    f"mapInPandas stage; the oracle restates the generator's pixel "
+    f"arithmetic per pair, so one wrong defilter offset breaks "
+    f"parity. One division of exact counts.",
+)
+def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def edge_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, pairs, edges, dens = [], [], [], []
+            for d in pdf["doc_id"]:
+                _, _, _, px = decode_png_pixels(
+                    encode_png_pattern(int(d) % PLANT_FAMILIES)
+                )
+                g = np.abs(np.diff(px.astype(np.int64), axis=1))
+                k = int((g > EDGE_T).sum())
+                ids.append(int(d))
+                pairs.append(g.size)
+                edges.append(k)
+                dens.append(k / g.size)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_pairs": pd.Series(pairs, dtype="int64"),
+                    "n_edges": pd.Series(edges, dtype="int64"),
+                    "edge_density": pd.Series(dens, dtype="float64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        edge_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_pairs", T.LongType()),
+                T.StructField("n_edges", T.LongType()),
+                T.StructField("edge_density", T.DoubleType()),
+            ]
+        ),
+    )
