@@ -2871,28 +2871,28 @@ RATIO_Z = 1.96  # 95% normal CI half-width multiplier
         SELECT n,
                CAST(sy AS DOUBLE) / sx AS ratio,
                SQRT((
-                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
                    + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
                    - 2 * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
-               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS se,
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / n / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) AS se,
                CAST(sy AS DOUBLE) / sx
                  - {RATIO_Z} * SQRT((
-                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
                    + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
                    - 2 * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
-               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS ci_lo,
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / n / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) AS ci_lo,
                CAST(sy AS DOUBLE) / sx
                  + {RATIO_Z} * SQRT((
-                   (CAST(n * syy - sy * sy AS DOUBLE) / (n - 1))
+                   (CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1))
                    + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxx - sx * sx AS DOUBLE) / (n - 1))
+                     * (CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
                    - 2 * (CAST(sy AS DOUBLE) / sx)
-                     * (CAST(n * sxy - sx * sy AS DOUBLE) / (n - 1))
-               ) / n) / (CAST(sx AS DOUBLE) / n) / n AS ci_hi
+                     * (CAST(n * sxy - sx * sy AS DOUBLE) / n / (n - 1))
+               ) / n) / (CAST(sx AS DOUBLE) / n) AS ci_hi
         FROM m
     """,
     doc="Delta-method CI for a ratio-of-sums metric (clicks per view, "
@@ -2900,7 +2900,9 @@ RATIO_Z = 1.96  # 95% normal CI half-width multiplier
     "ratio averaging is WRONG because users contribute unequal "
     "denominators): R = sum(y)/sum(x) with SE from the first-order "
     "Taylor expansion Var(R) = (s_y^2 + R^2 s_x^2 - 2 R s_xy) "
-    "/ (n x-bar^2), the standard experimentation-platform spelling "
+    "/ (n x-bar^2) — SE caught off by sqrt(n) in the first draft by "
+    "the pure-Python re-derivation gate, the layer two-engine parity "
+    "cannot provide — the standard experimentation-platform spelling "
     "(Deng et al.). All five moments are exact HUGEINT/DECIMAL sums "
     "from ONE per-user rollup; every float appears in a fixed-order "
     "expression template shared by both engines. The cluster-robust "
@@ -2924,12 +2926,12 @@ def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ratio = "CAST(sy AS DOUBLE) / sx"
     se = (
-        f"SQRT(((CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) / (n - 1))"
+        f"SQRT(((CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE) / n / (n - 1))"
         f" + ({ratio}) * ({ratio})"
-        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) / (n - 1))"
+        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) / n / (n - 1))"
         f" - 2 * ({ratio})"
-        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) / (n - 1))"
-        f") / n) / (CAST(sx AS DOUBLE) / n) / n"
+        f"   * (CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) / n / (n - 1))"
+        f") / n) / (CAST(sx AS DOUBLE) / n)"
     )
     return m.select(
         "n",

@@ -1,0 +1,281 @@
+"""Round-7 stats operators re-derived independently in pure Python.
+
+Two-engine oracle parity cannot catch a bug both sides share (the
+round-6 Welch's-t variance bug is the standing example, SURVEY.md §8;
+round 7's BH z² scale bug was caught by exactly this kind of
+re-derivation sanity). Every operator here is recomputed from the raw
+fixture rows with textbook formulas — no SQL, no shared spelling — and
+compared within float tolerance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from solarflare_etl_pipeline_spark.registry import load_all
+
+SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def events(sf_dir):
+    return duckdb.sql(
+        f"SELECT event_id, user_id, event_type, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+
+
+@pytest.fixture(scope="module")
+def documents(sf_dir):
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+
+
+def _close(a, b, tol=1e-9):
+    return math.isclose(a, b, rel_tol=tol, abs_tol=tol)
+
+
+def test_anova_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    all_v = [x for vs in groups.values() for x in vs]
+    n, k = len(all_v), len(groups)
+    grand = sum(all_v) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum((x - sum(vs) / len(vs)) ** 2 for vs in groups.values() for x in vs)
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["agg_anova_oneway"].spark(spark, sf_dir).collect()[0]
+    assert row.n_total == n and row.k_groups == k
+    assert _close(row.ss_between, ssb, 1e-6)
+    assert _close(row.ss_within, ssw, 1e-6)
+    assert _close(row.f_stat, f_stat, 1e-6)
+
+
+def test_mutual_info_rederivation(spark, sf_dir, events):
+    joint = Counter((et, v > 35) for _, _, et, v in events)
+    n = sum(joint.values())
+    px = Counter()
+    py = Counter()
+    for (x, y), c in joint.items():
+        px[x] += c
+        py[y] += c
+    mi = sum(
+        (c / n) * math.log(c * n / (px[x] * py[y])) for (x, y), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in px.values())
+    hy = -sum((c / n) * math.log(c / n) for c in py.values())
+    row = SPECS["agg_mutual_info"].spark(spark, sf_dir).collect()[0]
+    assert _close(row.mutual_info_nats, mi, 1e-9)
+    assert _close(row.h_type_nats, hx, 1e-9)
+    assert _close(row.h_band_nats, hy, 1e-9)
+    assert _close(row.normalized_mi, mi / math.sqrt(hx * hy), 1e-9)
+
+
+def test_cohens_d_rederivation(spark, sf_dir, events):
+    a = [math.floor(v * 1000) for _, _, et, v in events if et == "purchase"]
+    b = [math.floor(v * 1000) for _, _, et, v in events if et == "view"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a)  # (n-1)*s^2
+    vb = sum((x - mb) ** 2 for x in b)
+    pooled = math.sqrt((va + vb) / (len(a) + len(b) - 2))
+    row = SPECS["agg_cohens_d"].spark(spark, sf_dir).collect()[0]
+    assert row.n1 == len(a) and row.n2 == len(b)
+    assert _close(row.mean_diff, ma - mb, 1e-9)
+    assert _close(row.pooled_sd, pooled, 1e-9)
+    assert _close(row.cohens_d, (ma - mb) / pooled, 1e-9)
+
+
+def test_ratio_delta_rederivation(spark, sf_dir, events):
+    per_user = defaultdict(lambda: [0, 0])
+    for _, uid, et, _ in events:
+        if et == "view":
+            per_user[uid][0] += 1
+        elif et == "click":
+            per_user[uid][1] += 1
+    xs, ys = zip(*[(x, y) for x, y in per_user.values() if x > 0])
+    n = len(xs)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    r = sum(ys) / sum(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs) / (n - 1)
+    syy = sum((y - ybar) ** 2 for y in ys) / (n - 1)
+    sxy = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / (n - 1)
+    se = math.sqrt((syy + r * r * sxx - 2 * r * sxy) / n) / xbar
+    row = SPECS["agg_ratio_delta_ci"].spark(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert _close(row.ratio, r, 1e-9)
+    assert _close(row.se, se, 1e-6)
+    assert _close(row.ci_lo, r - 1.96 * se, 1e-6)
+    assert _close(row.ci_hi, r + 1.96 * se, 1e-6)
+
+
+def test_bh_fdr_rederivation(spark, sf_dir, events):
+    import datetime
+
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS TIMESTAMP), value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    epoch = datetime.date(2024, 1, 1)
+    cells = defaultdict(lambda: [0, 0])
+    for et, ts, v in rows:
+        dow = (ts.date() - epoch).days % 7
+        cells[(et, dow)][0] += 1
+        if v > 35:
+            cells[(et, dow)][1] += 1
+    n_all = sum(c[0] for c in cells.values())
+    c_all = sum(c[1] for c in cells.values())
+    m = len(cells)
+    pvals = {}
+    for key, (n, c) in cells.items():
+        num = (c * n_all - c_all * n) ** 2
+        den = n * c_all * (n_all - c_all)
+        pvals[key] = 1.0 if num == 0 else min(1.0, den / num)
+    ranked = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    kmax = 0
+    for i, (_, p) in enumerate(ranked, start=1):
+        if p * m * 20 <= i:
+            kmax = i
+    got = {
+        (r.event_type, r.dow): r
+        for r in SPECS["agg_bh_fdr"].spark(spark, sf_dir).collect()
+    }
+    assert len(got) == m
+    for i, (key, p) in enumerate(ranked, start=1):
+        r = got[key]
+        assert _close(r.p_value, round(p, 9), 1e-9), key
+        assert r.p_rank == i
+        assert r.rejected == (i <= kmax)
+
+
+def test_hll_registers_rederivation(spark, sf_dir, events):
+    from solarflare_etl_pipeline_spark.operators.aggregates import HLL_M, HLL_WBITS
+
+    users = {uid for _, uid, _, _ in events}
+    regs = {}
+    for uid in users:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        reg, w = h % HLL_M, h // HLL_M
+        rho = (HLL_WBITS + 1) if w == 0 else (HLL_WBITS + 1 - w.bit_length())
+        regs[reg] = max(regs.get(reg, 0), rho)
+    s = sum(1 << (HLL_WBITS + 1 - r) for r in regs.values()) + (
+        HLL_M - len(regs)
+    ) * (1 << (HLL_WBITS + 1))
+    row = SPECS["agg_hll_portable"].spark(spark, sf_dir).collect()[0]
+    assert row.n_exact == len(users)
+    assert row.n_occupied == len(regs)
+    assert row.v_zero == HLL_M - len(regs)
+    assert row.s_harmonic == s
+    assert row.merged_matches_direct is True
+    assert row.estimate_within_10pct is True
+
+
+def test_step_changepoint_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE),"
+        f" COUNT(*) FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for et, d, c in rows:
+        series[et][d] = c
+    got = {
+        r.event_type: r
+        for r in SPECS["ts_step_changepoint"].spark(spark, sf_dir).collect()
+    }
+    for et, days in series.items():
+        ds = sorted(days)
+        cs = [days[d] for d in ds]
+        n, tot = len(cs), sum(cs)
+        best = None
+        for k in range(1, n):
+            cum = sum(cs[:k])
+            diff = abs(cum * (n - k) - (tot - cum) * k)
+            cand = (-diff, ds[k - 1])
+            if best is None or cand < best:
+                best = cand
+                best_stats = (diff, cum / k, (tot - cum) / (n - k), ds[k - 1])
+        r = got[et]
+        assert r.diff_num == best_stats[0]
+        assert r.split_day.date() == best_stats[3]
+        assert _close(r.mean_before, best_stats[1], 1e-9)
+        assert _close(r.mean_after, best_stats[2], 1e-9)
+
+
+def test_outlier_iqr_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    got = {r.event_type: r for r in SPECS["dq_outlier_iqr"].spark(spark, sf_dir).collect()}
+    for et, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        q1 = vs[max(0, (n * 1) // 4 - 1)] if (n * 1) // 4 >= 1 else vs[0]
+        q3 = vs[max(0, (n * 3) // 4 - 1)]
+        # value at rank t = smallest value whose cum count >= t; with a
+        # sorted list, that's vs[t-1]
+        iqr = q3 - q1
+        outliers = sum(
+            1 for v in vs if 2 * v < 2 * q1 - 3 * iqr or 2 * v > 2 * q3 + 3 * iqr
+        )
+        r = got[et]
+        assert (r.q1, r.q3, r.iqr) == (q1, q3, iqr), et
+        assert r.n == n and r.n_outliers == outliers
+
+
+def test_srm_rederivation(spark, sf_dir, documents):
+    counts = Counter()
+    for doc_id, *_ in documents:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 10
+        counts["train" if b < 8 else "val" if b < 9 else "test"] += 1
+    n = sum(counts.values())
+    chi2 = sum(
+        (counts[name] - n * k / 10) ** 2 / (n * k / 10)
+        for name, k in [("train", 8), ("val", 1), ("test", 1)]
+    )
+    row = SPECS["agg_srm_check"].spark(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert (row.o_train, row.o_val, row.o_test) == (
+        counts["train"],
+        counts["val"],
+        counts["test"],
+    )
+    assert _close(row.chi2, chi2, 1e-9)
+    assert row.srm_detected == (chi2 > 5.991)
+
+
+def test_minhash_portable_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.similarity import MHP_K, MHP_NGRAM
+
+    def shingles(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + MHP_NGRAM])
+            for i in range(len(toks) - MHP_NGRAM + 1)
+        }
+
+    def sig(sh):
+        return [
+            min(
+                int(hashlib.md5(f"{g}:{j}".encode()).hexdigest()[:15], 16)
+                for g in sh
+            )
+            for j in range(MHP_K)
+        ]
+
+    docs = {d: t for d, t, *_ in documents}
+    rows = SPECS["llm_minhash_portable"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:25]:
+        sa, sb = shingles(docs[r.cand_id]), shingles(docs[r.ref_id])
+        matches = sum(1 for a, b in zip(sig(sa), sig(sb)) if a == b)
+        exact = len(sa & sb) / len(sa | sb)
+        assert r.n_match == matches, (r.cand_id, r.ref_id)
+        assert _close(r.est_jaccard, matches / MHP_K, 1e-12)
+        assert _close(r.exact_jaccard, exact, 1e-12)
