@@ -1260,3 +1260,90 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_nodes").over(ccdf).cast("long").alias("n_nodes_at_least"),
         F.sum(F.col("n_nodes") * F.col("degree")).over(W.partitionBy()).cast("long").alias("total_degree"),
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        pairs AS (
+            SELECT da.d AS dx, db.d AS dy
+            FROM sym e
+            JOIN deg da ON da.node = e.src
+            JOIN deg db ON db.node = e.dst
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS mm,
+                   SUM(CAST(dx AS HUGEINT)) AS sx,
+                   SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+                   SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+            FROM pairs
+        )
+        SELECT mm AS n_directed_edges,
+               CAST(CAST(mm AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+               / CAST(CAST(mm AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                   AS assortativity
+        FROM m
+    """,
+    doc="Degree assortativity of the co-purchase graph (Newman 2002): "
+    "Pearson correlation of endpoint degrees over the directed edge "
+    "list — positive = hubs attach to hubs (social-network-like), "
+    "negative = hub-and-spoke (catalog-like); it decides whether "
+    "degree-based partitioning helps or hurts every downstream graph "
+    "op. Because the directed list contains both orientations, the x "
+    "and y marginals are identical, collapsing Pearson to "
+    "(M*Sxy - Sx^2)/(M*Sxx - Sx^2) — exact HUGEINT/DECIMAL moments, "
+    "ONE float division. Degrees join back via two broadcasts of the "
+    "|nodes| table; same edge construction as graph_triangle_count.",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").cast("long").alias("d"))
+    da = deg.select(F.col("src").alias("e_src"), F.col("d").alias("dx"))
+    db = deg.select(F.col("src").alias("e_dst"), F.col("d").alias("dy"))
+    pairs = (
+        sym.join(F.broadcast(da), F.col("src") == F.col("e_src"))
+        .join(F.broadcast(db), F.col("dst") == F.col("e_dst"))
+        .select("dx", "dy")
+    )
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("*").cast("long").alias("mm"),
+        F.sum(F.col("dx").cast(dec)).alias("sx"),
+        F.sum((F.col("dx").cast("decimal(19,0)") * F.col("dx")).cast(dec)).alias("sxx"),
+        F.sum((F.col("dx").cast("decimal(19,0)") * F.col("dy")).cast(dec)).alias("sxy"),
+    )
+    return m.select(
+        F.col("mm").alias("n_directed_edges"),
+        F.expr(
+            "CAST(CAST(mm AS DECIMAL(38,0)) * sxy - sx * sx AS DOUBLE)"
+            " / CAST(CAST(mm AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+        ).alias("assortativity"),
+    )

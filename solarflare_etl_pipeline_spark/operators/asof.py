@@ -354,3 +354,66 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pick_fwd, F.col("gap_fwd").cast("long"))
         .alias("gap_us"),
     )
+
+
+ASOF_TOLERANCE_MIN = 60  # max lookback for a match (minutes)
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+        SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+               (SELECT MAX(CAST(v.ts AS TIMESTAMP)) FROM events v
+                WHERE v.event_type = 'view' AND v.user_id = p.user_id
+                  AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+                  AND CAST(v.ts AS TIMESTAMP)
+                      >= CAST(p.ts AS TIMESTAMP)
+                         - INTERVAL {ASOF_TOLERANCE_MIN} MINUTE)
+                   AS last_view_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    doc=f"As-of join with a TOLERANCE bound (pandas merge_asof's "
+    f"tolerance= semantics): each purchase matches its latest prior "
+    f"view only if it happened within {ASOF_TOLERANCE_MIN} minutes — "
+    f"stale context is worse than none for attribution and feature "
+    f"freshness, so the match NULLs out beyond the horizon. Same "
+    f"tag+union single-window plan as join_asof (one shuffle per "
+    f"user, O(1) carried state), with the tolerance applied AFTER "
+    f"the carry-forward as a null-out comparison — the window itself "
+    f"is unchanged, so the cost envelope is identical and state "
+    f"never grows with the horizon.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("is_purchase"),
+        "event_id", "value",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        views.unionByName(purchases)
+        .withColumn("last_any", F.last("view_ts", ignorenulls=True).over(w))
+        .where(F.col("is_purchase") == 1)
+    )
+    within = F.col("last_any") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_MIN} MINUTE"
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.when(within, F.col("last_any")).alias("last_view_ts"),
+    )

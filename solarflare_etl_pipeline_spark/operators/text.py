@@ -2601,3 +2601,63 @@ def llm_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "difficulty",
         exact_ntile(F.col("rn"), F.col("n"), CURRICULUM_STAGES).alias("stage"),
     )
+
+
+SHARD_COUNT = 16  # export shards
+
+
+@register(
+    "llm_shard_manifest",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % {SHARD_COUNT} AS shard_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_toks,
+                   n_chars
+            FROM documents
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM assigned
+        GROUP BY shard_id
+    """,
+    doc=f"Export-shard manifest: every document hash-routed to one of "
+    f"{SHARD_COUNT} shards (md5 of the key — deterministic at any "
+    f"parallelism, stable under reruns and late data, the "
+    f"sample_hash_split discipline) with per-shard document/token/"
+    f"byte budgets and key ranges — the planning table a training "
+    f"exporter writes BEFORE materializing shards (dataloaders "
+    f"schedule by it; ops alert on shard skew from it; the writer "
+    f"uses shard_id as its partitionBy column so each shard is one "
+    f"output directory). Hash routing bounds shard skew by the "
+    f"law of large numbers regardless of doc-id clustering — "
+    f"contrast range routing, which inherits key locality. One "
+    f"hash aggregate.",
+)
+def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    shard = (
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)")
+        % SHARD_COUNT
+    )
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -1254,3 +1254,97 @@ def ts_step_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_days") - F.col("k"))
         ).alias("mean_after"),
     )
+
+
+@register(
+    "ts_theilsen_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_DIFF('day', DATE '2024-01-01',
+                        CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                        AS BIGINT) AS di,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type,
+                   CAST(b.c - a.c AS DOUBLE) / (b.di - a.di) AS slope,
+                   a.di AS i, b.di AS j
+            FROM daily a JOIN daily b
+              ON b.event_type = a.event_type AND b.di > a.di
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY slope, i, j) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS m
+            FROM slopes
+        )
+        SELECT event_type,
+               CAST(MAX(m) AS BIGINT) AS n_pairs,
+               (MIN(CASE WHEN rn = (m + 1) // 2 THEN slope END)
+                + MIN(CASE WHEN rn = (m + 2) // 2 THEN slope END)) / 2
+                   AS median_slope
+        FROM ranked
+        GROUP BY event_type
+    """,
+    doc="Theil-Sen trend estimate per event type — the robust slope "
+    "(median of all pairwise day slopes) that one outage day cannot "
+    "drag the way OLS can (breakdown point 29% vs 0%): every day "
+    "pair's slope is ONE exact-integer division (identical IEEE "
+    "result both engines), the median is an exact order statistic "
+    "with even-count averaging, and the deterministic (slope, i, j) "
+    "tiebreak pins ranks under ties. The pairwise join is "
+    "deliberately CALENDAR-bounded — |days|^2 per type (~30k pairs "
+    "per year-type), constant in row count, so the op costs the "
+    "same at 100 TB as at 100 MB once the daily rollup lands.",
+)
+def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("di"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a = daily.select(
+        "event_type", F.col("di").alias("i"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("di").alias("j"), F.col("c").alias("cb")
+    )
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("j") > F.col("i")))
+        .select(
+            "event_type",
+            ((F.col("cb") - F.col("ca")).cast("double") / (F.col("j") - F.col("i"))).alias(
+                "slope"
+            ),
+            "i",
+            "j",
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "i", "j")).alias("rn"),
+        F.count("*").over(wp).alias("m"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        (
+            (
+                F.min(F.when(F.col("rn") == F.expr("(m + 1) DIV 2"), F.col("slope")))
+                + F.min(F.when(F.col("rn") == F.expr("(m + 2) DIV 2"), F.col("slope")))
+            )
+            / 2
+        ).alias("median_slope"),
+    )
