@@ -1171,3 +1171,154 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q3") - F.col("q1")).alias("iqr"),
         F.sum(is_out).cast("long").alias("n_outliers"),
     ).select("event_type", "n", "q1", "q3", "iqr", "n_outliers")
+
+
+PSI_BINS = 10
+PSI_SMOOTH_NUM, PSI_SMOOTH_DEN = 1, 2  # +0.5 Laplace smoothing per bin
+
+
+@register(
+    "dq_value_drift_psi",
+    oracle=f"""
+        WITH q AS (
+            SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP'2024-01-16'
+                        THEN 1 ELSE 2 END AS epoch,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        hist1 AS (
+            SELECT v3, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM q WHERE epoch = 1 GROUP BY v3
+        ),
+        grid AS (
+            SELECT v3,
+                   CAST(SUM(cnt) OVER (ORDER BY v3) AS BIGINT) AS cum,
+                   CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM hist1
+        ),
+        bounds AS (
+            SELECT k, MIN(v3) AS b
+            FROM grid, UNNEST(RANGE(1, {PSI_BINS})) t(k)
+            WHERE cum >= (n * k) // {PSI_BINS} AND (n * k) // {PSI_BINS} >= 1
+            GROUP BY k
+        ),
+        counts AS (
+            SELECT vv.epoch, bn.bin, CAST(SUM(vv.c) AS BIGINT) AS c
+            FROM (SELECT epoch, v3, COUNT(*) AS c FROM q GROUP BY epoch, v3) vv
+            JOIN (
+                SELECT v3,
+                       CAST(COALESCE(SUM(CASE WHEN g.v3 > b.b THEN 1 ELSE 0 END), 0)
+                            AS BIGINT) AS bin
+                FROM (SELECT DISTINCT v3 FROM q) g LEFT JOIN bounds b ON TRUE
+                GROUP BY v3
+            ) bn ON bn.v3 = vv.v3
+            GROUP BY vv.epoch, bn.bin
+        ),
+        tot AS (
+            SELECT epoch, SUM(c) AS n FROM counts GROUP BY epoch
+        ),
+        bins AS (SELECT UNNEST(RANGE(0, {PSI_BINS})) AS bin),
+        filled AS (
+            SELECT e.epoch, bins.bin, COALESCE(c.c, 0) AS c, e.n
+            FROM bins CROSS JOIN tot e
+            LEFT JOIN counts c ON c.epoch = e.epoch AND c.bin = bins.bin
+        ),
+        props AS (
+            SELECT f1.bin,
+                   f1.c AS c1, f2.c AS c2,
+                   (CAST(f1.c AS DOUBLE) + 0.5)
+                       / (f1.n + 0.5 * {PSI_BINS}) AS p1,
+                   (CAST(f2.c AS DOUBLE) + 0.5)
+                       / (f2.n + 0.5 * {PSI_BINS}) AS p2
+            FROM filled f1 JOIN filled f2 ON f2.bin = f1.bin
+            WHERE f1.epoch = 1 AND f2.epoch = 2
+        )
+        SELECT CAST(bin AS BIGINT) AS bin, c1, c2, p1, p2,
+               (p2 - p1) * LN(p2 / p1) AS psi_term
+        FROM props
+    """,
+    doc=f"Population Stability Index between the two fixture epochs — "
+    f"THE model-monitoring drift metric (scorecard governance: "
+    f"PSI < 0.1 stable, > 0.25 investigate): bins are the FIRST "
+    f"epoch's exact deciles read off the cumulative distinct-value "
+    f"grid (the dq_qq_drift discipline), every row bins by counting "
+    f"boundaries below its value (a bounded 9-row broadcast), both "
+    f"epochs' bin masses get +0.5 Laplace smoothing so an empty "
+    f"target bin cannot blow up the log, and each bin's "
+    f"(p2-p1)*ln(p2/p1) term is emitted PER BIN (hash-exact per row; "
+    f"the scalar total is the reader's 10-row sum) — no cross-row "
+    f"float accumulation inside the engine. Complements dq_qq_drift "
+    f"(shape) and dq_histogram_drift (fixed bins) with the "
+    f"industry-standard score.",
+)
+def dq_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.when(
+            F.col("ts").cast("timestamp") < F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("epoch"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    vv = q.groupBy("epoch", "v3").agg(F.count("*").alias("c"))
+    hist1 = vv.where(F.col("epoch") == 1).select("v3", F.col("c").alias("cnt"))
+    grid = hist1.select(
+        "v3",
+        F.sum("cnt").over(W.orderBy("v3")).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    bounds = (
+        grid.select(
+            "v3", "cum", "n",
+            F.explode(F.sequence(F.lit(1), F.lit(PSI_BINS - 1))).alias("k"),
+        )
+        .where(
+            (F.col("cum") >= F.expr(f"(n * k) DIV {PSI_BINS}"))
+            & (F.expr(f"(n * k) DIV {PSI_BINS}") >= 1)
+        )
+        .groupBy("k")
+        .agg(F.min("v3").alias("b"))
+    )
+    bins_of_v = (
+        vv.select("v3").distinct()
+        .crossJoin(F.broadcast(bounds))  # bounded: |grid| x 9
+        .groupBy("v3")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("v3") > F.col("b"), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    counts = (
+        vv.join(bins_of_v, "v3")
+        .groupBy("epoch", "bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tot = counts.groupBy("epoch").agg(F.sum("c").alias("n"))
+    bins = spark.range(0, PSI_BINS).select(F.col("id").alias("bin"))
+    filled = (
+        bins.crossJoin(F.broadcast(tot))  # bounded: 10 x 2
+        .join(counts, ["epoch", "bin"], "left")
+        .select("epoch", "bin", F.coalesce(F.col("c"), F.lit(0)).alias("c"), "n")
+    )
+    f1 = filled.where(F.col("epoch") == 1).select(
+        "bin", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    f2 = filled.where(F.col("epoch") == 2).select(
+        "bin", F.col("c").alias("c2"), F.col("n").alias("n2")
+    )
+    p1 = (F.col("c1").cast("double") + 0.5) / (F.col("n1") + 0.5 * PSI_BINS)
+    p2 = (F.col("c2").cast("double") + 0.5) / (F.col("n2") + 0.5 * PSI_BINS)
+    return f1.join(f2, "bin").select(
+        F.col("bin").cast("long").alias("bin"),
+        "c1",
+        "c2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        ((p2 - p1) * F.log(p2 / p1)).alias("psi_term"),
+    )

@@ -2661,3 +2661,79 @@ def llm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+HEAPS_CHECKPOINTS = 10  # vocabulary-growth curve resolution (deciles)
+
+
+@register(
+    "llm_ngram_coverage_curve",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM documents
+        ),
+        cuts AS (
+            SELECT k, MAX(doc_id) AS d_k
+            FROM ranked, UNNEST(RANGE(1, {HEAPS_CHECKPOINTS + 1})) t(k)
+            WHERE rn <= (n * k) // {HEAPS_CHECKPOINTS}
+            GROUP BY k
+        ),
+        firsts AS (
+            SELECT tok, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        )
+        SELECT CAST(c.k AS BIGINT) AS decile,
+               c.d_k AS cutoff_doc,
+               CAST(COUNT(f.tok) AS BIGINT) AS vocab_size
+        FROM cuts c LEFT JOIN firsts f ON f.first_doc <= c.d_k
+        GROUP BY c.k, c.d_k
+    """,
+    doc=f"Vocabulary-growth (Heaps' law) curve: distinct-token count "
+    f"after each corpus decile in document order — the curve whose "
+    f"flattening says 'more of the same crawl adds no new language' "
+    f"(acquisition teams read the marginal-vocabulary slope to decide "
+    f"whether the next 10 TB is worth ingesting). Each token carries "
+    f"ONE first-occurrence doc (a mergeable MIN — no per-checkpoint "
+    f"rescan); decile cutoffs are exact doc-id order statistics "
+    f"(computed via the distributed rank at scale — the oracle states "
+    f"the textbook window form); the curve is a {HEAPS_CHECKPOINTS}-"
+    f"row broadcast join against token first-occurrences. Token-scale "
+    f"work is one shuffle for the MIN.",
+)
+def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    ranked = with_global_rank(d.select("doc_id"), ["doc_id"], "rn", total_col="n")
+    cuts = (
+        ranked.select(
+            "doc_id",
+            "rn",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(HEAPS_CHECKPOINTS))).alias("k"),
+        )
+        .where(F.col("rn") <= F.expr(f"(n * k) DIV {HEAPS_CHECKPOINTS}"))
+        .groupBy("k")
+        .agg(F.max("doc_id").alias("d_k"))
+    )
+    firsts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        F.broadcast(cuts)
+        .join(firsts, F.col("first_doc") <= F.col("d_k"), "left")
+        .groupBy("k", "d_k")
+        .agg(F.count("tok").cast("long").alias("vocab_size"))
+        .select(
+            F.col("k").cast("long").alias("decile"),
+            F.col("d_k").alias("cutoff_doc"),
+            "vocab_size",
+        )
+    )

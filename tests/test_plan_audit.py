@@ -65,6 +65,13 @@ DELIBERATE_CROSS = {
     # r7: SINGLE-ROW max-ts watermark scalar broadcast onto the scan
     # (N×1, the dq_freshness shape)
     "stream_late_audit",
+    # r7: token-first-occurrence table probed against the 10-row
+    # broadcast decile-cutoff table via a RANGE predicate
+    # (first_doc <= d_k) — bounded non-equi by construction
+    "llm_ngram_coverage_curve",
+    # r7: |distinct-values| × 9 boundary cross for bin assignment and
+    # 10 × 2 bin/epoch scaffold — both bounded broadcast products
+    "dq_value_drift_psi",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
