@@ -2940,3 +2940,271 @@ def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{ratio} - {RATIO_Z} * {se}").alias("ci_lo"),
         F.expr(f"{ratio} + {RATIO_Z} * {se}").alias("ci_hi"),
     )
+
+
+@register(
+    "agg_cramers_v",
+    oracle="""
+        WITH obs AS (
+            SELECT event_type,
+                   CASE WHEN value < 100 THEN 'low'
+                        WHEN value < 250 THEN 'mid'
+                        ELSE 'high' END AS value_band,
+                   COUNT(*) AS o
+            FROM events GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT event_type, value_band, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                   SUM(o) OVER (PARTITION BY value_band) AS col_tot,
+                   SUM(o) OVER () AS grand_tot
+            FROM obs
+        ),
+        chi AS (
+            SELECT CAST(MAX(grand_tot) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT value_band) AS BIGINT) AS n_cols,
+                   SUM(
+                       CAST((grand_tot * o - row_tot * col_tot) AS DOUBLE)
+                       * (grand_tot * o - row_tot * col_tot)
+                       / (CAST(grand_tot AS DOUBLE) * row_tot * col_tot)
+                   ) AS chi2
+            FROM margins
+        )
+        SELECT n_events, n_rows, n_cols,
+               ROUND(chi2, 9) AS chi_square,
+               ROUND(SQRT(chi2 / (n_events
+                     * (CASE WHEN n_rows < n_cols THEN n_rows
+                             ELSE n_cols END - 1))), 9) AS cramers_v
+        FROM chi
+    """,
+    doc="Cramér's V — the normalized effect size for agg_chi_square's "
+    "raw statistic (chi2 alone grows with N, so at 100 TB every "
+    "association is 'significant'; V = sqrt(chi2 / (N*(min(r,c)-1))) "
+    "in [0,1] is the scale-free number an experimenter actually reads). "
+    "Three value bands (low/mid/high at 100/250) x |event_type| so both "
+    "dimensions exceed 2 and the min(r,c)-1 normalizer is exercised. "
+    "Same cross-multiplied exact-integer chi2 as agg_chi_square "
+    "(DECIMAL(38,0) algebra, one float division per cell, terms summed "
+    "through ROUND 9); the margin windows run over the CELL table "
+    "(|types| x 3 rows — dimension-bounded, irrelevant at scale). The "
+    "raw scan is one map-side-combining hash aggregate.",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        F.when(F.col("value") < 100, "low")
+        .when(F.col("value") < 250, "mid")
+        .otherwise("high")
+        .alias("value_band"),
+    ).agg(F.count("*").alias("o"))
+    margins = obs.select(
+        "event_type",
+        "value_band",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("value_band")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("grand_tot"),
+    )
+    term = F.expr(
+        "CAST(CAST(grand_tot AS DECIMAL(38,0)) * o"
+        "     - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE)"
+        " * CAST(CAST(grand_tot AS DECIMAL(38,0)) * o"
+        "        - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS DOUBLE)"
+        " / (CAST(grand_tot AS DOUBLE) * row_tot * col_tot)"
+    )
+    chi = margins.agg(
+        F.max("grand_tot").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_rows"),
+        F.countDistinct("value_band").cast("long").alias("n_cols"),
+        F.sum(term).alias("chi2"),
+    )
+    return chi.select(
+        "n_events",
+        "n_rows",
+        "n_cols",
+        F.round("chi2", 9).alias("chi_square"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n_events") * (F.least("n_rows", "n_cols") - 1))
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg_herfindahl",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name AS nation,
+                   l.l_suppkey,
+                   SUM(CAST(FLOOR(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100) AS HUGEINT))
+                     AS r
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   SUM(r * r) AS s2,
+                   SUM(r) AS s1,
+                   MAX(r) AS rmax
+            FROM rev GROUP BY nation
+        )
+        SELECT nation, n_suppliers,
+               ROUND(CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 9) AS hhi,
+               ROUND(CAST(rmax AS DOUBLE) / CAST(s1 AS DOUBLE), 9) AS cr1
+        FROM tot
+        ORDER BY nation
+    """,
+    doc="Herfindahl-Hirschman concentration index of supplier revenue "
+    "per nation, plus CR1 (top-supplier share) — the market-structure "
+    "rollup an analytics engine ships next to agg_gini (inequality of "
+    "a value column) and agg_custdist (count histograms): HHI = "
+    "sum(share_i^2) = sum(r_i^2)/(sum r_i)^2, so shares never "
+    "materialize — revenue is exactly-accumulated cents (HUGEINT/"
+    "DECIMAL(38,0)), squared and summed as integers, ONE float "
+    "division per nation at the end (ROUND 9 both engines). Plan: one "
+    "hash agg to (nation, supplier) grain — partial-aggregated "
+    "map-side — then a second dimension-bounded agg; the supplier and "
+    "nation dims broadcast. Nothing here changes at 100 TB: the wide "
+    "fact flows through two mergeable aggregates keyed first by "
+    "(nation, suppkey) then nation.",
+)
+def agg_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cents = F.expr(
+        "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)"
+        "     AS DECIMAL(38,0))"
+    )
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "l_suppkey")
+        .agg(F.sum(cents).cast("decimal(38,0)").alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum(F.expr("CAST(r AS DECIMAL(19,0)) * r")).cast("decimal(38,0)").alias("s2"),
+        F.sum("r").cast("decimal(38,0)").alias("s1"),
+        F.max("r").alias("rmax"),
+    )
+    return tot.select(
+        "nation",
+        "n_suppliers",
+        F.round(
+            F.expr("CAST(s2 AS DOUBLE) / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"), 9
+        ).alias("hhi"),
+        F.round(F.expr("CAST(rmax AS DOUBLE) / CAST(s1 AS DOUBLE)"), 9).alias("cr1"),
+    ).orderBy("nation")
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, v3, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3
+                                ROWS UNBOUNDED PRECEDING) - c AS below,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM grid
+        ),
+        kept AS (
+            SELECT event_type, n,
+                   GREATEST(0, LEAST(below + c, n - n // 10)
+                               - GREATEST(below + 1, n // 10 + 1) + 1)
+                     AS keep_c,
+                   v3
+            FROM cum
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(keep_c) AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(CAST(v3 AS HUGEINT) * keep_c) AS DOUBLE)
+                     / SUM(keep_c) / 1000, 9) AS trimmed_mean
+        FROM kept
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="10%-trimmed mean per event type — the robust location estimate "
+    "between agg_median (50% trim) and the plain mean (0%), standard "
+    "for latency/value metrics whose tails are garbage: drop the k = "
+    "n//10 smallest and largest observations exactly, average the "
+    "rest. Spelled on the lossless DISTINCT-VALUE GRID (the "
+    "agg_mann_whitney / agg_ks_test discipline): milli-quantized "
+    "values -> (type, v3, count) via one mergeable hash agg, "
+    "cumulative counts locate each grid row's rank interval "
+    "[below+1, below+c], and the kept multiplicity is its integer "
+    "overlap with [k+1, n-k] — no per-row ranking anywhere, ONE float "
+    "division per type at the end (exact HUGEINT/DECIMAL sums, ROUND "
+    "9). The cumulative window partitions by event_type over the GRID, "
+    "whose size is bounded by the value DOMAIN (~10^6 millis), not the "
+    "row count — the same reason the Mann-Whitney plan survives 100x.",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+        )
+        .groupBy("event_type", "v3")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("v3")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "v3",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.expr("n DIV 10 + 1")
+    hi = F.expr("n - n DIV 10")
+    keep_c = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("c"), hi)
+        - F.greatest(F.col("below") + 1, lo)
+        + 1,
+    )
+    kept = cum.select("event_type", "n", "v3", keep_c.alias("keep_c"))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("keep_c").cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.expr("CAST(v3 AS DECIMAL(19,0)) * keep_c"))
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.sum("keep_c")
+                / 1000,
+                9,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

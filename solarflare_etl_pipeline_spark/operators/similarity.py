@@ -1909,3 +1909,133 @@ def llm_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+@register(
+    "llm_embed_outliers",
+    # Fully integer-exact distance: dims are floor-quantized to micros
+    # (floor of an identical IEEE double is identical cross-engine,
+    # unlike ROUND, whose Spark-BigDecimal vs DuckDB-sprintf spellings
+    # disagree one ulp from a .5 boundary — observed live at sf0.001),
+    # the rational centroid mean S/n is cleared by scaling each term by
+    # n (D = sum((n*v - S)^2), exact DECIMAL(38)/HUGEINT), and D//n^2
+    # brings the magnitude back to micro^2 with INTEGER division.
+    # Mean/variance/threshold then run on exact integers; the one float
+    # expression (cut) is built from identical integer inputs via
+    # correctly-rounded IEEE ops, so floor(cut) is bit-identical.
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, label,
+                   UNNEST(RANGE(0, 64)) AS pos,
+                   CAST(FLOOR(UNNEST(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE))) * 1000000) AS BIGINT) AS v6
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT label, pos,
+                   SUM(CAST(v6 AS HUGEINT)) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM ex GROUP BY label, pos
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label,
+                   CAST(SUM((c.n * CAST(e.v6 AS HUGEINT) - c.s)
+                            * (c.n * CAST(e.v6 AS HUGEINT) - c.s))
+                        // (MAX(c.n) * MAX(c.n)) AS BIGINT) AS d2
+            FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+            GROUP BY e.vec_id, e.label
+        ),
+        stats AS (
+            SELECT label,
+                   CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   SUM(CAST(d2 AS HUGEINT)) AS s1,
+                   SUM(CAST(d2 AS HUGEINT) * d2) AS s2
+            FROM dist GROUP BY label
+        ),
+        thr AS (
+            SELECT label, n_vectors,
+                   CAST(s1 AS DOUBLE) / n_vectors
+                   + 2 * SQRT(CAST(n_vectors * s2 - s1 * s1 AS DOUBLE)
+                              / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1)))
+                     AS cut
+            FROM stats
+        )
+        SELECT d.vec_id, d.label, t.n_vectors,
+               d.d2 AS dist2_micro2,
+               CAST(FLOOR(t.cut) AS BIGINT) AS cut_micro2
+        FROM dist d JOIN thr t ON t.label = d.label
+        WHERE d.d2 > t.cut
+        ORDER BY d.label, d.vec_id
+    """,
+    doc="Embedding outlier audit — vectors anomalously far from their "
+    "label centroid (mislabeled rows, corrupt encodes, adversarial "
+    "inserts; the embedding-space sibling of dq_outlier_iqr and the "
+    "quality gate run before llm_embed_centroids feeds an IVF index): "
+    "squared distance to the per-label mean in micro^2 units, flag "
+    "rows beyond mean + 2*sd WITHIN the label. Exact integer algebra "
+    "end to end (see oracle comment); ONE sqrt+division per label. "
+    "Plan: one posexplode (narrow, 64x), two mergeable hash aggs, the "
+    "|labels|x64 centroid table and |labels|-row threshold table both "
+    "broadcast — at 100 TB the only data-scale stages are the explode "
+    "and the per-vector re-join, both shuffle-free on the centroid "
+    "side.",
+)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(_vec_double()).alias("pos", "val")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("val") * 1000000).cast("long").alias("v6"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("v6").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    term = F.expr(
+        "(CAST(n AS DECIMAL(19,0)) * v6 - s) * (CAST(n AS DECIMAL(19,0)) * v6 - s)"
+    )
+    dist = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "CAST(SUM((CAST(n AS DECIMAL(19,0)) * v6 - s)"
+                "         * (CAST(n AS DECIMAL(19,0)) * v6 - s))"
+                " DIV (MAX(n) * MAX(n)) AS BIGINT)"
+            ).alias("d2")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(F.col("d2").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.expr("CAST(d2 AS DECIMAL(19,0)) * d2")).cast("decimal(38,0)").alias("s2"),
+    )
+    thr = stats.select(
+        "label",
+        "n_vectors",
+        (
+            F.expr("CAST(s1 AS DOUBLE) / n_vectors")
+            + 2
+            * F.sqrt(
+                F.expr(
+                    "CAST(CAST(n_vectors AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE)"
+                    " / (CAST(n_vectors AS DOUBLE) * (n_vectors - 1))"
+                )
+            )
+        ).alias("cut"),
+    )
+    return (
+        dist.join(F.broadcast(thr), "label")
+        .where(F.col("d2") > F.col("cut"))
+        .select(
+            "vec_id",
+            "label",
+            "n_vectors",
+            F.col("d2").alias("dist2_micro2"),
+            F.floor("cut").cast("long").alias("cut_micro2"),
+        )
+        .orderBy("label", "vec_id")
+    )

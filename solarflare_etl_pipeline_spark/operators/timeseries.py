@@ -1348,3 +1348,91 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).alias("median_slope"),
     )
+
+
+@register(
+    "ts_kendall_tau",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN (a.v3 - b.v3) > 0 THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.v3 - b.v3) < 0 THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.v3 = b.v3 THEN 1 ELSE 0 END AS tie_y
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d > b.d
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n0,
+                   CAST(SUM(conc) AS BIGINT) AS n_conc,
+                   CAST(SUM(disc) AS BIGINT) AS n_disc,
+                   CAST(SUM(tie_y) AS BIGINT) AS n_tie
+            FROM pairs GROUP BY event_type
+        )
+        SELECT event_type, n0, n_conc, n_disc, n_tie,
+               ROUND(CAST(n_conc - n_disc AS DOUBLE)
+                     / SQRT(CAST(n0 AS DOUBLE) * (n0 - n_tie)), 9)
+                 AS kendall_tau_b
+        FROM s
+        ORDER BY event_type
+    """,
+    doc="Kendall's tau-b rank correlation of the per-type daily series "
+    "against time — the robust monotone-trend test that pairs with "
+    "ts_theilsen_slope (Theil-Sen estimates the slope, tau tests its "
+    "existence; together they are the Mann-Kendall trend suite): over "
+    "the daily aggregate (exact milli-summed BIGINT, so comparisons "
+    "are integer-exact and ties are real ties), every day pair within "
+    "an event_type is classified concordant / discordant / value-tied, "
+    "and tau_b = (C-D)/sqrt(n0*(n0-n_ties_y)) — day keys are distinct "
+    "so the x-tie term vanishes; ONE float sqrt+division per type at "
+    "the end. The pair self-join is per-key over the CALENDAR-bounded "
+    "daily table (the ts_theilsen_slope discipline: 365 days -> 66k "
+    "pairs per key regardless of raw row count), so the O(d^2) explode "
+    "is a fixed dimension cost while the raw scan stays one hash agg "
+    "at 100 TB.",
+)
+def ts_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("v3")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") > F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.v3") > F.col("b.v3")).cast("int").alias("conc"),
+        (F.col("a.v3") < F.col("b.v3")).cast("int").alias("disc"),
+        (F.col("a.v3") == F.col("b.v3")).cast("int").alias("tie_y"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("conc").cast("long").alias("n_conc"),
+        F.sum("disc").cast("long").alias("n_disc"),
+        F.sum("tie_y").cast("long").alias("n_tie"),
+    )
+    return s.select(
+        "event_type",
+        "n0",
+        "n_conc",
+        "n_disc",
+        "n_tie",
+        F.round(
+            (F.col("n_conc") - F.col("n_disc")).cast("double")
+            / F.sqrt(
+                F.col("n0").cast("double") * (F.col("n0") - F.col("n_tie"))
+            ),
+            9,
+        ).alias("kendall_tau_b"),
+    ).orderBy("event_type")

@@ -110,7 +110,11 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
 #: head below. Round-7 additions leading the list (each hash-certifies
-#: a whole subsystem): ingest_avro (full-fidelity OCF byte loop),
+#: a whole subsystem): sample_sequential_poisson (portable exact-k PPS
+#: sampling), sample_class_balanced (grouped-rank primitive under the
+#: driver), agg_trimmed_mean (distinct-value-grid order stats),
+#: ts_kendall_tau (Mann-Kendall trend suite), agg_cramers_v,
+#: agg_herfindahl, ingest_avro (full-fidelity OCF byte loop),
 #: agg_hll_portable (register-exact sketch), mm_phash_dedup_planted
 #: (real duplicate families through the decode path),
 #: llm_paragraph_dedup, tpch_q21_late_supplier (the double-correlation

@@ -65,6 +65,9 @@ DELIBERATE_CROSS = {
     # r7: SINGLE-ROW max-ts watermark scalar broadcast onto the scan
     # (N×1, the dq_freshness shape)
     "stream_late_audit",
+    # r7: SINGLE-ROW minority-class-count scalar broadcast onto the
+    # ranked stream (N×1, the dq_freshness shape)
+    "sample_class_balanced",
     # r7: token-first-occurrence table probed against the 10-row
     # broadcast decile-cutoff table via a RANGE predicate
     # (first_doc <= d_k) — bounded non-equi by construction

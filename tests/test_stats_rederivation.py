@@ -279,3 +279,170 @@ def test_minhash_portable_rederivation(spark, sf_dir, documents):
         assert r.n_match == matches, (r.cand_id, r.ref_id)
         assert _close(r.est_jaccard, matches / MHP_K, 1e-12)
         assert _close(r.exact_jaccard, exact, 1e-12)
+
+
+def test_cramers_v_rederivation(spark, sf_dir, events):
+    cells = Counter()
+    for _, _, et, v in events:
+        band = "low" if v < 100 else ("mid" if v < 250 else "high")
+        cells[(et, band)] += 1
+    n = sum(cells.values())
+    rows = Counter()
+    cols = Counter()
+    for (et, band), o in cells.items():
+        rows[et] += o
+        cols[band] += o
+    chi2 = sum(
+        (o - rows[et] * cols[band] / n) ** 2 / (rows[et] * cols[band] / n)
+        for (et, band), o in cells.items()
+    )
+    v_expected = math.sqrt(chi2 / (n * (min(len(rows), len(cols)) - 1)))
+    row = SPECS["agg_cramers_v"].spark(spark, sf_dir).collect()[0]
+    assert row.n_events == n
+    assert row.n_rows == len(rows) and row.n_cols == len(cols)
+    assert _close(row.chi_square, chi2, 1e-6)
+    assert _close(row.cramers_v, v_expected, 1e-6)
+
+
+def test_herfindahl_rederivation(spark, sf_dir):
+    li = duckdb.sql(
+        f"SELECT l_suppkey, l_extendedprice, l_discount FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    supp = dict(
+        duckdb.sql(
+            f"SELECT s_suppkey, s_nationkey FROM "
+            f"read_parquet('{sf_dir}/supplier.parquet')"
+        ).fetchall()
+    )
+    nat = dict(
+        duckdb.sql(
+            f"SELECT n_nationkey, n_name FROM "
+            f"read_parquet('{sf_dir}/nation.parquet')"
+        ).fetchall()
+    )
+    rev = defaultdict(int)
+    for sk, px, dc in li:
+        rev[(nat[supp[sk]], sk)] += math.floor(px * (1 - dc) * 100)
+    by_nation = defaultdict(list)
+    for (nation, _), r in rev.items():
+        by_nation[nation].append(r)
+    got = {
+        r.nation: r
+        for r in SPECS["agg_herfindahl"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_nation)
+    for nation, rs in by_nation.items():
+        tot = sum(rs)
+        hhi = sum((r / tot) ** 2 for r in rs)
+        assert got[nation].n_suppliers == len(rs)
+        assert _close(got[nation].hhi, hhi, 1e-6)
+        assert _close(got[nation].cr1, max(rs) / tot, 1e-6)
+
+
+def test_kendall_tau_rederivation(spark, sf_dir):
+    daily = defaultdict(lambda: defaultdict(int))
+    for et, d, v in duckdb.sql(
+        f"SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE), value "
+        f"FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall():
+        daily[et][d] += math.floor(v * 1000)
+    got = {
+        r.event_type: r
+        for r in SPECS["ts_kendall_tau"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    for et, series in daily.items():
+        pts = sorted(series.items())
+        conc = disc = tie = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dv = pts[j][1] - pts[i][1]
+                if dv > 0:
+                    conc += 1
+                elif dv < 0:
+                    disc += 1
+                else:
+                    tie += 1
+        n0 = len(pts) * (len(pts) - 1) // 2
+        r = got[et]
+        assert (r.n0, r.n_conc, r.n_disc, r.n_tie) == (n0, conc, disc, tie)
+        assert _close(
+            r.kendall_tau_b, (conc - disc) / math.sqrt(n0 * (n0 - tie)), 1e-6
+        )
+
+
+def test_sequential_poisson_rederivation(spark, sf_dir, documents):
+    pri = []
+    for doc_id, _, _, _, n_chars in documents:
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        pri.append((-(n_chars * 10**12 // u), doc_id))
+    expected = [doc_id for _, doc_id in sorted(pri)[:100]]
+    got = SPECS["sample_sequential_poisson"].spark(spark, sf_dir).collect()
+    assert [r.doc_id for r in got] == expected
+    # inclusion is size-biased: the sampled mean doc length must exceed
+    # the corpus mean (the property that distinguishes PPS from uniform)
+    corpus_mean = sum(d[4] for d in documents) / len(documents)
+    sample_mean = sum(r.n_chars for r in got) / len(got)
+    assert sample_mean > corpus_mean
+
+
+def test_trimmed_mean_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    got = {
+        r.event_type: r
+        for r in SPECS["agg_trimmed_mean"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for et, vs in groups.items():
+        vs.sort()
+        k = len(vs) // 10
+        kept = vs[k : len(vs) - k]
+        r = got[et]
+        assert r.n == len(vs) and r.n_kept == len(kept)
+        assert _close(r.trimmed_mean, sum(kept) / len(kept) / 1000, 1e-6)
+
+
+def test_class_balanced_rederivation(spark, sf_dir, documents):
+    by_lang = defaultdict(list)
+    for doc_id, _, lang, _, _ in documents:
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 1000
+        by_lang[lang].append((bucket, doc_id))
+    m = min(len(v) for v in by_lang.values())
+    expected = {
+        (doc_id, lang)
+        for lang, v in by_lang.items()
+        for _, doc_id in sorted(v)[:m]
+    }
+    got = SPECS["sample_class_balanced"].spark(spark, sf_dir).collect()
+    assert {(r.doc_id, r.lang) for r in got} == expected
+    counts = Counter(r.lang for r in got)
+    assert set(counts.values()) == {m}  # exactly balanced
+
+
+def test_embed_outliers_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for vec_id, label, emb in rows:
+        v6 = [math.floor(float(x) * 1000000) for x in emb]
+        by_label[label].append((vec_id, v6))
+    expected = []
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        sums = [sum(v[p] for _, v in vecs) for p in range(64)]
+        d2s = [
+            (vid, sum((n * v[p] - sums[p]) ** 2 for p in range(64)) // (n * n))
+            for vid, v in vecs
+        ]
+        s1 = sum(d for _, d in d2s)
+        s2 = sum(d * d for _, d in d2s)
+        cut = s1 / n + 2 * math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+        expected.extend((vid, label) for vid, d in d2s if d > cut)
+    got = SPECS["llm_embed_outliers"].spark(spark, sf_dir).collect()
+    assert {(r.vec_id, r.label) for r in got} == set(expected)
+    assert len(got) > 0  # fixture must exercise the flag arm
