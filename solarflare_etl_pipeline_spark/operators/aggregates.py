@@ -2491,15 +2491,18 @@ BOOT_HI_RANK = 96  # 96th smallest = 95th percentile (ceil(0.95*100)+1 form)
     "agg_bootstrap_ci",
     oracle=f"""
         WITH q AS (
-            SELECT event_type, event_id,
+            SELECT event_type,
+                   CAST(('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h0,
+                   CAST(('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 16, 15))
+                        AS BIGINT) AS h1,
                    CAST(FLOOR(value * 1000) AS BIGINT) AS v3
             FROM events
         ),
         reps AS (
             SELECT q.event_type, b.b,
-                   2 * (CAST(('0x' || SUBSTR(MD5(
-                            CAST(q.event_id AS VARCHAR) || ':'
-                            || CAST(b.b AS VARCHAR)), 1, 15)) AS BIGINT) % 2)
+                   2 * (((CASE WHEN b.b < 60 THEN q.h0 ELSE q.h1 END)
+                         // CAST(POW(2, b.b % 60) AS BIGINT)) % 2)
                        AS w,
                    q.v3
             FROM q, (SELECT UNNEST(RANGE(0, {BOOT_B})) AS b) b
@@ -2538,7 +2541,8 @@ BOOT_HI_RANK = 96  # 96th smallest = 95th percentile (ceil(0.95*100)+1 form)
     f"replicate: all {BOOT_B} replicates materialize in one explode "
     f"(x{BOOT_B}) -> one hash aggregate, because each row's multiplicity "
     f"in replicate b is a deterministic PORTABLE weight "
-    f"w = 2*(md5_hash(event_id, b) % 2) — the published double-or-"
+    f"w = 2*bit_b(md5(event_id)) — ONE hash per row sliced into "
+    f"{BOOT_B} independent bits — the published double-or-"
     f"nothing (Bernoulli) bootstrap: E[w]=1, Var[w]=1, matching "
     f"Poisson-bootstrap moments while staying exactly reproducible "
     f"across engines and reruns (no RNG state, the sample_hash_split "
@@ -2553,21 +2557,36 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
+    # ONE md5 per ROW (not per row x replicate), parsed ONCE into two
+    # 60-bit integer words: replicate b's coin flip is bit b%60 of word
+    # b//60, so the x100 explode carries only integer div/mod into the
+    # partial aggregation (per-replicate hashing was ~100x the bench
+    # cost; per-replicate hex parsing another ~2x on top).
     q = e.select(
-        "event_type", "event_id", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+        "event_type",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h0"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 16, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h1"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
     )
     reps = q.select(
         "event_type",
         "v3",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-        "event_id",
+        "h0",
+        "h1",
     ).select(
         "event_type",
         "b",
         "v3",
         F.expr(
-            "2 * (CAST(conv(substr(md5(concat(CAST(event_id AS STRING), ':',"
-            " CAST(b AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2)"
+            "2 * (((CASE WHEN b < 60 THEN h0 ELSE h1 END)"
+            "      DIV CAST(POW(2, b % 60) AS BIGINT)) % 2)"
         ).alias("w"),
     )
     means = (
