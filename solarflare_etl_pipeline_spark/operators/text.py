@@ -2512,15 +2512,23 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides (a greatest(1, ...) sequence bound would emit a short
     # gram in Spark while DuckDB's exclusive RANGE emits none: the
     # latent-divergence class ADVICE r6 flagged in ingest_json_corrupt)
-    sh = d.where(F.expr(f"size(toks) >= {CONTAM_NGRAM}")).select(
-        "source",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {CONTAM_NGRAM - 1}),"
-                f" i -> concat_ws(' ', slice(toks, i, {CONTAM_NGRAM})))"
-            )
-        ).alias("g"),
-    ).distinct()
+    # shingle ONCE (the similarity.py localCheckpoint discipline): both
+    # self-join sides and the sizes agg reuse the materialized distinct
+    # shingle set instead of re-running the explode+distinct lineage 3x.
+    sh = (
+        d.where(F.expr(f"size(toks) >= {CONTAM_NGRAM}"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {CONTAM_NGRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(toks, i, {CONTAM_NGRAM})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
     a = sh.select(F.col("source").alias("src_a"), "g")
     b = sh.select(F.col("source").alias("src_b"), "g")

@@ -318,12 +318,18 @@ def tpch_q21_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY")
         ).alias("is_late"),
     )
-    per_order = lf.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supps"
-        ),
-        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+    # Two stacked PLAIN aggregates instead of two countDistinct()s: a
+    # multi-distinct agg compiles to an Expand (x3 of the joined fact —
+    # 18M rows here) before the shuffle; deduping to (order, supplier)
+    # grain first with late = max(is_late) computes the same distinct
+    # counts with map-side partial aggregation and no row expansion.
+    per_supp = lf.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum("late").alias("n_late_supps"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     blamed = per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     return (
