@@ -2745,3 +2745,226 @@ def llm_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
     )
+
+
+#: Exact-substring dedup window geometry (Lee et al. 2022 use 50-token
+#: windows; chars here — the fixture's grain): window length / stride.
+SUBDUP_W = 50
+SUBDUP_S = 25
+
+
+@register(
+    "llm_substring_dup_rate",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, LEN(text) AS n
+            FROM documents WHERE LEN(text) >= {SUBDUP_W}
+        ),
+        w AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, (n - {SUBDUP_W}) // {SUBDUP_S} + 2),
+                       i -> SUBSTR(text, (i - 1) * {SUBDUP_S} + 1, {SUBDUP_W})))
+                     AS win
+            FROM d
+        ),
+        dup AS (
+            SELECT win FROM (
+                SELECT win, COUNT(DISTINCT doc_id) AS nd
+                FROM w GROUP BY win
+            ) WHERE nd > 1
+        )
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(COUNT(dup.win) AS BIGINT) AS n_dup_windows,
+               ROUND(CAST(COUNT(dup.win) AS DOUBLE) / COUNT(*), 9)
+                   AS dup_rate
+        FROM w LEFT JOIN dup ON dup.win = w.win
+        GROUP BY w.doc_id
+        ORDER BY w.doc_id
+    """,
+    doc=f"Exact substring-level duplication rate — the character-window "
+    f"form of 'Deduplicating Training Data Makes Language Models "
+    f"Better' (Lee et al. 2022): slide a {SUBDUP_W}-char window at "
+    f"stride {SUBDUP_S} over every doc, call a window duplicated when "
+    f"the IDENTICAL string occurs in >= 2 DISTINCT docs, and report "
+    f"each doc's duplicated-window fraction — the signal that catches "
+    f"shared boilerplate spans inside otherwise-unique docs, which "
+    f"doc-grain (llm_dedup_exact), paragraph-grain "
+    f"(llm_paragraph_dedup) and shingle-Jaccard (llm_dedup_near) all "
+    f"miss. Suffix arrays don't distribute; stride windows are the "
+    f"standard shuffle-friendly approximation: explode is a bounded "
+    f"x(len/{SUBDUP_S}) narrow map, the dup set is one hash agg over "
+    f"(win, doc) pairs, and the flag-back is an equi join on the "
+    f"window string — generate-then-verify, no quadratics, the "
+    f"llm_dedup_prefix_join discipline. At 100 TB the dup-set join "
+    f"keys are length-{SUBDUP_W} strings; hashing them to 128-bit "
+    f"fingerprints halves shuffle width when collisions are "
+    f"acceptable (kept exact here for the oracle contract).",
+)
+def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(
+        F.length("text") >= SUBDUP_W
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1,"
+                f" CAST((length(text) - {SUBDUP_W}) DIV {SUBDUP_S} AS INT) + 1),"
+                f" i -> substring(text, (i - 1) * {SUBDUP_S} + 1, {SUBDUP_W}))"
+            )
+        ).alias("win"),
+    ).localCheckpoint()
+    dup = (
+        w.distinct()
+        .groupBy("win")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("win", F.lit(1).alias("is_dup"))
+    )
+    return (
+        w.join(dup, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.count("is_dup").cast("long").alias("n_dup_windows"),
+            F.round(
+                F.count("is_dup").cast("double") / F.count("*"), 9
+            ).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: DSIR-style selection: reference ("target") sources, hash-bucket
+#: vocabulary size, and how many candidate docs to select.
+DSIR_TARGET = ("src0", "src1", "src2", "src3")
+DSIR_BUCKETS = 1024
+DSIR_K = 50
+
+
+@register(
+    "llm_importance_select",
+    # The only floats are the 1024 per-bucket LN ratios, computed from
+    # identical exact integer counts on both engines and immediately
+    # floor-quantized to micros on the BOUNDED bucket table; per-doc
+    # scores are then exact BIGINT dot products. (A raw per-doc float
+    # sum of ln terms would be association-order noise under the
+    # driver's 9-decimal hash — the agg_mutual_info fixed-order lesson,
+    # taken one step further to integers.)
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || SUBSTR(MD5(UNNEST(STRING_SPLIT(text, ' '))), 1, 4))
+                        AS BIGINT) % {DSIR_BUCKETS} AS bucket
+            FROM documents
+        ),
+        tgt AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM tok WHERE source IN {DSIR_TARGET} GROUP BY bucket
+        ),
+        corp AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cc
+            FROM tok GROUP BY bucket
+        ),
+        tot AS (
+            SELECT (SELECT SUM(ct) FROM tgt) AS nt,
+                   (SELECT SUM(cc) FROM corp) AS nc
+        ),
+        lr AS (
+            SELECT c.bucket,
+                   CAST(FLOOR(LN(
+                       (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / (tot.nt + {DSIR_BUCKETS}))
+                       / (CAST(c.cc + 1 AS DOUBLE) / (tot.nc + {DSIR_BUCKETS}))
+                   ) * 1000000) AS BIGINT) AS lr6
+            FROM corp c LEFT JOIN tgt t ON t.bucket = c.bucket, tot
+        ),
+        cand AS (
+            SELECT doc_id, source, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok WHERE source NOT IN {DSIR_TARGET}
+            GROUP BY doc_id, source, bucket
+        )
+        SELECT cand.doc_id, cand.source,
+               CAST(SUM(cand.n) AS BIGINT) AS n_tokens,
+               CAST(SUM(cand.n * lr.lr6) AS BIGINT) AS score6
+        FROM cand JOIN lr ON lr.bucket = cand.bucket
+        GROUP BY cand.doc_id, cand.source
+        ORDER BY score6 DESC, cand.doc_id
+        LIMIT {DSIR_K}
+    """,
+    doc=f"DSIR-style importance selection (Xie et al. 2023, 'Data "
+    f"Selection for Language Models via Importance Resampling'): score "
+    f"every candidate doc by how much its hashed-unigram distribution "
+    f"looks like a REFERENCE corpus (sources {DSIR_TARGET}) rather "
+    f"than the overall crawl, then take the top {DSIR_K} — the "
+    f"published recipe for picking pretraining data that matches a "
+    f"quality domain. Tokens hash into {DSIR_BUCKETS} buckets "
+    f"(sample_hash_split's portable md5); the add-1-smoothed "
+    f"log-likelihood-ratio table lives on the BOUNDED bucket "
+    f"vocabulary (broadcast, {DSIR_BUCKETS} rows); each doc's score "
+    f"is the exact integer dot product of its bucket counts with the "
+    f"micro-quantized ratios; selection is TakeOrderedAndProject "
+    f"(per-partition heaps, no global sort). At 100 TB: one narrow "
+    f"explode + two hash aggs + a broadcast join — the same "
+    f"sufficient-statistics economics as agg_bootstrap_ci, and the "
+    f"score is trivially re-weightable by swapping the {DSIR_BUCKETS}-"
+    f"row lr table without re-tokenizing.",
+)
+def llm_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("t"), 1, 4), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET)
+    tgt = (
+        tok.where(is_target)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    corp = tok.groupBy("bucket").agg(F.count("*").cast("long").alias("cc"))
+    nt = tgt.agg(F.sum("ct").alias("nt"))
+    nc = corp.agg(F.sum("cc").alias("nc"))
+    lr = (
+        corp.join(tgt, "bucket", "left")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nc))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                     / (F.col("nt") + DSIR_BUCKETS))
+                    / ((F.col("cc") + 1).cast("double")
+                       / (F.col("nc") + DSIR_BUCKETS))
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("lr6"),
+        )
+    )
+    cand = (
+        tok.where(~is_target)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        cand.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lr6")).cast("long").alias("score6"),
+        )
+        .orderBy(F.desc("score6"), "doc_id")
+        .limit(DSIR_K)
+    )

@@ -68,6 +68,9 @@ DELIBERATE_CROSS = {
     # r7: SINGLE-ROW minority-class-count scalar broadcast onto the
     # ranked stream (N×1, the dq_freshness shape)
     "sample_class_balanced",
+    # r7: two SINGLE-ROW token-total scalars broadcast onto the BOUNDED
+    # 1024-row bucket table (1024×1×1 — dimension-sized, not data-scale)
+    "llm_importance_select",
     # r7: token-first-occurrence table probed against the 10-row
     # broadcast decile-cutoff table via a RANGE predicate
     # (first_doc <= d_k) — bounded non-equi by construction

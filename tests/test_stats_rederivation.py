@@ -446,3 +446,68 @@ def test_embed_outliers_rederivation(spark, sf_dir):
     got = SPECS["llm_embed_outliers"].spark(spark, sf_dir).collect()
     assert {(r.vec_id, r.label) for r in got} == set(expected)
     assert len(got) > 0  # fixture must exercise the flag arm
+
+
+def test_substring_dup_rate_rederivation(spark, sf_dir, documents):
+    W, S = 50, 25
+    wins = defaultdict(list)  # doc_id -> window list (with multiplicity)
+    for doc_id, text, _, _, _ in documents:
+        i = 0
+        while i + W <= len(text):
+            wins[doc_id].append(text[i : i + W])
+            i += S
+    owners = defaultdict(set)
+    for doc_id, ws in wins.items():
+        for w in ws:
+            owners[w].add(doc_id)
+    dup = {w for w, ds in owners.items() if len(ds) > 1}
+    got = {
+        r.doc_id: r
+        for r in SPECS["llm_substring_dup_rate"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == {d for d, ws in wins.items() if ws}
+    any_dup = False
+    for doc_id, ws in wins.items():
+        if not ws:
+            continue
+        nd = sum(1 for w in ws if w in dup)
+        r = got[doc_id]
+        assert (r.n_windows, r.n_dup_windows) == (len(ws), nd)
+        assert _close(r.dup_rate, nd / len(ws), 1e-9)
+        any_dup = any_dup or nd > 0
+    assert any_dup  # fixture must exercise the duplicated arm
+
+
+def test_importance_select_rederivation(spark, sf_dir, documents):
+    B = 1024
+    target = {"src0", "src1", "src2", "src3"}
+    tgt, corp = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text, _, source, _ in documents:
+        buckets = [
+            int(hashlib.md5(t.encode()).hexdigest()[:4], 16) % B
+            for t in text.split(" ")
+        ]
+        per_doc[doc_id] = (source, Counter(buckets))
+        corp.update(buckets)
+        if source in target:
+            tgt.update(buckets)
+    nt, nc = sum(tgt.values()), sum(corp.values())
+    lr6 = {
+        b: math.floor(
+            math.log(((tgt.get(b, 0) + 1) / (nt + B)) / ((c + 1) / (nc + B)))
+            * 1000000
+        )
+        for b, c in corp.items()
+    }
+    scored = sorted(
+        (
+            (-sum(n * lr6[b] for b, n in cnt.items()), doc_id)
+            for doc_id, (source, cnt) in per_doc.items()
+            if source not in target
+        ),
+    )[:50]
+    expected = [doc_id for _, doc_id in scored]
+    got = SPECS["llm_importance_select"].spark(spark, sf_dir).collect()
+    assert [r.doc_id for r in got] == expected
+    assert got[0].score6 == -scored[0][0]
