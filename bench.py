@@ -119,6 +119,11 @@ BENCH_QUERIES = (
     "llm_semdedup",
     "tpch_q7_volume",
     "tpch_q21_late_supplier",
+    # r7 batch 4: the two new training-data-selection ops (explode-heavy
+    # shapes worth tracking) and the distinct-value-grid order stat
+    "llm_substring_dup_rate",
+    "llm_importance_select",
+    "agg_trimmed_mean",
 )
 
 
