@@ -3227,3 +3227,134 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_levene_bf",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY event_type, v3
+        ),
+        cum AS (
+            SELECT event_type, v3,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM grid
+        ),
+        med AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN v3 END)
+                 + MIN(CASE WHEN cum >= (n + 2) // 2 THEN v3 END) AS m2
+            FROM cum GROUP BY event_type
+        ),
+        z AS (
+            SELECT q.event_type, ABS(2 * q.v3 - med.m2) AS z2
+            FROM q JOIN med ON med.event_type = q.event_type
+        ),
+        s AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n_total,
+                {", ".join(
+                    f'''CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{i},
+                    SUM(CAST(z2 AS HUGEINT)) FILTER (event_type = '{t}') AS s1_{i},
+                    SUM(CAST(z2 AS HUGEINT) * z2) FILTER (event_type = '{t}') AS s2_{i}'''
+                    for i, t in enumerate(ANOVA_TYPES)
+                )}
+            FROM z
+        ),
+        t AS (
+            SELECT n_total,
+                   {" + ".join(f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(len(ANOVA_TYPES)))} AS tt,
+                   CAST({" + ".join(f"s1_{i}" for i in range(len(ANOVA_TYPES)))} AS DOUBLE) AS s_all,
+                   CAST({" + ".join(f"s2_{i}" for i in range(len(ANOVA_TYPES)))} AS DOUBLE) AS q_all
+            FROM s
+        )
+        SELECT n_total,
+               CAST({len(ANOVA_TYPES)} AS BIGINT) AS k_groups,
+               ((tt - s_all * s_all / n_total) / {len(ANOVA_TYPES) - 1})
+                   / ((q_all - tt) / (n_total - {len(ANOVA_TYPES)}))
+                   AS bf_stat
+        FROM t
+    """,
+    doc="Brown-Forsythe test (Levene's test with the median center) — "
+    "does the SPREAD of value differ across event types? The "
+    "robust-variance-homogeneity companion to agg_anova_oneway "
+    "(which compares means and silently assumes equal variances; "
+    "this checks that assumption). Textbook reduction: BF = one-way "
+    "ANOVA applied to z_ij = |x_ij - median_i|. Everything before "
+    "the final scalar algebra is exact integer: the per-group median "
+    "comes off the DISTINCT-VALUE grid (grouped counts + a windowed "
+    "cumsum over grid rows — cardinality bounded by the value DOMAIN, "
+    "~6.6k milli-values here, never by row count: the agg_trimmed_mean "
+    "discipline) as the DOUBLED median lo+hi so half-grid medians stay "
+    "in BIGINT, z2 = |2*v3 - m2| is integer, and the three moments per "
+    "group are HUGEINT/DECIMAL(38,0) FILTER-pivoted into one row "
+    "(agg_anova_oneway's fixed-order float combination — no "
+    "engine-dependent summation order). Scale: two hash aggregates "
+    "over raw rows + a broadcast 5-row median join; the only windows "
+    "run on the bounded grid.",
+)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    grid = q.groupBy("event_type", "v3").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v3")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "v3",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        (
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("v3")))
+            + F.min(F.when(F.col("cum") >= F.expr("(n + 2) DIV 2"), F.col("v3")))
+        ).alias("m2")
+    )
+    z = q.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("v3") - F.col("m2")).alias("z2")
+    )
+    aggs = [F.count("*").cast("long").alias("n_total")]
+    for i, t in enumerate(ANOVA_TYPES):
+        cond = F.col("event_type") == t
+        aggs += [
+            F.count(F.when(cond, 1)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(cond, F.col("z2").cast("decimal(38,0)"))).alias(f"s1_{i}"),
+            F.sum(
+                F.when(cond, (F.col("z2").cast("decimal(19,0)") * F.col("z2")).cast("decimal(38,0)"))
+            ).alias(f"s2_{i}"),
+        ]
+    s = z.agg(*aggs)
+    k = len(ANOVA_TYPES)
+    tt = " + ".join(f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(k))
+    s_all = "CAST(" + " + ".join(f"s1_{i}" for i in range(k)) + " AS DOUBLE)"
+    q_all = "CAST(" + " + ".join(f"s2_{i}" for i in range(k)) + " AS DOUBLE)"
+    t = s.select(
+        "n_total",
+        F.expr(tt).alias("tt"),
+        F.expr(s_all).alias("s_all"),
+        F.expr(q_all).alias("q_all"),
+    )
+    return t.select(
+        "n_total",
+        F.lit(k).cast("long").alias("k_groups"),
+        F.expr(
+            f"((tt - s_all * s_all / n_total) / {k - 1})"
+            f" / ((q_all - tt) / (n_total - {k}))"
+        ).alias("bf_stat"),
+    )

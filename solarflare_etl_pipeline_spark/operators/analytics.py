@@ -1347,3 +1347,91 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(CAST(mm AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
         ).alias("assortativity"),
     )
+
+
+#: Bounded BFS depth and the deterministic seed rule (node id divisible
+#: by BFS_SEED_MOD) for graph_shortest_hops.
+BFS_DEPTH = 3
+BFS_SEED_MOD = 199
+
+
+@register(
+    "graph_shortest_hops",
+    oracle=f"""
+        WITH RECURSIVE edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        walk(node, d) AS (
+            SELECT DISTINCT src AS node, 0 AS d FROM sym
+            WHERE src % {BFS_SEED_MOD} = 0
+            UNION
+            SELECT sym.dst AS node, walk.d + 1 AS d
+            FROM walk JOIN sym ON sym.src = walk.node
+            WHERE walk.d < {BFS_DEPTH}
+        )
+        SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+        FROM walk GROUP BY node
+        ORDER BY node
+    """,
+    doc=f"Multi-source breadth-first shortest hop distance, depth-capped "
+    f"at {BFS_DEPTH}, over the co-purchase graph (parts sharing an "
+    f"order — the edge set of graph_degree_histogram/assortativity): "
+    f"seeds are every node divisible by {BFS_SEED_MOD}, output is each "
+    f"reachable node's exact hop count — the neighborhood-expansion "
+    f"primitive under 'within-k-hops-of-a-flagged-entity' fraud/"
+    f"influence queries that pagerank (global scores) and "
+    f"triangle_count (local closure) don't answer. The oracle is a "
+    f"RECURSIVE CTE with UNION semantics (per-level dedup bounds the "
+    f"working table by |V|, not path count — UNION ALL would "
+    f"enumerate all O(deg^{BFS_DEPTH}) paths); Spark has no recursive "
+    f"DataFrame, so the textbook level-synchronous BFS loop runs "
+    f"{BFS_DEPTH} bounded iterations: frontier ⋈ edges → distinct → "
+    f"anti-join visited (which IS the min-hop guarantee: a node "
+    f"admitted at level k was unreachable at <k), localCheckpoint per "
+    f"level to truncate lineage — the graph_pagerank fixed-point "
+    f"discipline with a constant trip count. At 100 TB: {BFS_DEPTH} "
+    f"hash-join rounds, each shuffling only the frontier (monotone "
+    f"shrinking under the anti-join), never the full walk closure.",
+)
+def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    frontier = (
+        sym.where(F.col("src") % BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for depth in range(1, BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth).cast("long"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.orderBy("node")

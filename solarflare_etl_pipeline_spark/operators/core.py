@@ -1445,3 +1445,54 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "class_rank")
         .orderBy("lang", "class_rank")
     )
+
+
+#: Systematic sampling interval: every SYS_K-th row of the ordered frame.
+SYS_K = 97
+
+
+@register(
+    "sample_systematic",
+    oracle=f"""
+        WITH r AS (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity) AS rn
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber, l_quantity, rn
+        FROM r WHERE rn % {SYS_K} = 1
+        ORDER BY rn
+    """,
+    doc=f"Systematic (interval) sampling — every {SYS_K}-th row of the "
+    f"frame under the order (l_orderkey, l_linenumber, l_quantity) — "
+    f"the fixture's lineitem key is NOT unique, so the sort covers "
+    f"every output column: rows that still tie are identical tuples, "
+    f"making rank interchange output-invariant — the "
+    f"classic equal-probability design whose samples are evenly "
+    f"spread across the sort dimension (survey-sampling textbooks; "
+    f"contrast sample_hash_split's unordered Bernoulli and "
+    f"sample_sequential_poisson's weighted top-k). The global row "
+    f"number comes from plans/rank.with_global_rank — range "
+    f"repartition + per-partition rank + bounded offset join, "
+    f"bit-identical to the single-partition ROW_NUMBER window the "
+    f"oracle spells but with NO single-task stage (the fourth "
+    f"consumer of the distributed-rank primitive). At 100 TB: one "
+    f"range shuffle, then a narrow modulo filter that ships only "
+    f"1/{SYS_K} of rows — deterministic, resumable, and the fixed "
+    f"phase (rn % {SYS_K} = 1) makes disjoint replicate samples "
+    f"(phase 2..{SYS_K}) free.",
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    ranked = with_global_rank(
+        l, ["l_orderkey", "l_linenumber", "l_quantity"], rank_col="rn"
+    )
+    return (
+        ranked.where(F.col("rn") % SYS_K == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "rn")
+        .orderBy("rn")
+    )

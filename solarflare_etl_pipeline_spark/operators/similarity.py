@@ -2039,3 +2039,145 @@ def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "vec_id")
     )
+
+
+#: Winnowing geometry (Schleimer, Wilkerson & Aiken 2003, the MOSS
+#: algorithm): k-gram length, winnow window, the stopword-gram doc cap,
+#: and the minimum shared-fingerprint count to report a pair.
+WINNOW_K = 16
+WINNOW_W = 4
+WINNOW_MAXDOC = 20
+WINNOW_MIN_SHARED = 5
+
+
+@register(
+    "llm_winnowing_overlap",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, LEN(text) AS n
+            FROM documents WHERE LEN(text) >= {WINNOW_K + WINNOW_W - 1}
+        ),
+        g AS (
+            SELECT doc_id,
+                   UNNEST(RANGE(1, n - {WINNOW_K} + 2)) AS pos,
+                   LIST_TRANSFORM(
+                       RANGE(1, n - {WINNOW_K} + 2),
+                       i -> CAST(('0x' || SUBSTR(MD5(SUBSTR(text, i, {WINNOW_K})), 1, 15))
+                                 AS BIGINT))[UNNEST(RANGE(1, n - {WINNOW_K} + 2))] AS h
+            FROM d
+        ),
+        w AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS fp
+            FROM g
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM w WHERE pos >= {WINNOW_W}
+        ),
+        keep AS (
+            SELECT fp FROM (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp)
+            WHERE c <= {WINNOW_MAXDOC}
+        ),
+        f2 AS (SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM f2 GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+        )
+        SELECT doc_a, doc_b, n_shared,
+               sa.sz AS fp_a, sb.sz AS fp_b,
+               CAST(2000 * n_shared // (sa.sz + sb.sz) AS BIGINT) AS dice_milli
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        ORDER BY doc_a, doc_b
+    """,
+    doc=f"Winnowing fingerprint overlap — the MOSS local document "
+    f"fingerprinting algorithm (Schleimer, Wilkerson & Aiken, SIGMOD "
+    f"2003): hash every {WINNOW_K}-char k-gram, keep the MINIMUM hash "
+    f"of each sliding window of {WINNOW_W} consecutive k-grams "
+    f"(guarantee: any shared substring of length >= "
+    f"{WINNOW_K + WINNOW_W - 1} contributes at least one IDENTICAL "
+    f"selected fingerprint in both docs — the locality property "
+    f"MinHash lacks), then report doc pairs sharing >= "
+    f"{WINNOW_MIN_SHARED} fingerprints with an integer Sørensen-Dice "
+    f"score. Complements the dedup family: llm_dedup_near (global "
+    f"Jaccard) misses short plagiarized spans, llm_substring_dup_rate "
+    f"flags spans but not PAIRS; winnowing gives pairwise local-"
+    f"overlap evidence at ~2/(w+1) of the k-gram volume. Parity: "
+    f"60-bit md5-prefix k-gram hashes (the portable-hash discipline), "
+    f"window-min + DISTINCT selection identical in both engines, all "
+    f"scores exact integers. Scale: the per-doc window is partitioned "
+    f"by doc_id (high-cardinality, bounded by doc length); "
+    f"fingerprints occurring in > {WINNOW_MAXDOC} docs are dropped "
+    f"before the self-join (the prefix-filter frequency cap — kills "
+    f"the quadratic stopword-gram buckets exactly like "
+    f"llm_dedup_prefix_join); the pair join is generate-then-verify "
+    f"on fp buckets, never all-pairs.",
+)
+def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    )
+    g = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
+                f" i -> CAST(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 15),"
+                f" 16, 10) AS BIGINT))"
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(WINNOW_W - 1), Window.currentRow
+    )
+    fps = (
+        g.select("doc_id", "pos", F.min("h").over(wmin).alias("fp"))
+        .where(F.col("pos") >= WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") <= WINNOW_MAXDOC)
+        .select("fp")
+    )
+    f2 = fps.join(keep, "fp").localCheckpoint()
+    sizes = f2.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    a, b = f2.alias("a"), f2.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("fp_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "fp_a",
+            "fp_b",
+            F.expr("CAST(2000 * n_shared DIV (fp_a + fp_b) AS BIGINT)").alias(
+                "dice_milli"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

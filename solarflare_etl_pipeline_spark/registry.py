@@ -109,7 +109,11 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
-#: head below. Round-7 additions leading the list (each hash-certifies
+#: head below. Batch-5 additions: llm_winnowing_overlap (MOSS local
+#: fingerprint pairs), ts_periodogram (injected-constant DFT),
+#: agg_levene_bf (Brown-Forsythe), graph_shortest_hops (recursive-CTE
+#: oracle), sample_systematic (distributed-rank interval sampling).
+#: Round-7 additions leading the list (each hash-certifies
 #: a whole subsystem): sample_sequential_poisson (portable exact-k PPS
 #: sampling), sample_class_balanced (grouped-rank primitive under the
 #: driver), agg_trimmed_mean (distinct-value-grid order stats),

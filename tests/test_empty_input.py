@@ -68,6 +68,14 @@ CORE_QUERIES = (
     "dq_histogram_drift",
     "llm_bigram_pmi",
     "flagship_sql_corpus",
+    # round-7 batch 5: empty-grid medians (levene), empty DFT series
+    # (periodogram), empty frontier BFS, empty rank frame, empty
+    # fingerprint self-join
+    "agg_levene_bf",
+    "ts_periodogram",
+    "graph_shortest_hops",
+    "sample_systematic",
+    "llm_winnowing_overlap",
 )
 
 

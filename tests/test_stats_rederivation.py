@@ -511,3 +511,160 @@ def test_importance_select_rederivation(spark, sf_dir, documents):
     got = SPECS["llm_importance_select"].spark(spark, sf_dir).collect()
     assert [r.doc_id for r in got] == expected
     assert got[0].score6 == -scored[0][0]
+
+
+def test_levene_bf_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    # Brown-Forsythe = one-way ANOVA on |x - group median| (textbook).
+    z = defaultdict(list)
+    for et, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        med = (vs[(n - 1) // 2] + vs[n // 2]) / 2
+        z[et] = [abs(x - med) for x in vs]
+    all_z = [x for vs in z.values() for x in vs]
+    n, k = len(all_z), len(z)
+    grand = sum(all_z) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in z.values())
+    ssw = sum((x - sum(vs) / len(vs)) ** 2 for vs in z.values() for x in vs)
+    bf = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["agg_levene_bf"].spark(spark, sf_dir).collect()[0]
+    assert row.n_total == n and row.k_groups == k
+    # the operator works on DOUBLED medians (z2 = 2*z), which scales
+    # ssb and ssw by 4 each — the F ratio is invariant.
+    assert _close(row.bf_stat, bf, 1e-6)
+
+
+def test_periodogram_rederivation(spark, sf_dir):
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    d0 = min(day for _, day, _ in daily)
+    series = defaultdict(dict)
+    for et, day, c in daily:
+        series[et][(day - d0).days] = c
+    best = {}
+    for et, s in series.items():
+        powers = []
+        for p in range(2, 11):
+            sc = sum(c * math.cos(2 * math.pi * (d % p) / p) for d, c in s.items())
+            ss = sum(c * math.sin(2 * math.pi * (d % p) / p) for d, c in s.items())
+            powers.append((sc * sc + ss * ss, p))
+        # max power, ties to the smaller period (the operator's order)
+        pw, p = max(powers, key=lambda t: (t[0], -t[1]))
+        best[et] = (p, pw)
+    rows = SPECS["ts_periodogram"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(best)
+    for r in rows:
+        p, pw = best[r.event_type]
+        assert r.dominant_period_days == p
+        # The operator's amplitudes carry the 1e6 coefficient scale, so
+        # power carries 1e12 and power12 = power // 1e12 is directly in
+        # the float power's units. Micro-quantized cos/sin -> relative
+        # error O(2e-6) on power, plus 1 from the integer floor.
+        assert math.isclose(r.power12, pw, rel_tol=1e-4, abs_tol=2)
+
+
+def test_winnowing_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        WINNOW_K,
+        WINNOW_MAXDOC,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    fps = defaultdict(set)
+    for doc_id, text, *_ in documents:
+        if text is None or len(text) < WINNOW_K + WINNOW_W - 1:
+            continue
+        hs = [
+            int(hashlib.md5(text[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+            for i in range(len(text) - WINNOW_K + 1)
+        ]
+        for i in range(WINNOW_W - 1, len(hs)):
+            fps[doc_id].add(min(hs[i - WINNOW_W + 1 : i + 1]))
+    freq = Counter(fp for s in fps.values() for fp in s)
+    capped = {d: {fp for fp in s if freq[fp] <= WINNOW_MAXDOC} for d, s in fps.items()}
+    by_fp = defaultdict(list)
+    for d, s in capped.items():
+        for fp in s:
+            by_fp[fp].append(d)
+    shared = Counter()
+    for fp, docs in by_fp.items():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                shared[(docs[i], docs[j])] += 1
+    expected = {
+        (a, b): (
+            ns,
+            len(capped[a]),
+            len(capped[b]),
+            2000 * ns // (len(capped[a]) + len(capped[b])),
+        )
+        for (a, b), ns in shared.items()
+        if ns >= WINNOW_MIN_SHARED
+    }
+    rows = SPECS["llm_winnowing_overlap"].spark(spark, sf_dir).collect()
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.fp_a, r.fp_b, r.dice_milli)
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_shortest_hops_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.analytics import (
+        BFS_DEPTH,
+        BFS_SEED_MOD,
+    )
+
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    by_order = defaultdict(set)
+    for ok, pk in li:
+        by_order[ok].add(pk)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                adj[ps[i]].add(ps[j])
+                adj[ps[j]].add(ps[i])
+    dist = {n: 0 for n in adj if n % BFS_SEED_MOD == 0}
+    frontier = set(dist)
+    for d in range(1, BFS_DEPTH + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj[n]:
+                if m not in dist:
+                    nxt.add(m)
+        for m in nxt:
+            dist[m] = d
+        frontier = nxt
+    rows = SPECS["graph_shortest_hops"].spark(spark, sf_dir).collect()
+    assert {r.node: r.hops for r in rows} == dist
+
+
+def test_systematic_sample_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.core import SYS_K
+
+    li = sorted(
+        duckdb.sql(
+            f"SELECT l_orderkey, l_linenumber, l_quantity FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        ).fetchall()
+    )
+    expected = [
+        (ok, ln, q, i + 1)
+        for i, (ok, ln, q) in enumerate(li)
+        if (i + 1) % SYS_K == 1
+    ]
+    rows = SPECS["sample_systematic"].spark(spark, sf_dir).collect()
+    got = [(r.l_orderkey, r.l_linenumber, r.l_quantity, r.rn) for r in rows]
+    assert got == expected
