@@ -3358,3 +3358,204 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / ((q_all - tt) / (n_total - {k}))"
         ).alias("bf_stat"),
     )
+
+
+#: All unordered pairs of ANOVA_TYPES for the Tukey post-hoc sweep.
+TUKEY_PAIRS = tuple(
+    (i, j)
+    for i in range(len(ANOVA_TYPES))
+    for j in range(len(ANOVA_TYPES))
+    if i < j
+)
+
+
+@register(
+    "agg_tukey_hsd",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        s AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n_total,
+                {", ".join(
+                    f'''CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{i},
+                    SUM(CAST(v3 AS HUGEINT)) FILTER (event_type = '{t}') AS s1_{i},
+                    SUM(CAST(v3 AS HUGEINT) * v3) FILTER (event_type = '{t}') AS s2_{i}'''
+                    for i, t in enumerate(ANOVA_TYPES)
+                )}
+            FROM q
+        ),
+        m AS (
+            SELECT n_total,
+                   ({" + ".join(f"CAST(s2_{i} AS DOUBLE)" for i in range(len(ANOVA_TYPES)))})
+                 - ({" + ".join(f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(len(ANOVA_TYPES)))})
+                       AS ssw,
+                   {", ".join(f"n_{i}, CAST(s1_{i} AS DOUBLE) / n_{i} AS m_{i}" for i in range(len(ANOVA_TYPES)))}
+            FROM s
+        )
+        SELECT type_a, type_b, mean_diff_milli, q_stat
+        FROM m, (
+            SELECT UNNEST([{", ".join(f"{{'ia': {i}, 'ib': {j}}}" for i, j in TUKEY_PAIRS)}],
+                          recursive := true)
+        ) pair
+        , LATERAL (
+            SELECT
+                CASE pair.ia {" ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(ANOVA_TYPES))} END AS type_a,
+                CASE pair.ib {" ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(ANOVA_TYPES))} END AS type_b,
+                CASE pair.ia {" ".join(f"WHEN {i} THEN m_{i}" for i in range(len(ANOVA_TYPES)))} END AS ma,
+                CASE pair.ib {" ".join(f"WHEN {i} THEN m_{i}" for i in range(len(ANOVA_TYPES)))} END AS mb,
+                CASE pair.ia {" ".join(f"WHEN {i} THEN n_{i}" for i in range(len(ANOVA_TYPES)))} END AS na,
+                CASE pair.ib {" ".join(f"WHEN {i} THEN n_{i}" for i in range(len(ANOVA_TYPES)))} END AS nb
+        ) x
+        , LATERAL (
+            SELECT ABS(ma - mb) AS mean_diff_milli,
+                   ABS(ma - mb) / SQRT(ssw / (n_total - {len(ANOVA_TYPES)}) / 2.0
+                                       * (1.0 / na + 1.0 / nb)) AS q_stat
+        ) y
+        ORDER BY type_a, type_b
+    """,
+    doc="Tukey HSD post-hoc sweep — WHICH pairs of event types differ, "
+    "the follow-up question agg_anova_oneway's single F-stat leaves "
+    "open: the studentized-range statistic q = |mean_a - mean_b| / "
+    "sqrt(MSW/2 * (1/n_a + 1/n_b)) for every unordered pair "
+    "(Tukey-Kramer form for unequal group sizes). Same sufficient-"
+    "statistics economics as ANOVA: ONE FILTER-pivoted hash aggregate "
+    "over raw rows collapses the table to a single row of exact "
+    "HUGEINT/DECIMAL(38,0) moments; the 10 pair rows then come from "
+    "exploding a LITERAL pair list over that one row (narrow, no "
+    "join), with group lookups as fixed CASE chains so every float "
+    "expression is one identical fixed-order chain on both engines "
+    "(no ROUND — the agg_anova_oneway lesson). Scale: map-side "
+    "combinable aggregate + O(k^2) scalar rows; nothing data-sized "
+    "after the first pass.",
+)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    )
+    aggs = [F.count("*").cast("long").alias("n_total")]
+    for i, t in enumerate(ANOVA_TYPES):
+        cond = F.col("event_type") == t
+        aggs += [
+            F.count(F.when(cond, 1)).cast("long").alias(f"n_{i}"),
+            F.sum(F.when(cond, F.col("v3").cast("decimal(38,0)"))).alias(f"s1_{i}"),
+            F.sum(
+                F.when(cond, (F.col("v3").cast("decimal(19,0)") * F.col("v3")).cast("decimal(38,0)"))
+            ).alias(f"s2_{i}"),
+        ]
+    s = table(spark, sf_dir, "events").select(
+        "event_type", F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3")
+    ).agg(*aggs)
+    k = len(ANOVA_TYPES)
+    ssw = (
+        "(" + " + ".join(f"CAST(s2_{i} AS DOUBLE)" for i in range(k)) + ")"
+        " - (" + " + ".join(f"CAST(s1_{i} * s1_{i} AS DOUBLE) / n_{i}" for i in range(k)) + ")"
+    )
+    m = s.select(
+        "n_total",
+        F.expr(ssw).alias("ssw"),
+        *[F.col(f"n_{i}") for i in range(k)],
+        *[F.expr(f"CAST(s1_{i} AS DOUBLE) / n_{i}").alias(f"m_{i}") for i in range(k)],
+    )
+    pairs = m.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ia"), F.lit(j).alias("ib"))
+                    for i, j in TUKEY_PAIRS
+                ]
+            )
+        ).alias("pair"),
+    )
+    case_t = lambda col: "CASE pair." + col + " " + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(ANOVA_TYPES)
+    ) + " END"
+    case_v = lambda col, pre: "CASE pair." + col + " " + " ".join(
+        f"WHEN {i} THEN {pre}_{i}" for i in range(k)
+    ) + " END"
+    return pairs.select(
+        F.expr(case_t("ia")).alias("type_a"),
+        F.expr(case_t("ib")).alias("type_b"),
+        F.expr(f"ABS({case_v('ia', 'm')} - {case_v('ib', 'm')})").alias(
+            "mean_diff_milli"
+        ),
+        # 1.0D, not 1.0: Spark parses the bare literal as DECIMAL(2,1), so
+        # 1.0/n would be DECIMAL division (decimal(23,22)) while DuckDB's
+        # 1.0 is DOUBLE — an ulp-level engine fork caught bitwise during
+        # this op's development (ORACLE_PARITY rule: double literals in
+        # expr strings must be spelled with the D suffix).
+        F.expr(
+            f"ABS({case_v('ia', 'm')} - {case_v('ib', 'm')})"
+            f" / SQRT(ssw / (n_total - {k}) / 2.0D"
+            f" * (1.0D / {case_v('ia', 'n')} + 1.0D / {case_v('ib', 'n')}))"
+        ).alias("q_stat"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "agg_calibration_ece",
+    oracle="""
+        WITH q AS (
+            SELECT LEAST(CAST(FLOOR(value * 2) AS BIGINT), 999) AS p_milli,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        b AS (
+            SELECT p_milli // 100 AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p_milli) AS BIGINT) AS sum_p_milli,
+                   CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM q GROUP BY p_milli // 100
+        )
+        SELECT bin, n, sum_p_milli, n_pos,
+               CAST(sum_p_milli * 1000 // n AS BIGINT) AS conf_micro,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS rate_micro,
+               ABS(CAST(sum_p_milli * 1000 // n AS BIGINT)
+                   - CAST(n_pos * 1000000 // n AS BIGINT)) AS gap_micro
+        FROM b ORDER BY bin
+    """,
+    doc="Calibration reliability bins + per-bin ECE contribution — the "
+    "standard evaluation of a probabilistic scorer (Guo et al. 2017 "
+    "'On Calibration of Modern Neural Networks'): bucket predictions "
+    "into 10 equal-width confidence bins, compare mean predicted "
+    "confidence against the empirical positive rate, report the "
+    "absolute gap; sum(n*gap)/N is the Expected Calibration Error. "
+    "Fixture proxy: confidence = value/500 (milli-quantized, clipped "
+    "to [0, 0.999]); positive = purchase events. Everything is "
+    "integer (milli confidences, micro rates, floor-divided ratios "
+    "identical under Spark DIV / DuckDB //) so the row set is "
+    "engine-exact — rule 22 applied to an eval metric. Scale: ONE "
+    "map-side-combinable hash aggregate into 10 bins; nothing else.",
+)
+def agg_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.least(F.expr("CAST(FLOOR(value * 2) AS BIGINT)"), F.lit(999)).alias(
+            "p_milli"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = (
+        q.groupBy(F.expr("p_milli DIV 100").alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p_milli").cast("long").alias("sum_p_milli"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    return b.select(
+        "bin",
+        "n",
+        "sum_p_milli",
+        "n_pos",
+        F.expr("CAST(sum_p_milli * 1000 DIV n AS BIGINT)").alias("conf_micro"),
+        F.expr("CAST(n_pos * 1000000 DIV n AS BIGINT)").alias("rate_micro"),
+        F.expr(
+            "ABS(CAST(sum_p_milli * 1000 DIV n AS BIGINT)"
+            " - CAST(n_pos * 1000000 DIV n AS BIGINT))"
+        ).alias("gap_micro"),
+    ).orderBy("bin")

@@ -2968,3 +2968,132 @@ def llm_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score6"), "doc_id")
         .limit(DSIR_K)
     )
+
+
+#: Split-leakage geometry: word-shingle width, and the same md5 16-bit
+#: key hash sample_hash_split assigns splits with (train = bucket < 8).
+LEAK_NGRAM = 5
+
+
+@register(
+    "llm_split_leakage",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 AS b,
+                   STRING_SPLIT(text, ' ') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, b,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, LEN(w) - {LEAK_NGRAM - 2}),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                            w[i+3] || ' ' || w[i+4]))) AS sh
+            FROM t
+        ),
+        train_sh AS (SELECT DISTINCT sh, doc_id FROM sh WHERE b < 8),
+        test_sh AS (SELECT doc_id, sh FROM sh WHERE b >= 8),
+        sizes AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+            FROM test_sh GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT test_sh.doc_id, CAST(COUNT(DISTINCT test_sh.sh) AS BIGINT) AS n_hit
+            FROM test_sh
+            WHERE test_sh.sh IN (SELECT sh FROM train_sh)
+            GROUP BY test_sh.doc_id
+        ),
+        pair AS (
+            SELECT test_sh.doc_id AS tdoc, train_sh.doc_id AS trdoc,
+                   CAST(COUNT(*) AS BIGINT) AS c,
+                   ROW_NUMBER() OVER (PARTITION BY test_sh.doc_id
+                                      ORDER BY COUNT(*) DESC, train_sh.doc_id) AS rk
+            FROM test_sh JOIN train_sh ON train_sh.sh = test_sh.sh
+            GROUP BY test_sh.doc_id, train_sh.doc_id
+        )
+        SELECT hits.doc_id, sizes.n_sh, hits.n_hit,
+               CAST(hits.n_hit * 1000 // sizes.n_sh AS BIGINT) AS containment_milli,
+               pair.trdoc AS worst_train_doc,
+               pair.c AS n_shared_worst
+        FROM hits
+        JOIN sizes ON sizes.doc_id = hits.doc_id
+        JOIN pair ON pair.tdoc = hits.doc_id AND pair.rk = 1
+        ORDER BY hits.doc_id
+    """,
+    doc=f"Train/test split leakage audit — for every TEST document under "
+    f"the repo's canonical md5 hash split (sample_hash_split: 16-bit "
+    f"key hash, buckets 8-9 held out), how much of it already sits in "
+    f"TRAIN: distinct {LEAK_NGRAM}-gram word shingles, containment = "
+    f"|test-shingles ∩ train-shingle-set| / |test-shingles| (the "
+    f"directional measure of 'Documenting the English Colossal Clean "
+    f"Crawled Corpus' / GPT-3-style dedup audits — Jaccard would "
+    f"under-report a short doc swallowed by a long one), plus the "
+    f"single worst offending train document (most shared shingles, "
+    f"ties to the smallest id) for triage. Complements "
+    f"llm_decontaminate (which audits a named benchmark SOURCE; this "
+    f"audits the model's own holdout under the hash split, the leak "
+    f"that silently inflates eval numbers). Scale: shingle-grain "
+    f"semi-join economics — generate-then-verify equi joins on the "
+    f"shingle string, one rank window partitioned by test doc; no "
+    f"all-pairs stage anywhere.",
+)
+def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            b.alias("b"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(split(text, ' ')) - {LEAK_NGRAM - 1}),"
+                        f" i -> concat_ws(' ', slice(split(text, ' '), i, {LEAK_NGRAM})))"
+                    )
+                )
+            ).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    train_sh = sh.where(F.col("b") < 8).select("sh", F.col("doc_id").alias("trdoc")).distinct()
+    test_sh = sh.where(F.col("b") >= 8).select("doc_id", "sh")
+    sizes = test_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    hits = (
+        test_sh.join(train_sh.select("sh").distinct(), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").cast("long").alias("n_hit"))
+    )
+    pair = (
+        test_sh.join(train_sh, "sh")
+        .groupBy(F.col("doc_id").alias("tdoc"), "trdoc")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("tdoc").orderBy(F.col("c").desc(), "trdoc")
+            ),
+        )
+        .where(F.col("rk") == 1)
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .join(pair, hits["doc_id"] == pair["tdoc"])
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000 DIV n_sh AS BIGINT)").alias(
+                "containment_milli"
+            ),
+            F.col("trdoc").alias("worst_train_doc"),
+            F.col("c").alias("n_shared_worst"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1585,3 +1585,138 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: SAX geometry: PAA segment length in days and the 4-symbol gaussian
+#: breakpoints (N(0,1) quartiles), injected as identical literals into
+#: both engines.
+SAX_SEG_DAYS = 5
+SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+
+
+@register(
+    "ts_sax_words",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   DATE_DIFF('day',
+                             MIN(CAST(ts AS DATE)) OVER (),
+                             CAST(ts AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(cnt AS HUGEINT)) AS s1,
+                   SUM(CAST(cnt AS HUGEINT) * cnt) AS s2
+            FROM daily GROUP BY event_type
+        ),
+        seg AS (
+            SELECT event_type, d // {SAX_SEG_DAYS} AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS len_s,
+                   SUM(CAST(cnt AS HUGEINT)) AS seg_sum
+            FROM daily GROUP BY event_type, d // {SAX_SEG_DAYS}
+        ),
+        z AS (
+            SELECT seg.event_type, seg.seg,
+                   (CAST(seg.seg_sum AS DOUBLE) / seg.len_s
+                    - CAST(stats.s1 AS DOUBLE) / stats.n)
+                   / SQRT(CAST(stats.n * stats.s2 - stats.s1 * stats.s1 AS DOUBLE)
+                          / (CAST(stats.n AS DOUBLE) * (stats.n - 1))) AS zp
+            FROM seg JOIN stats ON stats.event_type = seg.event_type
+            WHERE stats.n >= 2 AND stats.n * stats.s2 - stats.s1 * stats.s1 > 0
+        )
+        SELECT event_type,
+               STRING_AGG(
+                   CASE WHEN zp < {SAX_BREAKS[0]} THEN 'a'
+                        WHEN zp < {SAX_BREAKS[1]} THEN 'b'
+                        WHEN zp < {SAX_BREAKS[2]} THEN 'c'
+                        ELSE 'd' END, '' ORDER BY seg) AS sax_word,
+               CAST(COUNT(*) AS BIGINT) AS n_segments
+        FROM z GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=f"SAX symbolization (Lin, Keogh, Lonardi & Chiu 2003, 'A Symbolic "
+    f"Representation of Time Series'): z-normalize each event type's "
+    f"daily-count series, Piecewise-Aggregate-Approximate it into "
+    f"{SAX_SEG_DAYS}-day segments, and map each segment mean to one of "
+    f"4 symbols at the N(0,1) quartile breakpoints {SAX_BREAKS} — the "
+    f"discretization under time-series motif mining, anomaly grammars "
+    f"and index-able subsequence search. Parity discipline: PAA means "
+    f"are NEVER summed as floats — each segment's z-mean is recovered "
+    f"from INTEGER sufficient statistics as (seg_sum/len - mean)/std "
+    f"(one fixed-order IEEE chain per row; ts_ewma_kernel's rule 21 "
+    f"sidestepped entirely), the breakpoints are shared literals "
+    f"(bit-identical via strtod in both engines, D-suffixed on the "
+    f"Spark side per rule 24), and degenerate constant series are "
+    f"excluded by the INTEGER inequality n*s2 - s1*s1 > 0 (rule 22). "
+    f"Scale: one hash aggregate to the calendar-bounded daily grid, "
+    f"two bounded aggregates over it — at 100 TB only the first "
+    f"aggregate sees data-sized input, and it is map-side combinable.",
+)
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "d",
+            F.datediff(F.col("day"), F.min("day").over(Window.partitionBy())),
+        )
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("cnt").cast("decimal(19,0)") * F.col("cnt")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s2"),
+    )
+    seg = daily.groupBy(
+        "event_type", F.expr(f"d DIV {SAX_SEG_DAYS}").alias("seg")
+    ).agg(
+        F.count("*").cast("long").alias("len_s"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("seg_sum"),
+    )
+    z = (
+        seg.join(stats, "event_type")
+        .where(F.expr("n >= 2 AND n * s2 - s1 * s1 > 0"))
+        .select(
+            "event_type",
+            "seg",
+            F.expr(
+                "(CAST(seg_sum AS DOUBLE) / len_s - CAST(s1 AS DOUBLE) / n)"
+                " / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)"
+                "        / (CAST(n AS DOUBLE) * (n - 1)))"
+            ).alias("zp"),
+        )
+    )
+    sym = z.select(
+        "event_type",
+        "seg",
+        F.expr(
+            f"CASE WHEN zp < {SAX_BREAKS[0]}D THEN 'a'"
+            f" WHEN zp < {SAX_BREAKS[1]}D THEN 'b'"
+            f" WHEN zp < {SAX_BREAKS[2]}D THEN 'c'"
+            f" ELSE 'd' END"
+        ).alias("sym"),
+    )
+    return (
+        sym.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg", "sym"))
+                    ),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax_word"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .orderBy("event_type")
+    )

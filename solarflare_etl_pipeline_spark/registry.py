@@ -113,6 +113,8 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: fingerprint pairs), ts_periodogram (injected-constant DFT),
 #: agg_levene_bf (Brown-Forsythe), graph_shortest_hops (recursive-CTE
 #: oracle), sample_systematic (distributed-rank interval sampling).
+#: Batch-6: agg_tukey_hsd (bitwise-verified), agg_calibration_ece,
+#: ts_sax_words, llm_split_leakage, ingest_csv_corrupt.
 #: Round-7 additions leading the list (each hash-certifies
 #: a whole subsystem): sample_sequential_poisson (portable exact-k PPS
 #: sampling), sample_class_balanced (grouped-rank primitive under the

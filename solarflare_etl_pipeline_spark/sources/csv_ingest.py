@@ -102,3 +102,68 @@ def ingest_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.upper("c_mktsegment").alias("segment_uc"),
     )
+
+
+@register(
+    "ingest_csv_corrupt",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_corrupt,
+               CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE n_chars END)
+                    AS BIGINT) AS sum_chars_clean
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Malformed-CSV ingestion (PERMISSIVE + columnNameOfCorruptRecord) "
+    "— the CSV sibling of ingest_json_corrupt: a comma-delimited feed "
+    "is derived from documents with every doc_id % 11 == 0 line's "
+    "numeric n_chars field replaced by a non-numeric token; the typed "
+    "reader parses clean lines fully, lands each broken line's raw "
+    "text in _corrupt_record, NULLs only the unparseable field, and "
+    "the job never dies. Unlike the JSON case (whole record lost), "
+    "CSV PERMISSIVE keeps the fields that did parse — doc_id and "
+    "lang survive on corrupt rows, so the lang grouping is the REAL "
+    "lang and the oracle certifies three things at once from the "
+    "corruption rule alone: row conservation, per-lang quarantine "
+    "counts, and that clean-row n_chars sums are untouched. "
+    "Generated distributed (concat + conditional rewrite + text "
+    "write); read is a narrow typed scan — the quarantine pattern at "
+    "any scale.",
+)
+def ingest_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    target = _os.path.join(
+        _tempfile.gettempdir(),
+        f"solarflare_corrupt_csv_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}.csv",
+    )
+    line = F.concat_ws(
+        ",", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+    )
+    corrupted = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat_ws(",", F.col("doc_id"), F.col("lang"), F.lit("XX")),
+    ).otherwise(line)
+    (
+        table(spark, sf_dir, "documents")
+        .select(corrupted.alias("value"))
+        .write.mode("overwrite")
+        .text(target)
+    )
+    schema = "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(target)
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum("n_chars").cast("long").alias("sum_chars_clean"),
+    )

@@ -76,6 +76,14 @@ CORE_QUERIES = (
     "graph_shortest_hops",
     "sample_systematic",
     "llm_winnowing_overlap",
+    # round-7 batch 6: zero-group sufficient stats (tukey), empty bins
+    # (calibration), empty grids (sax), empty split halves (leakage),
+    # empty derived CSV feed (csv_corrupt)
+    "agg_tukey_hsd",
+    "agg_calibration_ece",
+    "ts_sax_words",
+    "llm_split_leakage",
+    "ingest_csv_corrupt",
 )
 
 

@@ -668,3 +668,134 @@ def test_systematic_sample_rederivation(spark, sf_dir):
     rows = SPECS["sample_systematic"].spark(spark, sf_dir).collect()
     got = [(r.l_orderkey, r.l_linenumber, r.l_quantity, r.rn) for r in rows]
     assert got == expected
+
+
+def test_tukey_hsd_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    n = sum(len(vs) for vs in groups.values())
+    k = len(groups)
+    ssw = sum((x - sum(vs) / len(vs)) ** 2 for vs in groups.values() for x in vs)
+    msw = ssw / (n - k)
+    rows = SPECS["agg_tukey_hsd"].spark(spark, sf_dir).collect()
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        a, b = groups[r.type_a], groups[r.type_b]
+        diff = abs(sum(a) / len(a) - sum(b) / len(b))
+        q = diff / math.sqrt(msw / 2.0 * (1.0 / len(a) + 1.0 / len(b)))
+        assert _close(r.mean_diff_milli, diff, 1e-9)
+        assert _close(r.q_stat, q, 1e-9)
+
+
+def test_calibration_ece_rederivation(spark, sf_dir, events):
+    bins = defaultdict(lambda: [0, 0, 0])  # n, sum_p_milli, n_pos
+    for _, _, et, v in events:
+        p = min(math.floor(v * 2), 999)
+        s = bins[p // 100]
+        s[0] += 1
+        s[1] += p
+        s[2] += 1 if et == "purchase" else 0
+    rows = SPECS["agg_calibration_ece"].spark(spark, sf_dir).collect()
+    assert {r.bin for r in rows} == set(bins)
+    for r in rows:
+        n, sp, np_ = bins[r.bin]
+        assert (r.n, r.sum_p_milli, r.n_pos) == (n, sp, np_)
+        assert r.conf_micro == sp * 1000 // n
+        assert r.rate_micro == np_ * 1000000 // n
+        assert r.gap_micro == abs(sp * 1000 // n - np_ * 1000000 // n)
+
+
+def test_sax_words_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.timeseries import (
+        SAX_BREAKS,
+        SAX_SEG_DAYS,
+    )
+
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    d0 = min(day for _, day, _ in daily)
+    series = defaultdict(dict)
+    for et, day, c in daily:
+        series[et][(day - d0).days] = c
+    expected = {}
+    for et, s in series.items():
+        n = len(s)
+        if n < 2:
+            continue
+        mean = sum(s.values()) / n
+        var = (n * sum(c * c for c in s.values()) - sum(s.values()) ** 2) / (
+            n * (n - 1)
+        )
+        if var <= 0:
+            continue
+        std = math.sqrt(var)
+        segs = defaultdict(lambda: [0, 0])
+        for d, c in s.items():
+            seg = d // SAX_SEG_DAYS
+            segs[seg][0] += 1
+            segs[seg][1] += c
+        word = ""
+        for seg in sorted(segs):
+            ln, tot = segs[seg]
+            z = (tot / ln - mean) / std
+            word += (
+                "a" if z < SAX_BREAKS[0]
+                else "b" if z < SAX_BREAKS[1]
+                else "c" if z < SAX_BREAKS[2]
+                else "d"
+            )
+        expected[et] = (word, len(segs))
+    rows = SPECS["ts_sax_words"].spark(spark, sf_dir).collect()
+    assert {r.event_type: (r.sax_word, r.n_segments) for r in rows} == expected
+
+
+def test_split_leakage_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import LEAK_NGRAM
+
+    train_sh = defaultdict(set)  # shingle -> train doc ids
+    test_docs = {}
+    for doc_id, text, *_ in documents:
+        words = text.split(" ")
+        sh = {
+            " ".join(words[i : i + LEAK_NGRAM])
+            for i in range(len(words) - LEAK_NGRAM + 1)
+        }
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 10
+        if b < 8:
+            for g in sh:
+                train_sh[g].add(doc_id)
+        else:
+            test_docs[doc_id] = sh
+    expected = {}
+    for doc_id, sh in test_docs.items():
+        hit = {g for g in sh if g in train_sh}
+        if not hit:
+            continue
+        shared = Counter()
+        for g in hit:
+            for tr in train_sh[g]:
+                shared[tr] += 1
+        worst_c = max(shared.values())
+        worst = min(tr for tr, c in shared.items() if c == worst_c)
+        expected[doc_id] = (
+            len(sh),
+            len(hit),
+            1000 * len(hit) // len(sh),
+            worst,
+            worst_c,
+        )
+    rows = SPECS["llm_split_leakage"].spark(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (
+            r.n_sh,
+            r.n_hit,
+            r.containment_milli,
+            r.worst_train_doc,
+            r.n_shared_worst,
+        )
+        for r in rows
+    }
+    assert got == expected
