@@ -3559,3 +3559,111 @@ def agg_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(n_pos * 1000000 DIV n AS BIGINT))"
         ).alias("gap_micro"),
     ).orderBy("bin")
+
+
+#: CUPED pre-period length in days (post-period = the rest of the span).
+CUPED_PRE_DAYS = 15
+
+
+@register(
+    "agg_cuped_adjust",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id,
+                   DATE_DIFF('day',
+                             MIN(CAST(ts AS DATE)) OVER (),
+                             CAST(ts AS DATE)) AS d,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   SUM(CASE WHEN d < {CUPED_PRE_DAYS} THEN CAST(v3 AS HUGEINT) ELSE 0 END) AS x,
+                   SUM(CASE WHEN d >= {CUPED_PRE_DAYS} THEN CAST(v3 AS HUGEINT) ELSE 0 END) AS y
+            FROM e GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM u
+        )
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1)) AS var_post,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (n - 1))
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1)))
+                   * (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE)) AS var_adjusted
+        FROM s
+    """,
+    doc=f"CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 "
+    f"— the industry-standard A/B-test sensitivity boost): per user, "
+    f"x = pre-period value (first {CUPED_PRE_DAYS} days of the span), "
+    f"y = post-period value; theta = cov(x,y)/var(x); the adjusted "
+    f"metric y - theta*(x - xbar) has variance var(y) - cov^2/var(x), "
+    f"i.e. a rho^2 reduction — this op reports theta and both "
+    f"variances so an experimenter can size the win before wiring the "
+    f"covariate in. All five cross moments are exact HUGEINT/"
+    f"DECIMAL(38,0) sums off milli-quantized per-user totals (x*y at "
+    f"100x exceeds BIGINT), combined in single fixed-order float "
+    f"expressions — the agg_anova_oneway discipline; var_adjusted is "
+    f"spelled (n*sxy - sx*sy)/(n(n-1)) * theta so every division "
+    f"appears once, identically, in both engines. Scale: one hash "
+    f"aggregate per user, one scalar reduce — mergeable sufficient "
+    f"statistics end to end.",
+)
+def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    e = e.withColumn(
+        "d", F.datediff(F.col("day"), F.min("day").over(Window.partitionBy()))
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("d") < CUPED_PRE_DAYS, F.col("v3"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("d") >= CUPED_PRE_DAYS, F.col("v3"))
+            .otherwise(0)
+            .cast("decimal(38,0)")
+        ).alias("y"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,0))")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,0))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(38,0))")).alias("syy"),
+    )
+    return s.select(
+        "n",
+        F.expr(
+            "CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE)"
+        ).alias("theta"),
+        F.expr(
+            "CAST(n * syy - sy * sy AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+        ).alias("var_post"),
+        F.expr(
+            "CAST(n * syy - sy * sy AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+            " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+            "    / (CAST(n AS DOUBLE) * (n - 1)))"
+            "   * (CAST(n * sxy - sx * sy AS DOUBLE)"
+            "      / CAST(n * sxx - sx * sx AS DOUBLE))"
+        ).alias("var_adjusted"),
+    )

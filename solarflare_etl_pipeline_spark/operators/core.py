@@ -1496,3 +1496,87 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_quantity", "rn")
         .orderBy("rn")
     )
+
+
+@register(
+    "dq_fd_violations",
+    oracle="""
+        WITH fd1 AS (
+            SELECT 'lineitem:(okey,lineno)->quantity' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+            FROM (SELECT COUNT(DISTINCT l_quantity) AS nd
+                  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        ),
+        fd2 AS (
+            SELECT 'orders:okey->custkey' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+            FROM (SELECT COUNT(DISTINCT o_custkey) AS nd
+                  FROM orders GROUP BY o_orderkey)
+        ),
+        fd3 AS (
+            SELECT 'events:user->event_type' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+            FROM (SELECT COUNT(DISTINCT event_type) AS nd
+                  FROM events GROUP BY user_id)
+        ),
+        fd4 AS (
+            SELECT 'customer:custkey->nationkey' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+            FROM (SELECT COUNT(DISTINCT c_nationkey) AS nd
+                  FROM customer GROUP BY c_custkey)
+        ),
+        u AS (
+            SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+            UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+        )
+        SELECT fd, n_groups, n_violating,
+               CAST(n_violating * 1000000 // n_groups AS BIGINT)
+                   AS violation_rate_micro
+        FROM u ORDER BY fd
+    """,
+    doc="Approximate functional-dependency profiling (the TANE/"
+    "Papenbrock family's verification step, fixed candidate set): for "
+    "each declared FD X -> Y, count LHS groups whose Y is not unique "
+    "— the data-quality primitive behind key discovery, denormalization "
+    "audits and 'is this column derivable' questions. The fixture "
+    "makes it non-degenerate in both directions: "
+    "(l_orderkey, l_linenumber) -> l_quantity is VIOLATED (this "
+    "repo's sample_systematic development discovered those duplicate "
+    "keys the hard way) while customer's key FD holds — so the op "
+    "certifies both detection and absence. Each FD is one hash "
+    "aggregate (groupBy LHS, count distinct RHS) reduced to a single "
+    "row; rates are floor-divided micros (rule 22). Scale: k "
+    "independent mergeable aggregates, unioned bounded rows — "
+    "embarrassingly parallel across FDs and partitions.",
+)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(df, name, lhs, rhs):
+        g = df.groupBy(*lhs).agg(F.count_distinct(F.col(rhs)).alias("nd"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("nd") > 1).cast("int")).cast("long").alias("n_violating"),
+        )
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    u = (
+        check(l, "lineitem:(okey,lineno)->quantity", ["l_orderkey", "l_linenumber"], "l_quantity")
+        .unionAll(check(o, "orders:okey->custkey", ["o_orderkey"], "o_custkey"))
+        .unionAll(check(e, "events:user->event_type", ["user_id"], "event_type"))
+        .unionAll(check(c, "customer:custkey->nationkey", ["c_custkey"], "c_nationkey"))
+    )
+    return u.select(
+        "fd",
+        "n_groups",
+        "n_violating",
+        F.expr("CAST(n_violating * 1000000 DIV n_groups AS BIGINT)").alias(
+            "violation_rate_micro"
+        ),
+    ).orderBy("fd")

@@ -3097,3 +3097,69 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Per-source token budget for the greedy trim (tokens = whitespace
+#: words, the llm_token_count convention).
+BUDGET_TOKENS = 800
+
+
+@register(
+    "llm_token_budget_trim",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, tokens,
+                   CAST(SUM(tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM d
+        )
+        SELECT doc_id, source, tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {BUDGET_TOKENS}
+        ORDER BY source, cum_tokens
+    """,
+    doc=f"Per-source token-budget trim — the mixture-assembly step after "
+    f"weights are chosen (llm_mixture_sample picks proportions; this "
+    f"materializes 'at most {BUDGET_TOKENS} tokens per source, best "
+    f"docs first'): greedily keep each source's docs in priority order "
+    f"(longest n_chars first, doc_id tiebreak) while the source's "
+    f"running token total stays within budget. The oracle spells the "
+    f"textbook cumulative window PARTITION BY source — a "
+    f"low-cardinality partition that funnels every doc through ~10 "
+    f"tasks at 100 TB — while the Spark plan uses plans/rank."
+    f"with_grouped_prefix_sum: range-repartition on (source, priority), "
+    f"PARTITION-LOCAL running sums, then bounded (source x partition) "
+    f"offsets — bit-identical cumulative totals, no single-task stage "
+    f"(the with_global_rank discipline extended to prefix sums; first "
+    f"consumer). Budget filter is an integer comparison (rule 22).",
+)
+def llm_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import (
+        with_grouped_prefix_sum,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    )
+    c = with_grouped_prefix_sum(
+        d,
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "tokens",
+        sum_col="cum_tokens",
+    )
+    return (
+        c.where(F.col("cum_tokens") <= BUDGET_TOKENS)
+        .select("doc_id", "source", "tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )

@@ -1720,3 +1720,103 @@ def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_drawdown",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, ts,
+                   SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS cum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        d AS (
+            SELECT user_id, event_id, cum,
+                   MAX(cum) OVER w - cum AS dd
+            FROM s
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        r AS (
+            SELECT user_id, event_id, dd,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS n_events,
+                   CAST(MAX(cum) OVER (PARTITION BY user_id) AS BIGINT)
+                       AS peak_milli,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY dd DESC, event_id) AS rk
+            FROM d
+        )
+        SELECT user_id, n_events, peak_milli,
+               CAST(dd AS BIGINT) AS max_drawdown_milli,
+               event_id AS trough_event_id
+        FROM r WHERE rk = 1
+        ORDER BY user_id
+    """,
+    doc="Maximum drawdown per user over the cumulative value series — "
+    "the classic peak-to-trough risk measure (finance portfolio "
+    "analytics; equally the 'largest budget giveback' question over "
+    "any running total): running sum under the event-time order, "
+    "running maximum of that sum, drawdown = running-max minus "
+    "current, report each user's worst point and the event where it "
+    "bottomed (ties to the earliest event id). All integer "
+    "milli-arithmetic (rule 22) so the row set is engine-exact; both "
+    "running aggregates share ONE time-ordered frame and the final "
+    "pick is a rank-1 filter — three windows total, every one "
+    "partitioned by user_id (high-cardinality — the scale-safe kind; "
+    "per-user sequences are bounded by a user's own activity, the "
+    "inherently sequential grain). One hash shuffle on user_id at "
+    "any scale; Spark's WindowGroupLimit pushes the rank-1 filter "
+    "below the final sort.",
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+    )
+    wt = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("v3").over(wt).alias("cum"),
+    ).withColumn(
+        "dd",
+        F.max("cum").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("cum"),
+    )
+    r = d.select(
+        "user_id",
+        "event_id",
+        "dd",
+        F.count("*").over(Window.partitionBy("user_id")).cast("long").alias("n_events"),
+        F.max("cum").over(Window.partitionBy("user_id")).cast("long").alias("peak_milli"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("dd").desc(), "event_id"))
+        .alias("rk"),
+    )
+    return (
+        r.where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            "peak_milli",
+            F.col("dd").cast("long").alias("max_drawdown_milli"),
+            F.col("event_id").alias("trough_event_id"),
+        )
+        .orderBy("user_id")
+    )

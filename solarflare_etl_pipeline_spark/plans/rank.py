@@ -134,3 +134,66 @@ def exact_ntile(rank: Column, n: Column, k: int) -> Column:
     in_front = F.floor((rank - 1) / (q + 1)).cast("long") + 1
     in_back = r + F.floor((rank - threshold - 1) / F.when(q > 0, q).otherwise(1)).cast("long") + 1
     return F.when(rank <= threshold, in_front).otherwise(in_back).cast("long")
+
+
+def with_grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols,
+    value_col: str,
+    sum_col: str = "cum",
+    parts: int | None = None,
+) -> DataFrame:
+    """Add ``sum_col`` = exact INCLUSIVE running sum of ``value_col``
+    within each group under ``order_cols`` — the scale-safe form of
+    ``sum(v).over(Window.partitionBy(*groups).orderBy(...).rowsBetween(
+    unboundedPreceding, currentRow))`` when groups are few or skewed.
+
+    Same two-level discipline as ``with_global_rank``: range-repartition
+    on the lexicographic (group + order) keys, run the prefix sum
+    PARTITION-LOCALLY (parallel, spillable), then add each (group,
+    partition)'s start offset from the bounded |groups|x|partitions|
+    summary table. Exact when ``value_col`` is integral (cast to LONG
+    here; decimal accumulation is the caller's job for doubles) and the
+    order is total within each group — ties must be broken by a unique
+    key or rows that tie must be interchangeable for the caller.
+    """
+    lex = _cols(group_cols) + _cols(order_cols)
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism or 8
+    r = (
+        df.repartitionByRange(parts, *lex)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = Window.partitionBy(_PID, *group_cols).orderBy(
+        *_cols(order_cols)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    psums = r.groupBy(_PID, *group_cols).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__psum")
+    )
+    # bounded |groups| x |partitions| rows — same class as the rank
+    # offset table; the window below runs per group over <= |parts| rows.
+    prior = (
+        Window.partitionBy(*group_cols)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = psums.select(
+        _PID,
+        *group_cols,
+        F.coalesce(F.sum("__psum").over(prior), F.lit(0))
+        .cast("long")
+        .alias(_OFF),
+    )
+    out = (
+        r.join(F.broadcast(offsets), [_PID, *group_cols])
+        .withColumn(
+            sum_col,
+            (
+                F.sum(F.col(value_col).cast("long")).over(local)
+                + F.col(_OFF)
+            ).cast("long"),
+        )
+    )
+    return out.drop(_PID, _OFF)

@@ -84,6 +84,12 @@ CORE_QUERIES = (
     "ts_sax_words",
     "llm_split_leakage",
     "ingest_csv_corrupt",
+    # round-7 batch 7: empty moment rows (cuped), empty FD groups,
+    # empty per-user series (drawdown), empty prefix-sum frame (trim)
+    "agg_cuped_adjust",
+    "dq_fd_violations",
+    "ts_drawdown",
+    "llm_token_budget_trim",
 )
 
 

@@ -799,3 +799,117 @@ def test_split_leakage_rederivation(spark, sf_dir, documents):
         for r in rows
     }
     assert got == expected
+
+
+def test_cuped_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(ts AS DATE), CAST(FLOOR(value*1000) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    from solarflare_etl_pipeline_spark.operators.aggregates import CUPED_PRE_DAYS
+
+    d0 = min(d for _, d, _ in rows)
+    users = defaultdict(lambda: [0, 0])
+    for uid, d, v3 in rows:
+        users[uid][0 if (d - d0).days < CUPED_PRE_DAYS else 1] += v3
+    xs = [x for x, _ in users.values()]
+    ys = [y for _, y in users.values()]
+    n = len(users)
+    xbar, ybar = sum(xs) / n, sum(ys) / n
+    cov = sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) / (n - 1)
+    varx = sum((x - xbar) ** 2 for x in xs) / (n - 1)
+    vary = sum((y - ybar) ** 2 for y in ys) / (n - 1)
+    row = SPECS["agg_cuped_adjust"].spark(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert _close(row.theta, cov / varx, 1e-9)
+    assert _close(row.var_post, vary, 1e-6)
+    assert _close(row.var_adjusted, vary - cov * cov / varx, 1e-6)
+
+
+def test_fd_violations_rederivation(spark, sf_dir):
+    def viol(table_name, lhs_cols, rhs_col):
+        rows = duckdb.sql(
+            f"SELECT {', '.join(lhs_cols)}, {rhs_col} FROM "
+            f"read_parquet('{sf_dir}/{table_name}.parquet')"
+        ).fetchall()
+        groups = defaultdict(set)
+        for *lhs, rhs in rows:
+            groups[tuple(lhs)].add(rhs)
+        nv = sum(1 for s in groups.values() if len(s) > 1)
+        return len(groups), nv
+
+    expected = {
+        "lineitem:(okey,lineno)->quantity": viol(
+            "lineitem", ["l_orderkey", "l_linenumber"], "l_quantity"
+        ),
+        "orders:okey->custkey": viol("orders", ["o_orderkey"], "o_custkey"),
+        "events:user->event_type": viol("events", ["user_id"], "event_type"),
+        "customer:custkey->nationkey": viol(
+            "customer", ["c_custkey"], "c_nationkey"
+        ),
+    }
+    rows = SPECS["dq_fd_violations"].spark(spark, sf_dir).collect()
+    got = {r.fd: (r.n_groups, r.n_violating) for r in rows}
+    assert got == expected
+    for r in rows:
+        ng, nv = expected[r.fd]
+        assert r.violation_rate_micro == nv * 1000000 // ng
+    # the fixture must exercise BOTH arms: at least one violated FD and
+    # at least one that holds
+    assert any(nv > 0 for _, nv in expected.values())
+    assert any(nv == 0 for _, nv in expected.values())
+
+
+def test_drawdown_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, CAST(ts AS TIMESTAMP),"
+        f" CAST(FLOOR(value*1000) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, eid, ts, v3 in rows:
+        series[uid].append((ts, eid, v3))
+    expected = {}
+    for uid, evs in series.items():
+        evs.sort()
+        cum = peak = 0
+        best = None  # (dd, event_id ordered by dd desc then eid asc)
+        runmax = None
+        for ts, eid, v3 in evs:
+            cum += v3
+            runmax = cum if runmax is None else max(runmax, cum)
+            peak = max(peak, cum) if evs.index((ts, eid, v3)) else cum
+            dd = runmax - cum
+            if best is None or dd > best[0] or (dd == best[0] and eid < best[1]):
+                best = (dd, eid)
+        peak = max(
+            (sum(v for _, _, v in evs[: i + 1]) for i in range(len(evs)))
+        )
+        expected[uid] = (len(evs), peak, best[0], best[1])
+    got = {
+        r.user_id: (r.n_events, r.peak_milli, r.max_drawdown_milli, r.trough_event_id)
+        for r in SPECS["ts_drawdown"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_token_budget_trim_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import BUDGET_TOKENS
+
+    by_source = defaultdict(list)
+    for doc_id, text, lang, source, n_chars in documents:
+        by_source[source].append((-n_chars, doc_id, len(text.split(" "))))
+    expected = {}
+    for source, docs in by_source.items():
+        docs.sort()
+        cum = 0
+        for negc, doc_id, toks in docs:
+            cum += toks
+            if cum > BUDGET_TOKENS:
+                break
+            expected[doc_id] = (source, toks, cum)
+    got = {
+        r.doc_id: (r.source, r.tokens, r.cum_tokens)
+        for r in SPECS["llm_token_budget_trim"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
