@@ -3667,3 +3667,225 @@ def agg_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             "      / CAST(n * sxx - sx * sx AS DOUBLE))"
         ).alias("var_adjusted"),
     )
+
+
+#: Hill estimator order-statistic count.
+HILL_K = 100
+
+
+@register(
+    "agg_hill_tail_index",
+    # Parity: order statistics are exact cents (BIGINT, total order via
+    # the orderkey tiebreak); each ln(x_i/x_{k+1}) runs on bit-identical
+    # double ratios, is rounded to 9dp and summed in DECIMAL (the
+    # llm_perplexity_proxy ln discipline); alpha is one division on the
+    # bit-identical decimal sum.
+    oracle=f"""
+        WITH cents AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+            FROM orders
+        ),
+        top AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, o_orderkey) AS rk
+            FROM cents
+            ORDER BY c DESC, o_orderkey
+            LIMIT {HILL_K + 1}
+        ),
+        thr AS (SELECT c AS ck1 FROM top WHERE rk = {HILL_K + 1}),
+        terms AS (
+            SELECT CAST(ROUND(LN(CAST(top.c AS DOUBLE) / thr.ck1), 9)
+                        AS DECIMAL(28,12)) AS term
+            FROM top, thr WHERE top.rk <= {HILL_K}
+        )
+        SELECT CAST({HILL_K} AS BIGINT) AS k,
+               (SELECT ck1 FROM thr) AS threshold_cents,
+               CAST(SUM(term) AS DOUBLE) / {HILL_K} AS mean_log_excess,
+               {HILL_K} / CAST(SUM(term) AS DOUBLE) AS hill_alpha
+        FROM terms
+    """,
+    doc=f"Hill tail-index estimator (Hill 1975) over the order-value "
+    f"distribution: alpha_hat = k / sum(ln(x_(i)/x_(k+1))) on the top "
+    f"k={HILL_K} order statistics — the standard measure of how "
+    f"heavy-tailed a spend/size/duration distribution is (alpha < 2: "
+    f"infinite variance, sampling and sketching assumptions break; "
+    f"the number that tells you whether mean-based dashboards lie). "
+    f"Money enters as exact cents; the top k+1 rows come from "
+    f"TakeOrderedAndProject (per-partition heaps, no global sort — "
+    f"the sample_sequential_poisson economics) with o_orderkey as "
+    f"total tiebreak; the {HILL_K}-row rank window is bounded. At "
+    f"100 TB the only data-sized stage is the narrow scan feeding "
+    f"the top-k heaps.",
+)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
+        "o_orderkey",
+    )
+    from pyspark.sql import Window
+
+    top = (
+        o.orderBy(F.desc("c"), "o_orderkey")
+        .limit(HILL_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), "o_orderkey")),
+        )
+        .localCheckpoint()
+    )
+    # the k+1-th order stat is ONE bounded scalar — fold it in as a
+    # literal (the tfidf/perplexity corpus-total precedent) rather than
+    # a single-row join, which Catalyst plans as a nested loop
+    thr_rows = top.where(F.col("rk") == HILL_K + 1).collect()
+    if not thr_rows:  # fewer than k+1 rows (e.g. empty input): no tail
+        return spark.createDataFrame(
+            [],
+            "k LONG, threshold_cents LONG, mean_log_excess DOUBLE,"
+            " hill_alpha DOUBLE",
+        )
+    ck1 = thr_rows[0].c
+    terms = top.where(F.col("rk") <= HILL_K).select(
+        F.round(
+            F.log(F.col("c").cast("double") / F.lit(int(ck1))), 9
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    return terms.agg(
+        F.lit(HILL_K).cast("long").alias("k"),
+        F.sum("term").alias("_s"),
+    ).select(
+        "k",
+        F.lit(int(ck1)).cast("long").alias("threshold_cents"),
+        F.expr(f"CAST(_s AS DOUBLE) / {HILL_K}").alias("mean_log_excess"),
+        F.expr(f"{HILL_K} / CAST(_s AS DOUBLE)").alias("hill_alpha"),
+    )
+
+
+@register(
+    "agg_theil_decomposition",
+    # Parity: customer revenues are exact cents; mu and each mu_g are
+    # single divisions of identical exact integers; each entropy term is
+    # rounded to 9dp and decimal-summed (the llm_perplexity_proxy LN
+    # discipline — order-free, engine-stable); between/within split is
+    # one fixed-order subtraction of the two decimal-summed totals.
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        g AS (
+            SELECT cust.x, customer.c_nationkey AS nk
+            FROM cust JOIN customer ON customer.c_custkey = cust.o_custkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS s
+            FROM g
+        ),
+        terms AS (
+            SELECT CAST(ROUND(
+                       (CAST(g.x AS DOUBLE) / (CAST(tot.s AS DOUBLE) / tot.n))
+                       * LN(CAST(g.x AS DOUBLE) / (CAST(tot.s AS DOUBLE) / tot.n)),
+                       9) AS DECIMAL(28,12)) AS t
+            FROM g, tot
+        ),
+        gterms AS (
+            SELECT CAST(ROUND(
+                       (CAST(gs.ng AS DOUBLE) / tot.n)
+                       * (CAST(gs.sg AS DOUBLE) / gs.ng)
+                         / (CAST(tot.s AS DOUBLE) / tot.n)
+                       * LN((CAST(gs.sg AS DOUBLE) / gs.ng)
+                            / (CAST(tot.s AS DOUBLE) / tot.n)),
+                       9) AS DECIMAL(28,12)) AS t
+            FROM (SELECT nk, CAST(COUNT(*) AS BIGINT) AS ng,
+                         SUM(CAST(x AS HUGEINT)) AS sg
+                  FROM g GROUP BY nk) gs, tot
+        )
+        SELECT (SELECT n FROM tot) AS n_customers,
+               CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                   / (SELECT n FROM tot) AS theil_total,
+               CAST((SELECT SUM(t) FROM gterms) AS DOUBLE) AS theil_between,
+               CAST((SELECT SUM(t) FROM terms) AS DOUBLE)
+                   / (SELECT n FROM tot)
+                 - CAST((SELECT SUM(t) FROM gterms) AS DOUBLE)
+                   AS theil_within
+    """,
+    doc="Theil T inequality index with between/within-nation "
+    "decomposition (Theil 1967; the additive-decomposable inequality "
+    "measure, unlike Gini): T = (1/n) sum (x_i/mu) ln(x_i/mu) over "
+    "per-customer revenue, split as T = T_between + T_within where "
+    "T_between uses each nation's mean — 'how much revenue inequality "
+    "is explained by geography'. Complements agg_gini (which cannot "
+    "be decomposed additively) and agg_herfindahl (concentration, not "
+    "inequality). Scale: one data-sized hash aggregate to customer "
+    "grain, a broadcast dim join, then per-row narrow LN terms "
+    "decimal-summed (mergeable); the nation layer is 25 bounded rows. "
+    "The corpus totals (n, sum) fold in as driver literals — the "
+    "llm_tfidf precedent — so no single-row join appears in the plan.",
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("x")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("nk")
+    )
+    g = cust.join(
+        F.broadcast(c), cust["o_custkey"] == c["c_custkey"]
+    ).select("x", "nk").localCheckpoint()
+    tot = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    if tot.n == 0:
+        return spark.createDataFrame(
+            [],
+            "n_customers LONG, theil_total DOUBLE, theil_between DOUBLE,"
+            " theil_within DOUBLE",
+        )
+    n, s = int(tot.n), int(tot.s)
+    # mu spelled exactly as the oracle does: CAST(s AS DOUBLE) / n
+    mu = f"(CAST({s} AS DOUBLE) / {n})"
+    terms = g.select(
+        F.expr(
+            f"CAST(ROUND((CAST(x AS DOUBLE) / {mu})"
+            f" * LN(CAST(x AS DOUBLE) / {mu}), 9) AS DECIMAL(28,12))"
+        ).alias("t")
+    )
+    gterms = (
+        g.groupBy("nk")
+        .agg(
+            F.count("*").cast("long").alias("ng"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sg"),
+        )
+        .select(
+            F.expr(
+                f"CAST(ROUND((CAST(ng AS DOUBLE) / {n})"
+                f" * (CAST(sg AS DOUBLE) / ng) / {mu}"
+                f" * LN((CAST(sg AS DOUBLE) / ng) / {mu}), 9)"
+                f" AS DECIMAL(28,12))"
+            ).alias("t")
+        )
+    )
+    # one tagged union + FILTER-pivoted sums instead of joining the two
+    # 1-row aggregates (a single-row join plans as a nested loop the
+    # plan audit rejects — the agg_anova_oneway pivot discipline)
+    u = terms.select("t", F.lit(0).alias("b")).unionAll(
+        gterms.select("t", F.lit(1).alias("b"))
+    )
+    s2 = u.agg(
+        F.sum(F.when(F.col("b") == 0, F.col("t"))).alias("st"),
+        F.sum(F.when(F.col("b") == 1, F.col("t"))).alias("sb"),
+    )
+    return s2.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.expr(f"CAST(st AS DOUBLE) / {n}").alias("theil_total"),
+        F.expr("CAST(sb AS DOUBLE)").alias("theil_between"),
+        F.expr(f"CAST(st AS DOUBLE) / {n} - CAST(sb AS DOUBLE)").alias(
+            "theil_within"
+        ),
+    )

@@ -3163,3 +3163,104 @@ def llm_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "tokens", "cum_tokens")
         .orderBy("source", "cum_tokens")
     )
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. use k=60) and the
+#: fused-list size.
+RRF_K = 60
+RRF_TOP = 50
+
+
+@register(
+    "llm_rank_fusion_rrf",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id,
+                   n_chars,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT) * 1000000
+                       // LEN(STRING_SPLIT(text, ' ')) AS uniq_micro,
+                   CAST(LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                                           ['the','and','of','to','a'])) AS BIGINT)
+                       AS stop_kinds
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_len,
+                   ROW_NUMBER() OVER (ORDER BY uniq_micro DESC, doc_id) AS r_uniq,
+                   ROW_NUMBER() OVER (ORDER BY stop_kinds DESC, doc_id) AS r_stop
+            FROM f
+        )
+        SELECT doc_id, r_len, r_uniq, r_stop,
+               CAST(1000000000000 // ({RRF_K} + r_len)
+                  + 1000000000000 // ({RRF_K} + r_uniq)
+                  + 1000000000000 // ({RRF_K} + r_stop) AS BIGINT) AS rrf_pico
+        FROM r
+        ORDER BY rrf_pico DESC, doc_id
+        LIMIT {RRF_TOP}
+    """,
+    doc=f"Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) "
+    f"over three independent document-quality signals — length, "
+    f"unique-token ratio, stopword-kind count (the llm_quality_score "
+    f"features as separate judges): each signal ranks every doc, the "
+    f"fused score is sum(1/({RRF_K}+rank)), and the top {RRF_TOP} "
+    f"fused docs win — the standard way to combine heterogeneous "
+    f"quality/retrieval signals without calibrating their scales "
+    f"against each other. Parity: reciprocal terms are "
+    f"floor(10^12/({RRF_K}+rank)) BIGINTs, so fusion is exact integer "
+    f"arithmetic; every signal breaks ties on doc_id (total order). "
+    f"Scale: the oracle spells three global ROW_NUMBER windows; the "
+    f"Spark plan computes each rank with plans/rank.with_global_rank "
+    f"(range-repartition + bounded offsets — no single-task sort) and "
+    f"equi-joins the three rank columns back on doc_id; selection is "
+    f"TakeOrderedAndProject. The feature frame is localCheckpointed "
+    f"once so all three rank passes share one scan.",
+)
+def llm_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
+
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "doc_id",
+        "n_chars",
+        # integer floor division (DIV), not `/`: double division + long
+        # cast truncates identically here, but stops being exact once the
+        # numerator outgrows 2^53 — keep the oracle's `//` semantics.
+        F.expr(
+            "CAST(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 DIV size(split(text, ' ')) AS BIGINT)"
+        ).alias("uniq_micro"),
+        F.size(
+            F.array_intersect(
+                F.split("text", " "),
+                F.array(*[F.lit(w) for w in ["the", "and", "of", "to", "a"]]),
+            )
+        )
+        .cast("long")
+        .alias("stop_kinds"),
+    ).localCheckpoint()
+    r1 = with_global_rank(
+        f, [F.col("n_chars").desc(), F.col("doc_id")], rank_col="r_len"
+    ).select("doc_id", "r_len")
+    r2 = with_global_rank(
+        f, [F.col("uniq_micro").desc(), F.col("doc_id")], rank_col="r_uniq"
+    ).select("doc_id", "r_uniq")
+    r3 = with_global_rank(
+        f, [F.col("stop_kinds").desc(), F.col("doc_id")], rank_col="r_stop"
+    ).select("doc_id", "r_stop")
+    fused = (
+        r1.join(r2, "doc_id")
+        .join(r3, "doc_id")
+        .select(
+            "doc_id",
+            "r_len",
+            "r_uniq",
+            "r_stop",
+            F.expr(
+                f"CAST(1000000000000 DIV ({RRF_K} + r_len)"
+                f" + 1000000000000 DIV ({RRF_K} + r_uniq)"
+                f" + 1000000000000 DIV ({RRF_K} + r_stop) AS BIGINT)"
+            ).alias("rrf_pico"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_pico"), "doc_id").limit(RRF_TOP)

@@ -90,6 +90,11 @@ CORE_QUERIES = (
     "dq_fd_violations",
     "ts_drawdown",
     "llm_token_budget_trim",
+    # round-7 batch 8: empty top-k (hill), empty term unions (theil),
+    # empty rank frames (rrf fusion)
+    "agg_hill_tail_index",
+    "agg_theil_decomposition",
+    "llm_rank_fusion_rrf",
 )
 
 

@@ -913,3 +913,90 @@ def test_token_budget_trim_rederivation(spark, sf_dir, documents):
         for r in SPECS["llm_token_budget_trim"].spark(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_rank_fusion_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import RRF_K, RRF_TOP
+
+    feats = []
+    for doc_id, text, lang, source, n_chars in documents:
+        w = text.split(" ")
+        uniq = len(set(w)) * 1000000 // len(w)
+        stop = len(set(w) & {"the", "and", "of", "to", "a"})
+        feats.append((doc_id, n_chars, uniq, stop))
+    def ranks(key_idx):
+        order = sorted(feats, key=lambda f: (-f[key_idx], f[0]))
+        return {f[0]: i + 1 for i, f in enumerate(order)}
+    r_len, r_uniq, r_stop = ranks(1), ranks(2), ranks(3)
+    fused = sorted(
+        (
+            (
+                -(
+                    10**12 // (RRF_K + r_len[d])
+                    + 10**12 // (RRF_K + r_uniq[d])
+                    + 10**12 // (RRF_K + r_stop[d])
+                ),
+                d,
+            )
+            for d, *_ in feats
+        )
+    )[:RRF_TOP]
+    expected = [(d, -s) for s, d in fused]
+    rows = SPECS["llm_rank_fusion_rrf"].spark(spark, sf_dir).collect()
+    got = [(r.doc_id, r.rrf_pico) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert (r.r_len, r.r_uniq, r.r_stop) == (
+            r_len[r.doc_id],
+            r_uniq[r.doc_id],
+            r_stop[r.doc_id],
+        )
+
+
+def test_hill_tail_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.aggregates import HILL_K
+
+    cents = sorted(
+        (
+            (round(p * 100), ok)
+            for p, ok in duckdb.sql(
+                f"SELECT o_totalprice, o_orderkey FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')"
+            ).fetchall()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    top, ck1 = cents[:HILL_K], cents[HILL_K][0]
+    mean_le = sum(math.log(c / ck1) for c, _ in top) / HILL_K
+    row = SPECS["agg_hill_tail_index"].spark(spark, sf_dir).collect()[0]
+    assert row.k == HILL_K and row.threshold_cents == ck1
+    assert _close(row.mean_log_excess, mean_le, 1e-7)
+    assert _close(row.hill_alpha, 1.0 / mean_le, 1e-6)
+
+
+def test_theil_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT o.o_custkey, c.c_nationkey, SUM(ROUND(o.o_totalprice * 100))"
+        f" FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/customer.parquet') c"
+        f"   ON c.c_custkey = o.o_custkey"
+        f" GROUP BY 1, 2"
+    ).fetchall()
+    xs = [(int(x), nk) for _, nk, x in rows]
+    n = len(xs)
+    mu = sum(x for x, _ in xs) / n
+    t_total = sum((x / mu) * math.log(x / mu) for x, _ in xs) / n
+    by_nk = defaultdict(list)
+    for x, nk in xs:
+        by_nk[nk].append(x)
+    t_between = sum(
+        (len(g) / n) * (sum(g) / len(g) / mu) * math.log(sum(g) / len(g) / mu)
+        for g in by_nk.values()
+    )
+    row = SPECS["agg_theil_decomposition"].spark(spark, sf_dir).collect()[0]
+    assert row.n_customers == n
+    assert _close(row.theil_total, t_total, 1e-7)
+    assert _close(row.theil_between, t_between, 1e-7)
+    assert _close(row.theil_within, t_total - t_between, 1e-6)
+    # decomposition sanity: both components non-negative, within >= 0
+    assert row.theil_between >= 0 and row.theil_within >= -1e-12
