@@ -1580,3 +1580,43 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate_micro"
         ),
     ).orderBy("fd")
+
+
+@register(
+    "scan_with_metadata",
+    oracle="""
+        SELECT 'lineitem.parquet' AS file_name,
+               l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY file_name, l_returnflag
+    """,
+    doc="Hidden file-metadata columns — Spark's `_metadata.file_name` "
+    "(constant-folded from the scan, zero data cost) pulled into the "
+    "aggregation grain: the provenance primitive behind per-file row "
+    "accounting, bad-file quarantine and incremental-load bookkeeping "
+    "('which file did this row come from' without writing lineage "
+    "columns into the data). The fixture ships each table as a single "
+    "file, so the oracle predicts the metadata column's value as the "
+    "literal basename — Spark must actually surface the right file "
+    "name from the scan for the hash to match (DuckDB views cannot "
+    "expose filename=true, so the contract is spelled from the known "
+    "layout). At 100 TB this op audits a 100k-file ingest for "
+    "short-written files: one hash aggregate whose key includes a "
+    "per-split constant.",
+)
+def scan_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    df = spark.read.parquet(_os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("file_name"),
+            "l_returnflag",
+        )
+        .groupBy("file_name", "l_returnflag")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+        .orderBy("file_name", "l_returnflag")
+    )

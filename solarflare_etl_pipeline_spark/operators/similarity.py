@@ -2181,3 +2181,111 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Matryoshka evaluation geometry: prefix dims and neighbors per query.
+MRL_DIMS = (16, 32, 64)
+MRL_K = 10
+
+
+def _sql_fold_d(term: str, d: int) -> str:
+    return f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {d + 1}), i -> {term}), (a, b) -> a + b)"
+
+
+def _mrl_topk_cte(d: int) -> str:
+    dot = _sql_fold_d("q.qv[i] * e.v[i]", d)
+    nq = f"SQRT({_sql_fold_d('q.qv[i] * q.qv[i]', d)})"
+    nv = f"SQRT({_sql_fold_d('e.v[i] * e.v[i]', d)})"
+    return f"""
+        SELECT {d} AS dim, qid, nid FROM (
+            SELECT q.qid, e.vec_id AS nid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {dot} / ({nq} * {nv}) DESC, e.vec_id) AS rnk
+            FROM q CROSS JOIN e
+            WHERE e.vec_id <> q.qid
+        ) WHERE rnk <= {MRL_K}
+    """
+
+
+@register(
+    "llm_matryoshka_eval",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+        tops AS (
+            {" UNION ALL ".join(_mrl_topk_cte(d) for d in MRL_DIMS)}
+        ),
+        base AS (SELECT qid, nid FROM tops WHERE dim = {MRL_DIMS[-1]})
+        SELECT tops.dim, tops.qid AS query_id,
+               CAST(COUNT(base.nid) AS BIGINT) AS n_overlap,
+               CAST(COUNT(base.nid) * 1000 // {MRL_K} AS BIGINT) AS recall_milli
+        FROM tops
+        LEFT JOIN base ON base.qid = tops.qid AND base.nid = tops.nid
+        GROUP BY tops.dim, tops.qid
+        ORDER BY tops.dim, tops.qid
+    """,
+    doc=f"Matryoshka-embedding retrieval evaluation (Kusupati et al. 2022, "
+    f"'Matryoshka Representation Learning'): for each prefix dimension "
+    f"D in {MRL_DIMS}, run exact cosine top-{MRL_K} per query on the "
+    f"TRUNCATED vectors and report overlap with the full-dimension "
+    f"top-{MRL_K} — recall@{MRL_K} of cheap prefix embeddings, the "
+    f"number that decides how many dims a 100 TB ANN index actually "
+    f"needs to store (the adaptive-retrieval cost knob: 16 of 64 dims "
+    f"= 4x less index memory and bandwidth if recall holds). Same "
+    f"deliberate broadcast cross-join economics as the "
+    f"llm_similarity_topk exact baseline (a {N_QUERIES}-query eval "
+    f"sample, not a production scan — the ANN family is the scale "
+    f"path); per-dim cosines are the same sequential fold over "
+    f"identical doubles on both engines, ranks break ties on vec_id, "
+    f"overlap counting is exact integers.",
+)
+def llm_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    tops = None
+    for d in MRL_DIMS:
+        qv_d = F.slice(F.col("qv"), 1, d)
+        v_d = F.slice(F.col("v"), 1, d)
+        pairs = (
+            e.crossJoin(F.broadcast(q))
+            .where(F.col("vec_id") != F.col("qid"))
+            .select(
+                "qid",
+                F.col("vec_id").alias("nid"),
+                (_dot(qv_d, v_d) / (_norm(qv_d) * _norm(v_d))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+        top_d = (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= MRL_K)
+            .select(F.lit(d).alias("dim"), "qid", "nid")
+        )
+        tops = top_d if tops is None else tops.unionAll(top_d)
+    tops = tops.localCheckpoint()
+    base = tops.where(F.col("dim") == MRL_DIMS[-1]).select(
+        F.col("qid").alias("bqid"), F.col("nid").alias("bnid")
+    )
+    return (
+        tops.join(
+            base,
+            (F.col("qid") == F.col("bqid")) & (F.col("nid") == F.col("bnid")),
+            "left",
+        )
+        .groupBy("dim", F.col("qid").alias("query_id"))
+        .agg(
+            F.count("bnid").cast("long").alias("n_overlap"),
+            F.expr(f"CAST(COUNT(bnid) * 1000 DIV {MRL_K} AS BIGINT)").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("dim", "query_id")
+    )

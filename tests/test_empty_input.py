@@ -95,6 +95,9 @@ CORE_QUERIES = (
     "agg_hill_tail_index",
     "agg_theil_decomposition",
     "llm_rank_fusion_rrf",
+    # round-7 batch 9: empty query sets (matryoshka), empty metadata scan
+    "llm_matryoshka_eval",
+    "scan_with_metadata",
 )
 
 

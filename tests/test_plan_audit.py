@@ -20,6 +20,7 @@ SPECS = load_all()
 DELIBERATE_CROSS = {
     "llm_similarity_topk",
     "llm_hard_negatives",  # same exact-baseline shape; scale path = ANN mining
+    "llm_matryoshka_eval",  # same 10-query broadcast exact-baseline shape
     "join_cross",
     # SINGLE-ROW global aggregates combined for theorem booleans —
     # 1×1 (or k×1) nested-loop joins, not data-scale cross products

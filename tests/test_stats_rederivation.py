@@ -1000,3 +1000,44 @@ def test_theil_rederivation(spark, sf_dir):
     assert _close(row.theil_within, t_total - t_between, 1e-6)
     # decomposition sanity: both components non-negative, within >= 0
     assert row.theil_between >= 0 and row.theil_within >= -1e-12
+
+
+def test_matryoshka_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        MRL_DIMS,
+        MRL_K,
+        N_QUERIES,
+    )
+
+    vecs = dict(
+        duckdb.sql(
+            f"SELECT vec_id, embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        ).fetchall()
+    )
+    def topk(d, qid):
+        qv = vecs[qid][:d]
+        scored = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            vd = v[:d]
+            dot = sum(a * b for a, b in zip(qv, vd))
+            nq = math.sqrt(sum(a * a for a in qv))
+            nv = math.sqrt(sum(a * a for a in vd))
+            scored.append((-(dot / (nq * nv)), nid))
+        return {nid for _, nid in sorted(scored)[:MRL_K]}
+
+    expected = {}
+    for qid in [v for v in vecs if v < N_QUERIES]:
+        base = topk(MRL_DIMS[-1], qid)
+        for d in MRL_DIMS:
+            ov = len(topk(d, qid) & base)
+            expected[(d, qid)] = (ov, ov * 1000 // MRL_K)
+    rows = SPECS["llm_matryoshka_eval"].spark(spark, sf_dir).collect()
+    got = {(r.dim, r.query_id): (r.n_overlap, r.recall_milli) for r in rows}
+    assert got == expected
+    # full-dim rows are the baseline itself: recall exactly 1000
+    assert all(
+        v == (MRL_K, 1000) for (d, _), v in got.items() if d == MRL_DIMS[-1]
+    )
