@@ -3889,3 +3889,108 @@ def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_within"
         ),
     )
+
+
+@register(
+    "agg_jackknife_ratio_se",
+    # Parity: per-user (x, y) are exact counts; the loo totals fold in
+    # as driver literals (tfidf precedent), each leave-one-out ratio
+    # and its square are rounded to 9dp and decimal-summed (order-free),
+    # and the variance combines the two sums in one fixed-order chain.
+    oracle="""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM u
+        ),
+        terms AS (
+            SELECT CAST(ROUND(CAST(tot.sy - u.y AS DOUBLE) / (tot.sx - u.x), 9)
+                        AS DECIMAL(28,12)) AS r,
+                   CAST(ROUND((CAST(tot.sy - u.y AS DOUBLE) / (tot.sx - u.x))
+                              * (CAST(tot.sy - u.y AS DOUBLE) / (tot.sx - u.x)), 9)
+                        AS DECIMAL(28,12)) AS r2
+            FROM u, tot WHERE tot.sx - u.x > 0
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m, SUM(r) AS s1, SUM(r2) AS s2
+            FROM terms
+        )
+        SELECT tot.n,
+               CAST(tot.sy AS DOUBLE) / tot.sx AS ratio,
+               s.m * CAST(tot.sy AS DOUBLE) / tot.sx
+                   - (s.m - 1) * (CAST(s.s1 AS DOUBLE) / s.m) AS ratio_jack,
+               SQRT((CAST(s.m AS DOUBLE) - 1) / s.m
+                    * (CAST(s.s2 AS DOUBLE)
+                       - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE) / s.m))
+                   AS se_jack
+        FROM tot, s
+    """,  # noqa: E501
+    doc="Jackknife standard error of a ratio metric (Quenouille/Tukey; "
+    "the delete-1 resampling estimator): clicks-per-view across users "
+    "is a ratio of sums, whose naive per-user variance is wrong "
+    "(users are the exchangeable unit, not events). Compute each "
+    "leave-one-out ratio r_i = (Sy - y_i)/(Sx - x_i), then "
+    "SE = sqrt((n-1)/n * sum (r_i - rbar)^2) and the bias-corrected "
+    "point estimate n*r - (n-1)*rbar. Complements agg_bootstrap_ci "
+    "(resampling WITH replacement, 100 replicates) and "
+    "agg_ratio_delta_ci (the analytic delta method) — three "
+    "independent uncertainty estimates a platform should agree on. "
+    "Scale: one hash aggregate to user grain, one narrow map over it "
+    "(LOO needs only the TOTALS, the delete-1 trick that makes "
+    "jackknife O(n) not O(n^2)), mergeable decimal sums.",
+)
+def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    tot = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    ).collect()[0]
+    n, sx, sy = int(tot.n), int(tot.sx or 0), int(tot.sy or 0)
+    if n < 2 or sx == 0:
+        return spark.createDataFrame(
+            [], "n LONG, ratio DOUBLE, ratio_jack DOUBLE, se_jack DOUBLE"
+        )
+    terms = u.where(F.lit(sx) - F.col("x") > 0).select(
+        F.expr(
+            f"CAST(ROUND(CAST({sy} - y AS DOUBLE) / ({sx} - x), 9)"
+            f" AS DECIMAL(28,12))"
+        ).alias("r"),
+        F.expr(
+            f"CAST(ROUND((CAST({sy} - y AS DOUBLE) / ({sx} - x))"
+            f" * (CAST({sy} - y AS DOUBLE) / ({sx} - x)), 9)"
+            f" AS DECIMAL(28,12))"
+        ).alias("r2"),
+    )
+    s = terms.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("r").alias("s1"),
+        F.sum("r2").alias("s2"),
+    )
+    return s.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(sy / sx).alias("ratio"),
+        F.expr(
+            f"m * CAST({sy} AS DOUBLE) / {sx}"
+            f" - (m - 1) * (CAST(s1 AS DOUBLE) / m)"
+        ).alias("ratio_jack"),
+        F.expr(
+            "SQRT((CAST(m AS DOUBLE) - 1) / m"
+            " * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m))"
+        ).alias("se_jack"),
+    )

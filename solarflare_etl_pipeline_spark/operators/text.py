@@ -14,6 +14,7 @@ blocks — at 100 TB you never emit the quadratic cross product; blocking
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3264,3 +3265,59 @@ def llm_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_pico"), "doc_id").limit(RRF_TOP)
+
+
+@register(
+    "llm_compression_ratio",
+    # No DuckDB oracle: zlib is not expressible in SQL on the oracle
+    # side. Local evidence is the stronger kind instead — an exact
+    # pure-Python re-derivation (same zlib, independent driver) in
+    # tests/test_stats_rederivation.py asserts byte-identical
+    # compressed lengths for every doc.
+    oracle=None,
+    doc="Compression-ratio quality signal (the Gopher/MassiveText "
+    "repetition filter, Rae et al. 2021: text that zlib squeezes too "
+    "well is boilerplate/repetition, text that won't compress is "
+    "noise/binary — both get culled): per-doc DEFLATE-compressed "
+    "length over raw UTF-8 length, exact integer milli ratio. "
+    "Runs as ONE Arrow-batched pandas UDF (zlib level 6, "
+    "deterministic output length for a given input across platforms "
+    "— the DEFLATE bitstream for a fixed level/strategy is "
+    "implementation-stable in CPython's bundled zlib) — narrow map, "
+    "embarrassingly parallel, no shuffle; the 100 TB cost is one "
+    "decompression-speed-bound pass, exactly how production quality "
+    "filters run. Bands follow the published heuristic: "
+    "ratio < 300 milli = repetitive, > 900 milli = incompressible.",
+)
+def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if t is not None
+            else None
+        )
+
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        "doc_id",
+        "lang",
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        zlen(F.col("text")).alias("z_bytes"),
+    )
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_bytes",
+        "z_bytes",
+        F.expr("CAST(z_bytes * 1000 DIV n_bytes AS BIGINT)").alias(
+            "ratio_milli"
+        ),
+        F.expr(
+            "CASE WHEN z_bytes * 1000 DIV n_bytes < 300 THEN 'repetitive'"
+            " WHEN z_bytes * 1000 DIV n_bytes > 900 THEN 'incompressible'"
+            " ELSE 'normal' END"
+        ).alias("band"),
+    ).orderBy("doc_id")

@@ -1820,3 +1820,95 @@ def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Seasonal-naive lag (weekly) and the backtest holdout length in days.
+SNAIVE_LAG = 7
+SNAIVE_TEST_DAYS = 7
+
+
+@register(
+    "ts_snaive_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   DATE_DIFF('day',
+                             MIN(CAST(ts AS DATE)) OVER (),
+                             CAST(ts AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        span AS (SELECT MAX(d) AS dmax FROM daily),
+        j AS (
+            SELECT a.event_type, a.d, a.cnt,
+                   b.cnt AS yhat,
+                   ABS(a.cnt - b.cnt) AS abs_err
+            FROM daily a
+            JOIN daily b
+              ON b.event_type = a.event_type
+             AND b.d = a.d - {SNAIVE_LAG}, span
+            WHERE a.d > span.dmax - {SNAIVE_TEST_DAYS}
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+               CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+               CAST(SUM(abs_err) * 1000000 // SUM(cnt) AS BIGINT)
+                   AS wmape_micro
+        FROM j GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc=f"Seasonal-naive forecast backtest — the baseline every forecasting "
+    f"system must beat (Hyndman & Athanasopoulos, 'Forecasting: "
+    f"Principles and Practice': y_hat(t) = y(t - {SNAIVE_LAG})): "
+    f"forecast the last {SNAIVE_TEST_DAYS} days of each event type's "
+    f"daily count series from the value one season earlier, report MAE "
+    f"components and weighted MAPE (sum|err|/sum actual, the "
+    f"denominator-safe form) in exact integer micros. This is the "
+    f"evaluation harness primitive: any fancier model's backtest "
+    f"plugs into the same join-on-lagged-day shape. Scale: one hash "
+    f"aggregate to the calendar-bounded daily grid, a self-join on "
+    f"(type, d-{SNAIVE_LAG}) over bounded rows, integer aggregation — "
+    f"nothing data-sized past the first aggregate. The span scalar "
+    f"rides along as a CROSS JOIN of a 1-row aggregate in the ORACLE "
+    f"only; the Spark side folds it as a bounded window max.",
+)
+def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "d",
+            F.datediff(F.col("day"), F.min("day").over(Window.partitionBy())),
+        )
+        .withColumn("dmax", F.max("d").over(Window.partitionBy()))
+        .localCheckpoint()
+    )
+    a = daily.select("event_type", "d", "cnt", "dmax")
+    b = daily.select(
+        F.col("event_type").alias("bet"),
+        F.col("d").alias("bd"),
+        F.col("cnt").alias("yhat"),
+    )
+    j = a.join(
+        b,
+        (F.col("bet") == F.col("event_type"))
+        & (F.col("bd") == F.col("d") - SNAIVE_LAG),
+    ).where(F.col("d") > F.col("dmax") - SNAIVE_TEST_DAYS)
+    return (
+        j.select(
+            "event_type",
+            "cnt",
+            F.abs(F.col("cnt") - F.col("yhat")).alias("abs_err"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_forecasts"),
+            F.sum("abs_err").cast("long").alias("sum_abs_err"),
+            F.expr(
+                "CAST(SUM(abs_err) * 1000000 DIV SUM(cnt) AS BIGINT)"
+            ).alias("wmape_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -98,6 +98,11 @@ CORE_QUERIES = (
     # round-7 batch 9: empty query sets (matryoshka), empty metadata scan
     "llm_matryoshka_eval",
     "scan_with_metadata",
+    # round-7 batch 10: empty daily grid (snaive), empty user grain
+    # (jackknife), empty UDF batch (compression)
+    "ts_snaive_backtest",
+    "agg_jackknife_ratio_se",
+    "llm_compression_ratio",
 )
 
 

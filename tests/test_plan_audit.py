@@ -101,6 +101,7 @@ PYTHON_OK = {
     "mm_image_edge_density",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
+    "llm_compression_ratio",  # zlib quality signal — one Arrow pandas UDF
 }
 
 #: Queries that read a dimension table and must broadcast it.

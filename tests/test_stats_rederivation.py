@@ -1041,3 +1041,84 @@ def test_matryoshka_rederivation(spark, sf_dir):
     assert all(
         v == (MRL_K, 1000) for (d, _), v in got.items() if d == MRL_DIMS[-1]
     )
+
+
+def test_compression_ratio_rederivation(spark, sf_dir, documents):
+    import zlib
+
+    expected = {}
+    for doc_id, text, lang, *_ in documents:
+        nb = len(text.encode("utf-8"))
+        zb = len(zlib.compress(text.encode("utf-8"), 6))
+        rm = zb * 1000 // nb
+        band = (
+            "repetitive" if rm < 300
+            else "incompressible" if rm > 900
+            else "normal"
+        )
+        expected[doc_id] = (lang, nb, zb, rm, band)
+    rows = SPECS["llm_compression_ratio"].spark(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.lang, r.n_bytes, r.z_bytes, r.ratio_milli, r.band)
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_snaive_backtest_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.timeseries import (
+        SNAIVE_LAG,
+        SNAIVE_TEST_DAYS,
+    )
+
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    d0 = min(d for _, d, _ in daily)
+    dmax = max((d - d0).days for _, d, _ in daily)
+    series = defaultdict(dict)
+    for et, d, c in daily:
+        series[et][(d - d0).days] = c
+    expected = {}
+    for et, s in series.items():
+        errs, actuals = [], []
+        for d, c in s.items():
+            if d > dmax - SNAIVE_TEST_DAYS and (d - SNAIVE_LAG) in s:
+                errs.append(abs(c - s[d - SNAIVE_LAG]))
+                actuals.append(c)
+        if errs:
+            expected[et] = (
+                len(errs),
+                sum(errs),
+                sum(errs) * 1000000 // sum(actuals),
+            )
+    got = {
+        r.event_type: (r.n_forecasts, r.sum_abs_err, r.wmape_micro)
+        for r in SPECS["ts_snaive_backtest"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_jackknife_ratio_rederivation(spark, sf_dir, events):
+    per_user = defaultdict(lambda: [0, 0])
+    for _, uid, et, _ in events:
+        if et == "view":
+            per_user[uid][0] += 1
+        elif et == "click":
+            per_user[uid][1] += 1
+    n = len(per_user)
+    sx = sum(x for x, _ in per_user.values())
+    sy = sum(y for _, y in per_user.values())
+    loo = [
+        (sy - y) / (sx - x) for x, y in per_user.values() if sx - x > 0
+    ]
+    m = len(loo)
+    rbar = sum(loo) / m
+    var = sum((r - rbar) ** 2 for r in loo)
+    se = math.sqrt((m - 1) / m * var)
+    row = SPECS["agg_jackknife_ratio_se"].spark(spark, sf_dir).collect()[0]
+    assert row.n == n
+    assert _close(row.ratio, sy / sx, 1e-12)
+    assert _close(row.ratio_jack, m * sy / sx - (m - 1) * rbar, 1e-6)
+    assert _close(row.se_jack, se, 1e-5)
