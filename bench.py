@@ -124,6 +124,15 @@ BENCH_QUERIES = (
     "llm_substring_dup_rate",
     "llm_importance_select",
     "agg_trimmed_mean",
+    # r7 batch 5-10: the shuffle/explode-heavy additions worth tracking
+    # (winnowing's gram window, leakage's shingle joins, fusion's three
+    # distributed ranks, the grouped prefix-sum primitive, drawdown's
+    # stacked user windows)
+    "llm_winnowing_overlap",
+    "llm_split_leakage",
+    "llm_rank_fusion_rrf",
+    "llm_token_budget_trim",
+    "ts_drawdown",
 )
 
 

@@ -2123,16 +2123,28 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").where(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     )
+    # explode bare POSITIONS, then hash at row level: md5/conv inside a
+    # transform() lambda runs interpreted per element (measured 2.9s for
+    # 1.4M grams at sf0.1); as top-level column expressions the same
+    # work stays in whole-stage codegen (0.19s — 15x)
     g = d.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {WINNOW_K} + 1),"
-                f" i -> CAST(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 15),"
-                f" 16, 10) AS BIGINT))"
-            )
-        ).alias("pos0", "h"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - WINNOW_K + 1)
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        # fingerprints stay 15-char hex STRINGS: fixed-width hex compares
+        # lexicographically exactly as the 60-bit value compares
+        # numerically, so the window-min selection is unchanged while the
+        # per-gram conv() (the most expensive scalar in the hot loop,
+        # measured 0.4s/1.4M grams) disappears from both engines
+        F.expr(
+            f"substring(md5(substring(text, pos, {WINNOW_K})), 1, 15)"
+        ).alias("h"),
+    )
     wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
         -(WINNOW_W - 1), Window.currentRow
     )

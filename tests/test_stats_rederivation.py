@@ -581,7 +581,7 @@ def test_winnowing_rederivation(spark, sf_dir, documents):
         if text is None or len(text) < WINNOW_K + WINNOW_W - 1:
             continue
         hs = [
-            int(hashlib.md5(text[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+            hashlib.md5(text[i : i + WINNOW_K].encode()).hexdigest()[:15]
             for i in range(len(text) - WINNOW_K + 1)
         ]
         for i in range(WINNOW_W - 1, len(hs)):
