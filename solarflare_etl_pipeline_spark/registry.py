@@ -115,6 +115,14 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: oracle), sample_systematic (distributed-rank interval sampling).
 #: Batch-6: agg_tukey_hsd (bitwise-verified), agg_calibration_ece,
 #: ts_sax_words, llm_split_leakage, ingest_csv_corrupt.
+#: Batch-7..10: agg_cuped_adjust, dq_fd_violations, ts_drawdown,
+#: llm_token_budget_trim (first with_grouped_prefix_sum consumer),
+#: llm_rank_fusion_rrf, agg_hill_tail_index, agg_theil_decomposition,
+#: scan_with_metadata, llm_matryoshka_eval, ts_snaive_backtest,
+#: agg_jackknife_ratio_se, llm_compression_ratio (rows-only, exact
+#: zlib re-derivation). Strongest rotation candidates first:
+#: llm_winnowing_overlap, ts_periodogram, agg_levene_bf,
+#: llm_split_leakage, agg_cuped_adjust, llm_rank_fusion_rrf.
 #: Round-7 additions leading the list (each hash-certifies
 #: a whole subsystem): sample_sequential_poisson (portable exact-k PPS
 #: sampling), sample_class_balanced (grouped-rank primitive under the

@@ -102,3 +102,64 @@ def test_rank_plan_has_no_data_scale_single_partition(spark, sf_dir):
     for line in plan.splitlines():
         if "row_number()" in line:
             assert "__rank_pid" in line, line
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_grouped_prefix_sum_matches_window(spark, seed):
+    """with_grouped_prefix_sum must be bit-identical to the
+    low-cardinality-partition cumulative window it replaces, under
+    skewed groups, tied order keys broken by the unique id, and both
+    ascending and descending orders."""
+    from solarflare_etl_pipeline_spark.plans.rank import (
+        with_grouped_prefix_sum,
+    )
+
+    df = _fixture(spark, seed)
+    for order, cols in [
+        ([F.col("v"), F.col("id")], ["v", "id"]),
+        ([F.col("v").desc(), F.col("id")], None),
+    ]:
+        if cols:
+            w = W.partitionBy("grp").orderBy(*cols).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        else:
+            w = W.partitionBy("grp").orderBy(
+                F.col("v").desc(), F.col("id")
+            ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        exp = df.select(
+            "id", F.sum("skewed").over(w).cast("long").alias("cum")
+        )
+        got = with_grouped_prefix_sum(
+            df, ["grp"], order, "skewed", sum_col="cum"
+        ).select("id", "cum")
+        assert (
+            exp.join(got.withColumnRenamed("cum", "cum2"), "id")
+            .where("cum != cum2")
+            .count()
+            == 0
+        )
+
+
+def test_grouped_prefix_sum_single_group(spark):
+    """Degenerate one-group case — the global running total."""
+    from solarflare_etl_pipeline_spark.plans.rank import (
+        with_grouped_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1, i % 7) for i in range(1000)], "id long, one long, v long"
+    )
+    w = W.partitionBy("one").orderBy("id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    exp = df.select("id", F.sum("v").over(w).cast("long").alias("cum"))
+    got = with_grouped_prefix_sum(df, ["one"], ["id"], "v").select(
+        "id", F.col("cum")
+    )
+    assert (
+        exp.join(got.withColumnRenamed("cum", "cum2"), "id")
+        .where("cum != cum2")
+        .count()
+        == 0
+    )
