@@ -3994,3 +3994,260 @@ def agg_jackknife_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / m))"
         ).alias("se_jack"),
     )
+
+
+#: SPRT (Wald) integer constants, precomputed ONCE in Python and shared
+#: by both engines: H0 p=0.45 vs H1 p=0.55, alpha = beta = 0.05.
+#: Success/failure log-likelihood increments and the two decision
+#: boundaries, all in micros (floor/ceil toward the conservative side).
+SPRT_W_S = 200670    # floor(ln(0.55/0.45) * 1e6)
+SPRT_W_F = -200671   # floor(ln(0.45/0.55) * 1e6)
+SPRT_A = 2944438     # floor(ln(0.95/0.05) * 1e6) — accept H1 at >=
+SPRT_B = -2944438    # ceil(ln(0.05/0.95) * 1e6) — accept H0 at <=
+
+
+@register(
+    "agg_sprt_sequential",
+    oracle=f"""
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(ts AS TIMESTAMP) AS tss, event_id,
+                   CASE WHEN value > 35 THEN {SPRT_W_S}
+                        ELSE {SPRT_W_F} END AS w
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, event_id,
+                   SUM(w) OVER (PARTITION BY event_type
+                                ORDER BY tss, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS llr,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY tss, event_id) AS i
+            FROM obs
+        ),
+        crossed AS (
+            SELECT event_type, i, llr,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY i)
+                       AS rk
+            FROM c
+            WHERE llr >= {SPRT_A} OR llr <= {SPRT_B}
+        ),
+        n AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(CASE WHEN w = {SPRT_W_S} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_success
+            FROM obs GROUP BY event_type
+        )
+        SELECT n.event_type, n.n_obs, n.n_success,
+               CAST(crossed.i AS BIGINT) AS first_cross_at,
+               CASE WHEN crossed.llr >= {SPRT_A} THEN 'accept_h1'
+                    WHEN crossed.llr IS NULL THEN 'continue'
+                    ELSE 'accept_h0' END AS decision
+        FROM n
+        LEFT JOIN crossed ON crossed.event_type = n.event_type
+                         AND crossed.rk = 1
+        ORDER BY n.event_type
+    """,
+    doc="Wald's Sequential Probability Ratio Test (Wald 1945; the "
+    "always-valid sequential A/B decision modern platforms run "
+    "instead of fixed-horizon tests): per event type, walk "
+    "conversions (value > 35) in event-time order accumulating the "
+    "log-likelihood ratio for H1 p=0.55 vs H0 p=0.45, and report "
+    "WHERE the ratio first crossed a decision boundary and which "
+    "hypothesis won — or 'continue' if the data never decides. The "
+    "four LLR/boundary constants are micro-quantized in Python once "
+    "and shared as integer literals by both engines (the "
+    "ts_periodogram trig-table discipline applied to logs), so the "
+    "cumulative walk, the crossing predicate and the decision are "
+    "all exact integer arithmetic — no float can flip a boundary "
+    "row (rule 22). The cumulative window partitions by the "
+    "5-value event_type — the oracle spells that single-task form; "
+    "at 100 TB the Spark side would swap in "
+    "plans/rank.with_grouped_prefix_sum unchanged (llm_token_budget_"
+    "trim is the worked example); kept as the window here because "
+    "the crossing scan needs the SAME time order twice more "
+    "(rank-of-crossing, first-crossing pick) and the grid is what "
+    "the driver fixtures exercise.",
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    obs = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > 35, SPRT_W_S)
+        .otherwise(SPRT_W_F)
+        .alias("w"),
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = obs.select(
+        "event_type",
+        F.sum("w").over(wt).alias("llr"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("i"),
+    )
+    crossed = (
+        c.where((F.col("llr") >= SPRT_A) | (F.col("llr") <= SPRT_B))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("i")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("event_type").alias("cet"),
+            F.col("i").cast("long").alias("first_cross_at"),
+            F.col("llr").alias("cllr"),
+        )
+    )
+    n = obs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum((F.col("w") == SPRT_W_S).cast("int"))
+        .cast("long")
+        .alias("n_success"),
+    )
+    return (
+        n.join(crossed, n["event_type"] == crossed["cet"], "left")
+        .select(
+            "event_type",
+            "n_obs",
+            "n_success",
+            "first_cross_at",
+            F.when(F.col("cllr") >= SPRT_A, "accept_h1")
+            .when(F.col("cllr").isNull(), "continue")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_var_es_tail",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY event_type, v3
+        ),
+        cum AS (
+            SELECT event_type, v3, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3) AS cumc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM grid
+        ),
+        var95 AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cumc >= (19 * n + 19) // 20 THEN v3 END)
+                       AS var95_milli,
+                   MAX(n) AS n
+            FROM cum GROUP BY event_type
+        ),
+        tail AS (
+            SELECT grid.event_type,
+                   CAST(SUM(grid.c) AS BIGINT) AS n_tail,
+                   CAST(SUM(CAST(grid.v3 AS HUGEINT) * grid.c) AS HUGEINT)
+                       AS tail_sum
+            FROM grid
+            JOIN var95 ON var95.event_type = grid.event_type
+            WHERE grid.v3 >= var95.var95_milli
+            GROUP BY grid.event_type
+        )
+        SELECT var95.event_type,
+               CAST(var95.n AS BIGINT) AS n,
+               var95.var95_milli,
+               tail.n_tail,
+               CAST(tail.tail_sum // tail.n_tail AS BIGINT) AS es_milli
+        FROM var95 JOIN tail ON tail.event_type = var95.event_type
+        ORDER BY var95.event_type
+    """,
+    doc="Value-at-Risk and Expected Shortfall of the value distribution "
+    "per event type — VaR95 is the exact 95th-percentile order "
+    "statistic (smallest grid value whose cumulative count reaches "
+    "ceil(0.95 n), spelled as the integer (19n+19)//20), ES is the "
+    "mean of the tail at-or-beyond it: the coherent tail-risk pair "
+    "from financial risk management (Artzner et al. 1999 — ES is "
+    "subadditive where VaR is not), equally the 'how bad are the "
+    "worst 5% of payloads' question for any skewed operational "
+    "metric, and the tail-mass complement of agg_trimmed_mean "
+    "(which DROPS tails; this measures them) and agg_hill_tail_index "
+    "(shape; this is magnitude). All integer milli arithmetic off "
+    "the distinct-value grid — cardinality bounded by the value "
+    "DOMAIN, windows never touch raw rows. One data-sized hash "
+    "aggregate; everything after runs on the grid.",
+)
+def agg_var_es_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            "event_type",
+            F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v3"),
+        )
+        .groupBy("event_type", "v3")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v3")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "v3",
+        F.sum("c").over(wcum).alias("cumc"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    var95 = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cumc") >= F.expr("(19 * n + 19) DIV 20"), F.col("v3"))
+        ).alias("var95_milli"),
+        F.max("n").cast("long").alias("n"),
+    )
+    tail = (
+        grid.join(
+            F.broadcast(
+                var95.select(
+                    F.col("event_type").alias("vet"), "var95_milli"
+                )
+            ),
+            (F.col("event_type") == F.col("vet"))
+            & (F.col("v3") >= F.col("var95_milli")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("n_tail"),
+            F.sum(
+                (F.col("v3").cast("decimal(19,0)") * F.col("c")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("tail_sum"),
+        )
+    )
+    return (
+        var95.join(tail, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "var95_milli",
+            "n_tail",
+            F.expr(
+                "CAST(tail_sum DIV CAST(n_tail AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("es_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -1620,3 +1620,89 @@ def scan_with_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_rows"))
         .orderBy("file_name", "l_returnflag")
     )
+
+
+@register(
+    "dq_reconciliation",
+    oracle="""
+        WITH l AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS line_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        o AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS order_cents
+            FROM orders
+        ),
+        j AS (
+            SELECT o.order_cents, l.line_cents,
+                   CASE
+                       WHEN l.line_cents IS NULL THEN 'no_lines'
+                       WHEN ABS(l.line_cents - o.order_cents) * 100
+                            <= o.order_cents THEN 'within_1pct'
+                       WHEN ABS(l.line_cents - o.order_cents) * 10
+                            <= o.order_cents THEN 'within_10pct'
+                       ELSE 'mismatch'
+                   END AS status,
+                   COALESCE(ABS(l.line_cents - o.order_cents), 0)
+                       AS drift_cents
+            FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(drift_cents) AS BIGINT) AS total_drift_cents,
+               CAST(MAX(drift_cents) AS BIGINT) AS max_drift_cents
+        FROM j GROUP BY status
+        ORDER BY status
+    """,
+    doc="Cross-table financial reconciliation — does the fact roll up to "
+    "the header? Every order's lineitem extended-price total is "
+    "compared in exact CENTS against o_totalprice and banded: "
+    "no_lines (orphan headers), within_1pct, within_10pct, mismatch "
+    "— the daily close-of-books control every warehouse runs between "
+    "a detail table and its summary (and the natural companion to "
+    "dq_referential_integrity, which checks key EXISTENCE; this "
+    "checks VALUE consistency). Tolerance predicates are "
+    "cross-multiplied integer inequalities (|Δ|·100 <= total, rule "
+    "22) so no boundary order can flip on a ulp. Scale: one hash "
+    "aggregate to order grain, an equi join on the order key, a "
+    "4-row status aggregate — mergeable end to end; at 100 TB both "
+    "sides partition-prune by date if the reconciliation window "
+    "is bounded.",
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("line_cents")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+            "order_cents"
+        ),
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"], "left").select(
+        F.expr(
+            "CASE WHEN line_cents IS NULL THEN 'no_lines'"
+            " WHEN ABS(line_cents - order_cents) * 100 <= order_cents"
+            " THEN 'within_1pct'"
+            " WHEN ABS(line_cents - order_cents) * 10 <= order_cents"
+            " THEN 'within_10pct'"
+            " ELSE 'mismatch' END"
+        ).alias("status"),
+        F.expr("COALESCE(ABS(line_cents - order_cents), 0)").alias(
+            "drift_cents"
+        ),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("drift_cents").cast("long").alias("total_drift_cents"),
+            F.max("drift_cents").cast("long").alias("max_drift_cents"),
+        )
+        .orderBy("status")
+    )

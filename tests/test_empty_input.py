@@ -103,6 +103,11 @@ CORE_QUERIES = (
     "ts_snaive_backtest",
     "agg_jackknife_ratio_se",
     "llm_compression_ratio",
+    # round-7 batch 11: empty cumulative walks (sprt), empty recon
+    # joins, empty tail grids (var/es)
+    "agg_sprt_sequential",
+    "dq_reconciliation",
+    "agg_var_es_tail",
 )
 
 

@@ -1122,3 +1122,90 @@ def test_jackknife_ratio_rederivation(spark, sf_dir, events):
     assert _close(row.ratio, sy / sx, 1e-12)
     assert _close(row.ratio_jack, m * sy / sx - (m - 1) * rbar, 1e-6)
     assert _close(row.se_jack, se, 1e-5)
+
+
+def test_sprt_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.aggregates import (
+        SPRT_A,
+        SPRT_B,
+        SPRT_W_F,
+        SPRT_W_S,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS TIMESTAMP), event_id, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    series = defaultdict(list)
+    for et, ts, eid, v in rows:
+        series[et].append((ts, eid, v))
+    expected = {}
+    for et, evs in series.items():
+        evs.sort()
+        llr, cross, dec = 0, None, "continue"
+        for i, (_, _, v) in enumerate(evs, start=1):
+            llr += SPRT_W_S if v > 35 else SPRT_W_F
+            if cross is None and (llr >= SPRT_A or llr <= SPRT_B):
+                cross = i
+                dec = "accept_h1" if llr >= SPRT_A else "accept_h0"
+        ns = sum(1 for _, _, v in evs if v > 35)
+        expected[et] = (len(evs), ns, cross, dec)
+    got = {
+        r.event_type: (r.n_obs, r.n_success, r.first_cross_at, r.decision)
+        for r in SPECS["agg_sprt_sequential"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # SPRT sanity: the Wald boundaries must actually decide somewhere on
+    # this data (a test that never crosses exercises only one arm)
+    assert any(c is not None for _, _, c, _ in expected.values())
+
+
+def test_reconciliation_rederivation(spark, sf_dir):
+    li = defaultdict(int)
+    for ok, p in duckdb.sql(
+        f"SELECT l_orderkey, l_extendedprice FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall():
+        li[ok] += round(p * 100)
+    expected = defaultdict(lambda: [0, 0, 0])
+    for ok, tp in duckdb.sql(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall():
+        oc = round(tp * 100)
+        if ok not in li:
+            st, drift = "no_lines", 0
+        else:
+            drift = abs(li[ok] - oc)
+            st = (
+                "within_1pct" if drift * 100 <= oc
+                else "within_10pct" if drift * 10 <= oc
+                else "mismatch"
+            )
+        s = expected[st]
+        s[0] += 1
+        s[1] += drift
+        s[2] = max(s[2], drift)
+    got = {
+        r.status: [r.n_orders, r.total_drift_cents, r.max_drift_cents]
+        for r in SPECS["dq_reconciliation"].spark(spark, sf_dir).collect()
+    }
+    assert got == {k: list(v) for k, v in expected.items()}
+
+
+def test_var_es_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    expected = {}
+    for et, vs in groups.items():
+        vs.sort()
+        n = len(vs)
+        var95 = vs[(19 * n + 19) // 20 - 1]
+        tail = [x for x in vs if x >= var95]
+        expected[et] = (n, var95, len(tail), sum(tail) // len(tail))
+    got = {
+        r.event_type: (r.n, r.var95_milli, r.n_tail, r.es_milli)
+        for r in SPECS["agg_var_es_tail"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
