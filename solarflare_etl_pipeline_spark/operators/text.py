@@ -3321,3 +3321,128 @@ def llm_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'normal' END"
         ).alias("band"),
     ).orderBy("doc_id")
+
+
+#: BM25 parameters (Robertson & Zaragoza defaults) and the fixed query.
+BM25_K1 = "1.2D"
+BM25_B = "0.75D"
+BM25_TERMS = ("data", "hash", "scan", "dup")
+BM25_TOP = 20
+
+
+def _bm25_term_sql(i: int, t: str) -> str:
+    """Per-term BM25 contribution as one fixed-order float chain; tf and
+    dl are exact integers, idf is 9dp-rounded LN (rule: perplexity
+    discipline), the saturation denominator spells k1/b with D-suffixed
+    literal semantics on the Spark side and plain literals here."""
+    return f"""COALESCE(
+        ROUND(LN(1.0 + (CAST(n.n_docs - df_{i} AS DOUBLE) + 0.5)
+                       / (CAST(df_{i} AS DOUBLE) + 0.5)), 9)
+        * (CAST(tf_{i} AS DOUBLE)
+           / (CAST(tf_{i} AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) * n.n_docs
+                              / n.n_tokens))), 0.0)"""
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        ),
+        dl AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+            FROM toks GROUP BY doc_id
+        ),
+        n AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS n_tokens
+            FROM dl
+        ),
+        tf AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{i}"
+                       for i, t in enumerate(BM25_TERMS))}
+            FROM toks GROUP BY doc_id
+        ),
+        df AS (
+            SELECT {", ".join(
+                f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+                for i in range(len(BM25_TERMS)))}
+            FROM tf
+        ),
+        scored AS (
+            SELECT tf.doc_id, dl.dl,
+                   {" + ".join(_bm25_term_sql(i, t) for i, t in enumerate(BM25_TERMS))}
+                       AS score
+            FROM tf JOIN dl ON dl.doc_id = tf.doc_id, df, n
+        )
+        SELECT doc_id, dl, ROUND(score, 6) AS bm25
+        FROM scored
+        WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_TOP}
+    """,
+    doc=f"BM25 ranked retrieval (Robertson & Zaragoza 2009, k1=1.2 "
+    f"b=0.75, Lucene's always-positive idf form) for the fixed query "
+    f"{BM25_TERMS} — the standard lexical relevance scorer that "
+    f"llm_tfidf approximates without length saturation; three common "
+    f"terms + one rare term make idf discrimination visible in the "
+    f"fixture. Parity: tf, dl, df, N, total-token counts are exact "
+    f"integers; each term's idf is LN on bit-identical doubles "
+    f"rounded once at 9dp (the llm_perplexity_proxy discipline); the "
+    f"per-doc score is a FIXED-ORDER sum of the {len(BM25_TERMS)} "
+    f"pivoted term contributions (the agg_anova_oneway spelling — "
+    f"no engine-ordered float aggregation anywhere); fractional "
+    f"literals are D-suffixed on the Spark side (rule 24). Scale: "
+    f"token explode → two hash aggregates (per-doc tf pivot, "
+    f"per-doc length) + a 1-row df/N summary folded broadcast-side; "
+    f"selection is TakeOrderedAndProject. The inverted-index form "
+    f"(llm_inverted_index) is the precomputed variant; this is the "
+    f"scan-time scorer.",
+)
+def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    k = len(BM25_TERMS)
+    tf = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("int")).cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    ).localCheckpoint()
+    tot = tf.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("int")).cast("long").alias(f"df_{i}")
+            for i in range(k)
+        ],
+    ).collect()[0]
+    n_docs, n_tokens = int(tot.n_docs), int(tot.n_tokens or 0)
+    if n_docs == 0 or n_tokens == 0:
+        return spark.createDataFrame([], "doc_id LONG, dl LONG, bm25 DOUBLE")
+    terms = []
+    for i in range(k):
+        df_i = int(tot[f"df_{i}"])
+        terms.append(
+            f"COALESCE(ROUND(LN(1.0D + (CAST({n_docs} - {df_i} AS DOUBLE) + 0.5D)"
+            f" / (CAST({df_i} AS DOUBLE) + 0.5D)), 9)"
+            f" * (CAST(tf_{i} AS DOUBLE)"
+            f" / (CAST(tf_{i} AS DOUBLE)"
+            f" + {BM25_K1} * (0.25D + {BM25_B} * CAST(dl AS DOUBLE) * {n_docs}"
+            f" / {n_tokens}))), 0.0D)"
+        )
+    scored = tf.select(
+        "doc_id", "dl", F.expr(" + ".join(terms)).alias("score")
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .select("doc_id", "dl", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOP)
+        .drop("score")
+    )

@@ -1912,3 +1912,125 @@ def ts_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Shewhart individuals-chart constant: UCL/LCL = xbar ± 2.66 * MRbar,
+#: spelled as the exact rational 2660/1000 for integer cross-multiplied
+#: control tests.
+IMR_K_MILLI = 2660
+
+
+@register(
+    "ts_control_chart_imr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        mr AS (
+            SELECT event_type, day, x,
+                   ABS(x - LAG(x) OVER (PARTITION BY event_type ORDER BY day))
+                       AS mrange
+            FROM daily
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(mrange) AS BIGINT) AS smr,
+                   CAST(COUNT(mrange) AS BIGINT) AS nmr
+            FROM mr GROUP BY event_type
+        ),
+        flagged AS (
+            SELECT mr.event_type, mr.day, mr.x
+            FROM mr JOIN s ON s.event_type = mr.event_type
+            WHERE ABS(mr.x * s.n_days - s.sx) * s.nmr * 1000
+                  > {IMR_K_MILLI} * s.smr * s.n_days
+        )
+        SELECT s.event_type, s.n_days,
+               CAST(s.sx * 1000000 // s.n_days AS BIGINT) AS xbar_micro,
+               CAST(s.smr * 1000000 // s.nmr AS BIGINT) AS mrbar_micro,
+               CAST(COUNT(flagged.day) AS BIGINT) AS n_out_of_control,
+               MIN(flagged.day) AS first_out_day
+        FROM s LEFT JOIN flagged ON flagged.event_type = s.event_type
+        GROUP BY s.event_type, s.n_days, s.sx, s.smr, s.nmr
+        ORDER BY s.event_type
+    """,
+    doc=f"Shewhart individuals/moving-range (I-MR) control chart over "
+    f"daily event counts — the SPC primitive behind 'is today's "
+    f"volume within natural process variation': center line = mean, "
+    f"control limits = xbar ± 2.66·MRbar (the d2=1.128 individuals "
+    f"constant, spelled as the exact rational {IMR_K_MILLI}/1000), a "
+    f"day is out of control when it breaches either limit. "
+    f"Complements ts_zscore_anomaly (rolling, per-user) and "
+    f"ts_cusum_drift (cumulative small shifts) with the classical "
+    f"fixed-limit chart auditors expect. The control test is one "
+    f"cross-multiplied INTEGER inequality (|x·n − Sx|·n_mr·1000 > "
+    f"{IMR_K_MILLI}·SMR·n — rule 22), so the flagged-day set is "
+    f"engine-exact; reported center/MRbar are floor-divided micros. "
+    f"Scale: one hash aggregate to the calendar grid; the LAG window "
+    f"and every join run on bounded day×type rows.",
+)
+def ts_control_chart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    wlag = Window.partitionBy("event_type").orderBy("day")
+    mr = daily.withColumn(
+        "mrange", F.abs(F.col("x") - F.lag("x").over(wlag))
+    ).localCheckpoint()
+    s = mr.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("mrange").cast("long").alias("smr"),
+        F.count("mrange").cast("long").alias("nmr"),
+    )
+    flagged = (
+        mr.join(
+            F.broadcast(
+                s.select(
+                    F.col("event_type").alias("set"),
+                    "n_days",
+                    "sx",
+                    "smr",
+                    "nmr",
+                )
+            ),
+            F.col("event_type") == F.col("set"),
+        )
+        .where(
+            F.expr(
+                f"ABS(x * n_days - sx) * nmr * 1000"
+                f" > {IMR_K_MILLI} * smr * n_days"
+            )
+        )
+        .select(F.col("event_type").alias("fet"), "day")
+    )
+    return (
+        s.join(flagged, s["event_type"] == flagged["fet"], "left")
+        .groupBy("event_type", "n_days", "sx", "smr", "nmr")
+        .agg(
+            F.count("day").cast("long").alias("n_out_of_control"),
+            F.min("day").alias("first_out_day"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.expr("CAST(sx * 1000000 DIV n_days AS BIGINT)").alias(
+                "xbar_micro"
+            ),
+            F.expr("CAST(smr * 1000000 DIV nmr AS BIGINT)").alias(
+                "mrbar_micro"
+            ),
+            "n_out_of_control",
+            "first_out_day",
+        )
+        .orderBy("event_type")
+    )

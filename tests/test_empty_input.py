@@ -108,6 +108,9 @@ CORE_QUERIES = (
     "agg_sprt_sequential",
     "dq_reconciliation",
     "agg_var_es_tail",
+    # round-7 batch 12: empty tf/df tables (bm25), empty control grids
+    "llm_bm25_topk",
+    "ts_control_chart_imr",
 )
 
 

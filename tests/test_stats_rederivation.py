@@ -1209,3 +1209,89 @@ def test_var_es_rederivation(spark, sf_dir, events):
         for r in SPECS["agg_var_es_tail"].spark(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_bm25_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import (
+        BM25_TERMS,
+        BM25_TOP,
+    )
+
+    docs = {d: t.split(" ") for d, t, *_ in documents}
+    n_docs = len(docs)
+    n_tokens = sum(len(w) for w in docs.values())
+    df = {
+        t: sum(1 for w in docs.values() if t in w) for t in BM25_TERMS
+    }
+    scored = []
+    for d, w in docs.items():
+        dl = len(w)
+        score = 0.0
+        for t in BM25_TERMS:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = round(
+                math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5)), 9
+            )
+            score += idf * (
+                tf / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / n_tokens))
+            )
+        if score > 0:
+            scored.append((-score, d, dl))
+    expected = [
+        (d, dl, round(-s, 6)) for s, d, dl in sorted(scored)[:BM25_TOP]
+    ]
+    rows = SPECS["llm_bm25_topk"].spark(spark, sf_dir).collect()
+    got = [(r.doc_id, r.dl, r.bm25) for r in rows]
+    assert len(got) == len(expected)
+    for (gd, gdl, gs), (ed, edl, es) in zip(got, expected):
+        assert (gd, gdl) == (ed, edl)
+        assert _close(gs, es, 1e-6)
+
+
+def test_control_chart_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.timeseries import (
+        IMR_K_MILLI,
+    )
+
+    daily = duckdb.sql(
+        f"SELECT event_type, CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))"
+        f" AS DATE) AS d, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    series = defaultdict(dict)
+    for et, d, c in daily:
+        series[et][d] = c
+    expected = {}
+    for et, s in series.items():
+        ds = sorted(s)
+        xs = [s[d] for d in ds]
+        n = len(xs)
+        sx = sum(xs)
+        mrs = [abs(xs[i] - xs[i - 1]) for i in range(1, n)]
+        smr, nmr = sum(mrs), len(mrs)
+        out = [
+            ds[i]
+            for i, x in enumerate(xs)
+            if abs(x * n - sx) * nmr * 1000 > IMR_K_MILLI * smr * n
+        ]
+        expected[et] = (
+            n,
+            sx * 1000000 // n,
+            smr * 1000000 // nmr,
+            len(out),
+            min(out) if out else None,
+        )
+    rows = SPECS["ts_control_chart_imr"].spark(spark, sf_dir).collect()
+    got = {
+        r.event_type: (
+            r.n_days,
+            r.xbar_micro,
+            r.mrbar_micro,
+            r.n_out_of_control,
+            r.first_out_day.date() if r.first_out_day else None,
+        )
+        for r in rows
+    }
+    assert got == expected
