@@ -4251,3 +4251,99 @@ def agg_var_es_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Mantel-Haenszel strata: day-of-week (0..6 relative to the epoch).
+MH_STRATA = tuple(range(7))
+
+
+@register(
+    "agg_mh_odds_ratio",
+    oracle=f"""
+        WITH q AS (
+            SELECT (DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                    + 7) % 7 AS dow,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS exposed,
+                   CASE WHEN value > 35 THEN 1 ELSE 0 END AS outcome
+            FROM events
+        ),
+        s AS (
+            SELECT
+                {", ".join(
+                    f'''CAST(SUM(CASE WHEN dow = {k} AND exposed = 1 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 1 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 0 AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 0 AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_{k}'''
+                    for k in MH_STRATA)}
+            FROM q
+        )
+        SELECT CAST({len(MH_STRATA)} AS BIGINT) AS n_strata,
+               CAST({" + ".join(f"a_{k} + b_{k} + c_{k} + d_{k}" for k in MH_STRATA)} AS BIGINT)
+                   AS n_total,
+               ({" + ".join(f"CAST(a_{k} AS DOUBLE) * d_{k} / (a_{k} + b_{k} + c_{k} + d_{k})" for k in MH_STRATA)})
+                   AS mh_numerator,
+               ({" + ".join(f"CAST(b_{k} AS DOUBLE) * c_{k} / (a_{k} + b_{k} + c_{k} + d_{k})" for k in MH_STRATA)})
+                   AS mh_denominator,
+               ({" + ".join(f"CAST(a_{k} AS DOUBLE) * d_{k} / (a_{k} + b_{k} + c_{k} + d_{k})" for k in MH_STRATA)})
+               / ({" + ".join(f"CAST(b_{k} AS DOUBLE) * c_{k} / (a_{k} + b_{k} + c_{k} + d_{k})" for k in MH_STRATA)})
+                   AS mh_odds_ratio
+        FROM s
+    """,
+    doc="Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959) — "
+    "the stratified-confounding answer to 'does purchase intent "
+    "associate with high value, after controlling for day-of-week?': "
+    "one 2x2 table per stratum, OR_MH = sum(a_k d_k/n_k) / "
+    "sum(b_k c_k/n_k), the fixed-effect pooling that is robust to "
+    "sparse strata (where per-stratum ORs blow up on zero cells) and "
+    "the Simpson's-paradox-proof companion to agg_chi_square's "
+    "marginal test. All 28 cell counts FILTER-pivot into ONE row of "
+    "exact integers; the two pooled sums are each a single "
+    "fixed-order float expression (agg_anova_oneway discipline — "
+    "identical chains both engines, no ROUND per rule 16). Scale: "
+    "one map-side-combinable hash aggregate, scalar algebra after.",
+)
+def agg_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.expr(
+            "(CAST(datediff(to_date(ts), DATE '2024-01-01') % 7 + 7 AS INT)) % 7"
+        ).alias("dow"),
+        (F.col("event_type") == "purchase").cast("int").alias("exposed"),
+        (F.col("value") > 35).cast("int").alias("outcome"),
+    )
+    aggs = []
+    for k in MH_STRATA:
+        for name, ex, oc in (
+            (f"a_{k}", 1, 1),
+            (f"b_{k}", 1, 0),
+            (f"c_{k}", 0, 1),
+            (f"d_{k}", 0, 0),
+        ):
+            aggs.append(
+                F.sum(
+                    (
+                        (F.col("dow") == k)
+                        & (F.col("exposed") == ex)
+                        & (F.col("outcome") == oc)
+                    ).cast("int")
+                )
+                .cast("long")
+                .alias(name)
+            )
+    s = q.agg(*aggs)
+    num = " + ".join(
+        f"CAST(a_{k} AS DOUBLE) * d_{k} / (a_{k} + b_{k} + c_{k} + d_{k})"
+        for k in MH_STRATA
+    )
+    den = " + ".join(
+        f"CAST(b_{k} AS DOUBLE) * c_{k} / (a_{k} + b_{k} + c_{k} + d_{k})"
+        for k in MH_STRATA
+    )
+    tot = " + ".join(f"a_{k} + b_{k} + c_{k} + d_{k}" for k in MH_STRATA)
+    return s.select(
+        F.lit(len(MH_STRATA)).cast("long").alias("n_strata"),
+        F.expr(f"CAST({tot} AS BIGINT)").alias("n_total"),
+        F.expr(f"({num})").alias("mh_numerator"),
+        F.expr(f"({den})").alias("mh_denominator"),
+        F.expr(f"({num}) / ({den})").alias("mh_odds_ratio"),
+    )

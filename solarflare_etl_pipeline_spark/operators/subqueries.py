@@ -267,3 +267,57 @@ def subq_scalar_threshold_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
     )
+
+
+@register(
+    "subq_quantified_all",
+    oracle="""
+        WITH eu AS (
+            SELECT o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders o
+        WHERE o.o_totalprice > ALL (
+            SELECT eu.o_totalprice FROM eu WHERE eu.o_custkey = o.o_custkey
+        )
+        AND o.o_orderpriority <> '1-URGENT'
+        ORDER BY o.o_orderkey
+    """,
+    doc="Quantified comparison subquery (> ALL) — 'non-urgent orders "
+    "that beat EVERY urgent order of the same customer': the ANSI "
+    "quantified-predicate surface (ALL/ANY/SOME) the subquery family "
+    "(IN / EXISTS / correlated scalar) did not yet cover, with its "
+    "signature trap: > ALL over an EMPTY correlated set is TRUE, so "
+    "customers with no urgent orders pass vacuously — the semantics "
+    "NOT-EXISTS-with-negated-predicate preserves and a naive "
+    "MAX-comparison silently breaks (MAX over empty is NULL and the "
+    "comparison drops the row). Spark's DataFrame API has no ALL "
+    "operator; the registered plan de-correlates it as the textbook "
+    "rewrite: left join to each customer's urgent MAX (one bounded "
+    "aggregate), keep rows where the max is NULL (vacuous truth) OR "
+    "beaten — an equi broadcast-able join at any scale, no per-row "
+    "subquery execution.",
+)
+def subq_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent_max = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("uk"))
+        .agg(F.max("o_totalprice").alias("umax"))
+    )
+    return (
+        o.where(F.col("o_orderpriority") != "1-URGENT")
+        .join(urgent_max, o["o_custkey"] == urgent_max["uk"], "left")
+        .where(F.col("umax").isNull() | (F.col("o_totalprice") > F.col("umax")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )

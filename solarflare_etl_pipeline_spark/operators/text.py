@@ -3446,3 +3446,105 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BM25_TOP)
         .drop("score")
     )
+
+
+#: Cross-source overlap shingle width.
+XSRC_NGRAM = 5
+
+
+@register(
+    "llm_cross_source_overlap",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {XSRC_NGRAM - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+3] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+4]))) AS sh
+            FROM documents
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM sh GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b
+              ON a.sh = b.sh AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, n_shared,
+               sa.sz AS sz_a, sb.sz AS sz_b,
+               CAST(n_shared * 1000 // (sa.sz + sb.sz - n_shared) AS BIGINT)
+                   AS jaccard_milli
+        FROM pairs
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+    """,
+    doc=f"Source-to-source duplication matrix — which crawls/feeds copy "
+    f"from which: distinct {XSRC_NGRAM}-gram word shingles per SOURCE "
+    f"(not per doc), pairwise shared-shingle counts and Jaccard "
+    f"overlap between every source pair. This is the corpus-triage "
+    f"view the doc-grain dedup family can't give: llm_decontaminate "
+    f"audits one benchmark source, llm_split_leakage audits the "
+    f"holdout; this says 'src3 and src11 share 40% of their "
+    f"phrase space — dedup them against each other first'. Scale: "
+    f"shingle-grain generate-then-verify — the pair join keys on the "
+    f"shingle string across |sources| (bounded) source rows per "
+    f"shingle, so worst-case fan-out per shingle is |sources|^2 "
+    f"(~400), never doc-quadratic; sizes and the pair aggregate are "
+    f"|sources|-bounded. One explode + three hash aggregates.",
+)
+def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(split(text, ' ')) - {XSRC_NGRAM - 1}),"
+                        f" i -> concat_ws(' ', slice(split(text, ' '), i, {XSRC_NGRAM})))"
+                    )
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "sz_a",
+            "sz_b",
+            F.expr(
+                "CAST(n_shared * 1000 DIV (sz_a + sz_b - n_shared) AS BIGINT)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy("source_a", "source_b")
+    )

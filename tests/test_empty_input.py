@@ -111,6 +111,10 @@ CORE_QUERIES = (
     # round-7 batch 12: empty tf/df tables (bm25), empty control grids
     "llm_bm25_topk",
     "ts_control_chart_imr",
+    # round-7 batch 13
+    "agg_mh_odds_ratio",
+    "subq_quantified_all",
+    "llm_cross_source_overlap",
 )
 
 

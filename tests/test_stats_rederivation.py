@@ -1295,3 +1295,85 @@ def test_control_chart_rederivation(spark, sf_dir):
         for r in rows
     }
     assert got == expected
+
+
+def test_mh_odds_ratio_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT CAST(ts AS DATE), event_type, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # a, b, c, d
+    for d, et, v in rows:
+        k = (d - epoch).days % 7
+        ex, oc = et == "purchase", v > 35
+        idx = 0 if (ex and oc) else 1 if ex else 2 if oc else 3
+        cells[k][idx] += 1
+    num = sum(
+        a * dd / (a + b + c + dd) for a, b, c, dd in cells.values()
+    )
+    den = sum(
+        b * c / (a + b + c + dd) for a, b, c, dd in cells.values()
+    )
+    row = SPECS["agg_mh_odds_ratio"].spark(spark, sf_dir).collect()[0]
+    assert row.n_strata == 7
+    assert row.n_total == len(rows)
+    assert _close(row.mh_numerator, num, 1e-9)
+    assert _close(row.mh_denominator, den, 1e-9)
+    assert _close(row.mh_odds_ratio, num / den, 1e-9)
+
+
+def test_quantified_all_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    urgent_max = {}
+    for _, ck, tp, pr in rows:
+        if pr == "1-URGENT":
+            urgent_max[ck] = max(urgent_max.get(ck, 0), tp)
+    expected = {
+        ok
+        for ok, ck, tp, pr in rows
+        if pr != "1-URGENT" and (ck not in urgent_max or tp > urgent_max[ck])
+    }
+    got = {
+        r.o_orderkey
+        for r in SPECS["subq_quantified_all"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # vacuous-truth arm must be live: some passing order's customer has
+    # no urgent orders at all
+    cust = {ck for ok, ck, _, pr in rows if ok in expected}
+    assert any(ck not in urgent_max for ck in cust)
+
+
+def test_cross_source_overlap_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import XSRC_NGRAM
+
+    by_src = defaultdict(set)
+    for _, text, _, source, _ in documents:
+        w = text.split(" ")
+        for i in range(len(w) - XSRC_NGRAM + 1):
+            by_src[source].add(" ".join(w[i : i + XSRC_NGRAM]))
+    srcs = sorted(by_src)
+    expected = {}
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            shared = len(by_src[sa] & by_src[sb])
+            if shared:
+                union = len(by_src[sa]) + len(by_src[sb]) - shared
+                expected[(sa, sb)] = (
+                    shared,
+                    len(by_src[sa]),
+                    len(by_src[sb]),
+                    shared * 1000 // union,
+                )
+    rows = SPECS["llm_cross_source_overlap"].spark(spark, sf_dir).collect()
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.sz_a, r.sz_b, r.jaccard_milli)
+        for r in rows
+    }
+    assert got == expected
