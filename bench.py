@@ -133,6 +133,7 @@ BENCH_QUERIES = (
     "llm_rank_fusion_rrf",
     "llm_token_budget_trim",
     "ts_drawdown",
+    "llm_dedup_span_removal",
 )
 
 

@@ -4347,3 +4347,219 @@ def agg_mh_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"({den})").alias("mh_denominator"),
         F.expr(f"({num}) / ({den})").alias("mh_odds_ratio"),
     )
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle="""
+        WITH q AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        vals AS (
+            SELECT grp, v3, COUNT(*) AS c FROM q GROUP BY grp, v3
+        ),
+        allv AS (
+            SELECT v3, SUM(c) AS tot FROM vals GROUP BY v3
+        ),
+        r2 AS (
+            SELECT v3,
+                   2 * (SUM(tot) OVER (ORDER BY v3 ROWS UNBOUNDED
+                                       PRECEDING) - tot) + tot + 1
+                     AS rank2
+            FROM allv
+        ),
+        sums AS (
+            SELECT v.grp,
+                   CAST(SUM(v.c) AS BIGINT) AS n,
+                   CAST(SUM(v.c * r.rank2) AS BIGINT) AS ranksum2
+            FROM vals v JOIN r2 r ON r.v3 = v.v3
+            GROUP BY v.grp
+        ),
+        totals AS (
+            SELECT CAST(SUM(tot) AS BIGINT) AS n_total,
+                   CAST(SUM(tot * tot * tot - tot) AS BIGINT) AS tie3_sum
+            FROM allv
+        )
+        SELECT s.grp, s.n, s.ranksum2, t.n_total, t.tie3_sum
+        FROM sums s, totals t
+        ORDER BY s.grp
+    """,
+    doc="Kruskal-Wallis H sufficient statistics — the k-sample "
+    "generalization of agg_mann_whitney closing the rank-test family "
+    "(two samples: U; k samples: H). Ranks are EXACT under ties on "
+    "the DISTINCT-VALUE table (doubled average rank 2*below+ties+1 "
+    "stays integer), per-group doubled rank sums come from the "
+    "weighted count join, and the global tie-correction term "
+    "SUM(t^3 - t) is emitted alongside N so H = (12/(N(N+1)) * "
+    "SUM(R_i^2/n_i) - 3(N+1)) / (1 - tie3/(N^3-N)) is fully "
+    "derivable from the returned EXACT integers — no cross-group "
+    "float accumulation ever happens inside the engine, so there is "
+    "no summation-order hazard to paper over with ROUND. Identity "
+    "pinned in tests: SUM(ranksum2) = N*(N+1). The one ordered "
+    "window runs over DISTINCT values (value-cardinality-bounded); "
+    "at extreme cardinality the two-level bucket scheme of "
+    "dq_sequence_gaps applies verbatim. Per-value t^3 stays in "
+    "BIGINT while t < 2^21; beyond that (a single value dominating "
+    "2M+ rows) route the cube through DECIMAL(38,0) like "
+    "agg_chi_square's r6 fix.",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    vals = q.groupBy("grp", "v3").agg(F.count("*").alias("c"))
+    allv = vals.groupBy("v3").agg(F.sum("c").alias("tot"))
+    cum = W.orderBy("v3").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = allv.select(
+        "v3",
+        (
+            2 * (F.sum("tot").over(cum) - F.col("tot")) + F.col("tot") + 1
+        ).alias("rank2"),
+    )
+    sums = (
+        vals.join(r2, "v3")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("rank2")).cast("long").alias("ranksum2"),
+        )
+    )
+    totals = allv.agg(
+        F.sum("tot").cast("long").alias("n_total"),
+        F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot"))
+        .cast("long")
+        .alias("tie3_sum"),
+    )
+    return sums.crossJoin(F.broadcast(totals)).select(
+        "grp", "n", "ranksum2", "n_total", "tie3_sum"
+    ).orderBy("grp")
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars,
+                   LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 AS wc
+            FROM documents WHERE text IS NOT NULL
+        ),
+        lab AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 370 THEN 1 ELSE 2 END AS la,
+                   CASE WHEN wc < 36 THEN 0
+                        WHEN wc < 66 THEN 1 ELSE 2 END AS lb
+            FROM d
+        ),
+        cells AS (
+            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY la, lb
+        ),
+        rmarg AS (SELECT la AS k, CAST(SUM(c) AS BIGINT) AS rt
+                  FROM cells GROUP BY la),
+        cmarg AS (SELECT lb AS k, CAST(SUM(c) AS BIGINT) AS ct
+                  FROM cells GROUP BY lb),
+        e AS (
+            SELECT CAST(SUM(CAST(rt AS DECIMAL(38,0)) * ct)
+                        AS DECIMAL(38,0)) AS e_num
+            FROM rmarg JOIN cmarg ON rmarg.k = cmarg.k
+        ),
+        o AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN la = lb THEN c END), 0)
+                        AS BIGINT) AS o_agree
+            FROM cells
+        )
+        SELECT o.n AS n_docs,
+               o.o_agree AS observed_agree,
+               ROUND(CAST(o.o_agree AS DOUBLE) / o.n, 9) AS p_observed,
+               ROUND(CAST(e.e_num AS DOUBLE)
+                     / (CAST(o.n AS DOUBLE) * o.n), 9) AS p_expected,
+               ROUND(CAST(CAST(o.n AS DECIMAL(38,0)) * o.o_agree - e.e_num
+                          AS DOUBLE)
+                     / CAST(CAST(o.n AS DECIMAL(38,0)) * o.n - e.e_num
+                            AS DOUBLE), 9) AS cohens_kappa
+        FROM o, e
+    """,
+    doc="Cohen's kappa inter-rater agreement — the chance-corrected "
+    "agreement statistic for annotation QA (two labeling pipelines "
+    "rating the same corpus; kappa ~0 means their agreement is what "
+    "chance alone buys). The two deterministic 'raters' bucket each "
+    "document's size class by different proxies (rater A: raw char "
+    "count; rater B: whitespace word count) so the confusion matrix "
+    "has genuine off-diagonal mass (kappa ~0.93 on the fixtures, not "
+    "degenerate 1.0). kappa = (N*O - SUM(rt*ct)) / (N^2 - "
+    "SUM(rt*ct)) is computed fully cross-multiplied: every product "
+    "routes through DECIMAL(38,0) (the agg_chi_square r6 discipline "
+    "— N^2 wraps BIGINT once N > 3B docs) and only the final ratio "
+    "is one float division. Margins come from the CELL table "
+    "(|categories|^2 = 9 rows — dimension-bounded), the raw scan is "
+    "one hash agg; nothing here changes shape at 100x.",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "n_chars",
+            F.expr(
+                "length(text) - length(replace(text, ' ', '')) + 1"
+            ).alias("wc"),
+        )
+    )
+    lab = d.select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 370, 1)
+        .otherwise(2)
+        .alias("la"),
+        F.when(F.col("wc") < 36, 0)
+        .when(F.col("wc") < 66, 1)
+        .otherwise(2)
+        .alias("lb"),
+    )
+    cells = lab.groupBy("la", "lb").agg(F.count("*").cast("long").alias("c"))
+    rmarg = cells.groupBy(F.col("la").alias("k")).agg(
+        F.sum("c").cast("long").alias("rt")
+    )
+    cmarg = cells.groupBy(F.col("lb").alias("k")).agg(
+        F.sum("c").cast("long").alias("ct")
+    )
+    e = rmarg.join(cmarg, "k").agg(
+        F.sum(F.expr("CAST(rt AS DECIMAL(38,0)) * ct"))
+        .cast("decimal(38,0)")
+        .alias("e_num")
+    )
+    o = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("la") == F.col("lb"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("o_agree"),
+    )
+    return o.crossJoin(F.broadcast(e)).select(
+        F.col("n").alias("n_docs"),
+        F.col("o_agree").alias("observed_agree"),
+        F.round(F.col("o_agree").cast("double") / F.col("n"), 9).alias(
+            "p_observed"
+        ),
+        F.round(
+            F.col("e_num").cast("double")
+            / (F.col("n").cast("double") * F.col("n")),
+            9,
+        ).alias("p_expected"),
+        F.round(
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * o_agree - e_num AS DOUBLE)"
+            )
+            / F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * n - e_num AS DOUBLE)"
+            ),
+            9,
+        ).alias("cohens_kappa"),
+    )

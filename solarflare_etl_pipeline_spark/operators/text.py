@@ -3548,3 +3548,208 @@ def llm_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "llm_dedup_span_removal",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text, LEN(text) AS n FROM documents
+            WHERE LEN(text) >= {SUBDUP_W}
+        ),
+        w AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, (n - {SUBDUP_W}) // {SUBDUP_S} + 2),
+                          i -> (i - 1) * {SUBDUP_S} + 1)) AS pos,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, (n - {SUBDUP_W}) // {SUBDUP_S} + 2),
+                          i -> SUBSTR(text, (i - 1) * {SUBDUP_S} + 1, {SUBDUP_W}))) AS win
+            FROM d
+        ),
+        dup AS (
+            SELECT win, MIN(doc_id * 100000 + pos) AS keeper
+            FROM w GROUP BY win
+            HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        removed AS (
+            SELECT w.doc_id, w.pos AS s, w.pos + {SUBDUP_W} - 1 AS e
+            FROM w JOIN dup ON dup.win = w.win
+            WHERE w.doc_id * 100000 + w.pos <> dup.keeper
+        ),
+        flagged AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_island
+            FROM removed
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+            FROM flagged
+        ),
+        merged AS (
+            SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+            FROM islands GROUP BY doc_id, isl
+        ),
+        tails AS (SELECT doc_id, MAX(e) AS maxe FROM merged GROUP BY doc_id),
+        segs AS (
+            SELECT m.doc_id,
+                   COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0)
+                       + 1 AS ks,
+                   m.s - 1 AS ke
+            FROM merged m
+            UNION ALL
+            SELECT t.doc_id, t.maxe + 1 AS ks, d.n AS ke
+            FROM tails t JOIN d ON d.doc_id = t.doc_id
+        ),
+        cleaned AS (
+            SELECT segs.doc_id,
+                   STRING_AGG(CASE WHEN ke >= ks
+                                   THEN SUBSTR(d.text, ks, ke - ks + 1)
+                                   ELSE '' END, '' ORDER BY ks) AS kept
+            FROM segs JOIN d ON d.doc_id = segs.doc_id
+            GROUP BY segs.doc_id
+        )
+        SELECT d.doc_id, CAST(d.n AS BIGINT) AS orig_len,
+               CAST(COALESCE(LEN(cleaned.kept), d.n) AS BIGINT) AS clean_len,
+               CAST(d.n - COALESCE(LEN(cleaned.kept), d.n) AS BIGINT)
+                   AS removed_chars,
+               MD5(COALESCE(cleaned.kept, d.text)) AS clean_md5
+        FROM d LEFT JOIN cleaned ON cleaned.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
+    doc=f"Exact-substring duplicate REMOVAL — the second half of Lee et "
+    f"al. 2022 that llm_substring_dup_rate only measures: every "
+    f"{SUBDUP_W}-char stride-{SUBDUP_S} window occurring in >= 2 "
+    f"distinct docs is excised from every doc except the single "
+    f"global keeper occurrence (min packed (doc_id, pos) — one copy "
+    f"of each shared span survives corpus-wide), overlapping removal "
+    f"spans are merged with the gaps-and-islands discipline "
+    f"(ts_interval_merge's pattern at char grain), and each doc is "
+    f"stitched back together from its kept segments. Output is "
+    f"(lengths, removed char count, md5 of the cleaned text) so the "
+    f"hash certifies the exact reconstructed string without shipping "
+    f"it. Scale: windows are a bounded x(len/{SUBDUP_S}) explode; "
+    f"the dup set is one hash agg on the window string; islands/"
+    f"stitching windows partition by doc_id (high-cardinality, "
+    f"per-doc rows bounded by doc length / {SUBDUP_S}); the one "
+    f"caveat is the keeper pack doc_id*100000+pos, which assumes "
+    f"pos < 100000 — re-pack wider for docs beyond 100k chars.",
+)
+def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.length("text") >= SUBDUP_W)
+        .select("doc_id", "text", F.length("text").alias("n"))
+        .localCheckpoint()
+    )
+    w = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, (n - {SUBDUP_W}) DIV {SUBDUP_S} + 1),"
+                f" i -> (i - 1) * {SUBDUP_S} + 1)"
+            )
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(f"substring(text, pos, {SUBDUP_W})").alias("win"),
+    )
+    dup = (
+        w.groupBy("win")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("keeper"),
+        )
+        .where(F.col("nd") > 1)
+        .select("win", "keeper")
+    )
+    removed = (
+        w.join(dup, "win")
+        .where(F.col("doc_id") * 100000 + F.col("pos") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + SUBDUP_W - 1).alias("e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = removed.withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(0)), 1
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    merged = islands.groupBy("doc_id", "isl").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    tails = merged.groupBy("doc_id").agg(F.max("e").alias("maxe"))
+    gap_segs = merged.select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.lag("e").over(Window.partitionBy("doc_id").orderBy("s")),
+                F.lit(0),
+            )
+            + 1
+        ).alias("ks"),
+        (F.col("s") - 1).alias("ke"),
+    )
+    tail_segs = tails.join(d.select("doc_id", "n"), "doc_id").select(
+        "doc_id", (F.col("maxe") + 1).alias("ks"), F.col("n").alias("ke")
+    )
+    segs = gap_segs.unionAll(tail_segs)
+    cleaned = (
+        segs.join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "ks",
+            F.expr(
+                "CASE WHEN ke >= ks THEN substring(text, ks, ke - ks + 1)"
+                " ELSE '' END"
+            ).alias("seg"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ks", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            ).alias("kept")
+        )
+    )
+    return (
+        d.join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("orig_len"),
+            F.coalesce(F.length("kept"), F.col("n"))
+            .cast("long")
+            .alias("clean_len"),
+            (F.col("n") - F.coalesce(F.length("kept"), F.col("n")))
+            .cast("long")
+            .alias("removed_chars"),
+            F.md5(
+                F.encode(F.coalesce(F.col("kept"), F.col("text")), "utf-8")
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

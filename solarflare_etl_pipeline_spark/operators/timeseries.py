@@ -2034,3 +2034,141 @@ def ts_control_chart_imr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_ljung_box",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS hr,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        st AS (
+            SELECT user_id, COUNT(*) AS n, CAST(SUM(v3) AS BIGINT) AS s
+            FROM b GROUP BY user_id
+        ),
+        l AS (
+            SELECT user_id, v3,
+                   LEAD(v3, 1) OVER (PARTITION BY user_id ORDER BY hr)
+                     AS w1,
+                   LEAD(v3, 2) OVER (PARTITION BY user_id ORDER BY hr)
+                     AS w2,
+                   LEAD(v3, 3) OVER (PARTITION BY user_id ORDER BY hr)
+                     AS w3
+            FROM b
+        ),
+        agg AS (
+            SELECT l.user_id,
+                   CAST(SUM(CAST(st.n * l.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * l.v3 - st.s AS DECIMAL(18,0)))
+                        AS BIGINT) AS den,
+                   CAST(SUM(CAST(st.n * l.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * l.w1 - st.s AS DECIMAL(18,0)))
+                        AS BIGINT) AS num1,
+                   CAST(SUM(CAST(st.n * l.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * l.w2 - st.s AS DECIMAL(18,0)))
+                        AS BIGINT) AS num2,
+                   CAST(SUM(CAST(st.n * l.v3 - st.s AS DECIMAL(18,0))
+                            * CAST(st.n * l.w3 - st.s AS DECIMAL(18,0)))
+                        AS BIGINT) AS num3
+            FROM l JOIN st ON st.user_id = l.user_id
+            GROUP BY l.user_id
+        )
+        SELECT a.user_id, st.n, a.num1, a.num2, a.num3, a.den,
+               CASE WHEN a.den = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE ROUND(CAST(st.n AS DOUBLE) * (st.n + 2)
+                         * ((CAST(a.num1 AS DOUBLE) / a.den)
+                            * (CAST(a.num1 AS DOUBLE) / a.den) / (st.n - 1)
+                          + (CAST(a.num2 AS DOUBLE) / a.den)
+                            * (CAST(a.num2 AS DOUBLE) / a.den) / (st.n - 2)
+                          + (CAST(a.num3 AS DOUBLE) / a.den)
+                            * (CAST(a.num3 AS DOUBLE) / a.den) / (st.n - 3)),
+                         9)
+               END AS q_lb
+        FROM agg a JOIN st ON st.user_id = a.user_id
+        WHERE st.n >= 4
+        ORDER BY a.user_id
+    """,
+    doc="Ljung-Box portmanteau Q per user over the hourly-bucket "
+    "observation sequence (lags 1-3) — the is-this-white-noise "
+    "gate that upgrades ts_acf's single lag-1 diagnostic into the "
+    "standard residual-whiteness test (Q ~ chi2(3) under H0). "
+    "Autocovariances reuse ts_acf's exact-integer mean-centering "
+    "(n*x - S scaling; n^2 cancels in each ratio) with "
+    "DECIMAL(18)x(18) deviation products so num/den are "
+    "engine-exact BIGINTs; unlike ts_acf, lags are taken over the "
+    "ORDERED OBSERVATION SEQUENCE (plain LEAD k, no calendar-"
+    "contiguity gate) per the textbook definition on an observed "
+    "series. Q itself is the ONE float expression, spelled "
+    "identically in both engines (fixed left-to-right IEEE order — "
+    "no cross-row float accumulation), ROUND 9. Per-user windows "
+    "and both reductions share one user_id hash partitioning; "
+    "per-user rows are calendar-bounded, so no skew at 100x.",
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    by_hr = Window.partitionBy("user_id").orderBy("hr")
+    l = b.select(
+        "user_id",
+        "v3",
+        F.lead("v3", 1).over(by_hr).alias("w1"),
+        F.lead("v3", 2).over(by_hr).alias("w2"),
+        F.lead("v3", 3).over(by_hr).alias("w3"),
+    )
+    st = b.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("v3").cast("long").alias("s")
+    )
+    dev = "CAST(n * v3 - s AS DECIMAL(18,0))"
+    agg = (
+        l.join(st, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(f"{dev} * {dev}")).cast("long").alias("den"),
+            F.sum(F.expr(f"{dev} * CAST(n * w1 - s AS DECIMAL(18,0))"))
+            .cast("long")
+            .alias("num1"),
+            F.sum(F.expr(f"{dev} * CAST(n * w2 - s AS DECIMAL(18,0))"))
+            .cast("long")
+            .alias("num2"),
+            F.sum(F.expr(f"{dev} * CAST(n * w3 - s AS DECIMAL(18,0))"))
+            .cast("long")
+            .alias("num3"),
+        )
+    )
+    return (
+        agg.join(st.select("user_id", "n"), "user_id")
+        .where(F.col("n") >= 4)
+        .select(
+            "user_id",
+            "n",
+            "num1",
+            "num2",
+            "num3",
+            "den",
+            F.when(F.col("den") == 0, F.lit(0.0))
+            .otherwise(
+                F.expr(
+                    "ROUND(CAST(n AS DOUBLE) * (n + 2)"
+                    " * ((CAST(num1 AS DOUBLE) / den)"
+                    "    * (CAST(num1 AS DOUBLE) / den) / (n - 1)"
+                    "  + (CAST(num2 AS DOUBLE) / den)"
+                    "    * (CAST(num2 AS DOUBLE) / den) / (n - 2)"
+                    "  + (CAST(num3 AS DOUBLE) / den)"
+                    "    * (CAST(num3 AS DOUBLE) / den) / (n - 3)), 9)"
+                )
+            )
+            .alias("q_lb"),
+        )
+        .orderBy("user_id")
+    )

@@ -115,6 +115,12 @@ CORE_QUERIES = (
     "agg_mh_odds_ratio",
     "subq_quantified_all",
     "llm_cross_source_overlap",
+    # round-7 batch 14: empty window/island/stitch chain
+    "llm_dedup_span_removal",
+    # round-7 batch 15: stats trio
+    "agg_kruskal_wallis",
+    "agg_cohens_kappa",
+    "ts_ljung_box",
 )
 
 

@@ -1377,3 +1377,166 @@ def test_cross_source_overlap_rederivation(spark, sf_dir, documents):
         for r in rows
     }
     assert got == expected
+
+
+def test_span_removal_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.text import (
+        SUBDUP_S,
+        SUBDUP_W,
+    )
+
+    docs = {
+        d: t for d, t, *_ in documents if t is not None and len(t) >= SUBDUP_W
+    }
+    occ = defaultdict(list)
+    for did, t in docs.items():
+        n = len(t)
+        for i in range((n - SUBDUP_W) // SUBDUP_S + 1):
+            p = i * SUBDUP_S + 1
+            occ[t[p - 1 : p - 1 + SUBDUP_W]].append((did, p))
+    rm = defaultdict(list)
+    for win, os_ in occ.items():
+        if len({d for d, _ in os_}) > 1:
+            keeper = min(d * 100000 + p for d, p in os_)
+            for d, p in os_:
+                if d * 100000 + p != keeper:
+                    rm[d].append((p, p + SUBDUP_W - 1))
+    expected = {}
+    for did, t in docs.items():
+        merged = []
+        for s, e in sorted(rm.get(did, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        kept, prev = "", 0
+        for s, e in merged:
+            kept += t[prev : s - 1]
+            prev = e
+        kept += t[prev:]
+        expected[did] = (
+            len(t),
+            len(kept),
+            len(t) - len(kept),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    rows = SPECS["llm_dedup_span_removal"].spark(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (r.orig_len, r.clean_len, r.removed_chars, r.clean_md5)
+        for r in rows
+    }
+    assert got == expected
+    # the removal arm must be live on fixture data
+    assert any(rc > 0 for _, _, rc, _ in expected.values())
+
+
+def test_kruskal_wallis_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    all_v = sorted(x for vs in groups.values() for x in vs)
+    n = len(all_v)
+    # textbook average ranks under ties
+    rank_of = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and all_v[j] == all_v[i]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of ranks i+1..j
+        rank_of[all_v[i]] = avg
+        i = j
+    tie3 = 0
+    for v, c in Counter(all_v).items():
+        tie3 += c**3 - c
+    rows = SPECS["agg_kruskal_wallis"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    total_rs2 = 0
+    for r in rows:
+        vs = groups[r.grp]
+        assert r.n == len(vs)
+        expected_rs2 = round(2 * sum(rank_of[x] for x in vs))
+        assert r.ranksum2 == expected_rs2
+        assert r.n_total == n
+        assert r.tie3_sum == tie3
+        total_rs2 += r.ranksum2
+    # sum of doubled ranks over the pooled sample = N*(N+1)
+    assert total_rs2 == n * (n + 1)
+    # H from the emitted sufficient statistics vs textbook H
+    h = (
+        12 / (n * (n + 1)) * sum((r.ranksum2 / 2) ** 2 / r.n for r in rows)
+        - 3 * (n + 1)
+    ) / (1 - tie3 / (n**3 - n))
+    h_direct = (
+        12
+        / (n * (n + 1))
+        * sum(
+            sum(rank_of[x] for x in vs) ** 2 / len(vs)
+            for vs in groups.values()
+        )
+        - 3 * (n + 1)
+    ) / (1 - tie3 / (n**3 - n))
+    assert _close(h, h_direct, 1e-6)
+    assert h > 0
+
+
+def test_cohens_kappa_rederivation(spark, sf_dir, documents):
+    pairs = []
+    for _, text, _, _, n_chars in documents:
+        if text is None:
+            continue
+        wc = len(text) - len(text.replace(" ", "")) + 1
+        la = 0 if n_chars < 200 else (1 if n_chars < 370 else 2)
+        lb = 0 if wc < 36 else (1 if wc < 66 else 2)
+        pairs.append((la, lb))
+    n = len(pairs)
+    o = sum(1 for a, b in pairs if a == b)
+    rt = Counter(a for a, _ in pairs)
+    ct = Counter(b for _, b in pairs)
+    e_num = sum(rt[k] * ct[k] for k in set(rt) | set(ct))
+    kappa = (n * o - e_num) / (n * n - e_num)
+    row = SPECS["agg_cohens_kappa"].spark(spark, sf_dir).collect()[0]
+    assert row.n_docs == n and row.observed_agree == o
+    assert _close(row.p_observed, o / n, 1e-6)
+    assert _close(row.p_expected, e_num / (n * n), 1e-6)
+    assert _close(row.cohens_kappa, kappa, 1e-6)
+    # non-degenerate on the fixtures: real agreement, real disagreement
+    assert 0 < o < n and 0.5 < kappa < 1.0
+
+
+def test_ljung_box_rederivation(spark, sf_dir):
+    raw = duckdb.sql(
+        f"SELECT user_id, CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) "
+        f"AS TIMESTAMP) AS hr, CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) "
+        f"AS BIGINT) AS v3 FROM read_parquet('{sf_dir}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, _, v3 in raw:
+        series[uid].append(v3)
+    expected = {}
+    for uid, xs in series.items():
+        n = len(xs)
+        if n < 4:
+            continue
+        mean = sum(xs) / n
+        den = sum((x - mean) ** 2 for x in xs)
+        q = 0.0
+        rs = []
+        for k in (1, 2, 3):
+            num = sum(
+                (xs[i] - mean) * (xs[i + k] - mean) for i in range(n - k)
+            )
+            rk = num / den if den else 0.0
+            rs.append(rk)
+            q += rk * rk / (n - k)
+        q *= n * (n + 2)
+        expected[uid] = (n, q if den else 0.0)
+    rows = SPECS["ts_ljung_box"].spark(spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(expected)
+    for r in rows:
+        n, q = expected[r.user_id]
+        assert r.n == n
+        assert _close(r.q_lb, q, 1e-6)
+        # components are exact integers: r_k must equal num_k/den
+        assert r.den > 0
