@@ -4563,3 +4563,105 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("cohens_kappa"),
     )
+
+
+@register(
+    "agg_friedman_test",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS d,
+                   event_type AS grp,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v
+            FROM events GROUP BY 1, 2
+        ),
+        kk AS (SELECT COUNT(DISTINCT grp) AS k FROM x),
+        cb AS (
+            SELECT d FROM x GROUP BY d
+            HAVING COUNT(*) = (SELECT k FROM kk)
+        ),
+        xx AS (SELECT x.* FROM x JOIN cb ON cb.d = x.d),
+        r AS (
+            SELECT d, grp,
+                   2 * (RANK() OVER (PARTITION BY d ORDER BY v) - 1)
+                   + COUNT(*) OVER (PARTITION BY d, v) + 1 AS rank2
+            FROM xx
+        ),
+        cells AS (SELECT d, v, COUNT(*) AS t FROM xx GROUP BY d, v),
+        tie AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie3_sum
+            FROM cells
+        ),
+        nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks FROM cb),
+        sums AS (
+            SELECT grp, CAST(SUM(rank2) AS BIGINT) AS r2sum
+            FROM r GROUP BY grp
+        )
+        SELECT s.grp, s.r2sum, nb.n_blocks,
+               CAST(kk.k AS BIGINT) AS k, tie.tie3_sum
+        FROM sums s, nb, kk, tie
+        ORDER BY s.grp
+    """,
+    doc="Friedman test sufficient statistics — the BLOCKED-design rank "
+    "test completing the family (agg_kruskal_wallis compares "
+    "independent samples; Friedman ranks k treatments WITHIN each "
+    "block, here event types within calendar days, killing "
+    "day-to-day level shifts that would drown Kruskal-Wallis). "
+    "Incomplete blocks (days missing a type) are excluded per the "
+    "textbook definition. Doubled average ranks (2*below+ties+1) "
+    "keep everything integer-exact under ties; the emitted "
+    "(r2sum per treatment, n_blocks, k, tie3_sum) derive the "
+    "tie-corrected chi2_F in one line of post-processing with zero "
+    "in-engine float accumulation. Identity pinned in tests: "
+    "SUM(r2sum) = n_blocks * k * (k+1). Block windows partition by "
+    "day with k rows each (treatment-bounded, never skewed); the "
+    "raw scan is one hash agg — the plan is two shuffles total "
+    "regardless of scale.",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    x = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("grp"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    kk = x.agg(F.count_distinct("grp").alias("k"))
+    counts = x.groupBy("d").agg(F.count("*").alias("c"))
+    cb = (
+        counts.crossJoin(F.broadcast(kk))
+        .where(F.col("c") == F.col("k"))
+        .select("d")
+    )
+    xx = x.join(cb, "d")
+    r = xx.select(
+        "d",
+        "grp",
+        (
+            2 * (F.rank().over(W.partitionBy("d").orderBy("v")) - 1)
+            + F.count("*").over(W.partitionBy("d", "v"))
+            + 1
+        ).alias("rank2"),
+    )
+    cells = xx.groupBy("d", "v").agg(F.count("*").alias("t"))
+    tie = cells.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie3_sum")
+    )
+    nb = cb.agg(F.count("*").cast("long").alias("n_blocks"))
+    sums = r.groupBy("grp").agg(
+        F.sum("rank2").cast("long").alias("r2sum")
+    )
+    return (
+        sums.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kk.select(F.col("k").cast("long").alias("k"))))
+        .crossJoin(F.broadcast(tie))
+        .select("grp", "r2sum", "n_blocks", "k", "tie3_sum")
+        .orderBy("grp")
+    )

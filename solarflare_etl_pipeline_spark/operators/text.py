@@ -3753,3 +3753,112 @@ def llm_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_gopher_rules",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS wc,
+                   LEN(REPLACE(text, ' ', '')) AS letters,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   w -> REGEXP_MATCHES(w, '[a-z]')))
+                     AS alpha_words,
+                   (LEN(text) - LEN(REPLACE(text, '#', '')))
+                   + (LEN(text) - LEN(REPLACE(text, '...', ''))) // 3
+                     AS symbols,
+                   LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                       ['the', 'and', 'of', 'to', 'a'])) AS stop_hits
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               CAST(wc AS BIGINT) AS wc,
+               CAST(letters AS BIGINT) AS letters,
+               CAST(alpha_words AS BIGINT) AS alpha_words,
+               CAST(stop_hits AS BIGINT) AS stop_hits,
+               CAST(CASE WHEN wc BETWEEN 50 AND 100000
+                         THEN 1 ELSE 0 END AS INT) AS r_word_count,
+               CAST(CASE WHEN 3 * wc <= letters AND letters <= 10 * wc
+                         THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+               CAST(CASE WHEN alpha_words * 10 >= wc * 8
+                         THEN 1 ELSE 0 END AS INT) AS r_alpha_words,
+               CAST(CASE WHEN symbols * 10 <= wc
+                         THEN 1 ELSE 0 END AS INT) AS r_symbol_ratio,
+               CAST(CASE WHEN stop_hits >= 2
+                         THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+               CAST(CASE WHEN wc BETWEEN 50 AND 100000
+                          AND 3 * wc <= letters AND letters <= 10 * wc
+                          AND alpha_words * 10 >= wc * 8
+                          AND symbols * 10 <= wc
+                          AND stop_hits >= 2
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="The Gopher corpus-quality rule set (Rae et al. 2021, table A1 "
+    "subset that is exercisable on space-delimited docs): word count "
+    "in [50, 100k], mean word length in [3, 10], >=80% of words "
+    "containing an alphabetic char, symbol-to-word ratio (# and "
+    "ellipsis) <= 0.1, and >=2 distinct required stopwords — the "
+    "standard published pre-training keep/drop gate, strictly wider "
+    "than llm_quality_score's 2-rule heuristic. Every threshold "
+    "compares CROSS-MULTIPLIED integers (3*wc <= letters, "
+    "alpha_words*10 >= wc*8) so no float ever enters a boundary "
+    "decision — boundary docs classify identically in any engine. "
+    "Per-rule flags are emitted alongside the raw counters so the "
+    "oracle certifies each rule arm, not just the conjunction. One "
+    "projection pass, no shuffle at all until the ORDER BY (which a "
+    "100 TB run drops); the line-grain Gopher rules (bullet/ellipsis "
+    "line fractions) need newline-structured docs the fixtures lack "
+    "and belong to llm_c4-style line filters.",
+)
+def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("wc"),
+        F.length(F.expr("replace(text, ' ', '')")).alias("letters"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda w: w.rlike("[a-z]"),
+            )
+        ).alias("alpha_words"),
+        (
+            (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+            + (
+                F.length("text")
+                - F.length(F.expr("replace(text, '...', '')"))
+            )
+            / F.lit(3)
+        )
+        .cast("long")
+        .alias("symbols"),
+        F.size(
+            F.array_intersect(
+                F.split(F.col("text"), " "),
+                F.array(*[F.lit(w) for w in ("the", "and", "of", "to", "a")]),
+            )
+        ).alias("stop_hits"),
+    )
+    r_wc = F.col("wc").between(50, 100000)
+    r_mwl = (3 * F.col("wc") <= F.col("letters")) & (
+        F.col("letters") <= 10 * F.col("wc")
+    )
+    r_alpha = F.col("alpha_words") * 10 >= F.col("wc") * 8
+    r_sym = F.col("symbols") * 10 <= F.col("wc")
+    r_stop = F.col("stop_hits") >= 2
+    return t.select(
+        "doc_id",
+        F.col("wc").cast("long").alias("wc"),
+        F.col("letters").cast("long").alias("letters"),
+        F.col("alpha_words").cast("long").alias("alpha_words"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        r_wc.cast("int").alias("r_word_count"),
+        r_mwl.cast("int").alias("r_mean_word_len"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        r_sym.cast("int").alias("r_symbol_ratio"),
+        r_stop.cast("int").alias("r_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_sym & r_stop).cast("int").alias("keep"),
+    ).orderBy("doc_id")

@@ -2172,3 +2172,147 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_pettitt",
+    oracle="""
+        WITH b AS (
+            SELECT user_id,
+                   CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT user_id, d, v3,
+                   2 * (RANK() OVER (PARTITION BY user_id ORDER BY v3) - 1)
+                   + COUNT(*) OVER (PARTITION BY user_id, v3) + 1 AS rank_stat
+            FROM b
+        ),
+        st AS (SELECT user_id, COUNT(*) AS n FROM b GROUP BY user_id),
+        u AS (
+            SELECT r.user_id, r.d,
+                   ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.d)
+                     AS t,
+                   SUM(r.rank_stat) OVER (PARTITION BY r.user_id ORDER BY r.d
+                       ROWS UNBOUNDED PRECEDING) AS r2cum
+            FROM r
+        ),
+        uu AS (
+            SELECT u.user_id, u.d,
+                   CAST(ABS(u.r2cum - u.t * (st.n + 1)) AS BIGINT) AS abs_u
+            FROM u JOIN st ON st.user_id = u.user_id
+            WHERE u.t < st.n
+        ),
+        k AS (
+            SELECT user_id, MAX(abs_u) AS k_stat FROM uu GROUP BY user_id
+        ),
+        cp AS (
+            SELECT uu.user_id, MIN(uu.d) AS cp_day
+            FROM uu JOIN k ON k.user_id = uu.user_id AND k.k_stat = uu.abs_u
+            GROUP BY uu.user_id
+        )
+        SELECT k.user_id, CAST(st.n AS BIGINT) AS n_days,
+               CAST(k.k_stat AS BIGINT) AS k_stat, cp.cp_day,
+               ROUND(2 * EXP(-6 * CAST(k.k_stat AS DOUBLE) * k.k_stat
+                     / (CAST(st.n AS DOUBLE) * st.n * st.n
+                        + CAST(st.n AS DOUBLE) * st.n)), 9) AS p_approx
+        FROM k
+        JOIN st ON st.user_id = k.user_id
+        JOIN cp ON cp.user_id = k.user_id
+        WHERE st.n >= 2
+        ORDER BY k.user_id
+    """,
+    doc="Pettitt's nonparametric changepoint test per user over daily "
+    "value sums — the rank-based single-changepoint locator "
+    "completing the drift family (ts_cusum_drift assumes a known "
+    "target mean; ts_step_changepoint scans level shifts in float; "
+    "Pettitt is distribution-free and EXACT here). Uses the identity "
+    "U_t = 2*SUM_(i<=t) r_i - t(n+1) (the within-prefix sign terms "
+    "cancel by antisymmetry), so with doubled average ranks "
+    "(2*below+ties+1 — exact under ties) the whole statistic is "
+    "integer: abs_u = |r2cum - t*(n+1)| IS |U_t| exactly (2R_t is the "
+    "doubled rank sum and t(n+1) absorbs the doubling; verified "
+    "against the brute-force sgn double sum in tests), K = max over "
+    "t < n, changepoint = earliest day attaining it. The one float "
+    "is the approximate significance 2*exp(-6K^2/(n^3+n^2)) spelled "
+    "identically in both engines, ROUND 9. All windows partition by "
+    "user_id "
+    "(high-cardinality; per-user rows calendar-bounded), ranks and "
+    "prefix sums share the same hash partitioning — one shuffle for "
+    "the whole plan at 100x.",
+)
+def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    by_v = Window.partitionBy("user_id").orderBy("v3")
+    ties = Window.partitionBy("user_id", "v3")
+    r = b.select(
+        "user_id",
+        "d",
+        (
+            2 * (F.rank().over(by_v) - 1)
+            + F.count("*").over(ties)
+            + 1
+        ).alias("rank_stat"),
+    )
+    st = b.groupBy("user_id").agg(F.count("*").alias("n"))
+    by_d = Window.partitionBy("user_id").orderBy("d")
+    cum = by_d.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = r.select(
+        "user_id",
+        "d",
+        F.row_number().over(by_d).alias("t"),
+        F.sum("rank_stat").over(cum).alias("r2cum"),
+    )
+    uu = (
+        u.join(st, "user_id")
+        .where(F.col("t") < F.col("n"))
+        .select(
+            "user_id",
+            "d",
+            F.abs(F.col("r2cum") - F.col("t") * (F.col("n") + 1))
+            .cast("long")
+            .alias("abs_u"),
+        )
+    )
+    k = uu.groupBy("user_id").agg(F.max("abs_u").alias("k_stat"))
+    cp = (
+        uu.join(k, "user_id")
+        .where(F.col("abs_u") == F.col("k_stat"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("cp_day"))
+    )
+    return (
+        k.join(st, "user_id")
+        .join(cp, "user_id")
+        .where(F.col("n") >= 2)
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("k_stat").cast("long").alias("k_stat"),
+            "cp_day",
+            F.round(
+                2
+                * F.exp(
+                    -6
+                    * F.col("k_stat").cast("double")
+                    * F.col("k_stat")
+                    / (
+                        F.col("n").cast("double") * F.col("n") * F.col("n")
+                        + F.col("n").cast("double") * F.col("n")
+                    )
+                ),
+                9,
+            ).alias("p_approx"),
+        )
+        .orderBy("user_id")
+    )

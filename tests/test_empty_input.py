@@ -121,6 +121,10 @@ CORE_QUERIES = (
     "agg_kruskal_wallis",
     "agg_cohens_kappa",
     "ts_ljung_box",
+    # round-7 batch 16: published quality gate + blocked/changepoint ranks
+    "llm_gopher_rules",
+    "ts_pettitt",
+    "agg_friedman_test",
 )
 
 

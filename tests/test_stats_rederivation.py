@@ -1540,3 +1540,116 @@ def test_ljung_box_rederivation(spark, sf_dir):
         assert _close(r.q_lb, q, 1e-6)
         # components are exact integers: r_k must equal num_k/den
         assert r.den > 0
+
+
+def test_gopher_rules_rederivation(spark, sf_dir, documents):
+    expected = {}
+    for doc_id, text, _, _, _ in documents:
+        if text is None:
+            continue
+        words = text.split(" ")
+        wc = len(words)
+        letters = len(text.replace(" ", ""))
+        alpha = sum(1 for w in words if any("a" <= c <= "z" for c in w))
+        symbols = text.count("#") + (
+            len(text) - len(text.replace("...", ""))
+        ) // 3
+        stop = len({"the", "and", "of", "to", "a"} & set(words))
+        rules = (
+            int(50 <= wc <= 100000),
+            int(3 * wc <= letters <= 10 * wc),
+            int(alpha * 10 >= wc * 8),
+            int(symbols * 10 <= wc),
+            int(stop >= 2),
+        )
+        expected[doc_id] = (wc, letters, alpha, stop, *rules, int(all(rules)))
+    rows = SPECS["llm_gopher_rules"].spark(spark, sf_dir).collect()
+    got = {
+        r.doc_id: (
+            r.wc, r.letters, r.alpha_words, r.stop_hits,
+            r.r_word_count, r.r_mean_word_len, r.r_alpha_words,
+            r.r_symbol_ratio, r.r_stopwords, r.keep,
+        )
+        for r in rows
+    }
+    assert got == expected
+    keeps = [v[-1] for v in expected.values()]
+    # the gate must be live on the fixtures: both keeps and drops exist
+    assert 0 < sum(keeps) < len(keeps)
+
+
+def test_pettitt_rederivation(spark, sf_dir):
+    raw = duckdb.sql(
+        f"SELECT user_id, CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) "
+        f"AS TIMESTAMP) AS d, CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) "
+        f"AS BIGINT) AS v3 FROM read_parquet('{sf_dir}/events.parquet') "
+        f"GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, d, v3 in raw:
+        series[uid].append((d, v3))
+    expected = {}
+    for uid, obs in series.items():
+        n = len(obs)
+        if n < 2:
+            continue
+        xs = [v for _, v in obs]
+        # brute-force textbook U_t = sum_{i<=t} sum_{j>t} sgn(x_i - x_j)
+        best_k, best_day = -1, None
+        for t in range(1, n):
+            u = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            if abs(u) > best_k:
+                best_k, best_day = abs(u), obs[t - 1][0]
+        p = 2 * math.exp(
+            -6 * best_k * best_k / (float(n) * n * n + float(n) * n)
+        )
+        expected[uid] = (n, best_k, best_day, p)
+    rows = SPECS["ts_pettitt"].spark(spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(expected)
+    for r in rows:
+        n, k_stat, day, p = expected[r.user_id]
+        assert (r.n_days, r.k_stat) == (n, k_stat)
+        assert r.cp_day == day
+        assert _close(r.p_approx, p, 1e-6)
+
+
+def test_friedman_rederivation(spark, sf_dir):
+    raw = duckdb.sql(
+        f"SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS "
+        f"TIMESTAMP) AS d, event_type, CAST(SUM(CAST(FLOOR(value*1000) "
+        f"AS BIGINT)) AS BIGINT) AS v FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    blocks = defaultdict(dict)
+    for d, et, v in raw:
+        blocks[d][et] = v
+    k = len({et for _, et, _ in raw})
+    complete = {d: m for d, m in blocks.items() if len(m) == k}
+    r2sum = Counter()
+    tie3 = 0
+    for d, m in complete.items():
+        vals = sorted(m.values())
+        for et, v in m.items():
+            below = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r2sum[et] += 2 * below + ties + 1
+        for v, c in Counter(vals).items():
+            tie3 += c**3 - c
+    rows = SPECS["agg_friedman_test"].spark(spark, sf_dir).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r.r2sum == r2sum[r.grp]
+        assert r.n_blocks == len(complete)
+        assert r.k == k
+        assert r.tie3_sum == tie3
+    assert sum(r.r2sum for r in rows) == len(complete) * k * (k + 1)
+    # chi2_F from the emitted sufficient statistics must be finite + >=0
+    n_b = len(complete)
+    chi = 12 / (n_b * k * (k + 1)) * sum(
+        (v / 2) ** 2 for v in r2sum.values()
+    ) - 3 * n_b * (k + 1)
+    assert chi >= 0 or abs(chi) < 1e-9
