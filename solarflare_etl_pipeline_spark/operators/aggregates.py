@@ -4665,3 +4665,91 @@ def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "r2sum", "n_blocks", "k", "tie3_sum")
         .orderBy("grp")
     )
+
+
+#: Inverse-CDF thresholds for the TRUNCATED discrete Laplace (two-sided
+#: geometric) with eps = 1.0 (alpha = e^-1), support [-8, 8],
+#: renormalized after truncation. t_k = floor(2^32 * CDF(k)); a 32-bit
+#: uniform u (md5 of the group key) maps to the first k with u < t_k.
+#: Precomputed offline so BOTH engines compare the same integer
+#: literals — no ln/exp calls whose last-ulp behavior could differ.
+_DP_THRESHOLDS: tuple[tuple[int, int], ...] = (
+    (-8, 665939), (-7, 2476148), (-6, 7396809), (-5, 20772552),
+    (-4, 57131592), (-3, 155965707), (-2, 424624687), (-1, 1154915510),
+    (0, 3140051785), (1, 3870342608), (2, 4139001588), (3, 4237835703),
+    (4, 4274194743), (5, 4287570486), (6, 4292491147), (7, 4294301356),
+)
+
+_DP_CASE_SQL = "CASE " + " ".join(
+    f"WHEN u < {t} THEN {k}" for k, t in _DP_THRESHOLDS
+) + " ELSE 8 END"
+
+
+@register(
+    "agg_dp_counts",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang, source
+        ),
+        h AS (
+            SELECT lang, source, n_docs,
+                   CAST(('0x' || SUBSTR(MD5(lang || '|' || source), 1, 8))
+                        AS BIGINT) AS u
+            FROM g
+        )
+        SELECT lang, source, n_docs,
+               CAST({_DP_CASE_SQL} AS INT) AS noise,
+               CAST(GREATEST(n_docs + ({_DP_CASE_SQL}), 0) AS BIGINT)
+                 AS dp_count
+        FROM h
+        ORDER BY lang, source
+    """,
+    doc="Differentially-private count release (audit mode) — per-"
+    "(lang, source) document counts with TRUNCATED discrete-Laplace "
+    "noise (two-sided geometric, eps = 1.0, support clipped to +-8 "
+    "and renormalized), the standard mechanism for publishing "
+    "training-data composition tables without exposing exact "
+    "per-slice counts. The noise draw is DETERMINISTIC by design "
+    "here: a 32-bit uniform from md5 of the group key walks an "
+    "inverse-CDF threshold ladder of PRECOMPUTED integer literals "
+    "(no ln/exp in either engine, so no last-ulp divergence; the "
+    "sample_hash_split md5-hex discipline) — reproducible across "
+    "reruns and engines, which is what makes the mechanism "
+    "oracle-certifiable; a production release swaps the hash for a "
+    "cryptographic RNG, changing nothing else in the plan. Emits "
+    "true count + noise + clamped noisy count so tests certify the "
+    "ladder itself (audit mode is NOT a privacy deployment). One "
+    "hash agg over the corpus, dimension-bounded output, zero "
+    "additional shuffles.",
+)
+def agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    h = g.withColumn(
+        "u",
+        # F.concat (NULL-propagating, matching SQL ||) — NOT concat_ws,
+        # which would skip a NULL lang and diverge from the oracle.
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("lang"), F.lit("|"), F.col("source"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    noise = F.expr(_DP_CASE_SQL)
+    return h.select(
+        "lang",
+        "source",
+        "n_docs",
+        noise.cast("int").alias("noise"),
+        F.greatest(F.col("n_docs") + noise, F.lit(0))
+        .cast("long")
+        .alias("dp_count"),
+    ).orderBy("lang", "source")

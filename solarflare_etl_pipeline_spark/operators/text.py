@@ -3862,3 +3862,93 @@ def llm_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.cast("int").alias("r_stopwords"),
         (r_wc & r_mwl & r_alpha & r_sym & r_stop).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "llm_vocab_fertility",
+    oracle="""
+        WITH w AS (
+            SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        wc AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM w GROUP BY lang, word
+        ),
+        per_lang AS (
+            SELECT lang,
+                   CAST(SUM(c) AS BIGINT) AS total_words,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS hapax_count
+            FROM wc GROUP BY lang
+        ),
+        chars AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(LEN(REPLACE(text, ' ', ''))) AS BIGINT)
+                     AS total_chars
+            FROM documents WHERE text IS NOT NULL GROUP BY lang
+        )
+        SELECT p.lang, c.n_docs, p.total_words, p.vocab_size,
+               p.hapax_count, c.total_chars,
+               ROUND(CAST(c.total_chars AS DOUBLE) / p.total_words, 9)
+                 AS chars_per_word,
+               ROUND(CAST(p.hapax_count AS DOUBLE) / p.vocab_size, 9)
+                 AS hapax_ratio,
+               ROUND(CAST(p.vocab_size AS DOUBLE) / p.total_words, 9)
+                 AS type_token_ratio
+        FROM per_lang p JOIN chars c ON c.lang = p.lang
+        ORDER BY p.lang
+    """,
+    doc="Per-language vocabulary fertility profile — the "
+    "tokenizer-design table (how many chars a whitespace token "
+    "carries per language, how heavy the singleton tail is, "
+    "type-token ratio): the standard pre-tokenizer diagnostic for "
+    "sizing a shared multilingual vocabulary, complementing "
+    "llm_vocab_coverage (which scores a GIVEN vocab) with the "
+    "corpus-intrinsic view. All counters are exact integers from "
+    "two hash aggs — (lang, word) then lang — plus a per-lang doc "
+    "scan; the three emitted ratios are single float divisions of "
+    "those integers (ROUND 9, no accumulation). The (lang, word) "
+    "explode is the inverted-index shuffle shape: key cardinality "
+    "is vocabulary-bounded per language, partial aggregation "
+    "upstream of the exchange does the heavy lifting, and nothing "
+    "is ever collected — the same plan at 100 TB.",
+)
+def llm_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    wc = w.groupBy("lang", "word").agg(F.count("*").cast("long").alias("c"))
+    per_lang = wc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("total_words"),
+        F.count("*").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_count"),
+    )
+    chars = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length(F.expr("replace(text, ' ', '')")))
+        .cast("long")
+        .alias("total_chars"),
+    )
+    return per_lang.join(chars, "lang").select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "vocab_size",
+        "hapax_count",
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_words"), 9
+        ).alias("chars_per_word"),
+        F.round(
+            F.col("hapax_count").cast("double") / F.col("vocab_size"), 9
+        ).alias("hapax_ratio"),
+        F.round(
+            F.col("vocab_size").cast("double") / F.col("total_words"), 9
+        ).alias("type_token_ratio"),
+    ).orderBy("lang")

@@ -2316,3 +2316,105 @@ def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_isotonic_daily",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS d,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v3
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT d, v3,
+                   ROW_NUMBER() OVER (ORDER BY d) AS t,
+                   SUM(v3) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                     AS ps
+            FROM s
+        ),
+        pairs AS (
+            SELECT j.t AS j, k.t AS k,
+                   CAST(k.ps - j.ps + j.v3 AS DOUBLE) / (k.t - j.t + 1)
+                     AS seg_mean
+            FROM idx j JOIN idx k ON j.t <= k.t
+        ),
+        sufmin AS (
+            SELECT j, k,
+                   MIN(seg_mean) OVER (PARTITION BY j ORDER BY k DESC
+                       ROWS UNBOUNDED PRECEDING) AS min_tail
+            FROM pairs
+        )
+        SELECT idx.d, idx.v3,
+               ROUND(MAX(sufmin.min_tail), 9) AS fitted
+        FROM sufmin JOIN idx ON idx.t = sufmin.k
+        GROUP BY idx.d, idx.v3
+        ORDER BY idx.d
+    """,
+    doc="Isotonic (monotone nondecreasing) regression of the daily "
+    "value series via the EXACT minimax identity fitted_i = "
+    "max_(j<=i) min_(k>=i) mean(y[j..k]) — the closed form of the "
+    "pool-adjacent-violators solution, chosen over PAVA itself "
+    "because PAVA is an inherently sequential pooling loop while the "
+    "minimax form is pure relational algebra: segment means from "
+    "prefix sums (integer-exact numerators), a suffix-min window "
+    "per j, and a max-group-by per i. Calibration-curve fitting and "
+    "monotone trend extraction are the downstream uses. Floats "
+    "appear only as the per-segment division (same spelling both "
+    "engines) and min/max over them — no float ACCUMULATION, so no "
+    "summation-order hazard; ROUND 9 on the single emitted float. "
+    "Cost is the O(n^2) day-pair triangle with an O(n^2) window — "
+    "calendar-bounded (n = days, ~365/yr), NOT data-bounded: at any "
+    "corpus scale the triangle stays tiny after the one hash agg "
+    "over raw events. Validated against a pure-Python PAVA "
+    "implementation in tests (the two algorithms agree exactly).",
+)
+def ts_isotonic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    w_d = Window.orderBy("d")
+    idx = s.select(
+        "d",
+        "v3",
+        F.row_number().over(w_d).alias("t"),
+        F.sum("v3")
+        .over(w_d.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("ps"),
+    )
+    j = idx.select(
+        F.col("t").alias("j"), F.col("ps").alias("ps_j"), F.col("v3").alias("v3_j")
+    )
+    k = idx.select(F.col("t").alias("k"), F.col("ps").alias("ps_k"))
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("ps_k") - F.col("ps_j") + F.col("v3_j")).cast("double")
+            / (F.col("k") - F.col("j") + 1)
+        ).alias("seg_mean"),
+    )
+    sufmin = pairs.select(
+        "j",
+        "k",
+        F.min("seg_mean")
+        .over(
+            Window.partitionBy("j")
+            .orderBy(F.col("k").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("min_tail"),
+    )
+    return (
+        sufmin.join(idx, sufmin["k"] == idx["t"])
+        .groupBy("d", "v3")
+        .agg(F.round(F.max("min_tail"), 9).alias("fitted"))
+        .orderBy("d")
+    )

@@ -125,6 +125,10 @@ CORE_QUERIES = (
     "llm_gopher_rules",
     "ts_pettitt",
     "agg_friedman_test",
+    # round-7 batch 17: DP release, isotonic minimax, vocab fertility
+    "agg_dp_counts",
+    "ts_isotonic_daily",
+    "llm_vocab_fertility",
 )
 
 

@@ -1653,3 +1653,97 @@ def test_friedman_rederivation(spark, sf_dir):
         (v / 2) ** 2 for v in r2sum.values()
     ) - 3 * n_b * (k + 1)
     assert chi >= 0 or abs(chi) < 1e-9
+
+
+def test_dp_counts_rederivation(spark, sf_dir, documents):
+    import math as _math
+
+    # independently rebuild the truncated discrete-Laplace ladder
+    alpha = _math.exp(-1.0)
+    ks = list(range(-8, 9))
+    z = sum(alpha ** abs(k) for k in ks)
+    cum, ladder = 0.0, []
+    for k in ks[:-1]:
+        cum += alpha ** abs(k) / z
+        ladder.append((k, _math.floor(2**32 * cum)))
+
+    def draw(u):
+        for k, t in ladder:
+            if u < t:
+                return k
+        return 8
+
+    groups = Counter()
+    for _, _, lang, source, _ in documents:
+        groups[(lang, source)] += 1
+    rows = SPECS["agg_dp_counts"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(groups)
+    for r in rows:
+        n = groups[(r.lang, r.source)]
+        u = int(
+            hashlib.md5(f"{r.lang}|{r.source}".encode()).hexdigest()[:8], 16
+        )
+        k = draw(u)
+        assert r.n_docs == n
+        assert r.noise == k
+        assert r.dp_count == max(n + k, 0)
+    # the ladder must actually fire: some nonzero noise on the fixtures
+    assert any(r.noise != 0 for r in rows)
+
+
+def test_isotonic_rederivation(spark, sf_dir):
+    raw = duckdb.sql(
+        f"SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS "
+        f"TIMESTAMP) AS d, CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) "
+        f"AS BIGINT) AS v FROM read_parquet('{sf_dir}/events.parquet') "
+        f"GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [v for _, v in raw]
+    # textbook PAVA: pool adjacent violators to weighted block means
+    blocks = []  # (sum, count)
+    for y in ys:
+        blocks.append([y, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] > blocks[-1][0] * blocks[-2][1]
+        ):
+            s, c = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += c
+    fitted = []
+    for s, c in blocks:
+        fitted.extend([s / c] * c)
+    rows = SPECS["ts_isotonic_daily"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(ys)
+    for r, f, (d, v) in zip(rows, fitted, raw):
+        assert r.d == d and r.v3 == v
+        assert _close(r.fitted, f, 1e-6)
+    # isotonic property holds
+    for a, b in zip(fitted, fitted[1:]):
+        assert a <= b + 1e-12
+    # PAVA genuinely pooled something on real data
+    assert len(blocks) < len(ys)
+
+
+def test_vocab_fertility_rederivation(spark, sf_dir, documents):
+    per = defaultdict(lambda: [0, Counter(), 0])  # docs, words, chars
+    for _, text, lang, _, _ in documents:
+        if text is None:
+            continue
+        st = per[lang]
+        st[0] += 1
+        st[1].update(text.split(" "))
+        st[2] += len(text.replace(" ", ""))
+    rows = SPECS["llm_vocab_fertility"].spark(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(per)
+    for r in rows:
+        n_docs, wcnt, chars = per[r.lang]
+        total = sum(wcnt.values())
+        hapax = sum(1 for c in wcnt.values() if c == 1)
+        assert r.n_docs == n_docs
+        assert r.total_words == total
+        assert r.vocab_size == len(wcnt)
+        assert r.hapax_count == hapax
+        assert r.total_chars == chars
+        assert _close(r.chars_per_word, chars / total, 1e-6)
+        assert _close(r.hapax_ratio, hapax / len(wcnt), 1e-6)
+        assert _close(r.type_token_ratio, len(wcnt) / total, 1e-6)
