@@ -1,7 +1,9 @@
-"""TPC-H-shaped analytics — the five classic decision-support query
-shapes not yet represented in the registry, adapted to the fixture
-schema (no partsupp table, no commit/receipt dates; money arithmetic
-follows the functions/numeric.py exact-decimal discipline throughout).
+"""TPC-H-shaped analytics — the classic decision-support query shapes
+not otherwise represented in the registry (q7/q8/q17/q18/q21 from
+round 7's first pass; q9/q10/q14/q19 from the second), adapted to the
+fixture schema (no partsupp table, no commit/receipt dates; money
+arithmetic follows the functions/numeric.py exact-decimal discipline
+throughout).
 
 Reference anchor: the reference is an ETL DAG, not a query engine, but
 its loaded table is consumed by exactly this class of analyst SQL
@@ -570,4 +572,249 @@ def tpch_q20_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("s_name", F.col("n_name").alias("supp_nation"))
         .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+               COUNT(*) AS n_lineitems,
+               {sql_dsum(
+                   "l.l_extendedprice * (1 - l.l_discount)"
+                   " - l.l_quantity * (p.p_retailprice * 0.6)",
+                   "profit",
+               )}
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Q9 (product-type profit) shape: profit by supplier nation and "
+    "order year over parts matching a name pattern. Fixture "
+    "adaptation: no partsupp table, so supply cost is the "
+    "deterministic p_retailprice * 0.6 — computed as ONE raw double "
+    "expression per row (identical tree both engines, NO ROUND: "
+    "rounding a 3-decimal product at a .005 boundary is exactly "
+    "where HALF_UP-on-shortest-repr and binary-expansion rounding "
+    "diverge), then decimal-accumulated via dsum so the aggregate "
+    "is order-independent. Plan: part filter is pushed to the "
+    "dimension scan and broadcast-joined (pruning lineitem early), "
+    "the one fact-fact join shuffles on orderkey, supplier/nation "
+    "broadcast, final agg is |nations| x |years| bounded.",
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(
+                F.expr(
+                    "l_extendedprice * (1 - l_discount)"
+                    " - l_quantity * (p_retailprice * 0.6)"
+                ),
+                "profit",
+            ),
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+@register(
+    "tpch_q10_returned",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation,
+               COUNT(*) AS n_lineitems,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="Q10 (returned-item reporting) shape: top-20 customers by "
+    "revenue lost to returns in one quarter, with nation context — "
+    "the classic 'who should we call' operational top-k over a "
+    "4-table join. The revenue sum is decimal-accumulated then cast "
+    "to double; the top-k orders by (revenue DESC, custkey) so ties "
+    "resolve identically in both engines (a bare ORDER BY revenue "
+    "LIMIT 20 is nondeterministic under equal revenues). Plan: the "
+    "returnflag + date filters push into the scans BEFORE the "
+    "orderkey shuffle (the quarter filter kills ~95% of orders), "
+    "customer/nation broadcast, and the final top-20 is "
+    "TakeOrderedAndProject — no global sort materializes.",
+)
+def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(
+            "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(F.expr(REV), "revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle=f"""
+        WITH m AS (
+            SELECT CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP)
+                     AS order_month,
+                   {sql_dsum(
+                       "CASE WHEN p.p_type = 'ECONOMY'"
+                       " THEN l.l_extendedprice * (1 - l.l_discount)"
+                       " ELSE 0 END",
+                       "promo_rev",
+                   )},
+                   {sql_dsum(
+                       "l.l_extendedprice * (1 - l.l_discount)", "total_rev"
+                   )}
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1
+        )
+        SELECT order_month, promo_rev, total_rev,
+               ROUND(100 * promo_rev / total_rev, 9) AS promo_share_pct
+        FROM m
+        ORDER BY order_month
+    """,
+    doc="Q14 (promotion effect) shape: one conditional aggregate over "
+    "the part-typed join per month — the CASE-inside-SUM revenue "
+    "share pattern. Fixture adaptation: p_type 'ECONOMY' stands in "
+    "for the PROMO% class. Both the conditional and total sums are "
+    "decimal-accumulated (order-independent); the share is the ONE "
+    "float division, spelled identically both engines, ROUND 9. "
+    "Plan: part broadcasts, one orderkey shuffle, month-bounded "
+    "output.",
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(p), l["l_partkey"] == p["p_partkey"]
+    )
+    m = j.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    ).agg(
+        dsum(
+            F.expr(
+                "CASE WHEN p_type = 'ECONOMY'"
+                " THEN l_extendedprice * (1 - l_discount) ELSE 0 END"
+            ),
+            "promo_rev",
+        ),
+        dsum(F.expr(REV), "total_rev"),
+    )
+    return m.select(
+        "order_month",
+        "promo_rev",
+        "total_rev",
+        F.round(100 * F.col("promo_rev") / F.col("total_rev"), 9).alias(
+            "promo_share_pct"
+        ),
+    ).orderBy("order_month")
+
+
+@register(
+    "tpch_q19_disjunct",
+    oracle=f"""
+        SELECT COUNT(*) AS n_lineitems,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="Q19 (discounted revenue) shape: the OR-of-conjunctions "
+    "predicate spanning BOTH join sides — the canonical test that an "
+    "optimizer keeps a disjunction evaluable after the join instead "
+    "of falling back to a cartesian (each disjunct constrains part "
+    "AND lineitem columns, so neither side can fully pre-filter; "
+    "fixture adaptation: p_size/l_quantity bands replace the "
+    "container/shipmode columns the fixtures lack). Plan: part "
+    "broadcasts, the disjunction evaluates post-join inside "
+    "codegen, and Catalyst still derives the implied "
+    "brand IN (...) prune for the part side. Single-row exact "
+    "decimal-summed output.",
+)
+def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(cond).agg(
+        F.count("*").alias("n_lineitems"),
+        dsum(F.expr(REV), "revenue"),
     )

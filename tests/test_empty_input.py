@@ -129,6 +129,11 @@ CORE_QUERIES = (
     "agg_dp_counts",
     "ts_isotonic_daily",
     "llm_vocab_fertility",
+    # round-7 batch 18: second TPC-H pass (empty joins/top-k/ratio)
+    "tpch_q9_profit",
+    "tpch_q10_returned",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunct",
 )
 
 
