@@ -79,6 +79,16 @@ DELIBERATE_CROSS = {
     # r7: |distinct-values| × 9 boundary cross for bin assignment and
     # 10 × 2 bin/epoch scaffold — both bounded broadcast products
     "dq_value_drift_psi",
+    # r7 batch 15/16: k-row per-group sufficient stats × SINGLE-ROW
+    # global totals broadcasts (5×1, 1×1, 5×1×1×1) — theorem shapes
+    "agg_kruskal_wallis",
+    "agg_cohens_kappa",
+    "agg_friedman_test",
+    # r7 batch 17: DELIBERATE bounded triangle — the isotonic minimax
+    # day-pair grid (j <= k over POST-AGGREGATE calendar rows, ~365/yr
+    # regardless of corpus scale; the data-scale stage is the daily
+    # hash agg before it)
+    "ts_isotonic_daily",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
