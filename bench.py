@@ -134,6 +134,13 @@ BENCH_QUERIES = (
     "llm_token_budget_trim",
     "ts_drawdown",
     "llm_dedup_span_removal",
+    # r7 batch 15-18: the heaviest new shapes — the vocabulary shuffle
+    # (lang,word explode), the full-scan rule gate, the distinct-value
+    # pooled ranks, and the deepest new TPC-H join
+    "llm_vocab_fertility",
+    "llm_gopher_rules",
+    "agg_kruskal_wallis",
+    "tpch_q9_profit",
 )
 
 

@@ -791,3 +791,74 @@ def fn_base64_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(b64).alias("b64_len"),
         (F.decode(F.unbase64(b64), "UTF-8") == F.col("text")).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "fn_business_days",
+    oracle="""
+        WITH j AS (
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CAST(o.o_orderdate AS DATE) AS d1,
+                   CAST(l.l_shipdate AS DATE) AS d2
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        z AS (
+            SELECT l_orderkey, l_linenumber, d1, d2,
+                   DATE_DIFF('day', DATE '1970-01-05', d1) AS z1,
+                   DATE_DIFF('day', DATE '1970-01-05', d2) AS z2
+            FROM j
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(d1 AS TIMESTAMP) AS order_date,
+               CAST(d2 AS TIMESTAMP) AS ship_date,
+               CAST(z2 - z1 AS BIGINT) AS calendar_days,
+               CAST(((z2 // 7) * 5 + LEAST(z2 % 7 + 1, 5))
+                    - ((z1 // 7) * 5 + LEAST(z1 % 7 + 1, 5))
+                    AS BIGINT) AS business_days
+        FROM z
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Business-day (weekday) span between order and ship date per "
+    "lineitem — the SLA arithmetic every fulfillment report needs, "
+    "computed CLOSED-FORM with zero calendar-table joins: with z = "
+    "days since 1970-01-05 (a Monday), g(z) = (z DIV 7)*5 + "
+    "LEAST(z MOD 7 + 1, 5) counts weekdays from the epoch through "
+    "day z, and the span is g(z2) - g(z1) — pure integer "
+    "arithmetic, identical in any engine, valid for any date pair "
+    "in either order (g is monotone), no row explosion (the "
+    "gen_calendar_dim alternative explodes one row per day per "
+    "span, ~30x here). Fixture dates are all post-1970 so z >= 0 "
+    "and DIV/MOD agree across engines; for pre-1970 dates shift "
+    "the epoch anchor earlier. Plan: one orderkey equi join, "
+    "all-narrow projection after it.",
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderdate").cast("date").alias("d1"),
+        F.col("l_shipdate").cast("date").alias("d2"),
+    )
+    z = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "d1",
+        "d2",
+        F.datediff(F.col("d1"), F.lit("1970-01-05").cast("date")).alias("z1"),
+        F.datediff(F.col("d2"), F.lit("1970-01-05").cast("date")).alias("z2"),
+    )
+    g1 = F.expr("(z1 DIV 7) * 5 + LEAST(z1 % 7 + 1, 5)")
+    g2 = F.expr("(z2 DIV 7) * 5 + LEAST(z2 % 7 + 1, 5)")
+    return z.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("d1").cast("timestamp").alias("order_date"),
+        F.col("d2").cast("timestamp").alias("ship_date"),
+        (F.col("z2") - F.col("z1")).cast("long").alias("calendar_days"),
+        (g2 - g1).cast("long").alias("business_days"),
+    ).orderBy("l_orderkey", "l_linenumber")

@@ -4753,3 +4753,234 @@ def agg_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dp_count"),
     ).orderBy("lang", "source")
+
+
+@register(
+    "agg_neyman_allocation",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(FLOOR(value) AS BIGINT)
+                            * CAST(FLOOR(value) AS BIGINT)) AS BIGINT)
+                     AS s2
+            FROM events GROUP BY event_type
+        ),
+        d AS (
+            SELECT grp, n, s1,
+                   CAST(n * s2 - s1 * s1 AS BIGINT) AS dh,
+                   CAST(ROUND(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS w
+            FROM s
+        ),
+        tot AS (SELECT CAST(SUM(w) AS DECIMAL(28,6)) AS wt FROM d)
+        SELECT d.grp, d.n, d.s1, d.dh,
+               ROUND(CAST(d.w AS DOUBLE)
+                     / CAST(CAST(tot.wt AS VARCHAR) AS DOUBLE), 9)
+                 AS alloc_share
+        FROM d, tot
+        ORDER BY d.grp
+    """,
+    doc="Neyman (optimal) stratified-sampling allocation over event-"
+    "type strata — the survey-design table that says what FRACTION "
+    "of a fixed sampling budget each stratum earns (proportional to "
+    "N_h * sigma_h, so volatile strata get oversampled relative to "
+    "their size; the companion to sample_stratified's proportional "
+    "arm). Because strata here are fully observed, N_h*sigma_h "
+    "collapses to sqrt(n*S2 - S1^2) of EXACT integer sufficient "
+    "statistics (population-sd identity) — one hash agg, no second "
+    "pass. The per-stratum weight is sqrt (correctly-rounded IEEE, "
+    "engine-identical) ROUNDED TO DECIMAL(28,6) so the cross-"
+    "stratum total is an order-free DECIMAL sum — never a float "
+    "accumulation; the single emitted float is share = w/total "
+    "(DuckDB's decimal->double goes through the VARCHAR detour, "
+    "ORACLE_PARITY rule 15). value is floored to unit grain so "
+    "n*S2 stays in BIGINT headroom through ~100x; beyond that the "
+    "dh algebra moves to DECIMAL(38,0) per the chi-square "
+    "discipline.",
+)
+def agg_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.floor(F.col("value")).cast("long")
+    s = e.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("long").alias("s1"),
+        F.sum(v * v).cast("long").alias("s2"),
+    )
+    d = s.select(
+        "grp",
+        "n",
+        "s1",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("long")
+        .alias("dh"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                    "double"
+                )
+            ),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("w"),
+    )
+    tot = d.agg(F.sum("w").cast("decimal(28,6)").alias("wt"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n",
+            "s1",
+            "dh",
+            F.round(
+                F.col("w").cast("double") / F.col("wt").cast("double"), 9
+            ).alias("alloc_share"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _gini_split_sql() -> str:
+    k = len(ANOVA_TYPES)
+    cells = ", ".join(
+        f"""CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_{i}"""
+        for i, t in enumerate(ANOVA_TYPES)
+    )
+    cums = ", ".join(
+        f"SUM(c_{i}) OVER (ORDER BY v1 ROWS UNBOUNDED PRECEDING) AS l_{i}"
+        for i in range(k)
+    )
+    tots = ", ".join(
+        f"CAST(SUM(c_{i}) AS BIGINT) AS t_{i}" for i in range(k)
+    )
+    nl = " + ".join(f"g.l_{i}" for i in range(k))
+    nr = " + ".join(f"(t.t_{i} - g.l_{i})" for i in range(k))
+    ssl = " + ".join(f"g.l_{i} * g.l_{i}" for i in range(k))
+    ssr = " + ".join(
+        f"(t.t_{i} - g.l_{i}) * (t.t_{i} - g.l_{i})" for i in range(k)
+    )
+    nt = " + ".join(f"t.t_{i}" for i in range(k))
+    return f"""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v1
+            FROM events
+        ),
+        cells AS (SELECT v1, {cells} FROM q GROUP BY v1),
+        grid AS (SELECT v1, {cums} FROM cells),
+        t AS (SELECT {tots} FROM cells),
+        scored AS (
+            SELECT g.v1 AS cut,
+                   CAST({nl} AS BIGINT) AS n_left,
+                   CAST({nr} AS BIGINT) AS n_right,
+                   CAST({ssl} AS BIGINT) AS ssq_left,
+                   CAST({ssr} AS BIGINT) AS ssq_right,
+                   CAST({nt} AS BIGINT) AS n_total
+            FROM grid g, t
+        )
+        SELECT cut, n_left, n_right,
+               ROUND(1.0 - (CAST(ssq_left AS DOUBLE) / n_left
+                            + CAST(ssq_right AS DOUBLE) / n_right)
+                     / n_total, 9) AS gini_weighted
+        FROM scored
+        WHERE n_left > 0 AND n_right > 0
+        ORDER BY (CAST(ssq_left AS DOUBLE) / n_left
+                  + CAST(ssq_right AS DOUBLE) / n_right) DESC, cut
+        LIMIT 1
+    """
+
+
+@register(
+    "agg_gini_split",
+    oracle=_gini_split_sql(),
+    doc="Decision-stump training in pure relational algebra: the "
+    "single best split point of `value` for classifying event_type, "
+    "by weighted Gini impurity — the inner loop of every "
+    "tree/forest/GBM trainer, here as ONE pass over the "
+    "distinct-value grid. Identity used: minimizing weighted Gini "
+    "(nL*GL + nR*GR)/n is maximizing sum_t(cumL_t^2)/nL + "
+    "sum_t(cumR_t^2)/nR, so each candidate cut is scored from the "
+    "per-type CUMULATIVE counts (five conditional window sums over "
+    "the value grid), all integers until the one per-row double "
+    "expression; the argmax orders by that double (bit-identical "
+    "both engines) with the cut as tiebreak, TakeOrderedAndProject "
+    "keeps it top-1. The grid is DOMAIN-bounded (floor(value) in "
+    "[0, 1000]), so the unpartitioned cumulative window runs over "
+    "<= 1001 post-aggregate rows at any corpus scale — the "
+    "calendar-window exemption class. Cumulative squares stay in "
+    "BIGINT through ~100x; beyond that the squares move to "
+    "DECIMAL(38,0) per the chi-square discipline.",
+)
+def agg_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.floor(F.col("value")).cast("long").alias("v1")
+    )
+    cells = q.groupBy("v1").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(
+                f"c_{i}"
+            )
+            for i, t in enumerate(ANOVA_TYPES)
+        ]
+    )
+    cum = W.orderBy("v1").rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid = cells.select(
+        "v1",
+        *[
+            F.sum(f"c_{i}").over(cum).alias(f"l_{i}")
+            for i in range(len(ANOVA_TYPES))
+        ],
+    )
+    tots = q.groupBy().agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"t_{i}")
+            for i, t in enumerate(ANOVA_TYPES)
+        ]
+    )
+    nl = sum(F.col(f"l_{i}") for i in range(len(ANOVA_TYPES)))
+    nr = sum(
+        F.col(f"t_{i}") - F.col(f"l_{i}") for i in range(len(ANOVA_TYPES))
+    )
+    ssl = sum(
+        F.col(f"l_{i}") * F.col(f"l_{i}") for i in range(len(ANOVA_TYPES))
+    )
+    ssr = sum(
+        (F.col(f"t_{i}") - F.col(f"l_{i}"))
+        * (F.col(f"t_{i}") - F.col(f"l_{i}"))
+        for i in range(len(ANOVA_TYPES))
+    )
+    nt = sum(F.col(f"t_{i}") for i in range(len(ANOVA_TYPES)))
+    scored = grid.crossJoin(F.broadcast(tots)).select(
+        F.col("v1").alias("cut"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        ssl.cast("long").alias("ssq_left"),
+        ssr.cast("long").alias("ssq_right"),
+        nt.cast("long").alias("n_total"),
+    )
+    score = (
+        F.col("ssq_left").cast("double") / F.col("n_left")
+        + F.col("ssq_right").cast("double") / F.col("n_right")
+    )
+    return (
+        scored.where((F.col("n_left") > 0) & (F.col("n_right") > 0))
+        .select(
+            "cut",
+            "n_left",
+            "n_right",
+            F.round(1.0 - score / F.col("n_total"), 9).alias(
+                "gini_weighted"
+            ),
+            score.alias("_score"),
+        )
+        .orderBy(F.col("_score").desc(), F.col("cut"))
+        .limit(1)
+        .drop("_score")
+    )

@@ -1435,3 +1435,114 @@ def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
     return visited.orderBy("node")
+
+
+LPA_ROUNDS = 4
+#: argmax packing: neighbor-label vote count dominates, smaller label
+#: wins ties. Labels are part keys < 10^10; counts < 10^8 at any
+#: realistic degree — score = cnt * 10^10 + (10^10 - 1 - label) fits
+#: far inside BIGINT and decodes exactly.
+LPA_PACK = 10_000_000_000
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for k in range(1, LPA_ROUNDS + 1):
+        p = k - 1
+        rounds.append(f"""
+        l{k} AS (
+            SELECT v.src AS pid,
+                   CAST({LPA_PACK} - 1 - MAX(v.score) % {LPA_PACK} AS BIGINT)
+                     AS label
+            FROM (
+                SELECT e2.src, l{p}.label,
+                       COUNT(*) * CAST({LPA_PACK} AS BIGINT)
+                       + ({LPA_PACK} - 1 - l{p}.label) AS score
+                FROM edges e2 JOIN l{p} ON l{p}.pid = e2.dst
+                GROUP BY e2.src, l{p}.label
+            ) v
+            GROUP BY v.src
+        )""")
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        l0 AS (SELECT DISTINCT src AS pid, CAST(src AS BIGINT) AS label
+               FROM edges),
+        {",".join(rounds)}
+        SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l{LPA_ROUNDS}
+        GROUP BY label
+        ORDER BY n_members DESC, community
+    """
+
+
+@register(
+    "graph_lpa_communities",
+    oracle=_lpa_oracle(),
+    doc=f"Label propagation communities over the part co-purchase graph "
+    f"(the graph_pagerank edge set) — {LPA_ROUNDS} SYNCHRONOUS rounds "
+    f"where every node adopts its neighbors' plurality label, ties to "
+    f"the smallest label. Plain LPA is notoriously nondeterministic "
+    f"(random visit order, random tie-breaks); this formulation is "
+    f"fully deterministic — synchronous updates + an integer argmax "
+    f"packed as cnt * {LPA_PACK} + ({LPA_PACK}-1-label), so MAX picks "
+    f"highest count then smallest label, all in exact BIGINTs — which "
+    f"is what lets a second engine replay it: the oracle is the same "
+    f"{LPA_ROUNDS} rounds UNROLLED as CTEs (the graph_pagerank "
+    f"fixed-point discipline). Fixed round count (not convergence-"
+    f"tested) keeps the plan static; label oscillation, the known "
+    f"failure of synchronous LPA on bipartite-ish structure, is "
+    f"bounded by the round cap and irrelevant to parity. Plan per "
+    f"round: edges ⋈ labels (shuffle on dst) → vote agg on "
+    f"(src, label) → argmax agg on src; lineage truncated with "
+    f"localCheckpoint per round; the edge set stays the big static "
+    f"co-partitioned side, exactly the Pregel lowering.",
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("pid"), F.col("src").cast("long").alias("label")
+    ).distinct()
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["pid"])
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                "src",
+                (
+                    F.col("cnt") * F.lit(LPA_PACK).cast("long")
+                    + (F.lit(LPA_PACK - 1) - F.col("label"))
+                ).alias("score"),
+            )
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(
+                (
+                    F.lit(LPA_PACK - 1) - F.max("score") % F.lit(LPA_PACK)
+                )
+                .cast("long")
+                .alias("label")
+            )
+            .select(F.col("src").alias("pid"), "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .select(F.col("label").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), F.col("community"))
+    )

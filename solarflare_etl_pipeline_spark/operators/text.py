@@ -3952,3 +3952,127 @@ def llm_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vocab_size").cast("double") / F.col("total_words"), 9
         ).alias("type_token_ratio"),
     ).orderBy("lang")
+
+
+@register(
+    "llm_ccnet_buckets",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT COUNT(*) AS n FROM toks),
+        terms AS (
+            SELECT t.doc_id, t.lang,
+                   CAST(ROUND(LN(CAST(v.cnt AS DOUBLE)
+                                 / CAST(tot.n AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS term
+            FROM toks t JOIN vocab v USING (tok) CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT doc_id, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS nll
+            FROM terms GROUP BY doc_id, lang
+        ),
+        lang_n AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_l
+            FROM scored GROUP BY lang
+        ),
+        grid AS (
+            SELECT lang, nll, COUNT(*) AS c FROM scored GROUP BY lang, nll
+        ),
+        cum AS (
+            SELECT lang, nll,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY nll
+                       ROWS UNBOUNDED PRECEDING) AS cum_through
+            FROM grid
+        ),
+        lab AS (
+            SELECT c.lang, c.nll,
+                   CASE WHEN c.cum_through <= (n.n_l + 2) // 3 THEN 'head'
+                        WHEN c.cum_through <= (2 * n.n_l + 2) // 3
+                          THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM cum c JOIN lang_n n ON n.lang = c.lang
+        )
+        SELECT s.doc_id, s.lang, s.n_tokens, s.nll, l.ppl_bucket
+        FROM scored s JOIN lab l ON l.lang = s.lang AND l.nll = s.nll
+        ORDER BY s.doc_id
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every document with the unigram-LM negative log-likelihood "
+    "(llm_perplexity_proxy's exact parity discipline — per-term LN "
+    "on bit-identical doubles, ROUND 9, DECIMAL term sum, one final "
+    "division ROUND 6), then split EACH LANGUAGE into head / middle "
+    "/ tail terciles of the score — the published shape for keeping "
+    "the fluent head+middle of a crawl and dropping the tail. "
+    "Tercile cuts are taken on the per-lang DISTINCT-SCORE grid "
+    "with integer cut ranks ceil(n/3), ceil(2n/3): the bucket is a "
+    "pure function of (lang, score), so tie groups that straddle a "
+    "cut land whole in the later bucket — deterministic in any "
+    "engine and under any parallelism, unlike ntile. The grid "
+    "window is score-cardinality-bounded per language; the "
+    "vocabulary join is the one wide edge (AQE picks broadcast vs "
+    "shuffle by actual vocab size); everything else shares the "
+    "(lang) / (lang, nll) partitioning.",
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_total = toks.count()
+    terms = toks.join(vocab, "tok").select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    scored = terms.groupBy("doc_id", "lang").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(
+            -F.sum("term").cast("double") / F.count("*"), 6
+        ).alias("nll"),
+    )
+    lang_n = scored.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_l")
+    )
+    grid = scored.groupBy("lang", "nll").agg(F.count("*").alias("c"))
+    cum = grid.select(
+        "lang",
+        "nll",
+        F.sum("c")
+        .over(
+            W.partitionBy("lang")
+            .orderBy("nll")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum_through"),
+    )
+    lab = cum.join(F.broadcast(lang_n), "lang").select(
+        "lang",
+        "nll",
+        F.when(
+            F.col("cum_through") <= F.expr("(n_l + 2) DIV 3"),
+            "head",
+        )
+        .when(
+            F.col("cum_through") <= F.expr("(2 * n_l + 2) DIV 3"),
+            "middle",
+        )
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+    return (
+        scored.join(lab, ["lang", "nll"])
+        .select("doc_id", "lang", "n_tokens", "nll", "ppl_bucket")
+        .orderBy("doc_id")
+    )

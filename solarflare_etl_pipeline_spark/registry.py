@@ -167,7 +167,16 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: mm_audio_energy, mm_image_histogram, llm_keywords_topk,
 #: llm_inverted_index, llm_bigram_pmi, sample_reservoir_per_group,
 #: agg_listagg_ordered, win_ntile, dq_histogram_drift.
-#: All round-6 additions were verified under BOTH comparator legs
+#: Late-round-7 additions (batches 14-18, strong candidates — each
+#: certifies a subsystem): llm_dedup_span_removal (the Lee-et-al
+#: exact-substring EXCISION with md5-certified reconstruction),
+#: llm_gopher_rules (the published quality gate, integer-exact
+#: thresholds), agg_kruskal_wallis / agg_friedman_test / ts_pettitt /
+#: ts_ljung_box / agg_cohens_kappa (the exact rank/agreement family),
+#: agg_dp_counts (deterministic DP ladder), ts_isotonic_daily
+#: (minimax PAVA), llm_vocab_fertility, tpch_q9_profit /
+#: tpch_q10_returned / tpch_q14_promo_share / tpch_q19_disjunct.
+#: All round-6+ additions were verified under BOTH comparator legs
 #: (fetchall + driver-faithful pandas) at sf0.001 and sf0.01 before
 #: entering this list.
 

@@ -134,6 +134,13 @@ CORE_QUERIES = (
     "tpch_q10_returned",
     "tpch_q14_promo_share",
     "tpch_q19_disjunct",
+    # round-7 batch 19: empty tercile grids, empty strata, empty spans
+    "llm_ccnet_buckets",
+    "agg_neyman_allocation",
+    "fn_business_days",
+    # round-7 batch 20: empty grids (gini), empty graphs (lpa)
+    "agg_gini_split",
+    "graph_lpa_communities",
 )
 
 

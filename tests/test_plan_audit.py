@@ -84,6 +84,11 @@ DELIBERATE_CROSS = {
     "agg_kruskal_wallis",
     "agg_cohens_kappa",
     "agg_friedman_test",
+    # r7 batch 19: 5-row strata × SINGLE-ROW weight total broadcast
+    "agg_neyman_allocation",
+    # r7 batch 20: domain-bounded value grid (<=1001 rows) × SINGLE-ROW
+    # per-type totals broadcast — N×1 theorem shape
+    "agg_gini_split",
     # r7 batch 17: DELIBERATE bounded triangle — the isotonic minimax
     # day-pair grid (j <= k over POST-AGGREGATE calendar rows, ~365/yr
     # regardless of corpus scale; the data-scale stage is the daily

@@ -1747,3 +1747,180 @@ def test_vocab_fertility_rederivation(spark, sf_dir, documents):
         assert _close(r.chars_per_word, chars / total, 1e-6)
         assert _close(r.hapax_ratio, hapax / len(wcnt), 1e-6)
         assert _close(r.type_token_ratio, len(wcnt) / total, 1e-6)
+
+
+def test_ccnet_buckets_rederivation(spark, sf_dir, documents):
+    from decimal import Decimal
+
+    toks = {}
+    vocab = Counter()
+    for doc_id, text, lang, _, _ in documents:
+        if text is None:
+            continue
+        ws = text.split(" ")
+        toks[doc_id] = (lang, ws)
+        vocab.update(ws)
+    n_total = sum(vocab.values())
+    scored = {}
+    for doc_id, (lang, ws) in toks.items():
+        s = sum(
+            Decimal(str(round(math.log(vocab[w] / n_total), 9))) for w in ws
+        )
+        scored[doc_id] = (lang, len(ws), round(-float(s) / len(ws), 6))
+    per_lang = defaultdict(list)
+    for doc_id, (lang, _, nll) in scored.items():
+        per_lang[lang].append(nll)
+    cuts = {}
+    for lang, nlls in per_lang.items():
+        n_l = len(nlls)
+        h1, h2 = (n_l + 2) // 3, (2 * n_l + 2) // 3
+        cum = 0
+        bucket_of = {}
+        for v, c in sorted(Counter(nlls).items()):
+            cum += c
+            bucket_of[v] = (
+                "head" if cum <= h1 else ("middle" if cum <= h2 else "tail")
+            )
+        cuts[lang] = bucket_of
+    rows = SPECS["llm_ccnet_buckets"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(scored)
+    bucket_counts = Counter()
+    for r in rows:
+        lang, n_tok, nll = scored[r.doc_id]
+        assert (r.lang, r.n_tokens) == (lang, n_tok)
+        assert _close(r.nll, nll, 1e-9)
+        assert r.ppl_bucket == cuts[lang][nll]
+        bucket_counts[r.ppl_bucket] += 1
+    # all three buckets must be live on the fixtures
+    assert set(bucket_counts) == {"head", "middle", "tail"}
+
+
+def test_neyman_allocation_rederivation(spark, sf_dir, events):
+    strata = defaultdict(list)
+    for _, _, et, v in events:
+        strata[et].append(math.floor(v))
+    ws = {}
+    for et, vs in strata.items():
+        n = len(vs)
+        s1, s2 = sum(vs), sum(x * x for x in vs)
+        dh = n * s2 - s1 * s1
+        # N_h * sigma_h == sqrt(n*S2 - S1^2) when the stratum is fully
+        # observed (population sd identity)
+        assert abs(math.sqrt(dh) - n * math.sqrt((s2 - s1 * s1 / n) / n)) < 1e-4
+        ws[et] = (n, s1, dh, round(math.sqrt(dh), 6))
+    total = sum(w for _, _, _, w in ws.values())
+    rows = SPECS["agg_neyman_allocation"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(ws)
+    share_sum = 0.0
+    for r in rows:
+        n, s1, dh, w = ws[r.grp]
+        assert (r.n, r.s1, r.dh) == (n, s1, dh)
+        assert _close(r.alloc_share, w / total, 1e-6)
+        share_sum += r.alloc_share
+    assert _close(share_sum, 1.0, 1e-6)
+
+
+def test_business_days_rederivation(spark, sf_dir):
+    import datetime as dt
+
+    raw = duckdb.sql(
+        f"SELECT l.l_orderkey, l.l_linenumber, o.o_orderdate, l.l_shipdate "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet') l JOIN "
+        f"read_parquet('{sf_dir}/orders.parquet') o "
+        f"ON o.o_orderkey = l.l_orderkey"
+    ).fetchall()
+
+    def bdays(d1, d2):
+        # brute force: count weekdays in (d1, d2]
+        sign = 1
+        if d2 < d1:
+            d1, d2 = d2, d1
+            sign = -1
+        c, d = 0, d1
+        while d < d2:
+            d += dt.timedelta(days=1)
+            if d.weekday() < 5:
+                c += 1
+        return sign * c
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    # — compare as multisets of full tuples
+    expected = Counter(
+        (ok, ln, od.date(), sd.date(), (sd - od).days, bdays(od, sd))
+        for ok, ln, od, sd in raw
+    )
+    rows = SPECS["fn_business_days"].spark(spark, sf_dir).collect()
+    got = Counter(
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.order_date.date(),
+            r.ship_date.date(),
+            r.calendar_days,
+            r.business_days,
+        )
+        for r in rows
+    )
+    assert got == expected
+    # weekends exist in the data: business < calendar for some rows
+    assert any(bd < cal for *_, cal, bd in expected if cal > 0)
+
+
+def test_gini_split_rederivation(spark, sf_dir, events):
+    vals = [(et, math.floor(v)) for _, _, et, v in events]
+    types = sorted({et for et, _ in vals})
+    cuts = sorted({v for _, v in vals})
+    n = len(vals)
+    best = None
+    for cut in cuts:
+        left = [et for et, v in vals if v <= cut]
+        right = [et for et, v in vals if v > cut]
+        if not left or not right:
+            continue
+        score = sum(
+            left.count(t) ** 2 for t in types
+        ) / len(left) + sum(right.count(t) ** 2 for t in types) / len(right)
+        gini = 1.0 - score / n
+        key = (-score, cut)
+        if best is None or key < best[0]:
+            best = (key, cut, len(left), len(right), gini)
+    row = SPECS["agg_gini_split"].spark(spark, sf_dir).collect()[0]
+    _, cut, nl, nr, gini = best
+    assert (row.cut, row.n_left, row.n_right) == (cut, nl, nr)
+    assert _close(row.gini_weighted, gini, 1e-6)
+    # the split must be informative: better than no split at all
+    base = 1.0 - sum((sum(1 for et, _ in vals if et == t) / n) ** 2
+                     for t in types)
+    assert row.gini_weighted <= base + 1e-12
+
+
+def test_lpa_rederivation(spark, sf_dir):
+    from solarflare_etl_pipeline_spark.operators.analytics import (
+        LPA_ROUNDS,
+    )
+
+    raw = duckdb.sql(
+        f"SELECT DISTINCT a.l_partkey, b.l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') a JOIN "
+        f"read_parquet('{sf_dir}/lineitem.parquet') b "
+        f"ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+    ).fetchall()
+    nbrs = defaultdict(set)
+    for s, d in raw:
+        nbrs[s].add(d)
+    labels = {p: p for p in nbrs}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for p, ns in nbrs.items():
+            votes = Counter(labels[x] for x in ns)
+            top = max(votes.values())
+            new[p] = min(lbl for lbl, c in votes.items() if c == top)
+        labels = new
+    expected = Counter(labels.values())
+    rows = SPECS["graph_lpa_communities"].spark(spark, sf_dir).collect()
+    got = {r.community: r.n_members for r in rows}
+    assert got == dict(expected)
+    # propagation must have merged something: fewer communities than nodes
+    assert len(expected) < len(nbrs)
+    # membership conserved
+    assert sum(got.values()) == len(nbrs)
