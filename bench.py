@@ -143,6 +143,32 @@ BENCH_QUERIES = (
     "tpch_q9_profit",
 )
 
+#: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing
+#: 16-query subset — all in the bench since round 6, spanning the operator
+#: families — whose total is emitted alongside the headline so every
+#: future round has a query-set-invariant comparison and a normalization
+#: denominator for box drift (r5→r6 measured 1.51x on unchanged code;
+#: r6→r7 measured 1.17–1.35x on byte-identical queries). DO NOT add,
+#: remove, or reorder entries; the whole point is cross-round identity.
+CANARY_QUERIES = (
+    "agg_hash",
+    "join_multiway",
+    "join_broadcast",
+    "join_asof",
+    "topk_per_group",
+    "dedup_key",
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_dedup_near",
+    "llm_similarity_topk",
+    "llm_tfidf",
+    "llm_dedup_cluster",
+    "llm_dedup_simhash_pairs",
+    "ingest_json",
+    "sink_parquet",
+    "graph_triangle_count",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,6 +217,9 @@ def main() -> None:
         print(f"[bench] recall gate: lsh==exact ({len(lsh)} pairs)", file=sys.stderr)
 
     total = round(sum(timings.values()), 2)
+    canary_total = round(
+        sum(timings[q] for q in CANARY_QUERIES if q in timings), 2
+    )
     # Cold (first-run, includes per-shape Catalyst+codegen compile) timings
     # go to stderr and a side file, NOT the driver-parsed stdout line.
     print(f"[bench] cold: {json.dumps(cold, separators=(',', ':'))}", file=sys.stderr)
@@ -208,6 +237,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary_value": canary_total,
+                "canary_queries": list(CANARY_QUERIES),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

@@ -4984,3 +4984,190 @@ def agg_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_score")
     )
+
+
+@register(
+    "agg_mcnemar",
+    oracle="""
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS a,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS b
+            FROM events
+            GROUP BY user_id
+        ),
+        cells AS (
+            SELECT
+                CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n11,
+                CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n10,
+                CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n01,
+                CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n00
+            FROM flags
+        )
+        SELECT n11, n10, n01, n00,
+               CASE WHEN n10 + n01 = 0 THEN NULL
+                    ELSE CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+                         / CAST(n10 + n01 AS DOUBLE)
+               END AS chi2_mcnemar,
+               n10 > n01 AS a_exceeds_b
+        FROM cells
+    """,
+    doc="McNemar's test for paired binary outcomes — the canonical "
+    "'did the conversion flag flip between two in-subject conditions' "
+    "test (here: per-user click vs purchase incidence), used to "
+    "compare two labelers/filters on the SAME documents where an "
+    "unpaired chi-square is wrong. Statistic (n10-n01)^2/(n10+n01) "
+    "built rule-16 style: the 2x2 discordance cells are exact BIGINTs "
+    "from one per-user flag aggregate + one fold, and the statistic "
+    "is a SINGLE IEEE division of exact integers (no post-rounding); "
+    "the degenerate no-discordance case is NULL in both engines. "
+    "Plan: one partial+final hash agg keyed on user_id, then a "
+    "single-row fold — map-side combinable, |users| shuffle rows, "
+    "nothing wide at any scale.",
+)
+def agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    flags = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    diff = F.col("n10") - F.col("n01")
+    disc = F.col("n10") + F.col("n01")
+    return cells.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(disc == 0, F.lit(None).cast("double"))
+        .otherwise((diff * diff).cast("double") / disc.cast("double"))
+        .alias("chi2_mcnemar"),
+        (F.col("n10") > F.col("n01")).alias("a_exceeds_b"),
+    )
+
+
+@register(
+    "agg_cochran_q",
+    oracle="""
+        WITH grid AS (
+            SELECT u.user_id, t.event_type,
+                   COALESCE(f.x, 0) AS x
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN (
+                SELECT user_id, event_type, 1 AS x
+                FROM events GROUP BY user_id, event_type
+            ) f ON f.user_id = u.user_id AND f.event_type = t.event_type
+        ),
+        dims AS (
+            SELECT COUNT(DISTINCT event_type) AS k,
+                   CAST(SUM(x) AS BIGINT) AS n
+            FROM grid
+        ),
+        cols AS (
+            SELECT event_type, CAST(SUM(x) AS BIGINT) AS cj
+            FROM grid GROUP BY event_type
+        ),
+        rows_ AS (
+            SELECT user_id, CAST(SUM(x) AS BIGINT) AS ri
+            FROM grid GROUP BY user_id
+        ),
+        num AS (
+            SELECT CAST(SUM((d.k * c.cj - d.n) * (d.k * c.cj - d.n))
+                        AS BIGINT) AS s
+            FROM cols c CROSS JOIN dims d
+        ),
+        den AS (
+            SELECT CAST(SUM(d.k * r.ri - r.ri * r.ri) AS BIGINT) AS s
+            FROM rows_ r CROSS JOIN dims d
+        )
+        SELECT d.k AS k_treatments,
+               (SELECT COUNT(*) FROM rows_) AS n_blocks,
+               d.n AS n_successes,
+               CASE WHEN den.s = 0 THEN NULL
+                    ELSE CAST((d.k - 1) * num.s AS DOUBLE)
+                         / CAST(d.k * den.s AS DOUBLE)
+               END AS cochran_q
+        FROM dims d CROSS JOIN num CROSS JOIN den
+    """,
+    doc="Cochran's Q — the k-treatment generalization of McNemar: do k "
+    "binary 'treatments' (here: incidence of each event_type per "
+    "user) share one success rate across matched blocks (users)? "
+    "The published statistic k(k-1)SUM_j(Cj - N/k)^2 / (k SUM Ri - "
+    "SUM Ri^2) is cleared of the N/k fraction by cross-multiplying "
+    "(rule 22): numerator SUM_j (k*Cj - N)^2 and denominator are "
+    "exact BIGINTs, and the statistic is ONE IEEE division "
+    "(k-1)*num / (k*(k*SUM Ri - SUM Ri^2)) — algebraically identical "
+    "(the k^2 clearing factor cancels one k). The block x treatment "
+    "incidence grid is dense-completed with a |users| x |types| "
+    "cross join so absent cells count as 0 — bounded: |types| is a "
+    "small enum, so the grid is |users| x k rows, one narrow "
+    "shuffle; column/row totals are two map-side-combinable aggs. "
+    "Degenerate all-equal-rows case (den=0) is NULL in both engines.",
+)
+def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    f = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.lit(1).alias("x"))
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))  # |users| x k dense grid
+        .join(f, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+        .localCheckpoint()  # feeds dims, cols, rows
+    )
+    dims = grid.agg(
+        F.countDistinct("event_type").alias("k"),
+        F.sum("x").cast("long").alias("n"),
+    ).collect()[0]
+    if dims.n is None:  # zero-row input: mirror the oracle's NULL row
+        return spark.createDataFrame(
+            [(0, 0, None, None)],
+            "k_treatments bigint, n_blocks bigint, n_successes bigint, cochran_q double",
+        )
+    k, n = int(dims.k), int(dims.n)
+    cols = grid.groupBy("event_type").agg(F.sum("x").cast("long").alias("cj"))
+    rows = grid.groupBy("user_id").agg(F.sum("x").cast("long").alias("ri"))
+    num = cols.agg(
+        F.sum((F.lit(k) * F.col("cj") - F.lit(n)) ** 2)
+        .cast("long")
+        .alias("s")
+    ).collect()[0].s
+    den_row = rows.agg(
+        F.sum(F.lit(k) * F.col("ri") - F.col("ri") * F.col("ri"))
+        .cast("long")
+        .alias("s"),
+        F.count("*").cast("long").alias("n_blocks"),
+    ).collect()[0]
+    den, n_blocks = int(den_row.s), int(den_row.n_blocks)
+    q = None if den == 0 else float((k - 1) * num) / float(k * den)
+    return spark.createDataFrame(
+        [(k, n_blocks, n, q)],
+        "k_treatments bigint, n_blocks bigint, n_successes bigint, cochran_q double",
+    )

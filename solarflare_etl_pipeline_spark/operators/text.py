@@ -4012,14 +4012,21 @@ def llm_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with integer cut ranks ceil(n/3), ceil(2n/3): the bucket is a "
     "pure function of (lang, score), so tie groups that straddle a "
     "cut land whole in the later bucket — deterministic in any "
-    "engine and under any parallelism, unlike ntile. The grid "
-    "window is score-cardinality-bounded per language; the "
-    "vocabulary join is the one wide edge (AQE picks broadcast vs "
-    "shuffle by actual vocab size); everything else shares the "
-    "(lang) / (lang, nll) partitioning.",
+    "engine and under any parallelism, unlike ntile. 100 TB note: "
+    "a 6-decimal per-doc NLL is effectively unique per document, so "
+    "the per-lang distinct-score grid GROWS WITH THE CORPUS — a "
+    "partitionBy(lang) cumulative window would funnel the whole "
+    "corpus through ~|langs| tasks. The running count therefore "
+    "routes through plans/rank.with_grouped_prefix_sum (range-"
+    "repartition on (lang, nll), partition-local prefix sums, "
+    "bounded |langs|x|parts| offset table) — same rewrite family as "
+    "fn_quantile_align / agg_decile_lift. The vocabulary join is "
+    "the one wide edge (AQE picks broadcast vs shuffle by actual "
+    "vocab size); everything else shares the (lang) / (lang, nll) "
+    "partitioning.",
 )
 def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from ..plans.rank import with_grouped_prefix_sum
 
     d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     toks = d.select(
@@ -4046,17 +4053,12 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_l")
     )
     grid = scored.groupBy("lang", "nll").agg(F.count("*").alias("c"))
-    cum = grid.select(
-        "lang",
-        "nll",
-        F.sum("c")
-        .over(
-            W.partitionBy("lang")
-            .orderBy("nll")
-            .rowsBetween(W.unboundedPreceding, W.currentRow)
-        )
-        .alias("cum_through"),
-    )
+    # grid rows are unique on (lang, nll) so the order is total —
+    # distributed running count, never a per-language window over a
+    # corpus-sized grid (see docstring's 100 TB note).
+    cum = with_grouped_prefix_sum(
+        grid, ["lang"], ["nll"], "c", sum_col="cum_through"
+    ).select("lang", "nll", "cum_through")
     lab = cum.join(F.broadcast(lang_n), "lang").select(
         "lang",
         "nll",
@@ -4076,3 +4078,215 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "nll", "ppl_bucket")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_bigram_lm_score",
+    # Parity discipline = llm_perplexity_proxy's, lifted to bigrams: LN
+    # runs on ONE IEEE division of exact integers (Laplace-smoothed
+    # count ratios — both operands BIGINT-exact in both engines), each
+    # term is rounded to 9dp and summed in DECIMAL (order-free, rule
+    # 2), one final division + ROUND 6.
+    oracle="""
+        WITH bg AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1])) AS bigram
+            FROM documents
+        ),
+        tf AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        ctx AS (
+            SELECT STRING_SPLIT(bigram, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1
+            FROM tf GROUP BY 1
+        ),
+        voc AS (
+            SELECT COUNT(DISTINCT tok) AS v FROM (
+                SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+            )
+        ),
+        terms AS (
+            SELECT b.doc_id,
+                   CAST(ROUND(LN(CAST(t.c12 + 1 AS DOUBLE)
+                                 / CAST(x.c1 + voc.v AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS term
+            FROM bg b
+            JOIN tf t USING (bigram)
+            JOIN ctx x ON x.w1 = STRING_SPLIT(b.bigram, ' ')[1]
+            CROSS JOIN voc
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6)
+                   AS nll_bigram
+        FROM terms GROUP BY doc_id
+    """,
+    doc="Laplace-smoothed bigram-LM quality score — the next-order "
+    "companion to llm_perplexity_proxy's unigram NLL (fluency is a "
+    "transition property: a bag of common words scores well on "
+    "unigrams but badly here; the gap between the two is the "
+    "standard cheap gibberish/word-salad signal). Per-bigram "
+    "probability (c12+1)/(c1+V) with corpus context totals and "
+    "add-one smoothing — both operands exact BIGINTs, so LN sees "
+    "bit-identical doubles in both engines; V (vocab size) is one "
+    "bounded driver-side count folded in as a literal (tfidf "
+    "precedent). Bigrams are the proven shift-and-zip construction "
+    "(sliding_ngrams_sql — no per-element slice allocation). Plan: "
+    "one bigram explode feeds the frequency aggregate and the "
+    "scoring join; context totals roll up FROM the bigram table "
+    "(|bigrams| rows, never a second corpus pass); the per-doc sum "
+    "is a partial-aggregated decimal shuffle. At 100 TB the bigram-"
+    "vocabulary join is the one wide edge; AQE picks broadcast vs "
+    "shuffle by actual table size.",
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split("text", " ")
+    )
+    bg = d.select(
+        "doc_id", F.explode(F.expr(sliding_ngrams_sql(2, "__toks"))).alias("bigram")
+    )
+    tf = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    ctx = (
+        tf.withColumn("w1", F.split("bigram", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    v = (
+        d.select(F.explode("__toks").alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )  # bounded driver scalar (perplexity_proxy precedent)
+    bterm = (
+        tf.withColumn("w1", F.split("bigram", " ")[0])
+        .join(ctx, "w1")
+        .select(
+            "bigram",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.lit(v)).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    return (
+        bg.join(bterm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -F.sum("term").cast("double") / F.count("*"), 6
+            ).alias("nll_bigram"),
+        )
+    )
+
+
+ZIPF_Q = 10**6  # ln-value quantizer for the exact-integer OLS (rule 22)
+
+
+@register(
+    "llm_zipf_slope",
+    # Rank ties are broken by token string (rule 6); ln values are
+    # quantized to exact integers once (rule 22) so the OLS moment
+    # sums, cross-moments, and both regression ratios are exact
+    # integer arithmetic with ONE IEEE division each at the end
+    # (rule 16); the DuckDB-side integer→double casts take the
+    # VARCHAR detour (rule 15).
+    oracle=f"""
+        WITH tf AS (
+            SELECT tok, COUNT(*) AS c FROM (
+                SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+            ) GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+            FROM tf
+        ),
+        q AS (
+            SELECT CAST(ROUND(LN(CAST(r AS DOUBLE)) * {ZIPF_Q}, 0)
+                        AS BIGINT) AS xq,
+                   CAST(ROUND(LN(CAST(c AS DOUBLE)) * {ZIPF_Q}, 0)
+                        AS BIGINT) AS yq
+            FROM ranked
+        ),
+        s AS (
+            SELECT COUNT(*) AS n, SUM(xq) AS sx, SUM(yq) AS sy,
+                   SUM(xq * yq) AS sxy, SUM(xq * xq) AS sxx
+            FROM q
+        )
+        SELECT n AS n_vocab,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               END AS zipf_slope,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+                         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                         / {ZIPF_Q}.0
+               END AS zipf_intercept_ln
+        FROM s
+    """,
+    doc=f"Zipf's-law fit of the corpus rank-frequency curve: OLS slope "
+    f"of ln(freq) on ln(rank) over the full vocabulary — the "
+    f"classic corpus-health diagnostic (natural text sits near "
+    f"slope -1; templated/boilerplate crawls flatten the head, spam "
+    f"steepens the tail; a drift in the slope across snapshots is "
+    f"an early crawl-quality alarm). The frequency ranking uses "
+    f"plans/rank.with_global_rank (range-repartitioned two-level "
+    f"rank — the vocabulary is corpus-sized, so a bare "
+    f"ROW_NUMBER() OVER (ORDER BY c) single-partition window would "
+    f"be the exact scale-killer the r6/r7 rank rewrites removed). "
+    f"ln values are quantized to ln*{ZIPF_Q} BIGINTs; all five OLS "
+    f"moment sums accumulate exactly (DECIMAL(38,0) on the Spark "
+    f"side, HUGEINT in DuckDB), the normal-equation numerators/"
+    f"denominators are exact integers (quantizer scale cancels in "
+    f"the slope), and each reported coefficient is one IEEE "
+    f"division. Moment sums are a bounded single-row collect (the "
+    f"scalar-fold discipline). At 100 TB: one token explode, one "
+    f"(tok) aggregate, the distributed rank's two bounded shuffles, "
+    f"one 5-scalar fold.",
+)
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
+
+    out_schema = "n_vocab bigint, zipf_slope double, zipf_intercept_ln double"
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = with_global_rank(tf, [F.col("c").desc(), F.col("tok")], "r")
+    q = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * ZIPF_Q, 0)
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("c").cast("double")) * ZIPF_Q, 0)
+        .cast("long")
+        .alias("yq"),
+    )
+    s = q.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("yq").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("xq") * F.col("yq")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,0)")).alias("sxx"),
+    ).collect()[0]  # five exact scalars — bounded driver state
+    n = int(s.n)
+    if n == 0:
+        return spark.createDataFrame([(0, None, None)], out_schema)
+    sx, sy, sxy, sxx = (int(s.sx), int(s.sy), int(s.sxy), int(s.sxx))
+    den = n * sxx - sx * sx
+    if den == 0:
+        return spark.createDataFrame([(n, None, None)], out_schema)
+    slope = float(n * sxy - sx * sy) / float(den)
+    intercept = float(sy * sxx - sx * sxy) / float(den) / float(ZIPF_Q)
+    return spark.createDataFrame([(n, slope, intercept)], out_schema)

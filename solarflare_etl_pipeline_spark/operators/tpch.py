@@ -818,3 +818,62 @@ def tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lineitems"),
         dsum(F.expr(REV), "revenue"),
     )
+
+
+@register(
+    "tpch_q12_shipmode",
+    oracle="""
+        SELECT l.l_returnflag AS ship_mode,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('R', 'A')
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Q12 (shipping modes and order priority) shape — the last "
+    "classic shape absent from both the direct and equivalence lists "
+    "(VERDICT r7 missing #3): two-class conditional counts per mode "
+    "over the order⋈lineitem join, CASE-summing urgent/high vs other "
+    "priorities inside one aggregate pass. Fixture adaptation per "
+    "tpch.py's header note (no l_shipmode / commit / receipt dates): "
+    "l_returnflag restricted to ('R','A') stands in for the "
+    "MAIL/SHIP mode filter, the receipt-year window becomes a "
+    "one-year l_shipdate window, and the cross-table lateness "
+    "predicate l_commitdate < l_receiptdate becomes l_shipdate >= "
+    "o_orderdate — preserving the defining plan property that one "
+    "predicate spans BOTH join sides so neither side can fully "
+    "pre-filter. Plan: the mode and date filters push to the "
+    "lineitem parquet scan (PushedFilters), the one fact-fact join "
+    "shuffles on orderkey (AQE may flip to broadcast at small SF), "
+    "the cross-side predicate evaluates post-join in codegen, and "
+    "the CASE sums are map-side partial aggregates into a "
+    "|modes|-bounded result — one shuffle for the join, one bounded "
+    "shuffle for the aggregate, at any scale.",
+)
+def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )

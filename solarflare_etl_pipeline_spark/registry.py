@@ -91,20 +91,26 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-7 rotation). All six
-#: round-6 slots went GREEN under the driver (CORRECTNESS_r06 — the
-#: first fully green window) and rotate out; in come the head of the
-#: round-7 shortlist below, per VERDICT r6 task #1. Every key here is
+#: Slots 45-50 of the driver window (round-8 rotation). All six
+#: round-7 slots went GREEN under the driver (CORRECTNESS_r07 — the
+#: second fully green window) and rotate out; in come the six keys
+#: VERDICT r7 task #1 names, weighting value + plan-certification
+#: coverage: llm_winnowing_overlap (hash-certifies the MOSS pipeline,
+#: the most expensive bench query), ingest_avro (certifies the
+#: from-scratch OCF byte loop), agg_decile_lift (puts a
+#: plans/rank.with_global_rank consumer under the driver),
+#: llm_split_leakage, agg_cuped_adjust, and ts_periodogram (the
+#: injected-constant DFT parity discipline). Every key here is
 #: oracle-backed and was verified under BOTH comparator legs (fetchall
 #: + driver-faithful pandas, tests/test_oracle_parity.py) at sf0.001
 #: and sf0.01 before rotating in; none has ever had a driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "flagship_span_corpus",
-    "hierarchy_flatten",
-    "llm_boilerplate_strip",
-    "llm_mixture_sample",
-    "dq_referential_integrity",
-    "join_point_in_time",
+    "llm_winnowing_overlap",
+    "ingest_avro",
+    "agg_decile_lift",
+    "llm_split_leakage",
+    "agg_cuped_adjust",
+    "ts_periodogram",
 )
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
@@ -115,6 +121,8 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: oracle), sample_systematic (distributed-rank interval sampling).
 #: Batch-6: agg_tukey_hsd (bitwise-verified), agg_calibration_ece,
 #: ts_sax_words, llm_split_leakage, ingest_csv_corrupt.
+#: Round-8 addition: tpch_q12_shipmode (the last classic shape,
+#: VERDICT r7 missing #3 — on the shortlist head).
 #: Batch-7..10: agg_cuped_adjust, dq_fd_violations, ts_drawdown,
 #: llm_token_budget_trim (first with_grouped_prefix_sum consumer),
 #: llm_rank_fusion_rrf, agg_hill_tail_index, agg_theil_decomposition,

