@@ -1546,3 +1546,123 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("community"), "n_members")
         .orderBy(F.col("n_members").desc(), F.col("community"))
     )
+
+
+@register(
+    "graph_adamic_adar",
+    # Common-neighbor wedge terms 1/ln(deg_w) are single IEEE divisions
+    # of LN on exact-integer degrees (bit-identical in both engines),
+    # rounded once to 9dp and summed in DECIMAL (rule 2); candidate
+    # pairs come from the same basket-support prune as
+    # graph_jaccard_candidates (generate-then-verify, never |V|^2).
+    oracle=f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {BASKET_MIN_SUP}
+        ),
+        und AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ),
+        deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u),
+        wedges AS (
+            SELECT p.pa, p.pb, x.v AS w
+            FROM pairs p
+            JOIN und x ON x.u = p.pa
+            JOIN und y ON y.u = p.pb AND y.v = x.v
+        ),
+        terms AS (
+            SELECT wg.pa, wg.pb,
+                   CAST(ROUND(1.0 / LN(CAST(dw.d AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS t
+            FROM wedges wg
+            JOIN deg dw ON dw.u = wg.w
+            WHERE dw.d >= 2
+        )
+        SELECT p.pa, p.pb,
+               CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_common_deg2,
+               CAST(COALESCE(CAST(cnt.s AS DOUBLE), 0.0) AS DOUBLE)
+                   AS adamic_adar
+        FROM pairs p
+        LEFT JOIN (
+            SELECT pa, pb, COUNT(*) AS n, SUM(t) AS s
+            FROM terms GROUP BY pa, pb
+        ) cnt ON cnt.pa = p.pa AND cnt.pb = p.pb
+    """,
+    doc=f"Adamic-Adar link-prediction score for candidate part pairs — "
+    f"the common-neighbor index that discounts promiscuous hubs by "
+    f"1/ln(degree), the standard 'which items will co-occur next' "
+    f"ranking signal on co-purchase graphs. Candidates are pruned to "
+    f"pairs with >= {BASKET_MIN_SUP} shared baskets FIRST "
+    f"(graph_jaccard_candidates' generate-then-verify discipline — "
+    f"never the |V|^2 neighbor cross product); the score then sums "
+    f"1/ln(deg(w)) over each pair's common neighbors w (deg >= 2 — "
+    f"ln(1)=0 wedges are excluded by definition). Each term is one "
+    f"IEEE division of LN on an exact-integer degree (bit-identical "
+    f"cross-engine), rounded once, DECIMAL-summed. Plan: candidate "
+    f"list joins the adjacency twice (each candidate touches only "
+    f"its own neighbor lists), degree table broadcasts onto the "
+    f"wedge stream; cost scales with candidates x avg degree. The "
+    f"decimal sum is short (<= min degree terms), so the final "
+    f"decimal->double cast is exact at any scale.",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUP)
+        .select("pa", "pb")
+        .localCheckpoint()  # feeds the wedge join and the final left join
+    )
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
+    y = und.select(F.col("u").alias("pb"), F.col("v").alias("w"))
+    wedges = pairs.join(x, "pa").join(y, ["pb", "w"])
+    terms = (
+        wedges.join(
+            F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w"
+        )
+        .where(F.col("d") >= 2)
+        .select(
+            "pa",
+            "pb",
+            F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 9)
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+    )
+    agg = terms.groupBy("pa", "pb").agg(
+        F.count("*").alias("n"), F.sum("t").alias("s")
+    )
+    return pairs.join(agg, ["pa", "pb"], "left").select(
+        "pa",
+        "pb",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_common_deg2"),
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("adamic_adar"),
+    )

@@ -4290,3 +4290,81 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = float(n * sxy - sx * sy) / float(den)
     intercept = float(sy * sxx - sx * sxy) / float(den) / float(ZIPF_Q)
     return spark.createDataFrame([(n, slope, intercept)], out_schema)
+
+
+TEMP_MIX_NUM = 1  # temperature tau = TEMP_MIX_NUM / TEMP_MIX_DEN = 0.5
+TEMP_MIX_DEN = 2  # tau 0.5 == SQRT (correctly-rounded IEEE, portable)
+
+
+@register(
+    "llm_temperature_mixture",
+    # SQRT on the single IEEE division of two exact BIGINTs is
+    # correctly rounded in both engines (bit-identical); each term is
+    # rounded once to 9dp and DECIMAL-summed (rule 2); the final share
+    # is ONE division whose operands are bit-identical doubles (the
+    # oracle-side decimal->double cast takes the VARCHAR detour,
+    # rule 15).
+    oracle="""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n_docs) AS n FROM counts),
+        terms AS (
+            SELECT c.lang, c.n_docs,
+                   CAST(ROUND(SQRT(CAST(c.n_docs AS DOUBLE)
+                                   / CAST(tot.n AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS w
+            FROM counts c CROSS JOIN tot
+        ),
+        z AS (SELECT SUM(w) AS s FROM terms)
+        SELECT t.lang,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST(t.w AS DOUBLE)
+                   / CAST(CAST(z.s AS VARCHAR) AS DOUBLE) AS mix_share
+        FROM terms t CROSS JOIN z
+        ORDER BY t.lang
+    """,
+    doc="Temperature-scaled language-mixture weights (tau = 0.5): the "
+    "multilingual-LM sampling standard (mBERT/XLM-R/mT5 exponentiated "
+    "smoothing) — raw corpus shares p_l are raised to tau < 1 and "
+    "renormalized, up-weighting tail languages so low-resource data "
+    "is seen more than its raw share without exploding duplication "
+    "of the tiniest corpora. tau = 1/2 specifically because SQRT is "
+    "a correctly-rounded IEEE primitive in every engine (an "
+    "arbitrary POW(x, 0.7) is NOT bit-portable — libm-dependent); "
+    "the share is then one IEEE division of bit-identical operands "
+    "(terms rounded once, DECIMAL-summed normalizer, VARCHAR-detour "
+    "cast on the DuckDB side). Distinct from llm_mixture_sample / "
+    "llm_oversample_mixture, which take target shares as GIVEN "
+    "config — this op COMPUTES the published temperature policy "
+    "from corpus statistics. Plan: one |langs|-bounded aggregate, a "
+    "single-row normalizer fold, one broadcast — nothing data-scale "
+    "after the first groupBy at any corpus size.",
+)
+def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    counts = counts.localCheckpoint()  # bounded: |langs| rows
+    n = counts.agg(F.sum("n_docs")).collect()[0][0]
+    if n is None:
+        return spark.createDataFrame(
+            [], "lang string, n_docs bigint, mix_share double"
+        )
+    terms = counts.select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double") / F.lit(float(n))), 9
+        )
+        .cast("decimal(28,12)")
+        .alias("w"),
+    )
+    z = terms.agg(F.sum("w").alias("s")).collect()[0].s
+    return (
+        terms.select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("w").cast("double") / F.lit(float(z))).alias("mix_share"),
+        )
+        .orderBy("lang")
+    )

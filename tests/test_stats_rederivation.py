@@ -1924,3 +1924,161 @@ def test_lpa_rederivation(spark, sf_dir):
     assert len(expected) < len(nbrs)
     # membership conserved
     assert sum(got.values()) == len(nbrs)
+
+
+def test_mcnemar_rederivation(spark, sf_dir, events):
+    """Textbook McNemar from raw rows: per-user click/purchase flags,
+    2x2 discordance cells, (b-c)^2/(b+c)."""
+    a_users, b_users, users = set(), set(), set()
+    for _, uid, et, _ in events:
+        users.add(uid)
+        if et == "click":
+            a_users.add(uid)
+        if et == "purchase":
+            b_users.add(uid)
+    n11 = len(a_users & b_users)
+    n10 = len(a_users - b_users)
+    n01 = len(b_users - a_users)
+    n00 = len(users - a_users - b_users)
+    row = SPECS["agg_mcnemar"].spark(spark, sf_dir).collect()[0]
+    assert (row.n11, row.n10, row.n01, row.n00) == (n11, n10, n01, n00)
+    if n10 + n01 == 0:
+        assert row.chi2_mcnemar is None
+    else:
+        assert _close(row.chi2_mcnemar, (n10 - n01) ** 2 / (n10 + n01), 1e-9)
+    assert row.a_exceeds_b == (n10 > n01)
+
+
+def test_cochran_q_rederivation(spark, sf_dir, events):
+    """Textbook Cochran's Q: blocks=users, treatments=event types,
+    x_ij = incidence; Q = k(k-1) SUM_j (Cj - N/k)^2 / (k SUM Ri - SUM Ri^2)
+    computed straight from the float formula (no integer clearing)."""
+    types = sorted({et for _, _, et, _ in events})
+    users = sorted({uid for _, uid, _, _ in events})
+    have = {(uid, et) for _, uid, et, _ in events}
+    k = len(types)
+    x = {(u, t): 1 if (u, t) in have else 0 for u in users for t in types}
+    cj = {t: sum(x[(u, t)] for u in users) for t in types}
+    ri = {u: sum(x[(u, t)] for t in types) for u in users}
+    n_tot = sum(cj.values())
+    num = k * (k - 1) * sum((cj[t] - n_tot / k) ** 2 for t in types)
+    den = k * sum(ri.values()) - sum(v * v for v in ri.values())
+    row = SPECS["agg_cochran_q"].spark(spark, sf_dir).collect()[0]
+    assert row.k_treatments == k and row.n_blocks == len(users)
+    assert row.n_successes == n_tot
+    if den == 0:
+        assert row.cochran_q is None
+    else:
+        assert _close(row.cochran_q, num / den, 1e-9)
+
+
+def test_zipf_slope_rederivation(spark, sf_dir, documents):
+    """Textbook OLS of ln(freq) on ln(rank) — float path, no
+    quantization, no normal-equation clearing; the registered op's
+    1e-6-quantized exact-integer fit must land within grid tolerance."""
+    cnt = Counter()
+    for _, text, *_ in documents:
+        if text is not None:
+            cnt.update(text.split(" "))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(c) for _, c in ranked]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = sum((x - mx) ** 2 for x in xs)
+    slope = sxy / sxx
+    intercept = my - slope * mx
+    row = SPECS["llm_zipf_slope"].spark(spark, sf_dir).collect()[0]
+    assert row.n_vocab == n
+    # 1e-6 ln-quantization grid: allow ~1e-5 slack on the coefficients
+    assert _close(row.zipf_slope, slope, 1e-4)
+    assert _close(row.zipf_intercept_ln, intercept, 1e-4)
+
+
+def test_bigram_lm_rederivation(spark, sf_dir, documents):
+    """Laplace bigram NLL recomputed from raw text with dicts."""
+    big = Counter()
+    uni_vocab = set()
+    doc_bigrams = {}
+    for doc_id, text, *_ in documents:
+        if text is None:
+            continue
+        toks = text.split(" ")
+        uni_vocab.update(toks)
+        bgs = [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
+        doc_bigrams[doc_id] = bgs
+        big.update(bgs)
+    ctx = Counter()
+    for (w1, _), c in big.items():
+        ctx[w1] += c
+    v = len(uni_vocab)
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_bigram)
+        for r in SPECS["llm_bigram_lm_score"].spark(spark, sf_dir).collect()
+    }
+    checked = 0
+    for doc_id, bgs in doc_bigrams.items():
+        if not bgs:
+            assert doc_id not in got
+            continue
+        nll = -sum(
+            round(math.log((big[bg] + 1) / (ctx[bg[0]] + v)), 9) for bg in bgs
+        ) / len(bgs)
+        n_b, got_nll = got[doc_id]
+        assert n_b == len(bgs)
+        assert _close(got_nll, nll, 1e-5)
+        checked += 1
+    assert checked > 0
+
+
+def test_adamic_adar_rederivation(spark, sf_dir):
+    """Adamic-Adar from raw lineitem rows with sets and dicts."""
+    rows = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    baskets = defaultdict(set)
+    for ok, pk in rows:
+        baskets[ok].add(pk)
+    from itertools import combinations
+
+    sup = Counter()
+    neigh = defaultdict(set)
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            sup[(x, y)] += 1
+            neigh[x].add(y)
+            neigh[y].add(x)
+    cands = {p for p, c in sup.items() if c >= 3}
+    got = {
+        (r.pa, r.pb): (r.n_common_deg2, r.adamic_adar)
+        for r in SPECS["graph_adamic_adar"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == cands
+    for pa, pb in cands:
+        common = [
+            w
+            for w in neigh[pa] & neigh[pb]
+            if len(neigh[w]) >= 2
+        ]
+        aa = sum(round(1.0 / math.log(len(neigh[w])), 9) for w in common)
+        n_c, got_aa = got[(pa, pb)]
+        assert n_c == len(common)
+        assert _close(got_aa, aa, 1e-8)
+
+
+def test_temperature_mixture_rederivation(spark, sf_dir, documents):
+    """Temperature-0.5 mixture shares from raw lang counts."""
+    cnt = Counter(lang for _, _, lang, *_ in documents)
+    n = sum(cnt.values())
+    w = {lang: math.sqrt(c / n) for lang, c in cnt.items()}
+    z = sum(round(x, 9) for x in w.values())
+    rows = SPECS["llm_temperature_mixture"].spark(spark, sf_dir).collect()
+    assert {r.lang for r in rows} == set(cnt)
+    total_share = 0.0
+    for r in rows:
+        assert r.n_docs == cnt[r.lang]
+        assert _close(r.mix_share, round(w[r.lang], 9) / z, 1e-9)
+        total_share += r.mix_share
+    assert _close(total_share, 1.0, 1e-6)  # shares renormalize to 1
