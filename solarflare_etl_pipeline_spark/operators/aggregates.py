@@ -5171,3 +5171,53 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, n_blocks, n, q)],
         "k_treatments bigint, n_blocks bigint, n_successes bigint, cochran_q double",
     )
+
+
+@register(
+    "agg_bitops",
+    oracle="""
+        SELECT event_type,
+               BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))
+                   AS shard_bitmap,
+               CAST(BIT_COUNT(BIT_OR(CAST(1 AS BIGINT)
+                                     << CAST(user_id % 60 AS INT)))
+                    AS INT) AS n_shards,
+               BIT_AND(user_id) AS common_bits,
+               BIT_XOR(event_id) AS parity_xor
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Bitwise AGGREGATES (bit_or / bit_and / bit_xor / bit_count) — "
+    "the aggregate companions to fn_bitwise's scalar ops, and the "
+    "primitive underneath roll-your-own bitmap indexes: bit_or of "
+    "one-hot shard masks builds a shards-touched bitmap per group "
+    "(its popcount = distinct shards without a countDistinct "
+    "expand), bit_and finds always-set key bits, bit_xor is the "
+    "order-free parity checksum used to diff two table versions "
+    "without sorting either. All three are commutative/associative "
+    "integer folds: partial aggregation is exact, the shuffle "
+    "carries one 8-byte register per (partition, group) — the "
+    "cheapest mergeable-sketch shape there is (agg_bitmap_distinct's "
+    "discipline without the array). Hash-safe by construction: no "
+    "floats anywhere.",
+)
+def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    one_hot = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 60 AS INT)))"
+            ).alias("shard_bitmap"),
+            F.expr(
+                "CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 60 AS INT)))) AS INT)"
+            ).alias("n_shards"),
+            F.expr("bit_and(user_id)").alias("common_bits"),
+            F.expr("bit_xor(event_id)").alias("parity_xor"),
+        )
+        .orderBy("event_type")
+    )

@@ -4368,3 +4368,86 @@ def llm_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+RARE_N = 5  # token n-gram order for the memorization-uniqueness screen
+
+
+@register(
+    "llm_rare_ngram_ratio",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {RARE_N - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+3] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+4])) AS gram
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {RARE_N}
+        ),
+        tf AS (
+            SELECT gram, COUNT(*) AS c, COUNT(DISTINCT doc_id) AS nd
+            FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_grams,
+               CAST(SUM(CASE WHEN tf.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_singleton,
+               CAST(SUM(CASE WHEN tf.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_doc_exclusive,
+               CAST(SUM(CASE WHEN tf.c = 1 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS singleton_ppm
+        FROM g JOIN tf USING (gram)
+        GROUP BY g.doc_id
+    """,
+    doc=f"Memorization-risk screen: per document, how much of its "
+    f"{RARE_N}-gram stream is corpus-SINGLETON (occurs exactly once "
+    f"anywhere) or doc-exclusive (occurs only in this document) — "
+    f"the published extraction-risk proxy (Carlini et al.'s "
+    f"memorization work ties verbatim-recall risk to sequence "
+    f"rarity; a PII/secret-bearing document is overwhelmingly "
+    f"singleton-gram). High singleton_ppm = uniquely-phrased "
+    f"content the model could only have memorized; near-zero = "
+    f"boilerplate. Complements llm_substring_dup_rate (which "
+    f"measures the DUPLICATED end of the spectrum on character "
+    f"windows). Exact-integer ppm (rule 16). Plan: one proven "
+    f"shift-and-zip gram explode feeds the frequency aggregate and "
+    f"the scoring join (the perplexity-proxy topology); the gram "
+    f"table is the one wide edge — at 100 TB the gram join "
+    f"shuffles on gram hash, partial aggregation halves it, and "
+    f"nothing is quadratic.",
+)
+def llm_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", F.split("text", " "))
+        .where(F.size("__toks") >= RARE_N)
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.expr(sliding_ngrams_sql(RARE_N, "__toks"))).alias("gram"),
+    )
+    tf = g.groupBy("gram").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("doc_id").alias("nd"),
+    )
+    return (
+        g.join(tf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_doc_exclusive"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("singleton_ppm"),
+        )
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import table
-from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dec_to_double, sql_dsum
 from solarflare_etl_pipeline_spark.registry import register
 
 
@@ -352,4 +352,92 @@ def stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_events"),
         F.sum(at_risk).cast("long").alias("n_at_risk"),
         (F.sum(at_risk).cast("double") / F.count("*")).alias("at_risk_rate"),
+    )
+
+
+@register(
+    "stream_two_level_window",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       AS h,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(value AS DECIMAL(30,8))) AS hv
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT CAST(DATE_TRUNC('day', h) AS TIMESTAMP) AS day_start,
+               event_type,
+               COUNT(*) AS n_hours,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               {sql_dec_to_double('SUM(hv)')} AS total_value
+        FROM hourly
+        GROUP BY 1, 2
+    """,
+    doc="CHAINED streaming aggregation (Spark 3.4+): a 1-hour tumbling "
+    "window aggregate re-aggregated into 1-day windows in the SAME "
+    "stream — the streaming-rollup pattern that makes multi-"
+    "granularity dashboards one query instead of one stream per "
+    "grain (before 3.4 the second groupBy(window(...)) over a "
+    "window column was rejected as multiple streaming aggregations; "
+    "the chained form keys the day window off the hour window's "
+    "time column, so watermarks propagate and both levels get "
+    "incremental state). Batch-registered with identical "
+    "expressions; the hourly partials stay DECIMAL through the "
+    "second level (decimal addition is associative — the two-level "
+    "sum is bit-equal to the direct daily sum, which is what the "
+    "oracle computes) and cast to double once at the end. At 100 TB "
+    "the hour level absorbs the raw-event volume map-side; the day "
+    "level re-shuffles only |hours|x|types| rows — the rollup is "
+    "effectively free.",
+)
+def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(30,8)")).alias("hv"),
+    )
+    return (
+        hourly.groupBy(F.window("w", "1 day").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("hv").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_hours",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def two_level_window_stream(events: DataFrame) -> DataFrame:
+    """Chained streaming aggregation (stream_two_level_window's streaming
+    form): hour tumbling windows re-aggregated into day windows in ONE
+    stream — the second ``groupBy(window("w", ...))`` keys off the first
+    level's window column, which Spark 3.4+ accepts as a chained
+    event-time aggregation (watermark propagates through both levels)."""
+    hourly = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        hourly.groupBy(F.window("w", "1 day").alias("d"), "event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_hours",
+            "n_events",
+        )
     )

@@ -504,3 +504,27 @@ def test_late_row_dropped_by_watermark(spark, tmp_path):
     # lands anywhere (dropped), so no window reports 2 rows
     assert by_window.get("2024-01-01 00:00:00") == 1, by_window
     assert all(n == 1 for n in by_window.values()), by_window
+
+
+def test_two_level_window_stream(spark, stream_dir, tmp_path):
+    """Chained streaming aggregation must be ACCEPTED by the planner
+    (before Spark 3.4 a second groupBy(window(...)) raised multiple-
+    streaming-aggregations) and produce day-grain rows whose counts
+    roll up the hour grain."""
+    from solarflare_etl_pipeline_spark.streaming.event_windows import (
+        two_level_window_stream,
+    )
+
+    events = streaming_events(spark, stream_dir, SCHEMA)
+    q = _run_to_completion(
+        two_level_window_stream(events), tmp_path, mode="append"
+    )
+    # append mode emits only watermark-closed windows; the contract
+    # under availableNow is that the chained plan RUNS — schema pinned
+    assert {c for c in spark.table("sink").columns} == {
+        "day_start",
+        "event_type",
+        "n_hours",
+        "n_events",
+    }
+    q.stop()
