@@ -141,6 +141,15 @@ BENCH_QUERIES = (
     "llm_gopher_rules",
     "agg_kruskal_wallis",
     "tpch_q9_profit",
+    # r8 additions: the rewritten ccnet tercile plan (tracks the
+    # with_grouped_prefix_sum rewrite's cost), the two new corpus-scale
+    # gram joins, the wedge-join link predictor, and the chained
+    # two-level streaming rollup
+    "llm_ccnet_buckets",
+    "llm_bigram_lm_score",
+    "llm_rare_ngram_ratio",
+    "graph_adamic_adar",
+    "stream_two_level_window",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -779,7 +779,10 @@ def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.alias("a")
     b = l.alias("b")
-    pairs = (
+    # ONE basket self-join; the undirected adjacency is the ordered pair
+    # table symmetrized (a<b plus the swap = the distinct a<>b set) —
+    # same rewrite as graph_adamic_adar, halves the self-join work.
+    pairs_all = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -788,19 +791,13 @@ def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_ab"))
-        .where(F.col("n_ab") >= BASKET_MIN_SUP)
-        .select("pa", "pb")
-        .localCheckpoint()  # feeds three joins below; plan once
+        .localCheckpoint()  # feeds candidates AND the adjacency
     )
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()
+    pairs = pairs_all.where(F.col("n_ab") >= BASKET_MIN_SUP).select("pa", "pb")
+    und = pairs_all.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(
+        pairs_all.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
     x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
@@ -1617,7 +1614,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = l.alias("a")
     b = l.alias("b")
-    pairs = (
+    # ONE basket self-join builds the ordered co-occurrence counts; the
+    # undirected adjacency is its symmetrization (a<b plus the swap is
+    # exactly the distinct a<>b pair set) — halves the join work vs
+    # computing pairs and adjacency from two separate self-joins.
+    pairs_all = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1626,19 +1627,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_ab"))
-        .where(F.col("n_ab") >= BASKET_MIN_SUP)
-        .select("pa", "pb")
-        .localCheckpoint()  # feeds the wedge join and the final left join
+        .localCheckpoint()  # feeds candidates AND the adjacency
     )
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .localCheckpoint()
+    pairs = pairs_all.where(F.col("n_ab") >= BASKET_MIN_SUP).select("pa", "pb")
+    und = pairs_all.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionAll(
+        pairs_all.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
     deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
     x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
@@ -1666,3 +1661,168 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_common_deg2"),
         F.coalesce(F.col("s").cast("double"), F.lit(0.0)).alias("adamic_adar"),
     )
+
+
+KM_CENSOR_DAYS = 7  # users active in the final week are right-censored
+
+
+@register(
+    "agg_survival_km",
+    # The KM product is carried as a SUM of LN terms quantized to 1e-9
+    # (rule 22/16: each term is LN of ONE IEEE division of exact
+    # BIGINTs, rounded once, then INTEGER prefix-summed — an exact
+    # integer in both engines; EXP is deliberately NOT applied, as it
+    # is not bit-portable). The duration grid is DAY-granular —
+    # calendar-bounded like the Mann-Whitney value grid, so the
+    # cumulative window over it is a bounded-summary window, not a
+    # data-scale one.
+    oracle=f"""
+        WITH spans AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+                   CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+            FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT MAX(d1) AS dmax FROM spans),
+        lives AS (
+            SELECT s.user_id,
+                   DATEDIFF('day', s.d0, s.d1) AS t,
+                   CASE WHEN s.d1 <= mx.dmax - {KM_CENSOR_DAYS}
+                        THEN 1 ELSE 0 END AS ev
+            FROM spans s CROSS JOIN mx
+        ),
+        grid AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d_events,
+                   CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+            FROM lives GROUP BY t
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM lives),
+        cum AS (
+            SELECT g.t, g.d_events, g.c_censored,
+                   tot.n
+                   - (SUM(g.d_events + g.c_censored)
+                          OVER (ORDER BY g.t ROWS UNBOUNDED PRECEDING)
+                      - g.d_events - g.c_censored) AS n_at_risk
+            FROM grid g CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT t, d_events, c_censored, n_at_risk,
+                   CASE WHEN d_events > 0 AND n_at_risk > d_events
+                        THEN CAST(ROUND(LN(
+                                 CAST(n_at_risk - d_events AS DOUBLE)
+                                 / CAST(n_at_risk AS DOUBLE)) * 1000000000,
+                                 0) AS BIGINT)
+                        ELSE 0 END AS term_q9,
+                   CASE WHEN d_events > 0 AND n_at_risk = d_events
+                        THEN TRUE ELSE FALSE END AS hits_zero
+            FROM cum
+        )
+        SELECT t AS duration_days, d_events, c_censored,
+               CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               CAST(SUM(term_q9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS ln_km_q9,
+               CAST(MAX(CASE WHEN hits_zero THEN 1 ELSE 0 END)
+                        OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS INT)
+                   = 1 AS survival_zero
+        FROM terms
+        ORDER BY t
+    """,
+    doc=f"Kaplan-Meier survival estimator over user lifetimes — THE "
+    f"nonparametric time-to-churn curve: lifetime = days between a "
+    f"user's first and last event, right-censored when the user was "
+    f"still active in the final {KM_CENSOR_DAYS} days of the "
+    f"observation window (their true lifetime is only known to "
+    f"exceed the observed span). Emits the classic life table per "
+    f"distinct duration: deaths, censored, number at risk, and the "
+    f"KM survival carried in LOG space as an exact integer "
+    f"(ln-terms quantized to 1e-9 and prefix-summed; survival(t) = "
+    f"exp(ln_km_q9/1e9) — EXP left to the consumer because it is "
+    f"not bit-portable across engines). Censored subjects leave the "
+    f"risk set without a survival decrement — the estimator's whole "
+    f"point vs naive duration quantiles. Plan: one per-user span "
+    f"aggregate (map-side combinable), a driver-side max-date "
+    f"scalar, a day-granular grid (calendar-BOUNDED domain — the "
+    f"cumulative windows run over <= |days| summary rows, never "
+    f"data-scale; the Mann-Whitney bounded-grid precedent), two "
+    f"integer running sums. At 100 TB: the user aggregate is the "
+    f"only wide edge.",
+)
+def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("d0"),
+        F.max(F.col("ts")).cast("date").alias("d1"),
+    )
+    spans = spans.localCheckpoint()  # feeds max-date scalar + lives
+    dmax = spans.agg(F.max("d1")).collect()[0][0]
+    if dmax is None:
+        return spark.createDataFrame(
+            [],
+            "duration_days bigint, d_events bigint, c_censored bigint,"
+            " n_at_risk bigint, ln_km_q9 bigint, survival_zero boolean",
+        )
+    lives = spans.select(
+        F.datediff("d1", "d0").cast("long").alias("t"),
+        F.when(
+            F.col("d1") <= F.date_sub(F.lit(dmax), KM_CENSOR_DAYS), 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    n = lives.count()
+    grid = lives.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.select(
+        "t",
+        "d_events",
+        "c_censored",
+        (
+            F.lit(n)
+            - (
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w)
+                - F.col("d_events")
+                - F.col("c_censored")
+            )
+        ).alias("n_at_risk"),
+    )
+    term = (
+        F.when(
+            (F.col("d_events") > 0) & (F.col("n_at_risk") > F.col("d_events")),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d_events")).cast("double")
+                    / F.col("n_at_risk").cast("double")
+                )
+                * 1000000000,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    hits_zero = (F.col("d_events") > 0) & (
+        F.col("n_at_risk") == F.col("d_events")
+    )
+    terms = cum.select(
+        "t",
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        term.alias("term_q9"),
+        hits_zero.alias("hz"),
+    )
+    return terms.select(
+        F.col("t").alias("duration_days"),
+        "d_events",
+        "c_censored",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.sum("term_q9").over(w).cast("long").alias("ln_km_q9"),
+        (
+            F.max(F.when(F.col("hz"), 1).otherwise(0)).over(w) == 1
+        ).alias("survival_zero"),
+    ).orderBy(F.col("duration_days"))

@@ -2603,3 +2603,115 @@ def llm_ivfpq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out.orderBy("q_id", "vec_id")
+
+
+KNN_NQ = 32  # leave-one-out 1-NN label eval over the first KNN_NQ vectors
+
+
+@register(
+    "llm_knn_eval_portable",
+    oracle=f"""
+        WITH x AS (
+            SELECT e.vec_id, e.label, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {PCAP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        d AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS cand_id,
+                   CAST(SUM((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT)
+                       AS dist
+            FROM x q JOIN x v ON v.pos = q.pos AND v.vec_id <> q.vec_id
+            WHERE q.vec_id < {KNN_NQ}
+            GROUP BY 1, 2
+        ),
+        nn AS (
+            SELECT q_id, cand_id AS nn_id, dist AS nn_dist FROM (
+                SELECT q_id, cand_id, dist,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY dist, cand_id) AS rn
+                FROM d
+            ) WHERE rn = 1
+        )
+        SELECT nn.q_id,
+               nn.nn_id,
+               nn.nn_dist,
+               CAST(ql.label AS BIGINT) AS label_true,
+               CAST(nl.label AS BIGINT) AS label_pred,
+               ql.label = nl.label AS correct
+        FROM nn
+        JOIN embeddings ql ON ql.vec_id = nn.q_id
+        JOIN embeddings nl ON nl.vec_id = nn.nn_id
+        ORDER BY nn.q_id
+    """,
+    doc=f"Leave-one-out 1-NN label evaluation, integer-exact — the "
+    f"embedding-quality eval that asks 'does the nearest neighbor "
+    f"share my label?' (the standard representation-quality probe "
+    f"before committing embeddings to dedup/clustering decisions). "
+    f"Distances on integer-quantized coordinates (round(x*{PCAP_Q}) "
+    f"— the portable-twin discipline), nearest broken by (dist, "
+    f"vec_id), so the winner, its exact distance, and the accuracy "
+    f"bit all hash-match DuckDB. Evaluated for the first {KNN_NQ} "
+    f"vectors against the FULL corpus — a deliberate bounded "
+    f"exact-kNN baseline (the llm_similarity_topk shape: "
+    f"{KNN_NQ} x N broadcast probe, never N^2); the production "
+    f"scale path for all-queries eval is the ANN family. Plan: one "
+    f"scan computes quantized vectors; the {KNN_NQ} probes "
+    f"broadcast; per-query argmin is a {KNN_NQ}-group "
+    f"TakeOrderedAndProject-class reduction; two broadcast label "
+    f"joins close it.",
+)
+def llm_knn_eval_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                _vec_double(),
+                lambda xi: F.round(xi * PCAP_Q, 0).cast("long"),
+            ).alias("xq"),
+        )
+        .localCheckpoint()  # probe collect + the scan it probes
+    )
+    probes = e.where(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("label_true"),
+        F.col("xq").alias("qx"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("label_cand"),
+        "xq",
+    )
+    dist = F.aggregate(
+        F.zip_with("xq", "qx", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        cands.join(F.broadcast(probes), F.col("cand_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "label_true",
+            "cand_id",
+            "label_cand",
+            dist.alias("dist"),
+        )
+    )
+    best = F.struct(F.col("dist"), F.col("cand_id"), F.col("label_cand"))
+    nn = (
+        pairs.groupBy("q_id", "label_true")
+        .agg(F.min(best).alias("b"))  # (dist, cand_id) lexicographic argmin
+        .select(
+            "q_id",
+            F.col("b.cand_id").alias("nn_id"),
+            F.col("b.dist").alias("nn_dist"),
+            F.col("label_true").cast("long").alias("label_true"),
+            F.col("b.label_cand").cast("long").alias("label_pred"),
+            (F.col("label_true") == F.col("b.label_cand")).alias("correct"),
+        )
+    )
+    return nn.select(
+        "q_id", "nn_id", "nn_dist", "label_true", "label_pred", "correct"
+    ).orderBy("q_id")

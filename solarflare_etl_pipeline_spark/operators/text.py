@@ -4451,3 +4451,75 @@ def llm_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("singleton_ppm"),
         )
     )
+
+
+XLC_N = 3  # shingle order for the cross-language template screen
+
+
+@register(
+    "llm_cross_lingual_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, lang,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {XLC_N - 2}),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS g
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {XLC_N}
+        ),
+        langs_per_gram AS (
+            SELECT g, COUNT(DISTINCT lang) AS n_langs FROM sh GROUP BY g
+        )
+        SELECT sh.doc_id, sh.lang,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN l.n_langs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_crosslang,
+               CAST(SUM(CASE WHEN l.n_langs >= 2 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS crosslang_ppm
+        FROM sh JOIN langs_per_gram l USING (g)
+        GROUP BY sh.doc_id, sh.lang
+    """,
+    doc=f"Cross-language contamination screen: per document, the "
+    f"fraction of its distinct {XLC_N}-token shingles that also "
+    f"occur in at least one OTHER language's documents — the signal "
+    f"for untranslated boilerplate, code-switched spam, templated "
+    f"navigation chrome, and mislabeled language tags (a 'German' "
+    f"page whose shingles are 80% shared with English documents is "
+    f"either mislabeled or chrome). A shingle counted cross-language "
+    f"iff >= 2 distinct langs hold it: for any holder, some OTHER "
+    f"language also holds it, so the per-doc predicate needs no "
+    f"anti-self correction. Exact-integer ppm (rule 16). Plan: one "
+    f"distinct-shingle explode (the proven shift-and-zip form) "
+    f"feeds a (gram -> distinct-lang-count) aggregate and the "
+    f"scoring join — the perplexity topology again; "
+    f"COUNT(DISTINCT lang) is a two-phase expand capped by the "
+    f"bounded language enum. Nothing quadratic at any scale.",
+)
+def llm_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", F.split("text", " "))
+        .where(F.size("__toks") >= XLC_N)
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(sliding_ngrams_sql(XLC_N, "__toks"))).alias("g"),
+    ).distinct()
+    lpg = sh.groupBy("g").agg(F.countDistinct("lang").alias("n_langs"))
+    return (
+        sh.join(lpg, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_langs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_crosslang"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("crosslang_ppm"),
+        )
+    )

@@ -21,6 +21,9 @@ DELIBERATE_CROSS = {
     "llm_similarity_topk",
     "llm_hard_negatives",  # same exact-baseline shape; scale path = ANN mining
     "llm_matryoshka_eval",  # same 10-query broadcast exact-baseline shape
+    "llm_knn_eval_portable",  # same bounded shape: 32-probe broadcast
+    # exact-kNN baseline (<> self predicate makes it non-equi); the
+    # all-queries scale path is the ANN family
     "join_cross",
     # SINGLE-ROW global aggregates combined for theorem booleans —
     # 1×1 (or k×1) nested-loop joins, not data-scale cross products

@@ -2082,3 +2082,46 @@ def test_temperature_mixture_rederivation(spark, sf_dir, documents):
         assert _close(r.mix_share, round(w[r.lang], 9) / z, 1e-9)
         total_share += r.mix_share
     assert _close(total_share, 1.0, 1e-6)  # shares renormalize to 1
+
+
+def test_survival_km_rederivation(spark, sf_dir, events):
+    """Textbook Kaplan-Meier life table from raw event rows (datetime
+    spans, censoring rule, risk sets, log-survival accumulation)."""
+    import datetime
+
+    rows = duckdb.sql(
+        f"SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE),"
+        f" CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"
+    ).fetchall()
+    dmax = max(r[2] for r in rows)
+    lives = [
+        ((r[2] - r[1]).days, 1 if r[2] <= dmax - datetime.timedelta(days=7) else 0)
+        for r in rows
+    ]
+    n = len(lives)
+    grid = sorted({t for t, _ in lives})
+    at_risk = n
+    ln_s = 0
+    expected = {}
+    zero_seen = False
+    for t in grid:
+        d = sum(1 for tt, ev in lives if tt == t and ev == 1)
+        c = sum(1 for tt, ev in lives if tt == t and ev == 0)
+        if d > 0 and at_risk > d:
+            ln_s += round(math.log((at_risk - d) / at_risk) * 1e9)
+        if d > 0 and at_risk == d:
+            zero_seen = True
+        expected[t] = (d, c, at_risk, ln_s, zero_seen)
+        at_risk -= d + c
+    got = {
+        r.duration_days: (
+            r.d_events,
+            r.c_censored,
+            r.n_at_risk,
+            r.ln_km_q9,
+            r.survival_zero,
+        )
+        for r in SPECS["agg_survival_km"].spark(spark, sf_dir).collect()
+    }
+    assert got == expected
