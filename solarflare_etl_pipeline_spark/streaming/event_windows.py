@@ -441,3 +441,96 @@ def two_level_window_stream(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_state_reader",
+    # The retained state of a watermarked append-mode window aggregate
+    # is DETERMINISTIC: exactly the windows whose end has not passed
+    # the final watermark (max event time - delay). Window ends are
+    # hour-aligned (whole seconds), so the ms-precision watermark
+    # comparison cannot straddle a boundary (rule 3's whole-second
+    # safety) — the oracle replays the predicate exactly.
+    oracle="""
+        WITH e AS (
+            SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events
+        ),
+        hourly AS (
+            SELECT CAST(DATE_TRUNC('hour', t) AS TIMESTAMP) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_pending
+            FROM e GROUP BY 1, 2
+        ),
+        wm AS (SELECT MAX(t) - INTERVAL 2 HOUR AS w FROM e)
+        SELECT h.window_start, h.event_type, h.n_pending
+        FROM hourly h CROSS JOIN wm
+        WHERE h.window_start + INTERVAL 1 HOUR > wm.w
+        ORDER BY 1, 2
+    """,
+    doc="State-store READER (Spark 4 `statestore` format): run the "
+    "hourly watermarked window aggregate as a real availableNow "
+    "stream to a checkpoint, then read the checkpoint's state store "
+    "back as a DataFrame — the streaming-ops introspection surface "
+    "(what keys is my query holding? is state growing? which "
+    "windows are still open?) that production streaming debugging "
+    "lives on. Append mode + 2h watermark means the retained state "
+    "after the final no-data batch is exactly the still-open "
+    "windows (end > final watermark) with their pending counts — "
+    "deterministic, so the oracle replays it as plain SQL over the "
+    "same events. At 100 TB the state read is partition-parallel "
+    "over the store's shards (one task per state partition), and "
+    "the pattern extends to session windows, dedup key sets, and "
+    "join buffers — every stateful operator's store is readable.",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    # batch-side read first: sets the session confs (UTC, nanosAsLong)
+    # and resolves the on-disk schema for the file stream source
+    table(spark, sf_dir, "events")
+    path = os.path.join(sf_dir, "events.parquet")
+    # the file stream source requires a DIRECTORY: expose the fixture
+    # file through a symlink in a temp dir (no copy, fixtures untouched)
+    src_dir = tempfile.mkdtemp(prefix="sf_state_reader_src_")
+    link = os.path.join(src_dir, "events.parquet")
+    try:
+        os.symlink(path, link)
+    except OSError:
+        import shutil
+
+        shutil.copyfile(path, link)
+    raw = spark.read.parquet(path)
+    stream = spark.readStream.schema(raw.schema).parquet(src_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    stream = stream.select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="sf_state_reader_")
+    name = "state_probe_" + uuid.uuid4().hex
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    st = spark.read.format("statestore").load(ckpt)
+    return (
+        st.select(
+            F.col("key.window.start").alias("window_start"),
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").alias("n_pending"),
+        )
+        .orderBy("window_start", "event_type")
+    )
