@@ -1663,7 +1663,10 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KM_CENSOR_DAYS = 7  # users active in the final week are right-censored
+KM_VALUE_CUT = 150  # a 'conversion' = first purchase with value > this
+# (~47% of users convert at every fixture SF — real deaths AND real
+# right-censoring; a last-activity churn rule degenerates on these
+# fixtures because every user stays active to within 2 days of the end)
 
 
 @register(
@@ -1675,21 +1678,28 @@ KM_CENSOR_DAYS = 7  # users active in the final week are right-censored
     # is not bit-portable). The duration grid is DAY-granular —
     # calendar-bounded like the Mann-Whitney value grid, so the
     # cumulative window over it is a bounded-summary window, not a
-    # data-scale one.
+    # data-scale one. The value>cut comparison is a raw-column
+    # predicate (no arithmetic) — engine-exact.
     oracle=f"""
-        WITH spans AS (
+        WITH per_user AS (
             SELECT user_id,
                    CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
-                   CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+                   CAST(MIN(CASE WHEN event_type = 'purchase'
+                                  AND value > {KM_VALUE_CUT}
+                             THEN CAST(ts AS TIMESTAMP) END) AS DATE)
+                       AS dconv
             FROM events GROUP BY user_id
         ),
-        mx AS (SELECT MAX(d1) AS dmax FROM spans),
+        mx AS (
+            SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS dmax
+            FROM events
+        ),
         lives AS (
-            SELECT s.user_id,
-                   DATEDIFF('day', s.d0, s.d1) AS t,
-                   CASE WHEN s.d1 <= mx.dmax - {KM_CENSOR_DAYS}
-                        THEN 1 ELSE 0 END AS ev
-            FROM spans s CROSS JOIN mx
+            SELECT CASE WHEN u.dconv IS NOT NULL
+                        THEN DATEDIFF('day', u.d0, u.dconv)
+                        ELSE DATEDIFF('day', u.d0, mx.dmax) END AS t,
+                   CASE WHEN u.dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user u CROSS JOIN mx
         ),
         grid AS (
             SELECT t,
@@ -1728,49 +1738,57 @@ KM_CENSOR_DAYS = 7  # users active in the final week are right-censored
         FROM terms
         ORDER BY t
     """,
-    doc=f"Kaplan-Meier survival estimator over user lifetimes — THE "
-    f"nonparametric time-to-churn curve: lifetime = days between a "
-    f"user's first and last event, right-censored when the user was "
-    f"still active in the final {KM_CENSOR_DAYS} days of the "
-    f"observation window (their true lifetime is only known to "
-    f"exceed the observed span). Emits the classic life table per "
-    f"distinct duration: deaths, censored, number at risk, and the "
-    f"KM survival carried in LOG space as an exact integer "
-    f"(ln-terms quantized to 1e-9 and prefix-summed; survival(t) = "
-    f"exp(ln_km_q9/1e9) — EXP left to the consumer because it is "
-    f"not bit-portable across engines). Censored subjects leave the "
-    f"risk set without a survival decrement — the estimator's whole "
-    f"point vs naive duration quantiles. Plan: one per-user span "
-    f"aggregate (map-side combinable), a driver-side max-date "
-    f"scalar, a day-granular grid (calendar-BOUNDED domain — the "
-    f"cumulative windows run over <= |days| summary rows, never "
-    f"data-scale; the Mann-Whitney bounded-grid precedent), two "
-    f"integer running sums. At 100 TB: the user aggregate is the "
-    f"only wide edge.",
+    doc=f"Kaplan-Meier survival estimator for time-to-conversion: the "
+    f"event is a user's first purchase with value > {KM_VALUE_CUT} "
+    f"(clock starts at their first event of any kind); users who "
+    f"never convert are right-censored at the end of the "
+    f"observation window — their true conversion time is only known "
+    f"to exceed the observed span, and the estimator's whole point "
+    f"is that they leave the risk set WITHOUT a survival decrement "
+    f"(naive conversion-time quantiles over converters only are "
+    f"biased low). Emits the classic life table per distinct "
+    f"duration: deaths, censored, number at risk, and KM survival "
+    f"carried in LOG space as an exact integer (ln terms quantized "
+    f"to 1e-9 and prefix-summed; survival(t) = exp(ln_km_q9/1e9), "
+    f"EXP left to the consumer — not bit-portable). Plan: one "
+    f"per-user span aggregate (map-side combinable — the only wide "
+    f"edge at 100 TB), a driver-side max-date scalar, a day-"
+    f"granular calendar-BOUNDED grid (cumulative windows run over "
+    f"<= |days| summary rows, never data-scale), two integer "
+    f"running sums.",
 )
 def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     e = table(spark, sf_dir, "events")
-    spans = e.groupBy("user_id").agg(
+    per_user = e.groupBy("user_id").agg(
         F.min(F.col("ts")).cast("date").alias("d0"),
-        F.max(F.col("ts")).cast("date").alias("d1"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KM_VALUE_CUT),
+                F.col("ts"),
+            )
+        )
+        .cast("date")
+        .alias("dconv"),
     )
-    spans = spans.localCheckpoint()  # feeds max-date scalar + lives
-    dmax = spans.agg(F.max("d1")).collect()[0][0]
+    per_user = per_user.localCheckpoint()  # feeds dmax scalar + lives
+    dmax = e.agg(F.max(F.col("ts").cast("date"))).collect()[0][0]
     if dmax is None:
         return spark.createDataFrame(
             [],
             "duration_days bigint, d_events bigint, c_censored bigint,"
             " n_at_risk bigint, ln_km_q9 bigint, survival_zero boolean",
         )
-    lives = spans.select(
-        F.datediff("d1", "d0").cast("long").alias("t"),
+    lives = per_user.select(
         F.when(
-            F.col("d1") <= F.date_sub(F.lit(dmax), KM_CENSOR_DAYS), 1
+            F.col("dconv").isNotNull(), F.datediff("dconv", "d0")
         )
-        .otherwise(0)
-        .alias("ev"),
+        .otherwise(F.datediff(F.lit(dmax), F.col("d0")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
     )
     n = lives.count()
     grid = lives.groupBy("t").agg(
@@ -1826,3 +1844,191 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("hz"), 1).otherwise(0)).over(w) == 1
         ).alias("survival_zero"),
     ).orderBy(F.col("duration_days"))
+
+
+@register(
+    "agg_logrank_test",
+    # Per-event-time hypergeometric terms are IDENTICAL left-to-right
+    # float chains on exact-BIGINT inputs (bit-identical cross-engine,
+    # rule 10's stronger form / rule 21's written-out association),
+    # rounded ONCE to 9dp, DECIMAL-summed; the statistic is the same
+    # identical chain on the three resulting doubles. Day-granular
+    # grid = calendar-bounded windows (the KM precedent).
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+                   CAST(MIN(CASE WHEN event_type = 'purchase'
+                                  AND value > {KM_VALUE_CUT}
+                             THEN CAST(ts AS TIMESTAMP) END) AS DATE)
+                       AS dconv,
+                   MAX(CASE WHEN event_type = 'error' AND value > 100
+                             THEN 1 ELSE 0 END) AS grp
+            FROM events GROUP BY user_id
+        ),
+        mx AS (
+            SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS dmax
+            FROM events
+        ),
+        lives AS (
+            SELECT CASE WHEN u.dconv IS NOT NULL
+                        THEN DATEDIFF('day', u.d0, u.dconv)
+                        ELSE DATEDIFF('day', u.d0, mx.dmax) END AS t,
+                   CASE WHEN u.dconv IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                   u.grp
+            FROM per_user u CROSS JOIN mx
+        ),
+        grid AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(SUM(ev * grp) AS BIGINT) AS d1,
+                   CAST(COUNT(*) AS BIGINT) AS leave_all,
+                   CAST(SUM(grp) AS BIGINT) AS leave_g1
+            FROM lives GROUP BY t
+        ),
+        tot AS (
+            SELECT COUNT(*) AS n_all, CAST(SUM(grp) AS BIGINT) AS n_g1
+            FROM lives
+        ),
+        risk AS (
+            SELECT g.t, g.d, g.d1,
+                   tot.n_all
+                   - (SUM(g.leave_all) OVER (ORDER BY g.t
+                          ROWS UNBOUNDED PRECEDING) - g.leave_all) AS n,
+                   tot.n_g1
+                   - (SUM(g.leave_g1) OVER (ORDER BY g.t
+                          ROWS UNBOUNDED PRECEDING) - g.leave_g1) AS n1
+            FROM grid g CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT d1,
+                   CAST(ROUND(CAST(d AS DOUBLE) * n1 / n, 9)
+                        AS DECIMAL(28,12)) AS e1,
+                   CASE WHEN n > 1 THEN
+                       CAST(ROUND(CAST(d AS DOUBLE) * n1 / n * (n - n1)
+                                  / n * (n - d) / (n - 1), 9)
+                            AS DECIMAL(28,12))
+                   ELSE CAST(0 AS DECIMAL(28,12)) END AS v
+            FROM risk WHERE d > 0
+        )
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(CAST(SUM(e1) AS VARCHAR) AS DOUBLE) AS e1,
+               CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS var_lr,
+               CASE WHEN CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) = 0.0
+                    THEN NULL
+                    ELSE (CAST(SUM(d1) AS BIGINT)
+                          - CAST(CAST(SUM(e1) AS VARCHAR) AS DOUBLE))
+                         * (CAST(SUM(d1) AS BIGINT)
+                            - CAST(CAST(SUM(e1) AS VARCHAR) AS DOUBLE))
+                         / CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
+               END AS chi2_logrank
+        FROM terms
+    """,
+    doc=f"Two-group log-rank test over the Kaplan-Meier life table "
+    f"(agg_survival_km's companion inference step): do users who hit "
+    f"SEVERE errors (value > 100) convert (first purchase > "
+    f"{KM_VALUE_CUT}) on the same schedule as users who never do? "
+    f"(plain 'any error' is degenerate on these fixtures — every "
+    f"user has one; the severity cut splits ~73%/27% at every SF). At each distinct event time "
+    f"the observed group-1 conversions are compared with the "
+    f"hypergeometric expectation d*n1/n and variance "
+    f"d*(n1/n)*(1-n1/n)*(n-d)/(n-1); chi2 = (O1-E1)^2/V with 1 df. "
+    f"Same event/censoring rule as the KM op. Per-time terms are "
+    f"identical float chains on exact integers rounded once and "
+    f"DECIMAL-summed; the statistic is one identical chain on the "
+    f"three fold results. Plan: per-user span aggregate (wide "
+    f"edge), day-bounded grid, two running sums over the bounded "
+    f"grid, single-row fold.",
+)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("d0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KM_VALUE_CUT),
+                F.col("ts"),
+            )
+        )
+        .cast("date")
+        .alias("dconv"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > 100),
+                1,
+            ).otherwise(0)
+        ).alias("grp"),
+    )
+    per_user = per_user.localCheckpoint()
+    dmax = e.agg(F.max(F.col("ts").cast("date"))).collect()[0][0]
+    if dmax is None:
+        return spark.createDataFrame(
+            [], "o1 bigint, e1 double, var_lr double, chi2_logrank double"
+        )
+    lives = per_user.select(
+        F.when(
+            F.col("dconv").isNotNull(), F.datediff("dconv", "d0")
+        )
+        .otherwise(F.datediff(F.lit(dmax), F.col("d0")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
+        "grp",
+    )
+    tot = lives.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("grp").cast("long").alias("n_g1"),
+    ).collect()[0]
+    n_all, n_g1 = int(tot.n_all), int(tot.n_g1)
+    grid = lives.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.col("ev") * F.col("grp")).cast("long").alias("d1"),
+        F.count("*").cast("long").alias("leave_all"),
+        F.sum("grp").cast("long").alias("leave_g1"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = grid.select(
+        "t",
+        "d",
+        "d1",
+        (F.lit(n_all) - (F.sum("leave_all").over(w) - F.col("leave_all"))).alias("n"),
+        (F.lit(n_g1) - (F.sum("leave_g1").over(w) - F.col("leave_g1"))).alias("n1"),
+    ).where(F.col("d") > 0)
+    # identical float chains to the oracle text (left-to-right)
+    e1_term = F.round(
+        F.col("d").cast("double") * F.col("n1") / F.col("n"), 9
+    ).cast("decimal(28,12)")
+    v_term = F.when(
+        F.col("n") > 1,
+        F.round(
+            F.col("d").cast("double")
+            * F.col("n1")
+            / F.col("n")
+            * (F.col("n") - F.col("n1"))
+            / F.col("n")
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1),
+            9,
+        ).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    folds = risk.agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1_term).alias("e1_dec"),
+        F.sum(v_term).alias("v_dec"),
+    ).collect()[0]
+    if folds.o1 is None:  # no conversions at all: oracle's empty-fold row
+        return spark.createDataFrame(
+            [(None, None, None, None)],
+            "o1 bigint, e1 double, var_lr double, chi2_logrank double",
+        )
+    o1 = int(folds.o1)
+    e1 = float(folds.e1_dec)
+    v = float(folds.v_dec)
+    chi2 = None if v == 0.0 else (o1 - e1) * (o1 - e1) / v
+    return spark.createDataFrame(
+        [(o1, e1, v, chi2)],
+        "o1 bigint, e1 double, var_lr double, chi2_logrank double",
+    )

@@ -2083,31 +2083,42 @@ def test_temperature_mixture_rederivation(spark, sf_dir, documents):
         total_share += r.mix_share
     assert _close(total_share, 1.0, 1e-6)  # shares renormalize to 1
 
-
-def test_survival_km_rederivation(spark, sf_dir, events):
-    """Textbook Kaplan-Meier life table from raw event rows (datetime
-    spans, censoring rule, risk sets, log-survival accumulation)."""
-    import datetime
-
+def _km_lives(sf_dir):
+    """Shared raw-Python lifetime builder: time from first event to
+    first value>150 purchase (event) or to corpus end (censored)."""
     rows = duckdb.sql(
         f"SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE),"
-        f" CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM "
+        f" CAST(MIN(CASE WHEN event_type='purchase' AND value > 150"
+        f" THEN CAST(ts AS TIMESTAMP) END) AS DATE),"
+        f" MAX(CASE WHEN event_type='error' AND value > 100"
+        f" THEN 1 ELSE 0 END) FROM "
         f"read_parquet('{sf_dir}/events.parquet') GROUP BY user_id"
     ).fetchall()
-    dmax = max(r[2] for r in rows)
-    lives = [
-        ((r[2] - r[1]).days, 1 if r[2] <= dmax - datetime.timedelta(days=7) else 0)
-        for r in rows
-    ]
+    dmax = duckdb.sql(
+        f"SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()[0][0]
+    lives = []
+    for _, d0, dconv, grp in rows:
+        if dconv is not None:
+            lives.append(((dconv - d0).days, 1, grp))
+        else:
+            lives.append(((dmax - d0).days, 0, grp))
+    return lives
+
+
+def test_survival_km_rederivation(spark, sf_dir, events):
+    """Textbook Kaplan-Meier life table from raw event rows."""
+    lives = _km_lives(sf_dir)
     n = len(lives)
-    grid = sorted({t for t, _ in lives})
+    grid = sorted({t for t, _, _ in lives})
     at_risk = n
     ln_s = 0
     expected = {}
     zero_seen = False
     for t in grid:
-        d = sum(1 for tt, ev in lives if tt == t and ev == 1)
-        c = sum(1 for tt, ev in lives if tt == t and ev == 0)
+        d = sum(1 for tt, ev, _ in lives if tt == t and ev == 1)
+        c = sum(1 for tt, ev, _ in lives if tt == t and ev == 0)
         if d > 0 and at_risk > d:
             ln_s += round(math.log((at_risk - d) / at_risk) * 1e9)
         if d > 0 and at_risk == d:
@@ -2125,3 +2136,41 @@ def test_survival_km_rederivation(spark, sf_dir, events):
         for r in SPECS["agg_survival_km"].spark(spark, sf_dir).collect()
     }
     assert got == expected
+    # fixtures must exercise BOTH outcomes or the op proves nothing
+    assert any(ev == 1 for _, ev, _ in lives)
+    assert any(ev == 0 for _, ev, _ in lives)
+
+
+def test_logrank_rederivation(spark, sf_dir, events):
+    """Textbook log-rank from the same lifetimes (float formulas,
+    no quantization or decimal detour)."""
+    lives = _km_lives(sf_dir)
+    grid = sorted({t for t, _, _ in lives})
+    n = len(lives)
+    n1 = sum(1 for _, _, g in lives if g == 1)
+    o1 = e1 = v = 0.0
+    at_n, at_n1 = n, n1
+    for t in grid:
+        d = sum(1 for tt, ev, _ in lives if tt == t and ev == 1)
+        d1 = sum(1 for tt, ev, g in lives if tt == t and ev == 1 and g == 1)
+        leave = sum(1 for tt, _, _ in lives if tt == t)
+        leave1 = sum(1 for tt, _, g in lives if tt == t and g == 1)
+        if d > 0:
+            o1 += d1
+            e1 += round(d * at_n1 / at_n, 9)
+            if at_n > 1:
+                v += round(
+                    d * at_n1 / at_n * (at_n - at_n1) / at_n
+                    * (at_n - d) / (at_n - 1),
+                    9,
+                )
+        at_n -= leave
+        at_n1 -= leave1
+    row = SPECS["agg_logrank_test"].spark(spark, sf_dir).collect()[0]
+    assert row.o1 == o1
+    assert _close(row.e1, e1, 1e-7)
+    assert _close(row.var_lr, v, 1e-7)
+    if v == 0.0:  # degenerate: one group holds every subject
+        assert row.chi2_logrank is None
+    else:
+        assert _close(row.chi2_logrank, (o1 - e1) ** 2 / v, 1e-6)
