@@ -2715,3 +2715,123 @@ def llm_knn_eval_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select(
         "q_id", "nn_id", "nn_dist", "label_true", "label_pred", "correct"
     ).orderBy("q_id")
+
+
+@register(
+    "llm_embed_centroid_drift",
+    # Centroid geometry on integer-quantized coordinate SUMS: the dot
+    # products and squared norms are exact HUGEINT/DECIMAL(38,0)
+    # integers; the cosine is the identical float chain
+    # double(num) / (sqrt(double(da)) * sqrt(double(db))) in both
+    # engines (SQRT is correctly-rounded IEEE; the DuckDB-side
+    # integer->double casts take the VARCHAR detour, rule 15).
+    oracle=f"""
+        WITH x AS (
+            SELECT e.label, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {PCAP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        sums AS (
+            SELECT label, pos, CAST(SUM(xq) AS BIGINT) AS s
+            FROM x GROUP BY label, pos
+        ),
+        counts AS (
+            SELECT label, COUNT(*) AS n
+            FROM embeddings GROUP BY label
+        ),
+        norms AS (
+            SELECT label, SUM(s * s) AS d2 FROM sums GROUP BY label
+        ),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   SUM(a.s * b.s) AS num
+            FROM sums a JOIN sums b
+              ON b.pos = a.pos AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT p.label_a, p.label_b,
+               CAST(ca.n AS BIGINT) AS n_a,
+               CAST(cb.n AS BIGINT) AS n_b,
+               CAST(CAST(p.num AS VARCHAR) AS DOUBLE)
+                   / (SQRT(CAST(CAST(na.d2 AS VARCHAR) AS DOUBLE))
+                      * SQRT(CAST(CAST(nb.d2 AS VARCHAR) AS DOUBLE)))
+                   AS centroid_cos
+        FROM pairs p
+        JOIN counts ca ON ca.label = p.label_a
+        JOIN counts cb ON cb.label = p.label_b
+        JOIN norms na ON na.label = p.label_a
+        JOIN norms nb ON nb.label = p.label_b
+        ORDER BY p.label_a, p.label_b
+    """,
+    doc=f"Pairwise label-centroid cosines over the embedding cloud — "
+    f"the slice-drift monitor for representation health: when two "
+    f"classes' centroids drift toward cosine 1 the embedding is "
+    f"collapsing (anisotropy / training regression), and a snapshot-"
+    f"over-snapshot diff of this matrix is the standard 'did the new "
+    f"encoder move a subpopulation' check before re-embedding 100 TB "
+    f"of corpus. Centroid = per-label coordinate MEAN, but cosine is "
+    f"scale-invariant, so the op works on integer-quantized "
+    f"coordinate SUMS (round(x*{PCAP_Q}) — the portable-twin "
+    f"discipline): every dot/norm is an exact integer and the final "
+    f"cosine is one identical float chain, hash-exact cross-engine. "
+    f"Plan: one posexplode + (label,pos) aggregate is the only "
+    f"data-scale stage; everything after runs on the bounded "
+    f"|labels| x {DIM} summary (the pos-equi self-join shuffles "
+    f"|labels|^2 x {DIM} summary rows at most).",
+)
+def llm_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform(
+            _vec_double(),
+            lambda xi: F.round(xi * PCAP_Q, 0).cast("long"),
+        ).alias("xq"),
+    )
+    x = e.select("label", F.posexplode("xq").alias("pos", "v"))
+    sums = (
+        x.groupBy("label", "pos")
+        .agg(F.sum("v").cast("long").alias("s"))
+        .localCheckpoint()  # bounded |labels| x DIM summary, reused 3x
+    )
+    counts = (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("d2")
+    )
+    a = sums.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"))
+    pairs = (
+        a.join(b, (a["pos"] == b["pos"]) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("sa") * F.col("sb")).cast("decimal(38,0)")).alias("num")
+        )
+    )
+    ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    na = norms.select(F.col("label").alias("label_a"), F.col("d2").alias("da"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("d2").alias("db"))
+    return (
+        pairs.join(F.broadcast(ca), "label_a")
+        .join(F.broadcast(cb), "label_b")
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("da").cast("double"))
+                    * F.sqrt(F.col("db").cast("double"))
+                )
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

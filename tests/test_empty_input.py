@@ -141,6 +141,26 @@ CORE_QUERIES = (
     # round-7 batch 20: empty grids (gini), empty graphs (lpa)
     "agg_gini_split",
     "graph_lpa_communities",
+    # round-8: empty flag grids (mcnemar/cochran), empty vocab/rank
+    # frames (zipf/bigram), empty wedge joins (adamic), empty lang
+    # normalizers (temperature), empty life tables (km/logrank), empty
+    # gram joins (rare/crosslang), empty label summaries (centroid),
+    # empty chained windows, empty TPC-H q12 join, empty bit registers
+    "agg_mcnemar",
+    "agg_cochran_q",
+    "llm_zipf_slope",
+    "llm_bigram_lm_score",
+    "graph_adamic_adar",
+    "llm_temperature_mixture",
+    "agg_survival_km",
+    "agg_logrank_test",
+    "llm_rare_ngram_ratio",
+    "llm_cross_lingual_contamination",
+    "llm_embed_centroid_drift",
+    "stream_two_level_window",
+    "tpch_q12_shipmode",
+    "agg_bitops",
+    "llm_pca_power_portable",
 )
 
 
