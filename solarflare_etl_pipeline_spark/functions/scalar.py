@@ -862,3 +862,53 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("z2") - F.col("z1")).cast("long").alias("calendar_days"),
         (g2 - g1).cast("long").alias("business_days"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_date_parts2",
+    # Cross-engine alignments: Spark dayofweek is 1=Sunday..7 while
+    # DuckDB dayofweek is 0=Sunday..6 (oracle adds 1); Spark
+    # add_months/last_day return DATE while DuckDB interval arithmetic
+    # stays TIMESTAMP (both sides cast to TIMESTAMP — end-of-month
+    # clamping agrees: Jan 31 + 1 month = Feb 28 in both); next_day has
+    # no DuckDB twin, so the oracle derives it from isodow arithmetic
+    # (smallest date STRICTLY after with isodow=1).
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP)
+                   AS plus_2_months,
+               CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS month_end,
+               CAST(DAYOFWEEK(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+               CAST(WEEKOFYEAR(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS day_of_year,
+               CAST(o_orderdate
+                    + CAST(((7 - ISODOW(o_orderdate)) % 7) + 1 AS INTEGER)
+                      * INTERVAL 1 DAY AS TIMESTAMP) AS next_monday,
+               CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP)
+                   AS quarter_start
+        FROM orders
+        WHERE o_orderkey < 500
+    """,
+    doc="Calendar arithmetic built-ins beyond fn_date's extract family: "
+    "add_months (end-of-month clamped — the fiscal-offset workhorse), "
+    "last_day (period-end anchoring), dayofweek/weekofyear/dayofyear "
+    "(ISO week for weekly rollups), next_day (the 'following Monday' "
+    "scheduling primitive), and quarter truncation. All JVM-side "
+    "whole-stage codegen; engine skews (Sunday-origin vs ISO "
+    "day-of-week numbering, DATE vs TIMESTAMP returns, the missing "
+    "DuckDB next_day) are aligned in the oracle per the docstring "
+    "notes — the exact class of dialect trap ORACLE_PARITY.md rule 9 "
+    "catalogs. Narrow projection, no shuffle.",
+)
+def fn_date_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 2).cast("timestamp").alias("plus_2_months"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("day_of_year"),
+        F.next_day("o_orderdate", "Mon").cast("timestamp").alias("next_monday"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )

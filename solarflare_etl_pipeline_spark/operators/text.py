@@ -4523,3 +4523,139 @@ def llm_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("crosslang_ppm"),
         )
     )
+
+
+@register(
+    "llm_self_bleu",
+    # Clipped n-gram precisions are ratios of exact BIGINTs (clip =
+    # min(doc count, rest-of-corpus count) — derived from the gram
+    # tables by subtraction, never a second corpus pass); the ppm
+    # outputs are integer DIV (rule 16) and the log-BLEU is the sum of
+    # two 1e-9-quantized LN terms on single IEEE divisions (rule 22).
+    oracle="""
+        WITH t1 AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+                WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+            ) GROUP BY doc_id, tok
+        ),
+        a1 AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ca FROM t1 GROUP BY tok),
+        p1 AS (
+            SELECT t1.doc_id,
+                   CAST(SUM(LEAST(t1.c, a1.ca - t1.c)) AS BIGINT) AS clip,
+                   CAST(SUM(t1.c) AS BIGINT) AS n
+            FROM t1 JOIN a1 USING (tok) GROUP BY t1.doc_id
+        ),
+        t2 AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+                SELECT doc_id,
+                       UNNEST(LIST_TRANSFORM(
+                           RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                           i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                                STRING_SPLIT(text, ' ')[i+1])) AS g
+                FROM documents
+                WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
+            ) GROUP BY doc_id, g
+        ),
+        a2 AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ca FROM t2 GROUP BY g),
+        p2 AS (
+            SELECT t2.doc_id,
+                   CAST(SUM(LEAST(t2.c, a2.ca - t2.c)) AS BIGINT) AS clip,
+                   CAST(SUM(t2.c) AS BIGINT) AS n
+            FROM t2 JOIN a2 USING (g) GROUP BY t2.doc_id
+        )
+        SELECT p1.doc_id,
+               CAST(p1.clip * 1000000 // p1.n AS BIGINT) AS p1_ppm,
+               CAST(p2.clip * 1000000 // p2.n AS BIGINT) AS p2_ppm,
+               CASE WHEN p1.clip > 0 THEN
+                   CAST(ROUND(LN(CAST(p1.clip AS DOUBLE)
+                                 / CAST(p1.n AS DOUBLE)) * 1000000000, 0)
+                        AS BIGINT) END
+               + CASE WHEN p2.clip > 0 THEN
+                   CAST(ROUND(LN(CAST(p2.clip AS DOUBLE)
+                                 / CAST(p2.n AS DOUBLE)) * 1000000000, 0)
+                        AS BIGINT) END AS self_bleu2_ln2_q9
+        FROM p1 JOIN p2 USING (doc_id)
+    """,
+    doc="Self-BLEU diversity screen (Zhu et al.'s texygen metric, the "
+    "standard 'is this corpus collapsing to one template' diagnostic): "
+    "per document, the clipped 1-gram and 2-gram precisions of the "
+    "document against the REST of the corpus as reference — high "
+    "self-BLEU = the document's phrasing is nearly fully covered by "
+    "other documents (boilerplate/template mass), low = distinctive "
+    "text. The rest-of-corpus reference counts come from the corpus "
+    "gram tables by SUBTRACTION (ca - c_doc), so the op is linear in "
+    "corpus size — never doc x corpus. Emits exact-integer ppm "
+    "precisions and the 2-gram log-BLEU (sum of two quantized LN "
+    "terms; geometric mean and EXP left to the consumer — rule 16: "
+    "the halving and exponential are not hash-portable, the integer "
+    "sum is; NULL when either precision is zero, matching BLEU's "
+    "log-of-zero convention). Plan: two gram explodes feed "
+    "(gram)-keyed aggregates and scoring joins — the perplexity "
+    "topology at 1- and 2-gram grain; both joins shuffle on gram "
+    "hash with partial aggregation; nothing quadratic.",
+)
+def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", F.split("text", " "))
+        .where(F.size("__toks") >= 2)
+    )
+    t1 = (
+        d.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    a1 = t1.groupBy("tok").agg(F.sum("c").cast("long").alias("ca"))
+    p1 = (
+        t1.join(a1, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("c"), F.col("ca") - F.col("c")))
+            .cast("long")
+            .alias("clip1"),
+            F.sum("c").cast("long").alias("n1"),
+        )
+    )
+    t2 = (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(sliding_ngrams_sql(2, "__toks"))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    a2 = t2.groupBy("g").agg(F.sum("c").cast("long").alias("ca"))
+    p2 = (
+        t2.join(a2, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.least(F.col("c"), F.col("ca") - F.col("c")))
+            .cast("long")
+            .alias("clip2"),
+            F.sum("c").cast("long").alias("n2"),
+        )
+    )
+    ln1 = F.when(
+        F.col("clip1") > 0,
+        F.round(
+            F.log(F.col("clip1").cast("double") / F.col("n1").cast("double"))
+            * 1000000000,
+            0,
+        ).cast("long"),
+    )
+    ln2 = F.when(
+        F.col("clip2") > 0,
+        F.round(
+            F.log(F.col("clip2").cast("double") / F.col("n2").cast("double"))
+            * 1000000000,
+            0,
+        ).cast("long"),
+    )
+    return p1.join(p2, "doc_id").select(
+        "doc_id",
+        F.expr("CAST(clip1 * 1000000 DIV n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST(clip2 * 1000000 DIV n2 AS BIGINT)").alias("p2_ppm"),
+        (ln1 + ln2).alias("self_bleu2_ln2_q9"),
+    )

@@ -2174,3 +2174,36 @@ def test_logrank_rederivation(spark, sf_dir, events):
         assert row.chi2_logrank is None
     else:
         assert _close(row.chi2_logrank, (o1 - e1) ** 2 / v, 1e-6)
+
+
+def test_self_bleu_rederivation(spark, sf_dir, documents):
+    """Clipped-precision self-BLEU from raw text with Counters."""
+    uni, bi = Counter(), Counter()
+    per_doc = {}
+    for doc_id, text, *_ in documents:
+        if text is None:
+            continue
+        toks = text.split(" ")
+        if len(toks) < 2:
+            continue
+        u = Counter(toks)
+        b = Counter(zip(toks, toks[1:]))
+        per_doc[doc_id] = (u, b)
+        uni.update(u)
+        bi.update(b)
+    got = {
+        r.doc_id: (r.p1_ppm, r.p2_ppm, r.self_bleu2_ln2_q9)
+        for r in SPECS["llm_self_bleu"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_doc)
+    for doc_id, (u, b) in per_doc.items():
+        c1 = sum(min(c, uni[t] - c) for t, c in u.items())
+        n1 = sum(u.values())
+        c2 = sum(min(c, bi[g] - c) for g, c in b.items())
+        n2 = sum(b.values())
+        ln = (
+            None
+            if c1 == 0 or c2 == 0
+            else round(math.log(c1 / n1) * 1e9) + round(math.log(c2 / n2) * 1e9)
+        )
+        assert got[doc_id] == (c1 * 10**6 // n1, c2 * 10**6 // n2, ln)
