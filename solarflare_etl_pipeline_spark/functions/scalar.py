@@ -912,3 +912,52 @@ def fn_date_parts2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.next_day("o_orderdate", "Mon").cast("timestamp").alias("next_monday"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+        SELECT doc_id,
+               LENGTH(text) AS n_chars_arrow,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens_arrow
+        FROM documents
+        WHERE text IS NOT NULL
+    """,
+    doc="Arrow-NATIVE map (mapInArrow): batches arrive as "
+    "pyarrow.RecordBatch iterators and are transformed with "
+    "pyarrow.compute kernels — the zero-copy sibling of mapInPandas "
+    "(no pandas Series materialization) and the third point of the "
+    "Python-boundary API surface next to udf_scalar (Arrow "
+    "pandas_udf) and udaf_arrow_grouped (applyInArrow). Character "
+    "and whitespace-token counts via utf8_length / split_pattern + "
+    "list_value_length — trivially SQL-expressible on purpose, so "
+    "the whole Arrow path is oracle-certified; the real use is "
+    "Arrow-binding libraries (tokenizers, image codecs) where the "
+    "data never needs Python objects. Narrow map, batch-streamed, "
+    "no shuffle.",
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batch_stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.record_batch(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_chars_arrow": pc.cast(pc.utf8_length(text), pa.int32()),
+                    "n_tokens_arrow": pc.list_value_length(
+                        pc.split_pattern(text, " ")
+                    ),
+                }
+            )
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return d.mapInArrow(
+        batch_stats, schema="doc_id long, n_chars_arrow int, n_tokens_arrow int"
+    )

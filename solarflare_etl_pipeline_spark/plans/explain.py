@@ -36,6 +36,8 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
                 "FlatMapGroupsInPandas",
                 "ArrowAggregatePython",
                 "AggregateInPandas",
+                "MapInArrow",
+                "FlatMapGroupsInArrow",
             )
         ),
         # NOTE: under AQE the pre-execution plan (isFinalPlan=false) hides

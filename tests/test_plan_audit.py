@@ -120,6 +120,8 @@ PYTHON_OK = {
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
     "llm_compression_ratio",  # zlib quality signal — one Arrow pandas UDF
+    "udaf_arrow_grouped",  # Spark 4 applyInArrow (zero-copy grouped map)
+    "udf_arrow_map",  # Spark 4 mapInArrow (zero-copy batch map)
 }
 
 #: Queries that read a dimension table and must broadcast it.
