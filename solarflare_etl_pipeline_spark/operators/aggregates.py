@@ -5221,3 +5221,127 @@ def agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Two-sided alpha=0.05 and power=0.80 normal quantiles, written to full
+# double precision so both engines fold the identical literal.
+POWER_Z_ALPHA = 1.959963984540054
+POWER_Z_BETA = 0.8416212335729143
+
+
+@register(
+    "agg_power_two_proportion",
+    # p1/p2 are single IEEE divisions of exact BIGINTs; the sample-size
+    # formula is ONE identical left-to-right float chain on those two
+    # doubles and two full-precision literals (rule 10's identical-
+    # chain form) — no intermediate rounding. CEIL returns DOUBLE in
+    # DuckDB and LONG in Spark (rule 14): both cast to BIGINT.
+    oracle=f"""
+        WITH arms AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treat' END
+                       AS arm,
+                   user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1, 2
+        ),
+        rates AS (
+            SELECT
+                CAST(SUM(CASE WHEN arm = 'control' THEN conv END) AS BIGINT)
+                    AS x1,
+                CAST(COUNT(CASE WHEN arm = 'control' THEN 1 END) AS BIGINT)
+                    AS n1,
+                CAST(SUM(CASE WHEN arm = 'treat' THEN conv END) AS BIGINT)
+                    AS x2,
+                CAST(COUNT(CASE WHEN arm = 'treat' THEN 1 END) AS BIGINT)
+                    AS n2
+            FROM arms
+        ),
+        p AS (
+            SELECT x1, n1, x2, n2,
+                   CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                   CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+                   CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pbar
+            FROM rates
+        )
+        SELECT x1, n1, x2, n2, p1, p2,
+               CASE WHEN p1 = p2 THEN NULL ELSE
+                   CAST(CEIL(
+                       ({POWER_Z_ALPHA} * SQRT(2.0 * pbar * (1.0 - pbar))
+                        + {POWER_Z_BETA} * SQRT(p1 * (1.0 - p1)
+                                                + p2 * (1.0 - p2)))
+                       * ({POWER_Z_ALPHA} * SQRT(2.0 * pbar * (1.0 - pbar))
+                          + {POWER_Z_BETA} * SQRT(p1 * (1.0 - p1)
+                                                  + p2 * (1.0 - p2)))
+                       / ((p1 - p2) * (p1 - p2))) AS BIGINT)
+               END AS n_per_arm
+        FROM p
+    """,
+    doc="Two-proportion power analysis (the experimentation-platform "
+    "sample-size calculator): given the observed conversion rates of "
+    "a hash-split control/treatment assignment (user_id parity — "
+    "deterministic at any parallelism, the sample_hash_split "
+    "discipline), emit the per-arm N required to detect the observed "
+    "difference at alpha=0.05 two-sided with 80% power, via the "
+    "classic pooled-variance normal approximation n = (z_a*sqrt(2*"
+    "pbar*(1-pbar)) + z_b*sqrt(p1(1-p1)+p2(1-p2)))^2 / (p1-p2)^2. "
+    "The z quantiles are full-precision double literals folded "
+    "identically by both engines; rates are single divisions of "
+    "exact counts; the formula is one identical float chain (the "
+    "squared numerator written as an explicit product, no POW). "
+    "Plan: one per-user flag aggregate, one single-row fold — "
+    "map-side combinable, nothing wide at any scale.",
+)
+def agg_power_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arms = e.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "control")
+        .otherwise("treat")
+        .alias("arm"),
+        "user_id",
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    rates = arms.agg(
+        F.sum(F.when(F.col("arm") == "control", F.col("conv")))
+        .cast("long")
+        .alias("x1"),
+        F.count(F.when(F.col("arm") == "control", 1)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == "treat", F.col("conv")))
+        .cast("long")
+        .alias("x2"),
+        F.count(F.when(F.col("arm") == "treat", 1)).cast("long").alias("n2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("x2").cast("double") / F.col("n2").cast("double")
+    pbar = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    p = rates.select(
+        "x1", "n1", "x2", "n2", p1.alias("p1"), p2.alias("p2"), pbar.alias("pbar")
+    )
+    num = F.lit(POWER_Z_ALPHA) * F.sqrt(
+        F.lit(2.0) * F.col("pbar") * (F.lit(1.0) - F.col("pbar"))
+    ) + F.lit(POWER_Z_BETA) * F.sqrt(
+        F.col("p1") * (F.lit(1.0) - F.col("p1"))
+        + F.col("p2") * (F.lit(1.0) - F.col("p2"))
+    )
+    n_req = F.ceil(
+        num * num / ((F.col("p1") - F.col("p2")) * (F.col("p1") - F.col("p2")))
+    ).cast("long")
+    return p.select(
+        "x1",
+        "n1",
+        "x2",
+        "n2",
+        "p1",
+        "p2",
+        F.when(F.col("p1") == F.col("p2"), F.lit(None).cast("long"))
+        .otherwise(n_req)
+        .alias("n_per_arm"),
+    )

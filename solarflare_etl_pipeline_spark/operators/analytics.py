@@ -2032,3 +2032,107 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(o1, e1, v, chi2)],
         "o1 bigint, e1 double, var_lr double, chi2_logrank double",
     )
+
+
+@register(
+    "agg_shapley_attribution",
+    # Exact-rational credit: for the unanimity game 'a user's
+    # conversion needs every channel they actually touched', the
+    # Shapley value gives each touched channel 1/k of that user's
+    # conversion. 1/k for k in 1..4 is exact in TWELFTHS (LCM(1..4) =
+    # 12), so credits are integers end to end and the shares are
+    # integer ppm (rule 16) — no float attribution anywhere.
+    oracle="""
+        WITH conv AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) AS t_conv
+            FROM events GROUP BY user_id
+            HAVING MIN(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS TIMESTAMP) END) IS NOT NULL
+        ),
+        touch AS (
+            SELECT DISTINCT e.user_id, e.event_type AS channel
+            FROM events e JOIN conv c ON c.user_id = e.user_id
+            WHERE e.event_type <> 'purchase'
+              AND CAST(e.ts AS TIMESTAMP) < c.t_conv
+        ),
+        k AS (
+            SELECT user_id, COUNT(*) AS n_channels
+            FROM touch GROUP BY user_id
+        ),
+        credit AS (
+            SELECT t.channel,
+                   CAST(SUM(12 / k.n_channels) AS BIGINT) AS credit_12ths,
+                   COUNT(*) AS n_users_touched
+            FROM touch t JOIN k ON k.user_id = t.user_id
+            GROUP BY t.channel
+        ),
+        tot AS (SELECT SUM(credit_12ths) AS s FROM credit)
+        SELECT c.channel, c.credit_12ths, c.n_users_touched,
+               CAST(c.credit_12ths * 1000000 // tot.s AS BIGINT)
+                   AS share_ppm
+        FROM credit c CROSS JOIN tot
+        ORDER BY c.channel
+    """,
+    doc="Shapley-value conversion attribution across marketing "
+    "channels: each converting user's credit is split equally over "
+    "the DISTINCT channels they touched before first purchase — "
+    "which IS the exact Shapley value of the per-user unanimity "
+    "game (every touched channel is pivotal exactly once per "
+    "ordering position; symmetric players share equally), the "
+    "principled alternative to win_attribution's last-touch rule "
+    "that over-credits the final click. With at most 4 non-purchase "
+    "channels, 1/k credit is exact in twelfths, so the entire "
+    "attribution is integer arithmetic: credit_12ths and share_ppm "
+    "hash-exact in both engines. Plan: first-purchase timestamps "
+    "per user (map-side combinable), one semi-join-shaped distinct "
+    "touch table, a |users| channel-count aggregate joined back, a "
+    "|channels|-bounded credit rollup, single-row total broadcast. "
+    "12 / k is exact integer division for k in 1..4 (all divide "
+    "12) — no rational ever truncates.",
+)
+def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    conv = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("t_conv")
+        )
+        .where(F.col("t_conv").isNotNull())
+    )
+    touch = (
+        e.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("t_conv"))
+        .select("user_id", F.col("event_type").alias("channel"))
+        .distinct()
+        .localCheckpoint()  # feeds the per-user k agg and the credit agg
+    )
+    k = touch.groupBy("user_id").agg(F.count("*").alias("n_channels"))
+    credit = (
+        touch.join(k, "user_id")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.expr("12 DIV n_channels")).cast("long").alias("credit_12ths"),
+            F.count("*").alias("n_users_touched"),
+        )
+    )
+    credit = credit.localCheckpoint()  # bounded |channels| rows
+    tot = credit.agg(F.sum("credit_12ths")).collect()[0][0]
+    if tot is None:
+        return spark.createDataFrame(
+            [],
+            "channel string, credit_12ths bigint, n_users_touched bigint,"
+            " share_ppm bigint",
+        )
+    return credit.select(
+        "channel",
+        "credit_12ths",
+        "n_users_touched",
+        F.expr(f"CAST(credit_12ths * 1000000 DIV {int(tot)} AS BIGINT)").alias(
+            "share_ppm"
+        ),
+    ).orderBy("channel")

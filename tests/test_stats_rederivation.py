@@ -2207,3 +2207,65 @@ def test_self_bleu_rederivation(spark, sf_dir, documents):
             else round(math.log(c1 / n1) * 1e9) + round(math.log(c2 / n2) * 1e9)
         )
         assert got[doc_id] == (c1 * 10**6 // n1, c2 * 10**6 // n2, ln)
+
+
+def test_shapley_attribution_rederivation(spark, sf_dir, events):
+    """Shapley credit (unanimity game = equal split over touched
+    channels) recomputed from raw rows with dicts and Fractions."""
+    from fractions import Fraction
+
+    first_purchase = {}
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    for uid, et, t in rows:
+        if et == "purchase" and (uid not in first_purchase or t < first_purchase[uid]):
+            first_purchase[uid] = t
+    touched = defaultdict(set)
+    for uid, et, t in rows:
+        if et != "purchase" and uid in first_purchase and t < first_purchase[uid]:
+            touched[uid].add(et)
+    credit = defaultdict(Fraction)
+    users = defaultdict(int)
+    for uid, chans in touched.items():
+        for c in chans:
+            credit[c] += Fraction(1, len(chans))
+            users[c] += 1
+    total_12 = sum(int(v * 12) for v in credit.values())
+    got = {
+        r.channel: (r.credit_12ths, r.n_users_touched, r.share_ppm)
+        for r in SPECS["agg_shapley_attribution"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(credit)
+    for c, v in credit.items():
+        tw = int(v * 12)
+        assert got[c] == (tw, users[c], tw * 10**6 // total_12)
+
+
+def test_power_two_proportion_rederivation(spark, sf_dir, events):
+    """Classic pooled-variance sample-size formula from raw rows."""
+    arms = defaultdict(lambda: [0, 0])  # arm -> [conversions, users]
+    conv = defaultdict(int)
+    seen = set()
+    for _, uid, et, v in events:
+        if et == "purchase" and v > 150:
+            conv[uid] = 1
+        seen.add(uid)
+    for uid in seen:
+        arm = "control" if uid % 2 == 0 else "treat"
+        arms[arm][0] += conv[uid]
+        arms[arm][1] += 1
+    x1, n1 = arms["control"]
+    x2, n2 = arms["treat"]
+    p1, p2 = x1 / n1, x2 / n2
+    pbar = (x1 + x2) / (n1 + n2)
+    za, zb = 1.959963984540054, 0.8416212335729143
+    num = za * math.sqrt(2.0 * pbar * (1.0 - pbar)) + zb * math.sqrt(
+        p1 * (1.0 - p1) + p2 * (1.0 - p2)
+    )
+    n_req = math.ceil(num * num / ((p1 - p2) * (p1 - p2)))
+    row = SPECS["agg_power_two_proportion"].spark(spark, sf_dir).collect()[0]
+    assert (row.x1, row.n1, row.x2, row.n2) == (x1, n1, x2, n2)
+    assert _close(row.p1, p1) and _close(row.p2, p2)
+    assert row.n_per_arm == n_req
