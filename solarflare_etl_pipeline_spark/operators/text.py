@@ -4659,3 +4659,62 @@ def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(clip2 * 1000000 DIV n2 AS BIGINT)").alias("p2_ppm"),
         (ln1 + ln2).alias("self_bleu2_ln2_q9"),
     )
+
+
+@register(
+    "llm_burstiness",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            ) GROUP BY doc_id, tok
+        ),
+        m AS (
+            SELECT doc_id,
+                   COUNT(*) AS k,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id,
+               s1 AS n_tokens,
+               k AS n_types,
+               CAST((k * s2 - s1 * s1) * 1000 // (k * s1) AS BIGINT)
+                   AS fano_milli
+        FROM m
+    """,
+    doc="Token burstiness (Fano factor): the variance-to-mean ratio of "
+    "a document's per-type token counts — the repetition signal "
+    "entropy misses (a doc that uses 50 words once each and one word "
+    "50 times has middling entropy but extreme burstiness; burst-"
+    "heavy docs are keyword-stuffing spam and template chrome, the "
+    "classic pre-training cull). VMR = var(c)/mean(c) cleared to the "
+    "exact-integer form (k*S2 - S1^2) / (k*S1) and emitted as "
+    "integer milli-units (rule 22/16 — population variance, no "
+    "float anywhere; floor-div matches // in both engines since the "
+    "numerator is non-negative by Cauchy-Schwarz). Uniform docs "
+    "(every type once) score exactly 0. Plan: one explode, two "
+    "map-side-combinable hash aggregates keyed (doc_id, tok) then "
+    "doc_id — the llm_entropy topology with integer outputs.",
+)
+def llm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    m = tf.groupBy("doc_id").agg(
+        F.count("*").alias("k"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    return m.select(
+        "doc_id",
+        F.col("s1").alias("n_tokens"),
+        F.col("k").alias("n_types"),
+        F.expr(
+            "CAST((k * s2 - s1 * s1) * 1000 DIV (k * s1) AS BIGINT)"
+        ).alias("fano_milli"),
+    )

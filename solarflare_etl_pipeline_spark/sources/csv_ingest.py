@@ -167,3 +167,74 @@ def ingest_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_corrupt"),
         F.sum("n_chars").cast("long").alias("sum_chars_clean"),
     )
+
+
+FW_ID_W = 12     # fixed-width layout: doc_id right-padded to 12
+FW_LANG_W = 8    # lang right-padded to 8
+FW_NUM_W = 10    # n_chars left-padded (right-aligned) to 10
+
+
+@register(
+    "ingest_fixed_width",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_rows,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY lang
+    """,
+    doc=f"Fixed-width (mainframe/COBOL copybook) file ingestion — the "
+    f"connector shape Spark has no native reader for, done the "
+    f"Spark-idiomatic way: read as a text source (splittable, "
+    f"parallel), then SUBSTRING each field out by byte offset and "
+    f"cast — all JVM column expressions under codegen, no Python "
+    f"row parsing. Layout: doc_id right-padded to {FW_ID_W}, lang "
+    f"right-padded to {FW_LANG_W}, n_chars right-ALIGNED in "
+    f"{FW_NUM_W} (the numeric-field convention); TRIM strips the "
+    f"pad. The feed is derived distributed from documents (rpad/"
+    f"lpad + text write), so the oracle certifies the whole "
+    f"write-then-parse round trip against the source table: row "
+    f"conservation, per-lang sums, key extremes. At 100 TB: text "
+    f"files split by line, substring parsing is narrow, and the "
+    f"layout constants are the only schema — exactly how EBCDIC-"
+    f"export pipelines land in Spark.",
+)
+def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    target = _os.path.join(
+        _tempfile.gettempdir(),
+        f"solarflare_fixed_width_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}.txt",
+    )
+    line = F.concat(
+        F.rpad(F.col("doc_id").cast("string"), FW_ID_W, " "),
+        F.rpad(F.col("lang"), FW_LANG_W, " "),
+        F.lpad(F.col("n_chars").cast("string"), FW_NUM_W, " "),
+    )
+    (
+        table(spark, sf_dir, "documents")
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(target)
+    )
+    raw = spark.read.text(target)
+    parsed = raw.select(
+        F.trim(F.substring("value", 1, FW_ID_W)).cast("long").alias("doc_id"),
+        F.trim(
+            F.substring("value", FW_ID_W + 1, FW_LANG_W)
+        ).alias("lang"),
+        F.trim(
+            F.substring("value", FW_ID_W + FW_LANG_W + 1, FW_NUM_W)
+        )
+        .cast("long")
+        .alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
