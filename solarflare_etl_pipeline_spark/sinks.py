@@ -938,3 +938,60 @@ def maintenance_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionAll(piece)
     return out
+
+
+@register(
+    "maintenance_footer_stats",
+    # The oracle recomputes the same extremes from the DATA — the op is
+    # only correct if the parquet footer's row-group statistics agree
+    # with a full scan, which is exactly the property that makes
+    # min/max-based scan skipping trustworthy.
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_long,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_long
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(MIN(o_custkey) AS BIGINT),
+               CAST(MAX(o_custkey) AS BIGINT)
+        FROM orders
+        ORDER BY col_name
+    """,
+    doc="Parquet FOOTER statistics audit: read the row-group min/max "
+    "statistics straight out of the file metadata (pyarrow footer "
+    "parse — zero data pages touched) and emit the file-level "
+    "extremes; the oracle recomputes them from the data, certifying "
+    "that footer stats match reality — the property every min/max "
+    "scan-skipping decision (predicate pushdown, z-order layout "
+    "evaluation, join-range estimation) silently relies on, and the "
+    "first thing to audit when a writer is suspected of emitting "
+    "wrong stats (the classic int96/NaN/truncated-string footer "
+    "bugs). Plan: the footer read is driver-side METADATA work — "
+    "O(row groups), no executor scan at all; at 100 TB this audits "
+    "a fleet of files by listing footers, never reading pages. "
+    "Companion to maintenance_stats_collect (engine-side ANALYZE) "
+    "and scan_with_metadata (_metadata virtual column).",
+)
+def maintenance_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    meta = _pq.ParquetFile(_os.path.join(sf_dir, "orders.parquet")).metadata
+    idx = {
+        meta.schema.column(i).name: i for i in range(meta.num_columns)
+    }
+    rows = []
+    for col in ("o_orderkey", "o_custkey"):
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"footer lacks min/max for {col}")
+            mins.append(st.min)
+            maxs.append(st.max)
+        rows.append((col, int(min(mins)), int(max(maxs))))
+    return spark.createDataFrame(
+        rows, "col_name string, min_long bigint, max_long bigint"
+    ).orderBy("col_name")
