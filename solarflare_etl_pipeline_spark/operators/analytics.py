@@ -2136,3 +2136,186 @@ def agg_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     ).orderBy("channel")
+
+
+from solarflare_etl_pipeline_spark.operators.aggregates import (  # noqa: E402
+    POWER_Z_ALPHA,
+    POWER_Z_BETA,
+)
+
+
+@register(
+    "flagship_ab_readout",
+    # Assembled from driver-proven spellings: parity hash split
+    # (sample_hash_split), SRM chi-square cleared to one division of
+    # exact ints (agg_srm_check), conversion ppm by integer DIV (rule
+    # 16), Welch t on floor(value*1000) sufficient statistics with
+    # identical chains (agg_welch_t), and the pooled-variance power
+    # formula (agg_power_two_proportion). Every cross join below is a
+    # 1x1 join of single-row arms.
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT arm, COUNT(*) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS x
+            FROM u GROUP BY arm
+        ),
+        pv AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type = 'purchase'
+        ),
+        vs AS (
+            SELECT arm, COUNT(*) AS n,
+                   SUM(CAST(v3 AS HUGEINT)) AS s1,
+                   SUM(CAST(v3 AS HUGEINT) * v3) AS s2
+            FROM pv GROUP BY arm
+        ),
+        vm AS (
+            SELECT arm, n,
+                   CAST(s1 AS DOUBLE) / n AS mean3,
+                   CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (n - 1)) AS var3
+            FROM vs
+        ),
+        flat AS (
+            SELECT c.n AS n_control, t.n AS n_treat,
+                   c.x AS conv_control, t.x AS conv_treat,
+                   vc.n AS np_c, vt.n AS np_t,
+                   vc.mean3 AS mc, vt.mean3 AS mt,
+                   vc.var3 AS vc3, vt.var3 AS vt3
+            FROM (SELECT * FROM arms WHERE arm = 0) c
+            CROSS JOIN (SELECT * FROM arms WHERE arm = 1) t
+            CROSS JOIN (SELECT * FROM vm WHERE arm = 0) vc
+            CROSS JOIN (SELECT * FROM vm WHERE arm = 1) vt
+        )
+        SELECT n_control, n_treat,
+               CAST((n_control - n_treat) * (n_control - n_treat) AS DOUBLE)
+                   / CAST(n_control + n_treat AS DOUBLE) AS srm_chi2,
+               CAST(conv_control * 1000000 // n_control AS BIGINT)
+                   AS conv_c_ppm,
+               CAST(conv_treat * 1000000 // n_treat AS BIGINT)
+                   AS conv_t_ppm,
+               ROUND((mc - mt) / SQRT(vc3 / np_c + vt3 / np_t), 9)
+                   AS value_welch_t,
+               CASE WHEN CAST(conv_control AS DOUBLE) / n_control
+                         = CAST(conv_treat AS DOUBLE) / n_treat THEN NULL
+                    ELSE CAST(CEIL(
+                        ({POWER_Z_ALPHA} * SQRT(2.0
+                             * (CAST(conv_control + conv_treat AS DOUBLE)
+                                / (n_control + n_treat))
+                             * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+                                      / (n_control + n_treat)))
+                         + {POWER_Z_BETA} * SQRT(
+                             (CAST(conv_control AS DOUBLE) / n_control)
+                             * (1.0 - CAST(conv_control AS DOUBLE) / n_control)
+                             + (CAST(conv_treat AS DOUBLE) / n_treat)
+                             * (1.0 - CAST(conv_treat AS DOUBLE) / n_treat)))
+                        * ({POWER_Z_ALPHA} * SQRT(2.0
+                             * (CAST(conv_control + conv_treat AS DOUBLE)
+                                / (n_control + n_treat))
+                             * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+                                      / (n_control + n_treat)))
+                         + {POWER_Z_BETA} * SQRT(
+                             (CAST(conv_control AS DOUBLE) / n_control)
+                             * (1.0 - CAST(conv_control AS DOUBLE) / n_control)
+                             + (CAST(conv_treat AS DOUBLE) / n_treat)
+                             * (1.0 - CAST(conv_treat AS DOUBLE) / n_treat)))
+                        / ((CAST(conv_control AS DOUBLE) / n_control
+                            - CAST(conv_treat AS DOUBLE) / n_treat)
+                           * (CAST(conv_control AS DOUBLE) / n_control
+                              - CAST(conv_treat AS DOUBLE) / n_treat)))
+                        AS BIGINT)
+               END AS n_per_arm_needed
+        FROM flat
+    """,
+    doc="A/B experiment readout flagship: ONE table a platform ships "
+    "per experiment — arm sizes with the sample-ratio-mismatch "
+    "chi-square (the guardrail that invalidates everything else "
+    "when it fires), conversion rates per arm (exact ppm), Welch's "
+    "t on purchase values (the continuous-metric significance "
+    "test), and the per-arm N required to power the observed "
+    "conversion gap (the 'how much longer must this run' answer). "
+    "Composes the proven disciplines of sample_hash_split, "
+    "agg_srm_check, agg_welch_t, and agg_power_two_proportion into "
+    "one single-row frame; all joins are 1x1 single-row arms. Plan: "
+    "two per-user/per-event aggregates (map-side combinable) feed "
+    "four single-row folds — nothing wide at any scale.",
+)
+def flagship_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    arms = {
+        int(r.arm): (int(r.n), int(r.x))
+        for r in u.groupBy("arm")
+        .agg(F.count("*").alias("n"), F.sum("conv").cast("long").alias("x"))
+        .collect()
+    }
+    pv = e.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    vs = {
+        int(r.arm): (int(r.n), int(r.s1), int(r.s2))
+        for r in pv.groupBy("arm")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v3").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("v3") * F.col("v3")).cast("decimal(38,0)")).alias("s2"),
+        )
+        .collect()
+    }
+    out_schema = (
+        "n_control bigint, n_treat bigint, srm_chi2 double,"
+        " conv_c_ppm bigint, conv_t_ppm bigint, value_welch_t double,"
+        " n_per_arm_needed bigint"
+    )
+    if 0 not in arms or 1 not in arms or 0 not in vs or 1 not in vs:
+        return spark.createDataFrame([], out_schema)
+    (nc, xc), (nt, xt) = arms[0], arms[1]
+    (npc, s1c, s2c), (npt, s1t, s2t) = vs[0], vs[1]
+    srm = float((nc - nt) * (nc - nt)) / float(nc + nt)
+    mc, mt = s1c / npc, s1t / npt
+    vc3 = float(npc * s2c - s1c * s1c) / (float(npc) * (npc - 1))
+    vt3 = float(npt * s2t - s1t * s1t) / (float(npt) * (npt - 1))
+    import math
+
+    welch = round((mc - mt) / math.sqrt(vc3 / npc + vt3 / npt), 9)
+    p1, p2 = xc / nc, xt / nt
+    if p1 == p2:
+        n_req = None
+    else:
+        pbar = (xc + xt) / (nc + nt)
+        num = POWER_Z_ALPHA * math.sqrt(2.0 * pbar * (1.0 - pbar)) + (
+            POWER_Z_BETA * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        )
+        n_req = math.ceil(num * num / ((p1 - p2) * (p1 - p2)))
+    return spark.createDataFrame(
+        [
+            (
+                nc,
+                nt,
+                srm,
+                xc * 10**6 // nc,
+                xt * 10**6 // nt,
+                welch,
+                n_req,
+            )
+        ],
+        out_schema,
+    )

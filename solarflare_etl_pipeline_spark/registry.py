@@ -121,8 +121,24 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: oracle), sample_systematic (distributed-rank interval sampling).
 #: Batch-6: agg_tukey_hsd (bitwise-verified), agg_calibration_ece,
 #: ts_sax_words, llm_split_leakage, ingest_csv_corrupt.
-#: Round-8 addition: tpch_q12_shipmode (the last classic shape,
-#: VERDICT r7 missing #3 — on the shortlist head).
+#: Round-8 additions leading the shortlist (each certifies a whole
+#: subsystem, ordered by certification value): stream_state_reader
+#: (the statestore read path + streaming window state, SQL oracle),
+#: llm_pca_power_portable / llm_ivfpq_portable / llm_knn_eval_portable
+#: (the three new integer-exact twins of the rows-only ANN/PCA
+#: family), tpch_q12_shipmode (the last classic shape, VERDICT r7
+#: missing #3), agg_survival_km + agg_logrank_test (the survival
+#: family's bounded-grid prefix sums), stream_two_level_window
+#: (chained streaming aggregation), agg_shapley_attribution (exact
+#: twelfths credit), llm_self_bleu / llm_bigram_lm_score /
+#: llm_zipf_slope / llm_rare_ngram_ratio /
+#: llm_cross_lingual_contamination / llm_burstiness (the round-8
+#: corpus-statistics batch), udaf_arrow_grouped + udf_arrow_map
+#: (applyInArrow/mapInArrow certified through the driver hash),
+#: graph_adamic_adar, agg_mcnemar, agg_cochran_q,
+#: llm_embed_centroid_drift, llm_temperature_mixture, agg_bitops,
+#: agg_power_two_proportion, maintenance_footer_stats,
+#: ingest_fixed_width, fn_date_parts2.
 #: Batch-7..10: agg_cuped_adjust, dq_fd_violations, ts_drawdown,
 #: llm_token_budget_trim (first with_grouped_prefix_sum consumer),
 #: llm_rank_fusion_rrf, agg_hill_tail_index, agg_theil_decomposition,
