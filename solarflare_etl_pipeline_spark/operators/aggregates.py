@@ -5345,3 +5345,63 @@ def agg_power_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(n_req)
         .alias("n_per_arm"),
     )
+
+
+@register(
+    "fn_target_encode_loo",
+    # LOO encoding = (S_group - v_i) / (n_group - 1) on milli-quantized
+    # integers: S is an exact integer sufficient statistic, each row's
+    # encoding is ONE IEEE division of exact ints (rule 16), and the
+    # n=1 group degenerates to NULL in both engines.
+    oracle="""
+        WITH q AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(v3) AS BIGINT) AS s1,
+                   COUNT(*) AS n
+            FROM q GROUP BY event_type
+        )
+        SELECT q.event_id, q.event_type,
+               CASE WHEN s.n > 1
+                    THEN CAST(s.s1 - q.v3 AS DOUBLE)
+                         / CAST(s.n - 1 AS DOUBLE)
+               END AS te_loo_milli
+        FROM q JOIN s USING (event_type)
+    """,
+    doc="Leave-one-out target encoding — the categorical-feature "
+    "workhorse for tree/GBM training: each row's category is encoded "
+    "as the mean target of all OTHER rows in that category, which "
+    "kills the self-leakage that makes naive mean-encoding "
+    "overfit (the row's own label never contributes to its feature). "
+    "Computed from per-category sufficient statistics (S, n) joined "
+    "back onto the rows: at 100 TB this is one map-side-combinable "
+    "aggregate plus one broadcast-or-shuffle join keyed on the "
+    "category — never a per-row window or a second pass. Milli-"
+    "quantized target keeps (S - v) exact; the encoding is a single "
+    "IEEE division; singleton categories yield NULL (undefined LOO) "
+    "in both engines identically.",
+)
+def fn_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.sum("v3").cast("long").alias("s1"),
+        F.count("*").alias("n"),
+    )
+    return q.join(F.broadcast(s), "event_type").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s1") - F.col("v3")).cast("double")
+            / (F.col("n") - 1).cast("double"),
+        ).alias("te_loo_milli"),
+    )

@@ -4718,3 +4718,74 @@ def llm_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((k * s2 - s1 * s1) * 1000 DIV (k * s1) AS BIGINT)"
         ).alias("fano_milli"),
     )
+
+
+FEAT_HASH_D = 1024  # hashing-trick feature space (2^10 buckets)
+
+
+@register(
+    "llm_feature_hashing",
+    # Portable hash discipline (md5-substring bucket arithmetic —
+    # driver-proven since sample_hash_split r3): feature index and
+    # sign both derive from md5 hex prefixes, so the signed counts
+    # are exact integers in both engines.
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || SUBSTR(MD5(tok), 1, 8)) AS BIGINT)
+                       % {FEAT_HASH_D} AS feature_idx,
+                   CASE WHEN CAST(('0x' || SUBSTR(MD5('s:' || tok), 1, 8))
+                             AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks
+        )
+        SELECT doc_id, feature_idx,
+               CAST(SUM(sgn) AS BIGINT) AS signed_count,
+               COUNT(*) AS n_terms
+        FROM h
+        GROUP BY doc_id, feature_idx
+    """,
+    doc=f"Feature hashing (the Vowpal-Wabbit / scikit HashingVectorizer "
+    f"trick): project an unbounded vocabulary into {FEAT_HASH_D} "
+    f"fixed feature slots via tok-hash modulo, with a second "
+    f"independent hash bit choosing the sign so colliding tokens "
+    f"cancel in expectation instead of biasing upward — THE "
+    f"vocabulary-free featurizer for streaming/online training "
+    f"where a fitted vocabulary is impossible. Emits the sparse "
+    f"matrix as (doc, slot, signed_count) rows — the layout that "
+    f"feeds distributed linear/logistic training directly. Both "
+    f"hashes are md5-prefix arithmetic (the driver-proven portable "
+    f"spelling), so every signed count is hash-exact. Plan: one "
+    f"explode into a (doc, slot) partial-aggregated groupBy; "
+    f"output is bounded by nnz <= tokens, never |vocab| x D. No "
+    f"fitted state anywhere — the whole point.",
+)
+def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select(
+        "doc_id",
+        (
+            F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)")
+            % FEAT_HASH_D
+        ).alias("feature_idx"),
+        F.when(
+            F.expr(
+                "CAST(conv(substr(md5(concat('s:', tok)), 1, 8), 16, 10)"
+                " AS BIGINT)"
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy("doc_id", "feature_idx").agg(
+        F.sum("sgn").cast("long").alias("signed_count"),
+        F.count("*").alias("n_terms"),
+    )
