@@ -5405,3 +5405,105 @@ def fn_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1).cast("double"),
         ).alias("te_loo_milli"),
     )
+
+
+@register(
+    "fn_woe_iv",
+    # WOE = ln of one IEEE division of exact integer cross-products
+    # (ratio identity clears the four share divisions, rule 22); the
+    # IV contribution is an identical two-operand chain on doubles
+    # derived from exact ints. Zero-cell categories are NULL in both
+    # engines (ln(0) guarded).
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CASE WHEN value > 100 THEN 1 ELSE 0 END AS pos
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type,
+                   CAST(SUM(pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+            FROM q GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_pos) AS BIGINT) AS tp,
+                   CAST(SUM(n_neg) AS BIGINT) AS tn
+            FROM cells
+        )
+        SELECT c.event_type, c.n_pos, c.n_neg,
+               CASE WHEN c.n_pos > 0 AND c.n_neg > 0
+                    THEN ROUND(LN(CAST(c.n_pos * tot.tn AS DOUBLE)
+                                  / CAST(c.n_neg * tot.tp AS DOUBLE)), 9)
+               END AS woe,
+               CASE WHEN c.n_pos > 0 AND c.n_neg > 0
+                    THEN ROUND((CAST(c.n_pos AS DOUBLE) / tot.tp
+                                - CAST(c.n_neg AS DOUBLE) / tot.tn)
+                               * LN(CAST(c.n_pos * tot.tn AS DOUBLE)
+                                    / CAST(c.n_neg * tot.tp AS DOUBLE)), 9)
+               END AS iv_contrib
+        FROM cells c CROSS JOIN tot
+        ORDER BY c.event_type
+    """,
+    doc="Weight-of-Evidence encoding + Information Value — the "
+    "credit-scoring/feature-selection standard: per category, "
+    "WOE = ln(share-of-positives / share-of-negatives) (positive "
+    "target here: high-value events, value > 100), and the IV "
+    "contribution (p_pos - p_neg) * WOE whose category sum ranks "
+    "feature predictiveness (the classic <0.02 useless / >0.3 "
+    "strong bands). The four share divisions are cleared to ONE "
+    "division of exact integer cross-products inside LN "
+    "(n_pos*TN / n_neg*TP — algebraically identical), so both "
+    "engines see bit-identical LN inputs; zero cells are NULL, not "
+    "an infinity. Plan: one per-category flag aggregate, a "
+    "single-row total broadcast onto the bounded category table — "
+    "nothing data-scale after the first groupBy.",
+)
+def fn_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.when(F.col("value") > 100, 1).otherwise(0).alias("pos"),
+    )
+    cells = q.groupBy("event_type").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    cells = cells.localCheckpoint()  # bounded |types| rows
+    tot = cells.agg(
+        F.sum("n_pos").cast("long").alias("tp"),
+        F.sum("n_neg").cast("long").alias("tn"),
+    ).collect()[0]
+    if tot.tp is None:
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_pos bigint, n_neg bigint,"
+            " woe double, iv_contrib double",
+        )
+    tp, tn = int(tot.tp), int(tot.tn)
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    woe = F.round(
+        F.log(
+            (F.col("n_pos") * F.lit(tn)).cast("double")
+            / (F.col("n_neg") * F.lit(tp)).cast("double")
+        ),
+        9,
+    )
+    iv = F.round(
+        (
+            F.col("n_pos").cast("double") / F.lit(float(tp))
+            - F.col("n_neg").cast("double") / F.lit(float(tn))
+        )
+        * F.log(
+            (F.col("n_pos") * F.lit(tn)).cast("double")
+            / (F.col("n_neg") * F.lit(tp)).cast("double")
+        ),
+        9,
+    )
+    return cells.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        F.when(ok, woe).alias("woe"),
+        F.when(ok, iv).alias("iv_contrib"),
+    ).orderBy("event_type")

@@ -2418,3 +2418,88 @@ def ts_isotonic_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.max("min_tail"), 9).alias("fitted"))
         .orderBy("d")
     )
+
+
+PEAK_MIN_MARGIN = 500  # peaks must clear both neighbors by 0.5 (milli)
+
+
+@register(
+    "ts_local_peaks",
+    # Peak predicate and margin are exact-integer comparisons on the
+    # quantized series (rule 22); ordering is made total with the
+    # event_id tiebreak (rule 6). Endpoints (NULL neighbor) are not
+    # peaks in either engine (NULL comparison semantics agree).
+    oracle=f"""
+        WITH q AS (
+            SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, event_id, tss, v3,
+                   LAG(v3) OVER w AS prev3,
+                   LEAD(v3) OVER w AS next3
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)
+        )
+        SELECT user_id, event_id, tss AS ts, v3,
+               CAST(v3 - GREATEST(prev3, next3) AS BIGINT) AS margin3
+        FROM s
+        WHERE v3 > prev3 AND v3 > next3
+          AND v3 - GREATEST(prev3, next3) >= {PEAK_MIN_MARGIN}
+        ORDER BY user_id, event_id
+    """,
+    doc=f"Local peak detection with a margin gate: a point is a peak "
+    f"when it strictly exceeds BOTH temporal neighbors in its "
+    f"user's series and clears the taller neighbor by >= "
+    f"{PEAK_MIN_MARGIN} milli-units — the spike-mining primitive "
+    f"under alert dedup, burst detection, and peak-hour extraction "
+    f"(the margin kills the one-tick noise peaks a bare "
+    f"greater-than-neighbors rule floods you with). All decisions "
+    f"are exact integer comparisons on the floor(value*1000) "
+    f"series; series order is total via the event_id tiebreak; "
+    f"endpoints are non-peaks by NULL semantics in both engines. "
+    f"Plan: one per-user window (lag+lead share a single sort/"
+    f"partition pass), predicate in codegen — the per-user "
+    f"partitioning carries the data scale; no global window "
+    f"anywhere.",
+)
+def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("tss"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    w = W.partitionBy("user_id").orderBy("tss", "event_id")
+    s = q.select(
+        "user_id",
+        "event_id",
+        "tss",
+        "v3",
+        F.lag("v3").over(w).alias("prev3"),
+        F.lead("v3").over(w).alias("next3"),
+    )
+    return (
+        s.where(
+            (F.col("v3") > F.col("prev3"))
+            & (F.col("v3") > F.col("next3"))
+            & (
+                F.col("v3") - F.greatest("prev3", "next3")
+                >= PEAK_MIN_MARGIN
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("tss").alias("ts"),
+            "v3",
+            (F.col("v3") - F.greatest("prev3", "next3"))
+            .cast("long")
+            .alias("margin3"),
+        )
+        .orderBy("user_id", "event_id")
+    )
