@@ -2319,3 +2319,147 @@ def flagship_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         out_schema,
     )
+
+
+HITS_SCALE = 10**6  # hub/authority fixed-point units per round
+
+
+def _hits_oracle() -> str:
+    # two unrolled Kleinberg rounds; every division is integer floor
+    # division by the round's max-derived divisor (non-negative values,
+    # so DuckDB // and Spark DIV agree exactly)
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        a1 AS (
+            SELECT part, CAST(COUNT(*) AS BIGINT) * {HITS_SCALE} AS a
+            FROM edges GROUP BY part
+        ),
+        a1n AS (
+            SELECT part,
+                   a // GREATEST(1, (SELECT MAX(a) FROM a1) // {HITS_SCALE})
+                       AS a
+            FROM a1
+        ),
+        h1 AS (
+            SELECT e.cust, CAST(SUM(a1n.a) AS BIGINT) AS h
+            FROM edges e JOIN a1n ON a1n.part = e.part
+            GROUP BY e.cust
+        ),
+        h1n AS (
+            SELECT cust,
+                   h // GREATEST(1, (SELECT MAX(h) FROM h1) // {HITS_SCALE})
+                       AS h
+            FROM h1
+        ),
+        a2 AS (
+            SELECT e.part, CAST(SUM(h1n.h) AS BIGINT) AS a
+            FROM edges e JOIN h1n ON h1n.cust = e.cust
+            GROUP BY e.part
+        ),
+        a2n AS (
+            SELECT part,
+                   a // GREATEST(1, (SELECT MAX(a) FROM a2) // {HITS_SCALE})
+                       AS a
+            FROM a2
+        ),
+        h2 AS (
+            SELECT e.cust, CAST(SUM(a2n.a) AS BIGINT) AS h
+            FROM edges e JOIN a2n ON a2n.part = e.part
+            GROUP BY e.cust
+        ),
+        h2n AS (
+            SELECT cust,
+                   h // GREATEST(1, (SELECT MAX(h) FROM h2) // {HITS_SCALE})
+                       AS h
+            FROM h2
+        )
+        SELECT 'authority' AS role, part AS node_id,
+               CAST(a AS BIGINT) AS score_fp
+        FROM a2n
+        UNION ALL
+        SELECT 'hub', cust, CAST(h AS BIGINT) FROM h2n
+        ORDER BY role, node_id
+    """
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    doc=f"Kleinberg HITS over the customer->part purchase bipartite "
+    f"graph: authorities are parts bought by strong hubs, hubs are "
+    f"customers who buy strong authorities — the mutually recursive "
+    f"ranking under product discovery and spam-seller detection "
+    f"(PageRank's directed sibling where WHO points matters, not "
+    f"just in-degree). Two synchronous rounds in FIXED-POINT integer "
+    f"arithmetic (the graph_pagerank discipline): scores in "
+    f"{HITS_SCALE}-unit grains, each round renormalized by floor-"
+    f"dividing with max(score) DIV {HITS_SCALE} (non-negative, so "
+    f"floor and truncate agree cross-engine) instead of the float "
+    f"L2 norm — the only way an iterative eigenvector algorithm can "
+    f"hash-match another engine, and overflow-safe without int128 "
+    f"(score*N fits BIGINT at any fan-in up to 10^9). Per round: "
+    f"edges ⋈ scores (shuffle on one side), partial-agg on the "
+    f"other, one single-row max. Emits both score tables in long "
+    f"form. At 100 TB edges are the static big side and scores "
+    f"co-partition round over round — the Pregel lowering.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .localCheckpoint()  # static side, reused every round
+    )
+    out_schema = "role string, node_id long, score_fp bigint"
+    if edges.limit(1).count() == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def norm(df: DataFrame, key: str, col: str) -> DataFrame:
+        mx = df.agg(F.max(col)).collect()[0][0]  # single-row scalar
+        d = max(1, int(mx) // HITS_SCALE)
+        return df.select(
+            key, F.expr(f"{col} DIV {d}").cast("long").alias(col)
+        ).localCheckpoint()
+
+    a = norm(
+        edges.groupBy("part").agg(
+            (F.count("*").cast("long") * HITS_SCALE).alias("a")
+        ),
+        "part",
+        "a",
+    )
+    h = norm(
+        edges.join(a, "part").groupBy("cust").agg(F.sum("a").cast("long").alias("h")),
+        "cust",
+        "h",
+    )
+    a = norm(
+        edges.join(h, "cust").groupBy("part").agg(F.sum("h").cast("long").alias("a")),
+        "part",
+        "a",
+    )
+    h = norm(
+        edges.join(a, "part").groupBy("cust").agg(F.sum("a").cast("long").alias("h")),
+        "cust",
+        "h",
+    )
+    return (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("part").alias("node_id"),
+            F.col("a").alias("score_fp"),
+        )
+        .unionAll(
+            h.select(
+                F.lit("hub").alias("role"),
+                F.col("cust").alias("node_id"),
+                F.col("h").alias("score_fp"),
+            )
+        )
+        .orderBy("role", "node_id")
+    )

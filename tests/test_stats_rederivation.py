@@ -2269,3 +2269,34 @@ def test_power_two_proportion_rederivation(spark, sf_dir, events):
     assert (row.x1, row.n1, row.x2, row.n2) == (x1, n1, x2, n2)
     assert _close(row.p1, p1) and _close(row.p2, p2)
     assert row.n_per_arm == n_req
+
+
+def test_hits_rederivation(spark, sf_dir):
+    """Two fixed-point HITS rounds re-walked with dicts."""
+    rows = duckdb.sql(
+        f"SELECT DISTINCT o.o_custkey, l.l_partkey FROM "
+        f"read_parquet('{sf_dir}/orders.parquet') o JOIN "
+        f"read_parquet('{sf_dir}/lineitem.parquet') l "
+        f"ON l.l_orderkey = o.o_orderkey"
+    ).fetchall()
+    SCALE = 10**6
+    by_part, by_cust = defaultdict(list), defaultdict(list)
+    for c, p in rows:
+        by_part[p].append(c)
+        by_cust[c].append(p)
+
+    def norm(d):
+        dv = max(1, max(d.values()) // SCALE)
+        return {k: v // dv for k, v in d.items()}
+
+    a = norm({p: len(cs) * SCALE for p, cs in by_part.items()})
+    h = norm({c: sum(a[p] for p in ps) for c, ps in by_cust.items()})
+    a = norm({p: sum(h[c] for c in cs) for p, cs in by_part.items()})
+    h = norm({c: sum(a[p] for p in ps) for c, ps in by_cust.items()})
+    got = {
+        (r.role, r.node_id): r.score_fp
+        for r in SPECS["graph_hits"].spark(spark, sf_dir).collect()
+    }
+    expected = {("authority", p): v for p, v in a.items()}
+    expected.update({("hub", c): v for c, v in h.items()})
+    assert got == expected
