@@ -4789,3 +4789,126 @@ def llm_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sgn").cast("long").alias("signed_count"),
         F.count("*").alias("n_terms"),
     )
+
+
+@register(
+    "llm_url_canonicalize",
+    # Three deterministic raw variants of the same logical URL are
+    # constructed per document (case-shuffled host, default :443 port,
+    # doubled slashes, trailing slash, shuffled query order, utm/ref
+    # tracking params, fragment); the canonicalizer must collapse all
+    # three. The transform is anchored-regex + concat (portable across
+    # Java regex and RE2), rebuilt with a FIXED query-param order.
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, UNNEST([
+                'https://' || UPPER(source) || '.Example.COM/docs/'
+                    || CAST(doc_id AS VARCHAR)
+                    || '?lang=' || lang || '&utm_source=feed&v=2',
+                'https://' || source || '.example.com:443//docs/'
+                    || CAST(doc_id AS VARCHAR) || '/?v=2&lang=' || lang
+                    || '&ref=rss',
+                'https://' || source || '.example.com/docs/'
+                    || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                    || '&v=2#frag'
+            ]) AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   LOWER(REGEXP_EXTRACT(url, '^(https?://[^/:?#]+)', 1))
+                   || REGEXP_REPLACE(
+                          REGEXP_REPLACE(
+                              REGEXP_EXTRACT(url,
+                                  '^https?://[^/?#]+([^?#]*)', 1),
+                              '//+', '/', 'g'),
+                          '/$', '')
+                   || '?lang='
+                   || REGEXP_EXTRACT(url, '[?&]lang=([^&#]*)', 1)
+                   || '&v='
+                   || REGEXP_EXTRACT(url, '[?&]v=([^&#]*)', 1)
+                       AS canonical_url
+            FROM raw
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_raw_variants,
+               COUNT(DISTINCT canonical_url) AS n_canonical,
+               MIN(canonical_url) AS canonical_url
+        FROM canon
+        GROUP BY doc_id
+    """,
+    doc="URL canonicalization — the normalization pass in front of "
+    "every web-corpus URL dedup (the same page arrives as mixed-case "
+    "hosts, explicit default ports, doubled/trailing slashes, "
+    "shuffled query order, utm/ref tracking junk, and fragments; "
+    "naive string dedup sees 6 'different' pages): lowercase the "
+    "scheme+host, drop the port, collapse and trim path slashes, "
+    "keep ONLY the semantic query params rebuilt in a fixed order, "
+    "drop fragments. Three deterministic raw variants per document "
+    "are pushed through the canonicalizer and the output certifies "
+    "collapse (n_canonical = 1 per doc) plus the canonical string "
+    "itself. All JVM regex under codegen — narrow map, then one "
+    "(doc) aggregate. At 100 TB this runs in the ingest pass; "
+    "host-level dedup downstream is an ordinary shuffle on the "
+    "canonical column.",
+)
+def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    mk = lambda *parts: F.concat(*parts)  # noqa: E731
+    v0 = mk(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&utm_source=feed&v=2"),
+    )
+    v1 = mk(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com:443//docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?v=2&lang="),
+        F.col("lang"),
+        F.lit("&ref=rss"),
+    )
+    v2 = mk(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&v=2#frag"),
+    )
+    raw = d.select(
+        "doc_id", F.explode(F.array(v0, v1, v2)).alias("url")
+    )
+    host = F.lower(F.regexp_extract("url", "^(https?://[^/:?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", "^https?://[^/?#]+([^?#]*)", 1),
+            "//+",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    canonical = F.concat(
+        host,
+        path,
+        F.lit("?lang="),
+        F.regexp_extract("url", "[?&]lang=([^&#]*)", 1),
+        F.lit("&v="),
+        F.regexp_extract("url", "[?&]v=([^&#]*)", 1),
+    )
+    return (
+        raw.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_raw_variants"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            F.min("canonical_url").alias("canonical_url"),
+        )
+    )

@@ -995,3 +995,46 @@ def maintenance_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, min_long bigint, max_long bigint"
     ).orderBy("col_name")
+
+
+@register(
+    "sink_json_lines",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="NDJSON (json-lines) export round-trip — the missing sibling in "
+    "the sink family (parquet/csv/avro/jdbc are registered): orders "
+    "written as newline-delimited JSON, schema-inferred back, and "
+    "aggregated, certifying type fidelity through the text cycle the "
+    "same way sink_csv does. JSON doubles print in shortest-roundtrip "
+    "form so the value itself survives; the AGGREGATE still detours "
+    "through exact integer cents (rule 2) because association order "
+    "never survives anything. JSON-lines is the streaming/log-"
+    "shipping interchange: line-splittable (parallel read at any "
+    "scale), append-friendly, schema-on-read. Writer is one narrow "
+    "pass, no shuffle; at 100 TB it costs ~4x parquet bytes and "
+    "loses pushdown — export edge only, like sink_csv.",
+)
+def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_sink_jsonl_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o.write.mode("overwrite").json(target)
+    back = spark.read.json(target)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+    )
