@@ -5507,3 +5507,167 @@ def fn_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, woe).alias("woe"),
         F.when(ok, iv).alias("iv_contrib"),
     ).orderBy("event_type")
+
+
+PERM_B = 64  # deterministic sign-flip permutations (md5 bit b per user)
+
+
+@register(
+    "agg_permutation_test",
+    # Deterministic resampling (the agg_bootstrap_ci discipline): the
+    # b-th permutation reassigns each USER by bit b of an md5-derived
+    # integer, so both engines materialize the identical permutation
+    # set; every statistic is a difference of exact integer sums and
+    # the two-sided p-value is an exact count ratio in milli units.
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS s3,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS np
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN s3 ELSE 0 END)
+                        AS BIGINT) AS s_t,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN np ELSE 0 END)
+                        AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN s3 ELSE 0 END)
+                        AS BIGINT) AS s_c,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN np ELSE 0 END)
+                        AS BIGINT) AS n_c
+            FROM u
+        ),
+        perms AS (
+            SELECT b.b,
+                   CAST(SUM(CASE WHEN (u.h // CAST(POW(2, b.b % 50)
+                                            AS BIGINT)) % 2 = 1
+                            THEN u.s3 ELSE 0 END) AS BIGINT) AS s_t,
+                   CAST(SUM(CASE WHEN (u.h // CAST(POW(2, b.b % 50)
+                                            AS BIGINT)) % 2 = 1
+                            THEN u.np ELSE 0 END) AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN (u.h // CAST(POW(2, b.b % 50)
+                                            AS BIGINT)) % 2 = 0
+                            THEN u.s3 ELSE 0 END) AS BIGINT) AS s_c,
+                   CAST(SUM(CASE WHEN (u.h // CAST(POW(2, b.b % 50)
+                                            AS BIGINT)) % 2 = 0
+                            THEN u.np ELSE 0 END) AS BIGINT) AS n_c
+            FROM u, (SELECT UNNEST(RANGE(0, {PERM_B})) AS b) b
+            GROUP BY b.b
+        ),
+        od AS (
+            SELECT CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c
+                       AS d
+            FROM obs WHERE n_t > 0 AND n_c > 0
+        ),
+        pd AS (
+            SELECT CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c
+                       AS d
+            FROM perms WHERE n_t > 0 AND n_c > 0
+        )
+        SELECT (SELECT COUNT(*) FROM pd) AS n_perms_valid,
+               (SELECT d FROM od) AS obs_diff_milli,
+               CAST((SELECT COUNT(*) FROM pd
+                     WHERE ABS(d) >= ABS((SELECT d FROM od))) * 1000
+                    // (SELECT COUNT(*) FROM pd) AS BIGINT)
+                   AS p_two_sided_milli
+    """,
+    doc=f"Permutation test for the treatment-vs-control purchase-value "
+    f"gap with DETERMINISTIC permutations: the b-th resample "
+    f"reassigns each user by bit b of an md5-derived integer "
+    f"(the agg_bootstrap_ci discipline — both engines materialize "
+    f"the IDENTICAL {PERM_B} label permutations, which is the only "
+    f"way a resampling test can be hash-verified; rand() could "
+    f"never). Statistic = difference of per-arm mean purchase "
+    f"values from exact milli-quantized integer sufficient sums; "
+    f"two-sided p = share of permutations at least as extreme, an "
+    f"exact milli count ratio. User-level permutation respects the "
+    f"clustering (values within a user stay together — the "
+    f"randomization-inference requirement). Plan: one per-user "
+    f"aggregate, a {PERM_B}-way explode over the BOUNDED user "
+    f"summary (never over raw events), one bounded fold per "
+    f"permutation.",
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s3"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    ).withColumn(
+        "h",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ),
+    )
+    u = u.localCheckpoint()  # bounded |users| summary, exploded below
+    obs = u.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("s3")).otherwise(0))
+        .cast("long")
+        .alias("s_t"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("s3")).otherwise(0))
+        .cast("long")
+        .alias("s_c"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, F.col("np")).otherwise(0))
+        .cast("long")
+        .alias("n_c"),
+    ).collect()[0]
+    out_schema = (
+        "n_perms_valid bigint, obs_diff_milli double, p_two_sided_milli bigint"
+    )
+    if not obs.n_t or not obs.n_c:
+        return spark.createDataFrame([(0, None, None)], out_schema)
+    obs_d = int(obs.s_t) / int(obs.n_t) - int(obs.s_c) / int(obs.n_c)
+    bit = F.expr("(h DIV CAST(POW(2, b % 50) AS BIGINT)) % 2")
+    perms = (
+        u.select(
+            "s3",
+            "np",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(bit == 1, F.col("s3")).otherwise(0))
+            .cast("long")
+            .alias("s_t"),
+            F.sum(F.when(bit == 1, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+            F.sum(F.when(bit == 0, F.col("s3")).otherwise(0))
+            .cast("long")
+            .alias("s_c"),
+            F.sum(F.when(bit == 0, F.col("np")).otherwise(0))
+            .cast("long")
+            .alias("n_c"),
+        )
+        .where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+        .select(
+            (
+                F.col("s_t").cast("double") / F.col("n_t").cast("double")
+                - F.col("s_c").cast("double") / F.col("n_c").cast("double")
+            ).alias("d")
+        )
+    )
+    rows = perms.collect()  # PERM_B bounded rows
+    n_valid = len(rows)
+    n_extreme = sum(1 for r in rows if abs(r.d) >= abs(obs_d))
+    return spark.createDataFrame(
+        [(n_valid, obs_d, n_extreme * 1000 // n_valid)], out_schema
+    )

@@ -2300,3 +2300,40 @@ def test_hits_rederivation(spark, sf_dir):
     expected = {("authority", p): v for p, v in a.items()}
     expected.update({("hub", c): v for c, v in h.items()})
     assert got == expected
+
+
+def test_permutation_test_rederivation(spark, sf_dir, events):
+    """Deterministic md5-bit permutation test re-walked in Python."""
+    s3 = defaultdict(int)
+    np_ = defaultdict(int)
+    for _, uid, et, v in events:
+        s3.setdefault(uid, 0)
+        np_.setdefault(uid, 0)
+        if et == "purchase":
+            s3[uid] += math.floor(v * 1000)
+            np_[uid] += 1
+    h = {
+        uid: int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        for uid in s3
+    }
+
+    def diff(assign):
+        st = sum(s3[u] for u in s3 if assign(u) == 1)
+        nt = sum(np_[u] for u in s3 if assign(u) == 1)
+        sc = sum(s3[u] for u in s3 if assign(u) == 0)
+        nc = sum(np_[u] for u in s3 if assign(u) == 0)
+        if nt == 0 or nc == 0:
+            return None
+        return st / nt - sc / nc
+
+    obs = diff(lambda u: u % 2)
+    perm_ds = [
+        d
+        for b in range(64)
+        if (d := diff(lambda u, b=b: (h[u] >> (b % 50)) % 2)) is not None
+    ]
+    row = SPECS["agg_permutation_test"].spark(spark, sf_dir).collect()[0]
+    assert row.n_perms_valid == len(perm_ds)
+    assert _close(row.obs_diff_milli, obs, 1e-9)
+    n_ext = sum(1 for d in perm_ds if abs(d) >= abs(obs))
+    assert row.p_two_sided_milli == n_ext * 1000 // len(perm_ds)
