@@ -5671,3 +5671,95 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_valid, obs_d, n_extreme * 1000 // n_valid)], out_schema
     )
+
+
+@register(
+    "agg_diff_in_diff",
+    # Period split at the integer epoch-microsecond midpoint (rule 23's
+    # canonical epoch spelling); the four cell means are single IEEE
+    # divisions of exact milli sums; the DiD estimate is the identical
+    # two-subtraction chain on those four doubles.
+    oracle="""
+        WITH bounds AS (
+            SELECT EPOCH_US(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        q AS (
+            SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+                   CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                             >= (bounds.lo + bounds.hi) // 2
+                        THEN 1 ELSE 0 END AS post,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events CROSS JOIN bounds
+            WHERE event_type = 'purchase'
+        ),
+        cells AS (
+            SELECT treat, post,
+                   CAST(SUM(v3) AS BIGINT) AS s,
+                   COUNT(*) AS n
+            FROM q GROUP BY treat, post
+        ),
+        flat AS (
+            SELECT
+                MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_t1,
+                MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_t0,
+                MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_c1,
+                MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_c0,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cells
+        )
+        SELECT n_total, m_t0, m_t1, m_c0, m_c1,
+               (m_t1 - m_t0) - (m_c1 - m_c0) AS did_milli
+        FROM flat
+    """,
+    doc="Difference-in-differences estimator — the workhorse of "
+    "quasi-experimental causal inference when randomization is "
+    "impossible: the treatment effect on purchase values is the "
+    "treated arm's pre-to-post change MINUS the control arm's "
+    "(which absorbs the secular trend both arms share — the "
+    "parallel-trends identification). Arms by user-id parity (the "
+    "hash-split discipline), periods split at the observation "
+    "window's exact epoch-microsecond midpoint (integer arithmetic, "
+    "rule 23). Four cell means from exact milli sums; the estimate "
+    "is one identical float chain. Plan: one min/max scalar fold, "
+    "one 4-cell aggregate (map-side combinable), a single-row "
+    "pivot — nothing wide at any scale.",
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("hi"),
+    ).collect()[0]
+    out_schema = (
+        "n_total bigint, m_t0 double, m_t1 double, m_c0 double,"
+        " m_c1 double, did_milli double"
+    )
+    if b.lo is None:
+        return spark.createDataFrame([], out_schema)
+    mid = (int(b.lo) + int(b.hi)) // 2
+    q = e.where(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 2).alias("treat"),
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") >= F.lit(mid), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    cells = {
+        (int(r.treat), int(r.post)): (int(r.s), int(r.n))
+        for r in q.groupBy("treat", "post")
+        .agg(F.sum("v3").cast("long").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    if len(cells) < 4:
+        return spark.createDataFrame([], out_schema)
+    m = {k: s / n for k, (s, n) in cells.items()}
+    n_total = sum(n for _, n in cells.values())
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    return spark.createDataFrame(
+        [(n_total, m[(1, 0)], m[(1, 1)], m[(0, 0)], m[(0, 1)], did)],
+        out_schema,
+    )

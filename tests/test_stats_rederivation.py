@@ -2337,3 +2337,28 @@ def test_permutation_test_rederivation(spark, sf_dir, events):
     assert _close(row.obs_diff_milli, obs, 1e-9)
     n_ext = sum(1 for d in perm_ds if abs(d) >= abs(obs))
     assert row.p_two_sided_milli == n_ext * 1000 // len(perm_ds)
+
+
+def test_diff_in_diff_rederivation(spark, sf_dir):
+    """DiD cell means re-walked from raw rows (epoch midpoint split)."""
+    rows = duckdb.sql(
+        f"SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)), value FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_type='purchase'"
+    ).fetchall()
+    all_ts = duckdb.sql(
+        f"SELECT EPOCH_US(MIN(CAST(ts AS TIMESTAMP))),"
+        f" EPOCH_US(MAX(CAST(ts AS TIMESTAMP))) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()[0]
+    mid = (all_ts[0] + all_ts[1]) // 2
+    cells = defaultdict(lambda: [0, 0])
+    for uid, t, v in rows:
+        key = (uid % 2, 1 if t >= mid else 0)
+        cells[key][0] += math.floor(v * 1000)
+        cells[key][1] += 1
+    m = {k: s / n for k, (s, n) in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    row = SPECS["agg_diff_in_diff"].spark(spark, sf_dir).collect()[0]
+    assert row.n_total == sum(n for _, n in cells.values())
+    assert _close(row.did_milli, did, 1e-9)
+    assert _close(row.m_t1, m[(1, 1)], 1e-9)
