@@ -1030,7 +1030,11 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     o.write.mode("overwrite").json(target)
-    back = spark.read.json(target)
+    # pin the read schema (production discipline — inference re-scans
+    # the data and collapses to zero columns on an empty feed)
+    back = spark.read.schema(
+        "o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE"
+    ).json(target)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))

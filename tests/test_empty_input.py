@@ -161,6 +161,28 @@ CORE_QUERIES = (
     "tpch_q12_shipmode",
     "agg_bitops",
     "llm_pca_power_portable",
+    # round-8 second wave: empty folds (woe/permutation/did/power),
+    # empty window series (peaks), empty hash/gram tables (feature
+    # hashing, self_bleu), empty graphs (hits), empty sinks/feeds
+    # (json_lines, fixed_width), empty variants (url canonicalize),
+    # empty footer audit runs on the real (non-empty) schema files so
+    # it is exercised by parity instead
+    "fn_woe_iv",
+    "agg_permutation_test",
+    "agg_diff_in_diff",
+    "agg_power_two_proportion",
+    "ts_local_peaks",
+    "llm_feature_hashing",
+    "fn_target_encode_loo",
+    "llm_self_bleu",
+    "graph_hits",
+    "sink_json_lines",
+    "ingest_fixed_width",
+    "llm_url_canonicalize",
+    "agg_shapley_attribution",
+    "flagship_ab_readout",
+    "udaf_arrow_grouped",
+    "udf_arrow_map",
 )
 
 
