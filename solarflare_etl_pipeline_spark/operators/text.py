@@ -4912,3 +4912,80 @@ def llm_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("canonical_url").alias("canonical_url"),
         )
     )
+
+
+SLIDE_SIZE = 16   # sliding-chunk window (tokens)
+SLIDE_STRIDE = 8  # 50% overlap — the RAG-ingestion default
+
+
+@register(
+    "llm_chunk_sliding",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ),
+        n AS (
+            SELECT doc_id, toks,
+                   CASE WHEN LEN(toks) <= {SLIDE_SIZE} THEN 1
+                        ELSE CAST(CEIL((LEN(toks) - {SLIDE_SIZE})
+                                       / {SLIDE_STRIDE}.0) AS INT) + 1
+                   END AS n_chunks
+            FROM t
+        )
+        SELECT doc_id,
+               UNNEST(RANGE(0, n_chunks)) AS chunk_id,
+               UNNEST(LIST_TRANSFORM(RANGE(0, n_chunks),
+                   i -> ARRAY_TO_STRING(
+                       toks[i * {SLIDE_STRIDE} + 1
+                            : i * {SLIDE_STRIDE} + {SLIDE_SIZE}], ' ')))
+                   AS chunk_text,
+               UNNEST(LIST_TRANSFORM(RANGE(0, n_chunks),
+                   i -> LEN(toks[i * {SLIDE_STRIDE} + 1
+                                 : i * {SLIDE_STRIDE} + {SLIDE_SIZE}])))
+                   AS n_tokens
+        FROM n
+    """,
+    doc=f"Sliding-window chunking with overlap (size {SLIDE_SIZE}, "
+    f"stride {SLIDE_STRIDE} = 50% overlap) — the RAG-ingestion "
+    f"standard that llm_chunk_docs' disjoint windows are NOT: "
+    f"overlap keeps every answer span fully inside at least one "
+    f"chunk (a fact straddling a hard boundary is unretrievable "
+    f"with disjoint chunks), at the cost of size/stride x storage. "
+    f"Chunk count = ceil((len - size)/stride) + 1 capped to 1 for "
+    f"short docs, so the final partial window is kept and no token "
+    f"is dropped. Pure in-row transform: one split, one bounded "
+    f"range explode per document, ARRAY slicing under codegen — no "
+    f"shuffle, scan-speed at any scale; the downstream embed step "
+    f"is where the FLOPs go, which is exactly why the chunker must "
+    f"stay this cheap.",
+)
+def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("toks", F.split("text", " "))
+        .withColumn(
+            "n_chunks",
+            F.when(F.size("toks") <= SLIDE_SIZE, F.lit(1)).otherwise(
+                F.ceil(
+                    (F.size("toks") - SLIDE_SIZE) / float(SLIDE_STRIDE)
+                ).cast("int")
+                + 1
+            ),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n_chunks - 1),"
+                f" i -> slice(toks, i * {SLIDE_STRIDE} + 1, {SLIDE_SIZE}))"
+            )
+        ).alias("chunk_id", "chunk_toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_tokens"),
+    )

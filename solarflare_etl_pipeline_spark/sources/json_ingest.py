@@ -187,3 +187,70 @@ def ingest_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_corrupt"),
     )
+
+
+@register(
+    "ingest_json_multiline",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="multiLine JSON-ARRAY ingestion (spark.read.option('multiLine', "
+    "true)): one file containing a single JSON array of objects — the "
+    "format REST exports and config dumps arrive in, and the reader "
+    "mode ndjson-oriented ingest_json cannot parse (a JSON array is "
+    "one record to a line-splitting reader). The feed is derived from "
+    "documents (per-row objects string-aggregated into one array "
+    "document), read back multiLine, and certified per-lang against "
+    "the source. THE SCALE WARNING IS THE POINT: a multiLine JSON "
+    "file is NOT line-splittable — one file = one task regardless of "
+    "size, so at 100 TB this format is quarantined to small control/"
+    "metadata feeds and everything bulk is converted to ndjson/"
+    "parquet on first touch (this op's doc is the conversion "
+    "rationale). The derivation's single-file collapse is inherent "
+    "to constructing a valid JSON array, not a pattern for data.",
+)
+def ingest_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
+    target = _os.path.join(
+        _tempfile.gettempdir(),
+        f"solarflare_multiline_json_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
+    )
+    obj = F.concat(
+        F.lit('{"doc_id": '),
+        F.col("doc_id").cast("string"),
+        F.lit(', "lang": "'),
+        F.col("lang"),
+        F.lit('", "n_chars": '),
+        F.col("n_chars").cast("string"),
+        F.lit("}"),
+    )
+    # a JSON array is a single document by definition: aggregate the
+    # rows into one array text (bounded: 3 scalar fields per row; the
+    # doc explains why this format must never carry bulk data)
+    arr = (
+        table(spark, sf_dir, "documents")
+        .select(obj.alias("o"))
+        .agg(F.concat_ws(",", F.collect_list("o")).alias("body"))
+        .select(F.concat(F.lit("["), F.col("body"), F.lit("]")).alias("value"))
+    )
+    arr.coalesce(1).write.mode("overwrite").text(target)
+    back = (
+        spark.read.option("multiLine", True)
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .json(target)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
