@@ -150,6 +150,14 @@ BENCH_QUERIES = (
     "llm_rare_ngram_ratio",
     "graph_adamic_adar",
     "stream_two_level_window",
+    # r8 second wave: the two-grain clipped-precision joins (self-bleu),
+    # the hashing-trick explode, the iterative bipartite ranking, the
+    # cross-language shingle join, and the survival-grid prefix sums
+    "llm_self_bleu",
+    "llm_feature_hashing",
+    "graph_hits",
+    "llm_cross_lingual_contamination",
+    "agg_survival_km",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

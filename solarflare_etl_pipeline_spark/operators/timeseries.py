@@ -2503,3 +2503,119 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "ts_seasonal_strength",
+    # One-way ANOVA R^2 with groups = hour-of-day over the hourly count
+    # series (agg_anova_oneway's exact parity discipline): per-group
+    # sum-of-squares terms are single IEEE divisions of exact integer
+    # sufficient sums, rounded once to 9dp, DECIMAL-summed; the
+    # strength is the identical SSB/SST chain on the fold results.
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS h,
+                   CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                       AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        ),
+        g AS (
+            SELECT event_type, hod,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(c) AS BIGINT) AS s1,
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
+            FROM hourly GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(SUM(k) AS BIGINT) AS n,
+                   CAST(SUM(s1) AS BIGINT) AS t1,
+                   CAST(SUM(s2) AS BIGINT) AS t2
+            FROM g GROUP BY event_type
+        ),
+        ssw AS (
+            SELECT event_type,
+                   SUM(CAST(ROUND(CAST(k * s2 - s1 * s1 AS DOUBLE)
+                                  / CAST(k AS DOUBLE), 9)
+                            AS DECIMAL(28,12))) AS w
+            FROM g GROUP BY event_type
+        )
+        SELECT t.event_type,
+               t.n AS n_hours,
+               CAST(CAST(ssw.w AS VARCHAR) AS DOUBLE) AS ss_within,
+               CAST(t.n * t.t2 - t.t1 * t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   AS ss_total,
+               CASE WHEN t.n * t.t2 - t.t1 * t.t1 = 0 THEN NULL
+                    ELSE 1.0 - CAST(CAST(ssw.w AS VARCHAR) AS DOUBLE)
+                         / (CAST(t.n * t.t2 - t.t1 * t.t1 AS DOUBLE)
+                            / CAST(t.n AS DOUBLE))
+               END AS seasonal_strength
+        FROM tot t JOIN ssw ON ssw.event_type = t.event_type
+        ORDER BY t.event_type
+    """,
+    doc="Hour-of-day seasonal STRENGTH per event type: the share of "
+    "hourly-count variance explained by the hour-of-day profile — "
+    "one-way ANOVA R^2 with groups = hod over the hourly series "
+    "(Hyndman's seasonal-strength measure with the seasonal means "
+    "as the fitted component). ts_seasonality_profile shows the "
+    "SHAPE of the daily cycle; this op gives the one-number "
+    "strength that says whether that shape matters (near 0 = flat "
+    "demand, near 1 = almost fully periodic — the signal that "
+    "decides whether capacity planning needs hourly granularity). "
+    "Exact-parity arithmetic per agg_anova_oneway: integer "
+    "sufficient sums per hod group, per-group SSW terms as single "
+    "divisions rounded once into DECIMAL, SST cleared to "
+    "(n*S2-S1^2)/n, strength as the identical final chain. Plan: "
+    "two bounded aggregates after the hourly rollup (grid is "
+    "calendar-bounded: |hours| x |types|); the raw-event volume is "
+    "absorbed by the first map-side-combinable groupBy.",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hod"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    g = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+    )
+    g = g.localCheckpoint()  # bounded |types| x 24 rows, used twice
+    tot = g.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("n"),
+        F.sum("s1").cast("long").alias("t1"),
+        F.sum("s2").cast("decimal(38,0)").alias("t2"),
+    )
+    ssw = g.groupBy("event_type").agg(
+        F.sum(
+            F.round(
+                (
+                    F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+                ).cast("double")
+                / F.col("k").cast("double"),
+                9,
+            ).cast("decimal(28,12)")
+        ).alias("w")
+    )
+    sst_num = (F.col("n") * F.col("t2") - F.col("t1") * F.col("t1")).cast(
+        "double"
+    )
+    sst = sst_num / F.col("n").cast("double")
+    return (
+        tot.join(ssw, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            F.col("w").cast("double").alias("ss_within"),
+            sst.alias("ss_total"),
+            F.when(sst_num == 0, F.lit(None).cast("double"))
+            .otherwise(F.lit(1.0) - F.col("w").cast("double") / sst)
+            .alias("seasonal_strength"),
+        )
+        .orderBy("event_type")
+    )

@@ -2362,3 +2362,38 @@ def test_diff_in_diff_rederivation(spark, sf_dir):
     assert row.n_total == sum(n for _, n in cells.values())
     assert _close(row.did_milli, did, 1e-9)
     assert _close(row.m_t1, m[(1, 1)], 1e-9)
+
+
+def test_seasonal_strength_rederivation(spark, sf_dir):
+    """Hour-of-day ANOVA R^2 re-walked from raw timestamps."""
+    rows = duckdb.sql(
+        f"SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)),"
+        f" EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    hourly = Counter((et, h, hod) for et, h, hod in rows)
+    by_type = defaultdict(list)
+    for (et, _, hod), c in hourly.items():
+        by_type[et].append((hod, c))
+    got = {
+        r.event_type: (r.n_hours, r.ss_within, r.ss_total, r.seasonal_strength)
+        for r in SPECS["ts_seasonal_strength"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, obs in by_type.items():
+        cs = [c for _, c in obs]
+        n = len(cs)
+        mean = sum(cs) / n
+        sst = sum((c - mean) ** 2 for c in cs)
+        groups = defaultdict(list)
+        for hod, c in obs:
+            groups[hod].append(c)
+        ssw = sum(
+            sum((c - sum(g) / len(g)) ** 2 for c in g)
+            for g in groups.values()
+        )
+        n_h, got_ssw, got_sst, got_strength = got[et]
+        assert n_h == n
+        assert _close(got_sst, sst, 1e-6)
+        assert _close(got_ssw, ssw, 1e-6)
+        assert _close(got_strength, 1 - ssw / sst, 1e-6)
