@@ -5763,3 +5763,82 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_total, m[(1, 0)], m[(1, 1)], m[(0, 0)], m[(0, 1)], did)],
         out_schema,
     )
+
+
+EB_PRIOR_N = 20  # pseudo-observations of the global rate per category
+
+
+@register(
+    "agg_eb_shrunk_rates",
+    # shrunk = (x + tau*p_global) / (n + tau) cleared of the global-rate
+    # fraction: (x*N + tau*X) * 1e6 DIV ((n + tau) * N) — every operand
+    # an exact BIGINT, output exact ppm (rule 16/22). The raw and
+    # global rates ride along as single IEEE divisions.
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(x) AS BIGINT) AS xt,
+                   CAST(SUM(n) AS BIGINT) AS nt
+            FROM c
+        )
+        SELECT c.event_type, c.x, c.n,
+               CAST(c.x AS DOUBLE) / c.n AS raw_rate,
+               CAST((c.x * tot.nt + {EB_PRIOR_N} * tot.xt) * 1000000
+                    // ((c.n + {EB_PRIOR_N}) * tot.nt) AS BIGINT)
+                   AS shrunk_ppm,
+               CAST(tot.xt AS DOUBLE) / tot.nt AS global_rate
+        FROM c CROSS JOIN tot
+        ORDER BY c.event_type
+    """,
+    doc=f"Empirical-Bayes shrunk rates: each category's high-value rate "
+    f"(value > 100) pulled toward the global rate with "
+    f"{EB_PRIOR_N} pseudo-observations of prior strength — the "
+    f"standard fix for ranking categories by rate when small "
+    f"categories would otherwise dominate both tails by noise alone "
+    f"(a 2/2 category must not outrank a 900/1000 one). Equivalent "
+    f"to a Beta(tau*p, tau*(1-p)) prior posterior mean. The "
+    f"shrinkage is EXACT integer arithmetic with the global-rate "
+    f"fraction cleared by cross-multiplication, emitted as ppm; "
+    f"raw and global rates ride along as single divisions. Plan: "
+    f"one per-category flag aggregate, a single-row total broadcast "
+    f"onto the bounded category table.",
+)
+def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.count("*").alias("n"),
+    )
+    c = c.localCheckpoint()  # bounded |types| rows
+    tot = c.agg(
+        F.sum("x").cast("long").alias("xt"),
+        F.sum("n").cast("long").alias("nt"),
+    ).collect()[0]
+    if tot.nt is None or int(tot.nt) == 0:
+        return spark.createDataFrame(
+            [],
+            "event_type string, x bigint, n bigint, raw_rate double,"
+            " shrunk_ppm bigint, global_rate double",
+        )
+    xt, nt = int(tot.xt), int(tot.nt)
+    return c.select(
+        "event_type",
+        "x",
+        "n",
+        (F.col("x").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        F.expr(
+            f"CAST((x * {nt} + {EB_PRIOR_N} * {xt}) * 1000000"
+            f" DIV ((n + {EB_PRIOR_N}) * {nt}) AS BIGINT)"
+        ).alias("shrunk_ppm"),
+        F.lit(xt / nt).alias("global_rate"),
+    ).orderBy("event_type")
