@@ -603,3 +603,62 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "win_global_running_sum",
+    # The classic global cumulative sum — THE shape naive SQL writes as
+    # SUM() OVER (ORDER BY ...) with no partition, which Spark executes
+    # on a single partition (the exact-rank scale-killer family). The
+    # registered plan routes through plans/rank.with_grouped_prefix_sum
+    # (range-repartitioned partition-local prefix sums + a bounded
+    # offset table); money stays exact integer cents.
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        OVER (ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_cents,
+               CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey)
+                    AS BIGINT) AS rn
+        FROM orders
+    """,
+    doc="GLOBAL running revenue in order-date order — the cumulative "
+    "bookings curve every finance dashboard draws, and the canonical "
+    "single-partition trap: an unpartitioned SUM() OVER (ORDER BY) "
+    "funnels the entire fact table through one task at any scale. "
+    "This op is the registered DEMONSTRATION of the repo's rewrite: "
+    "plans/rank.with_grouped_prefix_sum (constant group) range-"
+    "repartitions on the (date, key) order, runs the prefix sum "
+    "partition-locally in parallel, and stitches with a bounded "
+    "|partitions|-row offset table — same bit-exact result, "
+    "executor-parallel at 100 TB (the fn_quantile_align / "
+    "llm_ccnet_buckets rewrite family, here in its purest form). "
+    "Revenue accumulates as exact integer cents; the rank rides "
+    "along from with_global_rank for free ordering verification.",
+)
+def win_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import (
+        with_global_rank,
+        with_grouped_prefix_sum,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn("__g", F.lit(1))
+    run = with_grouped_prefix_sum(
+        o, ["__g"], ["o_orderdate", "o_orderkey"], "cents",
+        sum_col="running_cents",
+    )
+    ranked = with_global_rank(
+        run, ["o_orderdate", "o_orderkey"], "rn"
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("running_cents").cast("long").alias("running_cents"),
+        F.col("rn").cast("long").alias("rn"),
+    )

@@ -191,3 +191,25 @@ def test_ccnet_buckets_plan_has_no_corpus_scale_lang_window(spark, sf_dir):
     # never lands in data_scale; anything else is the r7 defect back.
     assert data_scale == [], data_scale
     assert "windowspecdefinition(lang" in plan  # the offset window exists
+
+
+def test_global_running_sum_plan_is_distributed(spark, sf_dir):
+    """win_global_running_sum must never carry an unpartitioned
+    running-sum window: every windowspecdefinition in the executed
+    plan includes the internal range-bucket pid column (data-scale
+    stage) or orders by it (bounded offset table)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    spec = load_all()["win_global_running_sum"]
+    plan = (
+        spec.spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition(" in line and "__rank_pid" not in line
+    ]
+    assert bad == [], bad
