@@ -4989,3 +4989,177 @@ def llm_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("chunk_toks", " ").alias("chunk_text"),
         F.size("chunk_toks").alias("n_tokens"),
     )
+
+
+@register(
+    "llm_bigram_entropy_rate",
+    # Same parity discipline as llm_perplexity_proxy at the transition
+    # grain: each term is an exact-integer count times a 9dp-rounded LN
+    # of ONE IEEE division of exact integers, DECIMAL-summed; one final
+    # division + ROUND 6.
+    oracle="""
+        WITH bg AS (
+            SELECT UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1])) AS bigram
+            FROM documents
+        ),
+        tf AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+        ctx AS (
+            SELECT STRING_SPLIT(bigram, ' ')[1] AS w1,
+                   CAST(SUM(c12) AS BIGINT) AS c1
+            FROM tf GROUP BY 1
+        ),
+        terms AS (
+            SELECT t.c12,
+                   CAST(ROUND(LN(CAST(t.c12 AS DOUBLE)
+                                 / CAST(x.c1 AS DOUBLE)), 9)
+                        AS DECIMAL(28,12)) AS lnp
+            FROM tf t JOIN ctx x ON x.w1 = STRING_SPLIT(t.bigram, ' ')[1]
+        )
+        SELECT CAST(SUM(c12) AS BIGINT) AS n_transitions,
+               ROUND(-CAST(SUM(c12 * lnp) AS DOUBLE) / CAST(SUM(c12) AS BIGINT),
+                     6) AS entropy_rate_nats
+        FROM terms
+    """,
+    doc="Corpus bigram ENTROPY RATE H(w2|w1) = -(1/N) SUM c12*ln(c12/c1) "
+    "— the one-number predictability of the corpus's token "
+    "transitions (natural prose sits well above templated/generated "
+    "text; a falling entropy rate across crawl snapshots is the "
+    "macro signal of template/SEO-farm contamination that per-doc "
+    "screens miss, and the information-theoretic companion to "
+    "llm_zipf_slope's frequency-law fit). Every probability is a "
+    "ratio of exact integer counts; each LN term is rounded once and "
+    "weighted by its exact count inside the DECIMAL sum (integer x "
+    "decimal is exact), so the engines cannot diverge before the "
+    "single final division. Plan: one bigram explode, one (bigram) "
+    "aggregate, context totals FROM the bigram table, a single-row "
+    "fold — the llm_bigram_lm_score topology collapsed to corpus "
+    "grain (no per-doc join back).",
+)
+def llm_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn(
+        "__toks", F.split("text", " ")
+    )
+    bg = d.select(
+        F.explode(F.expr(sliding_ngrams_sql(2, "__toks"))).alias("bigram")
+    )
+    tf = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    ctx = (
+        tf.withColumn("w1", F.split("bigram", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").cast("long").alias("c1"))
+    )
+    terms = (
+        tf.withColumn("w1", F.split("bigram", " ")[0])
+        .join(ctx, "w1")
+        .select(
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double") / F.col("c1").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,12)")
+            .alias("lnp"),
+        )
+    )
+    return terms.agg(
+        F.sum("c12").cast("long").alias("n_transitions"),
+        F.round(
+            -F.sum(F.col("c12") * F.col("lnp")).cast("double")
+            / F.sum("c12").cast("long"),
+            6,
+        ).alias("entropy_rate_nats"),
+    )
+
+
+TPL_PREFIX_TOKENS = 8  # template screen: modal document prefix length
+
+
+@register(
+    "llm_source_templates",
+    oracle=f"""
+        WITH p AS (
+            SELECT source,
+                   ARRAY_TO_STRING(STRING_SPLIT(text, ' ')
+                                   [1 : {TPL_PREFIX_TOKENS}], ' ')
+                       AS prefix
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' ')) >= {TPL_PREFIX_TOKENS}
+        ),
+        c AS (
+            SELECT source, prefix, COUNT(*) AS n_docs
+            FROM p GROUP BY source, prefix
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_total
+            FROM c GROUP BY source
+        ),
+        top AS (
+            SELECT source, prefix, n_docs,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_docs DESC, prefix) AS rk
+            FROM c
+        )
+        SELECT t.source, t.prefix AS modal_prefix,
+               t.n_docs AS n_with_prefix,
+               tot.n_total,
+               CAST(t.n_docs * 1000000 // tot.n_total AS BIGINT)
+                   AS prefix_share_ppm
+        FROM top t JOIN tot ON tot.source = t.source
+        WHERE t.rk = 1
+        ORDER BY t.source
+    """,
+    doc=f"Per-source boilerplate-template screen: the MODAL "
+    f"{TPL_PREFIX_TOKENS}-token document prefix for every crawl "
+    f"source and its share of that source's documents — crawl "
+    f"sources that prepend navigation chrome / cookie banners / "
+    f"license headers show a dominant shared prefix (share near 1), "
+    f"and this table is what a curation team eyeballs to write the "
+    f"strip rules llm_boilerplate_strip then applies. Modal prefix "
+    f"by count with a deterministic string tiebreak (rule 6); share "
+    f"as exact ppm. Plan: one narrow prefix projection, a "
+    f"(source, prefix) partial-aggregated groupBy, and a top-1-per-"
+    f"source window over the AGGREGATED prefix table (cardinality "
+    f"<= distinct prefixes, already shrunk by the count rollup; "
+    f"partitioned by source — no global window).",
+)
+def llm_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .withColumn("__toks", F.split("text", " "))
+        .where(F.size("__toks") >= TPL_PREFIX_TOKENS)
+    )
+    p = d.select(
+        "source",
+        F.array_join(
+            F.slice("__toks", 1, TPL_PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    c = p.groupBy("source", "prefix").agg(F.count("*").alias("n_docs"))
+    c = c.localCheckpoint()  # feeds totals and the top-1 window
+    tot = c.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_total")
+    )
+    w = W.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("prefix")
+    )
+    top = c.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    return (
+        top.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("prefix").alias("modal_prefix"),
+            F.col("n_docs").alias("n_with_prefix"),
+            "n_total",
+            F.expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").alias(
+                "prefix_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
