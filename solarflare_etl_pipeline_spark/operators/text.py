@@ -5121,15 +5121,17 @@ TPL_PREFIX_TOKENS = 8  # template screen: modal document prefix length
     f"and this table is what a curation team eyeballs to write the "
     f"strip rules llm_boilerplate_strip then applies. Modal prefix "
     f"by count with a deterministic string tiebreak (rule 6); share "
-    f"as exact ppm. Plan: one narrow prefix projection, a "
-    f"(source, prefix) partial-aggregated groupBy, and a top-1-per-"
-    f"source window over the AGGREGATED prefix table (cardinality "
-    f"<= distinct prefixes, already shrunk by the count rollup; "
-    f"partitioned by source — no global window).",
+    f"as exact ppm. 100 TB note: distinct prefixes grow with the "
+    f"corpus while |sources| stays small, so a top-1 window "
+    f"partitioned by source would be the ccnet-class low-"
+    f"cardinality-partition trap — the argmax is instead ONE "
+    f"mergeable aggregate, min(struct(-n_docs, prefix)) per source "
+    f"(lexicographic struct MIN == max count then min prefix), "
+    f"which partial-aggregates map-side like any hash agg. Plan: "
+    f"narrow prefix projection, (source, prefix) groupBy, one "
+    f"|sources|-bounded argmax aggregate — no window anywhere.",
 )
 def llm_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = (
         table(spark, sf_dir, "documents")
         .withColumn("__toks", F.split("text", " "))
@@ -5142,24 +5144,17 @@ def llm_source_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prefix"),
     )
     c = p.groupBy("source", "prefix").agg(F.count("*").alias("n_docs"))
-    c = c.localCheckpoint()  # feeds totals and the top-1 window
-    tot = c.groupBy("source").agg(
-        F.sum("n_docs").cast("long").alias("n_total")
+    best = F.min(F.struct((-F.col("n_docs")).alias("neg"), F.col("prefix")))
+    top = c.groupBy("source").agg(
+        best.alias("b"),
+        F.sum("n_docs").cast("long").alias("n_total"),
     )
-    w = W.partitionBy("source").orderBy(
-        F.col("n_docs").desc(), F.col("prefix")
-    )
-    top = c.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
-    return (
-        top.join(F.broadcast(tot), "source")
-        .select(
-            "source",
-            F.col("prefix").alias("modal_prefix"),
-            F.col("n_docs").alias("n_with_prefix"),
-            "n_total",
-            F.expr("CAST(n_docs * 1000000 DIV n_total AS BIGINT)").alias(
-                "prefix_share_ppm"
-            ),
-        )
-        .orderBy("source")
-    )
+    return top.select(
+        "source",
+        F.col("b.prefix").alias("modal_prefix"),
+        (-F.col("b.neg")).cast("long").alias("n_with_prefix"),
+        "n_total",
+        F.expr("CAST(-b.neg * 1000000 DIV n_total AS BIGINT)").alias(
+            "prefix_share_ppm"
+        ),
+    ).orderBy("source")
