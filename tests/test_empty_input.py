@@ -183,6 +183,17 @@ CORE_QUERIES = (
     "flagship_ab_readout",
     "udaf_arrow_grouped",
     "udf_arrow_map",
+    # round-8 third wave: empty rate folds (eb), empty prefix-sum frames
+    # (running sum), empty transition tables (entropy rate), empty
+    # prefix argmaxes (templates), empty chunk explodes, empty array
+    # feeds (multiline json), empty hourly grids (seasonal strength)
+    "agg_eb_shrunk_rates",
+    "win_global_running_sum",
+    "llm_bigram_entropy_rate",
+    "llm_source_templates",
+    "llm_chunk_sliding",
+    "ingest_json_multiline",
+    "ts_seasonal_strength",
 )
 
 
