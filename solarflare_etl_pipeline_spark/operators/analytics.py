@@ -2463,3 +2463,100 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("role", "node_id")
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    # Cumulative spend per cohort-age in exact integer cents, running
+    # over the CALENDAR-BOUNDED (cohort_day x age) grid (the survival-
+    # family precedent — the grid is days^2/2 at worst regardless of
+    # corpus size, so the per-cohort cumulative window is a bounded-
+    # summary window); the per-user average is one integer DIV.
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0
+            FROM events GROUP BY user_id
+        ),
+        spend AS (
+            SELECT f.user_id, f.d0,
+                   DATEDIFF('day', f.d0, CAST(e.ts AS TIMESTAMP)) AS age,
+                   CAST(ROUND(e.value * 100) AS BIGINT) AS cents
+            FROM events e
+            JOIN firsts f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+        ),
+        cohort_sizes AS (
+            SELECT d0, COUNT(*) AS n_users FROM firsts GROUP BY d0
+        ),
+        grid AS (
+            SELECT d0, age,
+                   CAST(SUM(cents) AS BIGINT) AS day_cents
+            FROM spend GROUP BY d0, age
+        )
+        SELECT CAST(g.d0 AS TIMESTAMP) AS cohort_day,
+               g.age,
+               cs.n_users AS cohort_users,
+               CAST(SUM(g.day_cents) OVER (PARTITION BY g.d0 ORDER BY g.age
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_cents,
+               CAST(SUM(g.day_cents) OVER (PARTITION BY g.d0 ORDER BY g.age
+                        ROWS UNBOUNDED PRECEDING) // cs.n_users AS BIGINT)
+                   AS ltv_cents_per_user
+        FROM grid g JOIN cohort_sizes cs ON cs.d0 = g.d0
+        ORDER BY cohort_day, age
+    """,
+    doc="Cohort LTV curve: cumulative purchase value per user by "
+    "cohort age (cohort = first-event day) — the lifetime-value "
+    "table under every payback-period and CAC-ceiling decision, and "
+    "the spend-side companion to cohort_retention's activity "
+    "triangle. Money accumulates as exact integer cents; the "
+    "per-user LTV is one integer DIV against the cohort size. The "
+    "cumulative window runs over the (cohort_day x age) grid — "
+    "CALENDAR-BOUNDED at any corpus size (days^2/2 cells max), so "
+    "partitioning by cohort_day is a bounded-summary window, not "
+    "the low-cardinality trap. Plan: first-event aggregate, one "
+    "(cohort, age) rollup absorbing raw purchase volume map-side, "
+    "bounded windows, a broadcast cohort-size join.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("d0")
+    )
+    firsts = firsts.localCheckpoint()  # feeds spend join + cohort sizes
+    spend = (
+        e.where(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "d0",
+            F.datediff(F.col("ts").cast("date"), F.col("d0")).alias("age"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    sizes = firsts.groupBy("d0").agg(F.count("*").alias("n_users"))
+    grid = spend.groupBy("d0", "age").agg(
+        F.sum("cents").cast("long").alias("day_cents")
+    )
+    w = (
+        W.partitionBy("d0")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(sizes), "d0")
+        .select(
+            F.col("d0").cast("timestamp").alias("cohort_day"),
+            F.col("age").cast("long").alias("age"),
+            F.col("n_users").alias("cohort_users"),
+            F.sum("day_cents").over(w).cast("long").alias("cum_cents"),
+            F.expr(
+                "CAST(SUM(day_cents) OVER (PARTITION BY d0 ORDER BY age"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " DIV n_users AS BIGINT)"
+            ).alias("ltv_cents_per_user"),
+        )
+        .orderBy("cohort_day", "age")
+    )

@@ -1706,3 +1706,70 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "dq_pk_uniqueness",
+    oracle="""
+        SELECT 'events(event_id)' AS key_name,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               COUNT(*) - COUNT(DISTINCT event_id) AS n_excess_rows,
+               COUNT(*) = COUNT(DISTINCT event_id) AS is_unique
+        FROM events
+        UNION ALL
+        SELECT 'orders(o_orderkey)',
+               COUNT(*), COUNT(DISTINCT o_orderkey),
+               COUNT(*) - COUNT(DISTINCT o_orderkey),
+               COUNT(*) = COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem(l_orderkey,l_linenumber)',
+               COUNT(*),
+               COUNT(DISTINCT l_orderkey * 1000000 + l_linenumber),
+               COUNT(*) - COUNT(DISTINCT l_orderkey * 1000000
+                                + l_linenumber),
+               COUNT(*) = COUNT(DISTINCT l_orderkey * 1000000
+                                + l_linenumber)
+        FROM lineitem
+        ORDER BY key_name
+    """,
+    doc="Primary-key uniqueness audit — the most-asked data-quality "
+    "check there is, run over three DECLARED keys: events(event_id) "
+    "and orders(o_orderkey) hold; lineitem(l_orderkey, l_linenumber) "
+    "does NOT on the synthetic fixtures (a real fixture fact first "
+    "caught by the fn_business_days re-derivation and recorded in "
+    "SURVEY §8 — this op turns that discovery into a standing, "
+    "driver-checkable audit instead of a code comment). The "
+    "composite key packs into one BIGINT (linenumber < 1e6) so the "
+    "distinct count is a single expression in both engines. "
+    "COUNT(DISTINCT) is the exact two-phase expand — the audit "
+    "wants truth, not an HLL estimate; at 100 TB run it per "
+    "partition-day and union, or swap in agg_approx_distinct for "
+    "monitoring-grade checks (both registered). One pass per "
+    "audited table, no joins.",
+)
+def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").agg(
+        F.lit("events(event_id)").alias("key_name"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("event_id")).alias("n_excess_rows"),
+        (F.count("*") == F.countDistinct("event_id")).alias("is_unique"),
+    )
+    o = table(spark, sf_dir, "orders").agg(
+        F.lit("orders(o_orderkey)").alias("key_name"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_excess_rows"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("is_unique"),
+    )
+    lkey = F.col("l_orderkey") * 1000000 + F.col("l_linenumber")
+    li = table(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem(l_orderkey,l_linenumber)").alias("key_name"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct(lkey).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(lkey)).alias("n_excess_rows"),
+        (F.count("*") == F.countDistinct(lkey)).alias("is_unique"),
+    )
+    return e.unionAll(o).unionAll(li).orderBy("key_name")
