@@ -2835,3 +2835,101 @@ def llm_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def _lsh_portable_oracle() -> str:
+    """SQL for the integer-exact LSH bucket census: per (table, bit)
+    the hyperplane dot is a SIGNED SUM of quantized coordinates (the
+    hyperplane entries are exactly ±1), written as CASE-IN lists over
+    the positive positions — machine-generated from HYPERPLANES."""
+    per_table = []
+    for t in range(NTABLES):
+        bit_terms = []
+        for b in range(NBITS):
+            pos = [str(j) for j in range(DIM) if HYPERPLANES[t][b][j] > 0]
+            dot = (
+                f"SUM(CASE WHEN pos IN ({', '.join(pos)}) THEN xq"
+                f" ELSE -xq END)"
+            )
+            bit_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id,"
+            f" CAST({' + '.join(bit_terms)} AS BIGINT) AS bucket_id"
+            f" FROM x GROUP BY vec_id"
+        )
+    union = " UNION ALL ".join(per_table)
+    return f"""
+        WITH x AS (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {PCAP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        assigned AS ({union})
+        SELECT table_id, bucket_id,
+               COUNT(*) AS n_vectors,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+        FROM assigned
+        GROUP BY table_id, bucket_id
+        ORDER BY table_id, bucket_id
+    """
+
+
+@register(
+    "llm_lsh_buckets_portable",
+    oracle=_lsh_portable_oracle(),
+    doc=f"PORTABLE LSH bucket census — the fourth integer-exact twin "
+    f"(after minhash/pca/ivfpq): the production random-hyperplane "
+    f"bucketer (llm_similarity_topk_lsh / llm_dedup_embcos) signs "
+    f"FLOAT dot products, which no second engine reproduces "
+    f"bit-for-bit; here the same {NTABLES}x{NBITS} hyperplanes "
+    f"(entries exactly ±1) are applied to integer-quantized "
+    f"coordinates, so every dot is a SIGNED INTEGER SUM and every "
+    f"bucket id is exact in both engines. Emits the bucket census "
+    f"(count + vec-id checksum per (table, bucket)) — the load "
+    f"profile that decides whether the LSH operating point is "
+    f"balanced (one hot bucket = a dead table) and the cross-engine "
+    f"certificate for the bucketing arithmetic itself. Zero-dot "
+    f"ties sign to 0 by the strict > in both engines. Plan: one "
+    f"scan; each (table,bit) dot is a codegen'd signed fold; the "
+    f"census is a bounded {NTABLES}x2^{NBITS} aggregate.",
+)
+def llm_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _vec_double(),
+            lambda xi: F.round(xi * PCAP_Q, 0).cast("long"),
+        ).alias("xq"),
+    )
+
+    def bucket(t: int):
+        acc = F.lit(0).cast("long")
+        for b in range(NBITS):
+            signs = F.array(
+                *[F.lit(1 if HYPERPLANES[t][b][j] > 0 else -1) for j in range(DIM)]
+            )
+            dot = F.aggregate(
+                F.zip_with("xq", signs, lambda a, s: a * s),
+                F.lit(0).cast("long"),
+                lambda acc2, v: acc2 + v,
+            )
+            acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(0)
+        return acc.cast("long")
+
+    assigned = None
+    for t in range(NTABLES):
+        part = e.select(
+            "vec_id",
+            F.lit(t).cast("long").alias("table_id"),
+            bucket(t).alias("bucket_id"),
+        )
+        assigned = part if assigned is None else assigned.unionAll(part)
+    return (
+        assigned.groupBy("table_id", "bucket_id")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+        )
+        .orderBy("table_id", "bucket_id")
+    )
