@@ -2397,3 +2397,42 @@ def test_seasonal_strength_rederivation(spark, sf_dir):
         assert _close(got_sst, sst, 1e-6)
         assert _close(got_ssw, ssw, 1e-6)
         assert _close(got_strength, 1 - ssw / sst, 1e-6)
+
+
+def test_burstiness_rederivation(spark, sf_dir, documents):
+    """Fano factor (k*S2 - S1^2)/(k*S1) from Counters."""
+    got = {
+        r.doc_id: (r.n_tokens, r.n_types, r.fano_milli)
+        for r in SPECS["llm_burstiness"].spark(spark, sf_dir).collect()
+    }
+    checked = 0
+    for doc_id, text, *_ in documents:
+        if text is None:
+            continue
+        c = Counter(text.split(" "))
+        k = len(c)
+        s1 = sum(c.values())
+        s2 = sum(v * v for v in c.values())
+        assert got[doc_id] == (s1, k, (k * s2 - s1 * s1) * 1000 // (k * s1))
+        checked += 1
+    assert checked > 0
+
+
+def test_eb_shrunk_rates_rederivation(spark, sf_dir, events):
+    """Exact-integer EB shrinkage from raw rows with Fractions."""
+    from fractions import Fraction
+
+    x = defaultdict(int)
+    n = defaultdict(int)
+    for _, _, et, v in events:
+        n[et] += 1
+        if v > 100:
+            x[et] += 1
+    xt, nt = sum(x.values()), sum(n.values())
+    got = {
+        r.event_type: (r.x, r.n, r.shrunk_ppm)
+        for r in SPECS["agg_eb_shrunk_rates"].spark(spark, sf_dir).collect()
+    }
+    for et in n:
+        shrunk = Fraction(x[et] * nt + 20 * xt, (n[et] + 20) * nt)
+        assert got[et] == (x[et], n[et], int(shrunk * 10**6))
