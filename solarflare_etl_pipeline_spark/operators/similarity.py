@@ -2933,3 +2933,95 @@ def llm_lsh_buckets_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_id", "bucket_id")
     )
+
+
+@register(
+    "llm_dedup_cluster_stats",
+    # Same recursive-closure oracle as llm_dedup_cluster, rolled up to
+    # the cluster-size histogram, with the singleton row derived by
+    # subtraction from the corpus total — all exact integers.
+    oracle="""
+        WITH RECURSIVE
+        t AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+1] || ' ' ||
+                            STRING_SPLIT(text, ' ')[i+2])) AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db
+            FROM t a JOIN t b ON a.doc_id < b.doc_id
+            WHERE CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) AS DOUBLE)
+                      / (LEN(a.toks) + LEN(b.toks) - LEN(LIST_INTERSECT(a.toks, b.toks))) >= 0.6
+        ),
+        edges AS (SELECT da AS s, db AS d FROM pairs
+                  UNION ALL SELECT db AS s, da AS d FROM pairs),
+        reach AS (
+            SELECT s AS src, d AS dst FROM edges
+            UNION
+            SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON r.dst = e.s
+        ),
+        assign AS (
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM assign GROUP BY cluster_id
+        ),
+        hist AS (
+            SELECT sz AS cluster_size,
+                   COUNT(*) AS n_clusters,
+                   CAST(SUM(sz) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY sz
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM documents),
+        clustered AS (
+            SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS c FROM hist
+        )
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               CAST(tot.n - clustered.c AS BIGINT) AS n_clusters,
+               CAST(tot.n - clustered.c AS BIGINT) AS n_docs
+        FROM tot CROSS JOIN clustered
+        UNION ALL
+        SELECT CAST(cluster_size AS BIGINT), n_clusters, n_docs FROM hist
+        ORDER BY cluster_size
+    """,
+    doc="Near-duplicate CLUSTER TELEMETRY: the cluster-size histogram "
+    "the dedup readout is judged by — n_docs at size 1 is the unique "
+    "mass, sizes >= 2 carry the duplicate mass (sum of (size-1) per "
+    "cluster = rows a keep-canonical policy deletes), and a fat tail "
+    "(one giant cluster) is the classic symptom of a boilerplate "
+    "template masquerading as near-dups. Rolls up llm_dedup_cluster's "
+    "exact component assignment; the singleton row comes by "
+    "subtraction from the corpus total, so the histogram partitions "
+    "the corpus exactly. Plan: the clustering's iterative joins "
+    "dominate; the rollup is two bounded aggregates and one "
+    "single-row subtraction.",
+)
+def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    assign = REGISTRY["llm_dedup_cluster"].spark(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    sizes = assign.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    hist = hist.localCheckpoint()  # bounded |distinct sizes| rows
+    n_total = table(spark, sf_dir, "documents").count()
+    n_clustered = hist.agg(F.sum("n_docs")).collect()[0][0] or 0
+    singletons = spark.createDataFrame(
+        [(1, int(n_total - n_clustered), int(n_total - n_clustered))],
+        "cluster_size bigint, n_clusters bigint, n_docs bigint",
+    )
+    return singletons.unionAll(
+        hist.select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            F.col("n_clusters").cast("long"),
+            F.col("n_docs").cast("long"),
+        )
+    ).orderBy("cluster_size")
