@@ -1661,3 +1661,38 @@ def test_ks_statistic_matches_python_ecdf(spark, sf_dir):
     assert (r.n_a, r.n_b, r.d_num) == (na, nb, d_num)
     assert 0.0 <= r.ks_d <= 1.0
     assert r.ks_d == round(d_num / (na * nb), 9)
+
+
+def test_url_canonicalize_is_idempotent(spark, sf_dir):
+    """Canonicalization must be a fixpoint: applying the same transform
+    to the canonical output changes nothing (otherwise two passes over
+    the same crawl produce different dedup keys)."""
+    from pyspark.sql import functions as F
+
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    out = load_all()["llm_url_canonicalize"].spark(spark, sf_dir)
+    host = F.lower(F.regexp_extract("url", "^(https?://[^/:?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_extract("url", "^https?://[^/?#]+([^?#]*)", 1),
+            "//+",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    canonical2 = F.concat(
+        host,
+        path,
+        F.lit("?lang="),
+        F.regexp_extract("url", "[?&]lang=([^&#]*)", 1),
+        F.lit("&v="),
+        F.regexp_extract("url", "[?&]v=([^&#]*)", 1),
+    )
+    twice = out.select(
+        F.col("canonical_url").alias("url")
+    ).select("url", canonical2.alias("again"))
+    assert twice.where(F.col("url") != F.col("again")).count() == 0
+    # and every document's variants collapsed to exactly one canonical
+    assert out.where(F.col("n_canonical") != 1).count() == 0
