@@ -1773,3 +1773,47 @@ def dq_pk_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") == F.countDistinct(lkey)).alias("is_unique"),
     )
     return e.unionAll(o).unionAll(li).orderBy("key_name")
+
+
+@register(
+    "dq_partition_checksums",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               COUNT(*) AS n_rows,
+               BIT_XOR(event_id) AS xor_event_ids,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Per-partition reconciliation checksums: one row per day with "
+    "the row count, the order-free XOR of event ids, the exact cents "
+    "total, and the user cardinality — the manifest two sides of a "
+    "replication/backfill compare BY PARTITION to find exactly which "
+    "day diverged without ever joining row-level data (dq_table_diff "
+    "is the row-level tool you reach for AFTER this table names the "
+    "day). XOR is the order-free checksum that catches substituted "
+    "ids at equal counts; the cents sum catches value corruption; "
+    "all integer-exact. Plan: one partial+final hash aggregate keyed "
+    "on the natural partition column — at 100 TB this is the cheap "
+    "daily job whose output both sides exchange instead of data.",
+)
+def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(event_id)").alias("xor_event_ids"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("day")
+    )
