@@ -138,7 +138,16 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: graph_adamic_adar, agg_mcnemar, agg_cochran_q,
 #: llm_embed_centroid_drift, llm_temperature_mixture, agg_bitops,
 #: agg_power_two_proportion, maintenance_footer_stats,
-#: ingest_fixed_width, fn_date_parts2.
+#: ingest_fixed_width, fn_date_parts2 — and the late-round-8 batch:
+#: llm_lsh_buckets_portable (the fourth integer-exact twin),
+#: llm_dedup_cluster_stats (the dedup readout histogram),
+#: flagship_ab_readout, win_global_running_sum (prefix-sum showcase,
+#: plan-pinned), cohort_ltv_curve, dq_pk_uniqueness,
+#: dq_partition_checksums, llm_needle_eval_corpus, fn_woe_iv,
+#: ts_local_peaks, ts_seasonal_strength, agg_eb_shrunk_rates,
+#: llm_bigram_entropy_rate, llm_source_templates, llm_chunk_sliding,
+#: ingest_json_multiline, sink_json_lines, fn_target_encode_loo,
+#: llm_feature_hashing, agg_permutation_test, agg_diff_in_diff.
 #: Batch-7..10: agg_cuped_adjust, dq_fd_violations, ts_drawdown,
 #: llm_token_budget_trim (first with_grouped_prefix_sum consumer),
 #: llm_rank_fusion_rrf, agg_hill_tail_index, agg_theil_decomposition,
