@@ -2420,11 +2420,15 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
 
     def norm(df: DataFrame, key: str, col: str) -> DataFrame:
+        # checkpoint FIRST so the max fold and the divided projection
+        # both read the materialized round result — collecting before
+        # checkpointing would run the round's joins twice
+        df = df.localCheckpoint()
         mx = df.agg(F.max(col)).collect()[0][0]  # single-row scalar
         d = max(1, int(mx) // HITS_SCALE)
         return df.select(
             key, F.expr(f"{col} DIV {d}").cast("long").alias(col)
-        ).localCheckpoint()
+        )
 
     a = norm(
         edges.groupBy("part").agg(
