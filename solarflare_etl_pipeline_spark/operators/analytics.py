@@ -1772,9 +1772,12 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("date")
         .alias("dconv"),
+        F.max(F.col("ts")).cast("date").alias("dlast"),
     )
     per_user = per_user.localCheckpoint()  # feeds dmax scalar + lives
-    dmax = e.agg(F.max(F.col("ts").cast("date"))).collect()[0][0]
+    # censor bound from the bounded per-user summary (max of per-user
+    # maxima == global max event date) — no second raw-events scan
+    dmax = per_user.agg(F.max("dlast")).collect()[0][0]
     if dmax is None:
         return spark.createDataFrame(
             [],
@@ -1961,9 +1964,10 @@ def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("grp"),
+        F.max(F.col("ts")).cast("date").alias("dlast"),
     )
     per_user = per_user.localCheckpoint()
-    dmax = e.agg(F.max(F.col("ts").cast("date"))).collect()[0][0]
+    dmax = per_user.agg(F.max("dlast")).collect()[0][0]
     if dmax is None:
         return spark.createDataFrame(
             [], "o1 bigint, e1 double, var_lr double, chi2_logrank double"
