@@ -3025,3 +3025,198 @@ def llm_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("long"),
         )
     ).orderBy("cluster_size")
+
+
+LSHC_NQ = 10   # queries for the operating-point curve (vec_id < LSHC_NQ)
+LSHC_K = 5     # exact top-k ground truth per query
+
+
+def _lsh_recall_oracle() -> str:
+    """Recall + candidate-volume per NBITS prefix tier, all integer-
+    exact: buckets from signed integer sums (the census discipline),
+    ground truth from integer L2 top-k, candidacy = full-prefix match
+    in >= 1 table."""
+    per_table = []
+    for t in range(NTABLES):
+        bit_terms = []
+        for b in range(NBITS):
+            pos = [str(j) for j in range(DIM) if HYPERPLANES[t][b][j] > 0]
+            dot = (
+                f"SUM(CASE WHEN pos IN ({', '.join(pos)}) THEN xq"
+                f" ELSE -xq END)"
+            )
+            bit_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        per_table.append(
+            f"SELECT vec_id, {t} AS table_id,"
+            f" CAST({' + '.join(bit_terms)} AS BIGINT) AS bucket_id"
+            f" FROM x GROUP BY vec_id"
+        )
+    buckets = " UNION ALL ".join(per_table)
+    return f"""
+        WITH x AS (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {PCAP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        buckets AS ({buckets}),
+        d AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS cand_id,
+                   CAST(SUM((q.xq - v.xq) * (q.xq - v.xq)) AS BIGINT)
+                       AS dist
+            FROM x q JOIN x v ON v.pos = q.pos AND v.vec_id <> q.vec_id
+            WHERE q.vec_id < {LSHC_NQ}
+            GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT q_id, cand_id FROM (
+                SELECT q_id, cand_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY dist, cand_id) AS rn
+                FROM d
+            ) WHERE rn <= {LSHC_K}
+        ),
+        tiers AS (SELECT UNNEST([2, 3, 4]) AS nbits),
+        cand AS (
+            SELECT DISTINCT t.nbits, qb.vec_id AS q_id, vb.vec_id AS cand_id
+            FROM tiers t
+            JOIN buckets qb ON qb.vec_id < {LSHC_NQ}
+            JOIN buckets vb
+              ON vb.table_id = qb.table_id
+             AND vb.vec_id <> qb.vec_id
+             AND (vb.bucket_id % CAST(POW(2, t.nbits) AS BIGINT))
+                 = (qb.bucket_id % CAST(POW(2, t.nbits) AS BIGINT))
+        ),
+        hits AS (
+            SELECT c.nbits, c.q_id, COUNT(*) AS n_hit
+            FROM cand c JOIN top ON top.q_id = c.q_id
+                              AND top.cand_id = c.cand_id
+            GROUP BY 1, 2
+        ),
+        vol AS (
+            SELECT nbits, COUNT(*) AS n_candidate_pairs
+            FROM cand GROUP BY nbits
+        )
+        SELECT v.nbits,
+               CAST(COALESCE(CAST(SUM(h.n_hit) AS BIGINT), 0) * 1000000
+                    // ({LSHC_NQ} * {LSHC_K}) AS BIGINT) AS recall_ppm,
+               v.n_candidate_pairs
+        FROM vol v LEFT JOIN hits h ON h.nbits = v.nbits
+        GROUP BY v.nbits, v.n_candidate_pairs
+        ORDER BY v.nbits
+    """
+
+
+@register(
+    "llm_lsh_recall_curve",
+    oracle=_lsh_recall_oracle(),
+    doc=f"LSH OPERATING-POINT curve: candidate recall of the exact "
+    f"integer top-{LSHC_K} (for the first {LSHC_NQ} queries) versus "
+    f"candidate volume at NBITS = 2/3/4 bucket-prefix tiers — the "
+    f"tuning table that justifies (or moves) the production LSH "
+    f"config: more bits = sharper pruning (volume drops ~2x per "
+    f"bit) but lower recall, and THIS table is where the tradeoff "
+    f"is read instead of guessed. Everything is integer-exact and "
+    f"cross-engine: buckets from signed integer hyperplane sums "
+    f"(the census twin's discipline), ground truth from integer L2 "
+    f"distances with (dist, id) tie-breaks, prefix tiers by bucket "
+    f"modulo power-of-two. Plan: bucket assignment is one scan; the "
+    f"exact top-k is the documented {LSHC_NQ}-query bounded "
+    f"broadcast baseline (similarity_topk's shape — the scale path "
+    f"for all-queries eval is the ANN family); tier candidacy is an "
+    f"equi-join on (table, bucket-prefix). At 100 TB the curve runs "
+    f"on a query sample, which is exactly how ANN configs are tuned "
+    f"in production.",
+)
+def llm_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(
+                _vec_double(),
+                lambda xi: F.round(xi * PCAP_Q, 0).cast("long"),
+            ).alias("xq"),
+        )
+        .localCheckpoint()  # buckets + probes + exact distances
+    )
+
+    def bucket(t: int):
+        acc = F.lit(0).cast("long")
+        for b in range(NBITS):
+            signs = F.array(
+                *[F.lit(1 if HYPERPLANES[t][b][j] > 0 else -1) for j in range(DIM)]
+            )
+            dot = F.aggregate(
+                F.zip_with("xq", signs, lambda a, s: a * s),
+                F.lit(0).cast("long"),
+                lambda acc2, v: acc2 + v,
+            )
+            acc = acc + F.when(dot > 0, F.lit(1 << b)).otherwise(0)
+        return acc.cast("long")
+
+    buckets = None
+    for t in range(NTABLES):
+        part = e.select(
+            "vec_id",
+            F.lit(t).cast("long").alias("table_id"),
+            bucket(t).alias("bucket_id"),
+        )
+        buckets = part if buckets is None else buckets.unionAll(part)
+    buckets = buckets.localCheckpoint()  # reused per tier
+
+    probes = e.where(F.col("vec_id") < LSHC_NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("xq").alias("qx")
+    )
+    dist = F.aggregate(
+        F.zip_with("xq", "qx", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", F.col("vec_id").alias("cand_id"), dist.alias("dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("dist", "cand_id")
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= LSHC_K)
+        .select("q_id", "cand_id")
+        .localCheckpoint()  # 10 x 5 rows
+    )
+    qb = buckets.where(F.col("vec_id") < LSHC_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("table_id").alias("qtbl"),
+        F.col("bucket_id").alias("qbkt"),
+    )
+    out = None
+    for nbits in (2, 3, 4):
+        m = 1 << nbits
+        cand = (
+            buckets.join(
+                F.broadcast(qb),
+                (F.col("table_id") == F.col("qtbl"))
+                & (F.col("vec_id") != F.col("q_id"))
+                & (F.col("bucket_id") % m == F.col("qbkt") % m),
+            )
+            .select("q_id", F.col("vec_id").alias("cand_id"))
+            .distinct()
+        ).localCheckpoint()
+        n_pairs = cand.count()
+        n_hit = cand.join(top, ["q_id", "cand_id"]).count()
+        row = spark.createDataFrame(
+            [
+                (
+                    nbits,
+                    n_hit * 10**6 // (LSHC_NQ * LSHC_K),
+                    n_pairs,
+                )
+            ],
+            "nbits bigint, recall_ppm bigint, n_candidate_pairs bigint",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("nbits")
