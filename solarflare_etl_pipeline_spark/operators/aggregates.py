@@ -5842,3 +5842,83 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shrunk_ppm"),
         F.lit(xt / nt).alias("global_rate"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_overdispersion",
+    # Dense per-user arrival counts (zeros included via the bounded
+    # |users| x |types| completion, the cochran_q discipline); VMR and
+    # the Poisson verdict are exact-integer forms (rule 22: the
+    # variance>2*mean test is cleared to (k*S2 - S1^2) > 2*k*S1).
+    oracle="""
+        WITH grid AS (
+            SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            LEFT JOIN (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY user_id, event_type
+            ) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        ),
+        m AS (
+            SELECT event_type,
+                   COUNT(*) AS k,
+                   CAST(SUM(n) AS BIGINT) AS s1,
+                   CAST(SUM(n * n) AS BIGINT) AS s2
+            FROM grid GROUP BY event_type
+        )
+        SELECT event_type, k AS n_users, s1 AS n_events,
+               CAST((k * s2 - s1 * s1) * 1000 // (k * s1) AS BIGINT)
+                   AS vmr_milli,
+               (k * s2 - s1 * s1) > 2 * (k * s1) AS overdispersed
+        FROM m
+        WHERE s1 > 0
+        ORDER BY event_type
+    """,
+    doc="Arrival-process overdispersion per event type: the variance-"
+    "to-mean ratio of per-USER event counts (zeros included — a "
+    "Poisson arrival process has VMR 1; heavy-user concentration "
+    "pushes it up), the test that decides whether capacity planning "
+    "can use Poisson math or needs a negative-binomial/heavy-user "
+    "model — llm_burstiness' exact-integer discipline lifted from "
+    "token counts to user arrivals. The dense zero-completed grid "
+    "is |users| x |types| (types a small enum — one narrow "
+    "broadcast completion, the cochran_q shape); the verdict "
+    "VMR > 2 is cleared to integer cross-multiplication so no "
+    "boundary row can flip on a ulp. Plan: one (user, type) "
+    "aggregate absorbs raw volume map-side; everything after is "
+    "the bounded grid.",
+)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(c, ["user_id", "event_type"], "left")
+        .select(
+            "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    m = grid.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    return (
+        m.where(F.col("s1") > 0)
+        .select(
+            "event_type",
+            F.col("k").alias("n_users"),
+            F.col("s1").alias("n_events"),
+            F.expr(
+                "CAST((k * s2 - s1 * s1) * 1000 DIV (k * s1) AS BIGINT)"
+            ).alias("vmr_milli"),
+            (
+                (F.col("k") * F.col("s2") - F.col("s1") * F.col("s1"))
+                > 2 * (F.col("k") * F.col("s1"))
+            ).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )

@@ -194,6 +194,9 @@ CORE_QUERIES = (
     "llm_chunk_sliding",
     "ingest_json_multiline",
     "ts_seasonal_strength",
+    "agg_overdispersion",
+    "llm_lsh_recall_curve",
+    "llm_dedup_cluster_stats",
 )
 
 

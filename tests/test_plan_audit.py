@@ -92,6 +92,10 @@ DELIBERATE_CROSS = {
     # r7 batch 20: domain-bounded value grid (<=1001 rows) × SINGLE-ROW
     # per-type totals broadcast — N×1 theorem shape
     "agg_gini_split",
+    # r8: |users| x |types| dense zero-completion — types is a tiny
+    # enum broadcast onto the user list (N x k nested loop, the
+    # cochran_q completion shape), not a data-scale product
+    "agg_overdispersion",
     # r7 batch 17: DELIBERATE bounded triangle — the isotonic minimax
     # day-pair grid (j <= k over POST-AGGREGATE calendar rows, ~365/yr
     # regardless of corpus scale; the data-scale stage is the daily
