@@ -158,6 +158,16 @@ BENCH_QUERIES = (
     "graph_hits",
     "llm_cross_lingual_contamination",
     "agg_survival_km",
+    # r9: the integer-exact twins (stationary vector, peel ledger,
+    # the REAL Arrow tokenizer loop), the capped split-leakage plan,
+    # two more distributed-rank consumers, and the C4 host-cap readout
+    "markov_stationary_portable",
+    "graph_k_core_portable",
+    "llm_tokenizer_apply_portable",
+    "agg_lorenz_curve",
+    "win_percent_rank",
+    "llm_domain_cap",
+    "agg_capture_recapture",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing
@@ -245,23 +255,46 @@ def main() -> None:
             json.dump({"sf": sf, "cold": cold}, fh, separators=(",", ":"))
     except OSError:
         pass
+    # Per-query steady timings + the fixed canary list go to a side file
+    # (the BENCH_cold.json precedent) — NOT the driver-parsed stdout line.
+    # The driver's tail capture keeps only the last ~2000 chars of stdout;
+    # r6 and r8 both shipped `parsed: null` when the queries dict pushed
+    # the JSON line past that. VERDICT r8 task #1: keep stdout minimal and
+    # hard-assert the line length so growth can never silently break
+    # parseability again.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_steady.json"), "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "total": total,
+                    "canary_value": canary_total,
+                    "canary_queries": list(CANARY_QUERIES),
+                    "queries": timings,
+                },
+                fh,
+                separators=(",", ":"),
+            )
+    except OSError:
+        pass
     sys.stderr.flush()
     # The compact JSON line is the absolute final stdout output.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime_steady",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "canary_value": canary_total,
-                "canary_queries": list(CANARY_QUERIES),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime_steady",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "canary_value": canary_total,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1800, (
+        f"bench stdout JSON line is {len(line)} chars — would exceed the "
+        "driver's 2000-char tail capture; move new fields to BENCH_steady.json"
+    )
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

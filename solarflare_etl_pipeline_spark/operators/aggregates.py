@@ -5154,8 +5154,12 @@ def agg_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, n = int(dims.k), int(dims.n)
     cols = grid.groupBy("event_type").agg(F.sum("x").cast("long").alias("cj"))
     rows = grid.groupBy("user_id").agg(F.sum("x").cast("long").alias("ri"))
+    # (k*cj - n) * (k*cj - n) as LONG multiplication — `** 2` routes
+    # through pow() on DOUBLE, which rounds once |k*cj - n| exceeds
+    # ~9.4e7 while the oracle squares exact BIGINTs (ADVICE r8).
+    d_j = F.lit(k) * F.col("cj") - F.lit(n)
     num = cols.agg(
-        F.sum((F.lit(k) * F.col("cj") - F.lit(n)) ** 2)
+        F.sum(d_j * d_j)
         .cast("long")
         .alias("s")
     ).collect()[0].s
@@ -5631,9 +5635,17 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "n_perms_valid bigint, obs_diff_milli double, p_two_sided_milli bigint"
     )
-    if not obs.n_t or not obs.n_c:
-        return spark.createDataFrame([(0, None, None)], out_schema)
-    obs_d = int(obs.s_t) / int(obs.n_t) - int(obs.s_c) / int(obs.n_c)
+    # Oracle semantics on a degenerate observed split (an empty arm):
+    # od is empty so obs_diff is NULL, the >= ABS(NULL) filter keeps 0
+    # rows, and p = 0*1000 // n_valid = 0 when any permutation is valid
+    # (NULL when none is — DuckDB integer // 0 yields NULL). Do NOT
+    # short-circuit to (0, None, None): the valid-permutation count is
+    # still computed (ADVICE r8).
+    obs_d = (
+        int(obs.s_t) / int(obs.n_t) - int(obs.s_c) / int(obs.n_c)
+        if obs.n_t and obs.n_c
+        else None
+    )
     bit = F.expr("(h DIV CAST(POW(2, b % 50) AS BIGINT)) % 2")
     perms = (
         u.select(
@@ -5667,9 +5679,14 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = perms.collect()  # PERM_B bounded rows
     n_valid = len(rows)
-    n_extreme = sum(1 for r in rows if abs(r.d) >= abs(obs_d))
+    n_extreme = (
+        sum(1 for r in rows if abs(r.d) >= abs(obs_d))
+        if obs_d is not None
+        else 0
+    )
+    p_milli = n_extreme * 1000 // n_valid if n_valid > 0 else None
     return spark.createDataFrame(
-        [(n_valid, obs_d, n_extreme * 1000 // n_valid)], out_schema
+        [(n_valid, obs_d, p_milli)], out_schema
     )
 
 
@@ -5736,8 +5753,15 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total bigint, m_t0 double, m_t1 double, m_c0 double,"
         " m_c1 double, did_milli double"
     )
+    # The oracle's flat aggregate ALWAYS emits exactly one row: an empty
+    # events table (or no purchases) yields all-NULL means and a NULL
+    # n_total; a partial cell grid yields the means that exist, n_total
+    # over the cells that exist, and a NULL did (ADVICE r8: degenerate
+    # inputs must not diverge into an empty DataFrame).
     if b.lo is None:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            [(None, None, None, None, None, None)], out_schema
+        )
     mid = (int(b.lo) + int(b.hi)) // 2
     q = e.where(F.col("event_type") == "purchase").select(
         (F.col("user_id") % 2).alias("treat"),
@@ -5754,13 +5778,24 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v3").cast("long").alias("s"), F.count("*").alias("n"))
         .collect()
     }
-    if len(cells) < 4:
-        return spark.createDataFrame([], out_schema)
     m = {k: s / n for k, (s, n) in cells.items()}
-    n_total = sum(n for _, n in cells.values())
-    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    n_total = sum(n for _, n in cells.values()) if cells else None
+    did = (
+        (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+        if len(cells) == 4
+        else None
+    )
     return spark.createDataFrame(
-        [(n_total, m[(1, 0)], m[(1, 1)], m[(0, 0)], m[(0, 1)], did)],
+        [
+            (
+                n_total,
+                m.get((1, 0)),
+                m.get((1, 1)),
+                m.get((0, 0)),
+                m.get((0, 1)),
+                did,
+            )
+        ],
         out_schema,
     )
 
@@ -5771,9 +5806,12 @@ EB_PRIOR_N = 20  # pseudo-observations of the global rate per category
 @register(
     "agg_eb_shrunk_rates",
     # shrunk = (x + tau*p_global) / (n + tau) cleared of the global-rate
-    # fraction: (x*N + tau*X) * 1e6 DIV ((n + tau) * N) — every operand
-    # an exact BIGINT, output exact ppm (rule 16/22). The raw and
-    # global rates ride along as single IEEE divisions.
+    # fraction: (x*N + tau*X) * 1e6 DIV ((n + tau) * N) — the numerator
+    # is x*N*1e6 which exceeds BIGINT once x*N passes ~9.2e12 (a few
+    # million events already, ADVICE r8), so the whole chain accumulates
+    # in DuckDB HUGEINT / Spark DECIMAL(38,0) (the Welch/zipf pattern)
+    # and casts to BIGINT only for the final exact ppm (rule 16/22).
+    # The raw and global rates ride along as single IEEE divisions.
     oracle=f"""
         WITH c AS (
             SELECT event_type,
@@ -5789,8 +5827,10 @@ EB_PRIOR_N = 20  # pseudo-observations of the global rate per category
         )
         SELECT c.event_type, c.x, c.n,
                CAST(c.x AS DOUBLE) / c.n AS raw_rate,
-               CAST((c.x * tot.nt + {EB_PRIOR_N} * tot.xt) * 1000000
-                    // ((c.n + {EB_PRIOR_N}) * tot.nt) AS BIGINT)
+               CAST((CAST(c.x AS HUGEINT) * tot.nt
+                     + {EB_PRIOR_N} * CAST(tot.xt AS HUGEINT)) * 1000000
+                    // ((c.n + {EB_PRIOR_N}) * CAST(tot.nt AS HUGEINT))
+                    AS BIGINT)
                    AS shrunk_ppm,
                CAST(tot.xt AS DOUBLE) / tot.nt AS global_rate
         FROM c CROSS JOIN tot
@@ -5837,8 +5877,10 @@ def agg_eb_shrunk_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_rate"
         ),
         F.expr(
-            f"CAST((x * {nt} + {EB_PRIOR_N} * {xt}) * 1000000"
-            f" DIV ((n + {EB_PRIOR_N}) * {nt}) AS BIGINT)"
+            f"CAST((CAST(x AS DECIMAL(38,0)) * {nt}"
+            f" + {EB_PRIOR_N} * CAST({xt} AS DECIMAL(38,0))) * 1000000"
+            f" DIV ((n + {EB_PRIOR_N}) * CAST({nt} AS DECIMAL(38,0)))"
+            f" AS BIGINT)"
         ).alias("shrunk_ppm"),
         F.lit(xt / nt).alias("global_rate"),
     ).orderBy("event_type")
@@ -5922,3 +5964,195 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_capture_recapture",
+    # Two capture occasions = the halves of the observation window split
+    # at the integer epoch-microsecond midpoint (the diff_in_diff
+    # spelling); every estimator input is an exact BIGINT user count and
+    # the Chapman / Lincoln-Petersen estimates are floor arithmetic with
+    # HUGEINT/DECIMAL(38,0) widening BEFORE the products (the r9
+    # overflow discipline — n1*n2*1000 passes BIGINT at ~1e8 users).
+    oracle="""
+        WITH bounds AS (
+            SELECT EPOCH_US(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                                 < (bounds.lo + bounds.hi) // 2
+                            THEN 1 ELSE 0 END) AS in1,
+                   MAX(CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                                 >= (bounds.lo + bounds.hi) // 2
+                            THEN 1 ELSE 0 END) AS in2
+            FROM events CROSS JOIN bounds
+            GROUP BY user_id
+        )
+        SELECT CAST(COALESCE(SUM(in1), 0) AS BIGINT) AS n_first,
+               CAST(COALESCE(SUM(in2), 0) AS BIGINT) AS n_second,
+               CAST(COALESCE(SUM(in1 * in2), 0) AS BIGINT) AS n_both,
+               CAST(COUNT(*) AS BIGINT) AS n_observed,
+               CAST((CAST(COALESCE(SUM(in1), 0) AS HUGEINT) + 1)
+                    * (COALESCE(SUM(in2), 0) + 1)
+                    // (COALESCE(SUM(in1 * in2), 0) + 1) - 1
+                    AS BIGINT) AS chapman_estimate,
+               CAST(CAST(COALESCE(SUM(in1), 0) AS HUGEINT)
+                    * COALESCE(SUM(in2), 0) * 1000
+                    // NULLIF(COALESCE(SUM(in1 * in2), 0), 0)
+                    AS BIGINT) AS lincoln_milli
+        FROM u
+    """,
+    doc="Capture-recapture population estimate — 'how many users does "
+    "this system REALLY have' from two observation occasions (the "
+    "window's first and second halves, split at the exact epoch "
+    "midpoint): Lincoln-Petersen N = n1*n2/m and the bias-corrected "
+    "Chapman (n1+1)(n2+1)/(m+1)-1, the mark-recapture estimators "
+    "ecology and dedup-coverage audits share (m = users seen in "
+    "BOTH halves; a small overlap means the observed population is "
+    "a small sample of the true one — the same inference that sizes "
+    "undiscovered duplicate pairs from a dedup sample). Exact "
+    "integer floor arithmetic end to end; Lincoln is NULL when the "
+    "overlap is empty (Chapman is the estimator that stays "
+    "defined). Plan: one per-user flag aggregate (map-side "
+    "combinable) + a single-row fold — nothing wide at any scale.",
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("hi"),
+    ).collect()[0]
+    out_schema = (
+        "n_first bigint, n_second bigint, n_both bigint,"
+        " n_observed bigint, chapman_estimate bigint, lincoln_milli bigint"
+    )
+    if b.lo is None:
+        # oracle: aggregate over zero users — all-zero counts, Chapman
+        # degenerates to 1*1//1 - 1 = 0, Lincoln NULL
+        return spark.createDataFrame([(0, 0, 0, 0, 0, None)], out_schema)
+    mid = (int(b.lo) + int(b.hi)) // 2
+    micros = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    u = e.groupBy("user_id").agg(
+        F.max(F.when(micros < F.lit(mid), 1).otherwise(0)).alias("in1"),
+        F.max(F.when(micros >= F.lit(mid), 1).otherwise(0)).alias("in2"),
+    )
+    return u.agg(
+        F.coalesce(F.sum("in1"), F.lit(0)).cast("long").alias("n_first"),
+        F.coalesce(F.sum("in2"), F.lit(0)).cast("long").alias("n_second"),
+        F.coalesce(F.sum(F.col("in1") * F.col("in2")), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
+        F.count("*").cast("long").alias("n_observed"),
+    ).select(
+        "n_first",
+        "n_second",
+        "n_both",
+        "n_observed",
+        F.expr(
+            "CAST((CAST(n_first AS DECIMAL(38,0)) + 1) * (n_second + 1)"
+            " DIV (n_both + 1) - 1 AS BIGINT)"
+        ).alias("chapman_estimate"),
+        F.expr(
+            "CAST(CAST(n_first AS DECIMAL(38,0)) * n_second * 1000"
+            " DIV NULLIF(n_both, 0) AS BIGINT)"
+        ).alias("lincoln_milli"),
+    )
+
+
+LORENZ_K = 10  # decile grid for the Lorenz curve readout
+
+
+@register(
+    "agg_lorenz_curve",
+    # Deciles under the TOTAL order (v3, user_id) so NTILE is
+    # deterministic; cumulative shares are exact integer ppm with the
+    # cum sum widened to HUGEINT/DECIMAL(38,0) before * 1e6.
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS v3
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT user_id, v3,
+                   NTILE({LORENZ_K}) OVER (ORDER BY v3, user_id) AS decile
+            FROM u
+        ),
+        d AS (
+            SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(v3) AS BIGINT) AS v3_sum
+            FROM r GROUP BY decile
+        ),
+        t AS (SELECT CAST(SUM(v3_sum) AS BIGINT) AS tot FROM d)
+        SELECT CAST(d.decile AS BIGINT) AS decile, d.n_users, d.v3_sum,
+               CAST(SUM(d.v3_sum) OVER (ORDER BY d.decile) AS BIGINT)
+                   AS cum_v3,
+               CAST(CAST(SUM(d.v3_sum) OVER (ORDER BY d.decile) AS HUGEINT)
+                    * 1000000 // NULLIF(t.tot, 0) AS BIGINT)
+                   AS cum_share_ppm
+        FROM d CROSS JOIN t
+        ORDER BY decile
+    """,
+    doc=f"Lorenz curve of purchase value over users, on a {LORENZ_K}-"
+    f"decile grid: users ranked ascending by exact milli purchase "
+    f"totals, each decile's head-count / value mass / CUMULATIVE "
+    f"share in exact ppm — the distributional readout behind "
+    f"agg_gini (which emits the one-number summary; this emits the "
+    f"curve the number integrates, the 'bottom 50% hold 3% of "
+    f"spend' statement). Spark plan is the scale-safe two-pass "
+    f"distributed rank (plans/rank.with_global_rank + exact_ntile "
+    f"— NO single-task NTILE window over the corpus; the oracle "
+    f"spells the textbook window); cumulative sums then run over "
+    f"the BOUNDED {LORENZ_K}-row decile grid. Ties are totally "
+    f"ordered by (v3, user_id) so both engines bucket identically.",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_global_rank
+
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v3")
+    )
+    ranked = with_global_rank(u, ["v3", "user_id"], "rn", total_col="n")
+    d = (
+        ranked.select(
+            exact_ntile(F.col("rn"), F.col("n"), LORENZ_K).alias("decile"),
+            "v3",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("v3").cast("long").alias("v3_sum"),
+        )
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # both windows run over the bounded decile grid (<= LORENZ_K rows)
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_users",
+        "v3_sum",
+        F.sum("v3_sum").over(cum_w).cast("long").alias("cum_v3"),
+        F.expr(
+            f"CAST(CAST(SUM(v3_sum) OVER (ORDER BY decile"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" AS DECIMAL(38,0)) * 1000000"
+            f" DIV NULLIF(SUM(v3_sum) OVER (ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("decile")

@@ -1191,6 +1191,263 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSP_SCALE = 10**6   # fixed-point mass units for the stationary vector
+MSP_ROUNDS = 3      # unrolled integer power-iteration rounds
+
+
+def _markov_stationary_portable_oracle() -> str:
+    """Unrolled integer power iteration over the transition counts —
+    every step is floor arithmetic on exact BIGINTs (per-term
+    pi_i * n_ij // tot_i, then mass renormalization raw_j * SCALE //
+    sum(raw)), so the DuckDB and Spark vectors are bit-identical."""
+    rounds = []
+    prev = "p0"
+    for r in range(1, MSP_ROUNDS + 1):
+        rounds.append(f"""
+        r{r} AS (
+            SELECT c.next_type AS s,
+                   CAST(SUM(CAST({prev}.pi AS HUGEINT) * c.n // tot.t)
+                        AS BIGINT) AS raw
+            FROM c
+            JOIN {prev} ON {prev}.s = c.prev_type
+            JOIN tot ON tot.prev_type = c.prev_type
+            GROUP BY c.next_type
+        ),
+        p{r} AS (
+            SELECT states.s,
+                   CAST(COALESCE(r{r}.raw, 0) * {MSP_SCALE}
+                        // (SELECT SUM(raw) FROM r{r}) AS BIGINT) AS pi
+            FROM states LEFT JOIN r{r} ON r{r}.s = states.s
+        )""")
+        prev = f"p{r}"
+    return f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        c AS (
+            SELECT prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t
+            FROM c GROUP BY prev_type
+        ),
+        states AS (
+            SELECT DISTINCT s FROM (
+                SELECT prev_type AS s FROM c
+                UNION SELECT next_type FROM c
+            )
+        ),
+        k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+        p0 AS (
+            SELECT s, CAST({MSP_SCALE} // k.k AS BIGINT) AS pi
+            FROM states CROSS JOIN k
+        ),{",".join(rounds)}
+        SELECT p{MSP_ROUNDS}.s AS event_type,
+               p{MSP_ROUNDS}.pi AS pi_fp,
+               COALESCE(r{MSP_ROUNDS}.raw, 0) AS raw_mass
+        FROM p{MSP_ROUNDS}
+        LEFT JOIN r{MSP_ROUNDS} ON r{MSP_ROUNDS}.s = p{MSP_ROUNDS}.s
+        ORDER BY event_type
+    """
+
+
+@register(
+    "markov_stationary_portable",
+    oracle=_markov_stationary_portable_oracle(),
+    doc=f"PORTABLE fixed-point twin of markov_stationary (VERDICT r8 "
+    f"task #5 — shrink the rows-only surface): the identical "
+    f"power-iteration plan, but in EXACT integer arithmetic so the "
+    f"driver hash certifies it cross-engine — pi starts uniform at "
+    f"{MSP_SCALE} // k mass units, each of the {MSP_ROUNDS} rounds "
+    f"applies the raw transition COUNTS with per-term floor division "
+    f"(pi_i * n_ij // tot_i — the graph_hits renormalization "
+    f"discipline) and renormalizes the total mass back to "
+    f"{MSP_SCALE} with one more floor division. Output: the round-"
+    f"{MSP_ROUNDS} fixed-point vector plus its pre-normalization "
+    f"mass, both exact BIGINTs. Plan: the ONLY data-scale stage is "
+    f"the lag-window transition aggregate (one shuffle on user_id); "
+    f"the |types|^2 count matrix is bounded metadata, collected once "
+    f"(the IVF-centroid discipline) and iterated in exact Python "
+    f"ints — Python floor division on non-negative ints is "
+    f"bit-identical to DuckDB HUGEINT '//'.",
+)
+def markov_stationary_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = (
+        seq.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+        .collect()  # bounded |types|^2 matrix — the markov_stationary discipline
+    )
+    out_schema = "event_type string, pi_fp bigint, raw_mass bigint"
+    if not trans:
+        return spark.createDataFrame([], out_schema)
+    states = sorted(
+        {r.prev_type for r in trans} | {r.next_type for r in trans}
+    )
+    k = len(states)
+    tot: dict[str, int] = {}
+    for r in trans:
+        tot[r.prev_type] = tot.get(r.prev_type, 0) + int(r.n)
+    pi = {s: MSP_SCALE // k for s in states}
+    raw = {s: 0 for s in states}
+    for _ in range(MSP_ROUNDS):
+        raw = {s: 0 for s in states}
+        for r in trans:
+            raw[r.next_type] += pi[r.prev_type] * int(r.n) // tot[r.prev_type]
+        mass = sum(raw.values())
+        pi = {s: raw[s] * MSP_SCALE // mass for s in states}
+    rows = [(s, pi[s], raw[s]) for s in states]
+    return spark.createDataFrame(rows, out_schema)
+
+
+KCP_ROUNDS = 4  # fixed unrolled peeling rounds for the ledger twin
+
+
+def _k_core_portable_oracle() -> str:
+    """Unrolled k-core peeling ledger: per round, the entry-state node
+    and half-edge counts, how many nodes sit below k, and a modular
+    checksum of their ids — every column an exact integer."""
+    parts = []
+    prev = "s0"
+    for r in range(1, KCP_ROUNDS + 1):
+        parts.append(f"""
+        d{r} AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM {prev} GROUP BY src
+        ),
+        l{r} AS (
+            SELECT {r} AS round,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(COALESCE(SUM(deg), 0) AS BIGINT) AS n_halfedges,
+                   CAST(COUNT(CASE WHEN deg < {K_CORE} THEN 1 END)
+                        AS BIGINT) AS n_below_k,
+                   CAST(COALESCE(SUM(CASE WHEN deg < {K_CORE}
+                                     THEN CAST(src AS HUGEINT) END), 0)
+                        % 1000000000 AS BIGINT) AS sum_below_mod9
+            FROM d{r}
+        ),
+        k{r} AS (SELECT src FROM d{r} WHERE deg >= {K_CORE}),
+        s{r} AS (
+            SELECT s.src, s.dst FROM {prev} s
+            JOIN k{r} ka ON ka.src = s.src
+            JOIN k{r} kb ON kb.src = s.dst
+        )""")
+        prev = f"s{r}"
+    ledger = " UNION ALL ".join(
+        f"SELECT * FROM l{r}" for r in range(1, KCP_ROUNDS + 1)
+    )
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        ),
+        s0 AS (
+            SELECT src, dst FROM e0
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM e0
+        ),{",".join(parts)}
+        SELECT CAST(round AS BIGINT) AS round, n_nodes, n_halfedges,
+               n_below_k, sum_below_mod9
+        FROM ({ledger})
+        ORDER BY round
+    """
+
+
+@register(
+    "graph_k_core_portable",
+    oracle=_k_core_portable_oracle(),
+    doc=f"PORTABLE round-ledger twin of graph_k_core (VERDICT r8 task "
+    f"#5): the identical peeling plan — same oriented co-purchase "
+    f"edge construction, same degree-then-filter round — but instead "
+    f"of iterating to the graph-dependent fixpoint it runs EXACTLY "
+    f"{KCP_ROUNDS} rounds and emits the per-round ledger: entry-state "
+    f"node count, half-edge count, number of nodes below k={K_CORE}, "
+    f"and a mod-1e9 checksum of their ids — all exact integers, so "
+    f"the driver hash certifies every round's degree arithmetic and "
+    f"edge filtering cross-engine (the removal counts are what the "
+    f"fixpoint loop's convergence test reads). Plan per round: one "
+    f"degree aggregate + two semi joins on node id — identical "
+    f"shuffles to graph_k_core; the ledger rows are four single-row "
+    f"folds over the bounded degree table.",
+)
+def graph_k_core_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    below = F.col("deg") < K_CORE
+    ledgers = []
+    for r in range(1, KCP_ROUNDS + 1):
+        deg = (
+            sym.groupBy("src")
+            .agg(F.count("*").cast("long").alias("deg"))
+            .localCheckpoint()  # feeds the ledger fold AND the keep filter
+        )
+        ledgers.append(
+            deg.agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.coalesce(F.sum("deg"), F.lit(0))
+                .cast("long")
+                .alias("n_halfedges"),
+                F.count(F.when(below, 1)).cast("long").alias("n_below_k"),
+                (
+                    F.coalesce(
+                        F.sum(F.when(below, F.col("src").cast("decimal(38,0)"))),
+                        F.lit(0).cast("decimal(38,0)"),
+                    )
+                    % 1000000000
+                )
+                .cast("long")
+                .alias("sum_below_mod9"),
+            ).select(
+                F.lit(r).cast("long").alias("round"),
+                "n_nodes",
+                "n_halfedges",
+                "n_below_k",
+                "sum_below_mod9",
+            )
+        )
+        keep = deg.where(F.col("deg") >= K_CORE).select("src")
+        sym = (
+            sym.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return reduce(DataFrame.unionAll, ledgers).orderBy("round")
+
+
 @register(
     "graph_degree_histogram",
     oracle="""
@@ -2280,7 +2537,7 @@ def flagship_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("v3").cast("decimal(38,0)")).alias("s1"),
-            F.sum((F.col("v3") * F.col("v3")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(F.col("v3").cast("decimal(38,0)") * F.col("v3")).alias("s2"),
         )
         .collect()
     }
@@ -2291,15 +2548,26 @@ def flagship_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if 0 not in arms or 1 not in arms or 0 not in vs or 1 not in vs:
         return spark.createDataFrame([], out_schema)
+    import math
+
+    def fdiv(a: float, b: float) -> float:
+        # IEEE-754 division like the oracle's DOUBLE '/': a 0/0 variance
+        # (single-purchase arm) is NaN, x/0 is ±Inf — NOT a Python
+        # ZeroDivisionError (ADVICE r8: the op must emit the oracle's
+        # NaN/Inf row, not crash).
+        if b == 0.0:
+            if a == 0.0:
+                return math.nan
+            return math.inf if a > 0 else -math.inf
+        return a / b
+
     (nc, xc), (nt, xt) = arms[0], arms[1]
     (npc, s1c, s2c), (npt, s1t, s2t) = vs[0], vs[1]
     srm = float((nc - nt) * (nc - nt)) / float(nc + nt)
     mc, mt = s1c / npc, s1t / npt
-    vc3 = float(npc * s2c - s1c * s1c) / (float(npc) * (npc - 1))
-    vt3 = float(npt * s2t - s1t * s1t) / (float(npt) * (npt - 1))
-    import math
-
-    welch = round((mc - mt) / math.sqrt(vc3 / npc + vt3 / npt), 9)
+    vc3 = fdiv(float(npc * s2c - s1c * s1c), float(npc) * (npc - 1))
+    vt3 = fdiv(float(npt * s2t - s1t * s1t), float(npt) * (npt - 1))
+    welch = round(fdiv(mc - mt, math.sqrt(vc3 / npc + vt3 / npt)), 9)
     p1, p2 = xc / nc, xt / nt
     if p1 == p2:
         n_req = None

@@ -2741,11 +2741,15 @@ def llm_knn_eval_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings GROUP BY label
         ),
         norms AS (
-            SELECT label, SUM(s * s) AS d2 FROM sums GROUP BY label
+            -- widen to HUGEINT BEFORE squaring: s is a corpus-scale
+            -- coordinate sum, s*s passes BIGINT at ~3e9 docs (ADVICE
+            -- r8's long-multiply-before-widen class)
+            SELECT label, SUM(CAST(s AS HUGEINT) * s) AS d2
+            FROM sums GROUP BY label
         ),
         pairs AS (
             SELECT a.label AS label_a, b.label AS label_b,
-                   SUM(a.s * b.s) AS num
+                   SUM(CAST(a.s AS HUGEINT) * b.s) AS num
             FROM sums a JOIN sums b
               ON b.pos = a.pos AND a.label < b.label
             GROUP BY 1, 2
@@ -2800,7 +2804,8 @@ def llm_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n"))
     )
     norms = sums.groupBy("label").agg(
-        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("d2")
+        # cast-then-multiply: long*long would wrap before the decimal cast
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("d2")
     )
     a = sums.select(F.col("label").alias("label_a"), "pos", F.col("s").alias("sa"))
     b = sums.select(F.col("label").alias("label_b"), "pos", F.col("s").alias("sb"))
@@ -2808,7 +2813,7 @@ def llm_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a["pos"] == b["pos"]) & (F.col("label_a") < F.col("label_b")))
         .groupBy("label_a", "label_b")
         .agg(
-            F.sum((F.col("sa") * F.col("sb")).cast("decimal(38,0)")).alias("num")
+            F.sum(F.col("sa").cast("decimal(38,0)") * F.col("sb")).alias("num")
         )
     )
     ca = counts.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))

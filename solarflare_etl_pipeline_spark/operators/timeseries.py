@@ -2530,15 +2530,19 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hourly GROUP BY 1, 2
         ),
         tot AS (
+            -- t2 stays HUGEINT (Σc² nears BIGINT range once hourly
+            -- counts reach ~1e9; n*t2 is far past it — ADVICE r8's
+            -- long-multiply-before-widen class)
             SELECT event_type,
                    CAST(SUM(k) AS BIGINT) AS n,
                    CAST(SUM(s1) AS BIGINT) AS t1,
-                   CAST(SUM(s2) AS BIGINT) AS t2
+                   SUM(s2) AS t2
             FROM g GROUP BY event_type
         ),
         ssw AS (
             SELECT event_type,
-                   SUM(CAST(ROUND(CAST(k * s2 - s1 * s1 AS DOUBLE)
+                   SUM(CAST(ROUND(CAST(k * s2 - CAST(s1 AS HUGEINT) * s1
+                                       AS DOUBLE)
                                   / CAST(k AS DOUBLE), 9)
                             AS DECIMAL(28,12))) AS w
             FROM g GROUP BY event_type
@@ -2546,11 +2550,14 @@ def ts_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT t.event_type,
                t.n AS n_hours,
                CAST(CAST(ssw.w AS VARCHAR) AS DOUBLE) AS ss_within,
-               CAST(t.n * t.t2 - t.t1 * t.t1 AS DOUBLE) / CAST(t.n AS DOUBLE)
-                   AS ss_total,
-               CASE WHEN t.n * t.t2 - t.t1 * t.t1 = 0 THEN NULL
+               CAST(CAST(t.n AS HUGEINT) * t.t2
+                    - CAST(t.t1 AS HUGEINT) * t.t1 AS DOUBLE)
+                   / CAST(t.n AS DOUBLE) AS ss_total,
+               CASE WHEN CAST(t.n AS HUGEINT) * t.t2
+                         - CAST(t.t1 AS HUGEINT) * t.t1 = 0 THEN NULL
                     ELSE 1.0 - CAST(CAST(ssw.w AS VARCHAR) AS DOUBLE)
-                         / (CAST(t.n * t.t2 - t.t1 * t.t1 AS DOUBLE)
+                         / (CAST(CAST(t.n AS HUGEINT) * t.t2
+                                 - CAST(t.t1 AS HUGEINT) * t.t1 AS DOUBLE)
                             / CAST(t.n AS DOUBLE))
                END AS seasonal_strength
         FROM tot t JOIN ssw ON ssw.event_type = t.event_type
@@ -2580,10 +2587,12 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
         F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hod"),
     ).agg(F.count("*").cast("long").alias("c"))
+    # widen BEFORE multiplying (ADVICE r8): c² and s1² in DECIMAL(38,0),
+    # never long*long that wraps first
     g = hourly.groupBy("event_type", "hod").agg(
         F.count("*").cast("long").alias("k"),
         F.sum("c").cast("long").alias("s1"),
-        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("s2"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).cast("decimal(38,0)").alias("s2"),
     )
     g = g.localCheckpoint()  # bounded |types| x 24 rows, used twice
     tot = g.groupBy("event_type").agg(
@@ -2595,16 +2604,18 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.round(
                 (
-                    F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+                    F.col("k") * F.col("s2")
+                    - F.col("s1").cast("decimal(38,0)") * F.col("s1")
                 ).cast("double")
                 / F.col("k").cast("double"),
                 9,
             ).cast("decimal(28,12)")
         ).alias("w")
     )
-    sst_num = (F.col("n") * F.col("t2") - F.col("t1") * F.col("t1")).cast(
-        "double"
-    )
+    sst_num = (
+        F.col("n") * F.col("t2")
+        - F.col("t1").cast("decimal(38,0)") * F.col("t1")
+    ).cast("double")
     sst = sst_num / F.col("n").cast("double")
     return (
         tot.join(ssw, "event_type")

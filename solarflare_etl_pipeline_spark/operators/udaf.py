@@ -34,14 +34,21 @@ from solarflare_etl_pipeline_spark.registry import register
     """,
     doc="Grouped-agg pandas UDAF (Arrow-batched): exact mean via integer-cents "
     "accumulation — order-independent, hence oracle-checkable. The escape hatch for "
-    "aggregations Catalyst can't express (reference R4's arbitrary Python, grouped).",
+    "aggregations Catalyst can't express (reference R4's arbitrary Python, grouped). "
+    "Scale shape (VERDICT r8 task #4): a grouped pandas UDAF materializes the WHOLE "
+    "group per call, and o_orderpriority is a ~5-value enum — corpus/5 rows per group "
+    "at any scale, the canonical grouped-map OOM. So the Python stage groups on the "
+    "data-scale composite (o_orderpriority, o_custkey) — per-group cardinality is a "
+    "customer's orders within one priority, bounded and scale-invariant — emitting "
+    "mergeable partials (cents sum + count), and a second-level JVM aggregate "
+    "re-combines to the enum grain. Exactness is preserved because integer-cents "
+    "partials merge associatively.",
 )
 def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.pandas_udf("double")
-    def exact_mean_price(v: pd.Series) -> float:
+    @F.pandas_udf("long")
+    def cents_sum(v: pd.Series) -> int:
         # integer cents: order-independent sum (2-decimal money is exact)
-        cents = (v * 100).round().astype("int64").sum()
-        return float(cents) / 100.0 / len(v)
+        return int((v * 100).round().astype("int64").sum())
 
     @F.pandas_udf("long")
     def n_rows(v: pd.Series) -> int:
@@ -50,9 +57,15 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return len(v)
 
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        exact_mean_price("o_totalprice").alias("mean_price"),
-        n_rows("o_totalprice").alias("n_orders"),
+    # Python boundary at (priority, custkey) grain: bounded groups.
+    partial = o.groupBy("o_orderpriority", "o_custkey").agg(
+        cents_sum("o_totalprice").alias("cents"),
+        n_rows("o_totalprice").alias("n"),
+    )
+    # JVM re-aggregate to the enum grain: exact long sums, one division.
+    return partial.groupBy("o_orderpriority").agg(
+        (F.sum("cents").cast("double") / 100.0 / F.sum("n")).alias("mean_price"),
+        F.sum("n").alias("n_orders"),
     )
 
 
@@ -242,10 +255,17 @@ def flagship_sql_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with Arrow bindings). Here the group reduction (count / sum / "
     "min / max of milli-quantized values) is deliberately also "
     "SQL-expressible so the entire Arrow path is oracle-certified. "
-    "At 100 TB: groups stream through executors one Arrow batch at a "
-    "time; the shuffle is the same hash partitioning as any groupBy, "
-    "and group size bounds per-executor memory exactly as "
-    "applyInPandas does.",
+    "Scale shape (VERDICT r8 task #4): applyInArrow materializes the "
+    "WHOLE group as one pyarrow.Table per call, and event_type is a "
+    "~5-value enum — corpus/5 rows per group at any scale, the "
+    "canonical grouped-map OOM. So the Arrow boundary groups on the "
+    "data-scale composite (event_type, user_id) — per-group "
+    "cardinality is one user's events of one type, bounded and "
+    "scale-invariant — emitting mergeable partials (n / sum / min / "
+    "max are all associative), and a second-level JVM aggregate "
+    "re-combines to the enum grain. At 100 TB: bounded groups stream "
+    "through executors one Arrow table at a time; the JVM re-agg is "
+    "an ordinary map-side-combinable hash aggregate.",
 )
 def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
@@ -266,10 +286,18 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = table(spark, sf_dir, "events").select("event_type", "value")
-    out = e.groupBy("event_type").applyInArrow(
+    e = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    # Arrow boundary at (event_type, user_id) grain: bounded groups.
+    partial = e.groupBy("event_type", "user_id").applyInArrow(
         reduce_group,
         schema="event_type string, n long, sum_milli long,"
         " min_milli long, max_milli long",
+    )
+    # JVM re-aggregate to the enum grain: all four partials are mergeable.
+    out = partial.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_milli").alias("sum_milli"),
+        F.min("min_milli").alias("min_milli"),
+        F.max("max_milli").alias("max_milli"),
     )
     return out.orderBy("event_type")

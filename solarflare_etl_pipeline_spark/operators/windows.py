@@ -662,3 +662,65 @@ def win_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("running_cents").cast("long").alias("running_cents"),
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+@register(
+    "win_percent_rank",
+    # Total order (o_totalprice, o_orderkey) makes rank == row_number,
+    # so percent_rank/cume_dist collapse to exact closed forms on
+    # (rn, n) — emitted as integer ppm with HUGEINT/DECIMAL(38,0)
+    # widening before * 1e6 (rn * 1e6 passes BIGINT at ~9e12 rows).
+    oracle="""
+        WITH r AS (
+            SELECT o_orderkey,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS rn,
+                   COUNT(*) OVER () AS n,
+                   NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS decile
+            FROM orders
+        )
+        SELECT o_orderkey, CAST(rn AS BIGINT) AS rn,
+               CAST(CAST(rn - 1 AS HUGEINT) * 1000000
+                    // NULLIF(n - 1, 0) AS BIGINT) AS pct_rank_ppm,
+               CAST(CAST(rn AS HUGEINT) * 1000000 // n AS BIGINT)
+                   AS cume_dist_ppm,
+               CAST(decile AS BIGINT) AS decile
+        FROM r ORDER BY rn
+    """,
+    doc="percent_rank / cume_dist / ntile — the relative-position "
+    "window family in exact integer ppm: under a TOTAL order "
+    "(price, orderkey tiebreak) rank equals row_number, so "
+    "percent_rank = (rn-1)/(n-1) and cume_dist = rn/n become "
+    "closed-form floor arithmetic on the global rank — no "
+    "float-division hash drift, and (the actual point at scale) NO "
+    "single-task global window: the oracle spells the textbook "
+    "unpartitioned ROW_NUMBER/NTILE while the Spark plan routes "
+    "through plans/rank.with_global_rank + exact_ntile — "
+    "range-repartition, partition-local rank, bounded offset table "
+    "— bit-identical output, every stage parallel. percent_rank is "
+    "NULL for a single-row input (the SQL convention mirrored by "
+    "NULLIF).",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import exact_ntile, with_global_rank
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = with_global_rank(
+        o, ["o_totalprice", "o_orderkey"], "rn", total_col="n"
+    )
+    return (
+        ranked.select(
+            "o_orderkey",
+            F.col("rn").cast("long").alias("rn"),
+            F.expr(
+                "CAST(CAST(rn - 1 AS DECIMAL(38,0)) * 1000000"
+                " DIV NULLIF(n - 1, 0) AS BIGINT)"
+            ).alias("pct_rank_ppm"),
+            F.expr(
+                "CAST(CAST(rn AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT)"
+            ).alias("cume_dist_ppm"),
+            exact_ntile(F.col("rn"), F.col("n"), 10).alias("decile"),
+        )
+        .orderBy("rn")
+    )

@@ -91,26 +91,29 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-8 rotation). All six
-#: round-7 slots went GREEN under the driver (CORRECTNESS_r07 — the
-#: second fully green window) and rotate out; in come the six keys
-#: VERDICT r7 task #1 names, weighting value + plan-certification
-#: coverage: llm_winnowing_overlap (hash-certifies the MOSS pipeline,
-#: the most expensive bench query), ingest_avro (certifies the
-#: from-scratch OCF byte loop), agg_decile_lift (puts a
-#: plans/rank.with_global_rank consumer under the driver),
-#: llm_split_leakage, agg_cuped_adjust, and ts_periodogram (the
-#: injected-constant DFT parity discipline). Every key here is
-#: oracle-backed and was verified under BOTH comparator legs (fetchall
-#: + driver-faithful pandas, tests/test_oracle_parity.py) at sf0.001
-#: and sf0.01 before rotating in; none has ever had a driver row.
+#: Slots 45-50 of the driver window (round-9 rotation). All six
+#: round-8 slots went GREEN under the driver (CORRECTNESS_r08 — the
+#: third consecutive fully green window) and rotate out; in come the
+#: six keys VERDICT r8 task #2 names, weighting subsystem-certification
+#: value: stream_state_reader (puts the statestore read path and
+#: streaming window state under the driver hash),
+#: llm_pca_power_portable + llm_lsh_buckets_portable (two of the four
+#: integer-exact twins — hash-certify the rows-only ANN/PCA family's
+#: arithmetic), tpch_q12_shipmode (closes the classic-shape ledger
+#: with hard evidence), agg_survival_km (certifies the survival
+#: family's calendar-bounded-grid discipline), and udaf_arrow_grouped
+#: (certifies the Spark-4 applyInArrow boundary through the driver
+#: hash). Every key here is oracle-backed and was verified under BOTH
+#: comparator legs (fetchall + driver-faithful pandas,
+#: tests/test_oracle_parity.py) at sf0.001 and sf0.01 before rotating
+#: in; none has ever had a driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "llm_winnowing_overlap",
-    "ingest_avro",
-    "agg_decile_lift",
-    "llm_split_leakage",
-    "agg_cuped_adjust",
-    "ts_periodogram",
+    "stream_state_reader",
+    "llm_pca_power_portable",
+    "llm_lsh_buckets_portable",
+    "tpch_q12_shipmode",
+    "agg_survival_km",
+    "udaf_arrow_grouped",
 )
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
@@ -148,6 +151,20 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: llm_bigram_entropy_rate, llm_source_templates, llm_chunk_sliding,
 #: ingest_json_multiline, sink_json_lines, fn_target_encode_loo,
 #: llm_feature_hashing, agg_permutation_test, agg_diff_in_diff.
+#: Round-9 additions leading the shortlist (never driver-checked,
+#: both-leg green, ordered by certification value):
+#: markov_stationary_portable + graph_k_core_portable (the round-9
+#: integer-exact twins — put the last untwinned rows-only iterative
+#: ops' arithmetic under the driver hash), llm_tokenizer_apply_portable
+#: (the recursive-CTE-certified REAL Arrow tokenizer loop — closes
+#: VERDICT r8 missing #2), agg_capture_recapture (Chapman/Lincoln
+#: exact), agg_lorenz_curve + win_percent_rank (two more
+#: with_global_rank/exact_ntile consumers), llm_domain_cap (the C4
+#: host-cap readout on with_grouped_rank), agg_logrank_test,
+#: stream_two_level_window, agg_shapley_attribution, llm_self_bleu,
+#: llm_ivfpq_portable, llm_knn_eval_portable, agg_cochran_q,
+#: graph_adamic_adar, graph_hits, llm_zipf_slope, llm_burstiness,
+#: flagship_ab_readout, win_global_running_sum, agg_mcnemar.
 #: Batch-7..10: agg_cuped_adjust, dq_fd_violations, ts_drawdown,
 #: llm_token_budget_trim (first with_grouped_prefix_sum consumer),
 #: llm_rank_fusion_rrf, agg_hill_tail_index, agg_theil_decomposition,

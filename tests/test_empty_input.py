@@ -197,6 +197,17 @@ CORE_QUERIES = (
     "agg_overdispersion",
     "llm_lsh_recall_curve",
     "llm_dedup_cluster_stats",
+    # round-9: empty transition matrices (stationary twin), empty
+    # peel ledgers (k-core twin), empty vocab walks (tokenizer twin),
+    # empty capture occasions, empty decile grids, empty rank frames,
+    # empty domain caps
+    "markov_stationary_portable",
+    "graph_k_core_portable",
+    "llm_tokenizer_apply_portable",
+    "agg_capture_recapture",
+    "agg_lorenz_curve",
+    "win_percent_rank",
+    "llm_domain_cap",
 )
 
 

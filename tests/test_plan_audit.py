@@ -123,6 +123,7 @@ PYTHON_OK = {
     "mm_image_edge_density",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
+    "llm_tokenizer_apply_portable",  # same Arrow tokenize loop, oracle-certified
     "llm_compression_ratio",  # zlib quality signal — one Arrow pandas UDF
     "udaf_arrow_grouped",  # Spark 4 applyInArrow (zero-copy grouped map)
     "udf_arrow_map",  # Spark 4 mapInArrow (zero-copy batch map)
