@@ -168,6 +168,27 @@ BENCH_QUERIES = (
     "win_percent_rank",
     "llm_domain_cap",
     "agg_capture_recapture",
+    "cohort_dau_mau",
+    "dq_cardinality_drift",
+    "dq_duplicate_rows",
+    "llm_ranker_agreement",
+    "agg_mde_curve",
+    "agg_paired_t_test",
+    "agg_poisson_rate_ratio",
+    "reshape_transpose",
+    "fn_sql_udf",
+    "llm_token_len_histogram",
+    "ts_dow_hour_heatmap",
+    "agg_survival_na",
+    "graph_bipartite_projection",
+    "llm_log_odds_words",
+    "llm_kneser_ney_bigram",
+    "llm_kmeans_portable",
+    "fn_month_end_rollover",
+    "ts_holt_linear_portable",
+    "agg_anderson_darling",
+    "sink_orc",
+    "stream_restart_exactly_once",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -6156,3 +6156,432 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" PRECEDING AND UNBOUNDED FOLLOWING), 0) AS BIGINT)"
         ).alias("cum_share_ppm"),
     ).orderBy("decile")
+
+
+#: Per-arm sample-size grid for the MDE curve (log-spaced decades).
+MDE_GRID = (1000, 2000, 5000, 10000, 20000, 50000,
+            100000, 200000, 500000, 1000000)
+
+
+@register(
+    "agg_mde_curve",
+    # Baseline rate p = one IEEE division of exact integer (x, n); each
+    # grid row's MDE is the identical RAW literal float chain in both
+    # engines (full-precision z literals, the power_two_proportion
+    # discipline; rule 16 — no trailing ROUND).
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events WHERE user_id % 2 = 0
+            GROUP BY user_id
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(conv), 0) AS BIGINT) AS x
+            FROM u
+        ),
+        g AS (
+            SELECT UNNEST([{", ".join(str(n) for n in MDE_GRID)}])
+                AS n_per_arm
+        )
+        SELECT CAST(g.n_per_arm AS BIGINT) AS n_per_arm,
+               s.n AS n_baseline, s.x AS x_baseline,
+               CASE WHEN s.n = 0 THEN NULL
+                    ELSE ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                         * SQRT(2.0 * (CAST(s.x AS DOUBLE) / s.n)
+                                * (1.0 - CAST(s.x AS DOUBLE) / s.n)
+                                / g.n_per_arm)
+               END AS mde_abs
+        FROM g CROSS JOIN s
+        ORDER BY n_per_arm
+    """,
+    doc=f"Minimum-detectable-effect CURVE — the planning companion to "
+    f"agg_power_two_proportion (which answers 'how many users for "
+    f"THIS effect'; this answers 'what effect can each budget "
+    f"detect'): for a log-spaced grid of per-arm sample sizes "
+    f"{MDE_GRID[0]}..{MDE_GRID[-1]}, the smallest absolute "
+    f"conversion-rate lift detectable at alpha=0.05 two-sided / 80% "
+    f"power, MDE = (z_a + z_b) * sqrt(2 p (1-p) / N) with p = the "
+    f"observed control-arm conversion rate (user parity arms, the "
+    f"ab_readout convention). The experimentation-platform table "
+    f"every team consults before committing traffic. Plan: one "
+    f"per-user flag aggregate + a single-row (n, x) fold; the "
+    f"{len(MDE_GRID)}-row grid is driver-side literals — nothing "
+    f"wide at any scale.",
+)
+def agg_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.where(F.col("user_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("x"),
+    ).collect()[0]
+    n, x = int(s.n), int(s.x)
+    import math
+
+    rows = []
+    for g in MDE_GRID:
+        if n == 0:
+            mde = None
+        else:
+            # rule 16: raw identical float chain (Python round is
+            # half-even on the binary double, DuckDB ROUND is
+            # half-away — a trailing round would tie-break differently)
+            p = x / n
+            mde = (POWER_Z_ALPHA + POWER_Z_BETA) * math.sqrt(
+                2.0 * p * (1.0 - p) / g
+            )
+        rows.append((g, n, x, mde))
+    return spark.createDataFrame(
+        rows,
+        "n_per_arm bigint, n_baseline bigint, x_baseline bigint, mde_abs double",
+    )
+
+
+@register(
+    "agg_paired_t_test",
+    # Per-user pre/post milli means are single IEEE divisions of exact
+    # integer sums; the paired difference is rounded ONCE at 9dp and
+    # both Σd and Σd² accumulate in DECIMAL (the spearman/corr
+    # discipline) so the t statistic is one identical float chain.
+    oracle="""
+        WITH bounds AS (
+            SELECT EPOCH_US(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        q AS (
+            SELECT user_id,
+                   CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                             >= (bounds.lo + bounds.hi) // 2
+                        THEN 1 ELSE 0 END AS post,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events CROSS JOIN bounds
+            WHERE event_type = 'purchase'
+        ),
+        u AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN post = 0 THEN v3 END) AS BIGINT) AS s0,
+                   CAST(COUNT(CASE WHEN post = 0 THEN 1 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN post = 1 THEN v3 END) AS BIGINT) AS s1,
+                   CAST(COUNT(CASE WHEN post = 1 THEN 1 END) AS BIGINT) AS n1
+            FROM q GROUP BY user_id
+        ),
+        d AS (
+            SELECT ROUND(CAST(s1 AS DOUBLE) / n1
+                         - CAST(s0 AS DOUBLE) / n0, 9) AS dr
+            FROM u WHERE n0 > 0 AND n1 > 0
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CAST(SUM(CAST(dr AS DECIMAL(28,12))) AS VARCHAR)
+                        AS DOUBLE) AS sd1,
+                   CAST(CAST(SUM(CAST(dr * dr AS DECIMAL(38,8))) AS VARCHAR)
+                        AS DOUBLE) AS sd2
+            FROM d
+        )
+        SELECT n AS n_pairs,
+               CASE WHEN n > 0 THEN sd1 / n END AS mean_diff_milli,
+               CASE WHEN n > 1 AND sd2 - sd1 * sd1 / n > 0
+                    THEN (sd1 / n)
+                         / SQRT((sd2 - sd1 * sd1 / n) / (n - 1) / n)
+               END AS t_stat
+        FROM s
+    """,
+    doc="Paired t-test on per-user purchase values, pre vs post the "
+    "window's epoch midpoint — the within-subject complement to "
+    "agg_welch_t (each user is their own control, which removes "
+    "between-user variance: the test behind 'did MY users spend "
+    "more after the launch'). Pairs = users with purchases in BOTH "
+    "halves; the paired difference of per-user milli means is "
+    "rounded once at 9dp and its first two moments accumulate in "
+    "DECIMAL so Spark's and DuckDB's summation orders cannot drift "
+    "the hash (the corr/spearman discipline); t = dbar / "
+    "sqrt(s²/n) is one identical float chain, NULL for n <= 1 or "
+    "zero variance. Plan: one per-user aggregate (map-side "
+    "combinable) + a single-row fold — nothing wide at any scale.",
+)
+def agg_paired_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("hi"),
+    ).collect()[0]
+    out_schema = "n_pairs bigint, mean_diff_milli double, t_stat double"
+    if b.lo is None:
+        return spark.createDataFrame([(0, None, None)], out_schema)
+    mid = (int(b.lo) + int(b.hi)) // 2
+    q = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") >= F.lit(mid), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    u = q.groupBy("user_id").agg(
+        F.sum(F.when(F.col("post") == 0, F.col("v3"))).cast("long").alias("s0"),
+        F.count(F.when(F.col("post") == 0, 1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("post") == 1, F.col("v3"))).cast("long").alias("s1"),
+        F.count(F.when(F.col("post") == 1, 1)).cast("long").alias("n1"),
+    )
+    d = u.where((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        F.round(
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s0").cast("double") / F.col("n0"),
+            9,
+        ).alias("dr")
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("dr").cast("decimal(28,12)"))
+        .cast("string")
+        .cast("double")
+        .alias("sd1"),
+        F.sum((F.col("dr") * F.col("dr")).cast("decimal(38,8)"))
+        .cast("string")
+        .cast("double")
+        .alias("sd2"),
+    )
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        F.when(F.col("n") > 0, F.col("sd1") / F.col("n")).alias(
+            "mean_diff_milli"
+        ),
+        # rule 16: raw identical float chain on the DECIMAL-aligned
+        # moments — no trailing ROUND to re-open engine tie-breaking
+        F.when(
+            (F.col("n") > 1)
+            & (F.col("sd2") - F.col("sd1") * F.col("sd1") / F.col("n") > 0),
+            (F.col("sd1") / F.col("n"))
+            / F.sqrt(
+                (F.col("sd2") - F.col("sd1") * F.col("sd1") / F.col("n"))
+                / (F.col("n") - 1)
+                / F.col("n")
+            ),
+        ).alias("t_stat"),
+    )
+
+
+@register(
+    "agg_poisson_rate_ratio",
+    # Exact integer event/user counts per arm; the ratio inference runs
+    # on the LN scale with every transcendental rounded once at 9dp
+    # (the bm25/perplexity LN discipline) — no EXP anywhere, so both
+    # engines evaluate the identical chain.
+    oracle=f"""
+        WITH a AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS k,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        f AS (
+            SELECT MAX(CASE WHEN arm = 1 THEN k END) AS k_t,
+                   MAX(CASE WHEN arm = 1 THEN n END) AS n_t,
+                   MAX(CASE WHEN arm = 0 THEN k END) AS k_c,
+                   MAX(CASE WHEN arm = 0 THEN n END) AS n_c
+            FROM a
+        )
+        SELECT k_t, n_t, k_c, n_c,
+               CASE WHEN k_t > 0 AND k_c > 0 AND n_t > 0 AND n_c > 0 THEN
+                   ROUND(LN(CAST(k_t AS DOUBLE) / n_t)
+                         - LN(CAST(k_c AS DOUBLE) / n_c), 9)
+               END AS ln_rate_ratio,
+               CASE WHEN k_t > 0 AND k_c > 0 THEN
+                   ROUND(SQRT(1.0 / k_t + 1.0 / k_c), 9)
+               END AS ln_se,
+               CASE WHEN k_t > 0 AND k_c > 0 AND n_t > 0 AND n_c > 0 THEN
+                   ROUND(LN(CAST(k_t AS DOUBLE) / n_t)
+                         - LN(CAST(k_c AS DOUBLE) / n_c), 9)
+                   - {POWER_Z_ALPHA}
+                     * ROUND(SQRT(1.0 / k_t + 1.0 / k_c), 9)
+               END AS ln_ci_lo,
+               CASE WHEN k_t > 0 AND k_c > 0 AND n_t > 0 AND n_c > 0 THEN
+                   ROUND(LN(CAST(k_t AS DOUBLE) / n_t)
+                         - LN(CAST(k_c AS DOUBLE) / n_c), 9)
+                   + {POWER_Z_ALPHA}
+                     * ROUND(SQRT(1.0 / k_t + 1.0 / k_c), 9)
+               END AS ln_ci_hi
+        FROM f
+    """,
+    doc="Poisson rate-ratio test — purchases per exposed user, "
+    "treatment vs control (user-parity arms): the event-RATE "
+    "companion to the proportion tests (a user converting five "
+    "times counts five times — the right test for purchase "
+    "frequency, notification volume, crash rates). Exact integer "
+    "event and exposure counts; inference on the LN scale with the "
+    "standard 1/k1 + 1/k2 variance, 95% CI via the full-precision "
+    "z literal — every transcendental rounded once at 9dp, no EXP "
+    "(consumers exponentiate at display time), NULL on empty arms. "
+    "Plan: one two-group aggregate with a distinct-user count + a "
+    "single-row pivot — nothing wide at any scale.",
+)
+def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    a = e.groupBy((F.col("user_id") % 2).cast("long").alias("arm")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+        F.count_distinct("user_id").cast("long").alias("n"),
+    )
+    f = a.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k_t"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k_c"),
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_c"),
+    )
+    ok = (
+        (F.col("k_t") > 0)
+        & (F.col("k_c") > 0)
+        & (F.col("n_t") > 0)
+        & (F.col("n_c") > 0)
+    )
+    ln_rr = F.round(
+        F.log(F.col("k_t").cast("double") / F.col("n_t"))
+        - F.log(F.col("k_c").cast("double") / F.col("n_c")),
+        9,
+    )
+    se = F.round(F.sqrt(1.0 / F.col("k_t") + 1.0 / F.col("k_c")), 9)
+    return f.select(
+        "k_t",
+        "n_t",
+        "k_c",
+        "n_c",
+        F.when(ok, ln_rr).alias("ln_rate_ratio"),
+        F.when((F.col("k_t") > 0) & (F.col("k_c") > 0), se).alias("ln_se"),
+        # rule 16: the CI bounds are the raw identical float chain on the
+        # two already-aligned 9dp terms — a second ROUND re-introduces
+        # the engine tie-break divergence it exists to prevent
+        F.when(ok, ln_rr - POWER_Z_ALPHA * se).alias("ln_ci_lo"),
+        F.when(ok, ln_rr + POWER_Z_ALPHA * se).alias("ln_ci_hi"),
+    )
+
+
+AD_CRIT_5PCT_Q9 = 2_492_000_000  # A^2 critical value 2.492 (case 0, 5%)
+
+
+@register(
+    "agg_anderson_darling",
+    # AD statistic for uniformity of purchase values on their observed
+    # milli-grid range, with the +1/+2 continuity correction so F is a
+    # STRICT (0,1) rational of exact integers (no ln(0) at the extremes).
+    # Each order-stat term is ONE identical float chain — two integer
+    # divisions, two LNs, two rank-ratio weights — quantized to 1e-9
+    # per row and BIGINT-summed; tied values contribute a weight-sum
+    # that is invariant to how the unique (v, event_id) order breaks
+    # them, so the total is well-defined despite ties.
+    oracle=f"""
+        WITH p AS (
+            SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v, event_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n FROM p
+        ),
+        r AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v, event_id) AS j
+            FROM p
+        ),
+        t AS (
+            SELECT CAST(ROUND(
+                (CAST(2 * r.j - 1 AS DOUBLE) / s.n
+                   * LN(CAST(r.v - s.vmin + 1 AS DOUBLE)
+                        / (s.vmax - s.vmin + 2))
+                 + CAST(2 * s.n + 1 - 2 * r.j AS DOUBLE) / s.n
+                   * LN(CAST(s.vmax - r.v + 1 AS DOUBLE)
+                        / (s.vmax - s.vmin + 2)))
+                * 1000000000, 0) AS BIGINT) AS term_q9
+            FROM r CROSS JOIN s
+        ),
+        agg AS (SELECT CAST(SUM(term_q9) AS BIGINT) AS s_q9 FROM t)
+        SELECT s.n AS n_values, s.vmin AS v_min_milli,
+               s.vmax AS v_max_milli, agg.s_q9,
+               CAST(-(s.n * 1000000000) - agg.s_q9 AS BIGINT) AS a2_q9,
+               (-(s.n * 1000000000) - agg.s_q9) > {AD_CRIT_5PCT_Q9}
+                   AS reject_uniform_5pct
+        FROM s CROSS JOIN agg
+        WHERE s.n > 0
+    """,
+    doc="Anderson-Darling goodness-of-fit statistic testing whether "
+    "purchase values are UNIFORM over their observed range — the "
+    "tail-sensitive alternative to agg_ks_test (AD weights the "
+    "empirical-CDF discrepancy by 1/(F(1-F)), so it catches tail "
+    "deviations KS smooths over; the classic pair every "
+    "distribution-drift monitor offers). A^2 = -n - (1/n) sum "
+    "(2j-1)[ln F(x_(j)) + ln(1-F(x_(n+1-j)))], folded to one pass "
+    "via the weight identity, with F the exact-rational uniform CDF "
+    "(v-min+1)/(max-min+2) (continuity-corrected so the boundary "
+    "order stats never hit ln 0). Emits exact integers: the 1e-9 "
+    "quantized term sum, A^2, and the 5% rejection against the "
+    "case-0 critical value 2.492 decided on BIGINTs (rule 22). "
+    "Plan: one min/max/count scalar, the scale-safe two-pass "
+    "distributed global rank (plans/rank.with_global_rank — no "
+    "single-task ORDER BY window), one map-side-combinable term "
+    "sum. Term magnitude stays within ROUND(.,9)'s exact range for "
+    "n up to ~1e6 rows of purchases per the rule-10 ulp bound "
+    "(documented; driver scales are 100x below it).",
+)
+def agg_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
+
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.expr("CAST(FLOOR(value * 1000) AS BIGINT)").alias("v"), "event_id"
+    )
+    s = p.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    out_schema = (
+        "n_values bigint, v_min_milli bigint, v_max_milli bigint,"
+        " s_q9 bigint, a2_q9 bigint, reject_uniform_5pct boolean"
+    )
+    if s.n == 0:
+        return spark.createDataFrame([], out_schema)
+    n, vmin, vmax = int(s.n), int(s.vmin), int(s.vmax)
+    r = with_global_rank(p, ["v", "event_id"], rank_col="j")
+    term = F.round(
+        (
+            (2 * F.col("j") - 1).cast("double") / F.lit(n)
+            * F.log(
+                (F.col("v") - vmin + 1).cast("double")
+                / F.lit(vmax - vmin + 2)
+            )
+            + (2 * n + 1 - 2 * F.col("j")).cast("double") / F.lit(n)
+            * F.log(
+                (F.lit(vmax) - F.col("v") + 1).cast("double")
+                / F.lit(vmax - vmin + 2)
+            )
+        )
+        * 1000000000,
+        0,
+    ).cast("long")
+    agg = r.agg(F.sum(term).cast("long").alias("s_q9"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_values"),
+        F.lit(vmin).cast("long").alias("v_min_milli"),
+        F.lit(vmax).cast("long").alias("v_max_milli"),
+        "s_q9",
+        (F.lit(-n * 10**9) - F.col("s_q9")).cast("long").alias("a2_q9"),
+        (
+            (F.lit(-n * 10**9) - F.col("s_q9")) > F.lit(AD_CRIT_5PCT_Q9)
+        ).alias("reject_uniform_5pct"),
+    )

@@ -1920,6 +1920,93 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIPROJ_CAP = 25  # per-customer part-degree cap before the pair self-join
+BIPROJ_MIN_W = 2  # emit part pairs co-bought by >= this many customers
+BIPROJ_TOPK = 50
+
+
+@register(
+    "graph_bipartite_projection",
+    # The customer->part bipartite graph projected onto parts: edge
+    # weight = # distinct customers who bought both parts. The pair
+    # self-join is capped BEFORE it runs (each customer contributes at
+    # most C(CAP,2) pairs — the winnowing / split_leakage cap-before-
+    # self-join discipline), so pair volume is linear in customers at
+    # any scale instead of quadratic in the heaviest basket.
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        capped AS (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+                FROM edges
+            ) WHERE rn <= {BIPROJ_CAP}
+        ),
+        pairs AS (
+            SELECT a.v AS part_a, b.v AS part_b,
+                   COUNT(*) AS n_common_customers
+            FROM capped a JOIN capped b
+              ON a.u = b.u AND a.v < b.v
+            GROUP BY a.v, b.v
+        )
+        SELECT part_a, part_b,
+               CAST(n_common_customers AS BIGINT) AS n_common_customers
+        FROM pairs
+        WHERE n_common_customers >= {BIPROJ_MIN_W}
+        ORDER BY n_common_customers DESC, part_a, part_b
+        LIMIT {BIPROJ_TOPK}
+    """,
+    doc=f"Bipartite projection (customer-part -> part-part co-purchase "
+    f"graph): the item-item similarity graph behind 'bought together' "
+    f"recommenders and co-occurrence embeddings, built from the "
+    f"distinct customer->part incidence. Per-customer degree is "
+    f"capped at {BIPROJ_CAP} (deterministic keep-lowest-partkey rank) "
+    f"BEFORE the self-join, so a whale customer who bought every part "
+    f"contributes C({BIPROJ_CAP},2) pairs instead of |parts|^2 — the "
+    f"same cap-before-self-join bound winnowing and split_leakage "
+    f"use; weights for capped hubs are a documented lower bound "
+    f"(standard practice for projection at scale). Emits the "
+    f"top-{BIPROJ_TOPK} heaviest pairs with weight >= {BIPROJ_MIN_W} "
+    f"under a total (weight DESC, part_a, part_b) order. Plan: "
+    f"distinct incidence (one shuffle), per-customer window rank "
+    f"(data-scale partition key — small per-group state), equi "
+    f"self-join on customer, TakeOrderedAndProject top-k (no global "
+    f"sort).",
+)
+def graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
+    # partitionBy(u) is a DATA-SCALE key (one small group per customer)
+    # — the safe grouped-rank form; the bounded-key trap doesn't apply.
+    rn = F.row_number().over(W.partitionBy("u").orderBy("v"))
+    capped = edges.withColumn("rn", rn).where(F.col("rn") <= BIPROJ_CAP)
+    a = capped.select("u", F.col("v").alias("part_a"))
+    b = capped.select(F.col("u").alias("u2"), F.col("v").alias("part_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("n_common_customers"))
+        .where(F.col("n_common_customers") >= BIPROJ_MIN_W)
+    )
+    return pairs.orderBy(
+        F.col("n_common_customers").desc(), "part_a", "part_b"
+    ).limit(BIPROJ_TOPK)
+
+
 KM_VALUE_CUT = 150  # a 'conversion' = first purchase with value > this
 # (~47% of users convert at every fixture SF — real deaths AND real
 # right-censoring; a last-activity churn rule degenerates on these
@@ -2103,6 +2190,183 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.max(F.when(F.col("hz"), 1).otherwise(0)).over(w) == 1
         ).alias("survival_zero"),
+    ).orderBy(F.col("duration_days"))
+
+
+@register(
+    "agg_survival_na",
+    # Nelson-Aalen cumulative hazard on the SAME cohort/grid as
+    # agg_survival_km, carried entirely in exact integers: per-duration
+    # hazard d/n quantized as d*1e9 DIV n (all operands nonnegative, so
+    # Spark's truncating DIV == DuckDB's flooring // — engine-exact),
+    # Greenwood-style variance increment d*1e15 DIV n^2 likewise, both
+    # prefix-summed over the DAY-granular calendar-BOUNDED grid (a
+    # bounded-summary window, not a data-scale one — the survival-family
+    # discipline).
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+                   CAST(MIN(CASE WHEN event_type = 'purchase'
+                                  AND value > {KM_VALUE_CUT}
+                             THEN CAST(ts AS TIMESTAMP) END) AS DATE)
+                       AS dconv
+            FROM events GROUP BY user_id
+        ),
+        mx AS (
+            SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS dmax
+            FROM events
+        ),
+        lives AS (
+            SELECT CASE WHEN u.dconv IS NOT NULL
+                        THEN DATEDIFF('day', u.d0, u.dconv)
+                        ELSE DATEDIFF('day', u.d0, mx.dmax) END AS t,
+                   CASE WHEN u.dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user u CROSS JOIN mx
+        ),
+        grid AS (
+            SELECT t,
+                   CAST(SUM(ev) AS BIGINT) AS d_events,
+                   CAST(SUM(1 - ev) AS BIGINT) AS c_censored
+            FROM lives GROUP BY t
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM lives),
+        cum AS (
+            SELECT g.t, g.d_events, g.c_censored,
+                   CAST(tot.n
+                   - (SUM(g.d_events + g.c_censored)
+                          OVER (ORDER BY g.t ROWS UNBOUNDED PRECEDING)
+                      - g.d_events - g.c_censored) AS BIGINT) AS n_at_risk
+            FROM grid g CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT t, d_events, c_censored, n_at_risk,
+                   CASE WHEN n_at_risk > 0
+                        THEN CAST(CAST(d_events AS HUGEINT) * 1000000000
+                             // n_at_risk AS BIGINT)
+                        ELSE 0 END AS hq9,
+                   CASE WHEN n_at_risk > 0
+                        THEN CAST(CAST(d_events AS HUGEINT)
+                             * 1000000000000000
+                             // (CAST(n_at_risk AS HUGEINT) * n_at_risk)
+                             AS BIGINT)
+                        ELSE 0 END AS vq15
+            FROM cum
+        )
+        SELECT t AS duration_days, d_events, c_censored, n_at_risk,
+               CAST(hq9 AS BIGINT) AS hazard_q9,
+               CAST(SUM(hq9) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_hazard_q9,
+               CAST(SUM(vq15) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_var_q15
+        FROM terms
+        ORDER BY t
+    """,
+    doc=f"Nelson-Aalen cumulative-hazard estimator on the same "
+    f"time-to-conversion cohort as agg_survival_km (event = first "
+    f"purchase with value > {KM_VALUE_CUT}, censoring at the window "
+    f"end): H(t) = sum d_i/n_i with the Poisson-type variance "
+    f"sum d_i/n_i^2 — the estimator preferred over -ln(KM) for "
+    f"small risk sets because it never hits a log-of-zero and is "
+    f"the basis of both the Fleming-Harrington test family and "
+    f"hazard-ratio eyeballing. Both running quantities are carried "
+    f"as EXACT integers (d*1e9 DIV n and d*1e15 DIV n^2, "
+    f"prefix-summed) — no float accumulates, so the hash is "
+    f"engine-exact by construction rather than by libm agreement. "
+    f"Plan: one per-user span aggregate (the only wide edge at "
+    f"100 TB), a scalar censor bound off the bounded per-user "
+    f"summary (no second raw scan), then integer running sums over "
+    f"the day-granular calendar-bounded grid.",
+)
+def agg_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.col("ts")).cast("date").alias("d0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KM_VALUE_CUT),
+                F.col("ts"),
+            )
+        )
+        .cast("date")
+        .alias("dconv"),
+        F.max(F.col("ts")).cast("date").alias("dlast"),
+    )
+    per_user = per_user.localCheckpoint()  # feeds dmax scalar + lives
+    dmax = per_user.agg(F.max("dlast")).collect()[0][0]
+    if dmax is None:
+        return spark.createDataFrame(
+            [],
+            "duration_days bigint, d_events bigint, c_censored bigint,"
+            " n_at_risk bigint, hazard_q9 bigint, cum_hazard_q9 bigint,"
+            " cum_var_q15 bigint",
+        )
+    lives = per_user.select(
+        F.when(F.col("dconv").isNotNull(), F.datediff("dconv", "d0"))
+        .otherwise(F.datediff(F.lit(dmax), F.col("d0")))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    n = lives.count()
+    grid = lives.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
+    )
+    w = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.select(
+        "t",
+        "d_events",
+        "c_censored",
+        (
+            F.lit(n)
+            - (
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w)
+                - F.col("d_events")
+                - F.col("c_censored")
+            )
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    terms = cum.select(
+        "t",
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        F.when(
+            F.col("n_at_risk") > 0,
+            F.expr(
+                "CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000000"
+                " DIV n_at_risk AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hq9"),
+        F.when(
+            F.col("n_at_risk") > 0,
+            F.expr(
+                "CAST(CAST(d_events AS DECIMAL(38,0)) * 1000000000000000"
+                " DIV (CAST(n_at_risk AS DECIMAL(38,0)) * n_at_risk)"
+                " AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vq15"),
+    )
+    return terms.select(
+        F.col("t").alias("duration_days"),
+        "d_events",
+        "c_censored",
+        "n_at_risk",
+        F.col("hq9").alias("hazard_q9"),
+        F.sum("hq9").over(w).cast("long").alias("cum_hazard_q9"),
+        F.sum("vq15").over(w).cast("long").alias("cum_var_q15"),
     ).orderBy(F.col("duration_days"))
 
 
@@ -2835,4 +3099,93 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_cents_per_user"),
         )
         .orderBy("cohort_day", "age")
+    )
+
+
+DAU_MAU_WINDOW = 28  # trailing days in the "monthly" active window
+
+
+@register(
+    "cohort_dau_mau",
+    # The oracle spells the textbook band range-join (anchor day within
+    # 28 days after an activity day); the Spark plan explodes each
+    # (user, day) row into its <= 28 anchor days instead — an EQUI join
+    # against the observed day grid, linear x 28 at any scale. Exact
+    # BIGINT distinct counts; stickiness is exact ppm with HUGEINT /
+    # DECIMAL(38,0) widening before * 1e6.
+    oracle=f"""
+        WITH ud AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY day
+        ),
+        mau AS (
+            SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d JOIN ud u
+              ON u.day <= d.day
+             AND u.day > d.day - INTERVAL {DAU_MAU_WINDOW} DAY
+            GROUP BY d.day
+        )
+        SELECT dau.day, dau.dau, mau.mau,
+               CAST(CAST(dau.dau AS HUGEINT) * 1000000 // mau.mau
+                    AS BIGINT) AS stickiness_ppm
+        FROM dau JOIN mau ON mau.day = dau.day
+        ORDER BY dau.day
+    """,
+    doc=f"DAU / trailing-{DAU_MAU_WINDOW}-day MAU / stickiness per day — "
+    f"the engagement headline every consumer product tracks "
+    f"(stickiness = DAU/MAU, 'what share of the monthly audience "
+    f"shows up daily'). Exact distinct-user counts; stickiness in "
+    f"exact integer ppm. Scale plan: the naive form is a windowed "
+    f"COUNT DISTINCT (a range join of every activity row against "
+    f"every anchor day — the oracle spells it); the Spark plan "
+    f"dedups to (user, day) once, EXPLODES each row into its "
+    f"<= {DAU_MAU_WINDOW} forward anchor days (sequence + explode), "
+    f"semi-joins the bounded observed-day grid, and hash-aggregates "
+    f"distinct users per anchor — equi joins only, volume = "
+    f"activity-days x {DAU_MAU_WINDOW}, map-side combinable, no "
+    f"nested loop at any scale.",
+)
+def cohort_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        )
+        .distinct()
+        .localCheckpoint()  # feeds dau, the day grid, and the explode
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    anchors = ud.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + INTERVAL {DAU_MAU_WINDOW - 1} DAY,"
+                f" INTERVAL 1 DAY)"
+            )
+        ).alias("day"),
+    ).join(days, "day", "left_semi")
+    mau = anchors.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr(
+                "CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 DIV mau"
+                " AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("day")
     )

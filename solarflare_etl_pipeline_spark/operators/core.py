@@ -1817,3 +1817,159 @@ def dq_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "dq_cardinality_drift",
+    # Epoch-midpoint halves (the diff_in_diff spelling); exact BIGINT
+    # distinct counts per column per half, drift as exact ppm with
+    # HUGEINT/DECIMAL(38,0) widening before * 1e6.
+    oracle="""
+        WITH bounds AS (
+            SELECT EPOCH_US(MIN(CAST(ts AS TIMESTAMP))) AS lo,
+                   EPOCH_US(MAX(CAST(ts AS TIMESTAMP))) AS hi
+            FROM events
+        ),
+        h AS (
+            SELECT CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                             < (bounds.lo + bounds.hi) // 2
+                        THEN 0 ELSE 1 END AS half,
+                   user_id, event_type,
+                   CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS day
+            FROM events CROSS JOIN bounds
+        )
+        SELECT col, n_first, n_second,
+               CAST(CAST(n_second AS HUGEINT) * 1000000
+                    // NULLIF(n_first, 0) AS BIGINT) AS ratio_ppm
+        FROM (
+            SELECT 'event_type' AS col,
+                   CAST(COUNT(DISTINCT CASE WHEN half = 0
+                                       THEN event_type END) AS BIGINT)
+                       AS n_first,
+                   CAST(COUNT(DISTINCT CASE WHEN half = 1
+                                       THEN event_type END) AS BIGINT)
+                       AS n_second
+            FROM h
+            UNION ALL
+            SELECT 'user_id',
+                   CAST(COUNT(DISTINCT CASE WHEN half = 0
+                                       THEN user_id END) AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN half = 1
+                                       THEN user_id END) AS BIGINT)
+            FROM h
+            UNION ALL
+            SELECT 'day',
+                   CAST(COUNT(DISTINCT CASE WHEN half = 0
+                                       THEN day END) AS BIGINT),
+                   CAST(COUNT(DISTINCT CASE WHEN half = 1
+                                       THEN day END) AS BIGINT)
+            FROM h
+        )
+        ORDER BY col
+    """,
+    doc="Cardinality drift audit — distinct-value counts per key column "
+    "compared across the observation window's epoch-midpoint halves "
+    "(the dq companion to dq_value_drift_psi, which tracks the "
+    "DISTRIBUTION; this tracks the DOMAIN — a user_id cardinality "
+    "collapse means an upstream join started fanning in, an "
+    "event_type growth means a new producer went live). Exact "
+    "distinct counts (no sketches — this is the audit that certifies "
+    "the sketches), ratio in exact ppm, NULL when the first half is "
+    "empty. Plan: one pass, three conditional distinct aggregates "
+    "over (half, col) — Spark expands COUNT(DISTINCT CASE...) to an "
+    "expand + two-level hash agg, map-side combinable; nothing wide "
+    "beyond the distinct shuffles at any scale.",
+)
+def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("lo"),
+        F.max(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).alias("hi"),
+    ).collect()[0]
+    out_cols = "col string, n_first bigint, n_second bigint, ratio_ppm bigint"
+    if b.lo is None:
+        # oracle on empty events: three rows of zero counts, NULL ratio
+        return spark.createDataFrame(
+            [("day", 0, 0, None), ("event_type", 0, 0, None), ("user_id", 0, 0, None)],
+            out_cols,
+        )
+    mid = (int(b.lo) + int(b.hi)) // 2
+    h = e.select(
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") < F.lit(mid), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        "user_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+    ).localCheckpoint()  # one scan feeds the three distinct aggregates
+
+    def drift(col: str) -> DataFrame:
+        return h.agg(
+            F.lit(col).alias("col"),
+            F.count_distinct(F.when(F.col("half") == 0, F.col(col)))
+            .cast("long")
+            .alias("n_first"),
+            F.count_distinct(F.when(F.col("half") == 1, F.col(col)))
+            .cast("long")
+            .alias("n_second"),
+        )
+
+    out = drift("event_type").unionAll(drift("user_id")).unionAll(drift("day"))
+    return out.select(
+        "col",
+        "n_first",
+        "n_second",
+        F.expr(
+            "CAST(CAST(n_second AS DECIMAL(38,0)) * 1000000"
+            " DIV NULLIF(n_first, 0) AS BIGINT)"
+        ).alias("ratio_ppm"),
+    ).orderBy("col")
+
+
+@register(
+    "dq_duplicate_rows",
+    oracle="""
+        WITH g AS (
+            SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+                   CAST(COUNT(*) AS BIGINT) AS mult
+            FROM lineitem
+            GROUP BY l_orderkey, l_partkey, l_suppkey, l_quantity
+        )
+        SELECT CAST(COALESCE(SUM(mult), 0) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(SUM(mult), 0) - COUNT(*) AS BIGINT)
+                   AS n_excess,
+               CAST(COUNT(CASE WHEN mult > 1 THEN 1 END) AS BIGINT)
+                   AS n_dup_classes,
+               CAST(COALESCE(MAX(mult), 0) AS BIGINT) AS max_multiplicity
+        FROM g
+    """,
+    doc="Full-tuple duplicate census over a projected natural key "
+    "(lineitem's (orderkey, partkey, suppkey, quantity) — chosen "
+    "because the fixture's declared PK is known non-unique, "
+    "dq_pk_uniqueness's standing finding): total rows, distinct "
+    "tuples, excess copies, duplicate-class count, and the worst "
+    "multiplicity — the one-row answer to 'did the loader "
+    "double-insert' that every idempotent-ingest audit starts with "
+    "(reference R7's keyed idempotent load is exactly the discipline "
+    "this verifies after the fact). Plan: one hash aggregate on the "
+    "tuple (map-side combinable) + a single-row fold over the class "
+    "table — two shuffles, nothing wide at any scale.",
+)
+def dq_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    g = l.groupBy(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    ).agg(F.count("*").cast("long").alias("mult"))
+    return g.agg(
+        F.coalesce(F.sum("mult"), F.lit(0)).cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.coalesce(F.sum("mult"), F.lit(0)) - F.count("*"))
+        .cast("long")
+        .alias("n_excess"),
+        F.count(F.when(F.col("mult") > 1, 1)).cast("long").alias("n_dup_classes"),
+        F.coalesce(F.max("mult"), F.lit(0)).cast("long").alias("max_multiplicity"),
+    )

@@ -314,3 +314,70 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+@register(
+    "reshape_transpose",
+    # The oracle pins the canonical five-type enum as the transposed
+    # column set (the parity fixtures always contain all five); every
+    # cell is an exact BIGINT.
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_milli,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
+        )
+        SELECT 'n' AS key,
+               MAX(CASE WHEN event_type = 'click' THEN n END) AS click,
+               MAX(CASE WHEN event_type = 'error' THEN n END) AS error,
+               MAX(CASE WHEN event_type = 'purchase' THEN n END) AS purchase,
+               MAX(CASE WHEN event_type = 'signup' THEN n END) AS signup,
+               MAX(CASE WHEN event_type = 'view' THEN n END) AS view
+        FROM m
+        UNION ALL
+        SELECT 'n_users',
+               MAX(CASE WHEN event_type = 'click' THEN n_users END),
+               MAX(CASE WHEN event_type = 'error' THEN n_users END),
+               MAX(CASE WHEN event_type = 'purchase' THEN n_users END),
+               MAX(CASE WHEN event_type = 'signup' THEN n_users END),
+               MAX(CASE WHEN event_type = 'view' THEN n_users END)
+        FROM m
+        UNION ALL
+        SELECT 'sum_milli',
+               MAX(CASE WHEN event_type = 'click' THEN sum_milli END),
+               MAX(CASE WHEN event_type = 'error' THEN sum_milli END),
+               MAX(CASE WHEN event_type = 'purchase' THEN sum_milli END),
+               MAX(CASE WHEN event_type = 'signup' THEN sum_milli END),
+               MAX(CASE WHEN event_type = 'view' THEN sum_milli END)
+        FROM m
+        ORDER BY key
+    """,
+    doc="DataFrame.transpose() certification (new first-class API in "
+    "Spark 4.0, SPARK-47; the metrics-wide-to-metrics-long flip "
+    "every ops dashboard does): a bounded per-event-type metric "
+    "summary (count / exact milli sum / distinct users) transposed "
+    "so METRICS become rows and the event-type enum becomes "
+    "columns — the engine derives the column set from the index "
+    "column's values, the oracle spells the equivalent manual "
+    "conditional-aggregate pivot over the canonical enum. Transpose "
+    "materializes the full frame through the driver, so it is "
+    "strictly a BOUNDED-table operation: always aggregate to the "
+    "dimension grid first (5 x 3 cells here at any corpus scale) — "
+    "transposing a fact table is the anti-pattern this op's shape "
+    "documents. fn_unpivot is the inverse direction; agg_pivot is "
+    "the values-to-columns sibling.",
+)
+def reshape_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("sum_milli"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    # bounded |types| x 3 frame — the only safe transpose shape
+    return m.transpose().orderBy("key")

@@ -3225,3 +3225,176 @@ def llm_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("nbits")
+
+
+KMP_Q = 1000   # coordinate quantizer: xq = round(x * 1000)
+KMP_K = 8      # clusters; seeds = the K lowest vec_ids' vectors
+KMP_ROUNDS = 2  # Lloyd rounds, unrolled in the oracle SQL
+
+
+@register(
+    "llm_kmeans_portable",
+    # Two Lloyd rounds entirely in exact integers: quantized
+    # coordinates, squared-distance assignment with an ARG_MIN on the
+    # unique composite (dist*K + cid), and floor-mean centroid updates
+    # via the pmod identity floor(s/n) = (s - ((s%n+n)%n))/n — the
+    # pca_power_portable discipline applied to clustering, so DuckDB
+    # replays both rounds bit-for-bit. Empty clusters drop out of the
+    # centroid set identically in both engines (standard Lloyd).
+    oracle=f"""
+        WITH x AS (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {KMP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, pos, xq AS cq FROM x
+            WHERE vec_id < {KMP_K}
+        ),
+        d1 AS (
+            SELECT x.vec_id, c0.cid,
+                   CAST(SUM((x.xq - c0.cq) * (x.xq - c0.cq)) AS BIGINT)
+                       AS dist
+            FROM x JOIN c0 USING (pos)
+            GROUP BY x.vec_id, c0.cid
+        ),
+        a1 AS (
+            SELECT vec_id,
+                   ARG_MIN(cid, dist * {KMP_K} + cid) AS cid
+            FROM d1 GROUP BY vec_id
+        ),
+        c1 AS (
+            SELECT a1.cid, x.pos,
+                   CAST((SUM(x.xq)
+                         - ((((SUM(x.xq) % COUNT(*)) + COUNT(*))
+                             % COUNT(*))))
+                        // COUNT(*) AS BIGINT) AS cq
+            FROM x JOIN a1 USING (vec_id)
+            GROUP BY a1.cid, x.pos
+        ),
+        d2 AS (
+            SELECT x.vec_id, c1.cid,
+                   CAST(SUM((x.xq - c1.cq) * (x.xq - c1.cq)) AS BIGINT)
+                       AS dist
+            FROM x JOIN c1 USING (pos)
+            GROUP BY x.vec_id, c1.cid
+        ),
+        a2 AS (
+            SELECT vec_id,
+                   ARG_MIN(cid, dist * {KMP_K} + cid) AS cid,
+                   MIN(dist * {KMP_K} + cid) // {KMP_K} AS best_dist
+            FROM d2 GROUP BY vec_id
+        ),
+        c2 AS (
+            SELECT a2.cid, x.pos,
+                   CAST((SUM(x.xq)
+                         - ((((SUM(x.xq) % COUNT(*)) + COUNT(*))
+                             % COUNT(*))))
+                        // COUNT(*) AS BIGINT) AS cq
+            FROM x JOIN a2 USING (vec_id)
+            GROUP BY a2.cid, x.pos
+        ),
+        members AS (
+            SELECT cid, COUNT(*) AS n_members,
+                   CAST(((SUM(CAST(best_dist AS HUGEINT)) % 1000000000)
+                         + 1000000000) % 1000000000 AS BIGINT) AS wss_mod9
+            FROM a2 GROUP BY cid
+        )
+        SELECT m.cid AS cid, m.n_members, m.wss_mod9,
+               CAST(SUM(c2.cq) AS BIGINT) AS sum_c2
+        FROM members m JOIN c2 ON c2.cid = m.cid
+        GROUP BY m.cid, m.n_members, m.wss_mod9
+        ORDER BY cid
+    """,
+    doc=f"PORTABLE fixed-point k-means ({KMP_ROUNDS} Lloyd rounds, "
+    f"k={KMP_K}, seeds = the {KMP_K} lowest vec_ids): the iterative-"
+    f"clustering twin in the markov_stationary_portable / "
+    f"pca_power_portable family — every quantity an exact integer "
+    f"(round(x*{KMP_Q}) coordinates, BIGINT squared distances, "
+    f"ARG_MIN on the unique dist*{KMP_K}+cid composite so "
+    f"equidistant points break to the lowest cid identically in "
+    f"both engines, floor-mean centroids via the pmod identity), so "
+    f"the assignment sets, member counts, centroid checksums and "
+    f"the WSS residue (pmod 1e9, HUGEINT/DECIMAL-accumulated — the "
+    f"matvec_mod9 register discipline) hash-match across engines "
+    f"and certify the arithmetic of the float k-means path "
+    f"(llm_embed_centroids). Plan per round: one equi-join on the "
+    f"bounded pos key against a {KMP_K}x{DIM}-row broadcast "
+    f"centroid table, one (vec,cid) partial agg, one per-vec "
+    f"argmin, one (cid,pos) re-aggregate — all map-side-combinable "
+    f"shuffles, no collect anywhere; at 100 TB each round is one "
+    f"linear pass, exactly mini-batch-free distributed Lloyd.",
+)
+def llm_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = "cid long, n_members long, wss_mod9 long, sum_c2 long"
+    x = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform(
+                    _vec_double(),
+                    lambda xi: F.round(xi * KMP_Q, 0).cast("long"),
+                )
+            ).alias("pos", "xq"),
+        )
+        .localCheckpoint()  # four joins reuse the quantized long table
+    )
+    if x.where(F.col("vec_id") < KMP_K).limit(1).count() == 0:
+        return spark.createDataFrame([], out_schema)
+
+    def floor_mean() -> F.Column:
+        return F.expr(
+            "CAST((SUM(xq) - (((SUM(xq) % COUNT(*)) + COUNT(*))"
+            " % COUNT(*))) DIV COUNT(*) AS BIGINT)"
+        ).alias("cq")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d = (
+            x.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("cq"))
+                    * (F.col("xq") - F.col("cq"))
+                )
+                .cast("long")
+                .alias("dist")
+            )
+        )
+        key = F.col("dist") * KMP_K + F.col("cid")
+        return d.groupBy("vec_id").agg(
+            F.min_by("cid", key).alias("cid"),
+            F.expr(f"MIN(dist * {KMP_K} + cid) DIV {KMP_K}").alias(
+                "best_dist"
+            ),
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        return (
+            x.join(assigned.select("vec_id", "cid"), "vec_id")
+            .groupBy("cid", "pos")
+            .agg(floor_mean())
+        )
+
+    c0 = x.where(F.col("vec_id") < KMP_K).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("xq").alias("cq")
+    )
+    a1 = assign(c0)
+    c1 = update(a1)
+    a2 = assign(c1)
+    c2 = update(a2)
+    members = a2.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.expr(
+            "CAST(((SUM(CAST(best_dist AS DECIMAL(38,0))) % 1000000000)"
+            " + 1000000000) % 1000000000 AS BIGINT)"
+        ).alias("wss_mod9"),
+    )
+    sums = c2.groupBy("cid").agg(F.sum("cq").cast("long").alias("sum_c2"))
+    return (
+        members.join(sums, "cid")
+        .select("cid", "n_members", "wss_mod9", "sum_c2")
+        .orderBy("cid")
+    )

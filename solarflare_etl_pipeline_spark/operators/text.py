@@ -5466,3 +5466,475 @@ def llm_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+RANKER_AGREE_K = BM25_TOP  # both rankings truncated at the same depth
+
+
+def _ranker_agreement_oracle() -> str:
+    """Kendall agreement between the BM25 and raw-TF rankings: embeds
+    the registered llm_bm25_topk oracle verbatim as one leg (nested
+    CTE), ranks both legs under total orders, and counts
+    concordant/discordant pairs over the bounded common set."""
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    bm25 = REGISTRY["llm_bm25_topk"].oracle
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        WITH b AS ({bm25}),
+        t2 AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS tf_total
+            FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            )
+            WHERE tok IN ({terms})
+            GROUP BY doc_id
+            ORDER BY tf_total DESC, doc_id
+            LIMIT {RANKER_AGREE_K}
+        ),
+        r1 AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM b
+        ),
+        r2 AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS r
+            FROM t2
+        ),
+        c AS (
+            SELECT r1.doc_id, r1.r AS ra, r2.r AS rb
+            FROM r1 JOIN r2 USING (doc_id)
+        ),
+        p AS (
+            SELECT CAST(COALESCE(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_concordant,
+                   CAST(COALESCE(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_discordant,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM c x JOIN c y ON x.doc_id < y.doc_id
+        )
+        SELECT (SELECT COUNT(*) FROM r1) AS n_a,
+               (SELECT COUNT(*) FROM r2) AS n_b,
+               (SELECT COUNT(*) FROM c) AS n_common,
+               p.n_concordant, p.n_discordant, p.n_pairs,
+               CAST(p.n_concordant - p.n_discordant AS DOUBLE)
+                   / NULLIF(p.n_pairs, 0) AS tau
+        FROM p
+    """
+
+
+@register(
+    "llm_ranker_agreement",
+    oracle=_ranker_agreement_oracle(),
+    doc=f"Kendall rank agreement between two retrieval rankings — BM25 "
+    f"(llm_bm25_topk, embedded verbatim as one oracle leg) vs raw "
+    f"term frequency over the same {len(BM25_TERMS)} query terms, "
+    f"both truncated at depth {RANKER_AGREE_K}: concordant / "
+    f"discordant pair counts over the docs BOTH rankers retrieved "
+    f"and Kendall tau-a on that common set — the standard 'does the "
+    f"cheap ranker order like the good one' check before swapping a "
+    f"scorer in a retrieval cascade (tau near 1 means the cheap "
+    f"first stage can feed the expensive second). Total orders "
+    f"(score desc, doc_id) on both legs, so every count is exact; "
+    f"tau is one IEEE division. Plan: two scoring passes over the "
+    f"corpus (the BM25 aggregate + one tf aggregate), then all rank "
+    f"logic on the two {RANKER_AGREE_K}-row lists collected to the "
+    f"driver (bounded — the IVF-centroid discipline; the pair "
+    f"double loop is <= {RANKER_AGREE_K}^2 in Python, never a "
+    f"data-scale join).",
+)
+def llm_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    b = REGISTRY["llm_bm25_topk"].spark(spark, sf_dir).collect()  # <= K rows
+    d = table(spark, sf_dir, "documents")
+    t2 = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("tf_total"))
+        .orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(RANKER_AGREE_K)
+        .collect()
+    )
+    r1 = {
+        row.doc_id: i + 1
+        for i, row in enumerate(
+            sorted(b, key=lambda r: (-r.bm25, r.doc_id))
+        )
+    }
+    r2 = {
+        row.doc_id: i + 1
+        for i, row in enumerate(
+            sorted(t2, key=lambda r: (-r.tf_total, r.doc_id))
+        )
+    }
+    common = sorted(set(r1) & set(r2))
+    conc = disc = pairs = 0
+    for i, a in enumerate(common):
+        for bb in common[i + 1 :]:
+            pairs += 1
+            s = (r1[a] - r1[bb]) * (r2[a] - r2[bb])
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+    tau = (conc - disc) / pairs if pairs else None
+    return spark.createDataFrame(
+        [(len(r1), len(r2), len(common), conc, disc, pairs, tau)],
+        "n_a bigint, n_b bigint, n_common bigint, n_concordant bigint,"
+        " n_discordant bigint, n_pairs bigint, tau double",
+    )
+
+
+@register(
+    "llm_token_len_histogram",
+    # Whitespace tokens (the llm_token_count convention); exact BIGINT
+    # counts on the bounded token-length grid; shares in exact ppm with
+    # HUGEINT/DECIMAL(38,0) widening before * 1e6.
+    oracle="""
+        WITH t AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+        ),
+        h AS (
+            SELECT CAST(LEN(tok) AS BIGINT) AS tok_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1
+        ),
+        s AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM h)
+        SELECT h.tok_len, h.n_tokens,
+               CAST(CAST(h.n_tokens AS HUGEINT) * 1000000 // s.total
+                    AS BIGINT) AS share_ppm,
+               CAST(SUM(h.n_tokens)
+                    OVER (ORDER BY h.tok_len) AS BIGINT) AS cum_tokens
+        FROM h CROSS JOIN s
+        ORDER BY h.tok_len
+    """,
+    doc="Token-length histogram over the corpus — the tokenizer-budget "
+    "planning table (mean bytes-per-token, tail of long tokens that "
+    "will fragment under a subword vocab, the distribution every "
+    "'how many tokens is this corpus' estimate rests on): exact "
+    "counts per whitespace-token length, corpus share in exact ppm, "
+    "cumulative counts up the length grid. Plan: one explode + hash "
+    "aggregate collapses the corpus to the BOUNDED length grid "
+    "(max word length, ~tens of rows at any scale); the share/cum "
+    "windows run over that grid only. The single-row total is a "
+    "broadcast (N x 1), not a data-scale product.",
+)
+def llm_token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy(F.length("tok").cast("long").alias("tok_len"))
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    cum_w = Window.orderBy("tok_len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # all windows over the bounded token-length grid
+    return h.select(
+        "tok_len",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+            " DIV SUM(n_tokens) OVER (ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        ).alias("share_ppm"),
+        F.sum("n_tokens").over(cum_w).cast("long").alias("cum_tokens"),
+    ).orderBy("tok_len")
+
+
+LOGODDS_MIN_EACH = 5    # a word needs >= this count in BOTH groups
+LOGODDS_MIN_TOTAL = 40  # and >= this combined count
+LOGODDS_TOPK = 25
+
+
+@register(
+    "llm_log_odds_words",
+    # Monroe-style weighted log-odds with an add-one Dirichlet prior
+    # between two source halves. Every count is exact BIGINT; the float
+    # work per word is FOUR LNs of single IEEE divisions of exact
+    # integers plus one sqrt — the identical left-to-right chain in
+    # both engines (the mutual_info/theil LN discipline), rounded ONCE
+    # to 1e-9 at the end. Ranking runs on the rounded integers with a
+    # word tie-break, so the emitted set is engine-exact.
+    oracle=f"""
+        WITH toks AS (
+            SELECT REGEXP_EXTRACT(source, 'src(\\d+)', 1)::INT % 2 AS grp,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT word,
+                   CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y_a,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS y_b
+            FROM toks GROUP BY word
+        ),
+        tot AS (
+            SELECT CAST(SUM(y_a) AS BIGINT) AS n_a,
+                   CAST(SUM(y_b) AS BIGINT) AS n_b,
+                   COUNT(*) AS v
+            FROM wc
+        ),
+        z AS (
+            SELECT w.word, w.y_a, w.y_b,
+                   CAST(ROUND((LN(CAST(w.y_a + 1 AS DOUBLE)
+                                  / (t.n_a + t.v - w.y_a - 1))
+                               - LN(CAST(w.y_b + 1 AS DOUBLE)
+                                    / (t.n_b + t.v - w.y_b - 1)))
+                              * 1000000000, 0) AS BIGINT) AS delta_q9,
+                   CAST(ROUND((LN(CAST(w.y_a + 1 AS DOUBLE)
+                                  / (t.n_a + t.v - w.y_a - 1))
+                               - LN(CAST(w.y_b + 1 AS DOUBLE)
+                                    / (t.n_b + t.v - w.y_b - 1)))
+                              / SQRT(1.0 / (w.y_a + 1) + 1.0 / (w.y_b + 1))
+                              * 1000000000, 0) AS BIGINT) AS z_q9
+            FROM wc w CROSS JOIN tot t
+            WHERE w.y_a >= {LOGODDS_MIN_EACH} AND w.y_b >= {LOGODDS_MIN_EACH}
+              AND w.y_a + w.y_b >= {LOGODDS_MIN_TOTAL}
+        )
+        SELECT word, y_a, y_b, delta_q9, z_q9
+        FROM z
+        ORDER BY z_q9 DESC, word
+        LIMIT {LOGODDS_TOPK}
+    """,
+    doc=f"Monroe 'Fightin' Words' weighted log-odds between two source "
+    f"groups (even- vs odd-numbered sources): for each word, the "
+    f"log-odds difference under an add-one Dirichlet prior and its "
+    f"z-score (delta / sqrt(1/(y_a+1) + 1/(y_b+1)) — the variance "
+    f"weighting that makes this the standard replacement for raw "
+    f"log-odds or PMI when comparing corpora, because rare words no "
+    f"longer dominate). The top-{LOGODDS_TOPK} group-A-leaning words "
+    f"with both-group support >= {LOGODDS_MIN_EACH} and total >= "
+    f"{LOGODDS_MIN_TOTAL} are emitted; delta and z are quantized to "
+    f"1e-9 AFTER one identical float chain per word. Plan: one "
+    f"explode + word-key agg (the only corpus-scale shuffle), a "
+    f"single-row totals fold, broadcast scalar join, "
+    f"TakeOrderedAndProject top-k — linear at 100 TB.",
+)
+def llm_log_odds_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grp = (
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 2
+    ).alias("grp")
+    toks = d.select(grp, F.explode(F.split("text", " ")).alias("word"))
+    wc = toks.groupBy("word").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("y_a"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("y_b"),
+    )
+    wc = wc.localCheckpoint()  # feeds the totals scalar AND the rows
+    t = wc.agg(
+        F.sum("y_a").cast("long").alias("n_a"),
+        F.sum("y_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("v"),
+    ).collect()[0]
+    if t.v == 0:
+        return spark.createDataFrame(
+            [],
+            "word string, y_a bigint, y_b bigint,"
+            " delta_q9 bigint, z_q9 bigint",
+        )
+    n_a, n_b, v = int(t.n_a), int(t.n_b), int(t.v)
+    ln_a = F.log(
+        (F.col("y_a") + 1).cast("double")
+        / (F.lit(n_a) + F.lit(v) - F.col("y_a") - 1)
+    )
+    ln_b = F.log(
+        (F.col("y_b") + 1).cast("double")
+        / (F.lit(n_b) + F.lit(v) - F.col("y_b") - 1)
+    )
+    delta = ln_a - ln_b
+    zval = delta / F.sqrt(
+        F.lit(1.0) / (F.col("y_a") + 1) + F.lit(1.0) / (F.col("y_b") + 1)
+    )
+    out = (
+        wc.where(
+            (F.col("y_a") >= LOGODDS_MIN_EACH)
+            & (F.col("y_b") >= LOGODDS_MIN_EACH)
+            & (F.col("y_a") + F.col("y_b") >= LOGODDS_MIN_TOTAL)
+        )
+        .select(
+            "word",
+            "y_a",
+            "y_b",
+            F.round(delta * 1000000000, 0).cast("long").alias("delta_q9"),
+            F.round(zval * 1000000000, 0).cast("long").alias("z_q9"),
+        )
+        .orderBy(F.col("z_q9").desc(), "word")
+        .limit(LOGODDS_TOPK)
+    )
+    return out
+
+
+KN_TOPK = 20
+
+
+@register(
+    "llm_kneser_ney_bigram",
+    # Interpolated Kneser-Ney with the single textbook discount
+    # D = n1/(n1+2*n2). Every count (c_ab, c_a context totals, the
+    # N1+ continuation/fan-out counts, the bigram type total) is an
+    # exact BIGINT; D and the per-bigram probability are ONE identical
+    # left-to-right float chain in both engines, rounded once to 1e-9.
+    # c_ab >= 1 > D always, so the max(c-D, 0) clamp is vacuous and
+    # deliberately omitted from both spellings.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+        ),
+        big AS (
+            SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i]))
+                       AS tok_a,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i+1]))
+                       AS tok_b
+            FROM t
+        ),
+        ab AS (
+            SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM big GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT tok_a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+                   COUNT(*) AS n1plus_from_a
+            FROM ab GROUP BY tok_a
+        ),
+        cont AS (
+            SELECT tok_b, COUNT(*) AS n1plus_to_b FROM ab GROUP BY tok_b
+        ),
+        consts0 AS (
+            SELECT COUNT(*) AS t_types,
+                   CAST(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2
+            FROM ab
+        ),
+        consts AS (
+            -- D guarded exactly as the Spark side: a saturated corpus
+            -- (no singleton/doubleton bigrams) gets D = 0, not 0/0=NaN
+            SELECT t_types, n1, n2,
+                   CASE WHEN n1 + 2 * n2 > 0
+                        THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)
+                        ELSE 0.0 END AS dd
+            FROM consts0
+        ),
+        top AS (
+            SELECT tok_a, tok_b, c_ab FROM ab
+            ORDER BY c_ab DESC, tok_a, tok_b
+            LIMIT {KN_TOPK}
+        )
+        SELECT top.tok_a, top.tok_b, top.c_ab, ctx.c_a,
+               ctx.n1plus_from_a, cont.n1plus_to_b,
+               CAST(ROUND(
+                   ((CAST(top.c_ab AS DOUBLE) - k.dd) / ctx.c_a
+                    + k.dd
+                      * ctx.n1plus_from_a / ctx.c_a
+                      * cont.n1plus_to_b / k.t_types)
+                   * 1000000000, 0) AS BIGINT) AS p_kn_q9
+        FROM top
+        JOIN ctx ON ctx.tok_a = top.tok_a
+        JOIN cont ON cont.tok_b = top.tok_b
+        CROSS JOIN consts k
+        ORDER BY top.c_ab DESC, top.tok_a, top.tok_b
+    """,
+    doc=f"Interpolated Kneser-Ney bigram probabilities for the "
+    f"top-{KN_TOPK} corpus bigrams — the n-gram smoothing that "
+    f"backs classic LM perplexity baselines and data-selection "
+    f"scores: P(w|v) = (c(vw)-D)/c(v) + D*N1+(v.)/c(v) * Pcont(w), "
+    f"where Pcont(w) = N1+(.w)/|bigram types| is the continuation "
+    f"probability ('how many contexts license w') that fixes the "
+    f"'san FRANCISCO' pathology of plain backoff, and D = "
+    f"n1/(n1+2*n2) is the Ney-Essen-Kneser discount from the "
+    f"count-of-counts. All counts exact; the probability is one "
+    f"identical float chain quantized to 1e-9 once (raw-chain rule "
+    f"16). Plan: in-array bigram transform (zero shuffle to form "
+    f"pairs), one bigram-key agg, two bounded-side derived aggs "
+    f"joined back broadcast, TakeOrderedAndProject top-k, one "
+    f"single-row count-of-counts fold — linear at 100 TB.",
+)
+def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("l"))
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(l) - 2),"
+                " i -> struct(l[i] AS tok_a, l[i + 1] AS tok_b))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    ab = (
+        big.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .localCheckpoint()  # feeds consts scalar, ctx/cont aggs, top rows
+    )
+    k = ab.agg(
+        F.count("*").cast("long").alias("t_types"),
+        F.sum(F.when(F.col("c_ab") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("c_ab") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    ).collect()[0]
+    if k.t_types == 0:
+        return spark.createDataFrame(
+            [],
+            "tok_a string, tok_b string, c_ab bigint, c_a bigint,"
+            " n1plus_from_a bigint, n1plus_to_b bigint, p_kn_q9 bigint",
+        )
+    n1, n2, t_types = int(k.n1), int(k.n2), int(k.t_types)
+    ctx = ab.groupBy("tok_a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count("*").cast("long").alias("n1plus_from_a"),
+    )
+    cont = ab.groupBy("tok_b").agg(
+        F.count("*").cast("long").alias("n1plus_to_b")
+    )
+    top = ab.orderBy(F.col("c_ab").desc(), "tok_a", "tok_b").limit(KN_TOPK)
+    # D spelled as the SAME division of the same exact integers the
+    # oracle runs — n1/(n1+2*n2) in IEEE double is bit-identical
+    # whether Python or either engine evaluates it.
+    disc = (
+        F.lit(float(n1)) / F.lit(n1 + 2 * n2)
+        if (n1 + 2 * n2) > 0
+        else F.lit(0.0)
+    )
+    p_kn = (
+        (F.col("c_ab").cast("double") - disc) / F.col("c_a")
+        + disc
+        * F.col("n1plus_from_a")
+        / F.col("c_a")
+        * F.col("n1plus_to_b")
+        / F.lit(t_types)
+    )
+    return (
+        top.join(F.broadcast(ctx), "tok_a")
+        .join(F.broadcast(cont), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "n1plus_from_a",
+            "n1plus_to_b",
+            F.round(p_kn * 1000000000, 0).cast("long").alias("p_kn_q9"),
+        )
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+    )

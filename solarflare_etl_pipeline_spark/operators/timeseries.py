@@ -2630,3 +2630,163 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_dow_hour_heatmap",
+    # ISO day-of-week x hour grid (DuckDB ISODOW == Spark weekday()+1,
+    # both Monday-anchored); exact BIGINT counts, row shares in exact
+    # ppm over each day-of-week's total.
+    oracle="""
+        WITH g AS (
+            SELECT CAST(ISODOW(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+                   CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT)
+                       AS hod,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT dow, CAST(SUM(n) AS BIGINT) AS dow_total
+            FROM g GROUP BY dow
+        )
+        SELECT g.dow, g.hod, g.n, t.dow_total,
+               CAST(CAST(g.n AS HUGEINT) * 1000000 // t.dow_total
+                    AS BIGINT) AS share_of_dow_ppm
+        FROM g JOIN t ON t.dow = g.dow
+        ORDER BY g.dow, g.hod
+    """,
+    doc="Day-of-week x hour-of-day traffic heatmap — the capacity-"
+    "planning grid behind every ops dashboard (weekday-vs-weekend "
+    "shape, the Monday-morning spike, the deploy-window trough), "
+    "complementing ts_seasonality_profile (hour only) and "
+    "ts_seasonal_strength (one-number hour effect) with the full "
+    "two-way profile. ISO Monday-anchored day numbering aligned "
+    "across engines (DuckDB ISODOW == Spark weekday()+1 — the "
+    "dayofweek() Sunday-anchor mismatch is the trap this op's "
+    "spelling documents); exact counts, each cell's share of its "
+    "day-of-week total in exact ppm. Plan: one map-side-combinable "
+    "aggregate to the bounded 7x24 grid; everything after runs on "
+    "<= 168 rows.",
+)
+def ts_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    g = e.groupBy(
+        (F.weekday(F.col("ts").cast("timestamp")) + 1)
+        .cast("long")
+        .alias("dow"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("hod"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    t = g.groupBy("dow").agg(F.sum("n").cast("long").alias("dow_total"))
+    return (
+        g.join(F.broadcast(t), "dow")
+        .select(
+            "dow",
+            "hod",
+            "n",
+            "dow_total",
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 DIV dow_total"
+                " AS BIGINT)"
+            ).alias("share_of_dow_ppm"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+@register(
+    "ts_holt_linear_portable",
+    # Holt's linear-trend smoother with alpha=1/2, beta=1/4 run as an
+    # INTEGER fixed-point recursion (floor divisions via the pmod
+    # identity, so negative trends floor identically in both engines):
+    # l_t = floor((y_t + l_{t-1} + b_{t-1})/2),
+    # b_t = floor((l_t - l_{t-1} + 3*b_{t-1})/4).
+    # A float recurrence could never hash-match across engines
+    # (graph_pagerank's lesson); the integer recursion replays exactly
+    # in DuckDB's WITH RECURSIVE and in the bounded driver-side fold.
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        g AS (
+            SELECT day, y,
+                   ROW_NUMBER() OVER (ORDER BY day) AS rn
+            FROM daily
+        ),
+        h AS (
+            SELECT rn, day, y, y AS l, CAST(0 AS BIGINT) AS b
+            FROM g WHERE rn = 1
+            UNION ALL
+            SELECT g.rn, g.day, g.y,
+                   CAST((g.y + h.l + h.b
+                         - ((((g.y + h.l + h.b) % 2) + 2) % 2)) // 2
+                        AS BIGINT) AS l,
+                   CAST((((g.y + h.l + h.b
+                           - ((((g.y + h.l + h.b) % 2) + 2) % 2)) // 2)
+                          - h.l + 3 * h.b
+                         - ((((((g.y + h.l + h.b
+                                 - ((((g.y + h.l + h.b) % 2) + 2) % 2))
+                                // 2) - h.l + 3 * h.b) % 4) + 4) % 4)
+                        ) // 4 AS BIGINT) AS b
+            FROM g JOIN h ON g.rn = h.rn + 1
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, y AS y_milli,
+               l AS level_milli, b AS trend_milli,
+               CAST(l + b AS BIGINT) AS forecast_next_milli
+        FROM h ORDER BY day
+    """,
+    doc="Holt's linear-trend exponential smoother over the daily "
+    "purchase-value series (alpha=1/2 level, beta=1/4 trend), the "
+    "classic level+trend forecaster one step up from EWMA — emitted "
+    "per day with the one-step-ahead forecast l+b, in exact milli "
+    "units. The recursion is computed in pure INTEGER fixed point "
+    "(floor-div halving/quartering with the pmod identity), so the "
+    "whole state trajectory is engine-exact — the "
+    "markov/pagerank/kmeans fixed-point discipline applied to a "
+    "sequential smoother; DuckDB replays it as a recursive CTE, "
+    "Spark folds it over the collected CALENDAR-BOUNDED day grid "
+    "(<= |days| rows regardless of corpus size — the survival-family "
+    "bounded-grid rule; the distributed work is the one daily "
+    "aggregate, which is the only corpus-scale edge at 100 TB).",
+)
+def ts_holt_linear_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(FLOOR(value * 1000) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .orderBy("day")
+        .collect()  # calendar-bounded day grid — driver-side fold is OK
+    )
+    out_schema = (
+        "day timestamp, y_milli bigint, level_milli bigint,"
+        " trend_milli bigint, forecast_next_milli bigint"
+    )
+    if not daily:
+        return spark.createDataFrame([], out_schema)
+    rows = []
+    l = b = 0
+    for i, r in enumerate(daily):
+        y = int(r.y)
+        if i == 0:
+            l, b = y, 0
+        else:
+            l_new = (y + l + b) // 2  # Python // floors — pmod-exact
+            b = (l_new - l + 3 * b) // 4
+            l = l_new
+        day = datetime.datetime(r.day.year, r.day.month, r.day.day)
+        rows.append((day, y, l, b, l + b))
+    return spark.createDataFrame(rows, out_schema).orderBy("day")

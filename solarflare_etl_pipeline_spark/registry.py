@@ -160,7 +160,24 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: VERDICT r8 missing #2), agg_capture_recapture (Chapman/Lincoln
 #: exact), agg_lorenz_curve + win_percent_rank (two more
 #: with_global_rank/exact_ntile consumers), llm_domain_cap (the C4
-#: host-cap readout on with_grouped_rank), agg_logrank_test,
+#: host-cap readout on with_grouped_rank), agg_paired_t_test +
+#: agg_poisson_rate_ratio + agg_mde_curve (the round-9
+#: experimentation additions), cohort_dau_mau, llm_ranker_agreement,
+#: dq_cardinality_drift, dq_duplicate_rows, reshape_transpose +
+#: fn_sql_udf (Spark-4 API surface under the driver hash),
+#: llm_token_len_histogram, ts_dow_hour_heatmap, agg_survival_na
+#: (integer-exact Nelson-Aalen, the survival family's second
+#: estimator), llm_kmeans_portable (fixed-point 2-round Lloyd — the
+#: iterative-clustering twin), graph_bipartite_projection
+#: (cap-before-self-join co-purchase graph), llm_kneser_ney_bigram +
+#: llm_log_odds_words (the KN-smoothing / Fightin'-Words corpus-
+#: comparison pair), fn_month_end_rollover (the add_months
+#: EOM-divergence certification), stream_restart_exactly_once (the
+#: checkpoint-restart exactly-once property under the driver hash —
+#: the strongest remaining streaming certification),
+#: ts_holt_linear_portable (integer fixed-point Holt level+trend),
+#: agg_anderson_darling (tail-weighted GOF on the distributed global
+#: rank), sink_orc (the ORC writer half), agg_logrank_test,
 #: stream_two_level_window, agg_shapley_attribution, llm_self_bleu,
 #: llm_ivfpq_portable, llm_knn_eval_portable, agg_cochran_q,
 #: graph_adamic_adar, graph_hits, llm_zipf_slope, llm_burstiness,

@@ -1042,3 +1042,54 @@ def sink_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_cents"),
         F.min("o_orderkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "sink_orc",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="ORC export round-trip — the second columnar container after "
+    "parquet (Hive/Trino shops standardize on it; an engine claiming "
+    "the reference's source/sink surface must write AND re-read it): "
+    "lineitem written as snappy ORC, read back, and aggregated to the "
+    "TPC-H q1 grouping, proving schema + value fidelity through the "
+    "write path (scan_orc already certifies the read path on "
+    "driver-generated files; this closes the writer half). Money "
+    "detours through exact integer cents (rule 2) so the hash is "
+    "association-proof. Writer plan: one narrow columnar write per "
+    "partition, no shuffle; ORC keeps predicate pushdown and column "
+    "pruning at 100 TB exactly like parquet (both sides of the "
+    "read-back aggregate prune to 4 columns).",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = os.path.join(
+        tempfile.gettempdir(),
+        f"solarflare_sink_orc_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    li.write.mode("overwrite").option("compression", "snappy").orc(target)
+    back = spark.read.orc(target)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("price_cents"),
+            F.expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias(
+                "sum_qty"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

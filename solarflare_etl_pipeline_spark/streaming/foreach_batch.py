@@ -122,3 +122,90 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_part").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "stream_restart_exactly_once",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               {sql_dsum('value', 'total_value')}
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Checkpoint-restart exactly-once certification — the property "
+    "stream_foreach_batch can't show, because it runs one query over a "
+    "static source: here the SAME checkpoint serves TWO sequential "
+    "availableNow queries against a source that GROWS between them "
+    "(half the events, then the other half dropped in as new files). "
+    "The restarted query must resume from the checkpoint's WAL and "
+    "process ONLY the new files: batch ids continue (never reuse), so "
+    "any reprocessing of phase-A files would land duplicate partials "
+    "in fresh batch_id dirs and the final merge would double-count — "
+    "equality with the one-shot batch aggregate over ALL events IS "
+    "the exactly-once-across-restart property. This is the daily "
+    "operational shape at 100 TB: a long-lived checkpoint, new "
+    "partitions arriving between runs, availableNow draining them — "
+    "the engine-level realization of the reference's daily "
+    "overlapping-window cadence (dags/etl.py:12) with restart "
+    "safety the reference's INSERT loop cannot give.",
+)
+def stream_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
+    src = os.path.join(tempfile.gettempdir(), f"solarflare_restart_src_{tag}")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"solarflare_restart_stage_{tag}"
+    )
+    out = os.path.join(tempfile.gettempdir(), f"solarflare_restart_out_{tag}")
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"solarflare_restart_ckpt_{tag}"
+    )
+    for d in (src, stage, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    # phase A: even event_ids land as the initial source files
+    e.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.foreachBatch(partial_agg_sink(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    # phase B: odd event_ids arrive as NEW files in the same directory
+    e.where(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(stage)
+    for i, fn in enumerate(sorted(os.listdir(stage))):
+        if fn.endswith(".parquet"):
+            shutil.move(
+                os.path.join(stage, fn),
+                os.path.join(src, f"late_{i}.parquet"),
+            )
+    run_once()  # restart from the SAME checkpoint — must drain only B
+    batch_dirs = (
+        [d for d in os.listdir(out) if d.startswith("batch_id=")]
+        if os.path.isdir(out)
+        else []
+    )
+    if not batch_dirs:
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, total_value double"
+        )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_part").cast("long").alias("n_events"),
+            F.sum("sum_part").cast("double").alias("total_value"),
+        )
+    )

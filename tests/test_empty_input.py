@@ -208,6 +208,40 @@ CORE_QUERIES = (
     "agg_lorenz_curve",
     "win_percent_rank",
     "llm_domain_cap",
+    # round-9 batch 2: empty MDE baselines, empty day grids, empty
+    # cardinality halves, empty duplicate censuses, empty rankings
+    "agg_mde_curve",
+    "cohort_dau_mau",
+    "dq_cardinality_drift",
+    "dq_duplicate_rows",
+    "llm_ranker_agreement",
+    # round-9 batch 3: empty pair folds, empty rate arms, empty
+    # transpose frames
+    "agg_paired_t_test",
+    "agg_poisson_rate_ratio",
+    "reshape_transpose",
+    # round-9 batch 4: empty SQL-UDF aggregates, empty length grids,
+    # empty heatmap grids
+    "fn_sql_udf",
+    "llm_token_len_histogram",
+    "ts_dow_hour_heatmap",
+    # round-9 batch 5: empty risk sets (nelson-aalen), empty incidence
+    # (bipartite projection), empty vocab halves (log-odds), empty
+    # count-of-counts (kneser-ney), empty seed clouds (kmeans twin),
+    # empty date grids (rollover)
+    "agg_survival_na",
+    "graph_bipartite_projection",
+    "llm_log_odds_words",
+    "llm_kneser_ney_bigram",
+    "llm_kmeans_portable",
+    "fn_month_end_rollover",
+    # round-9 batch 6: empty day grids (holt), empty order-stat ranks
+    # (anderson-darling), empty ORC round-trips, empty two-phase
+    # streaming restarts
+    "ts_holt_linear_portable",
+    "agg_anderson_darling",
+    "sink_orc",
+    "stream_restart_exactly_once",
 )
 
 

@@ -2436,3 +2436,284 @@ def test_eb_shrunk_rates_rederivation(spark, sf_dir, events):
     for et in n:
         shrunk = Fraction(x[et] * nt + 20 * xt, (n[et] + 20) * nt)
         assert got[et] == (x[et], n[et], int(shrunk * 10**6))
+
+
+# ---------------------------------------------------------------- round 9
+
+
+@pytest.fixture(scope="module")
+def events_ts(sf_dir):
+    return duckdb.sql(
+        f"SELECT user_id, event_type, value, "
+        f"epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+
+
+def test_capture_recapture_rederivation(spark, sf_dir, events_ts):
+    lo = min(r[3] for r in events_ts)
+    hi = max(r[3] for r in events_ts)
+    mid = (lo + hi) // 2
+    first = {r[0] for r in events_ts if r[3] < mid}
+    second = {r[0] for r in events_ts if r[3] >= mid}
+    n1, n2, m = len(first), len(second), len(first & second)
+    row = SPECS["agg_capture_recapture"].spark(spark, sf_dir).collect()[0]
+    assert (row.n_first, row.n_second, row.n_both) == (n1, n2, m)
+    assert row.n_observed == len(first | second)
+    assert row.chapman_estimate == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    if m:
+        assert row.lincoln_milli == n1 * n2 * 1000 // m
+    else:
+        assert row.lincoln_milli is None
+
+
+def test_mde_curve_rederivation(spark, sf_dir, events_ts):
+    conv = defaultdict(int)
+    for uid, et, v, _ in events_ts:
+        if uid % 2 == 0:
+            conv[uid] = max(
+                conv[uid], 1 if (et == "purchase" and v > 150) else 0
+            )
+    n, x = len(conv), sum(conv.values())
+    p = x / n
+    za, zb = 1.959963984540054, 0.8416212335729143
+    rows = SPECS["agg_mde_curve"].spark(spark, sf_dir).collect()
+    assert [r.n_per_arm for r in rows] == sorted(r.n_per_arm for r in rows)
+    for r in rows:
+        assert (r.n_baseline, r.x_baseline) == (n, x)
+        expect = (za + zb) * math.sqrt(2.0 * p * (1.0 - p) / r.n_per_arm)
+        assert _close(r.mde_abs, expect, 1e-6)
+
+
+def test_lorenz_curve_rederivation(spark, sf_dir, events_ts):
+    v3 = defaultdict(int)
+    for uid, et, v, _ in events_ts:
+        v3[uid] += math.floor(v * 1000) if et == "purchase" else 0
+    users = sorted(v3.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(users)
+    q, rem = divmod(n, 10)
+    buckets, start = [], 0
+    for b in range(10):
+        size = q + 1 if b < rem else q
+        buckets.append(users[start : start + size])
+        start += size
+    total = sum(v for _, v in users)
+    rows = SPECS["agg_lorenz_curve"].spark(spark, sf_dir).collect()
+    cum = 0
+    for row, bucket in zip(rows, [b for b in buckets if b]):
+        cum += sum(v for _, v in bucket)
+        assert row.n_users == len(bucket)
+        assert row.v3_sum == sum(v for _, v in bucket)
+        assert row.cum_v3 == cum
+        assert row.cum_share_ppm == cum * 10**6 // total
+
+
+def test_ranker_agreement_rederivation(spark, sf_dir):
+    row = SPECS["llm_ranker_agreement"].spark(spark, sf_dir).collect()[0]
+    # tau-a identity and pair-count closure over the common set
+    m = row.n_common
+    assert row.n_pairs == m * (m - 1) // 2
+    assert row.n_concordant + row.n_discordant <= row.n_pairs
+    if row.n_pairs:
+        assert _close(
+            row.tau,
+            (row.n_concordant - row.n_discordant) / row.n_pairs,
+        )
+    assert row.n_a <= 20 and row.n_b <= 20 and m <= min(row.n_a, row.n_b)
+
+
+def test_paired_t_rederivation(spark, sf_dir, events_ts):
+    lo = min(r[3] for r in events_ts)
+    hi = max(r[3] for r in events_ts)
+    mid = (lo + hi) // 2
+    pre, post = defaultdict(list), defaultdict(list)
+    for uid, et, v, us in events_ts:
+        if et == "purchase":
+            (post if us >= mid else pre)[uid].append(math.floor(v * 1000))
+    diffs = [
+        round(sum(post[u]) / len(post[u]) - sum(pre[u]) / len(pre[u]), 9)
+        for u in pre
+        if u in post
+    ]
+    row = SPECS["agg_paired_t_test"].spark(spark, sf_dir).collect()[0]
+    assert row.n_pairs == len(diffs)
+    n = len(diffs)
+    if n:
+        dbar = sum(diffs) / n
+        assert _close(row.mean_diff_milli, dbar, 1e-6)
+    if n > 1:
+        var = sum((d - sum(diffs) / n) ** 2 for d in diffs) / (n - 1)
+        if var > 0:
+            t = (sum(diffs) / n) / math.sqrt(var / n)
+            assert _close(row.t_stat, t, 1e-6)
+
+
+def test_poisson_rate_ratio_rederivation(spark, sf_dir, events_ts):
+    k = {0: 0, 1: 0}
+    users = {0: set(), 1: set()}
+    for uid, et, _, _ in events_ts:
+        arm = uid % 2
+        users[arm].add(uid)
+        if et == "purchase":
+            k[arm] += 1
+    row = SPECS["agg_poisson_rate_ratio"].spark(spark, sf_dir).collect()[0]
+    assert (row.k_t, row.n_t) == (k[1], len(users[1]))
+    assert (row.k_c, row.n_c) == (k[0], len(users[0]))
+    if k[1] and k[0]:
+        ln_rr = math.log(k[1] / len(users[1])) - math.log(k[0] / len(users[0]))
+        se = math.sqrt(1.0 / k[1] + 1.0 / k[0])
+        assert _close(row.ln_rate_ratio, ln_rr, 1e-6)
+        assert _close(row.ln_se, se, 1e-6)
+        assert _close(row.ln_ci_lo, ln_rr - 1.959963984540054 * se, 1e-6)
+        assert _close(row.ln_ci_hi, ln_rr + 1.959963984540054 * se, 1e-6)
+
+
+def test_survival_na_rederivation(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, value, "
+        f"CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    d0, dconv, dlast = {}, {}, {}
+    for uid, et, v, d in rows:
+        d0[uid] = min(d0.get(uid, d), d)
+        dlast[uid] = max(dlast.get(uid, d), d)
+        if et == "purchase" and v > 150:
+            dconv[uid] = min(dconv.get(uid, d), d)
+    dmax = max(dlast.values())
+    lives = [
+        (
+            (dconv[u] - d0[u]).days if u in dconv else (dmax - d0[u]).days,
+            1 if u in dconv else 0,
+        )
+        for u in d0
+    ]
+    n = len(lives)
+    out = SPECS["agg_survival_na"].spark(spark, sf_dir).collect()
+    cum_h = 0
+    for r in out:
+        d_ev = sum(1 for t, ev in lives if t == r.duration_days and ev)
+        c_c = sum(1 for t, ev in lives if t == r.duration_days and not ev)
+        at_risk = n - sum(1 for t, _ in lives if t < r.duration_days)
+        assert (r.d_events, r.c_censored, r.n_at_risk) == (d_ev, c_c, at_risk)
+        hq9 = d_ev * 10**9 // at_risk if at_risk > 0 else 0
+        assert r.hazard_q9 == hq9
+        cum_h += hq9
+        assert r.cum_hazard_q9 == cum_h
+        # the quantized cumulative hazard tracks the real NA estimator
+        true_h = sum(
+            de / (n - sum(1 for t2, _ in lives if t2 < t))
+            for t, de in {
+                t: sum(1 for tt, ev in lives if tt == t and ev)
+                for t, _ in lives
+            }.items()
+            if t <= r.duration_days and de > 0
+        )
+        assert _close(r.cum_hazard_q9 / 1e9, true_h, 1e-6)
+
+
+def test_log_odds_words_rederivation(spark, sf_dir, documents):
+    import re
+
+    ya, yb = defaultdict(int), defaultdict(int)
+    for _, text, _, source, _ in documents:
+        grp = int(re.search(r"src(\d+)", source).group(1)) % 2
+        tgt = ya if grp == 0 else yb
+        for w in text.split(" "):
+            tgt[w] += 1
+    vocab = set(ya) | set(yb)
+    n_a, n_b, v = sum(ya.values()), sum(yb.values()), len(vocab)
+    out = SPECS["llm_log_odds_words"].spark(spark, sf_dir).collect()
+    for r in out:
+        assert (r.y_a, r.y_b) == (ya[r.word], yb[r.word])
+        delta = math.log((r.y_a + 1) / (n_a + v - r.y_a - 1)) - math.log(
+            (r.y_b + 1) / (n_b + v - r.y_b - 1)
+        )
+        z = delta / math.sqrt(1.0 / (r.y_a + 1) + 1.0 / (r.y_b + 1))
+        assert _close(r.delta_q9 / 1e9, delta, 1e-6)
+        assert _close(r.z_q9 / 1e9, z, 1e-6)
+
+
+def test_kneser_ney_rederivation(spark, sf_dir, documents):
+    c_ab = defaultdict(int)
+    for _, text, _, _, _ in documents:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c_ab[(a, b)] += 1
+    c_a, from_a, to_b = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (a, b), c in c_ab.items():
+        c_a[a] += c
+        from_a[a] += 1
+        to_b[b] += 1
+    t_types = len(c_ab)
+    n1 = sum(1 for c in c_ab.values() if c == 1)
+    n2 = sum(1 for c in c_ab.values() if c == 2)
+    dd = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.0
+    out = SPECS["llm_kneser_ney_bigram"].spark(spark, sf_dir).collect()
+    assert len(out) == min(20, t_types)
+    for r in out:
+        key = (r.tok_a, r.tok_b)
+        assert r.c_ab == c_ab[key]
+        assert r.c_a == c_a[r.tok_a]
+        assert (r.n1plus_from_a, r.n1plus_to_b) == (
+            from_a[r.tok_a],
+            to_b[r.tok_b],
+        )
+        p = (c_ab[key] - dd) / c_a[r.tok_a] + dd * from_a[
+            r.tok_a
+        ] / c_a[r.tok_a] * to_b[r.tok_b] / t_types
+        assert _close(r.p_kn_q9 / 1e9, p, 1e-6)
+        # a probability: sane range
+        assert 0 < r.p_kn_q9 <= 10**9
+
+
+def test_holt_linear_rederivation(spark, sf_dir, events_ts):
+    daily = defaultdict(int)
+    for uid, et, v, us in events_ts:
+        if et == "purchase":
+            daily[us // 86_400_000_000] += math.floor(v * 1000)
+        else:
+            daily.setdefault(us // 86_400_000_000, 0)
+    out = SPECS["ts_holt_linear_portable"].spark(spark, sf_dir).collect()
+    assert len(out) == len(daily)
+    l = b = 0
+    for i, (day, r) in enumerate(zip(sorted(daily), out)):
+        y = daily[day]
+        assert r.y_milli == y
+        if i == 0:
+            l, b = y, 0
+        else:
+            l_new = (y + l + b) // 2
+            b = (l_new - l + 3 * b) // 4
+            l = l_new
+        assert (r.level_milli, r.trend_milli) == (l, b)
+        assert r.forecast_next_milli == l + b
+        # alpha=1/2 smoothing: level stays within the y range seen so far
+        assert r.level_milli <= max(daily[d] for d in sorted(daily)[: i + 1])
+
+
+def test_anderson_darling_rederivation(spark, sf_dir, events_ts):
+    vals = sorted(
+        math.floor(v * 1000)
+        for _, et, v, _ in events_ts
+        if et == "purchase"
+    )
+    n = len(vals)
+    row = SPECS["agg_anderson_darling"].spark(spark, sf_dir).collect()[0]
+    assert (row.n_values, row.v_min_milli, row.v_max_milli) == (
+        n,
+        vals[0],
+        vals[-1],
+    )
+    vmin, vmax = vals[0], vals[-1]
+    s = sum(
+        (2 * j - 1) / n * math.log((v - vmin + 1) / (vmax - vmin + 2))
+        + (2 * n + 1 - 2 * j) / n
+        * math.log((vmax - v + 1) / (vmax - vmin + 2))
+        for j, v in enumerate(vals, start=1)
+    )
+    a2 = -n - s
+    assert _close(row.a2_q9 / 1e9, a2, 1e-5)
+    # the fixture's purchase values are NOT uniform on their range —
+    # the test must reject (pins that the statistic has power here)
+    assert row.reject_uniform_5pct == (row.a2_q9 > 2_492_000_000)
