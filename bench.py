@@ -189,6 +189,9 @@ BENCH_QUERIES = (
     "agg_anderson_darling",
     "sink_orc",
     "stream_restart_exactly_once",
+    "graph_modularity",
+    "llm_mmr_diversify_portable",
+    "fn_soundex_blocking",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

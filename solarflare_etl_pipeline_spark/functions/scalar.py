@@ -1083,3 +1083,75 @@ def fn_month_end_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("billing_next"),
     ).orderBy("order_date")
+
+
+def _soundex_sql(col: str, g: str) -> str:
+    """The portable Soundex chain as ONE SQL expression — identical
+    algorithm in both engines; ``g`` is the regexp_replace global-flag
+    argument spelling (DuckDB needs an explicit ``, 'g'``; Spark
+    replaces all matches by default). No backreferences anywhere:
+    DuckDB's RE2 has none, so duplicate runs collapse via six
+    per-digit ``d{{2,}}`` replaces."""
+    u = f"UPPER({col})"
+    # code the WHOLE word (first letter included), H/W removed first so
+    # duplicates across them collapse (the Pfister rule)
+    coded = f"REGEXP_REPLACE({u}, '[HW]', ''{g})"
+    for cls, d in (
+        ("[BFPV]", "1"),
+        ("[CGJKQSXZ]", "2"),
+        ("[DT]", "3"),
+        ("[L]", "4"),
+        ("[MN]", "5"),
+        ("[R]", "6"),
+        ("[AEIOUY]", "0"),
+    ):
+        coded = f"REGEXP_REPLACE({coded}, '{cls}', '{d}'{g})"
+    for d in "0123456":
+        coded = f"REGEXP_REPLACE({coded}, '{d}{{2,}}', '{d}'{g})"
+    tail = f"REPLACE(SUBSTR({coded}, 2), '0', '')"
+    return f"CONCAT(SUBSTR({u}, 1, 1), SUBSTR(CONCAT({tail}, '000'), 1, 3))"
+
+
+@register(
+    "fn_soundex_blocking",
+    oracle=f"""
+        WITH words AS (
+            SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+            FROM part
+        ),
+        wc AS (
+            SELECT word, COUNT(*) AS n_parts FROM words GROUP BY word
+        )
+        SELECT word, {_soundex_sql('word', ", 'g'")} AS soundex_code,
+               n_parts
+        FROM wc
+        ORDER BY word
+    """,
+    doc="Soundex phonetic blocking keys over the part-name vocabulary — "
+    "the classic entity-resolution blocking function (candidate pairs "
+    "for fuzzy matching come from equal phonetic codes, turning an "
+    "O(n^2) fuzzy join into per-block joins; the phonetic complement "
+    "of fn_string_sim's edit distances). The American-Soundex chain "
+    "(keep first letter; drop H/W so duplicates across them collapse; "
+    "code consonant classes 1-6, vowels 0; collapse runs; strip "
+    "zeros; pad to letter+3) is spelled as ONE identical "
+    "regexp_replace chain in both engines — no backreferences, since "
+    "DuckDB's RE2 has none, so runs collapse via per-digit d{2,} "
+    "replaces; Spark's builtin soundex() is deliberately NOT used — "
+    "only one engine has it, and a hash-certified op needs the SAME "
+    "spelled-out algorithm on both sides (the chain reproduces the "
+    "textbook test vectors incl. the H/W rule: Ashcraft->A261, "
+    "Pfister->P236, Tymczak->T522 — pinned in "
+    "tests/test_stats_rederivation.py). Scalar chain "
+    "per row + one word-count aggregate — embarrassingly parallel "
+    "at any scale.",
+)
+def fn_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    words = p.select(F.explode(F.split("p_name", " ")).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").alias("n_parts"))
+    return wc.select(
+        "word",
+        F.expr(_soundex_sql("word", "")).alias("soundex_code"),
+        "n_parts",
+    ).orderBy("word")

@@ -3189,3 +3189,142 @@ def cohort_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "graph_modularity",
+    # Newman modularity of the p_type partition over the basket
+    # co-occurrence graph, with NO division anywhere: per community the
+    # contribution numerator 4m*e_c - d_c^2 (Q = sum_c num_c / (4m^2))
+    # is emitted as an exact integer, widened to HUGEINT/DECIMAL(38,0)
+    # before the corpus-scale products. Edges are the same
+    # min-support-pruned basket pairs graph_adamic_adar walks.
+    oracle=f"""
+        WITH l AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM l a JOIN l b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= {BASKET_MIN_SUP}
+        ),
+        m AS (SELECT COUNT(*) AS m_edges FROM pairs),
+        typed AS (
+            SELECT pr.pa, pr.pb, ta.p_type AS ty_a, tb.p_type AS ty_b
+            FROM pairs pr
+            JOIN part ta ON ta.p_partkey = pr.pa
+            JOIN part tb ON tb.p_partkey = pr.pb
+        ),
+        deg AS (
+            SELECT u, ty, CAST(COUNT(*) AS BIGINT) AS d FROM (
+                SELECT pa AS u, ty_a AS ty FROM typed
+                UNION ALL
+                SELECT pb AS u, ty_b AS ty FROM typed
+            ) GROUP BY u, ty
+        ),
+        comm AS (
+            SELECT ty AS p_type,
+                   COUNT(*) AS n_parts,
+                   CAST(SUM(d) AS BIGINT) AS d_sum
+            FROM deg GROUP BY ty
+        ),
+        intra AS (
+            SELECT ty_a AS p_type, CAST(COUNT(*) AS BIGINT) AS e_intra
+            FROM typed WHERE ty_a = ty_b GROUP BY ty_a
+        )
+        SELECT c.p_type, c.n_parts,
+               COALESCE(i.e_intra, 0) AS e_intra, c.d_sum,
+               CAST(m.m_edges AS BIGINT) AS m_edges,
+               CAST(4 * CAST(m.m_edges AS HUGEINT)
+                        * COALESCE(i.e_intra, 0)
+                    - CAST(c.d_sum AS HUGEINT) * c.d_sum
+                    AS BIGINT) AS q_num
+        FROM comm c
+        LEFT JOIN intra i ON i.p_type = c.p_type
+        CROSS JOIN m
+        ORDER BY c.p_type
+    """,
+    doc=f"Newman modularity decomposition of the basket co-occurrence "
+    f"graph under the p_type attribute partition — 'do parts of the "
+    f"same type cluster in co-purchases', the quantity community-"
+    f"detection quality is judged by (and the partition-side "
+    f"complement of graph_assortativity's degree correlation): "
+    f"Q = sum_c [e_c/m - (d_c/2m)^2]. Emitted with NO floating "
+    f"division at all — per community the exact integer numerator "
+    f"4m*e_c - d_c^2 plus m, so Q = sum(q_num)/(4m^2) is left to "
+    f"the consumer and every emitted cell is engine-exact by "
+    f"construction. Edges = distinct basket pairs at support >= "
+    f"{BASKET_MIN_SUP} (one self-join, support-pruned early); "
+    f"p_type lookups are broadcast joins against the bounded part "
+    f"dim; output is |types| rows. At 100 TB the only wide edges "
+    f"are the basket self-join (support-pruned) and one degree "
+    f"aggregate.",
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = l.alias("a")
+    b = l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_SUP)
+        .select("pa", "pb")
+        .localCheckpoint()  # feeds m scalar, typed join, degree agg
+    )
+    m = pairs.count()
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    typed = (
+        pairs.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("pa"),
+                                 F.col("p_type").alias("ty_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(p.select(F.col("p_partkey").alias("pb"),
+                                 F.col("p_type").alias("ty_b"))),
+            "pb",
+        )
+    )
+    deg = (
+        typed.select(F.col("pa").alias("u"), F.col("ty_a").alias("ty"))
+        .unionAll(
+            typed.select(F.col("pb").alias("u"), F.col("ty_b").alias("ty"))
+        )
+        .groupBy("u", "ty")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    comm = deg.groupBy(F.col("ty").alias("p_type")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("d").cast("long").alias("d_sum"),
+    )
+    intra = (
+        typed.where(F.col("ty_a") == F.col("ty_b"))
+        .groupBy(F.col("ty_a").alias("p_type"))
+        .agg(F.count("*").cast("long").alias("e_intra"))
+    )
+    return (
+        comm.join(intra, "p_type", "left")
+        .select(
+            "p_type",
+            "n_parts",
+            F.coalesce(F.col("e_intra"), F.lit(0)).cast("long").alias("e_intra"),
+            "d_sum",
+            F.lit(m).cast("long").alias("m_edges"),
+            F.expr(
+                f"CAST(4 * CAST({m} AS DECIMAL(38,0)) * COALESCE(e_intra, 0)"
+                " - CAST(d_sum AS DECIMAL(38,0)) * d_sum AS BIGINT)"
+            ).alias("q_num"),
+        )
+        .orderBy("p_type")
+    )

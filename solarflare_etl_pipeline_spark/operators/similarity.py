@@ -3398,3 +3398,159 @@ def llm_kmeans_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_members", "wss_mod9", "sum_c2")
         .orderBy("cid")
     )
+
+
+MMR_POOL = 24  # relevance-ranked candidate pool fed to the greedy stage
+MMR_K = 8      # diversified selections (lambda = 1/2: score2x = rel - msim)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy-MMR oracle: one (cand_i, sel_i) CTE pair per
+    selection step — the pca_power_portable unrolled-iteration pattern
+    applied to a greedy selector. All quantities are exact BIGINTs."""
+    blocks = [
+        """        sel1 AS MATERIALIZED (
+            SELECT CAST(1 AS BIGINT) AS step, vec_id, rel,
+                   CAST(0 AS BIGINT) AS msim, rel AS score2x
+            FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+        )"""
+    ]
+    for i in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        blocks.append(
+            f"""        cand{i} AS MATERIALIZED (
+            SELECT p.vec_id, p.rel, MAX(d.dot) AS msim
+            FROM pool p
+            JOIN dots d ON d.a = p.vec_id
+             AND d.b IN ({prev})
+            WHERE p.vec_id NOT IN ({prev})
+            GROUP BY p.vec_id, p.rel
+        ),
+        sel{i} AS MATERIALIZED (
+            SELECT CAST({i} AS BIGINT) AS step, vec_id, rel,
+                   CAST(msim AS BIGINT) AS msim,
+                   CAST(rel - msim AS BIGINT) AS score2x
+            FROM cand{i}
+            ORDER BY rel - msim DESC, vec_id LIMIT 1
+        )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, MMR_K + 1)
+    )
+    return (
+        f"""
+        WITH x AS MATERIALIZED (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {KMP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        qid AS (SELECT MIN(vec_id) AS q FROM embeddings),
+        rel0 AS (
+            SELECT a.vec_id, CAST(SUM(a.xq * qx.xq) AS BIGINT) AS rel
+            FROM x a
+            JOIN x qx ON qx.pos = a.pos
+            CROSS JOIN qid
+            WHERE qx.vec_id = qid.q AND a.vec_id <> qid.q
+            GROUP BY a.vec_id
+        ),
+        pool AS MATERIALIZED (
+            SELECT vec_id, rel FROM rel0
+            ORDER BY rel DESC, vec_id LIMIT {MMR_POOL}
+        ),
+        dots AS MATERIALIZED (
+            SELECT pa.vec_id AS a, pb.vec_id AS b,
+                   CAST(SUM(xa.xq * xb.xq) AS BIGINT) AS dot
+            FROM pool pa
+            JOIN pool pb ON pa.vec_id <> pb.vec_id
+            JOIN x xa ON xa.vec_id = pa.vec_id
+            JOIN x xb ON xb.vec_id = pb.vec_id AND xb.pos = xa.pos
+            GROUP BY pa.vec_id, pb.vec_id
+        ),
+"""
+        + ",\n".join(blocks)
+        + f"""
+        SELECT step, vec_id, rel, msim, score2x FROM ({final})
+        ORDER BY step
+    """
+    )
+
+
+@register(
+    "llm_mmr_diversify_portable",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal Marginal Relevance re-ranking (Carbonell-Goldstein), "
+    f"the diversified top-k every RAG retriever bolts onto plain "
+    f"similarity search: greedily pick argmax of "
+    f"lambda*rel - (1-lambda)*max-sim-to-selected from a "
+    f"relevance-ranked pool. Run ENTIRELY in exact integers "
+    f"(quantized coordinates -> BIGINT dot products; lambda = 1/2 "
+    f"clears the division so score2x = rel - msim; ties break to "
+    f"the lowest vec_id), so the full greedy trajectory — {MMR_K} "
+    f"selections from the top-{MMR_POOL} pool around the lowest-id "
+    f"query vector — hash-matches the oracle's unrolled CTE replay "
+    f"step for step. The sequential greedy core is inherently "
+    f"iterative; the scale split is the ANN-family discipline: "
+    f"relevance ranking and the pool cut are distributed "
+    f"(TakeOrderedAndProject over per-vector dot products), the "
+    f"{MMR_POOL}x{MMR_POOL} dot matrix and {MMR_K}-step greedy run "
+    f"on BOUNDED driver state like pca_power_portable's per-round "
+    f"{DIM}-int vector. At 100 TB the pool stage is one linear "
+    f"scan; nothing downstream grows with the corpus.",
+)
+def llm_mmr_diversify_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out_schema = (
+        "step bigint, vec_id bigint, rel bigint, msim bigint,"
+        " score2x bigint"
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            _vec_double(), lambda xi: F.round(xi * KMP_Q, 0).cast("long")
+        ).alias("xq"),
+    )
+    e = e.localCheckpoint()  # query-vec scalar + rel scan share the quantized frame
+    qrow = e.orderBy("vec_id").limit(1).collect()
+    if not qrow:
+        return spark.createDataFrame([], out_schema)
+    qid, qv = int(qrow[0].vec_id), [int(c) for c in qrow[0].xq]
+    vlit = F.array(*[F.lit(c).cast("long") for c in qv])
+    rel = F.aggregate(
+        F.zip_with("xq", vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pool = (
+        e.where(F.col("vec_id") != qid)
+        .select("vec_id", "xq", rel.alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .collect()
+    )  # bounded driver state: MMR_POOL rows of DIM ints
+    if not pool:
+        return spark.createDataFrame([], out_schema)
+    vecs = {int(r.vec_id): [int(c) for c in r.xq] for r in pool}
+    rels = {int(r.vec_id): int(r.rel) for r in pool}
+    dots = {
+        (a, b): sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        for a in vecs
+        for b in vecs
+        if a != b
+    }
+    selected: list[int] = []
+    rows = []
+    for step in range(1, min(MMR_K, len(pool)) + 1):
+        best = None
+        for vid in sorted(vecs):
+            if vid in selected:
+                continue
+            msim = max((dots[(vid, s)] for s in selected), default=0)
+            score = rels[vid] - (msim if selected else 0)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rels[vid], msim if selected else 0, score)
+        selected.append(best[1])
+        rows.append((step, best[1], best[2], best[3], best[4]))
+    return spark.createDataFrame(rows, out_schema).orderBy("step")

@@ -177,7 +177,11 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: the strongest remaining streaming certification),
 #: ts_holt_linear_portable (integer fixed-point Holt level+trend),
 #: agg_anderson_darling (tail-weighted GOF on the distributed global
-#: rank), sink_orc (the ORC writer half), agg_logrank_test,
+#: rank), sink_orc (the ORC writer half), graph_modularity (exact-
+#: integer Newman Q decomposition), llm_mmr_diversify_portable (the
+#: RAG diversified-top-k greedy under the driver hash),
+#: fn_soundex_blocking (entity-resolution blocking keys),
+#: agg_logrank_test,
 #: stream_two_level_window, agg_shapley_attribution, llm_self_bleu,
 #: llm_ivfpq_portable, llm_knn_eval_portable, agg_cochran_q,
 #: graph_adamic_adar, graph_hits, llm_zipf_slope, llm_burstiness,

@@ -242,6 +242,11 @@ CORE_QUERIES = (
     "agg_anderson_darling",
     "sink_orc",
     "stream_restart_exactly_once",
+    # round-9 batch 7: empty basket graphs (modularity), empty pools
+    # (mmr greedy), empty vocabularies (soundex blocking)
+    "graph_modularity",
+    "llm_mmr_diversify_portable",
+    "fn_soundex_blocking",
 )
 
 

@@ -2717,3 +2717,120 @@ def test_anderson_darling_rederivation(spark, sf_dir, events_ts):
     # the fixture's purchase values are NOT uniform on their range —
     # the test must reject (pins that the statistic has power here)
     assert row.reject_uniform_5pct == (row.a2_q9 > 2_492_000_000)
+
+
+def test_soundex_classic_vectors():
+    """The portable Soundex chain must reproduce the textbook test
+    vectors (including the H/W transparency rule) when DuckDB runs it."""
+    from solarflare_etl_pipeline_spark.functions.scalar import _soundex_sql
+
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Ashcroft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Honeyman": "H555",
+        "Jackson": "J250",
+    }
+    vals = ", ".join(f"('{w}')" for w in cases)
+    chain = _soundex_sql("word", ", 'g'")
+    sql = (
+        f"SELECT word, {chain} AS code"
+        f" FROM (VALUES {vals}) AS t(word)"
+    )
+    got = dict(duckdb.sql(sql).fetchall())
+    assert got == cases
+
+
+def test_modularity_rederivation(spark, sf_dir):
+    li = duckdb.sql(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    ptype = dict(
+        duckdb.sql(
+            f"SELECT p_partkey, p_type FROM "
+            f"read_parquet('{sf_dir}/part.parquet')"
+        ).fetchall()
+    )
+    baskets = defaultdict(set)
+    for ok, pk in li:
+        baskets[ok].add(pk)
+    support = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                support[(a, b)] += 1
+    edges = [e for e, c in support.items() if c >= 3]
+    m = len(edges)
+    e_c, d_c, nodes = defaultdict(int), defaultdict(int), defaultdict(set)
+    for a, b in edges:
+        ta, tb = ptype[a], ptype[b]
+        d_c[ta] += 1
+        d_c[tb] += 1
+        nodes[ta].add(a)
+        nodes[tb].add(b)
+        if ta == tb:
+            e_c[ta] += 1
+    out = SPECS["graph_modularity"].spark(spark, sf_dir).collect()
+    assert {r.p_type for r in out} == set(nodes)
+    for r in out:
+        assert r.m_edges == m
+        assert (r.n_parts, r.e_intra, r.d_sum) == (
+            len(nodes[r.p_type]),
+            e_c[r.p_type],
+            d_c[r.p_type],
+        )
+        assert r.q_num == 4 * m * e_c[r.p_type] - d_c[r.p_type] ** 2
+    # modularity lives in [-1/2, 1): the scaled total must respect it
+    q_total = sum(r.q_num for r in out)
+    assert -2 * m * m <= q_total < 4 * m * m
+
+
+def test_mmr_rederivation(spark, sf_dir):
+    embs = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    def q(x: float) -> int:
+        # mirror both engines' ROUND(x*1000, 0): half away from zero
+        # (Python's round() is banker's — NOT equivalent on exact .5)
+        v = float(x) * 1000
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    vecs = {vid: [q(x) for x in arr] for vid, arr in embs}
+    qid = min(vecs)
+    qv = vecs[qid]
+    rel = {
+        v: sum(a * b for a, b in zip(vec, qv))
+        for v, vec in vecs.items()
+        if v != qid
+    }
+    pool = sorted(rel, key=lambda v: (-rel[v], v))[:24]
+    selected, expect = [], []
+    for step in range(1, min(8, len(pool)) + 1):
+        best = None
+        for v in pool:
+            if v in selected:
+                continue
+            msim = max(
+                (
+                    sum(a * b for a, b in zip(vecs[v], vecs[s]))
+                    for s in selected
+                ),
+                default=0,
+            )
+            score = rel[v] - (msim if selected else 0)
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rel[v], msim if selected else 0, score)
+        selected.append(best[1])
+        expect.append((step, best[1], best[2], best[3], best[4]))
+    out = SPECS["llm_mmr_diversify_portable"].spark(spark, sf_dir).collect()
+    got = [
+        (r.step, r.vec_id, r.rel, r.msim, r.score2x) for r in out
+    ]
+    assert got == expect
