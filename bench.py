@@ -192,6 +192,7 @@ BENCH_QUERIES = (
     "graph_modularity",
     "llm_mmr_diversify_portable",
     "fn_soundex_blocking",
+    "mm_audio_band_energy",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -1273,3 +1273,142 @@ def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+#: Candidate periods for the per-document band-energy probe, with
+#: micro-quantized cos/sin tables computed ONCE in Python and injected
+#: as identical integer constants into both the Spark stage and the
+#: DuckDB oracle — neither engine evaluates COS/SIN itself (the
+#: ts_periodogram injected-constant discipline).
+MMB_PERIODS = (2, 3, 4, 5)
+MMB_COEF: dict[int, list[tuple[int, int]]] = {}
+import math as _math  # noqa: E402
+
+for _p in MMB_PERIODS:
+    MMB_COEF[_p] = [
+        (
+            int(_math.floor(_math.cos(2 * _math.pi * _r / _p) * 1_000_000)),
+            int(_math.floor(_math.sin(2 * _math.pi * _r / _p) * 1_000_000)),
+        )
+        for _r in range(_p)
+    ]
+
+
+def _mmb_coef_values() -> str:
+    rows = []
+    for p, tab in MMB_COEF.items():
+        for r, (cq, sq) in enumerate(tab):
+            rows.append(f"({p}, {r}, {cq}, {sq})")
+    return ", ".join(rows)
+
+
+@register(
+    "mm_audio_band_energy",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, UNNEST(RANGE(0, n_chars % 100 + 10)) AS i
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, i,
+                   CAST((doc_id * 31 + i * 7) % 65536 - 32768 AS BIGINT)
+                       AS amp
+            FROM s
+        ),
+        coef(p, r, cq, sq) AS (VALUES {_mmb_coef_values()}),
+        sums AS (
+            SELECT x.doc_id, coef.p AS period,
+                   COUNT(*) AS n_samples,
+                   CAST(SUM(x.amp * coef.cq) AS BIGINT) AS c_sum,
+                   CAST(SUM(x.amp * coef.sq) AS BIGINT) AS s_sum
+            FROM x JOIN coef ON coef.r = x.i % coef.p
+            GROUP BY x.doc_id, coef.p
+        )
+        SELECT doc_id, CAST(period AS BIGINT) AS period, n_samples,
+               c_sum, s_sum,
+               CAST(((CAST(c_sum AS HUGEINT) * c_sum
+                      + CAST(s_sum AS HUGEINT) * s_sum) % 1000000000
+                     + 1000000000) % 1000000000 AS BIGINT) AS power_mod9
+        FROM sums
+        ORDER BY doc_id, period
+    """,
+    doc=f"Per-document spectral band energies over the DECODED audio "
+    f"stream — the decode+DFT composition a speech-data pipeline "
+    f"runs for tone/hum detection and bandwidth QA (is this clip "
+    f"narrowband?): each stored WAV is chunk-walked and "
+    f"PCM16-decoded (the real mm_decode_wav parse), then correlated "
+    f"against {len(MMB_PERIODS)} candidate periods' cos/sin tables "
+    f"— micro-quantized integer constants injected identically into "
+    f"both engines (the ts_periodogram discipline: no engine "
+    f"evaluates trig), so C_P = sum amp*cosq and S_P = sum amp*sinq "
+    f"are exact BIGINTs and the band power C^2+S^2 is emitted as "
+    f"its pmod-1e9 residue (HUGEINT/DECIMAL-widened — the "
+    f"matvec_mod9 register discipline; the raw square exceeds "
+    f"int64). The oracle restates the generator's sample stream in "
+    f"closed form, so parity proves the DECODE actually ran and "
+    f"fed the filter bank. Plan: one Arrow mapInPandas stage fusing "
+    f"decode and the {sum(MMB_PERIODS)}-coefficient correlation "
+    f"(vectorized int64 dot per period), output "
+    f"|docs| x {len(MMB_PERIODS)} rows — embarrassingly parallel at "
+    f"100 TB, zero shuffles after the scan.",
+)
+def mm_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select(
+        "doc_id", "wav"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("period", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("c_sum", T.LongType()),
+            T.StructField("s_sum", T.LongType()),
+        ]
+    )
+
+    def bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ps, ns, cs, ss = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                _, samples = decode_wav_samples(payload)
+                a = samples.astype(np.int64)
+                n = len(a)
+                idx = np.arange(n)
+                for p in MMB_PERIODS:
+                    cq = np.array(
+                        [MMB_COEF[p][r][0] for r in range(p)], dtype=np.int64
+                    )
+                    sq = np.array(
+                        [MMB_COEF[p][r][1] for r in range(p)], dtype=np.int64
+                    )
+                    r = idx % p
+                    ids.append(doc_id)
+                    ps.append(p)
+                    ns.append(n)
+                    cs.append(int(np.dot(a, cq[r])))
+                    ss.append(int(np.dot(a, sq[r])))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "period": pd.Series(ps, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "c_sum": pd.Series(cs, dtype="int64"),
+                    "s_sum": pd.Series(ss, dtype="int64"),
+                }
+            )
+
+    out = payloads.mapInPandas(bands, schema)
+    return out.select(
+        "doc_id",
+        "period",
+        "n_samples",
+        "c_sum",
+        "s_sum",
+        F.expr(
+            "CAST(((CAST(c_sum AS DECIMAL(38,0)) * c_sum"
+            " + CAST(s_sum AS DECIMAL(38,0)) * s_sum) % 1000000000"
+            " + 1000000000) % 1000000000 AS BIGINT)"
+        ).alias("power_mod9"),
+    ).orderBy("doc_id", "period")

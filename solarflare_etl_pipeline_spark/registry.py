@@ -181,7 +181,8 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: integer Newman Q decomposition), llm_mmr_diversify_portable (the
 #: RAG diversified-top-k greedy under the driver hash),
 #: fn_soundex_blocking (entity-resolution blocking keys),
-#: agg_logrank_test,
+#: mm_audio_band_energy (decode+filter-bank composition under the
+#: driver hash — the multimodal candidate), agg_logrank_test,
 #: stream_two_level_window, agg_shapley_attribution, llm_self_bleu,
 #: llm_ivfpq_portable, llm_knn_eval_portable, agg_cochran_q,
 #: graph_adamic_adar, graph_hits, llm_zipf_slope, llm_burstiness,

@@ -247,6 +247,8 @@ CORE_QUERIES = (
     "graph_modularity",
     "llm_mmr_diversify_portable",
     "fn_soundex_blocking",
+    # round-9 batch 8: empty payload filter banks
+    "mm_audio_band_energy",
 )
 
 

@@ -120,6 +120,7 @@ PYTHON_OK = {
     "mm_phash_dedup",
     "mm_phash_dedup_planted",
     "mm_audio_zcr",
+    "mm_audio_band_energy",  # decode+filter-bank fused in one Arrow stage
     "mm_image_edge_density",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",

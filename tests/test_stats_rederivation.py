@@ -2834,3 +2834,21 @@ def test_mmr_rederivation(spark, sf_dir):
         (r.step, r.vec_id, r.rel, r.msim, r.score2x) for r in out
     ]
     assert got == expect
+
+
+def test_audio_band_energy_rederivation(spark, sf_dir, documents):
+    from solarflare_etl_pipeline_spark.operators.multimodal import MMB_COEF
+
+    out = SPECS["mm_audio_band_energy"].spark(spark, sf_dir).collect()
+    n_chars = {d[0]: d[4] for d in documents}
+    assert len(out) == 4 * len(n_chars)
+    by_key = {(r.doc_id, r.period): r for r in out}
+    for doc_id in sorted(n_chars)[:5]:
+        n = n_chars[doc_id] % 100 + 10
+        amps = [(doc_id * 31 + i * 7) % 65536 - 32768 for i in range(n)]
+        for p, tab in MMB_COEF.items():
+            c = sum(a * tab[i % p][0] for i, a in enumerate(amps))
+            s = sum(a * tab[i % p][1] for i, a in enumerate(amps))
+            r = by_key[(doc_id, p)]
+            assert (r.n_samples, r.c_sum, r.s_sum) == (n, c, s)
+            assert r.power_mod9 == (c * c + s * s) % 10**9
