@@ -193,6 +193,9 @@ BENCH_QUERIES = (
     "llm_mmr_diversify_portable",
     "fn_soundex_blocking",
     "mm_audio_band_energy",
+    "cohort_returning_new",
+    "dq_distribution_shift_emd",
+    "llm_kn_doc_scores",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -3328,3 +3328,78 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "cohort_returning_new",
+    # New-vs-returning split per activity day: a user is NEW on their
+    # first-seen day and RETURNING on every later active day. The
+    # first-seen date is one per-user aggregate; the daily split then
+    # compares dates — no window over the raw stream anywhere, and the
+    # returning share is an exact ppm (all-integer, rule 16).
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+            FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(day) AS d0 FROM act GROUP BY user_id
+        )
+        SELECT CAST(a.day AS TIMESTAMP) AS day,
+               CAST(SUM(CASE WHEN a.day = f.d0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning,
+               COUNT(*) AS n_active,
+               CAST(SUM(CASE WHEN a.day > f.d0 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT)
+                   AS returning_share_ppm
+        FROM act a JOIN first_seen f ON f.user_id = a.user_id
+        GROUP BY a.day
+        ORDER BY day
+    """,
+    doc="Daily new-vs-returning user split — the growth-accounting "
+    "readout every product dashboard leads with (is today's activity "
+    "acquisition or retention?), the per-day complement of "
+    "cohort_retention's triangle and cohort_dau_mau's stickiness "
+    "ratio. A user is NEW on their first-ever active day, RETURNING "
+    "on later active days; the returning share is an exact integer "
+    "ppm. Plan: one distinct (user, day) shuffle, one per-user MIN "
+    "aggregate, one equi-join back on user_id (both sides "
+    "user-partitioned — co-located at any scale), one day-grain "
+    "aggregate over the calendar-bounded grid. No windows over the "
+    "raw stream; at 100 TB the cost is two user-keyed shuffles.",
+)
+def cohort_returning_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    act = act.localCheckpoint()  # feeds first_seen AND the join probe
+    first_seen = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    j = act.join(first_seen, "user_id")
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.count("*").cast("long").alias("n_active"),
+            F.expr(
+                "CAST(SUM(CASE WHEN day > d0 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("returning_share_ppm"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_new",
+            "n_returning",
+            "n_active",
+            "returning_share_ppm",
+        )
+        .orderBy("day")
+    )

@@ -1973,3 +1973,143 @@ def dq_duplicate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("mult") > 1, 1)).cast("long").alias("n_dup_classes"),
         F.coalesce(F.max("mult"), F.lit(0)).cast("long").alias("max_multiplicity"),
     )
+
+
+@register(
+    "dq_distribution_shift_emd",
+    # 1-D Wasserstein (earth mover's) distance between the event-value
+    # distributions of the window's two epoch halves, computed EXACTLY:
+    # EMD = sum over the distinct-value grid of |F_a - F_b| * gap, with
+    # the CDF difference cleared of divisions via |cumA*nB - cumB*nA|
+    # (rule 22) and the scaled sum HUGEINT/DECIMAL-accumulated. The
+    # cumulative window runs over the distinct milli-value grid — the
+    # agg_mann_whitney value-domain-bounded exemption.
+    oracle="""
+        WITH b AS (
+            SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+                   EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        span AS (
+            SELECT MIN(us) AS lo, MAX(us) AS hi FROM b
+        ),
+        h AS (
+            SELECT v,
+                   CASE WHEN us < (span.lo + span.hi) // 2
+                        THEN 0 ELSE 1 END AS half
+            FROM b CROSS JOIN span
+        ),
+        n AS (
+            SELECT CAST(SUM(1 - half) AS BIGINT) AS n_a,
+                   CAST(SUM(half) AS BIGINT) AS n_b
+            FROM h
+        ),
+        g AS (
+            SELECT v,
+                   CAST(SUM(1 - half) AS BIGINT) AS ca,
+                   CAST(SUM(half) AS BIGINT) AS cb
+            FROM h GROUP BY v
+        ),
+        c AS (
+            SELECT v,
+                   SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cum_a,
+                   SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                       AS cum_b,
+                   LEAD(v) OVER (ORDER BY v) AS v_next
+            FROM g
+        ),
+        t AS (
+            SELECT CAST(SUM(ABS(CAST(cum_a AS HUGEINT) * n.n_b
+                                - CAST(cum_b AS HUGEINT) * n.n_a)
+                            * (v_next - v)) AS HUGEINT) AS emd_scaled,
+                   COUNT(*) AS n_grid
+            FROM c CROSS JOIN n
+            WHERE v_next IS NOT NULL
+        )
+        SELECT n.n_a, n.n_b,
+               CAST(t.n_grid AS BIGINT) AS n_grid,
+               CAST(COALESCE(t.emd_scaled // (n.n_a * n.n_b), 0)
+                    AS BIGINT) AS emd_milli_units,
+               CAST(((COALESCE(t.emd_scaled, 0) % 1000000000)
+                     + 1000000000) % 1000000000 AS BIGINT)
+                   AS emd_scaled_mod9
+        FROM n CROSS JOIN t
+        WHERE n.n_a > 0 AND n.n_b > 0
+    """,
+    doc="Exact 1-D earth mover's (Wasserstein-1) distance between the "
+    "event-value distributions of the observation window's first and "
+    "second epoch halves — the transport-metric member of the drift "
+    "family (PSI bins and saturates, KS takes the max gap, AD weights "
+    "the tails; EMD measures HOW FAR probability mass moved in value "
+    "units, which is what a monitor needs to rank drifts by business "
+    "impact). Computed with no float anywhere: on the distinct "
+    "milli-value grid, |F_a - F_b| is cleared to |cumA*n_b - cumB*n_a| "
+    "(rule 22), multiplied by the integer value gap, HUGEINT-summed, "
+    "and emitted as exact milli-value units (floor division by "
+    "n_a*n_b) plus the pmod-1e9 residue of the full scaled sum. The "
+    "cumulative window runs over the value-domain-bounded distinct "
+    "grid (the agg_mann_whitney exemption: 2-dp money spans <= ~1e6 "
+    "distinct milli values at ANY corpus size). Plan: one epoch-span "
+    "scalar, one (value, half) aggregate, bounded-grid windows, one "
+    "fold.",
+)
+def dq_distribution_shift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    span = b.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).collect()[0]
+    out_schema = (
+        "n_a bigint, n_b bigint, n_grid bigint,"
+        " emd_milli_units bigint, emd_scaled_mod9 bigint"
+    )
+    if span.lo is None:
+        return spark.createDataFrame([], out_schema)
+    mid = (int(span.lo) + int(span.hi)) // 2
+    h = b.select(
+        "v", F.when(F.col("us") < mid, 0).otherwise(1).alias("half")
+    )
+    h = h.localCheckpoint()  # feeds the totals scalar AND the grid agg
+    n = h.agg(
+        F.sum(1 - F.col("half")).cast("long").alias("n_a"),
+        F.sum("half").cast("long").alias("n_b"),
+    ).collect()[0]
+    if not n.n_a or not n.n_b:
+        return spark.createDataFrame([], out_schema)
+    n_a, n_b = int(n.n_a), int(n.n_b)
+    g = h.groupBy("v").agg(
+        F.sum(1 - F.col("half")).cast("long").alias("ca"),
+        F.sum("half").cast("long").alias("cb"),
+    )
+    cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    lead = Window.orderBy("v")
+    c = g.select(
+        "v",
+        F.sum("ca").over(cum).alias("cum_a"),
+        F.sum("cb").over(cum).alias("cum_b"),
+        F.lead("v").over(lead).alias("v_next"),
+    )
+    t = c.where(F.col("v_next").isNotNull()).agg(
+        F.sum(
+            F.expr(
+                f"ABS(CAST(cum_a AS DECIMAL(38,0)) * {n_b}"
+                f" - CAST(cum_b AS DECIMAL(38,0)) * {n_a})"
+                " * (v_next - v)"
+            )
+        ).alias("emd_scaled"),
+        F.count("*").cast("long").alias("n_grid"),
+    )
+    return t.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        "n_grid",
+        F.expr(
+            f"CAST(COALESCE(emd_scaled DIV {n_a * n_b}, 0) AS BIGINT)"
+        ).alias("emd_milli_units"),
+        F.expr(
+            "CAST(((COALESCE(emd_scaled, 0) % 1000000000) + 1000000000)"
+            " % 1000000000 AS BIGINT)"
+        ).alias("emd_scaled_mod9"),
+    )

@@ -5938,3 +5938,171 @@ def llm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
     )
+
+
+@register(
+    "llm_kn_doc_scores",
+    # Per-document average Kneser-Ney bigram log-probability — the KN
+    # model of llm_kneser_ney_bigram applied back to every document.
+    # ln(p_kn) is ONE identical float chain per bigram (exact-integer
+    # counts, the shared discount D guarded to 0 on saturated corpora
+    # in BOTH engines), quantized to 1e-9 per term and BIGINT-summed;
+    # the per-doc average uses the pmod floor-division identity so
+    # negative sums floor identically in both engines.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS l FROM documents
+        ),
+        dbig AS (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i]))
+                       AS tok_a,
+                   UNNEST(LIST_TRANSFORM(RANGE(1, LEN(l)), i -> l[i+1]))
+                       AS tok_b
+            FROM t
+        ),
+        ab AS (
+            SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM dbig GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT tok_a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+                   COUNT(*) AS n1plus_from_a
+            FROM ab GROUP BY tok_a
+        ),
+        cont AS (
+            SELECT tok_b, COUNT(*) AS n1plus_to_b FROM ab GROUP BY tok_b
+        ),
+        consts0 AS (
+            SELECT COUNT(*) AS t_types,
+                   CAST(SUM(CASE WHEN c_ab = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN c_ab = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2
+            FROM ab
+        ),
+        consts AS (
+            SELECT t_types,
+                   CASE WHEN n1 + 2 * n2 > 0
+                        THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)
+                        ELSE 0.0 END AS dd
+            FROM consts0
+        ),
+        terms AS (
+            SELECT d.doc_id,
+                   CAST(ROUND(LN(
+                       (CAST(ab.c_ab AS DOUBLE) - k.dd) / ctx.c_a
+                       + k.dd
+                         * ctx.n1plus_from_a / ctx.c_a
+                         * cont.n1plus_to_b / k.t_types)
+                       * 1000000000, 0) AS BIGINT) AS lnp_q9
+            FROM dbig d
+            JOIN ab ON ab.tok_a = d.tok_a AND ab.tok_b = d.tok_b
+            JOIN ctx ON ctx.tok_a = d.tok_a
+            JOIN cont ON cont.tok_b = d.tok_b
+            CROSS JOIN consts k
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(lnp_q9) AS BIGINT) AS sum_lnp_q9,
+               CAST((SUM(lnp_q9)
+                     - ((((SUM(lnp_q9) % COUNT(*)) + COUNT(*))
+                         % COUNT(*))))
+                    // COUNT(*) AS BIGINT) AS avg_lnp_q9
+        FROM terms
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Per-document language-model quality scores from the corpus's "
+    "own interpolated Kneser-Ney bigram model — the CCNet/Gopher "
+    "scoring stage in engine form (documents whose bigrams the "
+    "corpus LM finds improbable are boilerplate, gibberish, or "
+    "off-domain; llm_ccnet_buckets then buckets exactly this kind "
+    "of score): avg ln P_KN(w|v) over each document's bigrams, with "
+    "every count exact, ln(p) one identical float chain quantized "
+    "1e-9 per term, integer sums, and the (negative) average "
+    "floored via the pmod identity so both engines agree bitwise. "
+    "Docs with fewer than 2 tokens have no bigrams and are absent "
+    "by construction (documented). Plan: one bigram-key model "
+    "aggregate (shared with llm_kneser_ney_bigram's shape), one "
+    "doc-bigram-to-model equi join on the bigram key (the only "
+    "corpus-scale shuffle pair), one doc-grain aggregate — the "
+    "whole thing is two shuffles at 100 TB, no windows, no "
+    "collects beyond the single-row count-of-counts fold.",
+)
+def llm_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    dbig = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(l) - 2),"
+                " i -> struct(l[i] AS tok_a, l[i + 1] AS tok_b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.*")
+    dbig = dbig.localCheckpoint()  # model aggregate AND scoring probe
+    ab = dbig.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("long").alias("c_ab")
+    )
+    ab = ab.localCheckpoint()  # consts scalar + ctx/cont + model join
+    k = ab.agg(
+        F.count("*").cast("long").alias("t_types"),
+        F.sum(F.when(F.col("c_ab") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("c_ab") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    ).collect()[0]
+    if k.t_types == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_id bigint, n_bigrams bigint, sum_lnp_q9 bigint,"
+            " avg_lnp_q9 bigint",
+        )
+    n1, n2, t_types = int(k.n1), int(k.n2), int(k.t_types)
+    disc = (
+        F.lit(float(n1)) / F.lit(n1 + 2 * n2)
+        if (n1 + 2 * n2) > 0
+        else F.lit(0.0)
+    )
+    ctx = ab.groupBy("tok_a").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count("*").cast("long").alias("n1plus_from_a"),
+    )
+    cont = ab.groupBy("tok_b").agg(
+        F.count("*").cast("long").alias("n1plus_to_b")
+    )
+    p_kn = (
+        (F.col("c_ab").cast("double") - disc) / F.col("c_a")
+        + disc
+        * F.col("n1plus_from_a")
+        / F.col("c_a")
+        * F.col("n1plus_to_b")
+        / F.lit(t_types)
+    )
+    terms = (
+        dbig.join(ab, ["tok_a", "tok_b"])
+        .join(ctx, "tok_a")
+        .join(cont, "tok_b")
+        .select(
+            "doc_id",
+            F.round(F.log(p_kn) * 1000000000, 0)
+            .cast("long")
+            .alias("lnp_q9"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lnp_q9").cast("long").alias("sum_lnp_q9"),
+            F.expr(
+                "CAST((SUM(lnp_q9) - (((SUM(lnp_q9) % COUNT(*))"
+                " + COUNT(*)) % COUNT(*))) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_lnp_q9"),
+        )
+        .orderBy("doc_id")
+    )

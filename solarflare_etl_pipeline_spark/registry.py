@@ -182,7 +182,9 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: RAG diversified-top-k greedy under the driver hash),
 #: fn_soundex_blocking (entity-resolution blocking keys),
 #: mm_audio_band_energy (decode+filter-bank composition under the
-#: driver hash — the multimodal candidate), agg_logrank_test,
+#: driver hash — the multimodal candidate), llm_kn_doc_scores (the
+#: CCNet LM-scoring stage), dq_distribution_shift_emd (exact
+#: Wasserstein drift), cohort_returning_new, agg_logrank_test,
 #: stream_two_level_window, agg_shapley_attribution, llm_self_bleu,
 #: llm_ivfpq_portable, llm_knn_eval_portable, agg_cochran_q,
 #: graph_adamic_adar, graph_hits, llm_zipf_slope, llm_burstiness,

@@ -249,6 +249,11 @@ CORE_QUERIES = (
     "fn_soundex_blocking",
     # round-9 batch 8: empty payload filter banks
     "mm_audio_band_energy",
+    # round-9 batch 9: empty first-seen joins, empty value grids (emd),
+    # empty bigram models (kn doc scores)
+    "cohort_returning_new",
+    "dq_distribution_shift_emd",
+    "llm_kn_doc_scores",
 )
 
 

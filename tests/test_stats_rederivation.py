@@ -2852,3 +2852,86 @@ def test_audio_band_energy_rederivation(spark, sf_dir, documents):
             r = by_key[(doc_id, p)]
             assert (r.n_samples, r.c_sum, r.s_sum) == (n, c, s)
             assert r.power_mod9 == (c * c + s * s) % 10**9
+
+
+def test_returning_new_rederivation(spark, sf_dir, events_ts):
+    days = defaultdict(set)
+    for uid, _, _, us in events_ts:
+        days[uid].add(us // 86_400_000_000)
+    per_day = defaultdict(lambda: [0, 0])
+    for uid, ds in days.items():
+        d0 = min(ds)
+        for d in ds:
+            per_day[d][0 if d == d0 else 1] += 1
+    out = SPECS["cohort_returning_new"].spark(spark, sf_dir).collect()
+    assert len(out) == len(per_day)
+    for r in out:
+        key = (
+            r.day.toordinal() - __import__("datetime").date(1970, 1, 1).toordinal()
+        )
+        new, ret = per_day[key]
+        assert (r.n_new, r.n_returning, r.n_active) == (new, ret, new + ret)
+        assert r.returning_share_ppm == ret * 10**6 // (new + ret)
+
+
+def test_emd_rederivation(spark, sf_dir, events_ts):
+    lo = min(r[3] for r in events_ts)
+    hi = max(r[3] for r in events_ts)
+    mid = (lo + hi) // 2
+    a = sorted(math.floor(v * 1000) for _, _, v, us in events_ts if us < mid)
+    b = sorted(math.floor(v * 1000) for _, _, v, us in events_ts if us >= mid)
+    grid = sorted(set(a) | set(b))
+    ca = cb = 0
+    ia = ib = 0
+    emd_scaled = 0
+    for v, vn in zip(grid, grid[1:]):
+        while ia < len(a) and a[ia] <= v:
+            ia += 1
+        while ib < len(b) and b[ib] <= v:
+            ib += 1
+        emd_scaled += abs(ia * len(b) - ib * len(a)) * (vn - v)
+    row = SPECS["dq_distribution_shift_emd"].spark(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.n_grid) == (len(a), len(b), len(grid) - 1)
+    assert row.emd_milli_units == emd_scaled // (len(a) * len(b))
+    assert row.emd_scaled_mod9 == emd_scaled % 10**9
+    # the true continuous EMD in value units, for sanity
+    assert _close(
+        row.emd_milli_units / 1000.0,
+        emd_scaled / (len(a) * len(b)) / 1000.0,
+        1e-3,
+    )
+
+
+def test_kn_doc_scores_rederivation(spark, sf_dir, documents):
+    c_ab = defaultdict(int)
+    doc_bigrams = {}
+    for doc_id, text, _, _, _ in documents:
+        toks = text.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[doc_id] = bgs
+        for p in bgs:
+            c_ab[p] += 1
+    c_a, from_a, to_b = defaultdict(int), defaultdict(int), defaultdict(int)
+    for (x, y), c in c_ab.items():
+        c_a[x] += c
+        from_a[x] += 1
+        to_b[y] += 1
+    t_types = len(c_ab)
+    n1 = sum(1 for c in c_ab.values() if c == 1)
+    n2 = sum(1 for c in c_ab.values() if c == 2)
+    dd = n1 / (n1 + 2 * n2) if (n1 + 2 * n2) else 0.0
+    out = {r.doc_id: r for r in
+           SPECS["llm_kn_doc_scores"].spark(spark, sf_dir).collect()}
+    assert set(out) == {d for d, bgs in doc_bigrams.items() if bgs}
+    for doc_id in sorted(out)[:20]:
+        bgs = doc_bigrams[doc_id]
+        s = 0
+        for x, y in bgs:
+            p = (c_ab[(x, y)] - dd) / c_a[x] + dd * from_a[x] / c_a[
+                x
+            ] * to_b[y] / t_types
+            s += round(math.log(p) * 1e9)
+        r = out[doc_id]
+        assert r.n_bigrams == len(bgs)
+        assert abs(r.sum_lnp_q9 - s) <= len(bgs)  # per-term rounding ulps
+        assert r.avg_lnp_q9 == (r.sum_lnp_q9 - (r.sum_lnp_q9 % len(bgs) + len(bgs)) % len(bgs)) // len(bgs)
