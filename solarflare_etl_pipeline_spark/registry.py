@@ -91,29 +91,32 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-9 rotation). All six
-#: round-8 slots went GREEN under the driver (CORRECTNESS_r08 — the
-#: third consecutive fully green window) and rotate out; in come the
-#: six keys VERDICT r8 task #2 names, weighting subsystem-certification
-#: value: stream_state_reader (puts the statestore read path and
-#: streaming window state under the driver hash),
-#: llm_pca_power_portable + llm_lsh_buckets_portable (two of the four
-#: integer-exact twins — hash-certify the rows-only ANN/PCA family's
-#: arithmetic), tpch_q12_shipmode (closes the classic-shape ledger
-#: with hard evidence), agg_survival_km (certifies the survival
-#: family's calendar-bounded-grid discipline), and udaf_arrow_grouped
-#: (certifies the Spark-4 applyInArrow boundary through the driver
-#: hash). Every key here is oracle-backed and was verified under BOTH
-#: comparator legs (fetchall + driver-faithful pandas,
-#: tests/test_oracle_parity.py) at sf0.001 and sf0.01 before rotating
-#: in; none has ever had a driver row.
+#: Slots 45-50 of the driver window (round-10 rotation). All six
+#: round-9 slots went GREEN under the driver (CORRECTNESS_r09 — the
+#: fourth consecutive fully green window) and rotate out; in come the
+#: six keys VERDICT r9 task #1 names, weighting
+#: subsystem-certification value: markov_stationary_portable +
+#: graph_k_core_portable (the round-9 fixed-point iterative twins —
+#: put the power-iteration and k-core peel ledgers under the driver
+#: hash), llm_tokenizer_apply_portable (the REAL Arrow mapInPandas
+#: greedy tokenize loop, recursive-CTE-certified, under the driver
+#: hash), stream_restart_exactly_once (TWO availableNow queries over
+#: ONE checkpoint with files arriving between them — the
+#: exactly-once-across-restart property, the strongest streaming
+#: certification), graph_bipartite_projection (the
+#: cap-before-self-join co-purchase graph discipline), and
+#: mm_audio_band_energy (decode + integer filter-bank fusion — the
+#: multimodal candidate). Every key here is oracle-backed and was
+#: verified under BOTH comparator legs (fetchall + driver-faithful
+#: pandas, tests/test_oracle_parity.py) at sf0.001 and sf0.01 before
+#: rotating in; none has ever had a driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "stream_state_reader",
-    "llm_pca_power_portable",
-    "llm_lsh_buckets_portable",
-    "tpch_q12_shipmode",
-    "agg_survival_km",
-    "udaf_arrow_grouped",
+    "markov_stationary_portable",
+    "graph_k_core_portable",
+    "llm_tokenizer_apply_portable",
+    "stream_restart_exactly_once",
+    "graph_bipartite_projection",
+    "mm_audio_band_energy",
 )
 
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
