@@ -196,6 +196,12 @@ BENCH_QUERIES = (
     "cohort_returning_new",
     "dq_distribution_shift_emd",
     "llm_kn_doc_scores",
+    # r10: the BPE training ledger (3 unrolled census+merge rounds — the
+    # heaviest new text shape) and the LIVE watermarked stream-stream
+    # interval join (real availableNow run, state-store buffering +
+    # eviction across 4 event-time-ordered micro-batches)
+    "llm_bpe_train_portable",
+    "stream_interval_join_live",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing
@@ -248,9 +254,22 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+        # Noise hardening (VERDICT r9 task #4): the driver's r9 artifact
+        # carried 2-3x single-query outliers (fn_quantile_align 3.55s vs
+        # 1.11s on a judge re-run of unchanged code). When the two runs
+        # disagree by >1.5x, one of them was perturbed (GC pause, page
+        # cache eviction, a concurrent driver process) — re-run once more
+        # and keep the median of three, which discards the single outlier
+        # whichever direction it landed.
+        if max(runs) > 1.5 * min(runs):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(runs)[1], 2)
+        else:
+            timings[name] = round(min(runs), 2)
         cold[name] = round(runs[0], 2)
-        timings[name] = round(min(runs), 2)
-        print(f"[bench] {name}: best={timings[name]}s cold={cold[name]}s", file=sys.stderr)
+        print(f"[bench] {name}: best={timings[name]}s cold={cold[name]}s runs={len(runs)}", file=sys.stderr)
 
     # Untimed recall gate (ADVICE r2) — runs BEFORE the JSON print so the
     # driver's tail capture ends exactly at the JSON line. llm_dedup_near's

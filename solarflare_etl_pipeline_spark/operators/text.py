@@ -2194,6 +2194,164 @@ def llm_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_bpe_train_portable",
+    # Unrolled MATERIALIZED CTE rounds (the mmr/tokenizer oracle
+    # precedent): each round census is back-referenced by both its
+    # top-1 election and the next round's REPLACE, so every dN/cN/tN
+    # stage materializes once instead of re-inlining the whole merge
+    # chain per reference.
+    oracle="""
+        WITH d0 AS MATERIALIZED (SELECT text FROM documents),
+        alpha AS MATERIALIZED (
+            SELECT CAST(COUNT(DISTINCT SUBSTR(text, CAST(i AS INT), 1))
+                        AS BIGINT) AS n_sym
+            FROM d0, UNNEST(range(1, LEN(text) + 1)) AS g(i)
+        ),
+        c1 AS MATERIALIZED (
+            SELECT SUBSTR(text, CAST(i AS INT), 2) AS pair,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d0, UNNEST(range(1, LEN(text))) AS g(i)
+            WHERE LEN(text) >= 2 GROUP BY 1
+        ),
+        t1 AS MATERIALIZED (SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1),
+        d1 AS MATERIALIZED (
+            SELECT REPLACE(d0.text, t1.pair, CHR(1)) AS text FROM d0, t1
+        ),
+        c2 AS MATERIALIZED (
+            SELECT SUBSTR(text, CAST(i AS INT), 2) AS pair,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d1, UNNEST(range(1, LEN(text))) AS g(i)
+            WHERE LEN(text) >= 2 GROUP BY 1
+        ),
+        t2 AS MATERIALIZED (SELECT pair, n FROM c2 ORDER BY n DESC, pair LIMIT 1),
+        d2 AS MATERIALIZED (
+            SELECT REPLACE(d1.text, t2.pair, CHR(2)) AS text FROM d1, t2
+        ),
+        c3 AS MATERIALIZED (
+            SELECT SUBSTR(text, CAST(i AS INT), 2) AS pair,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM d2, UNNEST(range(1, LEN(text))) AS g(i)
+            WHERE LEN(text) >= 2 GROUP BY 1
+        ),
+        t3 AS MATERIALIZED (SELECT pair, n FROM c3 ORDER BY n DESC, pair LIMIT 1),
+        d3 AS MATERIALIZED (
+            SELECT REPLACE(d2.text, t3.pair, CHR(3)) AS text FROM d2, t3
+        )
+        SELECT CAST(1 AS BIGINT) AS merge_round,
+               t1.pair AS chosen_pair, t1.n AS pair_count,
+               alpha.n_sym + 1 AS vocab_size,
+               (SELECT CAST(SUM(LEN(text)) AS BIGINT) FROM d1) AS corpus_tokens
+        FROM t1, alpha
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               REPLACE(t2.pair, CHR(1), '<m1>'), t2.n,
+               alpha.n_sym + 2,
+               (SELECT CAST(SUM(LEN(text)) AS BIGINT) FROM d2)
+        FROM t2, alpha
+        UNION ALL
+        SELECT CAST(3 AS BIGINT),
+               REPLACE(REPLACE(t3.pair, CHR(1), '<m1>'), CHR(2), '<m2>'), t3.n,
+               alpha.n_sym + 3,
+               (SELECT CAST(SUM(LEN(text)) AS BIGINT) FROM d3)
+        FROM t3, alpha
+        ORDER BY merge_round
+    """,
+    doc="BPE tokenizer TRAINING ledger (VERDICT r9 task #3) — the "
+    "iterative merge-selection loop itself, not just the apply side: "
+    "THREE unrolled merge rounds, each = census adjacent pairs over "
+    "the current corpus representation, elect the top pair (count "
+    "desc, binary pair tiebreak — the census ranking "
+    "llm_tokenizer_apply consumes), apply it corpus-wide as a "
+    "left-to-right non-overlapping REPLACE with an out-of-alphabet "
+    "placeholder. The output is the per-round training LEDGER: chosen "
+    "pair (placeholders rendered <m1>/<m2>), its census count, the "
+    "vocab size (base alphabet + merges so far), and the corpus token "
+    "count after the merge — all exact integers, so the driver hash "
+    "certifies every round's election AND its corpus-wide application. "
+    "Structure mirrors llm_kmeans_portable/llm_pca_power_portable: a "
+    "fixed-point iterative algorithm as one lazy plan, each round's "
+    "1-row election broadcast into the next round's map (the "
+    "scalar-threshold shape — no driver collect). Scale: per-round "
+    "cost is one pair census (map-side partial agg over ~|charset|^2 "
+    "keys) + one narrow REPLACE map; state between rounds is the "
+    "KB-sized merge table. N real training rounds = N such stages; "
+    "at 100 TB each round is a single scan, and production would "
+    "checkpoint the re-written corpus every few rounds to cap "
+    "lineage depth.",
+)
+def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select("text")
+    alpha = (
+        d.where(F.char_length("text") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.char_length("text"))).alias("i"),
+            "text",
+        )
+        .select(F.expr("substring(text, i, 1)").alias("c"))
+        .agg(F.countDistinct("c").cast("long").alias("n_sym"))
+    )
+
+    def census(df: DataFrame) -> DataFrame:
+        return (
+            df.where(F.char_length("text") >= 2)
+            .select(
+                F.explode(
+                    F.sequence(F.lit(1), F.char_length("text") - 1)
+                ).alias("i"),
+                "text",
+            )
+            .select(F.expr("substring(text, i, 2)").alias("pair"))
+            .groupBy("pair")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    ledger_rows = []
+    cur = d
+    for r in (1, 2, 3):
+        # 1-row election — bounded window over the |charset|^2 census.
+        top = (
+            census(cur)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    W.orderBy(F.col("n").desc(), F.col("pair"))
+                ),
+            )
+            .where("rnk = 1")
+            .select(
+                F.col("pair").alias(f"pair{r}"), F.col("n").alias(f"n{r}")
+            )
+        )
+        nxt = cur.join(F.broadcast(top)).select(
+            F.expr(f"replace(text, pair{r}, char({r}))").alias("text")
+        )
+        corpus = nxt.agg(
+            F.sum(F.char_length("text")).cast("long").alias("corpus_tokens")
+        )
+        rendered = f"pair{r}"
+        for k in range(1, r):
+            rendered = f"replace({rendered}, char({k}), '<m{k}>')"
+        ledger_rows.append(
+            top.join(F.broadcast(alpha))
+            .join(F.broadcast(corpus))
+            .select(
+                F.lit(r).cast("long").alias("merge_round"),
+                F.expr(rendered).alias("chosen_pair"),
+                F.col(f"n{r}").alias("pair_count"),
+                (F.col("n_sym") + F.lit(r)).cast("long").alias("vocab_size"),
+                "corpus_tokens",
+            )
+        )
+        cur = nxt
+    out = ledger_rows[0]
+    for row in ledger_rows[1:]:
+        out = out.unionByName(row)
+    return out.orderBy("merge_round")
+
+
 PARA_TOKENS = 10  # pseudo-paragraph width (fixture text has no punctuation)
 
 

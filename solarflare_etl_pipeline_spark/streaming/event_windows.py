@@ -290,6 +290,114 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
+@register(
+    "stream_interval_join_live",
+    oracle="""
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               v.event_id AS view_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    doc="LIVE watermarked stream-stream interval join (VERDICT r9 task "
+    "#5): unlike stream_interval_join (the batch-equivalent plan), "
+    "this key EXECUTES interval_join_stream as a real Structured "
+    "Streaming query — the 30-day event fixture is split into four "
+    "event-time-ordered files (forced ascending mod-times so the "
+    "file source drains them oldest-first under availableNow + "
+    "maxFilesPerTrigger=1), both sides carry 2h watermarks, and the "
+    "stream-stream state store buffers each side across micro-"
+    "batches while the watermark EVICTS state more than 3h behind "
+    "the frontier — state is bounded by the watermark horizon, not "
+    "the 30-day stream length. Emitted pairs land in an append-mode "
+    "parquet sink behind a checkpoint; the driver hash against the "
+    "one-shot batch join certifies that buffering + eviction "
+    "dropped nothing: with time-ordered arrival, every view a "
+    "purchase needs is at most 1h old and the eviction threshold "
+    "trails the frontier by 3h, so streaming == batch EXACTLY. "
+    "This is the production shape at 100 TB/day: purchases and "
+    "views as two kafka/file streams, join state O(watermark "
+    "window x arrival rate) per key-range partition, never "
+    "O(stream length).",
+)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
+    base = tempfile.gettempdir()
+    src = os.path.join(base, f"solarflare_ssjoin_src_{tag}")
+    out = os.path.join(base, f"solarflare_ssjoin_out_{tag}")
+    ckpt = os.path.join(base, f"solarflare_ssjoin_ckpt_{tag}")
+    stage = os.path.join(base, f"solarflare_ssjoin_stage_{tag}")
+    for d in (src, out, ckpt, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    # withWatermark requires TIMESTAMP (LTZ); the fixture parquet holds
+    # TIMESTAMP_NTZ — cast once at the source write (session tz is UTC,
+    # so the instant is unchanged and the oracle's CAST matches).
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    # Four contiguous event-time buckets over the 30-day fixture span.
+    # Files are written one per bucket and given strictly ascending
+    # mod-times (fixed epoch constants — no wall-clock dependence) so
+    # FileStreamSource's mod-time ordering is deterministic: batches
+    # arrive in event-time order, which is what makes the 2h watermark
+    # provably lossless for the 1h join window.
+    bucket_bounds = (
+        ("2024-01-01", "2024-01-09"),
+        ("2024-01-09", "2024-01-17"),
+        ("2024-01-17", "2024-01-25"),
+        ("2024-01-25", "2024-02-01"),
+    )
+    for i, (lo, hi) in enumerate(bucket_bounds):
+        (
+            e.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            fn for fn in sorted(os.listdir(stage)) if fn.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"bucket_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        interval_join_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select(
+        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    )
+
+
 def deduped_within_watermark_stream(events: DataFrame) -> DataFrame:
     """Keyed dedup via ``dropDuplicatesWithinWatermark`` — the Spark 3.5+
     variant whose state EXPIRES: plain ``dropDuplicates`` keeps every

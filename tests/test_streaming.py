@@ -528,3 +528,26 @@ def test_two_level_window_stream(spark, stream_dir, tmp_path):
         "n_events",
     }
     q.stop()
+
+
+def test_interval_join_live_equals_batch(spark, sf_dir):
+    """The LIVE stream-stream interval join (real availableNow run with
+    2h watermarks over four event-time-ordered micro-batches) must emit
+    EXACTLY the batch join's pair set — the certification that state
+    buffering + watermark eviction dropped nothing (the eviction
+    threshold trails the frontier by 3h; every needed view is <=1h old
+    at its purchase's arrival)."""
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    specs = load_all()
+    live = {
+        (r.purchase_id, r.view_id)
+        for r in specs["stream_interval_join_live"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.purchase_id, r.view_id)
+        for r in specs["stream_interval_join"].spark(spark, sf_dir).collect()
+    }
+    assert live == batch, (
+        f"missed={sorted(batch - live)[:5]} spurious={sorted(live - batch)[:5]}"
+    )
