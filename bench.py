@@ -202,6 +202,14 @@ BENCH_QUERIES = (
     # eviction across 4 event-time-ordered micro-batches)
     "llm_bpe_train_portable",
     "stream_interval_join_live",
+    # r10 batch 2: the LIVE session-window stream (state-store session
+    # merge across 5 micro-batches), the fused decode+DCT perceptual
+    # hash, the pairwise rank post-hoc (distinct-value grid + pair
+    # join), and the classic Q3 top-k join chain
+    "stream_session_live",
+    "mm_image_dct_hash",
+    "agg_dunn_posthoc",
+    "tpch_q3_priority",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

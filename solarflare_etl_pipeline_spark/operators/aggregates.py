@@ -6585,3 +6585,155 @@ def agg_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(-n * 10**9) - F.col("s_q9")) > F.lit(AD_CRIT_5PCT_Q9)
         ).alias("reject_uniform_5pct"),
     )
+
+
+@register(
+    "agg_dunn_posthoc",
+    oracle="""
+        WITH q AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        vals AS (
+            SELECT grp, v3, COUNT(*) AS c FROM q GROUP BY grp, v3
+        ),
+        allv AS (
+            SELECT v3, SUM(c) AS tot FROM vals GROUP BY v3
+        ),
+        r2 AS (
+            SELECT v3,
+                   2 * (SUM(tot) OVER (ORDER BY v3 ROWS UNBOUNDED
+                                       PRECEDING) - tot) + tot + 1
+                     AS rank2
+            FROM allv
+        ),
+        sums AS (
+            SELECT v.grp,
+                   CAST(SUM(v.c) AS BIGINT) AS n,
+                   CAST(SUM(v.c * r.rank2) AS BIGINT) AS ranksum2
+            FROM vals v JOIN r2 r ON r.v3 = v.v3
+            GROUP BY v.grp
+        ),
+        totals AS (
+            SELECT CAST(SUM(tot) AS BIGINT) AS n_total,
+                   CAST(SUM(tot * tot * tot - tot) AS BIGINT) AS tie3_sum
+            FROM allv
+        ),
+        pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   a.n AS n_a, b.n AS n_b,
+                   a.ranksum2 AS ranksum2_a, b.ranksum2 AS ranksum2_b,
+                   t.n_total, t.tie3_sum
+            FROM sums a JOIN sums b ON a.grp < b.grp, totals t
+        ),
+        staged AS (
+            SELECT *,
+                   CAST(ranksum2_a AS HUGEINT) * n_b
+                     - CAST(ranksum2_b AS HUGEINT) * n_a AS d,
+                   CAST(n_total AS HUGEINT) * (n_total + 1)
+                     * (n_total - 1) - tie3_sum AS tc
+            FROM pairs
+        )
+        SELECT grp_a, grp_b, n_a, n_b, ranksum2_a, ranksum2_b, n_total,
+               CAST((d * d // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)))
+                    * 3 * (n_total - 1) * 1000000 // tc
+                    AS BIGINT) AS z_sq_ppm
+        FROM staged
+        ORDER BY grp_a, grp_b
+    """,
+    doc="Dunn's post-hoc pairwise test after Kruskal-Wallis — WHICH "
+    "groups differ once agg_kruskal_wallis's omnibus H rejects: for "
+    "every group pair, the squared standardized mean-rank difference "
+    "z^2 = (Rbar_a - Rbar_b)^2 / [((N(N+1) - tie3/(N-1))/12) "
+    "(1/n_a + 1/n_b)], computed from the SAME exact doubled-rank "
+    "sufficient statistics as the omnibus test (distinct-value grid, "
+    "doubled average ranks exact under ties, tie-corrected variance). "
+    "z^2 is emitted in ppm via a TWO-STAGE truncating division "
+    "(D^2 first over the pair-size term, then over the tie-corrected "
+    "total) staged IDENTICALLY on both engines in 128-bit integers "
+    "(HUGEINT / DECIMAL(38,0)) — D^2 reaches ~1e30 at sf0.1, past "
+    "BIGINT, the ADVICE-r8 widen-before-multiply class; the stage-1 "
+    "truncation is ~1e-17 relative and engine-identical, so the hash "
+    "certifies the pairwise chain exactly. Consumers compare z_sq_ppm "
+    "against chi-square(1) critical values with a Bonferroni/BH cut "
+    "(agg_bh_fdr composes). Plan: everything after the distinct-value "
+    "census is |groups|-bounded; the pair join is |groups|^2.",
+)
+def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    vals = q.groupBy("grp", "v3").agg(F.count("*").alias("c"))
+    allv = vals.groupBy("v3").agg(F.sum("c").alias("tot"))
+    allv = allv.localCheckpoint()  # distinct-value grid, used twice
+    cum = W.orderBy("v3").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = allv.select(
+        "v3",
+        (
+            2 * (F.sum("tot").over(cum) - F.col("tot")) + F.col("tot") + 1
+        ).alias("rank2"),
+    )
+    sums = (
+        vals.join(r2, "v3")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("rank2")).cast("long").alias("ranksum2"),
+        )
+    )
+    totals = allv.agg(
+        F.sum("tot").cast("long").alias("n_total"),
+        F.sum(F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot"))
+        .cast("long")
+        .alias("tie3_sum"),
+    )
+    a = sums.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("n_a"),
+        F.col("ranksum2").alias("ranksum2_a"),
+    )
+    b = sums.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("n_b"),
+        F.col("ranksum2").alias("ranksum2_b"),
+    )
+    pairs = (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(totals))
+    )
+    staged = pairs.withColumn(
+        "d",
+        F.expr(
+            "CAST(ranksum2_a AS DECIMAL(38,0)) * n_b"
+            " - CAST(ranksum2_b AS DECIMAL(38,0)) * n_a"
+        ),
+    ).withColumn(
+        "tc",
+        F.expr(
+            "CAST(n_total AS DECIMAL(38,0)) * (n_total + 1)"
+            " * (n_total - 1) - tie3_sum"
+        ),
+    )
+    return staged.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        "ranksum2_a",
+        "ranksum2_b",
+        "n_total",
+        # Spark's DIV yields LONG even on decimal operands — re-widen the
+        # stage-1 quotient to DECIMAL(38,0) before the stage-2 product
+        # (t2*3*(N-1)*1e6 reaches ~1e27 at sf0.1, past BIGINT); DuckDB's
+        # HUGEINT // stays 128-bit throughout, so the chains agree.
+        F.expr(
+            "CAST(CAST(d * d DIV (CAST(n_a AS DECIMAL(38,0)) * n_b *"
+            " (n_a + n_b)) AS DECIMAL(38,0))"
+            " * 3 * (n_total - 1) * 1000000 DIV tc AS BIGINT)"
+        ).alias("z_sq_ppm"),
+    ).orderBy("grp_a", "grp_b")

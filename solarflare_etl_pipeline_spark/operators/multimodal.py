@@ -1412,3 +1412,120 @@ def mm_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 1000000000) % 1000000000 AS BIGINT)"
         ).alias("power_mod9"),
     ).orderBy("doc_id", "period")
+
+
+#: Integer DCT-II cosine table for the perceptual hash: CU[u*8+x] =
+#: round(cos((2x+1)·u·π/16) · 1e6) for u in 0..3, x in 0..7 — the SAME
+#: literal constants injected into the Spark closure and the oracle SQL
+#: (the mm_audio_band_energy injected-constant discipline), so the 2-D
+#: transform is exact BIGINT arithmetic on both engines.
+DCT_N = 8  # resample grid
+DCT_K = 4  # low-frequency block kept (4x4)
+DCT_CU = (
+    1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000, 1000000,
+    980785, 831470, 555570, 195090, -195090, -555570, -831470, -980785,
+    923880, 382683, -382683, -923880, -923880, -382683, 382683, 923880,
+    831470, -195090, -980785, -555570, 555570, 980785, 195090, -831470,
+)
+
+DCT_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dct_dc", T.LongType()),
+        T.StructField("dct_hash", T.LongType()),
+    ]
+)
+
+
+@register(
+    "mm_image_dct_hash",
+    oracle=f"""
+        WITH expanded AS (
+            SELECT d.doc_id,
+                   CAST(d.doc_id % 8 + 1 AS INT) AS src_width,
+                   CAST(d.doc_id % 6 + 1 AS INT) AS src_height,
+                   CAST(uv.uv // {DCT_K} AS INT) AS u,
+                   CAST(uv.uv % {DCT_K} AS INT) AS v,
+                   pp.p AS p
+            FROM documents d,
+                 RANGE(0, {DCT_K * DCT_K}) uv(uv),
+                 RANGE(0, {DCT_N * DCT_N}) pp(p)
+        ),
+        coefs AS (
+            SELECT doc_id, src_width, src_height, u, v,
+                   CAST(SUM(
+                       ((doc_id
+                         + (p % {DCT_N}) * src_width // {DCT_N}
+                         + (p // {DCT_N}) * src_height // {DCT_N}) % 256)
+                       * LIST_EXTRACT({list(DCT_CU)}, u * {DCT_N} + (p % {DCT_N}) + 1)
+                       * LIST_EXTRACT({list(DCT_CU)}, v * {DCT_N} + (p // {DCT_N}) + 1)
+                   ) AS BIGINT) AS coef
+            FROM expanded
+            GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT doc_id, src_width, src_height,
+               CAST(MAX(CASE WHEN u = 0 AND v = 0 THEN coef END) AS BIGINT)
+                   AS dct_dc,
+               CAST(SUM(CASE WHEN (u <> 0 OR v <> 0) AND coef > 0
+                             THEN CAST(1 AS BIGINT) << (u * {DCT_K} + v - 1)
+                             ELSE 0 END) AS BIGINT) AS dct_hash
+        FROM coefs
+        GROUP BY 1, 2, 3
+    """,
+    doc=f"Perceptual DCT image hash — the REAL pHash construction "
+    f"(mm_phash_dedup's dHash compares neighbor pixels; pHash "
+    f"compares FREQUENCY components, robust to smooth brightness "
+    f"gradients dHash misses): each stored PNG is CRC-verified, "
+    f"inflated, defiltered, nearest-neighbor resampled to "
+    f"{DCT_N}x{DCT_N}, and transformed by a 2-D DCT-II restricted to "
+    f"the {DCT_K}x{DCT_K} low-frequency block — all inside ONE Arrow "
+    f"mapInPandas stage (decode + resample + transform fused, int64 "
+    f"matmuls against the injected cosine table). Output per image: "
+    f"the DC coefficient (scaled 1e12) and a 15-bit sign hash of the "
+    f"AC block — the bucketable near-dup key. The oracle replays "
+    f"resample + DCT in closed form over the generator pattern with "
+    f"the SAME integer cosine constants, so the driver hash certifies "
+    f"the entire decode->resample->transform pipeline bit-exactly. "
+    f"Scale: embarrassingly parallel over payload rows; at 100 TB the "
+    f"15-bit hash is the LSH band key for an equi-join dedup (the "
+    f"mm_phash_dedup family pattern) — no pairwise stage anywhere.",
+)
+def mm_image_dct_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select(
+        "doc_id", "png"
+    )
+
+    def dct_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cu = np.array(DCT_CU, dtype=np.int64).reshape(DCT_K, DCT_N)
+        for pdf in batches:
+            ids, ws, hs, dcs, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["png"]):
+                w, h, _, px = decode_png_pixels(payload)
+                p = resize_nearest(px, DCT_N, DCT_N).astype(np.int64)
+                # coef[u,v] = Σ_x Σ_y P[y,x]·CU[u,x]·CU[v,y]
+                coef = cu @ p.T @ cu.T
+                bits = 0
+                for u in range(DCT_K):
+                    for v in range(DCT_K):
+                        if (u or v) and coef[u, v] > 0:
+                            bits |= 1 << (u * DCT_K + v - 1)
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                dcs.append(int(coef[0, 0]))
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "src_width": pd.Series(ws, dtype="int32"),
+                    "src_height": pd.Series(hs, dtype="int32"),
+                    "dct_dc": pd.Series(dcs, dtype="int64"),
+                    "dct_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(dct_hash, DCT_HASH_SCHEMA)

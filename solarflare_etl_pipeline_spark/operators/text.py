@@ -6264,3 +6264,158 @@ def llm_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_mixture_reweight_portable",
+    # Every intermediate is CAST back to BIGINT immediately: DuckDB
+    # window SUMs promote to HUGEINT, which the driver's pandas leg
+    # would surface as float64 (ORACLE_PARITY.md rule 18).
+    oracle="""
+        WITH s AS MATERIALIZED (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        ),
+        b AS MATERIALIZED (
+            SELECT source,
+                   sum_chars * 1000 // n_docs AS loss_scaled,
+                   CAST(1000000 AS BIGINT) AS w0
+            FROM s
+        ),
+        r1a AS MATERIALIZED (
+            SELECT *,
+                   CAST(CAST(SUM(w0 * loss_scaled) OVER () AS BIGINT)
+                        // CAST(SUM(w0) OVER () AS BIGINT) AS BIGINT)
+                       AS wmean1
+            FROM b
+        ),
+        r1b AS MATERIALIZED (
+            SELECT *,
+                   GREATEST(CAST(-500000 AS BIGINT),
+                            LEAST(CAST(500000 AS BIGINT),
+                                  (loss_scaled - wmean1) * 1000000
+                                    // GREATEST(wmean1, 1))) AS excess1
+            FROM r1a
+        ),
+        r1 AS MATERIALIZED (
+            SELECT *, w0 * (1000000 + excess1) // 1000000 AS w1 FROM r1b
+        ),
+        r1s AS MATERIALIZED (
+            SELECT *,
+                   CAST(w1 * 1000000
+                        // CAST(SUM(w1) OVER () AS BIGINT) AS BIGINT)
+                       AS share1
+            FROM r1
+        ),
+        r2a AS MATERIALIZED (
+            SELECT *,
+                   CAST(CAST(SUM(w1 * loss_scaled) OVER () AS BIGINT)
+                        // CAST(SUM(w1) OVER () AS BIGINT) AS BIGINT)
+                       AS wmean2
+            FROM r1s
+        ),
+        r2b AS MATERIALIZED (
+            SELECT *,
+                   GREATEST(CAST(-500000 AS BIGINT),
+                            LEAST(CAST(500000 AS BIGINT),
+                                  (loss_scaled - wmean2) * 1000000
+                                    // GREATEST(wmean2, 1))) AS excess2
+            FROM r2a
+        ),
+        r2 AS MATERIALIZED (
+            SELECT *, w1 * (1000000 + excess2) // 1000000 AS w2 FROM r2b
+        ),
+        r2s AS MATERIALIZED (
+            SELECT *,
+                   CAST(w2 * 1000000
+                        // CAST(SUM(w2) OVER () AS BIGINT) AS BIGINT)
+                       AS share2
+            FROM r2
+        )
+        SELECT CAST(1 AS BIGINT) AS mw_round, source, loss_scaled,
+               wmean1 AS wmean_loss, excess1 AS excess_ppm,
+               w1 AS weight, share1 AS share_ppm
+        FROM r1s
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), source, loss_scaled,
+               wmean2, excess2, w2, share2
+        FROM r2s
+        ORDER BY mw_round, source
+    """,
+    doc="Training-mixture OPTIMIZATION ledger — the DoReMi-style "
+    "multiplicative-weights loop that llm_mixture_sample's static "
+    "temperature rule doesn't capture: per-domain weights start "
+    "uniform and are updated multiplicatively toward domains whose "
+    "loss proxy EXCEEDS the current weight-averaged loss (DoReMi's "
+    "exp(lr*excess) update taken to first order as (1 + excess), "
+    "excess in ppm of the weighted mean, clamped to +/-50%), for two "
+    "unrolled rounds. The loss proxy here is the scaled mean document "
+    "length per source (a real deployment plugs in proxy-model loss "
+    "without changing the query shape — the iteration structure is "
+    "the operator). Ledger per (round, source): loss, the round's "
+    "weighted mean, the clamped excess, the post-update weight, and "
+    "the normalized share — every value an exact BIGINT (truncating "
+    "division matches Spark DIV; both engines truncate toward zero), "
+    "so the driver hash certifies the MW dynamics cross-engine. "
+    "Scale: one distributed aggregate over the corpus, then all "
+    "rounds run on the BOUNDED per-source table (|domains| rows) "
+    "under unpartitioned windows — the agg_proportional_allocate "
+    "discipline; N more rounds cost nothing at corpus scale.",
+)
+def llm_mixture_reweight_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .select(
+            "source",
+            F.expr("sum_chars * 1000 DIV n_docs").alias("loss_scaled"),
+            F.lit(1000000).cast("long").alias("w0"),
+        )
+    )
+
+    # The per-round update chain, written as SQL window expressions over
+    # the bounded per-source table (the unpartitioned window is safe:
+    # |sources| rows).
+    r = b
+    for i in (1, 2):
+        wp = f"w{i - 1}"
+        r = r.withColumn(
+            f"wmean{i}",
+            F.expr(
+                f"CAST(SUM({wp} * loss_scaled) OVER () AS BIGINT) DIV "
+                f"CAST(SUM({wp}) OVER () AS BIGINT)"
+            ),
+        ).withColumn(
+            f"excess{i}",
+            F.expr(
+                f"GREATEST(CAST(-500000 AS BIGINT), LEAST(CAST(500000 AS "
+                f"BIGINT), (loss_scaled - wmean{i}) * 1000000 DIV "
+                f"GREATEST(wmean{i}, 1)))"
+            ),
+        ).withColumn(
+            f"w{i}", F.expr(f"{wp} * (1000000 + excess{i}) DIV 1000000")
+        ).withColumn(
+            f"share{i}",
+            F.expr(
+                f"w{i} * 1000000 DIV CAST(SUM(w{i}) OVER () AS BIGINT)"
+            ),
+        )
+    snaps = [
+        r.select(
+            F.lit(i).cast("long").alias("mw_round"),
+            "source",
+            "loss_scaled",
+            F.col(f"wmean{i}").alias("wmean_loss"),
+            F.col(f"excess{i}").alias("excess_ppm"),
+            F.col(f"w{i}").alias("weight"),
+            F.col(f"share{i}").alias("share_ppm"),
+        )
+        for i in (1, 2)
+    ]
+    return snaps[0].unionByName(snaps[1]).orderBy("mw_round", "source")

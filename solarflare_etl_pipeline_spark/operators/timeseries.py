@@ -2790,3 +2790,126 @@ def ts_holt_linear_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         day = datetime.datetime(r.day.year, r.day.month, r.day.day)
         rows.append((day, y, l, b, l + b))
     return spark.createDataFrame(rows, out_schema).orderBy("day")
+
+
+@register(
+    "ts_croston_portable",
+    oracle="""
+        WITH demand AS (
+            SELECT user_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS z
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT user_id, day, z,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                       AS rn,
+                   CAST(DATEDIFF('day',
+                        LAG(day) OVER (PARTITION BY user_id ORDER BY day),
+                        day) AS BIGINT) AS q,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_demand_days
+            FROM demand
+        ),
+        p AS (
+            SELECT user_id,
+                   MAX(n_demand_days) AS n_demand_days,
+                   MAX(CASE WHEN rn = 1 THEN z END) AS z1,
+                   MAX(CASE WHEN rn = 2 THEN z END) AS z2,
+                   MAX(CASE WHEN rn = 3 THEN z END) AS z3,
+                   MAX(CASE WHEN rn = 4 THEN z END) AS z4,
+                   MAX(CASE WHEN rn = 2 THEN q END) AS q2,
+                   MAX(CASE WHEN rn = 3 THEN q END) AS q3,
+                   MAX(CASE WHEN rn = 4 THEN q END) AS q4,
+                   MAX(CASE WHEN rn = 1 THEN day END) AS first_day,
+                   MAX(CASE WHEN rn = 4 THEN day END) AS fourth_day
+            FROM seq WHERE rn <= 4
+            GROUP BY user_id
+            HAVING MAX(n_demand_days) >= 4
+        )
+        SELECT user_id, n_demand_days,
+               CAST(first_day AS TIMESTAMP) AS first_day,
+               CAST(fourth_day AS TIMESTAMP) AS fourth_day,
+               CAST(343 * z1 + 49 * z2 + 56 * z3 + 64 * z4 AS BIGINT)
+                   AS z_smoothed_x512,
+               CAST(49 * q2 + 7 * q3 + 8 * q4 AS BIGINT)
+                   AS q_smoothed_x64,
+               CAST((343 * z1 + 49 * z2 + 56 * z3 + 64 * z4) * 125000
+                    // (49 * q2 + 7 * q3 + 8 * q4) AS BIGINT)
+                   AS croston_rate_ppm
+        FROM p
+        ORDER BY user_id
+    """,
+    doc="Croston's intermittent-demand forecast per user — the standard "
+    "estimator for sparse event series (most users purchase on few "
+    "days; plain EWMA over the calendar under-forecasts between "
+    "demands): demand SIZE (purchases per demand day) and demand "
+    "INTERVAL (days between demand days) are smoothed separately by "
+    "exponential smoothing with alpha = 1/8 over each user's first "
+    "FOUR demand occurrences, and the demand rate forecast is their "
+    "ratio. alpha = 1/8 makes the SES closed form exact in integers "
+    "(x512 for the 4-term size smoother: 343/49/56/64; x64 for the "
+    "3-term interval smoother: 49/7/8 — coefficient sums are exactly "
+    "the scale), so sizes, intervals, and the ppm rate are all "
+    "hash-exact BIGINTs with truncating division on both engines. "
+    "Fixed-occurrence-count unrolling is what makes the sequential "
+    "smoother relational: rank demand days per user, pivot the first "
+    "four, fold in closed form — no recursion, no driver collect. "
+    "Scale: one (user, day) aggregate + one per-user window over "
+    "demand days only; series count is unbounded but per-series state "
+    "is 4 pivoted rows — the embarrassingly-parallel per-key shape.",
+)
+def ts_croston_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    demand = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("z"))
+    w = W.partitionBy("user_id").orderBy("day")
+    seq = demand.select(
+        "user_id",
+        "day",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.datediff(F.col("day"), F.lag("day").over(w))
+        .cast("long")
+        .alias("q"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n_demand_days"),
+    )
+    p = (
+        seq.where("rn <= 4")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_demand_days").alias("n_demand_days"),
+            *[
+                F.max(F.when(F.col("rn") == k, F.col("z"))).alias(f"z{k}")
+                for k in (1, 2, 3, 4)
+            ],
+            *[
+                F.max(F.when(F.col("rn") == k, F.col("q"))).alias(f"q{k}")
+                for k in (2, 3, 4)
+            ],
+            F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("first_day"),
+            F.max(F.when(F.col("rn") == 4, F.col("day"))).alias("fourth_day"),
+        )
+        .where("n_demand_days >= 4")
+    )
+    return p.select(
+        "user_id",
+        "n_demand_days",
+        F.col("first_day").cast("timestamp").alias("first_day"),
+        F.col("fourth_day").cast("timestamp").alias("fourth_day"),
+        F.expr("CAST(343*z1 + 49*z2 + 56*z3 + 64*z4 AS BIGINT)").alias(
+            "z_smoothed_x512"
+        ),
+        F.expr("CAST(49*q2 + 7*q3 + 8*q4 AS BIGINT)").alias(
+            "q_smoothed_x64"
+        ),
+        F.expr(
+            "CAST((343*z1 + 49*z2 + 56*z3 + 64*z4) * 125000 DIV "
+            "(49*q2 + 7*q3 + 8*q4) AS BIGINT)"
+        ).alias("croston_rate_ppm"),
+    ).orderBy("user_id")

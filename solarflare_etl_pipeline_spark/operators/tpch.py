@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.catalog import table
-from solarflare_etl_pipeline_spark.functions.numeric import dsum, sql_dsum
+from solarflare_etl_pipeline_spark.functions.numeric import (
+    DEC,
+    SQL_DEC,
+    dsum,
+    sql_dec_to_double,
+    sql_dsum,
+)
 from solarflare_etl_pipeline_spark.registry import register
 
 REV = "l_extendedprice * (1 - l_discount)"
@@ -876,4 +882,166 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
         .orderBy("ship_mode")
+    )
+
+
+@register(
+    "tpch_q3_priority",
+    oracle=f"""
+        SELECT l.l_orderkey AS o_orderkey,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               o.o_orderdate AS o_orderdate,
+               o.o_orderpriority AS o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="Q3 (shipping priority): the last classic top-k shape missing "
+    "an explicit key — unshipped revenue per order for one market "
+    "segment's customers, orders placed before the cutoff with "
+    "lineitems still shipping after it, top 10 by revenue. Plan: "
+    "customer is a broadcast dim (segment filter pushed to its "
+    "scan), lineitem⋈orders is the one shuffle (both date filters "
+    "pushed to the parquet scans), the per-order aggregate reuses "
+    "the join's orderkey partitioning, and the top-10 is "
+    "TakeOrderedAndProject (per-partition heaps + driver merge of "
+    "10-row heads — no global sort). Determinism: orderkey "
+    "tie-break; revenue is the exact-decimal sum cast to double on "
+    "both engines, so DESC ranks identically.",
+)
+def tpch_q3_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        .agg(dsum(F.expr(REV), "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+        SELECT o.o_orderpriority AS o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY 1
+    """,
+    doc="Q4 (order priority checking): orders in one quarter having at "
+    "least one SLOW lineitem, counted by priority. The fixture has "
+    "no commit/receipt dates (the q12/q21 adaptation precedent), so "
+    "'late' = a lineitem shipping >60 days after the order date — "
+    "the same correlated-EXISTS structure. Plan: the EXISTS becomes "
+    "a LEFT SEMI join on orderkey with the ship-lag predicate as a "
+    "join-side filter — one shuffle, no per-row re-scan; the quarter "
+    "filter is pushed to the orders scan so the semi join's build "
+    "side is one quarter of one year; the final aggregate is "
+    "5-priority bounded.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, slow, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+#: Q11 global-threshold fraction, scaled ×1e6 so the HAVING compares
+#: exact decimals (part_value * 1e6 > total_value * threshold_ppm).
+Q11_THRESHOLD_PPM = 1000  # 0.1% of total supply value
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+        WITH v AS (
+            SELECT l.l_partkey AS l_partkey,
+                   SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                            AS {SQL_DEC})) AS part_value_dec
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_name = 'NATION_1'
+            GROUP BY 1
+        ),
+        t AS (SELECT SUM(part_value_dec) AS total_dec FROM v)
+        SELECT v.l_partkey,
+               {sql_dec_to_double('v.part_value_dec')} AS part_value
+        FROM v, t
+        WHERE v.part_value_dec * 1000000 > t.total_dec * {Q11_THRESHOLD_PPM}
+    """,
+    doc="Q11 (important stock): per-part supply value from one "
+    "nation's suppliers, keeping parts whose value exceeds a fixed "
+    "fraction of the nation's total — the global-scalar-threshold "
+    "HAVING shape (the fixture has no partsupp, so supply value is "
+    "lineitem revenue through that nation's suppliers — same "
+    "structure: fact⋈dim filter, per-key aggregate, scalar total, "
+    "threshold filter). Plan: supplier+nation broadcast (nation "
+    "filter pushed before the broadcast), one shuffle for the "
+    "per-part aggregate, the total re-aggregates the SMALL per-part "
+    "table (|parts| rows) and broadcasts back as a 1-row cross join "
+    "— the fact table is scanned once. The threshold compares exact "
+    "decimals scaled to ppm (no double division), so the cut is "
+    "hash-identical cross-engine.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_1"
+    ).select("n_nationkey")
+    v = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(REV).cast(DEC)).alias("part_value_dec"))
+    )
+    t = v.agg(F.sum("part_value_dec").alias("total_dec"))
+    return (
+        v.join(F.broadcast(t))
+        .where(
+            F.col("part_value_dec") * 1000000
+            > F.col("total_dec") * Q11_THRESHOLD_PPM
+        )
+        .select(
+            "l_partkey", F.col("part_value_dec").cast("double").alias("part_value")
+        )
     )

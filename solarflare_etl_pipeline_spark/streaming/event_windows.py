@@ -290,6 +290,103 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
 
 
+def ordered_event_buckets(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    sentinel_ts: str | None = None,
+) -> str:
+    """Write the events fixture as four event-time-ordered stream-source
+    files (forced ascending mod-times from fixed epoch constants — no
+    wall-clock dependence) so FileStreamSource's mod-time ordering is
+    deterministic and availableNow + maxFilesPerTrigger=1 drains them
+    oldest-first. With ``sentinel_ts`` set, a fifth file carrying ONE
+    far-future event (user_id = -1) is appended: its arrival pushes the
+    watermark past every real window/session end so append-mode sinks
+    flush all real state in the terminal no-data micro-batch.
+
+    Casts ts to TIMESTAMP (LTZ) once at the write: withWatermark rejects
+    the fixture's TIMESTAMP_NTZ, and the session tz is UTC so the
+    instant (and the oracle's CAST) is unchanged.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
+    base = tempfile.gettempdir()
+    src = os.path.join(base, f"solarflare_{prefix}_src_{tag}")
+    stage = os.path.join(base, f"solarflare_{prefix}_stage_{tag}")
+    for d in (src, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    bucket_bounds = [
+        ("2024-01-01", "2024-01-09"),
+        ("2024-01-09", "2024-01-17"),
+        ("2024-01-17", "2024-01-25"),
+        ("2024-01-25", "2024-02-01"),
+    ]
+    parts = [
+        e.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        for lo, hi in bucket_bounds
+    ]
+    if sentinel_ts is not None:
+        parts.append(
+            spark.createDataFrame(
+                [(-1, sentinel_ts, -1, "sentinel")],
+                "event_id long, ts string, user_id long, event_type string",
+            ).select(
+                "event_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+        )
+    for i, part_df in enumerate(parts):
+        part_df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            fn for fn in sorted(os.listdir(stage)) if fn.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"bucket_{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def run_available_now(
+    spark: SparkSession, df: DataFrame, prefix: str, sf_dir: str
+) -> DataFrame:
+    """Run a streaming DataFrame to an append-mode parquet sink behind a
+    fresh checkpoint (availableNow) and return the sink contents."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
+    base = tempfile.gettempdir()
+    out = os.path.join(base, f"solarflare_{prefix}_out_{tag}")
+    ckpt = os.path.join(base, f"solarflare_{prefix}_ckpt_{tag}")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 @register(
     "stream_interval_join_live",
     oracle="""
@@ -327,74 +424,82 @@ def interval_join_stream(events: DataFrame) -> DataFrame:
     "O(stream length).",
 )
 def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
-    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
-    base = tempfile.gettempdir()
-    src = os.path.join(base, f"solarflare_ssjoin_src_{tag}")
-    out = os.path.join(base, f"solarflare_ssjoin_out_{tag}")
-    ckpt = os.path.join(base, f"solarflare_ssjoin_ckpt_{tag}")
-    stage = os.path.join(base, f"solarflare_ssjoin_stage_{tag}")
-    for d in (src, out, ckpt, stage):
-        shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(src)
-
-    # withWatermark requires TIMESTAMP (LTZ); the fixture parquet holds
-    # TIMESTAMP_NTZ — cast once at the source write (session tz is UTC,
-    # so the instant is unchanged and the oracle's CAST matches).
-    e = table(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "user_id",
-        "event_type",
-    )
-    # Four contiguous event-time buckets over the 30-day fixture span.
-    # Files are written one per bucket and given strictly ascending
-    # mod-times (fixed epoch constants — no wall-clock dependence) so
-    # FileStreamSource's mod-time ordering is deterministic: batches
-    # arrive in event-time order, which is what makes the 2h watermark
-    # provably lossless for the 1h join window.
-    bucket_bounds = (
-        ("2024-01-01", "2024-01-09"),
-        ("2024-01-09", "2024-01-17"),
-        ("2024-01-17", "2024-01-25"),
-        ("2024-01-25", "2024-02-01"),
-    )
-    for i, (lo, hi) in enumerate(bucket_bounds):
-        (
-            e.where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage)
-        )
-        part = next(
-            fn for fn in sorted(os.listdir(stage)) if fn.endswith(".parquet")
-        )
-        dst = os.path.join(src, f"bucket_{i}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(stage, ignore_errors=True)
-
+    src = ordered_event_buckets(spark, sf_dir, "ssjoin")
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
         .parquet(src)
     )
-    q = (
-        interval_join_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return run_available_now(
+        spark, interval_join_stream(stream), "ssjoin", sf_dir
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
+@register(
+    "stream_session_live",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        numbered AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    doc="LIVE session windows — stream_session's expression executed as "
+    "a real Structured Streaming query: 30-min-gap session_window "
+    "aggregation with a 2h watermark over the four event-time-ordered "
+    "micro-batches, APPEND mode (a session only emits once the "
+    "watermark passes its end — the state-store session-MERGE path "
+    "across batches, which the batch-equivalent key never exercises). "
+    "A fifth sentinel file carrying one far-future user_id=-1 event "
+    "pushes the final watermark past every real session's end, so the "
+    "terminal no-data micro-batch (noDataMicroBatches, on by default) "
+    "flushes all remaining state; the sentinel's own session is "
+    "filtered from the sink. Equality with the batch gaps-and-islands "
+    "oracle certifies both the cross-batch session merge AND the "
+    "append-mode emission protocol. Scale: session state is "
+    "O(open sessions) per user-hash partition, bounded by the "
+    "watermark — the standard sessionization deployment at any "
+    "stream rate.",
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ordered_event_buckets(
+        spark, sf_dir, "sslive", sentinel_ts="2024-03-01 00:00:00"
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(out).select(
-        "purchase_id", "user_id", "purchase_ts", "view_id", "view_ts"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(spark, sessions, "sslive", sf_dir).where(
+        F.col("user_id") >= 0
     )
 
 

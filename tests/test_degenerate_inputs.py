@@ -1,0 +1,182 @@
+"""Degenerate-NONZERO input sweep (VERDICT r9 task #6): zero-row
+robustness lives in test_empty_input.py, but all five ADVICE r8 defects
+were degenerate-nonzero shapes — saturated corpora (every doc
+identical), single-arm experiments, zero-variance metrics, fully tied
+timestamps. A daily pipeline meets these the first time an upstream
+filter collapses a partition to one value, and a stats op that divides
+by a zero variance or a saturated-vocabulary denominator takes the run
+down — or worse, silently diverges from the oracle.
+
+Each regime rewrites the sf0.001 fixture with pyarrow (schemas and
+dtypes preserved exactly, including the TIMESTAMP(NANOS) events.ts) and
+then asserts FULL both-leg oracle parity — not just no-crash — so any
+engine-vs-oracle divergence on the degenerate shape surfaces here the
+way the driver would see it.
+
+Regimes:
+  * saturated  — every document is the SAME text from the SAME source:
+    vocabulary collapses to one document's grams (the KN 0/0 family),
+    every pairwise op sees only duplicate pairs, per-source mixtures
+    have one arm.
+  * constant   — events carry ONE event_type and a CONSTANT value with
+    one tied user: zero variance, single experiment arm, rate ratios
+    with an empty comparison arm.
+  * tied_ts    — every event carries the SAME timestamp: windows/grids
+    collapse to one bucket, every ORDER BY ts is a full tie (rank
+    tie-breaks must be deterministic on both engines), day grids are
+    single-cell.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from solarflare_etl_pipeline_spark.catalog import TABLES
+from solarflare_etl_pipeline_spark.registry import load_all
+
+from tests.conftest import assert_parity
+
+#: The round-9/10 stats-family ops the sweep covers (the ~25 newest with
+#: division / variance / vocabulary / grid seams), plus the r8 five that
+#: ADVICE already caught — kept here as regression pins.
+SWEEP_QUERIES = (
+    # round-9/10 experimentation + survival
+    "agg_paired_t_test",
+    "agg_poisson_rate_ratio",
+    "agg_mde_curve",
+    "agg_capture_recapture",
+    "agg_survival_na",
+    "agg_survival_km",
+    "agg_logrank_test",
+    "agg_anderson_darling",
+    "agg_lorenz_curve",
+    "agg_overdispersion",
+    "agg_theil_decomposition",
+    # round-9/10 corpus statistics (the saturated-corpus family)
+    "llm_kneser_ney_bigram",
+    "llm_kn_doc_scores",
+    "llm_log_odds_words",
+    "llm_ranker_agreement",
+    "llm_token_len_histogram",
+    "llm_domain_cap",
+    "llm_bpe_train_portable",
+    "llm_tokenizer_apply_portable",
+    # round-9/10 drift/dq + cohorts (single-cell grids)
+    "dq_distribution_shift_emd",
+    "dq_cardinality_drift",
+    "dq_duplicate_rows",
+    "cohort_dau_mau",
+    "cohort_returning_new",
+    # round-9/10 time-series (tied-ts grids)
+    "ts_holt_linear_portable",
+    "ts_seasonal_strength",
+    "ts_dow_hour_heatmap",
+    # round-9/10 graph (degenerate co-occurrence: one basket shape)
+    "graph_modularity",
+    "graph_bipartite_projection",
+    "markov_stationary_portable",
+    "graph_k_core_portable",
+    # ADVICE r8 regression pins (each diverged on exactly these shapes)
+    "agg_diff_in_diff",
+    "agg_cochran_q",
+    "agg_permutation_test",
+    "agg_eb_shrunk_rates",
+    "flagship_ab_readout",
+)
+
+
+def _const_column(tbl: pa.Table, name: str, value=None) -> pa.Table:
+    """Replace column ``name`` with its FIRST value (or ``value``)
+    repeated — dtype preserved exactly."""
+    idx = tbl.schema.get_field_index(name)
+    col = tbl.column(name)
+    v = col[0] if value is None else pa.scalar(value, type=col.type)
+    const = pa.chunked_array([pa.array([v.as_py()] * len(tbl), type=col.type)])
+    return tbl.set_column(idx, tbl.field(idx), const)
+
+
+def _write_regime(sf_dir: str, out: str, mutate) -> str:
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        tbl = mutate(t, tbl)
+        pq.write_table(tbl, os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.fixture(scope="module")
+def degenerate_dirs(sf_dir, tmp_path_factory):
+    dirs = {}
+
+    def saturated(t, tbl):
+        if t == "documents":
+            tbl = _const_column(tbl, "text")
+            tbl = _const_column(tbl, "source")
+            if "n_chars" in tbl.schema.names:
+                tbl = _const_column(tbl, "n_chars")
+            if "lang" in tbl.schema.names:
+                tbl = _const_column(tbl, "lang")
+        return tbl
+
+    def constant(t, tbl):
+        if t == "events":
+            tbl = _const_column(tbl, "event_type")
+            tbl = _const_column(tbl, "value")
+            tbl = _const_column(tbl, "user_id")
+        if t == "orders" and "o_orderpriority" in tbl.schema.names:
+            tbl = _const_column(tbl, "o_orderpriority")
+        if t == "customer" and "c_mktsegment" in tbl.schema.names:
+            tbl = _const_column(tbl, "c_mktsegment")
+        return tbl
+
+    def tied_ts(t, tbl):
+        if t == "events":
+            tbl = _const_column(tbl, "ts")
+        return tbl
+
+    for name, fn in (
+        ("saturated", saturated),
+        ("constant", constant),
+        ("tied_ts", tied_ts),
+    ):
+        out = tmp_path_factory.mktemp(f"degen_{name}")
+        dirs[name] = _write_regime(sf_dir, str(out), fn)
+    return dirs
+
+
+def _con_for(path: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{path}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def degenerate_cons(degenerate_dirs):
+    cons = {k: _con_for(v) for k, v in degenerate_dirs.items()}
+    yield cons
+    for c in cons.values():
+        c.close()
+
+
+@pytest.mark.parametrize("regime", ("saturated", "constant", "tied_ts"))
+@pytest.mark.parametrize("name", SWEEP_QUERIES)
+def test_degenerate_parity(spark, degenerate_dirs, degenerate_cons, regime, name):
+    spec = load_all()[name]
+    df = spec.spark(spark, degenerate_dirs[regime])
+    if spec.oracle is None:
+        rows = df.collect()
+        assert rows is not None
+        assert len(df.columns) > 0
+    else:
+        assert_parity(df, degenerate_cons[regime], spec.oracle)
