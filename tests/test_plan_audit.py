@@ -101,6 +101,16 @@ DELIBERATE_CROSS = {
     # regardless of corpus scale; the data-scale stage is the daily
     # hash agg before it)
     "ts_isotonic_daily",
+    # r10: SINGLE-ROW elected merge pair broadcast per unrolled round
+    # (three N×1 nested loops — the llm_bpe_train2 scalar shape), plus
+    # the 1-row alphabet/corpus-total scalars into the 1-row ledger
+    "llm_bpe_train_portable",
+    # r10: |groups|² pair triangle over the POST-AGGREGATE 5-row rank
+    # table × SINGLE-ROW totals (the tukey/kruskal theorem shape)
+    "agg_dunn_posthoc",
+    # r10: SINGLE-ROW nation-total scalar broadcast onto the BOUNDED
+    # per-part value table (N×1 global-threshold HAVING — Q11's shape)
+    "tpch_q11_important_stock",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
@@ -128,6 +138,7 @@ PYTHON_OK = {
     "llm_compression_ratio",  # zlib quality signal — one Arrow pandas UDF
     "udaf_arrow_grouped",  # Spark 4 applyInArrow (zero-copy grouped map)
     "udf_arrow_map",  # Spark 4 mapInArrow (zero-copy batch map)
+    "mm_image_dct_hash",  # decode+resample+DCT fused in one Arrow stage
 }
 
 #: Queries that read a dimension table and must broadcast it.
