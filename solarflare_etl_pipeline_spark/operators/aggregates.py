@@ -6737,3 +6737,235 @@ def agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 3 * (n_total - 1) * 1000000 DIV tc AS BIGINT)"
         ).alias("z_sq_ppm"),
     ).orderBy("grp_a", "grp_b")
+
+
+#: Columns of the profiling correlation matrix, scaled x100 to exact
+#: integers (quantity is integer-valued, money/rates carry <=2dp).
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+CORR_PAIRS = tuple(
+    (a, b)
+    for i, a in enumerate(CORR_COLS)
+    for b in CORR_COLS[i + 1 :]
+)
+
+
+def _corr_matrix_oracle() -> str:
+    scaled = ", ".join(
+        f"CAST(FLOOR({c} * 100) AS BIGINT) AS {c[2:]}" for c in CORR_COLS
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in CORR_COLS:
+        s = c[2:]
+        sums.append(f"SUM(CAST({s} AS HUGEINT)) AS s_{s}")
+        sums.append(f"SUM(CAST({s} AS HUGEINT) * {s}) AS s_{s}_{s}")
+    for a, b in CORR_PAIRS:
+        sa, sb = a[2:], b[2:]
+        sums.append(f"SUM(CAST({sa} AS HUGEINT) * {sb}) AS s_{sa}_{sb}")
+    selects = []
+    for a, b in CORR_PAIRS:
+        sa, sb = a[2:], b[2:]
+        num = f"CAST(CAST(n * s_{sa}_{sb} - s_{sa} * s_{sb} AS VARCHAR) AS DOUBLE)"
+        vx = f"CAST(CAST(n * s_{sa}_{sa} - s_{sa} * s_{sa} AS VARCHAR) AS DOUBLE)"
+        vy = f"CAST(CAST(n * s_{sb}_{sb} - s_{sb} * s_{sb} AS VARCHAR) AS DOUBLE)"
+        selects.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n AS n_rows,"
+            f" ROUND({num} / SQRT({vx} * {vy}), 6) AS corr FROM m"
+        )
+    union = "\n            UNION ALL ".join(selects)
+    all_sums = ", ".join(sums)
+    return f"""
+        WITH q AS (SELECT {scaled} FROM lineitem),
+        m AS (SELECT {all_sums} FROM q)
+        {union}
+        ORDER BY col_x, col_y
+    """
+
+
+@register(
+    "agg_corr_matrix",
+    oracle=_corr_matrix_oracle(),
+    doc="Full pairwise Pearson correlation matrix over the lineitem "
+    "numeric columns in ONE pass — the data-profiling readout "
+    "(dq_column_profile gives per-column moments; this gives the "
+    "cross-column structure that drives feature selection and "
+    "leakage checks). All sufficient statistics (n, Sx, Sxx, Sxy for "
+    "every pair) accumulate as EXACT 128-bit integers over x100-"
+    "scaled values (x^2 sums pass BIGINT at sf0.1 — the widen-before-"
+    "multiply rule), so both engines hold bit-identical integers; the "
+    "final r = (n*Sxy - Sx*Sy)/sqrt((n*Sxx-Sx^2)(n*Syy-Sy^2)) runs "
+    "the IDENTICAL double chain on both (the 128-bit->double cast "
+    "goes through the VARCHAR detour, ORACLE_PARITY rule 15; IEEE "
+    "sqrt/divide are correctly rounded), rounded once to 6dp. "
+    "Contrast agg_corr, which certifies the ENGINE-NATIVE CORR "
+    "accumulator to 6dp; here the accumulation itself is exact, so "
+    "the matrix extends to any column count without Welford-vs-"
+    "co-moment drift. Plan: one map-side-combinable aggregate (the "
+    "single scan computes all 15 sums), then a 6-row bounded union "
+    "off the 1-row result — no second pass, no shuffle beyond the "
+    "final agg.",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.expr(f"CAST(FLOOR({c} * 100) AS BIGINT)").alias(c[2:])
+            for c in CORR_COLS
+        ]
+    )
+    aggs = [F.count("*").cast("long").alias("n")]
+    for c in CORR_COLS:
+        s = c[2:]
+        aggs.append(F.expr(f"SUM(CAST({s} AS DECIMAL(38,0)))").alias(f"s_{s}"))
+        aggs.append(
+            F.expr(f"SUM(CAST({s} AS DECIMAL(38,0)) * {s})").alias(f"s_{s}_{s}")
+        )
+    for a, b in CORR_PAIRS:
+        sa, sb = a[2:], b[2:]
+        aggs.append(
+            F.expr(f"SUM(CAST({sa} AS DECIMAL(38,0)) * {sb})").alias(
+                f"s_{sa}_{sb}"
+            )
+        )
+    m = q.agg(*aggs)
+    m = m.localCheckpoint()  # 1-row sufficient stats, read 6 times
+    rows = []
+    for a, b in CORR_PAIRS:
+        sa, sb = a[2:], b[2:]
+        num = f"CAST(CAST(n * s_{sa}_{sb} - s_{sa} * s_{sb} AS DECIMAL(38,0)) AS DOUBLE)"
+        vx = f"CAST(CAST(n * s_{sa}_{sa} - s_{sa} * s_{sa} AS DECIMAL(38,0)) AS DOUBLE)"
+        vy = f"CAST(CAST(n * s_{sb}_{sb} - s_{sb} * s_{sb} AS DECIMAL(38,0)) AS DOUBLE)"
+        rows.append(
+            m.select(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                F.expr(f"ROUND({num} / SQRT({vx} * {vy}), 6)").alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col_x", "col_y")
+
+
+@register(
+    "agg_fleiss_kappa",
+    oracle="""
+        WITH lab AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 370 THEN 1 ELSE 2 END AS ra,
+                   CASE WHEN LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 < 36
+                            THEN 0
+                        WHEN LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 < 66
+                            THEN 1 ELSE 2 END AS rb,
+                   CASE WHEN LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) < 23
+                            THEN 0
+                        WHEN LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) < 28
+                            THEN 1 ELSE 2 END AS rc
+            FROM documents WHERE text IS NOT NULL
+        ),
+        peritem AS (
+            SELECT (CASE WHEN ra = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN rb = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN rc = 0 THEN 1 ELSE 0 END) AS n0,
+                   (CASE WHEN ra = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN rb = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN rc = 1 THEN 1 ELSE 0 END) AS n1,
+                   (CASE WHEN ra = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN rb = 2 THEN 1 ELSE 0 END
+                    + CASE WHEN rc = 2 THEN 1 ELSE 0 END) AS n2
+            FROM lab
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(n0*n0 + n1*n1 + n2*n2) AS BIGINT) AS sq_sum,
+                   CAST(SUM(n0) AS BIGINT) AS t0,
+                   CAST(SUM(n1) AS BIGINT) AS t1,
+                   CAST(SUM(n2) AS BIGINT) AS t2
+            FROM peritem
+        )
+        SELECT n_items, sq_sum, t0, t1, t2,
+               CAST(((CAST(sq_sum AS HUGEINT) - 3 * n_items)
+                       * (9 * CAST(n_items AS HUGEINT) * n_items)
+                     - (6 * CAST(n_items AS HUGEINT))
+                       * (CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
+                          + CAST(t2 AS HUGEINT)*t2)) * 1000000
+                    // ((6 * CAST(n_items AS HUGEINT))
+                        * (9 * CAST(n_items AS HUGEINT) * n_items
+                           - (CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
+                              + CAST(t2 AS HUGEINT)*t2)))
+                    AS BIGINT) AS kappa_ppm
+        FROM agg
+    """,
+    doc="Fleiss' kappa — chance-corrected agreement among THREE raters "
+    "(agg_cohens_kappa is the 2-rater special case; Fleiss is what "
+    "label-quality audits over multi-annotator LLM training data "
+    "actually run): three derived labelers bucket every document "
+    "into terciles (char count, word count, distinct-word count — "
+    "three views of document size that agree imperfectly), and "
+    "kappa = (Pbar - Pe)/(1 - Pe) is assembled from exact integer "
+    "sufficient statistics: per-item Sum n_ij^2 (P_i numerators), "
+    "category totals t_j (Pe numerators), then ONE 128-bit rational "
+    "chain to ppm — S*(3N)^2 - 6N*Sum t^2 over 6N*((3N)^2 - Sum t^2), "
+    "truncation toward zero identical on both engines (kappa can be "
+    "negative: worse-than-chance agreement). At sf0.1 the cross terms "
+    "reach ~1e23 — HUGEINT/DECIMAL(38,0) per the widen-before-"
+    "multiply rule. Plan: one narrow map (three CASE labels), one "
+    "map-side-combinable aggregate, a 1-row final chain — no shuffle "
+    "beyond the global agg at any corpus size.",
+)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lab = d.select(
+        F.expr(
+            "CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 370 THEN 1"
+            " ELSE 2 END"
+        ).alias("ra"),
+        F.expr(
+            "CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 36"
+            " THEN 0 WHEN length(text) - length(replace(text, ' ', '')) + 1"
+            " < 66 THEN 1 ELSE 2 END"
+        ).alias("rb"),
+        F.expr(
+            "CASE WHEN size(array_distinct(split(text, ' '))) < 23 THEN 0"
+            " WHEN size(array_distinct(split(text, ' '))) < 28 THEN 1"
+            " ELSE 2 END"
+        ).alias("rc"),
+    )
+    peritem = lab.select(
+        *[
+            sum(
+                [
+                    F.when(F.col(r) == k, 1).otherwise(0)
+                    for r in ("ra", "rb", "rc")
+                ],
+                F.lit(0),
+            ).alias(f"n{k}")
+            for k in (0, 1, 2)
+        ]
+    )
+    agg = peritem.agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.expr("CAST(SUM(n0*n0 + n1*n1 + n2*n2) AS BIGINT)").alias("sq_sum"),
+        F.sum("n0").cast("long").alias("t0"),
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+    )
+    return agg.select(
+        "n_items",
+        "sq_sum",
+        "t0",
+        "t1",
+        "t2",
+        F.expr(
+            "CAST(((CAST(sq_sum AS DECIMAL(38,0)) - 3 * n_items)"
+            " * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items)"
+            " - (6 * CAST(n_items AS DECIMAL(38,0)))"
+            " * (CAST(t0 AS DECIMAL(38,0))*t0 + CAST(t1 AS DECIMAL(38,0))*t1"
+            " + CAST(t2 AS DECIMAL(38,0))*t2)) * 1000000"
+            " DIV ((6 * CAST(n_items AS DECIMAL(38,0)))"
+            " * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items"
+            " - (CAST(t0 AS DECIMAL(38,0))*t0 + CAST(t1 AS DECIMAL(38,0))*t1"
+            " + CAST(t2 AS DECIMAL(38,0))*t2))) AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )

@@ -6419,3 +6419,106 @@ def llm_mixture_reweight_portable(spark: SparkSession, sf_dir: str) -> DataFrame
         for i in (1, 2)
     ]
     return snaps[0].unionByName(snaps[1]).orderBy("mw_round", "source")
+
+
+#: Context-length budgets for the packing-efficiency curve (tokens per
+#: packed sequence). 64 = PACK_BUDGET (2 full chunks); the curve shows
+#: how fill ratio and bin count move as the context window grows.
+PACK_CURVE_BUDGETS = (64, 128, 256)
+
+
+@register(
+    "llm_pack_efficiency_curve",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id, chunk_id,
+                   LEAST({CHUNK_TOKENS}, n - chunk_id * {CHUNK_TOKENS}) AS chunk_tokens
+            FROM (
+                SELECT doc_id,
+                       LEN(STRING_SPLIT(text, ' ')) AS n,
+                       UNNEST(RANGE(0, CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / {CHUNK_TOKENS}.0)
+                                            AS INT))) AS chunk_id
+                FROM documents
+            )
+        ),
+        placed AS (
+            SELECT doc_id, chunk_id, chunk_tokens,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                       % {PACK_PARTS} AS part_id,
+                   SUM(chunk_tokens) OVER (
+                       PARTITION BY CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                                    % {PACK_PARTS}
+                       ORDER BY doc_id, chunk_id
+                       ROWS UNBOUNDED PRECEDING) - chunk_tokens AS cum_before
+            FROM chunks
+        ),
+        curve AS (
+            SELECT b.b AS pack_budget, p.part_id,
+                   CAST(FLOOR(p.cum_before / (b.b * 1.0)) AS BIGINT) AS bin_id,
+                   p.chunk_tokens
+            FROM placed p, (VALUES {", ".join(f"({b})" for b in PACK_CURVE_BUDGETS)}) b(b)
+        )
+        SELECT CAST(pack_budget AS BIGINT) AS pack_budget,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(DISTINCT (part_id, bin_id)) AS BIGINT) AS n_bins,
+               CAST(SUM(chunk_tokens) * 1000000
+                    // (COUNT(DISTINCT (part_id, bin_id)) * pack_budget)
+                    AS BIGINT) AS fill_ppm
+        FROM curve
+        GROUP BY pack_budget
+        ORDER BY pack_budget
+    """,
+    doc=f"Packing-efficiency operating curve — how fill ratio and packed-"
+    f"sequence count move as the model's context window grows "
+    f"({PACK_CURVE_BUDGETS}): the capacity-planning readout behind "
+    f"llm_pack_sequences_global (a longer context amortizes chunk "
+    f"boundaries better but multiplies attention cost; this curve is "
+    f"the data for that trade). The partition-local first-fit cumsum "
+    f"is computed ONCE (it is budget-independent — placement uses the "
+    f"running total only), then crossed with the 3-row budget grid and "
+    f"re-binned per budget by a single integer division; fill is exact "
+    f"ppm over n_bins*budget capacity. One shuffle (the part_id "
+    f"window) + one bounded 3x fan-out — at 100 TB identical to the "
+    f"packer itself plus a 3-row broadcast.",
+)
+def llm_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    chunks = REGISTRY["llm_chunk_docs"].spark(spark, sf_dir).select(
+        "doc_id", "chunk_id", "chunk_tokens"
+    )
+    part_id = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % PACK_PARTS
+    )
+    w = Window.partitionBy("part_id").orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = chunks.withColumn("part_id", part_id).withColumn(
+        "cum_before", F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in PACK_CURVE_BUDGETS], "b int"
+    )
+    curve = placed.join(F.broadcast(budgets)).select(
+        F.col("b").alias("pack_budget"),
+        "part_id",
+        F.floor(F.col("cum_before") / F.col("b").cast("double")).alias("bin_id"),
+        "chunk_tokens",
+    )
+    return (
+        curve.groupBy(F.col("pack_budget").cast("long").alias("pack_budget"))
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+            F.countDistinct("part_id", "bin_id").cast("long").alias("n_bins"),
+            F.expr(
+                "CAST(SUM(chunk_tokens) * 1000000 DIV "
+                "(COUNT(DISTINCT part_id, bin_id) * pack_budget) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("pack_budget")
+    )
