@@ -210,6 +210,10 @@ BENCH_QUERIES = (
     "mm_image_dct_hash",
     "agg_dunn_posthoc",
     "tpch_q3_priority",
+    # r10 batch 4: the join state-store audit (runs the live stream then
+    # batch-scans its checkpoint), and the 3-budget packing fan-out
+    "stream_join_state_audit",
+    "llm_pack_efficiency_curve",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -301,3 +301,43 @@ def udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_milli").alias("max_milli"),
     )
     return out.orderBy("event_type")
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS value_milli
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2
+        ORDER BY user_id
+    """,
+    doc="SQL PIPE syntax (Spark 4.0's |> operator chain, SPARK-49555) — "
+    "the API-surface certification that the pipe-composed form "
+    "(FROM ... |> WHERE ... |> AGGREGATE ... GROUP BY ... |> WHERE "
+    "... |> ORDER BY) plans to the IDENTICAL Catalyst logical plan "
+    "as classic SELECT: the oracle is the classic formulation, so "
+    "hash equality proves the pipe parser's desugaring end to end "
+    "(projection, aggregate, post-aggregate filter = HAVING, sort). "
+    "Pipe syntax is the form interactive corpus exploration "
+    "increasingly takes (BigQuery/Spark 4 share it); engine cost is "
+    "zero — it is pure parser surface over the same plan.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE event_type = 'purchase'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                     CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                         AS value_milli
+           GROUP BY user_id
+        |> WHERE n_purchases >= 2
+        |> ORDER BY user_id
+        """
+    )

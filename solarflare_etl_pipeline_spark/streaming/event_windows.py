@@ -747,3 +747,82 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_join_state_audit",
+    # The eviction frontier is the MULTIPLE-WATERMARK MIN policy
+    # (spark.sql.streaming.multipleWatermarkPolicy=min, the default):
+    # both join branches carry their own watermark node, so the global
+    # watermark trails the LAGGARD branch — wm = min(max purchase_ts,
+    # max view_ts) - 2h, floored to Spark's millisecond event-time
+    # statistics. Left (purchase) rows are removable once they can no
+    # longer match any future view (p < wm); right (view) rows once no
+    # future purchase's 1h lookback can reach them (v < wm - 1h).
+    oracle="""
+        WITH m AS (
+            SELECT DATE_TRUNC('milliseconds', LEAST(
+                (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                 WHERE event_type = 'purchase'),
+                (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+                 WHERE event_type = 'view'))) - INTERVAL 2 HOUR AS wm
+        )
+        SELECT 'left' AS join_side, e.event_id, e.user_id,
+               CAST(e.ts AS TIMESTAMP) AS ts
+        FROM events e, m
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= m.wm
+        UNION ALL
+        SELECT 'right', e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP)
+        FROM events e, m
+        WHERE e.event_type = 'view'
+          AND CAST(e.ts AS TIMESTAMP) >= m.wm - INTERVAL 1 HOUR
+        ORDER BY join_side, event_id
+    """,
+    doc="Stream-stream JOIN state-store audit — reads BOTH sides' "
+    "buffered join state out of stream_interval_join_live's checkpoint "
+    "with the statestore reader (joinSide=left/right) after the run "
+    "completes, certifying WHAT the state store holds, not just what "
+    "the sink emitted: the rows remaining are exactly the events the "
+    "watermark could not yet prove unmatchable. The oracle re-derives "
+    "the eviction frontier in closed form — the min-policy multiple "
+    "watermark (the purchase branch lags the view branch, so wm = "
+    "min(max_p, max_v) - 2h at ms grain), left kept iff p >= wm, "
+    "right kept iff v >= wm - 1h — so the driver hash certifies the "
+    "engine's state-cleanup arithmetic itself. Complements "
+    "stream_state_reader (window state) and the live join (sink "
+    "equality): together sink + state = the full conservation law. "
+    "At 100 TB this is the production state-debugging path for "
+    "stuck-watermark incidents: the reader is an ordinary batch scan "
+    "of the HDFS state files, no running query needed.",
+)
+def stream_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    # (Re)build the checkpoint by running the live join to completion.
+    REGISTRY["stream_interval_join_live"].spark(spark, sf_dir).count()
+    tag = f"{os.path.basename(os.path.abspath(sf_dir))}_{os.getpid()}"
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"solarflare_ssjoin_ckpt_{tag}"
+    )
+    sides = []
+    for side, (eid, uid, ts) in (
+        ("left", ("purchase_id", "user_id", "purchase_ts")),
+        ("right", ("view_id", "v_user", "view_ts")),
+    ):
+        st = (
+            spark.read.format("statestore")
+            .option("joinSide", side)
+            .load(ckpt)
+        )
+        sides.append(
+            st.select(
+                F.lit(side).alias("join_side"),
+                F.col(f"value.{eid}").alias("event_id"),
+                F.col(f"value.{uid}").alias("user_id"),
+                F.col(f"value.{ts}").alias("ts"),
+            )
+        )
+    return sides[0].unionByName(sides[1]).orderBy("join_side", "event_id")
