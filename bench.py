@@ -214,6 +214,12 @@ BENCH_QUERIES = (
     # batch-scans its checkpoint), and the 3-budget packing fan-out
     "stream_join_state_audit",
     "llm_pack_efficiency_curve",
+    # r10 batch 5: the third live streaming certification (windowed-agg
+    # merge path) and the FWER/dependence-corrected multiple-comparison
+    # pair (bounded family plans)
+    "stream_tumbling_live",
+    "agg_holm_bonferroni",
+    "agg_benjamini_yekutieli",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -6969,3 +6969,203 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CAST(t2 AS DECIMAL(38,0))*t2))) AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+#: Shared family-of-tests construction for the multiple-comparison ops:
+#: type x day-of-week conversion cells with the distribution-free
+#: Chebyshev p-value bound min(1, 1/z^2) — identical to agg_bh_fdr, so
+#: the three procedures (BH / Holm / BY) are comparable on one family.
+_MC_CELLS_SQL = """
+        WITH cells AS (
+            SELECT event_type,
+                   CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
+                        AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv
+            FROM events
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT SUM(n) AS nn, SUM(conv) AS cc, COUNT(*) AS m FROM cells
+        ),
+        pv AS (
+            SELECT c.event_type, c.dow, c.n, c.conv,
+                   CASE WHEN CAST(c.conv AS HUGEINT) * t.nn
+                             - CAST(t.cc AS HUGEINT) * c.n = 0 THEN 1.0
+                        ELSE LEAST(1.0,
+                            CAST(CAST(c.n AS HUGEINT) * t.cc * (t.nn - t.cc)
+                                 AS DOUBLE)
+                            / CAST((CAST(c.conv AS HUGEINT) * t.nn
+                                    - CAST(t.cc AS HUGEINT) * c.n)
+                                   * (CAST(c.conv AS HUGEINT) * t.nn
+                                      - CAST(t.cc AS HUGEINT) * c.n)
+                                   AS DOUBLE))
+                   END AS p_value,
+                   t.m
+            FROM cells c, tot t
+        ),
+        ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       ORDER BY p_value, event_type, dow) AS BIGINT) AS p_rank
+            FROM pv
+        )
+"""
+
+
+def _mc_cells_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.pmod(
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0))
+        .cast("long")
+        .alias("conv"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("conv").alias("cc"),
+        F.count("*").alias("m"),
+    )
+    num = "CAST(conv AS DECIMAL(38,0)) * nn - CAST(cc AS DECIMAL(38,0)) * n"
+    pv = cells.crossJoin(F.broadcast(tot)).withColumn(
+        "p_value",
+        F.expr(
+            f"CASE WHEN {num} = 0 THEN 1.0 ELSE LEAST(1.0,"
+            f" CAST(CAST(n AS DECIMAL(38,0)) * cc * (nn - cc) AS DOUBLE)"
+            f" / CAST(({num}) * ({num}) AS DOUBLE)) END"
+        ),
+    )
+    return pv.withColumn(
+        "p_rank",
+        F.row_number()
+        .over(W.orderBy("p_value", "event_type", "dow"))
+        .cast("long"),
+    )
+
+
+@register(
+    "agg_holm_bonferroni",
+    oracle=_MC_CELLS_SQL
+    + """
+        , flags AS (
+            SELECT *,
+                   CASE WHEN p_value * (m - p_rank + 1) * 20 <= 1
+                        THEN 1 ELSE 0 END AS step_ok
+            FROM ranked
+        )
+        SELECT event_type, dow, n, conv,
+               ROUND(p_value, 9) AS p_value, p_rank,
+               MIN(step_ok) OVER (ORDER BY p_rank
+                                  ROWS UNBOUNDED PRECEDING) = 1 AS rejected
+        FROM flags
+    """,
+    doc="Holm-Bonferroni step-down over the same type x day-of-week "
+    "test family as agg_bh_fdr — the FWER-controlling counterpart "
+    "(BH bounds the false-discovery RATE; Holm bounds the chance of "
+    "ANY false positive, uniformly more powerful than plain "
+    "Bonferroni and valid under arbitrary dependence): reject "
+    "hypotheses in ascending-p order while p_(j) <= alpha/(m-j+1), "
+    "STOPPING at the first failure. The stop-at-first-failure "
+    "semantics is a running MIN over the per-rank pass flag — exact "
+    "integer flags, the p-values themselves identical doubles on "
+    "both engines (same 128-bit Chebyshev chain as BH). Plan: one "
+    "bounded 35-cell family after the distributed cell aggregate; "
+    "the ordered window runs over |cells| rows.",
+)
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ranked = _mc_cells_spark(spark, sf_dir)
+    flags = ranked.withColumn(
+        "step_ok",
+        F.expr(
+            "CASE WHEN p_value * (m - p_rank + 1) * 20 <= 1 THEN 1"
+            " ELSE 0 END"
+        ),
+    )
+    cum = W.orderBy("p_rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return flags.select(
+        "event_type",
+        "dow",
+        "n",
+        "conv",
+        F.round("p_value", 9).alias("p_value"),
+        "p_rank",
+        (F.min("step_ok").over(cum) == 1).alias("rejected"),
+    )
+
+
+@register(
+    "agg_benjamini_yekutieli",
+    oracle=_MC_CELLS_SQL
+    + """
+        , harm AS (
+            SELECT CAST(SUM(1000000 // i) AS BIGINT) AS h_ppm
+            FROM (
+                SELECT UNNEST(RANGE(1, m + 1)) AS i
+                FROM (SELECT MAX(m) AS m FROM ranked)
+            )
+        ),
+        kmax AS (
+            SELECT COALESCE(MAX(p_rank), 0) AS k
+            FROM ranked, harm
+            WHERE p_value * m * 20 * h_ppm <= p_rank * 1000000
+        )
+        SELECT r.event_type, r.dow, r.n, r.conv,
+               ROUND(r.p_value, 9) AS p_value, r.p_rank,
+               h.h_ppm,
+               r.p_rank <= k.k AS rejected
+        FROM ranked r, kmax k, harm h
+    """,
+    doc="Benjamini-Yekutieli FDR control — BH's correction for "
+    "ARBITRARY dependence between tests (BH assumes independence or "
+    "positive regression dependence; BY divides the threshold by the "
+    "harmonic number H_m, valid always — the right default when the "
+    "35 cells share days and types and are anything but "
+    "independent): reject p_(k) <= k*alpha/(m*H_m). H_m enters as "
+    "the exact integer harmonic ladder SUM(1e6 // i) — per-term "
+    "truncating division identical on both engines, so the cutoff "
+    "comparison p*m*20*h_ppm <= k*1e6 is engine-exact given the "
+    "identical p doubles. Emits h_ppm so the BH-vs-BY threshold gap "
+    "is visible in the output. Same bounded plan shape as agg_bh_fdr.",
+)
+def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _mc_cells_spark(spark, sf_dir)
+    ranked = ranked.localCheckpoint()  # bounded 35-row family, read 3x
+    m_val = ranked.agg(F.max("m").alias("m_max"))
+    harm = (
+        m_val.select(
+            F.explode(F.sequence(F.lit(1), F.col("m_max"))).alias("i")
+        )
+        .agg(F.sum(F.expr("1000000 DIV i")).cast("long").alias("h_ppm"))
+    )
+    with_h = ranked.crossJoin(F.broadcast(harm))
+    kmax = with_h.where(
+        F.expr("p_value * m * 20 * h_ppm <= p_rank * 1000000")
+    ).agg(F.coalesce(F.max("p_rank"), F.lit(0)).alias("k"))
+    return (
+        with_h.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "conv",
+            F.round("p_value", 9).alias("p_value"),
+            "p_rank",
+            "h_ppm",
+            (F.col("p_rank") <= F.col("k")).alias("rejected"),
+        )
+    )
