@@ -7169,3 +7169,193 @@ def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p_rank") <= F.col("k")).alias("rejected"),
         )
     )
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle="""
+        WITH paired AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                            ELSE 0 END) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'view'
+                              THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS d
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+            GROUP BY user_id
+            HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+               AND SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+        ),
+        nz AS (SELECT d, ABS(d) AS ad FROM paired WHERE d <> 0),
+        vals AS (
+            SELECT ad, COUNT(*) AS c,
+                   SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS c_pos
+            FROM nz GROUP BY ad
+        ),
+        r2 AS (
+            SELECT ad, c, c_pos,
+                   2 * (SUM(c) OVER (ORDER BY ad ROWS UNBOUNDED
+                                     PRECEDING) - c) + c + 1 AS rank2
+            FROM vals
+        )
+        SELECT CAST(SUM(c) AS BIGINT) AS n_pairs,
+               CAST(SUM(c_pos * rank2) AS BIGINT) AS w_plus2,
+               CAST(SUM((c - c_pos) * rank2) AS BIGINT) AS w_minus2,
+               CAST(SUM(c * c * c - c) AS BIGINT) AS tie3_sum
+        FROM r2
+    """,
+    doc="Wilcoxon signed-rank sufficient statistics — the PAIRED "
+    "counterpart of agg_mann_whitney (rank-sum tests independent "
+    "samples; signed-rank tests per-subject differences): each "
+    "user's purchase-minus-view value difference (milli-exact), "
+    "zeros dropped per the classic procedure, |d| ranked EXACTLY "
+    "under ties on the distinct-value grid (doubled average ranks, "
+    "the kruskal/mann-whitney discipline), and the doubled positive/"
+    "negative rank sums emitted with the tie-correction cube sum — "
+    "z = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - tie3/48) is fully "
+    "derivable from the returned exact integers (identity: w_plus2 + "
+    "w_minus2 = 2*sum of ranks = n(n+1)). Plan: one per-user "
+    "aggregate (map-side combinable), one distinct-|d| census, one "
+    "value-bounded ordered window — the mann_whitney cost shape.",
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    v3 = "CAST(FLOOR(value * 1000) AS BIGINT)"
+    paired = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN event_type = 'purchase' THEN {v3}"
+                f" ELSE 0 END) AS BIGINT)"
+                f" - CAST(SUM(CASE WHEN event_type = 'view' THEN {v3}"
+                f" ELSE 0 END) AS BIGINT)"
+            ).alias("d"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        )
+        .where("np > 0 AND nv > 0")
+    )
+    nz = paired.where("d <> 0").select("d", F.abs("d").alias("ad"))
+    vals = nz.groupBy("ad").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("c_pos"),
+    )
+    cum = W.orderBy("ad").rowsBetween(W.unboundedPreceding, W.currentRow)
+    r2 = vals.select(
+        "c",
+        "c_pos",
+        (
+            2 * (F.sum("c").over(cum) - F.col("c")) + F.col("c") + 1
+        ).alias("rank2"),
+    )
+    return r2.agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.sum(F.col("c_pos") * F.col("rank2")).cast("long").alias("w_plus2"),
+        F.sum((F.col("c") - F.col("c_pos")) * F.col("rank2"))
+        .cast("long")
+        .alias("w_minus2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie3_sum"),
+    )
+
+
+@register(
+    "agg_cronbach_alpha",
+    oracle="""
+        WITH items AS (
+            SELECT CAST(n_chars AS BIGINT) AS x1,
+                   CAST(LEN(text) - LEN(REPLACE(text, ' ', '')) + 1
+                        AS BIGINT) AS x2,
+                   CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                        AS BIGINT) AS x3
+            FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x3) AS BIGINT) AS s3,
+                   SUM(CAST(x1 AS HUGEINT) * x1) AS q1,
+                   SUM(CAST(x2 AS HUGEINT) * x2) AS q2,
+                   SUM(CAST(x3 AS HUGEINT) * x3) AS q3,
+                   SUM(CAST(x1 + x2 + x3 AS HUGEINT) * (x1 + x2 + x3))
+                       AS qt
+            FROM items
+        )
+        SELECT n,
+               CAST(n * q1 - CAST(s1 AS HUGEINT) * s1 AS BIGINT) AS var1_n2,
+               CAST(n * q2 - CAST(s2 AS HUGEINT) * s2 AS BIGINT) AS var2_n2,
+               CAST(n * q3 - CAST(s3 AS HUGEINT) * s3 AS BIGINT) AS var3_n2,
+               CAST(n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
+                             * (s1 + s2 + s3) AS BIGINT) AS vart_n2,
+               CAST((3 * ((n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
+                                    * (s1 + s2 + s3))
+                          - (n * q1 - CAST(s1 AS HUGEINT) * s1)
+                          - (n * q2 - CAST(s2 AS HUGEINT) * s2)
+                          - (n * q3 - CAST(s3 AS HUGEINT) * s3))
+                     * 1000000)
+                    // (2 * (n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
+                                      * (s1 + s2 + s3)))
+                    AS BIGINT) AS alpha_ppm
+        FROM m
+    """,
+    doc="Cronbach's alpha — internal-consistency reliability of a "
+    "k-item scale (k=3 document-size items: char count, word count, "
+    "distinct-word count — the same battery agg_fleiss_kappa "
+    "discretizes; alpha asks whether the CONTINUOUS items measure "
+    "one construct): alpha = k/(k-1) * (1 - Sum var_i / var_total), "
+    "assembled entirely from exact integer sufficient statistics "
+    "(n*Sxx - Sx^2 variance numerators share a common n^2 "
+    "denominator that CANCELS in the ratio, so alpha_ppm = "
+    "3*(VT - V1 - V2 - V3)*1e6 // (2*VT) is an exact 128-bit "
+    "rational — no variance ever becomes a float). Emits the "
+    "variance numerators too, so reliability drill-down (which item "
+    "hurts) is queryable. Plan: ONE map-side-combinable aggregate "
+    "over the corpus; everything after is a 1-row chain.",
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    items = d.select(
+        F.col("n_chars").cast("long").alias("x1"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, ' ', '')) + 1"
+            " AS BIGINT)"
+        ).alias("x2"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "x3"
+        ),
+    )
+    m = items.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("x3").cast("long").alias("s3"),
+        F.expr("SUM(CAST(x1 AS DECIMAL(38,0)) * x1)").alias("q1"),
+        F.expr("SUM(CAST(x2 AS DECIMAL(38,0)) * x2)").alias("q2"),
+        F.expr("SUM(CAST(x3 AS DECIMAL(38,0)) * x3)").alias("q3"),
+        F.expr(
+            "SUM(CAST(x1 + x2 + x3 AS DECIMAL(38,0)) * (x1 + x2 + x3))"
+        ).alias("qt"),
+    )
+    v1 = "(n * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+    v2 = "(n * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)"
+    v3 = "(n * q3 - CAST(s3 AS DECIMAL(38,0)) * s3)"
+    vt = "(n * qt - CAST(s1 + s2 + s3 AS DECIMAL(38,0)) * (s1 + s2 + s3))"
+    return m.select(
+        "n",
+        F.expr(f"CAST({v1} AS BIGINT)").alias("var1_n2"),
+        F.expr(f"CAST({v2} AS BIGINT)").alias("var2_n2"),
+        F.expr(f"CAST({v3} AS BIGINT)").alias("var3_n2"),
+        F.expr(f"CAST({vt} AS BIGINT)").alias("vart_n2"),
+        F.expr(
+            f"CAST((3 * ({vt} - {v1} - {v2} - {v3}) * 1000000)"
+            f" DIV (2 * {vt}) AS BIGINT)"
+        ).alias("alpha_ppm"),
+    )

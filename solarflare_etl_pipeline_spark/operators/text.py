@@ -6522,3 +6522,93 @@ def llm_pack_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_budget")
     )
+
+
+@register(
+    "llm_data_constrained_epochs",
+    oracle="""
+        WITH s AS MATERIALIZED (
+            SELECT source,
+                   CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY 1
+        ),
+        t AS MATERIALIZED (
+            SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM s
+        ),
+        alloc AS (
+            SELECT s.source, s.tokens,
+                   (t.total * 2) // t.k AS fair_share,
+                   LEAST((t.total * 2) // t.k, 4 * s.tokens)
+                       AS allocated_tokens
+            FROM s, t
+        )
+        SELECT a.source, a.tokens, a.fair_share, a.allocated_tokens,
+               CAST(a.allocated_tokens * 1000000 // a.tokens AS BIGINT)
+                   AS epochs_ppm,
+               CAST((SELECT SUM(x.fair_share - x.allocated_tokens)
+                     FROM alloc x) AS BIGINT) AS unfilled_budget
+        FROM alloc a
+        ORDER BY a.source
+    """,
+    doc="Data-constrained epoch allocation — the Muennighoff-et-al "
+    "scaling regime where the token BUDGET exceeds the corpus and "
+    "sources must repeat: target budget = 2x the corpus, split "
+    "uniformly across sources (the mixture target), each source "
+    "capped at 4 EPOCHS (the published point where repeated-data "
+    "returns decay to ~zero), emitting per-source allocated tokens, "
+    "the exact epoch count in ppm (allocated/tokens — >1e6 means "
+    "repetition), and the global unfilled budget the caps leave "
+    "behind (the signal to go acquire more data). All integer-exact: "
+    "truncating divisions, no floats. Composes with "
+    "llm_mixture_sample (natural shares), llm_mixture_reweight_"
+    "portable (learned shares), and llm_token_budget_trim (the "
+    "under-budget case). Plan: one token census (map-side "
+    "combinable), then |sources|-bounded arithmetic with two 1-row "
+    "scalars broadcast.",
+)
+def llm_data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("long")
+            .alias("tokens")
+        )
+    )
+    s = s.localCheckpoint()  # |sources|-bounded, read twice
+    t = s.agg(
+        F.sum("tokens").cast("long").alias("total"),
+        F.count("*").cast("long").alias("k"),
+    )
+    alloc = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "tokens",
+        F.expr("(total * 2) DIV k").alias("fair_share"),
+        F.expr("LEAST((total * 2) DIV k, 4 * tokens)").alias(
+            "allocated_tokens"
+        ),
+    )
+    alloc = alloc.localCheckpoint()  # bounded, read twice
+    unfilled = alloc.agg(
+        F.sum(F.col("fair_share") - F.col("allocated_tokens"))
+        .cast("long")
+        .alias("unfilled_budget")
+    )
+    return (
+        alloc.crossJoin(F.broadcast(unfilled))
+        .select(
+            "source",
+            "tokens",
+            "fair_share",
+            "allocated_tokens",
+            F.expr(
+                "CAST(allocated_tokens * 1000000 DIV tokens AS BIGINT)"
+            ).alias("epochs_ppm"),
+            "unfilled_budget",
+        )
+        .orderBy("source")
+    )

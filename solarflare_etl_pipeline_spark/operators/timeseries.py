@@ -2913,3 +2913,107 @@ def ts_croston_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(49*q2 + 7*q3 + 8*q4) AS BIGINT)"
         ).alias("croston_rate_ppm"),
     ).orderBy("user_id")
+
+
+ITS_BREAK = "2024-01-16"  # intervention date splitting the 30-day fixture
+
+
+@register(
+    "ts_interrupted_series",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        seg AS (
+            SELECT CASE WHEN day < DATE '{ITS_BREAK}' THEN 'pre'
+                        ELSE 'post' END AS segment,
+                   CAST(day - DATE '{ITS_BREAK}' AS BIGINT) AS x, y
+            FROM daily
+        ),
+        fit AS (
+            SELECT segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * y) AS sxy
+            FROM seg GROUP BY 1
+        )
+        SELECT segment, n_days, sy AS sum_y_milli,
+               ROUND(CAST(CAST(n_days AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                     / CAST(CAST(n_days AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+                   AS slope_milli_per_day,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(CAST(n_days AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                         / CAST(CAST(n_days AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_days AS DOUBLE), 6) AS level_at_break_milli
+        FROM fit
+        ORDER BY segment
+    """,
+    doc=f"Interrupted time-series analysis — the quasi-experimental "
+    f"readout when a change ships on a known date ({ITS_BREAK}) and "
+    f"no control group exists (diff-in-diff's sibling; "
+    f"agg_diff_in_diff needs both arms): closed-form OLS level and "
+    f"slope fitted SEPARATELY to the pre and post segments of the "
+    f"daily purchase-value series, with day re-indexed to the break "
+    f"(x=0 at intervention) so each segment's intercept IS its level "
+    f"at the break — the level discontinuity and slope change read "
+    f"directly off the two rows. Sufficient statistics (Sx, Sy, Sxx, "
+    f"Sxy) accumulate as exact 128-bit integers over milli-scaled "
+    f"values; both engines run the IDENTICAL final double chain "
+    f"(slope = (nSxy-SxSy)/(nSxx-Sx^2), level = (Sy - slope*Sx)/n), "
+    f"rounded once to 6dp. Plan: one daily aggregate (calendar-"
+    f"bounded), one 2-group aggregate — the raw event volume is "
+    f"absorbed by the first map-side-combinable groupBy at any "
+    f"corpus size.",
+)
+def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    seg = daily.select(
+        F.expr(
+            f"CASE WHEN day < DATE '{ITS_BREAK}' THEN 'pre' ELSE 'post' END"
+        ).alias("segment"),
+        F.datediff(F.col("day"), F.lit(ITS_BREAK).cast("date"))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    fit = seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * x)").alias("sxx"),
+        F.expr("SUM(CAST(x AS DECIMAL(38,0)) * y)").alias("sxy"),
+    )
+    slope = (
+        "CAST(CAST(n_days AS DECIMAL(38,0)) * sxy"
+        " - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
+    )
+    return fit.select(
+        "segment",
+        "n_days",
+        F.col("sy").alias("sum_y_milli"),
+        F.expr(f"ROUND({slope}, 6)").alias("slope_milli_per_day"),
+        F.expr(
+            f"ROUND((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            f" / CAST(n_days AS DOUBLE), 6)"
+        ).alias("level_at_break_milli"),
+    ).orderBy("segment")
