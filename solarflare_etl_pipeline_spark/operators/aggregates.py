@@ -6885,7 +6885,13 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM peritem
         )
         SELECT n_items, sq_sum, t0, t1, t2,
-               CAST(((CAST(sq_sum AS HUGEINT) - 3 * n_items)
+               -- saturated corpus: every rater gives every item the same
+               -- category -> Pe = 1, the denominator vanishes, kappa is
+               -- 0/0-undefined: NULL on BOTH engines
+               CASE WHEN 9 * CAST(n_items AS HUGEINT) * n_items
+                         = CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
+                           + CAST(t2 AS HUGEINT)*t2 THEN NULL
+               ELSE CAST(((CAST(sq_sum AS HUGEINT) - 3 * n_items)
                        * (9 * CAST(n_items AS HUGEINT) * n_items)
                      - (6 * CAST(n_items AS HUGEINT))
                        * (CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
@@ -6894,7 +6900,7 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * (9 * CAST(n_items AS HUGEINT) * n_items
                            - (CAST(t0 AS HUGEINT)*t0 + CAST(t1 AS HUGEINT)*t1
                               + CAST(t2 AS HUGEINT)*t2)))
-                    AS BIGINT) AS kappa_ppm
+                    AS BIGINT) END AS kappa_ppm
         FROM agg
     """,
     doc="Fleiss' kappa — chance-corrected agreement among THREE raters "
@@ -6958,7 +6964,10 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t1",
         "t2",
         F.expr(
-            "CAST(((CAST(sq_sum AS DECIMAL(38,0)) - 3 * n_items)"
+            "CASE WHEN 9 * CAST(n_items AS DECIMAL(38,0)) * n_items"
+            " = CAST(t0 AS DECIMAL(38,0))*t0 + CAST(t1 AS DECIMAL(38,0))*t1"
+            " + CAST(t2 AS DECIMAL(38,0))*t2 THEN NULL"
+            " ELSE CAST(((CAST(sq_sum AS DECIMAL(38,0)) - 3 * n_items)"
             " * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items)"
             " - (6 * CAST(n_items AS DECIMAL(38,0)))"
             " * (CAST(t0 AS DECIMAL(38,0))*t0 + CAST(t1 AS DECIMAL(38,0))*t1"
@@ -6966,7 +6975,7 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV ((6 * CAST(n_items AS DECIMAL(38,0)))"
             " * (9 * CAST(n_items AS DECIMAL(38,0)) * n_items"
             " - (CAST(t0 AS DECIMAL(38,0))*t0 + CAST(t1 AS DECIMAL(38,0))*t1"
-            " + CAST(t2 AS DECIMAL(38,0))*t2))) AS BIGINT)"
+            " + CAST(t2 AS DECIMAL(38,0))*t2))) AS BIGINT) END"
         ).alias("kappa_ppm"),
     )
 
@@ -7295,7 +7304,11 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(n * q3 - CAST(s3 AS HUGEINT) * s3 AS BIGINT) AS var3_n2,
                CAST(n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
                              * (s1 + s2 + s3) AS BIGINT) AS vart_n2,
-               CAST((3 * ((n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
+               -- saturated corpus: identical docs -> total-score
+               -- variance 0, alpha 0/0-undefined: NULL on BOTH engines
+               CASE WHEN n * qt = CAST(s1 + s2 + s3 AS HUGEINT)
+                                  * (s1 + s2 + s3) THEN NULL
+               ELSE CAST((3 * ((n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
                                     * (s1 + s2 + s3))
                           - (n * q1 - CAST(s1 AS HUGEINT) * s1)
                           - (n * q2 - CAST(s2 AS HUGEINT) * s2)
@@ -7303,7 +7316,7 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * 1000000)
                     // (2 * (n * qt - CAST(s1 + s2 + s3 AS HUGEINT)
                                       * (s1 + s2 + s3)))
-                    AS BIGINT) AS alpha_ppm
+                    AS BIGINT) END AS alpha_ppm
         FROM m
     """,
     doc="Cronbach's alpha — internal-consistency reliability of a "
@@ -7355,7 +7368,8 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({v3} AS BIGINT)").alias("var3_n2"),
         F.expr(f"CAST({vt} AS BIGINT)").alias("vart_n2"),
         F.expr(
-            f"CAST((3 * ({vt} - {v1} - {v2} - {v3}) * 1000000)"
-            f" DIV (2 * {vt}) AS BIGINT)"
+            f"CASE WHEN {vt} = 0 THEN NULL"
+            f" ELSE CAST((3 * ({vt} - {v1} - {v2} - {v3}) * 1000000)"
+            f" DIV (2 * {vt}) AS BIGINT) END"
         ).alias("alpha_ppm"),
     )

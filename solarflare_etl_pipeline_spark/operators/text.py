@@ -6612,3 +6612,78 @@ def llm_data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SFT_PROMPT_WORDS = 20  # prompt context length (words)
+SFT_TARGET_WORDS = 20  # completion length (words)
+
+
+@register(
+    "llm_sft_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+            FROM documents
+            WHERE LEN(STRING_SPLIT(text, ' '))
+                  >= {SFT_PROMPT_WORDS + SFT_TARGET_WORDS}
+        )
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)),
+                                        1, 4)) AS INTEGER) % 10 < 9
+                    THEN 'train' ELSE 'val' END AS split,
+               'Continue the ' || source || ' document:' || CHR(10)
+                   || ARRAY_TO_STRING(t[1:{SFT_PROMPT_WORDS}], ' ')
+                   AS prompt,
+               ARRAY_TO_STRING(
+                   t[{SFT_PROMPT_WORDS + 1}:{SFT_PROMPT_WORDS + SFT_TARGET_WORDS}],
+                   ' ') AS completion,
+               CAST({SFT_PROMPT_WORDS} AS BIGINT) AS n_prompt_tokens,
+               CAST({SFT_TARGET_WORDS} AS BIGINT) AS n_completion_tokens,
+               CAST(LEN(t) - {SFT_PROMPT_WORDS + SFT_TARGET_WORDS} AS BIGINT)
+                   AS n_dropped_tokens
+        FROM toks
+        ORDER BY doc_id
+    """,
+    doc=f"SFT training-pair FORMATTING — the render stage between a "
+    f"curated corpus and a fine-tuning run that no other registered "
+    f"op covers: each sufficiently long document becomes one "
+    f"(prompt, completion) example under a deterministic chat-style "
+    f"template (instruction header naming the source + the first "
+    f"{SFT_PROMPT_WORDS} words) with the next {SFT_TARGET_WORDS} "
+    f"words as the target, a stable md5 90/10 train/val assignment "
+    f"(sample_hash_split's coin — late-arriving docs keep their "
+    f"split), and the truncation loss surfaced as n_dropped_tokens "
+    f"(the token-budget audit trail). Exact string equality across "
+    f"engines certifies the template render, slicing, and split coin "
+    f"together. Plan: narrow map after one pushed-down length "
+    f"filter; formatting at 100 TB is scan-speed and "
+    f"embarrassingly parallel.",
+)
+def llm_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    need = SFT_PROMPT_WORDS + SFT_TARGET_WORDS
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    d = d.where(F.size("t") >= need)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 10
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 9, "train").otherwise("val").alias("split"),
+        F.concat(
+            F.lit("Continue the "),
+            F.col("source"),
+            F.lit(" document:\n"),
+            F.array_join(F.slice("t", 1, SFT_PROMPT_WORDS), " "),
+        ).alias("prompt"),
+        F.array_join(
+            F.slice("t", SFT_PROMPT_WORDS + 1, SFT_TARGET_WORDS), " "
+        ).alias("completion"),
+        F.lit(SFT_PROMPT_WORDS).cast("long").alias("n_prompt_tokens"),
+        F.lit(SFT_TARGET_WORDS).cast("long").alias("n_completion_tokens"),
+        (F.size("t") - F.lit(need)).cast("long").alias("n_dropped_tokens"),
+    ).orderBy("doc_id")

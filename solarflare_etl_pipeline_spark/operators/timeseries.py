@@ -2944,18 +2944,27 @@ ITS_BREAK = "2024-01-16"  # intervention date splitting the 30-day fixture
             FROM seg GROUP BY 1
         )
         SELECT segment, n_days, sy AS sum_y_milli,
-               ROUND(CAST(CAST(n_days AS HUGEINT) * sxy
+               -- single-day segment (fully tied timestamps): the slope
+               -- denominator n*Sxx - Sx^2 vanishes, the fit is
+               -- underdetermined -> NULL slope, level = the one mean
+               CASE WHEN CAST(n_days AS HUGEINT) * sxx
+                         = CAST(sx AS HUGEINT) * sx THEN NULL
+               ELSE ROUND(CAST(CAST(n_days AS HUGEINT) * sxy
                           - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                      / CAST(CAST(n_days AS HUGEINT) * sxx
                             - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
-                   AS slope_milli_per_day,
-               ROUND((CAST(sy AS DOUBLE)
+               END AS slope_milli_per_day,
+               CASE WHEN CAST(n_days AS HUGEINT) * sxx
+                         = CAST(sx AS HUGEINT) * sx
+               THEN ROUND(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+               ELSE ROUND((CAST(sy AS DOUBLE)
                       - (CAST(CAST(n_days AS HUGEINT) * sxy
                               - CAST(sx AS HUGEINT) * sy AS DOUBLE)
                          / CAST(CAST(n_days AS HUGEINT) * sxx
                                 - CAST(sx AS HUGEINT) * sx AS DOUBLE))
                         * CAST(sx AS DOUBLE))
-                     / CAST(n_days AS DOUBLE), 6) AS level_at_break_milli
+                     / CAST(n_days AS DOUBLE), 6)
+               END AS level_at_break_milli
         FROM fit
         ORDER BY segment
     """,
@@ -3007,13 +3016,21 @@ def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(CAST(n_days AS DECIMAL(38,0)) * sxx"
         " - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)"
     )
+    degen = (
+        "CAST(n_days AS DECIMAL(38,0)) * sxx"
+        " = CAST(sx AS DECIMAL(38,0)) * sx"
+    )
     return fit.select(
         "segment",
         "n_days",
         F.col("sy").alias("sum_y_milli"),
-        F.expr(f"ROUND({slope}, 6)").alias("slope_milli_per_day"),
         F.expr(
-            f"ROUND((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
-            f" / CAST(n_days AS DOUBLE), 6)"
+            f"CASE WHEN {degen} THEN NULL ELSE ROUND({slope}, 6) END"
+        ).alias("slope_milli_per_day"),
+        F.expr(
+            f"CASE WHEN {degen}"
+            f" THEN ROUND(CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE), 6)"
+            f" ELSE ROUND((CAST(sy AS DOUBLE) - ({slope})"
+            f" * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6) END"
         ).alias("level_at_break_milli"),
     ).orderBy("segment")

@@ -90,6 +90,26 @@ SWEEP_QUERIES = (
     "agg_permutation_test",
     "agg_eb_shrunk_rates",
     "flagship_ab_readout",
+    # round-10 additions: saturated corpora hit the BPE census + MW
+    # reweight + SFT slicing + epoch allocator + pack curve; constant
+    # single-arm events hit the rank tests (dunn/wilcoxon collapse to
+    # one group / zero diffs), the OLS segments (zero variance), and
+    # Croston (one giant demand day per user); tied ts collapse the
+    # ITS day grid and Croston intervals to zero
+    "llm_bpe_train_portable",
+    "llm_mixture_reweight_portable",
+    "llm_sft_pairs",
+    "llm_data_constrained_epochs",
+    "llm_pack_efficiency_curve",
+    "agg_dunn_posthoc",
+    "agg_wilcoxon_signed_rank",
+    "agg_cronbach_alpha",
+    "agg_fleiss_kappa",
+    "agg_holm_bonferroni",
+    "agg_benjamini_yekutieli",
+    "agg_corr_matrix",
+    "ts_croston_portable",
+    "ts_interrupted_series",
 )
 
 
