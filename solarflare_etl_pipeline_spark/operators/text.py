@@ -6687,3 +6687,107 @@ def llm_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SFT_TARGET_WORDS).cast("long").alias("n_completion_tokens"),
         (F.size("t") - F.lit(need)).cast("long").alias("n_dropped_tokens"),
     ).orderBy("doc_id")
+
+
+RAG_TOP = 3  # passages assembled into the context
+RAG_SNIPPET_WORDS = 40  # per-passage token budget
+
+
+def _rag_oracle() -> str:
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    bm25 = REGISTRY["llm_bm25_topk"].oracle
+    return f"""
+        WITH hits AS ({bm25}),
+        top3 AS (
+            SELECT doc_id, bm25,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM hits
+            ORDER BY bm25 DESC, doc_id
+            LIMIT {RAG_TOP}
+        ),
+        snip AS (
+            SELECT t.rank, t.doc_id, t.bm25,
+                   ARRAY_TO_STRING(
+                       STRING_SPLIT(d.text, ' ')[1:{RAG_SNIPPET_WORDS}],
+                       ' ') AS snippet,
+                   CAST(LEAST(LEN(STRING_SPLIT(d.text, ' ')),
+                              {RAG_SNIPPET_WORDS}) AS BIGINT)
+                       AS snippet_tokens
+            FROM top3 t JOIN documents d ON d.doc_id = t.doc_id
+        )
+        SELECT rank, doc_id, bm25, snippet, snippet_tokens,
+               (SELECT STRING_AGG('[' || rank || '] ' || snippet,
+                                  CHR(10) || CHR(10) ORDER BY rank)
+                FROM snip) AS context
+        FROM snip
+        ORDER BY rank
+    """
+
+
+@register(
+    "llm_rag_context_assembly",
+    oracle=_rag_oracle(),
+    doc=f"RAG context ASSEMBLY — the stage between retrieval and the "
+    f"prompt that no other key renders: the fixed query's BM25 "
+    f"top-{RAG_TOP} passages (composing llm_bm25_topk's scorer "
+    f"verbatim — its oracle is embedded as a CTE, so the two keys "
+    f"certify the SAME arithmetic), each trimmed to a "
+    f"{RAG_SNIPPET_WORDS}-token budget, numbered, and concatenated "
+    f"into the final '[k] passage' context block with the per-"
+    f"passage rows retained for attribution (every row carries the "
+    f"assembled context plus its own snippet + token count — the "
+    f"citation table a RAG evaluator joins against). Exact string "
+    f"equality certifies ranking, trimming, numbering, and ordered "
+    f"concatenation together. Scale: the scorer's cost dominates "
+    f"(token explode + two hash aggs); assembly is a {RAG_TOP}-row "
+    f"broadcast-side fold. Composes with llm_mmr_diversify_portable "
+    f"(diversity re-rank before assembly) and llm_needle_eval_corpus "
+    f"(the long-context eval consuming such contexts).",
+)
+def llm_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from solarflare_etl_pipeline_spark.registry import REGISTRY
+
+    hits = REGISTRY["llm_bm25_topk"].spark(spark, sf_dir)
+    top3 = (
+        hits.orderBy(F.desc("bm25"), "doc_id")
+        .limit(RAG_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("bm25"), "doc_id")).cast("long"),
+        )
+        .select("rank", "doc_id", "bm25")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    # broadcast the 3-row hit list INTO the corpus scan (never the
+    # reverse — documents is the 100 TB side)
+    snip = d.join(F.broadcast(top3), "doc_id").select(
+        "rank",
+        "doc_id",
+        "bm25",
+        F.array_join(F.slice("t", 1, RAG_SNIPPET_WORDS), " ").alias("snippet"),
+        F.least(F.size("t"), F.lit(RAG_SNIPPET_WORDS))
+        .cast("long")
+        .alias("snippet_tokens"),
+    )
+    full = W.orderBy("rank").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        snip.withColumn(
+            "context",
+            F.array_join(
+                F.collect_list(
+                    F.concat(F.lit("["), F.col("rank"), F.lit("] "), F.col("snippet"))
+                ).over(full),
+                "\n\n",
+            ),
+        )
+        .select("rank", "doc_id", "bm25", "snippet", "snippet_tokens", "context")
+        .orderBy("rank")
+    )
