@@ -111,6 +111,17 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW nation-total scalar broadcast onto the BOUNDED
     # per-part value table (N×1 global-threshold HAVING — Q11's shape)
     "tpch_q11_important_stock",
+    # r10: SINGLE-ROW harmonic-ladder + kmax scalars broadcast onto the
+    # bounded 35-cell family (N×1 theorem shapes, the bh_fdr pattern);
+    # Holm shares the cell construction's SINGLE-ROW totals broadcast
+    "agg_benjamini_yekutieli",
+    "agg_holm_bonferroni",
+    # r10: SINGLE-ROW corpus-total / unfilled-budget scalars broadcast
+    # onto the |sources|-bounded allocation table (N×1 ×2)
+    "llm_data_constrained_epochs",
+    # r10: DELIBERATE bounded 3-row budget-grid fan-out onto the placed
+    # chunk table (the ts_lead_lag_corr bounded-product shape)
+    "llm_pack_efficiency_curve",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
