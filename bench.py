@@ -220,6 +220,23 @@ BENCH_QUERIES = (
     "stream_tumbling_live",
     "agg_holm_bonferroni",
     "agg_benjamini_yekutieli",
+    # r10 batch 9: the remaining live streaming pair (multi-assignment
+    # sliding state, keyed dedup state) and the RAG assembly composition
+    "stream_sliding_live",
+    "stream_dedup_live",
+    "llm_rag_context_assembly",
+    "llm_sft_pairs",
+    "agg_corr_matrix",
+    "ts_croston_portable",
+    "llm_mixture_reweight_portable",
+    "llm_data_constrained_epochs",
+    "agg_fleiss_kappa",
+    "agg_wilcoxon_signed_rank",
+    "agg_cronbach_alpha",
+    "ts_interrupted_series",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "sql_pipe_syntax",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -917,3 +917,98 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") != "sentinel")
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "stream_sliding_live",
+    oracle="""
+        WITH assigned AS (
+            SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win0,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                       - INTERVAL 1 HOUR AS win1
+            FROM events
+        ),
+        exploded AS (
+            SELECT win0 AS window_start FROM assigned
+            UNION ALL
+            SELECT win1 AS window_start FROM assigned
+        )
+        SELECT window_start, COUNT(*) AS n_events
+        FROM exploded
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    doc="LIVE sliding windows (2h length, 1h slide) — each event lands "
+    "in TWO window states that close at different watermarks, so one "
+    "batch's arrivals update overlapping state entries and emission "
+    "interleaves across batches (the multi-assignment state path "
+    "neither the tumbling nor session live keys exercise). Same "
+    "availableNow + sentinel-flush protocol; the sentinel's two "
+    "windows are filtered from the sink by their 2024-03 start. "
+    "Equality with the batch two-start explosion oracle is exact.",
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ordered_event_buckets(
+        spark, sf_dir, "ssslide", sentinel_ts="2024-03-01 00:00:00"
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    counts = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return (
+        run_available_now(spark, counts, "ssslide", sf_dir)
+        .where(F.col("window_start") < F.lit("2024-02-15").cast("timestamp"))
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_dedup_live",
+    oracle="""
+        SELECT DISTINCT event_id FROM events ORDER BY event_id
+    """,
+    doc="LIVE watermarked streaming dedup — dropDuplicatesWithinWatermark "
+    "executed as a real availableNow stream over the four event-time-"
+    "ordered micro-batches: the keyed dedup state must suppress "
+    "re-deliveries ACROSS batch boundaries (the overlapping daily "
+    "re-fetch of reference R7/R13 in its true streaming form; the "
+    "batch-equivalent key stream_watermark_dedup picks a winner row, "
+    "but which duplicate the STREAM emits depends on intra-batch "
+    "arrival order, so this key certifies the engine-deterministic "
+    "projection — the emitted KEY SET, which buffering or eviction "
+    "bugs would shrink or inflate). Within-watermark dedup only "
+    "guarantees single emission for duplicates arriving inside the "
+    "delay — far-apart re-deliveries legitimately re-emit after "
+    "eviction — so the certified projection is the distinct key SET: "
+    "equality with batch DISTINCT proves no key was lost to an "
+    "eviction race and no phantom key was emitted. State is evicted "
+    "behind the watermark (dropDuplicatesWithinWatermark, not the "
+    "grow-forever dropDuplicates).",
+)
+def stream_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ordered_event_buckets(spark, sf_dir, "ssdedup")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    return (
+        run_available_now(spark, deduped, "ssdedup", sf_dir)
+        .select("event_id")
+        .distinct()
+        .orderBy("event_id")
+    )
