@@ -237,6 +237,8 @@ BENCH_QUERIES = (
     "tpch_q4_order_priority",
     "tpch_q11_important_stock",
     "sql_pipe_syntax",
+    "llm_dedup_bloom_portable",
+    "llm_similarity_int8_portable",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -3554,3 +3554,215 @@ def llm_mmr_diversify_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(best[1])
         rows.append((step, best[1], best[2], best[3], best[4]))
     return spark.createDataFrame(rows, out_schema).orderBy("step")
+
+
+BLOOM_M_BITS = 2048  # filter size (64 x 32-bit words)
+BLOOM_K = 3  # hash functions (16-bit md5 slices)
+
+
+@register(
+    "llm_dedup_bloom_portable",
+    oracle=f"""
+        WITH pos AS (
+            SELECT DISTINCT
+                   CAST(('0x' || SUBSTR(MD5(text), 1 + i.i * 4, 4))
+                        AS INTEGER) % {BLOOM_M_BITS} AS p
+            FROM documents, RANGE(0, {BLOOM_K}) i(i)
+        ),
+        words AS (
+            SELECT CAST(p // 32 AS BIGINT) AS word_idx,
+                   CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))
+                        AS BIGINT) AS word_bits
+            FROM pos GROUP BY 1
+        ),
+        grid AS (
+            SELECT CAST(g.w AS BIGINT) AS word_idx,
+                   COALESCE(words.word_bits, 0) AS word_bits
+            FROM RANGE(0, {BLOOM_M_BITS // 32}) g(w)
+            LEFT JOIN words ON words.word_idx = g.w
+        ),
+        summary AS (
+            SELECT CAST(SUM(BIT_COUNT(word_bits)) AS BIGINT) AS popcount,
+                   (SELECT CAST(COUNT(DISTINCT text) AS BIGINT)
+                    FROM documents) AS n_keys_exact
+            FROM grid
+        )
+        SELECT g.word_idx, g.word_bits, s.popcount, s.n_keys_exact,
+               CAST(s.popcount * s.popcount * s.popcount * 1000000
+                    // ({BLOOM_M_BITS}::BIGINT * {BLOOM_M_BITS}
+                        * {BLOOM_M_BITS}) AS BIGINT) AS fp_rate_ppm
+        FROM grid g, summary s
+        ORDER BY g.word_idx
+    """,
+    doc=f"Register-exact Bloom filter build for streaming dedup "
+    f"membership — the agg_hll_portable discipline applied to the "
+    f"OTHER sketch a dedup pipeline carries ({BLOOM_M_BITS} bits as "
+    f"{BLOOM_M_BITS // 32} x 32-bit words, k={BLOOM_K} hash slices "
+    f"off the text md5): the driver hash certifies every word's BIT "
+    f"pattern, the total popcount, and the (popcount/m)^k "
+    f"false-positive estimate in exact integer ppm against the exact "
+    f"distinct-key count. Word bitmaps build as BIT_OR aggregates "
+    f"(map-side combinable, order-free — the only merge a distributed "
+    f"Bloom build needs); the zero-fill grid keeps the output a "
+    f"stable {BLOOM_M_BITS // 32}-row table. At 100 TB the same "
+    f"BIT_OR merge runs per partition then folds — the filter is "
+    f"O(m) bytes regardless of corpus size, and the registered "
+    f"agg_bloom_membership key is its query-side consumer.",
+)
+def llm_dedup_bloom_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    i = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    pos = (
+        d.crossJoin(F.broadcast(i))
+        .select(
+            (
+                F.conv(
+                    F.expr("SUBSTR(MD5(text), 1 + i * 4, 4)"), 16, 10
+                ).cast("int")
+                % BLOOM_M_BITS
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = pos.groupBy(
+        F.expr("CAST(p DIV 32 AS BIGINT)").alias("word_idx")
+    ).agg(
+        F.expr(
+            "CAST(BIT_OR(SHIFTLEFT(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))"
+            " AS BIGINT)"
+        ).alias("word_bits")
+    )
+    grid = (
+        spark.range(BLOOM_M_BITS // 32)
+        .select(F.col("id").cast("long").alias("word_idx"))
+        .join(words, "word_idx", "left")
+        .select(
+            "word_idx", F.coalesce("word_bits", F.lit(0)).alias("word_bits")
+        )
+    )
+    grid = grid.localCheckpoint()  # 32 rows, read twice
+    summary = grid.agg(
+        F.sum(F.bit_count("word_bits")).cast("long").alias("popcount")
+    ).crossJoin(
+        F.broadcast(
+            d.agg(F.countDistinct("text").cast("long").alias("n_keys_exact"))
+        )
+    )
+    m3 = BLOOM_M_BITS**3
+    return (
+        grid.crossJoin(F.broadcast(summary))
+        .select(
+            "word_idx",
+            "word_bits",
+            "popcount",
+            "n_keys_exact",
+            F.expr(
+                f"CAST(popcount * popcount * popcount * 1000000 DIV {m3}"
+                f" AS BIGINT)"
+            ).alias("fp_rate_ppm"),
+        )
+        .orderBy("word_idx")
+    )
+
+
+INT8_NQ = 4  # query vectors for the int8 retrieval certification
+INT8_TOPK = 5
+
+
+@register(
+    "llm_similarity_int8_portable",
+    oracle=f"""
+        WITH s AS (
+            SELECT e.vec_id, e.label,
+                   (SELECT MAX(ABS(CAST(u AS DOUBLE)))
+                    FROM UNNEST(e.embedding) t(u)) AS scale
+            FROM embeddings e
+        ),
+        x AS (
+            SELECT s.vec_id, s.label, i.pos,
+                   CASE WHEN s.scale = 0 THEN 0
+                        ELSE CAST(FLOOR(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                                        * 127 / s.scale + 0.5) AS BIGINT)
+                   END AS q
+            FROM s JOIN embeddings e ON e.vec_id = s.vec_id,
+                 (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+        ),
+        d AS (
+            SELECT q.vec_id AS q_id, v.vec_id AS cand_id,
+                   CAST(SUM(q.q * v.q) AS BIGINT) AS dot_int8
+            FROM x q JOIN x v ON v.pos = q.pos AND v.vec_id <> q.vec_id
+            WHERE q.vec_id < {INT8_NQ}
+            GROUP BY 1, 2
+        )
+        SELECT q_id, CAST(rn AS BIGINT) AS rank, cand_id, dot_int8
+        FROM (
+            SELECT q_id, cand_id, dot_int8,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY dot_int8 DESC, cand_id) AS rn
+            FROM d
+        ) WHERE rn <= {INT8_TOPK}
+        ORDER BY q_id, rank
+    """,
+    doc=f"INT8 quantized similarity retrieval — the production inference "
+    f"path the float ANN family approximates (per-VECTOR max-abs "
+    f"scaling to int8, integer dot products, top-{INT8_TOPK}): every "
+    f"quantized coordinate is floor(x*127/scale + 0.5) on bit-"
+    f"identical doubles (zero vectors quantize to zero — guarded, no "
+    f"division), so the dots are EXACT BIGINTs and the driver hash "
+    f"certifies quantization + inner product + ranking end to end — "
+    f"unlike the recall-gated float baselines, nothing here is "
+    f"tolerance-based. Distinct from llm_knn_eval_portable (GLOBAL "
+    f"fixed-point scale, euclidean 1-NN): per-vector scales are what "
+    f"int8 engines (FAISS SQ8, ONNX dynamic quant) actually ship, "
+    f"and the error they introduce vs float cosine is the thing a "
+    f"retrieval team audits — composable with llm_similarity_topk "
+    f"as the float reference. Plan: the {INT8_NQ}-query side filters "
+    f"before the pos-join (candidate volume = NQ x corpus, linear), "
+    f"aggregate is map-side combinable, selection is a bounded "
+    f"per-query window.",
+)
+def llm_similarity_int8_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        F.expr(
+            "AGGREGATE(embedding, CAST(0.0 AS DOUBLE),"
+            " (acc, u) -> GREATEST(acc, ABS(CAST(u AS DOUBLE))))"
+        ).alias("scale"),
+    )
+    x = (
+        e.join(s, "vec_id")
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("pos", "u"),
+            "scale",
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.expr(
+                "CASE WHEN scale = 0 THEN 0"
+                " ELSE CAST(FLOOR(CAST(u AS DOUBLE) * 127 / scale + 0.5)"
+                " AS BIGINT) END"
+            ).alias("q"),
+        )
+    )
+    x = x.localCheckpoint()  # quantized coordinates, used on both sides
+    qs = x.where(F.col("vec_id") < INT8_NQ).select(
+        F.col("vec_id").alias("q_id"), "pos", F.col("q").alias("qq")
+    )
+    d = (
+        x.join(qs, "pos")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("q") * F.col("qq")).cast("long").alias("dot_int8"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("dot_int8"), "cand_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= INT8_TOPK)
+        .select("q_id", "rank", "cand_id", "dot_int8")
+        .orderBy("q_id", "rank")
+    )

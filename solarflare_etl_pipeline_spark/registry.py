@@ -119,6 +119,32 @@ WINDOW_EXTRAS: tuple[str, ...] = (
     "mm_audio_band_energy",
 )
 
+#: ROUND-11 ROTATION SHORTLIST HEAD (never driver-checked, both-leg
+#: green at sf0.001+sf0.01+sf0.1, ordered by certification value —
+#: VERDICT r9 task #2 discipline). The six strongest candidates for the
+#: round-11 WINDOW_EXTRAS, each certifying a whole subsystem:
+#:   1. stream_join_state_audit — the statestore-reader JOIN-state path
+#:      + the min-policy multiple-watermark eviction arithmetic under
+#:      the driver hash (streaming/event_windows.py).
+#:   2. stream_session_live — a REAL availableNow session-window run
+#:      (cross-batch session MERGE + sentinel-flushed append emission).
+#:   3. llm_bpe_train_portable — the 3-round BPE merge-training ledger
+#:      (census -> election -> corpus-wide REPLACE, exact integers).
+#:   4. mm_image_dct_hash — decode+resample+DCT fused Arrow stage, the
+#:      real pHash, closed-form oracle replay (multimodal candidate).
+#:   5. agg_dunn_posthoc — the 128-bit staged pairwise rank chain over
+#:      the KW sufficient statistics (stats-family candidate).
+#:   6. llm_rag_context_assembly — retrieval->trim->assemble composing
+#:      the BM25 oracle verbatim (the RAG render stage).
+#: Next in line after those six: stream_interval_join_live,
+#: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
+#: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,
+#: agg_fleiss_kappa, agg_cronbach_alpha, agg_wilcoxon_signed_rank,
+#: agg_holm_bonferroni, agg_benjamini_yekutieli, ts_interrupted_series,
+#: llm_sft_pairs, llm_data_constrained_epochs, llm_pack_efficiency_curve,
+#: tpch_q3_priority, tpch_q4_order_priority, tpch_q11_important_stock,
+#: sql_pipe_syntax — then the standing round-9 backlog below.
+#:
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
 #: head below. Batch-5 additions: llm_winnowing_overlap (MOSS local
