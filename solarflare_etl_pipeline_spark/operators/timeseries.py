@@ -3034,3 +3034,119 @@ def ts_interrupted_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * CAST(sx AS DOUBLE)) / CAST(n_days AS DOUBLE), 6) END"
         ).alias("level_at_break_milli"),
     ).orderBy("segment")
+
+
+HOLIDAYS = ("2024-01-05", "2024-01-15", "2024-01-25")  # audited event days
+
+
+@register(
+    "ts_holiday_lift",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS y
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        dowd AS (
+            SELECT day, y,
+                   CAST((day - DATE '2024-01-01') % 7 AS BIGINT) AS dow
+            FROM daily
+        ),
+        hol AS (
+            SELECT CAST(h.d AS DATE) AS day
+            FROM (VALUES {", ".join(f"('{h}')" for h in HOLIDAYS)}) h(d)
+        ),
+        base AS (
+            SELECT h.day,
+                   hd.dow,
+                   hd.y AS day_value_milli,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM dowd b
+                    WHERE b.dow = hd.dow AND b.day <> h.day)
+                       AS baseline_days,
+                   (SELECT CAST(COALESCE(SUM(b.y), 0) AS BIGINT) FROM dowd b
+                    WHERE b.dow = hd.dow AND b.day <> h.day)
+                       AS baseline_value_milli
+            FROM hol h JOIN dowd hd ON hd.day = h.day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, dow, day_value_milli,
+               baseline_days, baseline_value_milli,
+               CASE WHEN baseline_value_milli = 0 THEN NULL
+                    ELSE CAST(day_value_milli * baseline_days * 1000000
+                              // baseline_value_milli AS BIGINT)
+               END AS lift_ppm
+        FROM base
+        ORDER BY day
+    """,
+    doc=f"Holiday / event-day lift audit — daily purchase value on each "
+    f"audited day ({HOLIDAYS}) against the SAME-day-of-week baseline "
+    f"(all other matching weekdays in the window), the seasonality-"
+    f"aware comparison a flat daily average would get wrong by the "
+    f"weekly cycle ts_seasonality_profile measures. lift_ppm = "
+    f"day*n_baseline*1e6 // sum_baseline is a single exact integer "
+    f"division (1e6 = at-baseline, 2e6 = 2x); zero-baseline emits "
+    f"NULL oracle-mirrored. Plan: one calendar-bounded daily "
+    f"aggregate; the per-holiday baselines are |days|-bounded "
+    f"correlated lookups the optimizer folds into one pass over the "
+    f"~30-row grid.",
+)
+def ts_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.expr("CAST(FLOOR(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("y")
+    )
+    dowd = daily.select(
+        "day",
+        "y",
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    dowd = dowd.localCheckpoint()  # ~30-row calendar grid, read twice
+    hol = spark.createDataFrame(
+        [(h,) for h in HOLIDAYS], "d string"
+    ).select(F.col("d").cast("date").alias("hday"))
+    hd = dowd.join(
+        F.broadcast(hol), F.col("day") == F.col("hday")
+    ).select(
+        F.col("day").alias("hday2"),
+        F.col("dow").alias("hdow"),
+        F.col("y").alias("day_value_milli"),
+    )
+    base = (
+        dowd.join(
+            F.broadcast(hd),
+            (F.col("dow") == F.col("hdow")) & (F.col("day") != F.col("hday2")),
+        )
+        .groupBy(
+            F.col("hday2").alias("day"),
+            F.col("hdow").alias("dow"),
+            "day_value_milli",
+        )
+        .agg(
+            F.count("*").cast("long").alias("baseline_days"),
+            F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias(
+                "baseline_value_milli"
+            ),
+        )
+    )
+    return base.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "dow",
+        "day_value_milli",
+        "baseline_days",
+        "baseline_value_milli",
+        F.expr(
+            "CASE WHEN baseline_value_milli = 0 THEN NULL"
+            " ELSE CAST(day_value_milli * baseline_days * 1000000"
+            " DIV baseline_value_milli AS BIGINT) END"
+        ).alias("lift_ppm"),
+    ).orderBy("day")
