@@ -67,7 +67,6 @@ SWEEP_QUERIES = (
     "llm_ranker_agreement",
     "llm_token_len_histogram",
     "llm_domain_cap",
-    "llm_bpe_train_portable",
     "llm_tokenizer_apply_portable",
     # round-9/10 drift/dq + cohorts (single-cell grids)
     "dq_distribution_shift_emd",
@@ -110,6 +109,14 @@ SWEEP_QUERIES = (
     "agg_corr_matrix",
     "ts_croston_portable",
     "ts_interrupted_series",
+    # round-10 late batch: saturated corpora collapse BM25 to full ties
+    # (rag assembly) and the bloom filter to 3 bits; tied ts kill the
+    # holiday baselines; the DCT hash sees identical dims per doc_id
+    "llm_rag_context_assembly",
+    "llm_dedup_bloom_portable",
+    "llm_similarity_int8_portable",
+    "ts_holiday_lift",
+    "mm_image_dct_hash",
 )
 
 

@@ -254,6 +254,37 @@ CORE_QUERIES = (
     "cohort_returning_new",
     "dq_distribution_shift_emd",
     "llm_kn_doc_scores",
+    # round-10: empty merge censuses (bpe ledger), empty MW domains,
+    # empty demand grids (croston), empty rank pair grids (dunn,
+    # wilcoxon), empty item batteries (fleiss, cronbach), empty test
+    # families (holm, BY), empty correlation sums, empty OLS segments,
+    # empty epoch allocations, empty packing grids, empty SFT renders,
+    # empty retrieval hits (rag), empty bloom grids (zero-filled 64
+    # rows), empty int8 query sets, empty holiday grids, empty TPC-H
+    # joins (q3/q4/q11), empty pipe aggregates
+    "llm_bpe_train_portable",
+    "llm_mixture_reweight_portable",
+    "ts_croston_portable",
+    "agg_dunn_posthoc",
+    "agg_wilcoxon_signed_rank",
+    "agg_fleiss_kappa",
+    "agg_cronbach_alpha",
+    "agg_holm_bonferroni",
+    "agg_benjamini_yekutieli",
+    "agg_corr_matrix",
+    "ts_interrupted_series",
+    "llm_data_constrained_epochs",
+    "llm_pack_efficiency_curve",
+    "llm_sft_pairs",
+    "llm_rag_context_assembly",
+    "llm_dedup_bloom_portable",
+    "llm_similarity_int8_portable",
+    "ts_holiday_lift",
+    "tpch_q3_priority",
+    "tpch_q4_order_priority",
+    "tpch_q11_important_stock",
+    "sql_pipe_syntax",
+    "mm_image_dct_hash",
 )
 
 
