@@ -239,6 +239,7 @@ BENCH_QUERIES = (
     "sql_pipe_syntax",
     "llm_dedup_bloom_portable",
     "llm_similarity_int8_portable",
+    "ts_holiday_lift",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

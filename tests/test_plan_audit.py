@@ -122,6 +122,10 @@ DELIBERATE_CROSS = {
     # r10: DELIBERATE bounded 3-row budget-grid fan-out onto the placed
     # chunk table (the ts_lead_lag_corr bounded-product shape)
     "llm_pack_efficiency_curve",
+    # r10: DELIBERATE k=3 hash-slice fan-out onto the corpus scan plus
+    # the SINGLE-ROW popcount/exact-count summary broadcast onto the
+    # 64-row word grid (N×3 and 64×1 — both bounded)
+    "llm_dedup_bloom_portable",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
