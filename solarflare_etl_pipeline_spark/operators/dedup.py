@@ -163,3 +163,54 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "llm_influence_dedup_weights",
+    oracle="""
+        WITH fam AS (
+            SELECT doc_id, MD5(text) AS h FROM documents
+        ),
+        sizes AS (
+            SELECT h, CAST(COUNT(*) AS BIGINT) AS family_size,
+                   CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+            FROM fam GROUP BY h
+        )
+        SELECT f.doc_id, s.family_size,
+               f.doc_id = s.canonical_doc AS is_canonical,
+               CAST(1000000 // s.family_size AS BIGINT) AS weight_ppm
+        FROM fam f JOIN sizes s ON s.h = f.h
+        ORDER BY f.doc_id
+    """,
+    doc="Duplicate-aware TRAINING WEIGHTS — the soft alternative to "
+    "dropping duplicates (llm_dedup_exact removes rows; weighting "
+    "keeps them all but makes each duplicate FAMILY count once in "
+    "the loss, the standard trick when dedup would starve a domain): "
+    "per-doc weight = 1/family_size in exact ppm off the md5 family "
+    "census, with the canonical member flagged (min doc_id — the row "
+    "an exporter keeps if it hard-dedups after all). Sum of weights "
+    "over a family is <= 1e6 by exactly the truncation remainder — "
+    "an invariant consumers can assert. Plan: one md5 map, one "
+    "family-size aggregate, one equi-join back — the llm_dedup_exact "
+    "shuffle economics with the weight as a derived column.",
+)
+def llm_influence_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    sizes = d.groupBy("h").agg(
+        F.count("*").cast("long").alias("family_size"),
+        F.min("doc_id").cast("long").alias("canonical_doc"),
+    )
+    return (
+        d.join(sizes, "h")
+        .select(
+            "doc_id",
+            "family_size",
+            (F.col("doc_id") == F.col("canonical_doc")).alias("is_canonical"),
+            F.expr("CAST(1000000 DIV family_size AS BIGINT)").alias(
+                "weight_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -6791,3 +6791,96 @@ def llm_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "doc_id", "bm25", "snippet", "snippet_tokens", "context")
         .orderBy("rank")
     )
+
+
+#: Memorization-audit canaries: unique strings planted at known rates
+#: (the Carlini-et-al exposure methodology's data-prep side).
+CANARIES = (
+    ("canary-alpha-7731", 50),  # planted in doc_id % 50 == 0
+    ("canary-beta-4099", 200),  # planted in doc_id % 200 == 0
+    ("canary-gamma-9413", 1000),  # planted in doc_id % 1000 == 0
+)
+
+
+@register(
+    "llm_canary_exposure",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text
+                   {"".join(f" || CASE WHEN doc_id % {m} = 0 THEN ' {c}' ELSE '' END" for c, m in CANARIES)}
+                       AS text2
+            FROM documents
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM planted)
+        {" UNION ALL ".join(
+            f'''SELECT '{c}' AS canary,
+               CAST({m} AS BIGINT) AS plant_modulus,
+               (SELECT CAST(SUM(CASE WHEN CONTAINS(text2, '{c}')
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM planted) AS n_exposed,
+               (SELECT CAST(SUM(CASE WHEN doc_id % {m} = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM planted) AS n_planted,
+               (SELECT CAST(SUM(CASE WHEN CONTAINS(text2, '{c}')
+                                     THEN 1 ELSE 0 END) * 1000000
+                            // MAX(t.n_docs) AS BIGINT)
+                FROM planted, tot t) AS exposure_ppm
+            ''' for c, m in CANARIES)}
+        ORDER BY canary
+    """,
+    doc=f"Memorization-canary exposure audit — the data-prep side of "
+    f"the Carlini-et-al secret-sharer methodology: {len(CANARIES)} "
+    f"unique canary strings are planted into the corpus at known "
+    f"rates (doc_id % modulus == 0 — deterministic, so the plant is "
+    f"reproducible at any parallelism), and the audit scan reports "
+    f"per canary the exposure count, the intended plant count "
+    f"(their equality certifies insertion — a canary colliding with "
+    f"natural text would inflate it), and corpus-wide exposure ppm — "
+    f"the number a post-training extraction test compares its "
+    f"recall against. Plan: one narrow append map + one contains "
+    f"scan per canary folded into a single aggregate pass; at 100 TB "
+    f"this is scan-speed and the canary table is a K-row broadcast.",
+)
+def llm_canary_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    plant_expr = "text" + "".join(
+        f" || CASE WHEN doc_id % {m} = 0 THEN ' {c}' ELSE '' END"
+        for c, m in CANARIES
+    )
+    planted = d.select("doc_id", F.expr(plant_expr).alias("text2"))
+    planted = planted.localCheckpoint()  # scanned once per canary row
+    agg = planted.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(
+                F.when(F.expr(f"CONTAINS(text2, '{c}')"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"exp_{i}")
+            for i, (c, _) in enumerate(CANARIES)
+        ],
+        *[
+            F.sum(F.when(F.expr(f"doc_id % {m} = 0"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"pl_{i}")
+            for i, (_, m) in enumerate(CANARIES)
+        ],
+    )
+    agg = agg.localCheckpoint()  # 1-row summary, read per canary
+    rows = [
+        agg.select(
+            F.lit(c).alias("canary"),
+            F.lit(m).cast("long").alias("plant_modulus"),
+            F.col(f"exp_{i}").alias("n_exposed"),
+            F.col(f"pl_{i}").alias("n_planted"),
+            F.expr(f"CAST(exp_{i} * 1000000 DIV n_docs AS BIGINT)").alias(
+                "exposure_ppm"
+            ),
+        )
+        for i, (c, m) in enumerate(CANARIES)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("canary")
