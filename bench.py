@@ -240,6 +240,10 @@ BENCH_QUERIES = (
     "llm_dedup_bloom_portable",
     "llm_similarity_int8_portable",
     "ts_holiday_lift",
+    "llm_influence_dedup_weights",
+    "llm_canary_exposure",
+    "llm_user_contribution_cap",
+    "llm_eval_pass_at_k",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -6884,3 +6884,147 @@ def llm_canary_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("canary")
+
+
+DP_USER_CAP_MILLI = 50_000  # per-user clipped contribution bound
+
+
+@register(
+    "llm_user_contribution_cap",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS raw_milli
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(raw_milli) AS BIGINT) AS raw_total_milli,
+               CAST(SUM(LEAST(raw_milli, {DP_USER_CAP_MILLI})) AS BIGINT)
+                   AS clipped_total_milli,
+               CAST(SUM(CASE WHEN raw_milli > {DP_USER_CAP_MILLI}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               CAST(SUM(LEAST(raw_milli, {DP_USER_CAP_MILLI})) * 1000000
+                    // SUM(raw_milli) AS BIGINT) AS retained_ppm
+        FROM per_user
+    """,
+    doc=f"Per-user contribution BOUNDING — the sensitivity-capping prep "
+    f"every user-level differential-privacy release runs before "
+    f"adding noise (agg_dp_counts is the noise ladder; this is the "
+    f"clip that makes its sensitivity claim true): each user's total "
+    f"purchase value is clipped at {DP_USER_CAP_MILLI} milli-units, "
+    f"and the audit emits raw vs clipped totals, how many users hit "
+    f"the cap, and the retained fraction in exact ppm — the "
+    f"bias-vs-privacy trade the cap tuner reads. All exact integers. "
+    f"Plan: one per-user aggregate (map-side combinable), one 1-row "
+    f"fold — the heavy tail is absorbed by LEAST before any global "
+    f"sum, so one whale user cannot dominate the release.",
+)
+def llm_user_contribution_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(FLOOR(value * 1000) AS BIGINT)"))
+        .cast("long")
+        .alias("raw_milli")
+    )
+    cap = DP_USER_CAP_MILLI
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("raw_milli").cast("long").alias("raw_total_milli"),
+        F.sum(F.expr(f"LEAST(raw_milli, {cap})"))
+        .cast("long")
+        .alias("clipped_total_milli"),
+        F.sum(F.when(F.col("raw_milli") > cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped"),
+        F.expr(
+            f"CAST(SUM(LEAST(raw_milli, {cap})) * 1000000"
+            f" DIV SUM(raw_milli) AS BIGINT)"
+        ).alias("retained_ppm"),
+    )
+
+
+PASS_AT_K = 5  # samples drawn in the pass@k estimator
+PASS_GATE_CHARS = 300  # a "correct" sample: doc length >= gate
+
+
+@register(
+    "llm_eval_pass_at_k",
+    oracle=f"""
+        WITH per_problem AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN n_chars >= {PASS_GATE_CHARS}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c
+            FROM documents GROUP BY source
+        ),
+        terms AS (
+            SELECT source, n, c, i.i,
+                   GREATEST(n - c - i.i, 0) AS num_i,
+                   n - i.i AS den_i
+            FROM per_problem, RANGE(0, {PASS_AT_K}) i(i)
+            WHERE n >= {PASS_AT_K}
+        ),
+        folded AS (
+            SELECT source, n, c,
+                   CAST(MAX(CASE WHEN i = 0 THEN num_i END) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END) AS BIGINT) AS pnum,
+                   CAST(MAX(CASE WHEN i = 0 THEN den_i END) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END) AS BIGINT) AS pden
+            FROM terms GROUP BY source, n, c
+        )
+        SELECT source, n AS n_samples, c AS n_correct,
+               CAST(c * 1000000 // n AS BIGINT) AS pass_at_1_ppm,
+               CAST(1000000 - pnum * 1000000 // pden AS BIGINT)
+                   AS pass_at_{PASS_AT_K}_ppm
+        FROM folded
+        ORDER BY source
+    """,
+    doc=f"pass@k — the unbiased code/eval success estimator (Chen et al. "
+    f"HumanEval): per problem (source) with n samples (docs) of which "
+    f"c pass the gate (length >= {PASS_GATE_CHARS}), pass@k = 1 - "
+    f"C(n-c,k)/C(n,k), computed as the telescoped product "
+    f"prod_i (n-c-i)/(n-i) — numerator and denominator folded as "
+    f"EXACT k-term integer products (the five terms pivoted and "
+    f"multiplied in BIGINT — values <= n^k ~ 1e13 at sf0.1; the c > n-k "
+    f"saturation case hits GREATEST(..,0) and yields pass@k = 1e6 "
+    f"exactly), then one truncating ppm division. pass@1 = c/n ppm "
+    f"rides along. Plan: one per-source aggregate, a k-row bounded "
+    f"fan-out, a per-source fold — nothing data-scale after the "
+    f"census.",
+)
+def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per_problem = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= PASS_GATE_CHARS, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    i = spark.range(PASS_AT_K).select(F.col("id").cast("long").alias("i"))
+    terms = (
+        per_problem.where(F.col("n") >= PASS_AT_K)
+        .crossJoin(F.broadcast(i))
+        .select(
+            "source",
+            "n",
+            "c",
+            "i",
+            F.expr("GREATEST(n - c - i, 0)").alias("num_i"),
+            F.expr("n - i").alias("den_i"),
+        )
+    )
+    folded = terms.groupBy("source", "n", "c").agg(
+        F.expr("CAST(MAX(CASE WHEN i = 0 THEN num_i END) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END) AS BIGINT)").alias("pnum"),
+        F.expr("CAST(MAX(CASE WHEN i = 0 THEN den_i END) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END) AS BIGINT)").alias("pden"),
+    )
+    return folded.select(
+        "source",
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+        F.expr("CAST(c * 1000000 DIV n AS BIGINT)").alias("pass_at_1_ppm"),
+        F.expr(
+            "CAST(1000000 - pnum * 1000000 DIV pden AS BIGINT)"
+        ).alias(f"pass_at_{PASS_AT_K}_ppm"),
+    ).orderBy("source")

@@ -126,6 +126,9 @@ DELIBERATE_CROSS = {
     # the SINGLE-ROW popcount/exact-count summary broadcast onto the
     # 64-row word grid (N×3 and 64×1 — both bounded)
     "llm_dedup_bloom_portable",
+    # r10: DELIBERATE k=5 telescoped-term fan-out onto the BOUNDED
+    # per-source census (|sources|×5 — the pack_efficiency shape)
+    "llm_eval_pass_at_k",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
