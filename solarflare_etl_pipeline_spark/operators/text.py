@@ -6969,9 +6969,12 @@ PASS_GATE_CHARS = 300  # a "correct" sample: doc length >= gate
             WHERE n >= {PASS_AT_K}
         ),
         folded AS (
+            -- 128-bit products: n^5 and pnum*1e6 pass BIGINT once a
+            -- source holds >~1200 docs (hit by the saturated-corpus
+            -- degenerate regime) — the widen-before-multiply rule
             SELECT source, n, c,
-                   CAST(MAX(CASE WHEN i = 0 THEN num_i END) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END) AS BIGINT) AS pnum,
-                   CAST(MAX(CASE WHEN i = 0 THEN den_i END) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END) AS BIGINT) AS pden
+                   CAST(MAX(CASE WHEN i = 0 THEN num_i END) AS HUGEINT) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END) AS pnum,
+                   CAST(MAX(CASE WHEN i = 0 THEN den_i END) AS HUGEINT) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END) AS pden
             FROM terms GROUP BY source, n, c
         )
         SELECT source, n AS n_samples, c AS n_correct,
@@ -7016,8 +7019,8 @@ def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     folded = terms.groupBy("source", "n", "c").agg(
-        F.expr("CAST(MAX(CASE WHEN i = 0 THEN num_i END) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END) AS BIGINT)").alias("pnum"),
-        F.expr("CAST(MAX(CASE WHEN i = 0 THEN den_i END) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END) AS BIGINT)").alias("pden"),
+        F.expr("CAST(MAX(CASE WHEN i = 0 THEN num_i END) AS DECIMAL(38,0)) * MAX(CASE WHEN i = 1 THEN num_i END) * MAX(CASE WHEN i = 2 THEN num_i END) * MAX(CASE WHEN i = 3 THEN num_i END) * MAX(CASE WHEN i = 4 THEN num_i END)").alias("pnum"),
+        F.expr("CAST(MAX(CASE WHEN i = 0 THEN den_i END) AS DECIMAL(38,0)) * MAX(CASE WHEN i = 1 THEN den_i END) * MAX(CASE WHEN i = 2 THEN den_i END) * MAX(CASE WHEN i = 3 THEN den_i END) * MAX(CASE WHEN i = 4 THEN den_i END)").alias("pden"),
     )
     return folded.select(
         "source",

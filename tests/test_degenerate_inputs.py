@@ -117,6 +117,10 @@ SWEEP_QUERIES = (
     "llm_similarity_int8_portable",
     "ts_holiday_lift",
     "mm_image_dct_hash",
+    "llm_influence_dedup_weights",
+    "llm_canary_exposure",
+    "llm_user_contribution_cap",
+    "llm_eval_pass_at_k",
 )
 
 

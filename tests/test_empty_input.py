@@ -285,6 +285,16 @@ CORE_QUERIES = (
     "tpch_q11_important_stock",
     "sql_pipe_syntax",
     "mm_image_dct_hash",
+    # round-10 late batches: empty family censuses (weights), empty
+    # plant scans (canary), empty user clips (dp cap), empty sample
+    # censuses (pass@k), empty word grids (bloom — zero-filled), empty
+    # query sets (int8)
+    "llm_influence_dedup_weights",
+    "llm_canary_exposure",
+    "llm_user_contribution_cap",
+    "llm_eval_pass_at_k",
+    "llm_dedup_bloom_portable",
+    "llm_similarity_int8_portable",
 )
 
 
