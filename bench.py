@@ -244,6 +244,7 @@ BENCH_QUERIES = (
     "llm_canary_exposure",
     "llm_user_contribution_cap",
     "llm_eval_pass_at_k",
+    "agg_cmh_chi",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -7373,3 +7373,156 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (2 * {vt}) AS BIGINT) END"
         ).alias("alpha_ppm"),
     )
+
+
+def _cmh_strata_sql() -> str:
+    return """
+        SELECT CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
+                    AS BIGINT) AS dow,
+               CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 35
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY 1
+    """
+
+
+@register(
+    "agg_cmh_chi",
+    oracle=f"""
+        WITH strata AS ({_cmh_strata_sql()}),
+        terms AS (
+            SELECT dow, a, r1, c1, n,
+                   CAST(CAST(a AS HUGEINT) * n
+                        - CAST(r1 AS HUGEINT) * c1 AS BIGINT) AS dev_num,
+                   CAST(CAST(r1 AS HUGEINT) * (n - r1) * c1 * (n - c1)
+                        AS BIGINT) AS var_num
+            FROM strata WHERE n >= 2
+        ),
+        piv AS (
+            SELECT
+                {", ".join(
+                    f'''MAX(CASE WHEN dow = {k} THEN CAST(dev_num AS DOUBLE)
+                           / CAST(n AS DOUBLE) ELSE 0.0 END) AS dev_{k},
+                   MAX(CASE WHEN dow = {k} THEN CAST(var_num AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * (n - 1))
+                       ELSE 0.0 END) AS var_{k}''' for k in range(7))}
+            FROM terms
+        )
+        SELECT CAST((SELECT COUNT(*) FROM terms) AS BIGINT) AS n_strata,
+               CAST((SELECT SUM(a) FROM terms) AS BIGINT) AS a_total,
+               ROUND({" + ".join(f"dev_{k}" for k in range(7))}, 9)
+                   AS dev_sum,
+               ROUND({" + ".join(f"var_{k}" for k in range(7))}, 9)
+                   AS var_sum,
+               CASE WHEN {" + ".join(f"var_{k}" for k in range(7))} = 0
+                    THEN NULL
+                    ELSE ROUND(
+                        ({" + ".join(f"dev_{k}" for k in range(7))})
+                        * ({" + ".join(f"dev_{k}" for k in range(7))})
+                        / ({" + ".join(f"var_{k}" for k in range(7))}), 6)
+               END AS cmh_chi2
+        FROM piv
+    """,
+    doc="Cochran-Mantel-Haenszel chi-square — the stratified 2x2 TEST "
+    "completing agg_mh_odds_ratio (which estimates the common odds "
+    "ratio; CMH tests whether it is 1 while controlling the day-of-"
+    "week stratification that would confound a pooled 2x2 — "
+    "Simpson's-paradox-proof): per stratum the deviation a - E[a] = "
+    "(a*n - r1*c1)/n and hypergeometric variance r1*r0*c1*c0/"
+    "(n^2(n-1)) are formed from EXACT 128-bit integer numerators, "
+    "divided once into identical doubles, summed in the FIXED pivoted "
+    "7-slot order (the bm25/anova fixed-order discipline — no engine-"
+    "ordered float aggregation), chi2 = dev^2/var rounded once at "
+    "6dp; degenerate all-empty variance emits NULL oracle-mirrored. "
+    "Single-row output carries the exact stratum count and a-total "
+    "for audit. Plan: one map-side-combinable 7-row aggregate; "
+    "everything after is constant-size.",
+)
+def agg_cmh_chi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    strata = e.groupBy(
+        F.pmod(
+            F.datediff(
+                F.col("ts").cast("timestamp").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ),
+            F.lit(7),
+        )
+        .cast("long")
+        .alias("dow"),
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 35), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.count("*").cast("long").alias("n"),
+    )
+    terms = strata.where("n >= 2").select(
+        "dow",
+        "a",
+        "n",
+        F.expr(
+            "CAST(CAST(a AS DECIMAL(38,0)) * n"
+            " - CAST(r1 AS DECIMAL(38,0)) * c1 AS BIGINT)"
+        ).alias("dev_num"),
+        F.expr(
+            "CAST(CAST(r1 AS DECIMAL(38,0)) * (n - r1) * c1 * (n - c1)"
+            " AS BIGINT)"
+        ).alias("var_num"),
+    )
+    terms = terms.localCheckpoint()  # 7-row grid, read twice
+    dev_cols = [
+        F.max(
+            F.when(
+                F.col("dow") == k,
+                F.expr("CAST(dev_num AS DOUBLE) / CAST(n AS DOUBLE)"),
+            ).otherwise(F.lit(0.0))
+        ).alias(f"dev_{k}")
+        for k in range(7)
+    ]
+    var_cols = [
+        F.max(
+            F.when(
+                F.col("dow") == k,
+                F.expr(
+                    "CAST(var_num AS DOUBLE)"
+                    " / (CAST(n AS DOUBLE) * n * (n - 1))"
+                ),
+            ).otherwise(F.lit(0.0))
+        ).alias(f"var_{k}")
+        for k in range(7)
+    ]
+    piv = terms.agg(*dev_cols, *var_cols)
+    summary = terms.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("a_total"),
+    )
+    dev_sum = " + ".join(f"dev_{k}" for k in range(7))
+    var_sum = " + ".join(f"var_{k}" for k in range(7))
+    return piv.crossJoin(F.broadcast(summary)).select(
+        "n_strata",
+        "a_total",
+        F.expr(f"ROUND({dev_sum}, 9)").alias("dev_sum"),
+        F.expr(f"ROUND({var_sum}, 9)").alias("var_sum"),
+        F.expr(
+            f"CASE WHEN {var_sum} = 0 THEN NULL"
+            f" ELSE ROUND(({dev_sum}) * ({dev_sum}) / ({var_sum}), 6) END"
+        ).alias("cmh_chi2"),
+    )

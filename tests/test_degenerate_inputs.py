@@ -121,6 +121,7 @@ SWEEP_QUERIES = (
     "llm_canary_exposure",
     "llm_user_contribution_cap",
     "llm_eval_pass_at_k",
+    "agg_cmh_chi",
 )
 
 

@@ -295,6 +295,7 @@ CORE_QUERIES = (
     "llm_eval_pass_at_k",
     "llm_dedup_bloom_portable",
     "llm_similarity_int8_portable",
+    "agg_cmh_chi",
 )
 
 

@@ -129,6 +129,9 @@ DELIBERATE_CROSS = {
     # r10: DELIBERATE k=5 telescoped-term fan-out onto the BOUNDED
     # per-source census (|sources|×5 — the pack_efficiency shape)
     "llm_eval_pass_at_k",
+    # r10: SINGLE-ROW stratum-count/a-total summary broadcast onto the
+    # 1-row pivoted chi2 fold (1×1 theorem join)
+    "agg_cmh_chi",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
