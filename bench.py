@@ -245,6 +245,11 @@ BENCH_QUERIES = (
     "llm_user_contribution_cap",
     "llm_eval_pass_at_k",
     "agg_cmh_chi",
+    "tpch_q5_local_supplier",
+    "tpch_q22_global_sales",
+    "agg_jonckheere_terpstra",
+    "agg_cliff_delta",
+    "agg_gk_gamma",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

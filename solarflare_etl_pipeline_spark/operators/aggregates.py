@@ -7526,3 +7526,425 @@ def agg_cmh_chi(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND(({dev_sum}) * ({dev_sum}) / ({var_sum}), 6) END"
         ).alias("cmh_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-categories concordance family (round-10 late batch): the three
+# classic pairwise-dominance statistics — Jonckheere-Terpstra (ordered
+# k-group trend), Cliff's delta (two-group effect size), and
+# Goodman-Kruskal gamma / Somers' D (ordinal association).  All three
+# share one engine shape: aggregate the raw scan to a BOUNDED cell
+# histogram first (groups × value bins — fixed by the data dictionary,
+# not the row count), then form every pairwise product on the cell
+# table (|cells|² is a constant theorem cost), keeping every count and
+# cross-product in exact 128-bit integers; floats appear only in the
+# final one-divide z/delta/gamma.  At 100 TB the raw scan stays one
+# map-side-combinable hash aggregate; the cell algebra costs the same
+# as at 100 MB.
+# ---------------------------------------------------------------------------
+
+
+def _jt_cells_sql() -> str:
+    return """
+        SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g,
+               CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS vb,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "agg_jonckheere_terpstra",
+    oracle=f"""
+        WITH cells AS ({_jt_cells_sql()}),
+        j2 AS (
+            SELECT COALESCE(CAST(SUM(
+                       CAST(a.c AS HUGEINT) * b.c *
+                       (2 * CASE WHEN a.vb < b.vb THEN 1 ELSE 0 END
+                          + CASE WHEN a.vb = b.vb THEN 1 ELSE 0 END)
+                   ) AS BIGINT), 0) AS j2
+            FROM cells a JOIN cells b ON a.g < b.g
+        ),
+        grp AS (
+            SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY g
+        ),
+        tie AS (
+            SELECT vb, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY vb
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sum_n2,
+                   CAST(SUM(CAST(n AS HUGEINT) * (n-1) * (2*n+5)) AS BIGINT)
+                       AS sum_n_a,
+                   CAST(SUM(CAST(n AS HUGEINT) * (n-1) * (n-2)) AS BIGINT)
+                       AS sum_n_b,
+                   CAST(SUM(CAST(n AS HUGEINT) * (n-1)) AS BIGINT) AS sum_n_c,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups
+            FROM grp
+        ),
+        tott AS (
+            SELECT CAST(SUM(CAST(t AS HUGEINT) * (t-1) * (2*t+5)) AS BIGINT)
+                       AS sum_t_a,
+                   CAST(SUM(CAST(t AS HUGEINT) * (t-1) * (t-2)) AS BIGINT)
+                       AS sum_t_b,
+                   CAST(SUM(CAST(t AS HUGEINT) * (t-1)) AS BIGINT) AS sum_t_c
+            FROM tie
+        ),
+        s AS (
+            SELECT j2.j2, tot.nn, tot.k_groups,
+                   CAST(CAST(tot.nn AS HUGEINT) * tot.nn - tot.sum_n2
+                        AS BIGINT) AS e4,
+                   CAST(CAST(tot.nn AS HUGEINT) * (tot.nn-1) * (2*tot.nn+5)
+                        - tot.sum_n_a - tott.sum_t_a AS BIGINT) AS var_a,
+                   CAST(tot.sum_n_b AS HUGEINT) * tott.sum_t_b AS var_b_h,
+                   CAST(tot.sum_n_c AS HUGEINT) * tott.sum_t_c AS var_c_h,
+                   tot.sum_n_c, tott.sum_t_c
+            FROM j2, tot, tott
+        )
+        SELECT nn AS n_total, k_groups, j2, e4,
+               ROUND(CAST(var_a AS DOUBLE) / 72.0
+                     + CAST(var_b_h AS DOUBLE)
+                       / (36.0 * nn * (nn-1) * (nn-2))
+                     + CAST(var_c_h AS DOUBLE)
+                       / (8.0 * nn * (nn-1)), 6) AS var_j,
+               CASE WHEN CAST(var_a AS DOUBLE) / 72.0
+                         + CAST(var_b_h AS DOUBLE)
+                           / (36.0 * nn * (nn-1) * (nn-2))
+                         + CAST(var_c_h AS DOUBLE)
+                           / (8.0 * nn * (nn-1)) <= 0.0 THEN NULL
+                    ELSE ROUND(CAST(2 * CAST(j2 AS HUGEINT) - e4 AS DOUBLE)
+                         / (4.0 * SQRT(CAST(var_a AS DOUBLE) / 72.0
+                              + CAST(var_b_h AS DOUBLE)
+                                / (36.0 * nn * (nn-1) * (nn-2))
+                              + CAST(var_c_h AS DOUBLE)
+                                / (8.0 * nn * (nn-1)))), 6)
+               END AS z
+        FROM s
+        WHERE nn >= 3
+    """,
+    doc="Jonckheere-Terpstra ordered-alternatives trend test: does order "
+    "value rise monotonically with priority urgency? Groups are the "
+    "FIVE ordered o_orderpriority classes (leading digit), values the "
+    "25k-wide totalprice bins (20 bins — the binned variable IS the "
+    "tested variable, stated contract, so bin-ties are real ties). "
+    "J2 = 2·J = Σ_{{i<j}} (2·#less + #tie) comes from the 100-cell "
+    "histogram pair product in exact 128-bit integers; E[J] = "
+    "(N²-Σn_i²)/4 and the FULL tie-corrected variance (Hollander-"
+    "Wolfe three-term form: A/72 + B/(36N(N-1)(N-2)) + C/(8N(N-1)), "
+    "A,B,C exact-integer) are formed the same way; z = (4J-E4)/"
+    "(4√Var) with ONE float sqrt at the end; Var ≤ 0 (all mass in "
+    "one bin) emits NULL oracle-mirrored, N<3 emits nothing. Plan at "
+    "100 TB: one map-side-combinable hash agg to ≤100 cells, then "
+    "constant-size cell algebra (the agg_dunn_posthoc theorem shape).",
+)
+def agg_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+        F.floor(F.col("o_totalprice") / 25000.0).cast("long").alias("vb"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # ≤100 rows, read four times
+    a, b = cells.alias("a"), cells.alias("b")
+    j2 = (
+        a.join(b, F.col("a.g") < F.col("b.g"))
+        .select(
+            (
+                F.col("a.c").cast("decimal(38,0)")
+                * F.col("b.c")
+                * (
+                    2 * (F.col("a.vb") < F.col("b.vb")).cast("int")
+                    + (F.col("a.vb") == F.col("b.vb")).cast("int")
+                )
+            ).alias("term")
+        )
+        .agg(F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("j2"))
+    )
+    grp = cells.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    tie = cells.groupBy("vb").agg(F.sum("c").cast("long").alias("t"))
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).cast("long").alias("sum_n2"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n-1) * (2*n+5)"))
+        .cast("long")
+        .alias("sum_n_a"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2)"))
+        .cast("long")
+        .alias("sum_n_b"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n-1)")).cast("long").alias("sum_n_c"),
+        F.count("*").cast("long").alias("k_groups"),
+    )
+    tott = tie.agg(
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t-1) * (2*t+5)"))
+        .cast("long")
+        .alias("sum_t_a"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t-1) * (t-2)"))
+        .cast("long")
+        .alias("sum_t_b"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * (t-1)")).cast("long").alias("sum_t_c"),
+    )
+    s = (
+        j2.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "j2",
+            "nn",
+            "k_groups",
+            F.expr("CAST(CAST(nn AS DECIMAL(38,0)) * nn - sum_n2 AS BIGINT)").alias(
+                "e4"
+            ),
+            F.expr(
+                "CAST(CAST(nn AS DECIMAL(38,0)) * (nn-1) * (2*nn+5)"
+                " - sum_n_a - sum_t_a AS BIGINT)"
+            ).alias("var_a"),
+            F.expr("CAST(sum_n_b AS DECIMAL(38,0)) * sum_t_b").alias("var_b_h"),
+            F.expr("CAST(sum_n_c AS DECIMAL(38,0)) * sum_t_c").alias("var_c_h"),
+        )
+    )
+    var_expr = (
+        "CAST(var_a AS DOUBLE) / 72.0"
+        " + CAST(var_b_h AS DOUBLE) / (36.0 * nn * (nn-1) * (nn-2))"
+        " + CAST(var_c_h AS DOUBLE) / (8.0 * nn * (nn-1))"
+    )
+    return (
+        s.where("nn >= 3")
+        .select(
+            F.col("nn").alias("n_total"),
+            "k_groups",
+            "j2",
+            "e4",
+            F.expr(f"ROUND({var_expr}, 6)").alias("var_j"),
+            F.expr(
+                f"CASE WHEN {var_expr} <= 0.0 THEN NULL"
+                f" ELSE ROUND(CAST(2 * CAST(j2 AS DECIMAL(38,0)) - e4 AS DOUBLE)"
+                f" / (4.0 * SQRT({var_expr})), 6) END"
+            ).alias("z"),
+        )
+    )
+
+
+@register(
+    "agg_cliff_delta",
+    oracle="""
+        WITH h1 AS (
+            SELECT CAST(FLOOR(value) AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        h2 AS (
+            SELECT CAST(FLOOR(value) AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        prod AS (
+            SELECT
+                COALESCE(CAST(SUM(CASE WHEN a.vb > b.vb
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0) AS gt,
+                COALESCE(CAST(SUM(CASE WHEN a.vb < b.vb
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0) AS lt,
+                COALESCE(CAST(SUM(CASE WHEN a.vb = b.vb
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0) AS ties
+            FROM h1 a JOIN h2 b ON TRUE
+        ),
+        ns AS (
+            SELECT COALESCE((SELECT CAST(SUM(c) AS BIGINT) FROM h1), 0) AS n1,
+                   COALESCE((SELECT CAST(SUM(c) AS BIGINT) FROM h2), 0) AS n2
+        )
+        SELECT ns.n1, ns.n2, prod.gt, prod.lt, prod.ties,
+               CASE WHEN ns.n1 = 0 OR ns.n2 = 0 THEN NULL
+                    ELSE ROUND(CAST(prod.gt - prod.lt AS DOUBLE)
+                         / (CAST(ns.n1 AS DOUBLE) * ns.n2), 9)
+               END AS cliff_delta,
+               CASE WHEN ns.n1 = 0 OR ns.n2 = 0 THEN NULL
+                    WHEN ABS(CAST(prod.gt - prod.lt AS DOUBLE)
+                         / (CAST(ns.n1 AS DOUBLE) * ns.n2)) < 0.147
+                        THEN 'negligible'
+                    WHEN ABS(CAST(prod.gt - prod.lt AS DOUBLE)
+                         / (CAST(ns.n1 AS DOUBLE) * ns.n2)) < 0.33
+                        THEN 'small'
+                    WHEN ABS(CAST(prod.gt - prod.lt AS DOUBLE)
+                         / (CAST(ns.n1 AS DOUBLE) * ns.n2)) < 0.474
+                        THEN 'medium'
+                    ELSE 'large'
+               END AS magnitude
+        FROM ns, prod
+    """,
+    doc="Cliff's delta — the nonparametric two-group effect size "
+    "(purchase vs view event values): delta = (#{x>y} - #{x<y}) / "
+    "(n1·n2) over ALL cross-group pairs, computed WITHOUT the O(n²) "
+    "pair explosion by joining the two unit-bin value histograms "
+    "(≤491 bins each, fixed by the value domain; the binned variable "
+    "is the tested variable, stated contract). Dominance cross-"
+    "products in exact 128-bit integers; ONE float divide at the "
+    "end, then the standard Romano magnitude bands (0.147/0.33/"
+    "0.474) on the identical computed double. Empty arms emit NULL "
+    "delta/magnitude oracle-mirrored (single row always — the "
+    "diff_in_diff contract). Plan at 100 TB: two map-side-combinable "
+    "hash aggs to bounded histograms, one |bins|² broadcast nested-"
+    "loop product — constant cost after the scan.",
+)
+def agg_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    h1 = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.floor("value").cast("long").alias("vb"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    h2 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy(F.floor("value").cast("long").alias("vb"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a, b = h1.alias("a"), h2.alias("b")
+    prod = a.crossJoin(b).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.vb") > F.col("b.vb"),
+                    F.col("a.c").cast("decimal(38,0)") * F.col("b.c"),
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("gt"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.vb") < F.col("b.vb"),
+                    F.col("a.c").cast("decimal(38,0)") * F.col("b.c"),
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("lt"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.vb") == F.col("b.vb"),
+                    F.col("a.c").cast("decimal(38,0)") * F.col("b.c"),
+                )
+            ).cast("long"),
+            F.lit(0),
+        ).alias("ties"),
+    )
+    n1 = h1.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n1"))
+    n2 = h2.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n2"))
+    ns = n1.crossJoin(F.broadcast(n2))
+    d = "CAST(gt - lt AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+    return ns.crossJoin(F.broadcast(prod)).select(
+        "n1",
+        "n2",
+        "gt",
+        "lt",
+        "ties",
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE ROUND({d}, 9) END"
+        ).alias("cliff_delta"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0 THEN NULL"
+            f" WHEN ABS({d}) < 0.147 THEN 'negligible'"
+            f" WHEN ABS({d}) < 0.33 THEN 'small'"
+            f" WHEN ABS({d}) < 0.474 THEN 'medium'"
+            f" ELSE 'large' END"
+        ).alias("magnitude"),
+    )
+
+
+@register(
+    "agg_gk_gamma",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT
+                COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS conc,
+                COALESCE(CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS disc,
+                COALESCE(CAST(SUM(CASE WHEN a.x = b.x AND a.y < b.y
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS tie_x,
+                COALESCE(CAST(SUM(CASE WHEN a.y = b.y AND a.x < b.x
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS tie_y
+            FROM cells a JOIN cells b ON TRUE
+        )
+        SELECT conc, disc, tie_x, tie_y,
+               CASE WHEN conc + disc = 0 THEN NULL
+                    ELSE ROUND(CAST(conc - disc AS DOUBLE)
+                               / (conc + disc), 9)
+               END AS gk_gamma,
+               CASE WHEN conc + disc + tie_y = 0 THEN NULL
+                    ELSE ROUND(CAST(conc - disc AS DOUBLE)
+                               / (conc + disc + tie_y), 9)
+               END AS somers_d_yx
+        FROM pairs
+    """,
+    doc="Goodman-Kruskal gamma and Somers' D — ordinal association "
+    "between quantity (x, 50 levels) and discount percent (y, 11 "
+    "levels) on lineitem: concordant / discordant / single-tied pair "
+    "totals over the ≤550-cell contingency table via the cell-pair "
+    "product (each unordered pair counted once by requiring a<b on "
+    "the distinguishing axis), ALL in exact 128-bit integers; "
+    "gamma = (C-D)/(C+D) ignores ties, Somers' d_yx = (C-D)/"
+    "(C+D+T_y) penalizes ties on the dependent y only — one float "
+    "divide each, zero-denominator → NULL oracle-mirrored. The "
+    "half-up y-quantization (FLOOR(d*100+0.5)) is the identical "
+    "float op in both engines. Plan at 100 TB: one hash agg to the "
+    "bounded cell table, |cells|² broadcast product — the "
+    "agg_jonckheere_terpstra theorem shape, constant after the scan.",
+)
+def agg_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("y"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # ≤550 rows, read twice
+    a, b = cells.alias("a"), cells.alias("b")
+    prod = F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+    pairs = a.crossJoin(b).agg(
+        F.coalesce(
+            F.sum(
+                F.when((F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")), prod)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("conc"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")), prod)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("disc"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("a.x") == F.col("b.x")) & (F.col("a.y") < F.col("b.y")), prod)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("tie_x"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("a.y") == F.col("b.y")) & (F.col("a.x") < F.col("b.x")), prod)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("tie_y"),
+    )
+    return pairs.select(
+        "conc",
+        "disc",
+        "tie_x",
+        "tie_y",
+        F.expr(
+            "CASE WHEN conc + disc = 0 THEN NULL"
+            " ELSE ROUND(CAST(conc - disc AS DOUBLE) / (conc + disc), 9) END"
+        ).alias("gk_gamma"),
+        F.expr(
+            "CASE WHEN conc + disc + tie_y = 0 THEN NULL"
+            " ELSE ROUND(CAST(conc - disc AS DOUBLE)"
+            " / (conc + disc + tie_y), 9) END"
+        ).alias("somers_d_yx"),
+    )

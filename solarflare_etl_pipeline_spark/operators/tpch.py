@@ -1045,3 +1045,149 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey", F.col("part_value_dec").cast("double").alias("part_value")
         )
     )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_lineitems,
+               {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+    """,
+    doc="Q5 (local supplier volume) shape: revenue per nation where the "
+    "ordering customer and the fulfilling supplier sit in the SAME "
+    "nation, one region, one year — the classic 'does local sourcing "
+    "pay' rollup and the last missing regional-join benchmark shape "
+    "(Q1/Q6/Q13 live as agg_hash/agg_filtered/agg_custdist). The "
+    "same-nation constraint rides the supplier join (s_nationkey = "
+    "c_nationkey), so no post-join filter re-reads the fact. Revenue "
+    "is decimal-accumulated then cast to double (numeric.py "
+    "discipline). Plan at 100 TB: the year filter pushes into the "
+    "orders scan before the orderkey shuffle (kills ~85% of orders), "
+    "customer/supplier/nation/region all broadcast (dims), lineitem "
+    "shuffles ONCE on l_orderkey; the 5-nation rollup is map-side "
+    "combinable. Ref: the reference's loaded table feeds exactly this "
+    "analyst SQL class (SURVEY.md §0).",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    j = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(F.expr(REV), "revenue"),
+        )
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    oracle=f"""
+        WITH cs AS (
+            SELECT c_custkey, c_acctbal,
+                   CAST(c_nationkey % 7 AS BIGINT) AS cntrycode
+            FROM customer
+            WHERE (c_nationkey % 7) IN (1, 2, 3, 4, 5)
+        ),
+        pos AS (
+            SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+                   COUNT(*) AS pos_cnt
+            FROM cs WHERE c_acctbal > 0.0
+        )
+        SELECT cs.cntrycode,
+               COUNT(*) AS numcust,
+               {sql_dsum("cs.c_acctbal", "totacctbal")}
+        FROM cs, pos
+        WHERE CAST(cs.c_acctbal AS DECIMAL(18,2)) * pos.pos_cnt
+                  > pos.pos_sum
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = cs.c_custkey)
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Q22 (global sales opportunity) shape: rich customers who have "
+    "NEVER ordered, bucketed by country code — the benchmark's "
+    "scalar-subquery + NOT EXISTS finale, the last classic shape "
+    "missing from the registry. Adapted to the fixture schema (no "
+    "c_phone): cntrycode = c_nationkey % 7 restricted to codes 1-5, "
+    "mirroring Q22's 7-code IN list. The 'above average positive "
+    "balance' threshold is compared EXACTLY — acctbal(DECIMAL 18,2) * "
+    "pos_cnt > pos_sum(DECIMAL) — never through a float average "
+    "(the agg_cmh_chi/lorenz exact-compare discipline), and the final "
+    "balance total is decimal-accumulated (numeric.py). Plan at "
+    "100 TB: the positive-balance summary is a SINGLE-ROW broadcast "
+    "onto the customer scan (no correlated re-scan), the no-orders "
+    "test is one LEFT ANTI shuffle join on o_custkey, and the 5-row "
+    "rollup is map-side combinable. Ref: SURVEY.md §0 analyst SQL.",
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.pmod(F.col("c_nationkey"), F.lit(7))
+            .cast("long")
+            .alias("cntrycode"),
+        )
+        .where(F.col("cntrycode").isin(1, 2, 3, 4, 5))
+    )
+    pos = cs.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("pos_sum"),
+        F.count("*").alias("pos_cnt"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    rich = cs.join(F.broadcast(pos)).where(
+        F.col("c_acctbal").cast("decimal(18,2)") * F.col("pos_cnt")
+        > F.col("pos_sum")
+    )
+    never = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        never.groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -122,6 +122,19 @@ SWEEP_QUERIES = (
     "llm_user_contribution_cap",
     "llm_eval_pass_at_k",
     "agg_cmh_chi",
+    # round-10 late batch: constant acctbal makes EVERY customer sit
+    # exactly AT the positive average (strict > keeps none — Q22 must
+    # emit an empty frame, not crash); constant dates collapse Q5's
+    # year filter to all-or-nothing
+    "tpch_q5_local_supplier",
+    "tpch_q22_global_sales",
+    # concordance family: constant values collapse every histogram to
+    # ONE bin — all pairs tied, Var<=0 (JT z NULL), C+D=0 (gamma NULL),
+    # gt=lt=0 (delta 0.0 'negligible'); constant priority kills every
+    # cross-group pair (JT j2=0 from the COALESCE)
+    "agg_jonckheere_terpstra",
+    "agg_cliff_delta",
+    "agg_gk_gamma",
 )
 
 

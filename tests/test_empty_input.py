@@ -296,6 +296,15 @@ CORE_QUERIES = (
     "llm_dedup_bloom_portable",
     "llm_similarity_int8_portable",
     "agg_cmh_chi",
+    # round-10 late batch: Q5's five-way dim join and Q22's single-row
+    # positive-balance broadcast + anti join must survive zero customers
+    "tpch_q5_local_supplier",
+    "tpch_q22_global_sales",
+    # concordance family: empty histograms / cell tables must fold to
+    # the NULL-stat single row (cliff/gamma) or an empty frame (JT)
+    "agg_jonckheere_terpstra",
+    "agg_cliff_delta",
+    "agg_gk_gamma",
 )
 
 

@@ -132,6 +132,15 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW stratum-count/a-total summary broadcast onto the
     # 1-row pivoted chi2 fold (1×1 theorem join)
     "agg_cmh_chi",
+    # r10: SINGLE-ROW positive-balance summary broadcast onto the
+    # customer scan (Q22's scalar-subquery rewrite — Q11's shape)
+    "tpch_q22_global_sales",
+    # r10 concordance family: DELIBERATE |cells|² products over
+    # POST-AGGREGATE bounded histograms (≤100 / ≤491 / ≤550 rows —
+    # the dunn/kendall theorem shape) plus their 1-row scalar folds
+    "agg_jonckheere_terpstra",
+    "agg_cliff_delta",
+    "agg_gk_gamma",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
