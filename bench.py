@@ -250,6 +250,9 @@ BENCH_QUERIES = (
     "agg_jonckheere_terpstra",
     "agg_cliff_delta",
     "agg_gk_gamma",
+    "agg_sign_test",
+    "agg_cochran_armitage",
+    "agg_runs_test",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

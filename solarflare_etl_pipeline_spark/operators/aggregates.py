@@ -7948,3 +7948,327 @@ def agg_gk_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (conc + disc + tie_y), 9) END"
         ).alias("somers_d_yx"),
     )
+
+
+@register(
+    "agg_sign_test",
+    oracle="""
+        WITH halves AS (
+            SELECT o_custkey,
+                   SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1,
+                   SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01'
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s2
+            FROM orders GROUP BY 1
+        ),
+        paired AS (
+            SELECT CASE WHEN s2 > s1 THEN 1 ELSE 0 END AS pos,
+                   CASE WHEN s2 < s1 THEN 1 ELSE 0 END AS neg,
+                   CASE WHEN s2 = s1 THEN 1 ELSE 0 END AS zer
+            FROM halves WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               COALESCE(CAST(SUM(pos) AS BIGINT), 0) AS n_pos,
+               COALESCE(CAST(SUM(neg) AS BIGINT), 0) AS n_neg,
+               COALESCE(CAST(SUM(zer) AS BIGINT), 0) AS n_zero,
+               CASE WHEN COALESCE(SUM(pos), 0) + COALESCE(SUM(neg), 0) = 0
+                    THEN NULL
+                    ELSE ROUND(
+                        CAST(2 * SUM(pos) - (SUM(pos) + SUM(neg))
+                             - SIGN(2 * SUM(pos) - (SUM(pos) + SUM(neg)))
+                             AS DOUBLE)
+                        / SQRT(CAST(SUM(pos) + SUM(neg) AS DOUBLE)), 6)
+               END AS z
+        FROM paired
+    """,
+    doc="Exact sign test on paired per-customer spend: each customer "
+    "active in BOTH halves of the calendar (split 1998-07-01) is one "
+    "pair (first-half vs second-half totalprice sum, compared in "
+    "EXACT DECIMAL — a float sum could invent or hide a tie); "
+    "n_pos/n_neg/n_zero exact, ties dropped per the classic test, "
+    "z = (2·S⁺ - m - sign)/√m with continuity correction, ONE float "
+    "sqrt+divide, m=0 → NULL oracle-mirrored. The matched-pairs "
+    "companion to agg_wilcoxon_signed_rank (which weights by rank; "
+    "the sign test is its assumption-free floor). Plan at 100 TB: "
+    "one map-side-combinable hash agg per customer, then a scalar "
+    "fold — no shuffle after the groupBy.",
+)
+def agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    halves = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"),
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        ).alias("s1"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate") >= F.lit("1998-07-01").cast("timestamp"),
+                F.col("o_totalprice").cast("decimal(18,2)"),
+            )
+        ).alias("s2"),
+    )
+    paired = halves.where("s1 IS NOT NULL AND s2 IS NOT NULL").select(
+        (F.col("s2") > F.col("s1")).cast("int").alias("pos"),
+        (F.col("s2") < F.col("s1")).cast("int").alias("neg"),
+        (F.col("s2") == F.col("s1")).cast("int").alias("zer"),
+    )
+    return paired.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("neg"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(F.sum("zer"), F.lit(0)).cast("long").alias("n_zero"),
+        F.expr(
+            "CASE WHEN COALESCE(SUM(pos), 0) + COALESCE(SUM(neg), 0) = 0"
+            " THEN NULL"
+            " ELSE ROUND(CAST(2 * SUM(pos) - (SUM(pos) + SUM(neg))"
+            "   - SIGN(2 * SUM(pos) - (SUM(pos) + SUM(neg))) AS DOUBLE)"
+            " / SQRT(CAST(SUM(pos) + SUM(neg) AS DOUBLE)), 6) END"
+        ).alias("z"),
+    )
+
+
+@register(
+    "agg_cochran_armitage",
+    oracle="""
+        WITH grp AS (
+            SELECT CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS BIGINT)
+                       AS g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r
+            FROM lineitem GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(r) AS BIGINT) AS rr,
+                   CAST(SUM(g * n) AS BIGINT) AS swn,
+                   CAST(SUM(g * r) AS BIGINT) AS swr,
+                   CAST(SUM(g * g * n) AS BIGINT) AS sw2n
+            FROM grp
+        ),
+        t AS (
+            SELECT nn, rr, swn, swr, sw2n,
+                   CAST(CAST(nn AS HUGEINT) * swr
+                        - CAST(rr AS HUGEINT) * swn AS BIGINT) AS t_n,
+                   CAST(CAST(nn AS HUGEINT) * sw2n
+                        - CAST(swn AS HUGEINT) * swn AS BIGINT) AS m
+            FROM s
+        )
+        SELECT nn AS n_total, rr AS n_cases, t_n, m,
+               CASE WHEN rr = 0 OR rr = nn OR m = 0 THEN NULL
+                    ELSE ROUND(CAST(t_n AS DOUBLE) * t_n * nn
+                         / (CAST(rr AS DOUBLE) * (nn - rr) * m), 6)
+               END AS ca_chi2,
+               CASE WHEN rr = 0 OR rr = nn OR m = 0 THEN NULL
+                    ELSE ROUND(SIGN(t_n) * SQRT(CAST(t_n AS DOUBLE) * t_n
+                         * nn / (CAST(rr AS DOUBLE) * (nn - rr) * m)), 6)
+               END AS z
+        FROM t
+        WHERE nn > 0
+    """,
+    doc="Cochran-Armitage trend test: does the return rate rise with "
+    "quantity dose? Five ordered dose groups (quantity decades, "
+    "w_g = g), outcome returnflag='R'. The trend numerator "
+    "T_N = N·Σwr - R·Σwn and the weight spread M = N·Σw²n - (Σwn)² "
+    "are exact 128-bit integers narrowed to BIGINT; chi² = T_N²·N / "
+    "(R(N-R)M) is ONE fixed float expression whose every factor "
+    "(T_N, N, R, M) is exactly double-representable below 2^53 — no "
+    "engine-ordered float aggregation, no HUGEINT→DOUBLE cast "
+    "(which can differ in the last ulp across engines). Degenerate "
+    "all-cases/no-cases/one-dose emits NULL oracle-mirrored; the "
+    "signed z carries the trend direction. Completes the 2×k family "
+    "beside agg_chi_square (unordered) and agg_cmh_chi (stratified). "
+    "Plan at 100 TB: one map-side-combinable 5-row hash agg; "
+    "everything after is constant-size.",
+)
+def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    grp = li.groupBy(
+        F.expr("CAST((CAST(l_quantity AS BIGINT) - 1) DIV 10 AS BIGINT)").alias(
+            "g"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    s = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.expr("g * n")).cast("long").alias("swn"),
+        F.sum(F.expr("g * r")).cast("long").alias("swr"),
+        F.sum(F.expr("g * g * n")).cast("long").alias("sw2n"),
+    )
+    t = s.select(
+        "nn",
+        "rr",
+        F.expr(
+            "CAST(CAST(nn AS DECIMAL(38,0)) * swr"
+            " - CAST(rr AS DECIMAL(38,0)) * swn AS BIGINT)"
+        ).alias("t_n"),
+        F.expr(
+            "CAST(CAST(nn AS DECIMAL(38,0)) * sw2n"
+            " - CAST(swn AS DECIMAL(38,0)) * swn AS BIGINT)"
+        ).alias("m"),
+    )
+    chi = (
+        "CAST(t_n AS DOUBLE) * t_n * nn"
+        " / (CAST(rr AS DOUBLE) * (nn - rr) * m)"
+    )
+    return t.where("nn > 0").select(
+        F.col("nn").alias("n_total"),
+        F.col("rr").alias("n_cases"),
+        "t_n",
+        "m",
+        F.expr(
+            f"CASE WHEN rr = 0 OR rr = nn OR m = 0 THEN NULL"
+            f" ELSE ROUND({chi}, 6) END"
+        ).alias("ca_chi2"),
+        F.expr(
+            f"CASE WHEN rr = 0 OR rr = nn OR m = 0 THEN NULL"
+            f" ELSE ROUND(SIGN(t_n) * SQRT({chi}), 6) END"
+        ).alias("z"),
+    )
+
+
+@register(
+    "agg_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev2
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT d, rev2,
+                   ROW_NUMBER() OVER (ORDER BY rev2, d) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM daily
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN rn = (cnt + 1) // 2 THEN rev2 END)
+                   + MIN(CASE WHEN rn = (cnt + 2) // 2 THEN rev2 END) AS m2
+            FROM ranked
+        ),
+        signs AS (
+            SELECT d,
+                   CASE WHEN 2 * daily.rev2 > med.m2 THEN 1 ELSE 0 END AS up
+            FROM daily, med
+            WHERE 2 * daily.rev2 <> med.m2
+        ),
+        seq AS (
+            SELECT up,
+                   LAG(up) OVER (ORDER BY d) AS prev_up
+            FROM signs
+        ),
+        s AS (
+            SELECT CAST(SUM(up) AS BIGINT) AS n1,
+                   CAST(SUM(1 - up) AS BIGINT) AS n2,
+                   CAST(1 + SUM(CASE WHEN prev_up IS NOT NULL
+                                      AND up <> prev_up THEN 1 ELSE 0 END)
+                        AS BIGINT) AS runs
+            FROM seq
+        )
+        SELECT n1, n2, runs,
+               ROUND(1.0 + 2.0 * n1 * n2 / (n1 + n2), 6) AS e_runs,
+               CASE WHEN n1 = 0 OR n2 = 0
+                         OR 2.0 * n1 * n2 * (2.0 * CAST(n1 AS HUGEINT)
+                            * n2 - n1 - n2) <= 0
+                    THEN NULL
+                    ELSE ROUND(
+                        (runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+                        / SQRT(2.0 * n1 * n2
+                               * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+                               / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                                  * (n1 + n2 - 1))), 6)
+               END AS z
+        FROM s
+        WHERE n1 + n2 >= 2
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of the daily-revenue "
+    "sequence: each calendar day is classified above/below the EXACT "
+    "median of daily revenue (integer cents; 2·rev vs 2·median "
+    "compares without any float — equal-to-median days dropped per "
+    "the classic test), runs counted via one LAG over the date-"
+    "ordered day grid, then E[R] = 1 + 2n1n2/N and Var[R] = "
+    "2n1n2(2n1n2-N)/(N²(N-1)) from exact integers with the z as ONE "
+    "fixed float expression (every factor < 2^53 on the ≤2400-day "
+    "grid). Degenerate one-sided sequences (n1 or n2 = 0) emit NULL "
+    "z. Plan at 100 TB: the raw scan is one map-side-combinable "
+    "daily hash agg; the rank/median/lag run on the CALENDAR-bounded "
+    "day table (~2400 rows) — the ts_theilsen single-partition "
+    "window is a constant dimension cost, not a data-scale sort.",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev2")
+    )
+    daily = daily.localCheckpoint()  # calendar-bounded, read twice
+    ranked = daily.select(
+        "d",
+        "rev2",
+        F.row_number().over(W.orderBy("rev2", "d")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    med = ranked.agg(
+        (
+            F.min(F.when(F.col("rn") == F.expr("(cnt + 1) DIV 2"), F.col("rev2")))
+            + F.min(F.when(F.col("rn") == F.expr("(cnt + 2) DIV 2"), F.col("rev2")))
+        ).alias("m2")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(2 * F.col("rev2") != F.col("m2"))
+        .select(
+            "d", (2 * F.col("rev2") > F.col("m2")).cast("int").alias("up")
+        )
+    )
+    seq = signs.select(
+        "up", F.lag("up").over(W.orderBy("d")).alias("prev_up")
+    )
+    s = seq.agg(
+        F.sum("up").cast("long").alias("n1"),
+        F.sum(1 - F.col("up")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_up").isNotNull()
+                    & (F.col("up") != F.col("prev_up")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    var = (
+        "2.0 * n1 * n2 * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)"
+        " / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))"
+    )
+    return s.where("n1 + n2 >= 2").select(
+        "n1",
+        "n2",
+        "runs",
+        F.expr(
+            "ROUND(CAST(1.0 AS DOUBLE) + 2.0 * n1 * n2 / (n1 + n2), 6)"
+        ).alias("e_runs"),
+        F.expr(
+            f"CASE WHEN n1 = 0 OR n2 = 0"
+            f" OR 2.0 * n1 * n2 * (2.0 * CAST(n1 AS DECIMAL(38,0))"
+            f"    * n2 - n1 - n2) <= 0 THEN NULL"
+            f" ELSE ROUND((runs - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))"
+            f" / SQRT({var}), 6) END"
+        ).alias("z"),
+    )

@@ -135,6 +135,13 @@ SWEEP_QUERIES = (
     "agg_jonckheere_terpstra",
     "agg_cliff_delta",
     "agg_gk_gamma",
+    # sign: constant totalprice makes every pair a tie (m=0 → NULL z);
+    # CA: constant quantity leaves one dose (M=0 → NULL); runs:
+    # constant price makes every day equal the median (all dropped →
+    # n1+n2=0 → empty frame, not a crash)
+    "agg_sign_test",
+    "agg_cochran_armitage",
+    "agg_runs_test",
 )
 
 

@@ -305,6 +305,11 @@ CORE_QUERIES = (
     "agg_jonckheere_terpstra",
     "agg_cliff_delta",
     "agg_gk_gamma",
+    # trend/runs/sign: empty grids must fold to the NULL-stat single
+    # row (sign) or empty frames (CA's nn>0, runs' n1+n2>=2 guards)
+    "agg_sign_test",
+    "agg_cochran_armitage",
+    "agg_runs_test",
 )
 
 

@@ -141,6 +141,9 @@ DELIBERATE_CROSS = {
     "agg_jonckheere_terpstra",
     "agg_cliff_delta",
     "agg_gk_gamma",
+    # r10: SINGLE-ROW exact-median scalar broadcast onto the
+    # CALENDAR-bounded day grid (the fn_quantile_align N×1 shape)
+    "agg_runs_test",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
