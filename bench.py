@@ -253,6 +253,9 @@ BENCH_QUERIES = (
     "agg_sign_test",
     "agg_cochran_armitage",
     "agg_runs_test",
+    "agg_durbin_watson",
+    "agg_breusch_pagan",
+    "agg_chow_test",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

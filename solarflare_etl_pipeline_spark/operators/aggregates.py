@@ -8272,3 +8272,446 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / SQRT({var}), 6) END"
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regression-diagnostics family (round-10 late batch): Durbin-Watson and
+# Breusch-Pagan run over the SAME daily-revenue-on-time simple OLS, Chow
+# over the pre/post-break price~quantity fit.  The shared discipline:
+# every moment is an exact integer from one hash aggregate; the fitted
+# slope/intercept are ONE fixed float expression; per-day residuals are
+# immediately FLOOR-quantized to integer milli-units so the downstream
+# sums (Σe², Σ(Δe)², the aux-regression moments) are exact integers
+# again — float order-dependence never touches an aggregate.
+# ---------------------------------------------------------------------------
+
+_DW_DAILY_SQL = """
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST((CAST(o_orderdate AS DATE) - DATE '1995-01-01')
+                    AS BIGINT) AS t,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+"""
+
+_DW_FIT_SQL = """
+        SELECT COUNT(*) AS n,
+               CAST(SUM(t) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(t * t) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM daily
+"""
+
+#: Residual in milli-cents-of-1000 (FLOOR(e/1000)): the slope/intercept
+#: are the IDENTICAL float expression in both engines, so e is the
+#: identical double and its floor is the identical integer.
+_DW_RESID = (
+    "CAST(FLOOR((CAST(y AS DOUBLE)"
+    " - ((CAST(sy AS DOUBLE) - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))"
+    "     * sx) / n"
+    "    + (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)) * t)) / 1000.0)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "agg_durbin_watson",
+    oracle=f"""
+        WITH daily AS ({_DW_DAILY_SQL}),
+        fit AS ({_DW_FIT_SQL}),
+        cen AS (
+            SELECT n, sx, sy,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                       AS cxy
+            FROM fit
+        ),
+        resid AS (
+            SELECT daily.d, {_DW_RESID} AS e3
+            FROM daily, cen
+            WHERE cen.n >= 3 AND cen.cxx <> 0
+        ),
+        seq AS (
+            SELECT e3, LAG(e3) OVER (ORDER BY d) AS pe3 FROM resid
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(CAST(e3 AS HUGEINT) * e3) AS BIGINT) AS sse3,
+               CAST(SUM(CASE WHEN pe3 IS NOT NULL THEN
+                    CAST(e3 - pe3 AS HUGEINT) * (e3 - pe3) END) AS BIGINT)
+                   AS ssd3,
+               CASE WHEN SUM(CAST(e3 AS HUGEINT) * e3) = 0 THEN NULL
+                    ELSE ROUND(CAST(SUM(CASE WHEN pe3 IS NOT NULL THEN
+                              CAST(e3 - pe3 AS HUGEINT) * (e3 - pe3) END)
+                              AS DOUBLE)
+                         / CAST(SUM(CAST(e3 AS HUGEINT) * e3) AS DOUBLE), 6)
+               END AS dw
+        FROM seq
+        HAVING COUNT(*) > 0
+    """,
+    doc="Durbin-Watson autocorrelation statistic over the daily-revenue-"
+    "on-time OLS residuals: the canonical 'are my regression errors "
+    "serially correlated' gate (DW→0 positive, →2 none, →4 negative). "
+    "Slope/intercept come from exact integer moments (one hash agg) "
+    "as ONE fixed float expression; each day's residual is instantly "
+    "FLOOR-quantized to integer milli-units so Σe² and Σ(Δe)² are "
+    "EXACT integer sums (no engine-ordered float aggregation across "
+    "the 2400-day grid) with a single float divide at the end. "
+    "Degenerate single-day / zero-variance grids emit nothing / NULL "
+    "oracle-mirrored. Plan at 100 TB: raw scan → one map-side-"
+    "combinable daily agg; the fit broadcast and the LAG run on the "
+    "CALENDAR-bounded day table (constant cost at any corpus scale).",
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.localCheckpoint()  # calendar-bounded, read twice
+    fit = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("t * t")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    cen = fit.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("cxy"),
+    )
+    resid = (
+        daily.crossJoin(F.broadcast(cen))
+        .where("n >= 3 AND cxx <> 0")
+        .select("d", F.expr(_DW_RESID).alias("e3"))
+    )
+    seq = resid.select("e3", F.lag("e3").over(W.orderBy("d")).alias("pe3"))
+    agg = seq.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.expr("CAST(e3 AS DECIMAL(38,0)) * e3")).cast("long").alias("sse3"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pe3 IS NOT NULL THEN"
+                " CAST(e3 - pe3 AS DECIMAL(38,0)) * (e3 - pe3) END"
+            )
+        )
+        .cast("long")
+        .alias("ssd3"),
+    )
+    return agg.where("n_days > 0").select(
+        "n_days",
+        "sse3",
+        "ssd3",
+        F.expr(
+            "CASE WHEN sse3 = 0 THEN NULL"
+            " ELSE ROUND(CAST(ssd3 AS DOUBLE) / CAST(sse3 AS DOUBLE), 6) END"
+        ).alias("dw"),
+    )
+
+
+@register(
+    "agg_breusch_pagan",
+    oracle=f"""
+        WITH daily AS ({_DW_DAILY_SQL}),
+        fit AS ({_DW_FIT_SQL}),
+        cen AS (
+            SELECT n, sx, sy,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                       AS cxy
+            FROM fit
+        ),
+        resid AS (
+            SELECT daily.t, {_DW_RESID} AS e3
+            FROM daily, cen
+            WHERE cen.n >= 4 AND cen.cxx <> 0
+        ),
+        aux AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(t) AS BIGINT) AS sx,
+                   CAST(SUM(CAST(e3 AS HUGEINT) * e3) AS HUGEINT) AS sy,
+                   CAST(SUM(t * t) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(t AS HUGEINT) * e3 * e3) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(e3 AS HUGEINT) * e3 * e3 * e3) AS HUGEINT)
+                       AS syy
+            FROM resid
+        ),
+        cen2 AS (
+            SELECT n,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx2,
+                   n * sxy - sx * sy AS cxy2,
+                   n * syy - sy * sy AS cyy2
+            FROM aux
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CASE WHEN cxx2 = 0 OR cyy2 = 0 THEN NULL
+                    ELSE ROUND(n * (CAST(cxy2 AS DOUBLE) / CAST(cxx2 AS DOUBLE))
+                               * (CAST(cxy2 AS DOUBLE) / CAST(cyy2 AS DOUBLE)),
+                               6)
+               END AS bp_lm
+        FROM cen2
+        WHERE n > 0
+    """,
+    doc="Breusch-Pagan heteroskedasticity test on the same daily OLS as "
+    "agg_durbin_watson (the two canonical residual diagnostics share "
+    "one residual construction): LM = n·R² of the auxiliary "
+    "regression e² ~ t, with R² = c_xy²/(c_xx·c_yy) taken from EXACT "
+    "integer moments of (t, e3²) — the milli-quantized residuals make "
+    "second- and fourth-power sums exact 128-bit integers (syy = "
+    "Σe3⁴ ≈ 2400·10¹⁶ « 2¹²⁷), and the LM value is one fixed float "
+    "product of two exact-numerator ratios (never squaring a rounded "
+    "double). Zero-variance grids emit NULL oracle-mirrored. Plan at "
+    "100 TB: identical to DW — everything after the daily hash agg "
+    "is calendar-bounded constant work.",
+)
+def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("t"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    daily = daily.localCheckpoint()  # calendar-bounded, read twice
+    fit = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("t * t")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    cen = fit.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        ).alias("cxy"),
+    )
+    resid = (
+        daily.crossJoin(F.broadcast(cen))
+        .where("n >= 4 AND cxx <> 0")
+        .select("t", F.expr(_DW_RESID).alias("e3"))
+    )
+    aux = resid.agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum(F.expr("CAST(e3 AS DECIMAL(38,0)) * e3")).alias("sy"),
+        F.sum(F.expr("t * t")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * e3 * e3")).alias("sxy"),
+        F.sum(F.expr("CAST(e3 AS DECIMAL(38,0)) * e3 * e3 * e3")).alias("syy"),
+    )
+    cen2 = aux.select(
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx2"),
+        F.expr("n * sxy - sx * sy").alias("cxy2"),
+        F.expr("n * syy - sy * sy").alias("cyy2"),
+    )
+    return cen2.where("n > 0").select(
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CASE WHEN cxx2 = 0 OR cyy2 = 0 THEN NULL"
+            " ELSE ROUND(n * (CAST(cxy2 AS DOUBLE) / CAST(cxx2 AS DOUBLE))"
+            " * (CAST(cxy2 AS DOUBLE) / CAST(cyy2 AS DOUBLE)), 6) END"
+        ).alias("bp_lm"),
+    )
+
+
+@register(
+    "agg_chow_test",
+    oracle="""
+        WITH q AS (
+            SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+                        THEN 0 ELSE 1 END AS seg,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT seg, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM q GROUP BY seg
+        ),
+        pooledsrc AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(sx) AS BIGINT) AS sx,
+                   CAST(SUM(sy) AS BIGINT) AS sy,
+                   CAST(SUM(sxx) AS BIGINT) AS sxx,
+                   SUM(sxy) AS sxy, SUM(syy) AS syy,
+                   CAST(COUNT(*) AS BIGINT) AS n_segs
+            FROM s
+        ),
+        sse AS (
+            SELECT seg, n,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                   n * sxy - CAST(sx AS HUGEINT) * sy AS cxy
+            FROM s
+        ),
+        ssep AS (
+            SELECT n, n_segs,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                   n * sxy - CAST(sx AS HUGEINT) * sy AS cxy
+            FROM pooledsrc
+        ),
+        parts AS (
+            SELECT
+                (SELECT CAST(SUM(n) AS BIGINT) FROM sse) AS n_total,
+                (SELECT n_segs FROM ssep) AS n_segs,
+                (SELECT SUM(CASE WHEN cxx = 0 THEN 1 ELSE 0 END)
+                 FROM sse) AS degenerate,
+                (SELECT SUM((CAST(cyy AS DOUBLE) / n
+                    - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+                      * (CAST(cxy AS DOUBLE) / n))
+                    * CASE WHEN seg = 0 THEN 1 ELSE 0 END) FROM sse)
+                    AS sse1,
+                (SELECT SUM((CAST(cyy AS DOUBLE) / n
+                    - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+                      * (CAST(cxy AS DOUBLE) / n))
+                    * CASE WHEN seg = 1 THEN 1 ELSE 0 END) FROM sse)
+                    AS sse2,
+                (SELECT CAST(cyy AS DOUBLE) / n
+                    - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+                      * (CAST(cxy AS DOUBLE) / n)
+                 FROM ssep WHERE cxx <> 0) AS ssep
+        )
+        SELECT n_total,
+               ROUND(sse1, 6) AS sse_pre, ROUND(sse2, 6) AS sse_post,
+               ROUND(ssep, 6) AS sse_pooled,
+               CASE WHEN n_segs < 2 OR degenerate > 0 OR n_total <= 4
+                         OR sse1 + sse2 <= 0.0 THEN NULL
+                    ELSE ROUND(((ssep - (sse1 + sse2)) / 2.0)
+                         / ((sse1 + sse2) / (n_total - 4)), 6)
+               END AS chow_f
+        FROM parts
+        WHERE n_total > 0
+    """,
+    doc="Chow structural-break test: did the price~quantity relationship "
+    "change at the 1998-07-01 ship-date break? Per-segment and pooled "
+    "simple-OLS SSEs from exact integer moments — SSE = (c_yy·c_xx - "
+    "c_xy²)/(n·c_xx) algebra carried as (c_yy/n) - (c_xy/c_xx)(c_xy/n), "
+    "three exact-128-bit-numerator ratios multiplied/subtracted in ONE "
+    "fixed float expression (the cochran_armitage factoring: no single "
+    "float exceeds its exact numerator's 2⁵³ window before the final "
+    "combine at sf scales) — then F = [(SSE_p - SSE_1 - SSE_2)/k] / "
+    "[(SSE_1+SSE_2)/(n-2k)], k=2. Degenerate one-segment / zero-"
+    "variance / exhausted-df inputs emit NULL oracle-mirrored. Plan at "
+    "100 TB: ONE map-side-combinable 2-row hash agg over the scan; "
+    "everything after is constant-size scalar algebra.",
+)
+def agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.when(
+            F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("seg"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    s = q.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    s = s.localCheckpoint()  # 2-row grid, read twice
+    sse_expr = (
+        "CAST(cyy AS DOUBLE) / n"
+        " - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))"
+        "   * (CAST(cxy AS DOUBLE) / n)"
+    )
+    sse = s.select(
+        "seg",
+        "n",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cyy"),
+        F.expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").alias("cxy"),
+    )
+    both = s.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("sy").cast("long").alias("sy"),
+        F.sum("sxx").cast("long").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+        F.count("*").cast("long").alias("n_segs"),
+    )
+    ssep = both.select(
+        "n",
+        "n_segs",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cyy"),
+        F.expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").alias("cxy"),
+    )
+    seg_fold = sse.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("cxx") == 0, 1).otherwise(0)).alias("degenerate"),
+        F.sum(
+            F.expr(f"({sse_expr}) * CASE WHEN seg = 0 THEN 1 ELSE 0 END")
+        ).alias("sse1"),
+        F.sum(
+            F.expr(f"({sse_expr}) * CASE WHEN seg = 1 THEN 1 ELSE 0 END")
+        ).alias("sse2"),
+    )
+    pooled = ssep.where("cxx <> 0").select(
+        F.expr(sse_expr).alias("ssep"), "n_segs"
+    )
+    parts = seg_fold.crossJoin(F.broadcast(pooled))
+    return parts.where("n_total > 0").select(
+        "n_total",
+        F.expr("ROUND(sse1, 6)").alias("sse_pre"),
+        F.expr("ROUND(sse2, 6)").alias("sse_post"),
+        F.expr("ROUND(ssep, 6)").alias("sse_pooled"),
+        F.expr(
+            "CASE WHEN n_segs < 2 OR degenerate > 0 OR n_total <= 4"
+            " OR sse1 + sse2 <= 0.0 THEN NULL"
+            " ELSE ROUND(((ssep - (sse1 + sse2)) / 2.0)"
+            " / ((sse1 + sse2) / (n_total - 4)), 6) END"
+        ).alias("chow_f"),
+    )

@@ -142,6 +142,13 @@ SWEEP_QUERIES = (
     "agg_sign_test",
     "agg_cochran_armitage",
     "agg_runs_test",
+    # diagnostics: constant dates collapse the day grid to ONE row
+    # (cxx=0 → resid table empty → DW/BP emit nothing) and put every
+    # lineitem in one Chow segment (n_segs<2 → NULL F); constant
+    # prices zero every residual (sse3=0 → NULL dw, cyy2=0 → NULL lm)
+    "agg_durbin_watson",
+    "agg_breusch_pagan",
+    "agg_chow_test",
 )
 
 

@@ -310,6 +310,11 @@ CORE_QUERIES = (
     "agg_sign_test",
     "agg_cochran_armitage",
     "agg_runs_test",
+    # regression diagnostics: empty day grids / segments must fold to
+    # empty frames through the n>=3/4 and n_total>0 guards
+    "agg_durbin_watson",
+    "agg_breusch_pagan",
+    "agg_chow_test",
 )
 
 

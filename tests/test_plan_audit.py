@@ -144,6 +144,12 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW exact-median scalar broadcast onto the
     # CALENDAR-bounded day grid (the fn_quantile_align N×1 shape)
     "agg_runs_test",
+    # r10 diagnostics: SINGLE-ROW fitted-moment scalars broadcast onto
+    # the calendar-bounded day grid (DW/BP) or the 2-row segment fold
+    # onto the 1-row pooled SSE (Chow) — all N×1 theorem joins
+    "agg_durbin_watson",
+    "agg_breusch_pagan",
+    "agg_chow_test",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
