@@ -256,6 +256,9 @@ BENCH_QUERIES = (
     "agg_durbin_watson",
     "agg_breusch_pagan",
     "agg_chow_test",
+    "ts_variance_ratio",
+    "ts_turning_points",
+    "ts_hurst_rs",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -3150,3 +3150,409 @@ def ts_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV baseline_value_milli AS BIGINT) END"
         ).alias("lift_ppm"),
     ).orderBy("day")
+
+
+@register(
+    "ts_variance_ratio",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT d, x - LAG(x) OVER (ORDER BY d) AS dx
+            FROM daily
+        ),
+        qsum AS (
+            SELECT dx,
+                   SUM(dx) OVER (ORDER BY d
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS sq,
+                   ROW_NUMBER() OVER (ORDER BY d) AS rn
+            FROM diffs WHERE dx IS NOT NULL
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(dx) AS BIGINT) AS sd,
+                   CAST(SUM(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sdd,
+                   CAST(SUM(CASE WHEN rn >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nq,
+                   CAST(SUM(CASE WHEN rn >= 5 THEN sq ELSE 0 END) AS BIGINT)
+                       AS ssq,
+                   CAST(SUM(CASE WHEN rn >= 5 THEN CAST(sq AS HUGEINT) * sq
+                            ELSE 0 END) AS HUGEINT) AS ssqq
+            FROM qsum
+        )
+        SELECT nd AS n_diffs, nq AS n_windows,
+               CASE WHEN nd = 0 OR nq = 0
+                         OR nd * sdd - CAST(sd AS HUGEINT) * sd = 0 THEN NULL
+                    ELSE ROUND(
+                        (CAST(nq * ssqq - CAST(ssq AS HUGEINT) * ssq
+                              AS DOUBLE) / (CAST(nq AS DOUBLE) * nq))
+                        / (5.0 * CAST(nd * sdd - CAST(sd AS HUGEINT) * sd
+                                      AS DOUBLE) / (CAST(nd AS DOUBLE) * nd)),
+                        6)
+               END AS vr5,
+               CASE WHEN nd = 0 OR nq = 0
+                         OR nd * sdd - CAST(sd AS HUGEINT) * sd = 0 THEN NULL
+                    ELSE ROUND(
+                        ((CAST(nq * ssqq - CAST(ssq AS HUGEINT) * ssq
+                               AS DOUBLE) / (CAST(nq AS DOUBLE) * nq))
+                         / (5.0 * CAST(nd * sdd - CAST(sd AS HUGEINT) * sd
+                                       AS DOUBLE) / (CAST(nd AS DOUBLE) * nd))
+                         - 1.0)
+                        * SQRT(CAST(nd AS DOUBLE))
+                        / SQRT(2.0 * 9.0 * 4.0 / 15.0), 6)
+               END AS z
+        FROM s
+        WHERE nd > 0
+    """,
+    doc="Lo-MacKinlay variance-ratio test (q=5) on the daily-revenue "
+    "random walk: VR = Var(5-day overlapping sums)/(5·Var(1-day "
+    "diffs)) — VR≈1 under a random walk, <1 mean reversion, >1 "
+    "momentum. Diffs and their 5-window sums stay EXACT integer "
+    "cents (one LAG + one bounded ROWS window over the calendar day "
+    "grid); both variances are (n·Σv²-(Σv)²)/n² with 128-bit "
+    "numerators, and VR and the homoskedastic z = (VR-1)·√n/"
+    "√(2(2q-1)(q-1)/3q) are ONE fixed float expression each. "
+    "Zero-variance / short grids emit NULL oracle-mirrored. Plan at "
+    "100 TB: one map-side-combinable daily hash agg; windows run on "
+    "the CALENDAR-bounded day table (constant cost).",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    diffs = daily.select(
+        "d", (F.col("x") - F.lag("x").over(Window.orderBy("d"))).alias("dx")
+    ).where("dx IS NOT NULL")
+    qsum = diffs.select(
+        "dx",
+        F.sum("dx").over(Window.orderBy("d").rowsBetween(-4, 0)).alias("sq"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+    )
+    s = qsum.agg(
+        F.count("*").cast("long").alias("nd"),
+        F.sum("dx").cast("long").alias("sd"),
+        F.sum(F.expr("CAST(dx AS DECIMAL(38,0)) * dx")).alias("sdd"),
+        F.sum(F.expr("CASE WHEN rn >= 5 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("nq"),
+        F.sum(F.expr("CASE WHEN rn >= 5 THEN sq ELSE 0 END"))
+        .cast("long")
+        .alias("ssq"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rn >= 5 THEN CAST(sq AS DECIMAL(38,0)) * sq"
+                " ELSE 0 END"
+            )
+        ).alias("ssqq"),
+    )
+    var1 = "CAST(nd * sdd - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE) / (CAST(nd AS DOUBLE) * nd)"
+    varq = "CAST(nq * ssqq - CAST(ssq AS DECIMAL(38,0)) * ssq AS DOUBLE) / (CAST(nq AS DOUBLE) * nq)"
+    guard = "nd = 0 OR nq = 0 OR nd * sdd - CAST(sd AS DECIMAL(38,0)) * sd = 0"
+    return s.where("nd > 0").select(
+        F.col("nd").alias("n_diffs"),
+        F.col("nq").alias("n_windows"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE ROUND(({varq}) / (5.0 * {var1}), 6) END"
+        ).alias("vr5"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE ROUND((({varq}) / (5.0 * {var1}) - 1.0)"
+            f" * SQRT(CAST(nd AS DOUBLE)) / SQRT(2.0 * 9.0 * 4.0 / 15.0), 6)"
+            f" END"
+        ).alias("z"),
+    )
+
+
+@register(
+    "ts_turning_points",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS hr,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT event_type, v3,
+                   LAG(v3) OVER (PARTITION BY event_type ORDER BY hr)
+                       AS pv,
+                   LEAD(v3) OVER (PARTITION BY event_type ORDER BY hr)
+                       AS nv
+            FROM hourly
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                            AND ((pv < v3 AND v3 > nv)
+                                 OR (pv > v3 AND v3 < nv))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM ctx GROUP BY 1
+        )
+        SELECT event_type, n, tp,
+               ROUND(2.0 * (n - 2) / 3.0, 6) AS e_tp,
+               CASE WHEN 16 * n - 29 <= 0 OR n < 3 THEN NULL
+                    ELSE ROUND((tp - 2.0 * (n - 2) / 3.0)
+                         / SQRT((16.0 * n - 29.0) / 90.0), 6)
+               END AS z
+        FROM s
+        WHERE n >= 3
+        ORDER BY event_type
+    """,
+    doc="Turning-points randomness test per event type: an interior "
+    "hour is a turning point when its exact milli-summed value is a "
+    "strict local max or min of its hourly neighbors (integer "
+    "compares — binned ties are real ties and never count); under "
+    "randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90 (the "
+    "classic Kendall counts), z as ONE fixed float expression. Too "
+    "few hours or degenerate variance emit nothing / NULL oracle-"
+    "mirrored. The cheap first-line seasonality screen beside "
+    "ts_periodogram (which localizes the frequency this test only "
+    "detects). Plan at 100 TB: one map-side-combinable hourly hash "
+    "agg; LAG/LEAD run per-type on the CALENDAR-bounded hour grid "
+    "(720 rows/type/month — constant cost at any corpus scale).",
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    ctx = hourly.select(
+        "event_type",
+        "v3",
+        F.lag("v3").over(w).alias("pv"),
+        F.lead("v3").over(w).alias("nv"),
+    )
+    s = ctx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & F.col("nv").isNotNull()
+                & (
+                    ((F.col("pv") < F.col("v3")) & (F.col("v3") > F.col("nv")))
+                    | ((F.col("pv") > F.col("v3")) & (F.col("v3") < F.col("nv")))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    return (
+        s.where("n >= 3")
+        .select(
+            "event_type",
+            "n",
+            "tp",
+            F.expr(
+                "ROUND(CAST(2.0 AS DOUBLE) * (n - 2) / 3.0, 6)"
+            ).alias("e_tp"),
+            F.expr(
+                "CASE WHEN 16 * n - 29 <= 0 OR n < 3 THEN NULL"
+                " ELSE ROUND((tp - 2.0 * (n - 2) / 3.0)"
+                " / SQRT((16.0 * n - 29.0) / 90.0), 6) END"
+            ).alias("z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_hurst_rs",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn FROM daily
+        ),
+        sized AS (
+            SELECT s.s, idx.v, idx.rn,
+                   idx.rn // s.s AS blk,
+                   ROW_NUMBER() OVER (PARTITION BY s.s, idx.rn // s.s
+                                      ORDER BY idx.rn) AS pos
+            FROM idx, (SELECT UNNEST([16, 32, 64]) AS s) s
+        ),
+        blksum AS (
+            SELECT s, blk,
+                   CAST(SUM(v) AS BIGINT) AS s1,
+                   CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM sized GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT sized.s, sized.blk,
+                   SUM(CAST(sized.s AS HUGEINT) * sized.v)
+                       OVER (PARTITION BY sized.s, sized.blk
+                             ORDER BY sized.pos) -
+                   sized.pos * CAST(b.s1 AS HUGEINT) AS z
+            FROM sized JOIN blksum b
+              ON b.s = sized.s AND b.blk = sized.blk AND b.cnt = sized.s
+        ),
+        rs AS (
+            SELECT cum.s, cum.blk,
+                   CAST(FLOOR(1000000.0 *
+                       CAST(MAX(cum.z) - MIN(cum.z) AS DOUBLE)
+                       / SQRT(CAST(b.s * b.s2
+                              - CAST(b.s1 AS HUGEINT) * b.s1 AS DOUBLE)))
+                       AS BIGINT) AS rs_ppm
+            FROM cum JOIN blksum b ON b.s = cum.s AND b.blk = cum.blk
+            WHERE b.s * b.s2 - CAST(b.s1 AS HUGEINT) * b.s1 > 0
+            GROUP BY cum.s, cum.blk, b.s1, b.s2, b.s
+        ),
+        bysize AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(rs_ppm) AS BIGINT) AS sum_rs_ppm
+            FROM rs GROUP BY s
+        ),
+        piv AS (
+            SELECT
+              MAX(CASE WHEN s = 16 THEN n_blocks END) AS blocks_16,
+              MAX(CASE WHEN s = 16 THEN sum_rs_ppm END) AS rs_ppm_16,
+              MAX(CASE WHEN s = 32 THEN n_blocks END) AS blocks_32,
+              MAX(CASE WHEN s = 32 THEN sum_rs_ppm END) AS rs_ppm_32,
+              MAX(CASE WHEN s = 64 THEN n_blocks END) AS blocks_64,
+              MAX(CASE WHEN s = 64 THEN sum_rs_ppm END) AS rs_ppm_64
+            FROM bysize
+        )
+        SELECT blocks_16, rs_ppm_16, blocks_32, rs_ppm_32,
+               blocks_64, rs_ppm_64,
+               CASE WHEN blocks_16 IS NULL OR blocks_64 IS NULL
+                         OR rs_ppm_16 <= 0 OR rs_ppm_64 <= 0 THEN NULL
+                    ELSE ROUND(LOG2(
+                        (CAST(rs_ppm_64 AS DOUBLE) / blocks_64)
+                        / (CAST(rs_ppm_16 AS DOUBLE) / blocks_16)) / 2.0, 6)
+               END AS hurst
+        FROM piv
+        WHERE blocks_16 IS NOT NULL OR blocks_32 IS NOT NULL
+              OR blocks_64 IS NOT NULL
+    """,
+    doc="Hurst exponent via rescaled-range (R/S) analysis of the daily "
+    "revenue series: for block sizes 16/32/64 consecutive observed "
+    "days, R = range of the s-scaled cumulative deviations (z_k = "
+    "s·Σv - k·S1, EXACT 128-bit integers — no float mean ever enters "
+    "the cumsum) and S from the exact block moments; each block's "
+    "R/S is ONE float sqrt+divide, immediately FLOOR-quantized to "
+    "ppm so the per-size totals are exact integer sums (no engine-"
+    "ordered float aggregation over blocks), and H = log2(avgRS_64 / "
+    "avgRS_16)/2 — the two-point slope of the log-log line, one LOG2 "
+    "rounded at 6dp. Incomplete trailing blocks are dropped (cnt = "
+    "s), zero-variance blocks skipped; missing sizes emit NULL "
+    "oracle-mirrored. H≈0.5 random walk, >0.5 persistent trend. Plan "
+    "at 100 TB: one map-side-combinable daily hash agg; the 3-size "
+    "fan-out and block windows run on the CALENDAR-bounded day grid "
+    "(≤3·2400 rows — the pgram bounded-fan-out shape).",
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    idx = daily.select(
+        "v", (F.row_number().over(Window.orderBy("d")) - 1).alias("rn")
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(F.lit(16), F.lit(32), F.lit(64))).alias("s")
+    )
+    sized = idx.crossJoin(F.broadcast(sizes)).select(
+        "s",
+        "v",
+        "rn",
+        F.expr("rn DIV s").alias("blk"),
+        F.row_number()
+        .over(Window.partitionBy("s", F.expr("rn DIV s")).orderBy("rn"))
+        .alias("pos"),
+    )
+    sized = sized.localCheckpoint()  # ≤3×|days| rows, read twice
+    blksum = sized.groupBy("s", "blk").agg(
+        F.sum("v").cast("long").alias("s1"),
+        F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("s2"),
+        F.count("*").cast("long").alias("cnt"),
+    )
+    b = blksum.alias("b")
+    sz = sized.alias("sz")
+    cum = (
+        sz.join(
+            b,
+            (F.col("b.s") == F.col("sz.s"))
+            & (F.col("b.blk") == F.col("sz.blk"))
+            & (F.col("b.cnt") == F.col("sz.s")),
+        )
+        .select(
+            F.col("sz.s").alias("s"),
+            F.col("sz.blk").alias("blk"),
+            F.col("sz.pos").alias("pos"),
+            (
+                F.sum(F.expr("CAST(sz.s AS DECIMAL(38,0)) * sz.v")).over(
+                    Window.partitionBy("sz.s", "sz.blk").orderBy("sz.pos")
+                )
+                - F.col("sz.pos") * F.col("b.s1").cast("decimal(38,0)")
+            ).alias("z"),
+            F.col("b.s1").alias("s1"),
+            F.col("b.s2").alias("s2"),
+        )
+    )
+    rs = (
+        cum.where(
+            F.expr("s * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 > 0")
+        )
+        .groupBy("s", "blk", "s1", "s2")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(1000000.0 *"
+                " CAST(MAX(z) - MIN(z) AS DOUBLE)"
+                " / SQRT(CAST(s * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"
+                "        AS DOUBLE))) AS BIGINT)"
+            ).alias("rs_ppm")
+        )
+    )
+    bysize = rs.groupBy("s").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum("rs_ppm").cast("long").alias("sum_rs_ppm"),
+    )
+    piv = bysize.agg(
+        *[
+            F.max(F.when(F.col("s") == k, F.col(c))).alias(f"{out}_{k}")
+            for k in (16, 32, 64)
+            for c, out in (("n_blocks", "blocks"), ("sum_rs_ppm", "rs_ppm"))
+        ]
+    )
+    return piv.where(
+        "blocks_16 IS NOT NULL OR blocks_32 IS NOT NULL"
+        " OR blocks_64 IS NOT NULL"
+    ).select(
+        "blocks_16",
+        "rs_ppm_16",
+        "blocks_32",
+        "rs_ppm_32",
+        "blocks_64",
+        "rs_ppm_64",
+        F.expr(
+            "CASE WHEN blocks_16 IS NULL OR blocks_64 IS NULL"
+            " OR rs_ppm_16 <= 0 OR rs_ppm_64 <= 0 THEN NULL"
+            " ELSE ROUND(LOG2((CAST(rs_ppm_64 AS DOUBLE) / blocks_64)"
+            " / (CAST(rs_ppm_16 AS DOUBLE) / blocks_16)) / 2.0, 6) END"
+        ).alias("hurst"),
+    )

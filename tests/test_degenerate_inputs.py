@@ -149,6 +149,14 @@ SWEEP_QUERIES = (
     "agg_durbin_watson",
     "agg_breusch_pagan",
     "agg_chow_test",
+    # ts randomness family: constant dates collapse VR/hurst to one
+    # day (no diffs / no complete block → empty or NULL-size row);
+    # constant values zero every diff (VR var1=0 → NULL), kill every
+    # strict extremum (tp=0, z well-defined) and every block variance
+    # (hurst rs table empty → no output row)
+    "ts_variance_ratio",
+    "ts_turning_points",
+    "ts_hurst_rs",
 )
 
 

@@ -315,6 +315,11 @@ CORE_QUERIES = (
     "agg_durbin_watson",
     "agg_breusch_pagan",
     "agg_chow_test",
+    # ts randomness family: empty day/hour grids must fold to empty
+    # frames through the nd>0 / n>=3 / any-size guards
+    "ts_variance_ratio",
+    "ts_turning_points",
+    "ts_hurst_rs",
 )
 
 

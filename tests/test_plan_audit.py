@@ -150,6 +150,9 @@ DELIBERATE_CROSS = {
     "agg_durbin_watson",
     "agg_breusch_pagan",
     "agg_chow_test",
+    # r10: DELIBERATE 3-size fan-out onto the CALENDAR-bounded day
+    # grid (the ts_periodogram bounded-product shape)
+    "ts_hurst_rs",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
