@@ -259,6 +259,9 @@ BENCH_QUERIES = (
     "ts_variance_ratio",
     "ts_turning_points",
     "ts_hurst_rs",
+    "llm_fim_transform",
+    "llm_mlm_masking",
+    "llm_length_bucket_padding",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -7031,3 +7031,290 @@ def llm_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(1000000 - pnum * 1000000 DIV pden AS BIGINT)"
         ).alias(f"pass_at_{PASS_AT_K}_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 late batch: the three masking/packing-side training-data
+# transforms still missing from the surface — fill-in-middle (FIM)
+# reordering for code/infilling models, BERT-style MLM mask accounting,
+# and length-bucketed batch padding efficiency.  All coins are
+# md5-prefix arithmetic (the sample_hash_split portable spelling), all
+# counts exact integers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_fim_transform",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS ts,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents WHERE text IS NOT NULL
+        ),
+        cuts AS (
+            SELECT doc_id, ts, n,
+                   CAST(('0x' || SUBSTR(MD5('fim1:' || CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % (n + 1) AS c1,
+                   CAST(('0x' || SUBSTR(MD5('fim2:' || CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) AS h2
+            FROM toks WHERE n >= 3
+        ),
+        spans AS (
+            SELECT doc_id, ts, n, c1,
+                   c1 + (h2 % (n - c1 + 1)) AS c2
+            FROM cuts
+        )
+        SELECT doc_id, n AS n_toks,
+               CAST(c1 AS BIGINT) AS len_prefix,
+               CAST(c2 - c1 AS BIGINT) AS len_middle,
+               CAST(n - c2 AS BIGINT) AS len_suffix,
+               SUBSTR(MD5(
+                   '<PRE>' || COALESCE(ARRAY_TO_STRING(ts[1:c1], ' '), '')
+                   || '<SUF>' || COALESCE(ARRAY_TO_STRING(ts[c2+1:n], ' '), '')
+                   || '<MID>' || COALESCE(ARRAY_TO_STRING(ts[c1+1:c2], ' '), '')
+               ), 1, 16) AS psm_hash
+        FROM spans
+        ORDER BY doc_id
+    """,
+    doc="Fill-in-middle (FIM) transform — the PSM (prefix-suffix-middle) "
+    "reordering used to teach infilling (Bavarian et al. 2022, the "
+    "OpenAI FIM recipe; standard for code models): two md5-derived "
+    "deterministic cut points split each document's token array into "
+    "prefix/middle/suffix, re-emitted as <PRE>p<SUF>s<MID>m with the "
+    "span lengths and a 16-hex content hash of the transformed "
+    "sequence (the certifiable stand-in for the emitted training "
+    "row — both engines rebuild the exact string). Docs under 3 "
+    "tokens are ineligible. The cut arithmetic (h1 % (n+1), then "
+    "c2 = c1 + h2 % (n-c1+1)) guarantees 0 <= c1 <= c2 <= n with "
+    "every span possibly empty, matching the paper's uniform-split "
+    "contract. Plan at 100 TB: pure per-row map (split, two md5s, "
+    "three slices, one concat-md5) — no shuffle at all; the ORDER BY "
+    "is presentation-only.",
+)
+def llm_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).where("n >= 3")
+    cuts = toks.select(
+        "doc_id",
+        "ts",
+        "n",
+        F.expr(
+            "CAST(conv(substr(md5(concat('fim1:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT) % (n + 1)"
+        ).alias("c1"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('fim2:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    )
+    spans = cuts.select(
+        "doc_id",
+        "ts",
+        "n",
+        "c1",
+        (F.col("c1") + F.col("h2") % (F.col("n") - F.col("c1") + 1)).alias(
+            "c2"
+        ),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_toks"),
+        F.col("c1").cast("long").alias("len_prefix"),
+        (F.col("c2") - F.col("c1")).cast("long").alias("len_middle"),
+        (F.col("n") - F.col("c2")).cast("long").alias("len_suffix"),
+        F.expr(
+            "substr(md5(concat("
+            "'<PRE>', array_join(slice(ts, 1, c1), ' '),"
+            "'<SUF>', array_join(slice(ts, c2 + 1, n - c2), ' '),"
+            "'<MID>', array_join(slice(ts, c1 + 1, c2 - c1), ' ')"
+            ")), 1, 16)"
+        ).alias("psm_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "llm_mlm_masking",
+    oracle="""
+        WITH tarr AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+            SELECT doc_id, ts[r.pos] AS tok, r.pos
+            FROM tarr, UNNEST(range(1, LEN(ts) + 1)) AS r(pos)
+        ),
+        coin AS (
+            SELECT doc_id, tok, pos,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(pos AS VARCHAR) || ':' || tok), 1, 8))
+                        AS BIGINT) % 100 AS c_sel,
+                   CAST(('0x' || SUBSTR(MD5('act:' || CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(pos AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 10 AS c_act
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(CASE WHEN c_sel < 15 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_selected,
+               CAST(SUM(CASE WHEN c_sel < 15 AND c_act < 8 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_mask_tok,
+               CAST(SUM(CASE WHEN c_sel < 15 AND c_act = 8 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_random,
+               CAST(SUM(CASE WHEN c_sel < 15 AND c_act = 9 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_keep
+        FROM coin
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="BERT-style MLM masking accounting: each token draws an md5 "
+    "selection coin (15% masked — keyed on doc, position AND surface "
+    "so identical tokens in one doc draw independently) and each "
+    "selected token an action coin (80% [MASK] / 10% random-replace "
+    "/ 10% keep — the Devlin et al. 2018 recipe). Emits the per-"
+    "document mask budget the data loader must reproduce: exact "
+    "integer counts per class, hash-certified cross-engine. Plan at "
+    "100 TB: one explode + one map-side-combinable per-doc "
+    "aggregate — the coin is pure per-row arithmetic, no shuffle "
+    "beyond the doc rollup.",
+)
+def llm_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", "tok", (F.col("pos0") + 1).alias("pos"))
+    coin = toks.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(pos AS STRING), ':', tok)), 1, 8), 16, 10) AS BIGINT)"
+            " % 100"
+        ).alias("c_sel"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('act:', CAST(doc_id AS STRING),"
+            " ':', CAST(pos AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"
+        ).alias("c_act"),
+    )
+    return (
+        coin.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum(F.expr("CASE WHEN c_sel < 15 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_selected"),
+            F.sum(
+                F.expr("CASE WHEN c_sel < 15 AND c_act < 8 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_mask_tok"),
+            F.sum(
+                F.expr("CASE WHEN c_sel < 15 AND c_act = 8 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_random"),
+            F.sum(
+                F.expr("CASE WHEN c_sel < 15 AND c_act = 9 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "llm_length_bucket_padding",
+    oracle="""
+        WITH lens AS (
+            SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        bucketed AS (
+            SELECT doc_id, n_tok,
+                   CAST(CEIL(LOG2(GREATEST(n_tok, 2))) AS BIGINT) AS bkt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(CEIL(LOG2(GREATEST(n_tok, 2)))
+                                    AS BIGINT)
+                       ORDER BY n_tok, doc_id) - 1 AS rnk
+            FROM lens
+        ),
+        batches AS (
+            SELECT bkt, rnk // 8 AS batch,
+                   CAST(COUNT(*) AS BIGINT) AS bsz,
+                   CAST(MAX(n_tok) AS BIGINT) AS mx,
+                   CAST(SUM(n_tok) AS BIGINT) AS st
+            FROM bucketed GROUP BY 1, 2
+        )
+        SELECT bkt,
+               CAST(SUM(bsz) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(SUM(st) AS BIGINT) AS total_tokens,
+               CAST(SUM(bsz * mx - st) AS BIGINT) AS total_padding,
+               ROUND(CAST(SUM(bsz * mx - st) AS DOUBLE)
+                     / CAST(SUM(bsz * mx) AS DOUBLE), 9) AS pad_frac
+        FROM batches
+        GROUP BY bkt
+        ORDER BY bkt
+    """,
+    doc="Length-bucketed batch padding efficiency — the dynamic-batching "
+    "audit every trainer needs: docs land in power-of-two token-"
+    "length buckets, are ordered (length, doc_id) within each, and "
+    "cut into batches of 8; per batch the padding waste is "
+    "batch_size·max_len - Σlen (the cost of rectangularizing the "
+    "batch tensor). Per-bucket rollup: docs, batches, real tokens, "
+    "padding tokens, and the padded fraction (ONE float divide on "
+    "exact integers). The quantified version of what "
+    "llm_pack_sequences avoids and llm_pack_efficiency_curve sweeps "
+    "— this one prices the SIMPLER bucketing strategy actual "
+    "dataloaders (fairseq/HF group_by_length) use. Plan at 100 TB: "
+    "the per-bucket rank is a shuffle on ~12 bucket keys of "
+    "(length, id) pairs — skew-safe because bucket population is "
+    "log-balanced; everything else map-side combines.",
+)
+def llm_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lens = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    bucketed = lens.select(
+        "doc_id",
+        "n_tok",
+        F.expr("CAST(CEIL(LOG2(GREATEST(n_tok, 2))) AS BIGINT)").alias("bkt"),
+    ).select(
+        "doc_id",
+        "n_tok",
+        "bkt",
+        (
+            F.row_number().over(W.partitionBy("bkt").orderBy("n_tok", "doc_id"))
+            - 1
+        ).alias("rnk"),
+    )
+    batches = bucketed.groupBy(
+        "bkt", F.expr("rnk DIV 8").alias("batch")
+    ).agg(
+        F.count("*").cast("long").alias("bsz"),
+        F.max("n_tok").cast("long").alias("mx"),
+        F.sum("n_tok").cast("long").alias("st"),
+    )
+    return (
+        batches.groupBy("bkt")
+        .agg(
+            F.sum("bsz").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_batches"),
+            F.sum("st").cast("long").alias("total_tokens"),
+            F.sum(F.expr("bsz * mx - st")).cast("long").alias("total_padding"),
+            F.round(
+                F.sum(F.expr("bsz * mx - st")).cast("double")
+                / F.sum(F.expr("bsz * mx")).cast("double"),
+                9,
+            ).alias("pad_frac"),
+        )
+        .orderBy("bkt")
+    )

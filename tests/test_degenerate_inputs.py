@@ -157,6 +157,13 @@ SWEEP_QUERIES = (
     "ts_variance_ratio",
     "ts_turning_points",
     "ts_hurst_rs",
+    # masking/packing transforms: a constant-text corpus collapses
+    # every doc to the same token count — one length bucket, FIM cuts
+    # still per-doc (hash keyed on doc_id), MLM coins still vary by
+    # position — all must stay well-formed and oracle-equal
+    "llm_fim_transform",
+    "llm_mlm_masking",
+    "llm_length_bucket_padding",
 )
 
 

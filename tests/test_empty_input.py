@@ -320,6 +320,11 @@ CORE_QUERIES = (
     "ts_variance_ratio",
     "ts_turning_points",
     "ts_hurst_rs",
+    # masking/packing transforms: zero documents must yield empty
+    # frames straight through the explode/window paths
+    "llm_fim_transform",
+    "llm_mlm_masking",
+    "llm_length_bucket_padding",
 )
 
 
