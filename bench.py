@@ -262,6 +262,9 @@ BENCH_QUERIES = (
     "llm_fim_transform",
     "llm_mlm_masking",
     "llm_length_bucket_padding",
+    "agg_stuart_maxwell",
+    "agg_bowker_test",
+    "llm_eval_clustered_se",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

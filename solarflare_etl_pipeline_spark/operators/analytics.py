@@ -3403,3 +3403,229 @@ def cohort_returning_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+#: Shared first/last per-user contingency construction for the two
+#: marginal-change tests below: each user contributes one (first
+#: event type, last event type) pair — "did the population's entry
+#: behavior shift by exit", the paired-categorical analog of the
+#: cohort tables.  Ordering is (CAST(ts), event_id), the
+#: markov_transitions tie-break.
+_FL_SQL = """
+        SELECT user_id,
+               MAX(CASE WHEN rf = 1 THEN event_type END) AS first_t,
+               MAX(CASE WHEN rl = 1 THEN event_type END) AS last_t
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+                       AS rl
+            FROM events
+        ) r
+        GROUP BY user_id
+"""
+
+
+def _fl_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    wf = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wl = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("event_type"))).alias("first_t"),
+        F.max(F.when(F.col("rl") == 1, F.col("event_type"))).alias("last_t"),
+    )
+
+
+_SM_CAT = (
+    "CASE WHEN {c} IN ('click', 'view') THEN 0"
+    " WHEN {c} IN ('purchase', 'signup') THEN 1 ELSE 2 END"
+)
+
+
+@register(
+    "agg_stuart_maxwell",
+    oracle=f"""
+        WITH fl AS ({_FL_SQL}),
+        cat AS (
+            SELECT {_SM_CAT.format(c='first_t')} AS i,
+                   {_SM_CAT.format(c='last_t')} AS j
+            FROM fl
+        ),
+        cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   {", ".join(
+                       f'''CAST(SUM(CASE WHEN i = {a} AND j = {b}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n{a}{b}'''
+                       for a in range(3) for b in range(3))}
+            FROM cat
+        ),
+        t AS (
+            SELECT n_users,
+                   (n00+n01+n02) - (n00+n10+n20) AS d1,
+                   (n10+n11+n12) - (n01+n11+n21) AS d2,
+                   (n00+n01+n02) + (n00+n10+n20) - 2*n00 AS s11,
+                   (n10+n11+n12) + (n01+n11+n21) - 2*n11 AS s22,
+                   -(n01 + n10) AS s12
+            FROM cells
+        )
+        SELECT n_users, d1, d2,
+               CASE WHEN CAST(s11 AS HUGEINT)*s22 - CAST(s12 AS HUGEINT)*s12
+                         = 0 THEN NULL
+                    ELSE ROUND(
+                        (CAST(s22 AS DOUBLE)*d1*d1
+                         - 2.0*s12*d1*d2
+                         + CAST(s11 AS DOUBLE)*d2*d2)
+                        / CAST(CAST(s11 AS HUGEINT)*s22
+                               - CAST(s12 AS HUGEINT)*s12 AS DOUBLE), 6)
+               END AS sm_chi2
+        FROM t
+        WHERE n_users > 0
+    """,
+    doc="Stuart-Maxwell marginal-homogeneity test (3 categories, df=2): "
+    "did the population's ENTRY behavior mix (first event: browse / "
+    "convert / error) shift by EXIT? The k-category generalization "
+    "of agg_mcnemar over the per-user (first,last) paired table: "
+    "d = (r_i - c_i) marginal deltas and the 2x2 covariance S (s_ii "
+    "= r_i + c_i - 2n_ii, s_ij = -(n_ij+n_ji)) in exact integers, "
+    "chi2 = d'S^-1·d via the 2x2 adjugate — ONE fixed float "
+    "expression over an exact 128-bit determinant, singular S emits "
+    "NULL oracle-mirrored. Plan at 100 TB: two per-user rank windows "
+    "(one shuffle on user_id) down to a 9-slot pivoted single row; "
+    "everything after is constant-size.",
+)
+def agg_stuart_maxwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fl = _fl_spark(spark, sf_dir)
+    cat = fl.select(
+        F.expr(_SM_CAT.format(c="first_t")).alias("i"),
+        F.expr(_SM_CAT.format(c="last_t")).alias("j"),
+    )
+    cells = cat.agg(
+        F.count("*").cast("long").alias("n_users"),
+        *[
+            F.sum(
+                F.when((F.col("i") == a) & (F.col("j") == b), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n{a}{b}")
+            for a in range(3)
+            for b in range(3)
+        ],
+    )
+    t = cells.select(
+        "n_users",
+        F.expr("(n00+n01+n02) - (n00+n10+n20)").alias("d1"),
+        F.expr("(n10+n11+n12) - (n01+n11+n21)").alias("d2"),
+        F.expr("(n00+n01+n02) + (n00+n10+n20) - 2*n00").alias("s11"),
+        F.expr("(n10+n11+n12) + (n01+n11+n21) - 2*n11").alias("s22"),
+        F.expr("-(n01 + n10)").alias("s12"),
+    )
+    det = "CAST(s11 AS DECIMAL(38,0))*s22 - CAST(s12 AS DECIMAL(38,0))*s12"
+    return t.where("n_users > 0").select(
+        "n_users",
+        "d1",
+        "d2",
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL"
+            f" ELSE ROUND((CAST(s22 AS DOUBLE)*d1*d1 - 2.0*s12*d1*d2"
+            f" + CAST(s11 AS DOUBLE)*d2*d2) / CAST({det} AS DOUBLE), 6) END"
+        ).alias("sm_chi2"),
+    )
+
+
+@register(
+    "agg_bowker_test",
+    oracle=f"""
+        WITH fl AS ({_FL_SQL}),
+        cnt AS (
+            SELECT first_t, last_t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM fl GROUP BY 1, 2
+        ),
+        types AS (SELECT DISTINCT event_type AS t FROM events),
+        pairs AS (
+            SELECT a.t AS ti, b.t AS tj,
+                   COALESCE(ab.c, 0) AS nij,
+                   COALESCE(ba.c, 0) AS nji
+            FROM types a
+            JOIN types b ON a.t < b.t
+            LEFT JOIN cnt ab ON ab.first_t = a.t AND ab.last_t = b.t
+            LEFT JOIN cnt ba ON ba.first_t = b.t AND ba.last_t = a.t
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS df,
+               CAST(SUM(CASE WHEN nij + nji > 0 THEN
+                    CAST(nij - nji AS HUGEINT) * (nij - nji) * 1000000
+                        // (nij + nji)
+                    ELSE 0 END) AS BIGINT) AS bowker_chi2_ppm
+        FROM pairs
+        HAVING COUNT(*) > 0
+    """,
+    doc="Bowker symmetry test over the per-user (first event type -> "
+    "last event type) 5x5 table: chi2 = Σ_{{i<j}} (n_ij-n_ji)² / "
+    "(n_ij+n_ji) — McNemar's k-category symmetry generalization "
+    "(Stuart-Maxwell tests the MARGINS; Bowker tests every off-"
+    "diagonal pair). Each of the ≤10 terms is computed as an exact "
+    "integer ppm (squared-diff·1e6 DIV sum — rule-13 integer "
+    "division, no engine-ordered float sum over terms), df counts "
+    "the non-empty pairs. The type-pair grid joins DISTINCT types "
+    "(bounded dimension), so absent transitions contribute exact "
+    "zeros. Plan at 100 TB: the user shuffle from the shared "
+    "first/last construction, then a |types|² bounded join — "
+    "constant after the rollup.",
+)
+def agg_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fl = _fl_spark(spark, sf_dir)
+    cnt = fl.groupBy("first_t", "last_t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    e = table(spark, sf_dir, "events")
+    types = e.select(F.col("event_type").alias("t")).distinct()
+    a, b = types.alias("a"), types.alias("b")
+    ab, ba = cnt.alias("ab"), cnt.alias("ba")
+    pairs = (
+        a.join(b, F.col("a.t") < F.col("b.t"))
+        .join(
+            ab,
+            (F.col("ab.first_t") == F.col("a.t"))
+            & (F.col("ab.last_t") == F.col("b.t")),
+            "left",
+        )
+        .join(
+            ba,
+            (F.col("ba.first_t") == F.col("b.t"))
+            & (F.col("ba.last_t") == F.col("a.t")),
+            "left",
+        )
+        .select(
+            F.coalesce(F.col("ab.c"), F.lit(0)).alias("nij"),
+            F.coalesce(F.col("ba.c"), F.lit(0)).alias("nji"),
+        )
+    )
+    agg = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.expr("CASE WHEN nij + nji > 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("df"),
+        F.sum(
+            F.expr(
+                "CASE WHEN nij + nji > 0 THEN"
+                " CAST(nij - nji AS DECIMAL(38,0)) * (nij - nji) * 1000000"
+                " DIV (nij + nji) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("bowker_chi2_ppm"),
+    )
+    return agg.where("n_pairs > 0")

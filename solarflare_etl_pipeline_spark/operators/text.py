@@ -7318,3 +7318,131 @@ def llm_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bkt")
     )
+
+
+@register(
+    "llm_eval_clustered_se",
+    oracle="""
+        WITH items AS (
+            SELECT doc_id, source,
+                   CASE WHEN CAST(('0x' || SUBSTR(MD5('ans:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 100
+                        < 30 + CAST(('0x' || SUBSTR(MD5('bias:' || source),
+                              1, 8)) AS BIGINT) % 50
+                        THEN 1 ELSE 0 END AS correct
+            FROM documents
+        ),
+        clus AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS nc,
+                   CAST(SUM(correct) AS BIGINT) AS sc
+            FROM items GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(nc) AS BIGINT) AS n,
+                   CAST(SUM(sc) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM clus
+        ),
+        num AS (
+            SELECT CAST(SUM(
+                       (CAST(tot.n AS HUGEINT) * clus.sc
+                        - CAST(clus.nc AS HUGEINT) * tot.s)
+                       * (CAST(tot.n AS HUGEINT) * clus.sc
+                          - CAST(clus.nc AS HUGEINT) * tot.s)
+                   ) AS HUGEINT) AS cnum
+            FROM clus, tot
+        )
+        SELECT tot.n AS n_items, tot.k AS n_clusters,
+               tot.s AS n_correct,
+               ROUND(CAST(tot.s AS DOUBLE) / tot.n, 9) AS acc,
+               CASE WHEN tot.s = 0 OR tot.s = tot.n THEN NULL
+                    ELSE ROUND(SQRT(CAST(CAST(tot.s AS HUGEINT)
+                              * (tot.n - tot.s) AS DOUBLE))
+                         / (CAST(tot.n AS DOUBLE) * SQRT(CAST(tot.n
+                              AS DOUBLE))), 9)
+               END AS se_naive,
+               ROUND(SQRT(CAST(num.cnum AS DOUBLE))
+                     / (CAST(tot.n AS DOUBLE) * tot.n), 9) AS se_clustered,
+               CASE WHEN tot.s = 0 OR tot.s = tot.n THEN NULL
+                    ELSE ROUND(CAST(num.cnum AS DOUBLE)
+                         / (CAST(tot.n AS DOUBLE)
+                            * CAST(CAST(tot.s AS HUGEINT) * (tot.n - tot.s)
+                                   AS DOUBLE)), 6)
+               END AS design_effect
+        FROM tot, num
+        WHERE tot.n > 0
+    """,
+    doc="Cluster-robust standard error for an eval accuracy readout "
+    "(Miller 2024, 'Adding Error Bars to Evals'): items = documents, "
+    "clusters = sources (questions drawn from the same source share "
+    "difficulty — an md5 source-bias coin makes correctness cluster-"
+    "correlated, so naive iid SE genuinely understates), correctness "
+    "an md5 item coin. acc = S/n; naive SE = sqrt(S(n-S)/n³); "
+    "clustered variance = Σ_c (n·s_c - n_c·S)²/n⁴ — the cluster-sum "
+    "sandwich numerator as EXACT 128-bit integers (no float residual "
+    "per cluster), one sqrt each, and the design effect "
+    "Vc/Vn = cnum/(n·S·(n-S)) says how many 'effective' items the "
+    "eval really has. Degenerate all-right/all-wrong emits NULL "
+    "SEs oracle-mirrored. Plan at 100 TB: one map-side-combinable "
+    "per-source agg (|sources| rows), then constant-size algebra — "
+    "the eval-harness-side twin of agg_jackknife_ratio_se.",
+)
+def llm_eval_clustered_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    items = d.select(
+        "source",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat('ans:',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+            " < 30 + CAST(conv(substr(md5(concat('bias:', source)), 1, 8),"
+            " 16, 10) AS BIGINT) % 50 THEN 1 ELSE 0 END"
+        ).alias("correct"),
+    )
+    clus = items.groupBy("source").agg(
+        F.count("*").cast("long").alias("nc"),
+        F.sum("correct").cast("long").alias("sc"),
+    )
+    clus = clus.localCheckpoint()  # |sources| rows, read twice
+    tot = clus.agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.sum("sc").cast("long").alias("s"),
+        F.count("*").cast("long").alias("k"),
+    )
+    num = clus.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(n AS DECIMAL(38,0)) * sc"
+                " - CAST(nc AS DECIMAL(38,0)) * s)"
+                " * (CAST(n AS DECIMAL(38,0)) * sc"
+                "    - CAST(nc AS DECIMAL(38,0)) * s)"
+            )
+        ).alias("cnum")
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .where("n > 0")
+        .select(
+            F.col("n").alias("n_items"),
+            F.col("k").alias("n_clusters"),
+            F.col("s").alias("n_correct"),
+            F.expr("ROUND(CAST(s AS DOUBLE) / n, 9)").alias("acc"),
+            F.expr(
+                "CASE WHEN s = 0 OR s = n THEN NULL"
+                " ELSE ROUND(SQRT(CAST(CAST(s AS DECIMAL(38,0)) * (n - s)"
+                " AS DOUBLE)) / (CAST(n AS DOUBLE)"
+                " * SQRT(CAST(n AS DOUBLE))), 9) END"
+            ).alias("se_naive"),
+            F.expr(
+                "ROUND(SQRT(CAST(cnum AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * n), 9)"
+            ).alias("se_clustered"),
+            F.expr(
+                "CASE WHEN s = 0 OR s = n THEN NULL"
+                " ELSE ROUND(CAST(cnum AS DOUBLE) / (CAST(n AS DOUBLE)"
+                " * CAST(CAST(s AS DECIMAL(38,0)) * (n - s) AS DOUBLE)), 6)"
+                " END"
+            ).alias("design_effect"),
+        )
+    )

@@ -164,6 +164,13 @@ SWEEP_QUERIES = (
     "llm_fim_transform",
     "llm_mlm_masking",
     "llm_length_bucket_padding",
+    # paired-categorical: a constant event_type collapses the table to
+    # ONE diagonal cell — Stuart-Maxwell's S goes singular (NULL chi2),
+    # Bowker's every pair is empty (df=0, chi2_ppm=0); constant source
+    # makes the eval one cluster (se_clustered well-defined, deff ~ n)
+    "agg_stuart_maxwell",
+    "agg_bowker_test",
+    "llm_eval_clustered_se",
 )
 
 

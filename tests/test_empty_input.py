@@ -325,6 +325,11 @@ CORE_QUERIES = (
     "llm_fim_transform",
     "llm_mlm_masking",
     "llm_length_bucket_padding",
+    # paired-categorical + eval-SE: zero users/items must fold through
+    # the n>0 guards to empty frames
+    "agg_stuart_maxwell",
+    "agg_bowker_test",
+    "llm_eval_clustered_se",
 )
 
 

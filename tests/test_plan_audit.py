@@ -153,6 +153,11 @@ DELIBERATE_CROSS = {
     # r10: DELIBERATE 3-size fan-out onto the CALENDAR-bounded day
     # grid (the ts_periodogram bounded-product shape)
     "ts_hurst_rs",
+    # r10: |types|² bounded pair grid (Bowker) and SINGLE-ROW
+    # total/cluster-numerator scalar folds (clustered SE) — N×1
+    # theorem joins over post-aggregate bounded tables
+    "agg_bowker_test",
+    "llm_eval_clustered_se",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
