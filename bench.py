@@ -265,6 +265,9 @@ BENCH_QUERIES = (
     "agg_stuart_maxwell",
     "agg_bowker_test",
     "llm_eval_clustered_se",
+    "ts_pacf",
+    "ts_granger_lag1",
+    "sample_weighted_priority",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

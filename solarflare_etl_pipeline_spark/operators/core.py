@@ -2113,3 +2113,65 @@ def dq_distribution_shift_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
             " % 1000000000 AS BIGINT)"
         ).alias("emd_scaled_mod9"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   CAST(FLOOR(
+                       -LN((CAST(('0x' || SUBSTR(MD5('wrs:'
+                               || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT)
+                       AS key_e12
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT doc_id, n_chars, key_e12,
+                   ROW_NUMBER() OVER (ORDER BY key_e12, doc_id) AS rnk
+            FROM keyed
+        )
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, key_e12
+        FROM ranked
+        WHERE rnk <= 50
+        ORDER BY rnk
+    """,
+    doc="Weighted sampling WITHOUT replacement via exponential priority "
+    "keys (Efraimidis-Spirakis A-ES, the one-pass distributed-"
+    "reservoir trick: each item draws key = -ln(u)/w and the k "
+    "SMALLEST keys are the weighted sample — mergeable across "
+    "partitions, so 100 TB needs exactly one TakeOrderedAndProject, "
+    "never a global shuffle): u from an md5 32-bit coin (the "
+    "sample_hash_split portable spelling), w = n_chars, and the key "
+    "FLOOR-quantized to e-12 units BEFORE ranking so the selection "
+    "order is integer-deterministic cross-engine (ties broken by "
+    "doc_id). Complements sample_sequential_poisson (fixed-rate "
+    "inclusion) with the fixed-SIZE weighted draw. Plan: pure map + "
+    "top-50 — no shuffle beyond the take-ordered reduction.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(FLOOR(-LN((CAST(conv(substr(md5(concat('wrs:',"
+            " CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) + 0.5)"
+            " / 4294967296.0) / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT)"
+        ).alias("key_e12"),
+    )
+    ranked = keyed.select(
+        "doc_id",
+        "n_chars",
+        "key_e12",
+        F.row_number()
+        .over(Window.orderBy("key_e12", "doc_id"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    return ranked.where("rnk <= 50").select(
+        "rnk", "doc_id", "n_chars", "key_e12"
+    ).orderBy("rnk")

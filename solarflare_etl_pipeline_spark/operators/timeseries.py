@@ -3556,3 +3556,326 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(rs_ppm_16 AS DOUBLE) / blocks_16)) / 2.0, 6) END"
         ).alias("hurst"),
     )
+
+
+@register(
+    "ts_pacf",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        st AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        lags AS (
+            SELECT CAST(st.n * daily.x - st.s AS HUGEINT) AS dv,
+                   CAST(st.n * LEAD(daily.x, 1) OVER (ORDER BY daily.d)
+                        - st.s AS HUGEINT) AS dv1,
+                   CAST(st.n * LEAD(daily.x, 2) OVER (ORDER BY daily.d)
+                        - st.s AS HUGEINT) AS dv2,
+                   CAST(st.n * LEAD(daily.x, 3) OVER (ORDER BY daily.d)
+                        - st.s AS HUGEINT) AS dv3
+            FROM daily, st
+            WHERE st.n >= 5
+        ),
+        mom AS (
+            SELECT CAST(SUM(dv * dv) AS HUGEINT) AS den,
+                   CAST(SUM(CASE WHEN dv1 IS NOT NULL THEN dv * dv1 END)
+                        AS HUGEINT) AS num1,
+                   CAST(SUM(CASE WHEN dv2 IS NOT NULL THEN dv * dv2 END)
+                        AS HUGEINT) AS num2,
+                   CAST(SUM(CASE WHEN dv3 IS NOT NULL THEN dv * dv3 END)
+                        AS HUGEINT) AS num3,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lags
+        )
+        SELECT n AS n_days,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE ROUND(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS pacf1,
+               CASE WHEN den = 0
+                         OR 1.0 - (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+                              * (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+                            = 0.0 THEN NULL
+                    ELSE ROUND(
+                        (CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)
+                         - (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+                           * (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)))
+                        / (1.0 - (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))
+                             * (CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))),
+                        6)
+               END AS pacf2,
+               CASE WHEN den = 0 THEN NULL
+                    ELSE ROUND(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+               END AS acf3
+        FROM mom
+        WHERE n > 0
+    """,
+    doc="Partial autocorrelation (Durbin-Levinson, lags 1-2) plus the "
+    "raw lag-3 ACF of the daily-revenue series — the AR-order "
+    "identification readout beside ts_acf (which is per-user lag-1): "
+    "deviations are EXACTLY mean-centered through the n-scaling "
+    "trick (n·x - S, the ts_acf discipline), lag products paired by "
+    "positional LEAD over the day grid, all numerators exact 128-bit "
+    "integers; pacf1 = r1, pacf2 = (r2-r1²)/(1-r1²) as ONE fixed "
+    "float expression over the two exact ratios. Zero-variance / "
+    "short series emit NULL oracle-mirrored. Plan at 100 TB: one "
+    "map-side-combinable daily agg; three LEADs in one window pass "
+    "over the CALENDAR-bounded grid.",
+)
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    daily = daily.localCheckpoint()  # calendar-bounded, read twice
+    st = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    w = Window.orderBy("d")
+    lags = (
+        daily.crossJoin(F.broadcast(st))
+        .where("n >= 5")
+        .select(
+            F.expr("CAST(n * x - s AS DECIMAL(38,0))").alias("dv"),
+            F.expr("CAST(n AS DECIMAL(38,0))").alias("nn"),
+            F.expr("CAST(s AS DECIMAL(38,0))").alias("ss"),
+            F.lead("x", 1).over(w).alias("x1"),
+            F.lead("x", 2).over(w).alias("x2"),
+            F.lead("x", 3).over(w).alias("x3"),
+        )
+        .select(
+            "dv",
+            F.expr("nn * x1 - ss").alias("dv1"),
+            F.expr("nn * x2 - ss").alias("dv2"),
+            F.expr("nn * x3 - ss").alias("dv3"),
+        )
+    )
+    mom = lags.agg(
+        F.sum(F.expr("dv * dv")).alias("den"),
+        F.sum(F.expr("CASE WHEN dv1 IS NOT NULL THEN dv * dv1 END")).alias(
+            "num1"
+        ),
+        F.sum(F.expr("CASE WHEN dv2 IS NOT NULL THEN dv * dv2 END")).alias(
+            "num2"
+        ),
+        F.sum(F.expr("CASE WHEN dv3 IS NOT NULL THEN dv * dv3 END")).alias(
+            "num3"
+        ),
+        F.count("*").cast("long").alias("n"),
+    )
+    r1 = "(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE))"
+    r2 = "(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE))"
+    return mom.where("n > 0").select(
+        F.col("n").alias("n_days"),
+        F.expr(
+            f"CASE WHEN den = 0 THEN NULL ELSE ROUND({r1}, 6) END"
+        ).alias("pacf1"),
+        F.expr(
+            f"CASE WHEN den = 0 OR 1.0 - {r1} * {r1} = 0.0 THEN NULL"
+            f" ELSE ROUND(({r2} - {r1} * {r1}) / (1.0 - {r1} * {r1}), 6) END"
+        ).alias("pacf2"),
+        F.expr(
+            "CASE WHEN den = 0 THEN NULL"
+            " ELSE ROUND(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6) END"
+        ).alias("acf3"),
+    )
+
+
+@register(
+    "ts_granger_lag1",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS hr,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS y,
+                   CAST(SUM(CASE WHEN event_type = 'click'
+                        THEN CAST(FLOOR(value * 1000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT hr, y,
+                   LAG(y) OVER (ORDER BY hr) AS yl,
+                   LAG(x) OVER (ORDER BY hr) AS xl,
+                   LAG(hr) OVER (ORDER BY hr) AS hrp
+            FROM hourly
+        ),
+        rows_ AS (
+            SELECT y, yl, xl FROM lagged
+            WHERE yl IS NOT NULL AND hrp = hr - INTERVAL 1 HOUR
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(yl) AS BIGINT) AS s1,
+                   CAST(SUM(xl) AS BIGINT) AS s2,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(yl AS HUGEINT) * yl) AS HUGEINT) AS s11,
+                   CAST(SUM(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS s22,
+                   CAST(SUM(CAST(yl AS HUGEINT) * xl) AS HUGEINT) AS s12,
+                   CAST(SUM(CAST(y AS HUGEINT) * yl) AS HUGEINT) AS sy1,
+                   CAST(SUM(CAST(y AS HUGEINT) * xl) AS HUGEINT) AS sy2
+            FROM rows_
+        ),
+        c AS (
+            SELECT n,
+                   n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                   n * s11 - CAST(s1 AS HUGEINT) * s1 AS c11,
+                   n * s22 - CAST(s2 AS HUGEINT) * s2 AS c22,
+                   n * s12 - CAST(s1 AS HUGEINT) * s2 AS c12,
+                   n * sy1 - CAST(sy AS HUGEINT) * s1 AS cy1,
+                   n * sy2 - CAST(sy AS HUGEINT) * s2 AS cy2
+            FROM s
+        )
+        SELECT n AS n_hours,
+               CASE WHEN c11 = 0 THEN NULL
+                    ELSE ROUND((CAST(cyy AS DOUBLE) / n
+                         - (CAST(cy1 AS DOUBLE) / CAST(c11 AS DOUBLE))
+                           * (CAST(cy1 AS DOUBLE) / n)), 6)
+               END AS sse_restricted,
+               CASE WHEN c11 * c22 - c12 * c12 = 0 THEN NULL
+                    ELSE ROUND((CAST(cyy AS DOUBLE) / n
+                         - (CAST(cy1 * c22 - cy2 * c12 AS DOUBLE)
+                            / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                           * (CAST(cy1 AS DOUBLE) / n)
+                         - (CAST(cy2 * c11 - cy1 * c12 AS DOUBLE)
+                            / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                           * (CAST(cy2 AS DOUBLE) / n)), 6)
+               END AS sse_unrestricted,
+               CASE WHEN c11 = 0 OR c11 * c22 - c12 * c12 = 0 OR n <= 3
+                         OR (CAST(cyy AS DOUBLE) / n
+                             - (CAST(cy1 * c22 - cy2 * c12 AS DOUBLE)
+                                / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                               * (CAST(cy1 AS DOUBLE) / n)
+                             - (CAST(cy2 * c11 - cy1 * c12 AS DOUBLE)
+                                / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                               * (CAST(cy2 AS DOUBLE) / n)) <= 0.0
+                    THEN NULL
+                    ELSE ROUND(
+                        ((CAST(cyy AS DOUBLE) / n
+                          - (CAST(cy1 AS DOUBLE) / CAST(c11 AS DOUBLE))
+                            * (CAST(cy1 AS DOUBLE) / n))
+                         - (CAST(cyy AS DOUBLE) / n
+                            - (CAST(cy1 * c22 - cy2 * c12 AS DOUBLE)
+                               / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                              * (CAST(cy1 AS DOUBLE) / n)
+                            - (CAST(cy2 * c11 - cy1 * c12 AS DOUBLE)
+                               / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                              * (CAST(cy2 AS DOUBLE) / n)))
+                        * (n - 3)
+                        / (CAST(cyy AS DOUBLE) / n
+                           - (CAST(cy1 * c22 - cy2 * c12 AS DOUBLE)
+                              / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                             * (CAST(cy1 AS DOUBLE) / n)
+                           - (CAST(cy2 * c11 - cy1 * c12 AS DOUBLE)
+                              / CAST(c11 * c22 - c12 * c12 AS DOUBLE))
+                             * (CAST(cy2 AS DOUBLE) / n)), 6)
+               END AS granger_f
+        FROM c
+        WHERE n > 0
+    """,
+    doc="Granger causality (lag-1): does last hour's CLICK volume "
+    "predict this hour's PURCHASE volume beyond purchase's own lag? "
+    "F-test comparing the restricted (y~y_l) and unrestricted "
+    "(y~y_l+x_l, Cramer 2x2 like agg_ols2) fits over adjacent-hour "
+    "pairs (gap-checked LAG — missing hours never fabricate pairs): "
+    "every moment is an exact integer, both SSEs use the factored "
+    "(cyy/n - b·(c_y·/n)) form with exact 128-bit numerators, and "
+    "F = (SSE_r - SSE_u)(n-3)/SSE_u is one fixed float expression. "
+    "Singular designs / exhausted df / zero SSE_u emit NULL oracle-"
+    "mirrored. Plan at 100 TB: ONE map-side-combinable hourly pivot "
+    "agg over the scan; the LAG and scalar algebra run on the "
+    "CALENDAR-bounded hour grid.",
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * 1000).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.orderBy("hr")
+    lagged = hourly.select(
+        "hr",
+        "y",
+        F.lag("y").over(w).alias("yl"),
+        F.lag("x").over(w).alias("xl"),
+        F.lag("hr").over(w).alias("hrp"),
+    )
+    rows_ = lagged.where(
+        "yl IS NOT NULL AND hrp = hr - INTERVAL 1 HOUR"
+    ).select("y", "yl", "xl")
+    s = rows_.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("yl").cast("long").alias("s1"),
+        F.sum("xl").cast("long").alias("s2"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(yl AS DECIMAL(38,0)) * yl")).alias("s11"),
+        F.sum(F.expr("CAST(xl AS DECIMAL(38,0)) * xl")).alias("s22"),
+        F.sum(F.expr("CAST(yl AS DECIMAL(38,0)) * xl")).alias("s12"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * yl")).alias("sy1"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * xl")).alias("sy2"),
+    )
+    c = s.select(
+        "n",
+        F.expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cyy"),
+        F.expr("n * s11 - CAST(s1 AS DECIMAL(38,0)) * s1").alias("c11"),
+        F.expr("n * s22 - CAST(s2 AS DECIMAL(38,0)) * s2").alias("c22"),
+        F.expr("n * s12 - CAST(s1 AS DECIMAL(38,0)) * s2").alias("c12"),
+        F.expr("n * sy1 - CAST(sy AS DECIMAL(38,0)) * s1").alias("cy1"),
+        F.expr("n * sy2 - CAST(sy AS DECIMAL(38,0)) * s2").alias("cy2"),
+    )
+    sse_r = (
+        "(CAST(cyy AS DOUBLE) / n"
+        " - (CAST(cy1 AS DOUBLE) / CAST(c11 AS DOUBLE))"
+        "   * (CAST(cy1 AS DOUBLE) / n))"
+    )
+    det = "c11 * c22 - c12 * c12"
+    sse_u = (
+        f"(CAST(cyy AS DOUBLE) / n"
+        f" - (CAST(cy1 * c22 - cy2 * c12 AS DOUBLE) / CAST({det} AS DOUBLE))"
+        f"   * (CAST(cy1 AS DOUBLE) / n)"
+        f" - (CAST(cy2 * c11 - cy1 * c12 AS DOUBLE) / CAST({det} AS DOUBLE))"
+        f"   * (CAST(cy2 AS DOUBLE) / n))"
+    )
+    return c.where("n > 0").select(
+        F.col("n").alias("n_hours"),
+        F.expr(
+            f"CASE WHEN c11 = 0 THEN NULL ELSE ROUND({sse_r}, 6) END"
+        ).alias("sse_restricted"),
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL ELSE ROUND({sse_u}, 6) END"
+        ).alias("sse_unrestricted"),
+        F.expr(
+            f"CASE WHEN c11 = 0 OR {det} = 0 OR n <= 3"
+            f" OR {sse_u} <= 0.0 THEN NULL"
+            f" ELSE ROUND(({sse_r} - {sse_u}) * (n - 3) / {sse_u}, 6) END"
+        ).alias("granger_f"),
+    )

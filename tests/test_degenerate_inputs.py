@@ -171,6 +171,13 @@ SWEEP_QUERIES = (
     "agg_stuart_maxwell",
     "agg_bowker_test",
     "llm_eval_clustered_se",
+    # constant dates collapse pacf/granger grids to one row (no lag
+    # pairs -> empty/NULL); constant values zero every deviation
+    # (den=0 -> NULL pacf, SSEs 0 -> NULL F); constant n_chars leaves
+    # the priority race to the md5 coins alone (still deterministic)
+    "ts_pacf",
+    "ts_granger_lag1",
+    "sample_weighted_priority",
 )
 
 

@@ -330,6 +330,11 @@ CORE_QUERIES = (
     "agg_stuart_maxwell",
     "agg_bowker_test",
     "llm_eval_clustered_se",
+    # AR-identification / causality / weighted sampling: empty grids
+    # fold to empty frames through n>=5 / n>0 / WHERE n_chars>0
+    "ts_pacf",
+    "ts_granger_lag1",
+    "sample_weighted_priority",
 )
 
 

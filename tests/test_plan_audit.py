@@ -158,6 +158,9 @@ DELIBERATE_CROSS = {
     # theorem joins over post-aggregate bounded tables
     "agg_bowker_test",
     "llm_eval_clustered_se",
+    # r10: SINGLE-ROW (n, S) moment scalars broadcast onto the
+    # CALENDAR-bounded day grid (the DW/BP N×1 shape)
+    "ts_pacf",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
