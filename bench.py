@@ -268,6 +268,9 @@ BENCH_QUERIES = (
     "ts_pacf",
     "ts_granger_lag1",
     "sample_weighted_priority",
+    "agg_g_test",
+    "agg_extreme_value_gumbel",
+    "ts_adf",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

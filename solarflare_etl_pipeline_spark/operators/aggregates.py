@@ -8715,3 +8715,203 @@ def agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((sse1 + sse2) / (n_total - 4)), 6) END"
         ).alias("chow_f"),
     )
+
+
+@register(
+    "agg_g_test",
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM lineitem GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT c.rf, c.ls, c.o,
+                   r.ro, k.co, t.n
+            FROM cells c
+            JOIN (SELECT rf, CAST(SUM(o) AS BIGINT) AS ro
+                  FROM cells GROUP BY rf) r ON r.rf = c.rf
+            JOIN (SELECT ls, CAST(SUM(o) AS BIGINT) AS co
+                  FROM cells GROUP BY ls) k ON k.ls = c.ls
+            JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) t ON TRUE
+        ),
+        terms AS (
+            SELECT rf, ls, o,
+                   CAST(FLOOR(1000000.0 * o * LN(
+                       CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+                       / CAST(CAST(ro AS HUGEINT) * co AS DOUBLE)))
+                       AS BIGINT) AS term_ppm
+            FROM marg WHERE o > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST((SELECT (COUNT(DISTINCT rf) - 1)
+                            * (COUNT(DISTINCT ls) - 1) FROM cells)
+                    AS BIGINT) AS df,
+               CAST(2 * SUM(term_ppm) AS BIGINT) AS g2_ppm
+        FROM terms
+        HAVING COUNT(*) > 0
+    """,
+    doc="G-test (log-likelihood-ratio chi-square) of independence for "
+    "returnflag x linestatus — the LR companion to agg_chi_square's "
+    "Pearson form (G is additive across table collapses and the LR "
+    "foundation of agg_mutual_info: G = 2N·MI in nats): each cell's "
+    "term o·ln(o·N/(r·c)) has its log argument formed from EXACT "
+    "128-bit integer products (one correctly-rounded divide), is "
+    "FLOOR-quantized to ppm, and the ≤6 terms sum as exact integers "
+    "— no engine-ordered float aggregation. Zero cells contribute "
+    "exact zeros (lim x·ln x = 0). Plan at 100 TB: one map-side-"
+    "combinable 6-row hash agg; the marginal joins run on the "
+    "bounded cell table.",
+)
+def agg_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    cells = cells.localCheckpoint()  # ≤6 rows, read four times
+    r = cells.groupBy("rf").agg(F.sum("o").cast("long").alias("ro"))
+    k = cells.groupBy("ls").agg(F.sum("o").cast("long").alias("co"))
+    t = cells.agg(F.sum("o").cast("long").alias("n"))
+    marg = (
+        cells.join(F.broadcast(r), "rf")
+        .join(F.broadcast(k), "ls")
+        .crossJoin(F.broadcast(t))
+    )
+    terms = marg.where("o > 0").select(
+        "rf",
+        "ls",
+        "o",
+        F.expr(
+            "CAST(FLOOR(1000000.0 * o * LN("
+            " CAST(CAST(o AS DECIMAL(38,0)) * n AS DOUBLE)"
+            " / CAST(CAST(ro AS DECIMAL(38,0)) * co AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("term_ppm"),
+    )
+    dims = cells.agg(
+        (
+            (F.countDistinct("rf") - 1) * (F.countDistinct("ls") - 1)
+        )
+        .cast("long")
+        .alias("df")
+    )
+    agg = terms.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        (2 * F.sum("term_ppm")).cast("long").alias("g2_ppm"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(dims))
+        .where("n_cells > 0")
+        .select("n_cells", "df", "g2_ppm")
+    )
+
+
+@register(
+    "agg_extreme_value_gumbel",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS m,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev2
+            FROM orders GROUP BY 1, 2
+        ),
+        blocks AS (
+            SELECT m, CAST(MAX(rev2) AS BIGINT) AS mx
+            FROM daily GROUP BY m
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(mx) AS BIGINT) AS sm,
+                   CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS smm
+            FROM blocks
+        )
+        SELECT n AS n_months,
+               ROUND(CAST(sm AS DOUBLE) / n / 100.0, 2) AS mean_max,
+               CASE WHEN n < 2 OR n * smm - CAST(sm AS HUGEINT) * sm <= 0
+                    THEN NULL
+                    ELSE ROUND(SQRT(6.0 * CAST(n * smm
+                             - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n))
+                         / 3.14159265358979 / 100.0, 2)
+               END AS beta,
+               CASE WHEN n < 2 OR n * smm - CAST(sm AS HUGEINT) * sm <= 0
+                    THEN NULL
+                    ELSE ROUND((CAST(sm AS DOUBLE) / n
+                         - 0.57721566490153 * SQRT(6.0 * CAST(n * smm
+                               - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * n))
+                           / 3.14159265358979) / 100.0, 2)
+               END AS mu,
+               CASE WHEN n < 2 OR n * smm - CAST(sm AS HUGEINT) * sm <= 0
+                    THEN NULL
+                    ELSE ROUND((CAST(sm AS DOUBLE) / n
+                         - 0.57721566490153 * SQRT(6.0 * CAST(n * smm
+                               - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * n))
+                           / 3.14159265358979
+                         - SQRT(6.0 * CAST(n * smm
+                               - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+                               / (CAST(n AS DOUBLE) * n))
+                           / 3.14159265358979
+                           * LN(-LN(1.0 - 1.0 / 12.0))) / 100.0, 2)
+               END AS return_level_12m
+        FROM s
+        WHERE n > 0
+    """,
+    doc="Gumbel extreme-value fit on monthly block maxima of daily "
+    "revenue — 'how big a day should we provision for': method-of-"
+    "moments (beta = sigma·sqrt(6)/pi, mu = mean - gamma_EM·beta, "
+    "both constants INJECTED as literals — the ts_periodogram rule: "
+    "neither engine's libm computes pi or Euler-Mascheroni) over the "
+    "~80-month block-max table, with mean/variance from exact "
+    "128-bit integer moments in cents and the 12-month return level "
+    "mu - beta·ln(-ln(1-1/12)) as one fixed float chain, all "
+    "reported in dollars at 2dp. Degenerate single-month / zero-"
+    "variance grids emit NULL fits. The block-maxima complement of "
+    "agg_var_es_tail's peaks-over-threshold view. Plan at 100 TB: "
+    "daily agg -> 80-row monthly max -> constant scalar algebra, all "
+    "map-side combinable.",
+)
+def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev2")
+    )
+    blocks = daily.groupBy("m").agg(F.max("rev2").cast("long").alias("mx"))
+    s = blocks.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("mx").cast("long").alias("sm"),
+        F.sum(F.expr("CAST(mx AS DECIMAL(38,0)) * mx")).alias("smm"),
+    )
+    cvar = "n * smm - CAST(sm AS DECIMAL(38,0)) * sm"
+    beta = (
+        f"SQRT(6.0 * CAST({cvar} AS DOUBLE) / (CAST(n AS DOUBLE) * n))"
+        f" / 3.14159265358979"
+    )
+    mean = "CAST(sm AS DOUBLE) / n"
+    mu = f"{mean} - 0.57721566490153 * {beta}"
+    return s.where("n > 0").select(
+        F.col("n").alias("n_months"),
+        F.expr(f"ROUND({mean} / 100.0, 2)").alias("mean_max"),
+        F.expr(
+            f"CASE WHEN n < 2 OR {cvar} <= 0 THEN NULL"
+            f" ELSE ROUND({beta} / 100.0, 2) END"
+        ).alias("beta"),
+        F.expr(
+            f"CASE WHEN n < 2 OR {cvar} <= 0 THEN NULL"
+            f" ELSE ROUND(({mu}) / 100.0, 2) END"
+        ).alias("mu"),
+        F.expr(
+            f"CASE WHEN n < 2 OR {cvar} <= 0 THEN NULL"
+            f" ELSE ROUND(({mu} - {beta}"
+            f" * LN(-LN(CAST(1.0 AS DOUBLE) - CAST(1.0 AS DOUBLE) / 12.0)))"
+            f" / 100.0, 2) END"
+        ).alias("return_level_12m"),
+    )

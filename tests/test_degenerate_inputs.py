@@ -178,6 +178,13 @@ SWEEP_QUERIES = (
     "ts_pacf",
     "ts_granger_lag1",
     "sample_weighted_priority",
+    # constant returnflag collapses the G table to one row (df=0,
+    # terms exact-zero); constant dates leave ONE month/day (gumbel
+    # n<2 -> NULL fit, adf no pairs -> empty); constant prices zero
+    # every deviation (adf cxx guard -> NULL)
+    "agg_g_test",
+    "agg_extreme_value_gumbel",
+    "ts_adf",
 )
 
 

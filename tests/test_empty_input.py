@@ -335,6 +335,11 @@ CORE_QUERIES = (
     "ts_pacf",
     "ts_granger_lag1",
     "sample_weighted_priority",
+    # LR/EVT/unit-root: empty cell/block/pair tables fold to empty
+    # frames through the HAVING/n>0 guards
+    "agg_g_test",
+    "agg_extreme_value_gumbel",
+    "ts_adf",
 )
 
 

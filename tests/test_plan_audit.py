@@ -161,6 +161,9 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW (n, S) moment scalars broadcast onto the
     # CALENDAR-bounded day grid (the DW/BP N×1 shape)
     "ts_pacf",
+    # r10: SINGLE-ROW grand-total / df scalars broadcast onto the
+    # ≤6-cell G-test term table (N×1 theorem joins)
+    "agg_g_test",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
