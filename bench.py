@@ -271,6 +271,9 @@ BENCH_QUERIES = (
     "agg_g_test",
     "agg_extreme_value_gumbel",
     "ts_adf",
+    "ts_spectral_entropy",
+    "agg_survival_cindex",
+    "graph_reciprocity",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

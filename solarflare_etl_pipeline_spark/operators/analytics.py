@@ -3629,3 +3629,236 @@ def agg_bowker_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bowker_chi2_ppm"),
     )
     return agg.where("n_pairs > 0")
+
+
+@register(
+    "agg_survival_cindex",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+                   CAST(MIN(CASE WHEN event_type = 'purchase'
+                                  AND value > {KM_VALUE_CUT}
+                             THEN CAST(ts AS TIMESTAMP) END) AS DATE)
+                       AS dconv,
+                   CAST(LEAST(COUNT(*), 20) AS BIGINT) AS score
+            FROM events GROUP BY user_id
+        ),
+        mx AS (
+            SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS dmax
+            FROM events
+        ),
+        lives AS (
+            SELECT u.score,
+                   CASE WHEN u.dconv IS NOT NULL
+                        THEN DATE_DIFF('day', u.d0, u.dconv)
+                        ELSE DATE_DIFF('day', u.d0, mx.dmax) END AS t,
+                   CASE WHEN u.dconv IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM per_user u CROSS JOIN mx
+        ),
+        cells AS (
+            SELECT score, t, ev, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lives GROUP BY 1, 2, 3
+        ),
+        pairs AS (
+            SELECT
+                COALESCE(CAST(SUM(CASE WHEN a.score > b.score
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS conc,
+                COALESCE(CAST(SUM(CASE WHEN a.score < b.score
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS disc,
+                COALESCE(CAST(SUM(CASE WHEN a.score = b.score
+                    THEN CAST(a.c AS HUGEINT) * b.c END) AS BIGINT), 0)
+                    AS ties
+            FROM cells a JOIN cells b
+              ON a.ev = 1
+             AND (a.t < b.t OR (a.t = b.t AND b.ev = 0))
+        )
+        SELECT conc, disc, ties,
+               CASE WHEN conc + disc + ties = 0 THEN NULL
+                    ELSE CAST((2 * CAST(conc AS HUGEINT) + ties) * 1000000
+                         // (2 * (CAST(conc AS HUGEINT) + disc + ties))
+                         AS BIGINT)
+               END AS c_index_ppm
+        FROM pairs
+    """,
+    doc="Harrell's concordance index for the conversion-survival model: "
+    "does higher activity (risk score = event count, capped at 20 — "
+    "the binned variable IS the scored variable, stated contract) "
+    "predict EARLIER conversion? Usable pairs per Harrell: the "
+    "earlier subject's event observed (a.ev=1, a.t<b.t), plus "
+    "event-vs-censored ties at equal t; concordant when the earlier "
+    "converter had the higher score, score-ties credit 1/2. All pair "
+    "mass from the BOUNDED (score≤21 × calendar-day × ev) cell "
+    "product in exact 128-bit integers; C = (2·conc+ties)/"
+    "(2·(conc+disc+ties)) in rule-13 integer ppm, no-pairs → NULL. "
+    "Completes the survival family (KM/NA estimate, logrank tests, "
+    "C-index DISCRIMINATES). Plan at 100 TB: one per-user agg "
+    "(shuffle on user_id), then constant cell algebra — the "
+    "agg_gk_gamma theorem shape.",
+)
+def agg_survival_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp").cast("date")).alias("d0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > KM_VALUE_CUT),
+                F.col("ts").cast("timestamp").cast("date"),
+            )
+        ).alias("dconv"),
+        F.least(F.count("*"), F.lit(20)).cast("long").alias("score"),
+    )
+    mx = e.agg(
+        F.max(F.col("ts").cast("timestamp").cast("date")).alias("dmax")
+    )
+    lives = per_user.crossJoin(F.broadcast(mx)).select(
+        "score",
+        F.when(
+            F.col("dconv").isNotNull(), F.datediff("dconv", "d0")
+        )
+        .otherwise(F.datediff("dmax", "d0"))
+        .alias("t"),
+        F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    cells = lives.groupBy("score", "t", "ev").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cells = cells.localCheckpoint()  # bounded (21 x days x 2) grid
+    a, b = cells.alias("a"), cells.alias("b")
+    prod = F.col("a.c").cast("decimal(38,0)") * F.col("b.c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ev") == 1)
+            & (
+                (F.col("a.t") < F.col("b.t"))
+                | ((F.col("a.t") == F.col("b.t")) & (F.col("b.ev") == 0))
+            ),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("a.score") > F.col("b.score"), prod))
+                .cast("long"),
+                F.lit(0),
+            ).alias("conc"),
+            F.coalesce(
+                F.sum(F.when(F.col("a.score") < F.col("b.score"), prod))
+                .cast("long"),
+                F.lit(0),
+            ).alias("disc"),
+            F.coalesce(
+                F.sum(F.when(F.col("a.score") == F.col("b.score"), prod))
+                .cast("long"),
+                F.lit(0),
+            ).alias("ties"),
+        )
+    )
+    return pairs.select(
+        "conc",
+        "disc",
+        "ties",
+        F.expr(
+            "CASE WHEN conc + disc + ties = 0 THEN NULL"
+            " ELSE CAST((2 * CAST(conc AS DECIMAL(38,0)) + ties) * 1000000"
+            " DIV (2 * (CAST(conc AS DECIMAL(38,0)) + disc + ties))"
+            " AS BIGINT) END"
+        ).alias("c_index_ppm"),
+    )
+
+
+@register(
+    "graph_reciprocity",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        edges AS (
+            SELECT prev_type AS src, event_type AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM seq
+            WHERE prev_type IS NOT NULL AND prev_type <> event_type
+            GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT e.src, e.dst, e.w, COALESCE(r.w, 0) AS wr
+            FROM edges e
+            LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_reciprocated,
+               CAST(SUM(w) AS BIGINT) AS total_weight,
+               CAST(SUM(LEAST(w, wr)) AS BIGINT) AS reciprocated_weight,
+               CAST(SUM(CASE WHEN wr > 0 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS edge_reciprocity_ppm,
+               CASE WHEN SUM(w) = 0 THEN NULL
+                    ELSE CAST(SUM(LEAST(w, wr)) * 1000000 // SUM(w)
+                         AS BIGINT)
+               END AS weight_reciprocity_ppm
+        FROM paired
+        HAVING COUNT(*) > 0
+    """,
+    doc="Directed-graph reciprocity of the user event-transition graph "
+    "(markov_transitions' edge set, self-loops excluded): edge "
+    "reciprocity = share of directed edges whose reverse exists, "
+    "weighted reciprocity = Σ min(w_ij, w_ji)/Σ w_ij — how symmetric "
+    "is behavioral flow (click→view vs view→click). Both ratios in "
+    "rule-13 integer ppm over exact counts; the reverse lookup is a "
+    "self-LEFT-JOIN on the ≤20-edge bounded transition table. Plan "
+    "at 100 TB: one user-partitioned LAG (the markov shuffle), one "
+    "hash agg to |types|² edges, constant algebra after.",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where("src IS NOT NULL AND src <> dst")
+    edges = seq.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    edges = edges.localCheckpoint()  # ≤|types|² rows, read twice
+    ef, er = edges.alias("ef"), edges.alias("er")
+    paired = ef.join(
+        er,
+        (F.col("er.src") == F.col("ef.dst"))
+        & (F.col("er.dst") == F.col("ef.src")),
+        "left",
+    ).select(
+        F.col("ef.w").alias("w"),
+        F.coalesce(F.col("er.w"), F.lit(0)).alias("wr"),
+    )
+    agg = paired.agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum(F.expr("CASE WHEN wr > 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.sum("w").cast("long").alias("total_weight"),
+        F.sum(F.least("w", "wr")).cast("long").alias("reciprocated_weight"),
+    )
+    return agg.where("n_edges > 0").select(
+        "n_edges",
+        "n_reciprocated",
+        "total_weight",
+        "reciprocated_weight",
+        F.expr(
+            "CAST(n_reciprocated * 1000000 DIV n_edges AS BIGINT)"
+        ).alias("edge_reciprocity_ppm"),
+        F.expr(
+            "CASE WHEN total_weight = 0 THEN NULL"
+            " ELSE CAST(reciprocated_weight * 1000000 DIV total_weight"
+            " AS BIGINT) END"
+        ).alias("weight_reciprocity_ppm"),
+    )

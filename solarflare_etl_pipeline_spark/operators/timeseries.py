@@ -4003,3 +4003,120 @@ def ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 'unit_root_not_rejected' END"
         ).alias("verdict"),
     )
+
+
+@register(
+    "ts_spectral_entropy",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   DATE_DIFF('day',
+                             MIN(CAST(ts AS DATE)) OVER (),
+                             CAST(ts AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        terms AS (
+            SELECT daily.event_type, coeff.p,
+                   SUM(CAST(daily.cnt AS HUGEINT) * coeff.c6) AS sc,
+                   SUM(CAST(daily.cnt AS HUGEINT) * coeff.s6) AS ss
+            FROM daily JOIN {_pgram_values_sql()}
+              ON coeff.r = daily.d % coeff.p
+            GROUP BY daily.event_type, coeff.p
+        ),
+        pw AS (
+            SELECT event_type, p, sc * sc + ss * ss AS w,
+                   SUM(sc * sc + ss * ss) OVER (PARTITION BY event_type)
+                       AS tot
+            FROM terms
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_periods,
+               CAST(SUM(CASE WHEN w > 0 AND tot > 0 THEN
+                    CAST(FLOOR(1000000.0
+                        * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE))
+                        * LN(CAST(tot AS DOUBLE) / CAST(w AS DOUBLE)))
+                        AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS spec_entropy_ppm,
+               CAST(MAX(CASE WHEN tot > 0 THEN w * 1000000 // tot
+                        ELSE 0 END) AS BIGINT) AS dominance_ppm
+        FROM pw
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Spectral entropy of the per-type daily-count periodogram — the "
+    "forecastability score (H→0 one clean cycle, H→ln(9) white "
+    "noise) over the SAME injected-coefficient DFT as "
+    "ts_periodogram (which reports only the argmax; entropy says how "
+    "concentrated the whole spectrum is): powers are exact 128-bit "
+    "integers, each of the ≤9 entropy terms (w/W)·ln(W/w) is ONE "
+    "fixed float expression FLOOR-quantized to ppm, summed as exact "
+    "integers; dominance_ppm = max share in rule-13 integer ppm. "
+    "Zero-power periods contribute exact zeros. Plan at 100 TB: the "
+    "daily agg is the only data-scale stage; the 9-period fan-out "
+    "and the entropy fold run on a 45-row bounded table.",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "d",
+            F.datediff(
+                F.col("day"), F.min("day").over(Window.partitionBy())
+            ),
+        )
+    )
+    coeff = F.broadcast(
+        spark.createDataFrame(_pgram_coeffs(), "p INT, r INT, c6 LONG, s6 LONG")
+    )
+    expl = daily.select(
+        "event_type",
+        "cnt",
+        F.explode(F.array(*[F.lit(p) for p in PGRAM_PERIODS])).alias("p"),
+        "d",
+    ).withColumn("r", F.col("d") % F.col("p"))
+    terms = (
+        expl.join(coeff, ["p", "r"])
+        .groupBy("event_type", "p")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("c6")).alias("sc"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("s6")).alias("ss"),
+        )
+    )
+    pw = terms.select(
+        "event_type",
+        "p",
+        F.expr("sc * sc + ss * ss").alias("w"),
+        F.expr(
+            "SUM(sc * sc + ss * ss) OVER (PARTITION BY event_type)"
+        ).alias("tot"),
+    )
+    return (
+        pw.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_periods"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN w > 0 AND tot > 0 THEN"
+                    " CAST(FLOOR(1000000.0"
+                    " * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE))"
+                    " * LN(CAST(tot AS DOUBLE) / CAST(w AS DOUBLE)))"
+                    " AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("spec_entropy_ppm"),
+            F.max(
+                F.expr(
+                    "CASE WHEN tot > 0 THEN CAST(w * 1000000 DIV tot"
+                    " AS BIGINT) ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("dominance_ppm"),
+        )
+        .orderBy("event_type")
+    )

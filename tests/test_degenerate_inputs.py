@@ -185,6 +185,13 @@ SWEEP_QUERIES = (
     "agg_g_test",
     "agg_extreme_value_gumbel",
     "ts_adf",
+    # constant event_type kills every transition edge (reciprocity
+    # empty frame) and concentrates the spectrum; constant ts makes
+    # every life zero-length same-day (C-index pair set collapses to
+    # event-vs-censored ties only — must stay NULL-safe)
+    "ts_spectral_entropy",
+    "agg_survival_cindex",
+    "graph_reciprocity",
 )
 
 

@@ -340,6 +340,11 @@ CORE_QUERIES = (
     "agg_g_test",
     "agg_extreme_value_gumbel",
     "ts_adf",
+    # spectrum/survival/graph: empty grids fold through the HAVING /
+    # no-pairs-NULL / n_edges>0 guards to empty or NULL-stat frames
+    "ts_spectral_entropy",
+    "agg_survival_cindex",
+    "graph_reciprocity",
 )
 
 

@@ -164,6 +164,9 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW grand-total / df scalars broadcast onto the
     # ≤6-cell G-test term table (N×1 theorem joins)
     "agg_g_test",
+    # r10: SINGLE-ROW dmax scalar onto the per-user table + the
+    # bounded (score×day×ev) cell-pair product (gk_gamma shape)
+    "agg_survival_cindex",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
