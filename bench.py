@@ -274,6 +274,8 @@ BENCH_QUERIES = (
     "ts_spectral_entropy",
     "agg_survival_cindex",
     "graph_reciprocity",
+    "agg_page_trend",
+    "agg_hodges_lehmann",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -8915,3 +8915,205 @@ def agg_extreme_value_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / 100.0, 2) END"
         ).alias("return_level_12m"),
     )
+
+
+@register(
+    "agg_page_trend",
+    oracle="""
+        WITH weekly AS (
+            SELECT CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE))
+                        AS DATE) AS wk,
+                   CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS g,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT a.wk, a.g,
+                   2 + 2 * SUM(CASE WHEN b.s < a.s THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN b.s = a.s AND b.g <> a.g
+                           THEN 1 ELSE 0 END) AS r2,
+                   COUNT(*) AS k
+            FROM weekly a JOIN weekly b ON b.wk = a.wk
+            GROUP BY a.wk, a.g
+        ),
+        complete AS (
+            SELECT wk, g, r2 FROM ranked WHERE k = 5
+        ),
+        s AS (
+            SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) AS b,
+                   CAST(SUM(g * r2) AS BIGINT) AS l2
+            FROM complete
+        )
+        SELECT b AS n_blocks, l2,
+               CAST(90 * b AS BIGINT) AS e_l2,
+               CASE WHEN b = 0 THEN NULL
+                    ELSE ROUND(CAST(l2 - 90 * b AS DOUBLE)
+                         / (10.0 * SQRT(CAST(b AS DOUBLE))), 6)
+               END AS z
+        FROM s
+        WHERE b > 0
+    """,
+    doc="Page's L trend test for ordered alternatives across blocks: do "
+    "weekly revenue RANKS rise monotonically with priority urgency "
+    "(treatments = the 5 ordered priority classes, blocks = calendar "
+    "weeks)? The blocked-design companion to agg_jonckheere_terpstra "
+    "(JT pools all observations; Page ranks WITHIN each week, so "
+    "week-level volume shifts cancel) and the ordered counterpart of "
+    "agg_friedman_test. Within-block mid-ranks carried as exact "
+    "integers (r2 = 2·rank via the 5x5 within-week compare — no "
+    "float rank arithmetic), incomplete weeks dropped (k=5 only); "
+    "L2 = Σ g·r2, E[2L] = 90b and SD[2L] = 10√b from the closed-form "
+    "k=5 null moments (k(k+1)²/4 and k²(k+1)(k²-1)/144 with the 2x "
+    "scaling folded in), ONE float sqrt at the end. Plan at 100 TB: "
+    "one weekly hash agg; the rank compare is 25 rows per week on "
+    "the CALENDAR-bounded block table.",
+)
+def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    weekly = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("wk"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("g"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("s")
+    )
+    weekly = weekly.localCheckpoint()  # calendar-bounded blocks
+    a, b = weekly.alias("a"), weekly.alias("b")
+    ranked = (
+        a.join(b, F.col("b.wk") == F.col("a.wk"))
+        .groupBy(F.col("a.wk").alias("wk"), F.col("a.g").alias("g"))
+        .agg(
+            (
+                2
+                + 2
+                * F.sum(
+                    F.when(F.col("b.s") < F.col("a.s"), 1).otherwise(0)
+                )
+                + F.sum(
+                    F.when(
+                        (F.col("b.s") == F.col("a.s"))
+                        & (F.col("b.g") != F.col("a.g")),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("r2"),
+            F.count("*").alias("k"),
+        )
+    )
+    complete = ranked.where("k = 5")
+    s = complete.agg(
+        F.countDistinct("wk").cast("long").alias("b"),
+        F.sum(F.expr("g * r2")).cast("long").alias("l2"),
+    )
+    return s.where("b > 0").select(
+        F.col("b").alias("n_blocks"),
+        "l2",
+        F.expr("CAST(90 * b AS BIGINT)").alias("e_l2"),
+        F.expr(
+            "CASE WHEN b = 0 THEN NULL"
+            " ELSE ROUND(CAST(l2 - 90 * b AS DOUBLE)"
+            " / (10.0 * SQRT(CAST(b AS DOUBLE))), 6) END"
+        ).alias("z"),
+    )
+
+
+@register(
+    "agg_hodges_lehmann",
+    oracle="""
+        WITH h1 AS (
+            SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        h2 AS (
+            SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS vb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events WHERE event_type = 'view' GROUP BY 1
+        ),
+        diffs AS (
+            SELECT a.vb - b.vb AS d,
+                   CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS wt
+            FROM h1 a JOIN h2 b ON TRUE
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT d, wt,
+                   SUM(wt) OVER (ORDER BY d) AS cw,
+                   SUM(wt) OVER () AS tw
+            FROM diffs
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN 2 * cw >= tw THEN d END) AS lo,
+                   MIN(CASE WHEN 2 * cw > tw THEN d END) AS hi,
+                   CAST(MAX(tw) AS BIGINT) AS tw
+            FROM cum
+        )
+        SELECT tw AS n_pairs, lo AS lo_bin, hi AS hi_bin,
+               CASE WHEN lo IS NULL OR hi IS NULL THEN NULL
+                    ELSE ROUND((lo + hi) * 5.0 / 2.0, 6)
+               END AS hl_shift
+        FROM med
+        WHERE tw IS NOT NULL AND tw > 0
+    """,
+    doc="Hodges-Lehmann two-sample shift estimator: the median of ALL "
+    "purchase-minus-view value differences — the robust 'how much "
+    "bigger' that pairs with agg_cliff_delta's 'how often bigger' "
+    "and agg_mann_whitney's 'is it bigger' (same 5-unit value bins; "
+    "the binned variable is the estimated variable, stated "
+    "contract). The n1·n2 pairwise differences are NEVER "
+    "materialized per-pair: the two bounded histograms join into a "
+    "≤200-row weighted difference distribution (exact 128-bit "
+    "weights), and the weighted lower/upper median falls out of one "
+    "integer 2·cum-vs-total compare (no float quantile "
+    "interpolation); the final shift is (lo+hi)·binwidth/2. Empty "
+    "arms emit nothing. Plan at 100 TB: two map-side-combinable "
+    "histogram aggs, one bounded product, one ≤200-row window.",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    h1 = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("vb"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    h2 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("vb"))
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    a, b = h1.alias("a"), h2.alias("b")
+    diffs = (
+        a.crossJoin(b)
+        .groupBy((F.col("a.vb") - F.col("b.vb")).alias("d"))
+        .agg(
+            F.sum(F.col("a.c").cast("decimal(38,0)") * F.col("b.c"))
+            .cast("long")
+            .alias("wt")
+        )
+    )
+    cum = diffs.select(
+        "d",
+        "wt",
+        F.sum("wt").over(W.orderBy("d")).alias("cw"),
+        F.sum("wt").over(W.partitionBy()).alias("tw"),
+    )
+    med = cum.agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("d"))).alias("lo"),
+        F.min(F.when(2 * F.col("cw") > F.col("tw"), F.col("d"))).alias("hi"),
+        F.max("tw").alias("tw"),
+    )
+    return med.where("tw IS NOT NULL AND tw > 0").select(
+        F.col("tw").alias("n_pairs"),
+        F.col("lo").alias("lo_bin"),
+        F.col("hi").alias("hi_bin"),
+        F.expr(
+            "CASE WHEN lo IS NULL OR hi IS NULL THEN NULL"
+            " ELSE ROUND((lo + hi) * 5.0 / CAST(2.0 AS DOUBLE), 6) END"
+        ).alias("hl_shift"),
+    )

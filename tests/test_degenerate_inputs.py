@@ -192,6 +192,11 @@ SWEEP_QUERIES = (
     "ts_spectral_entropy",
     "agg_survival_cindex",
     "graph_reciprocity",
+    # constant priority leaves k=1 per week (no complete block -> Page
+    # empty frame); constant values put all HL mass on d=0 (lo=hi=0,
+    # shift 0.0); constant event_type empties one HL arm (empty frame)
+    "agg_page_trend",
+    "agg_hodges_lehmann",
 )
 
 

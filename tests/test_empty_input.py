@@ -345,6 +345,10 @@ CORE_QUERIES = (
     "ts_spectral_entropy",
     "agg_survival_cindex",
     "graph_reciprocity",
+    # blocked-rank trend + pairwise shift: empty weeks/histograms
+    # fold through b>0 / tw>0 to empty frames
+    "agg_page_trend",
+    "agg_hodges_lehmann",
 )
 
 

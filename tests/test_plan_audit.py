@@ -167,6 +167,8 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW dmax scalar onto the per-user table + the
     # bounded (score×day×ev) cell-pair product (gk_gamma shape)
     "agg_survival_cindex",
+    # r10: |bins|² bounded histogram product (the cliff_delta shape)
+    "agg_hodges_lehmann",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
