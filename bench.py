@@ -276,6 +276,8 @@ BENCH_QUERIES = (
     "graph_reciprocity",
     "agg_page_trend",
     "agg_hodges_lehmann",
+    "agg_icc",
+    "llm_code_detect",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

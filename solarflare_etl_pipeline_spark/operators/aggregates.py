@@ -9117,3 +9117,147 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE ROUND((lo + hi) * 5.0 / CAST(2.0 AS DOUBLE), 6) END"
         ).alias("hl_shift"),
     )
+
+
+@register(
+    "agg_icc",
+    oracle="""
+        WITH x AS (
+            SELECT user_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type = 'purchase'
+        ),
+        grp AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v3) AS BIGINT) AS s,
+                   CAST(SUM(CAST(v3 AS HUGEINT) * v3) AS HUGEINT) AS q,
+                   CAST(1000000 * CAST(SUM(v3) AS HUGEINT) * SUM(v3)
+                        // COUNT(*) AS HUGEINT) AS a_mu
+            FROM x GROUP BY user_id
+            HAVING COUNT(*) >= 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(COUNT(*) AS BIGINT) AS b,
+                   CAST(SUM(s) AS BIGINT) AS ss,
+                   CAST(SUM(q) AS HUGEINT) AS qq,
+                   CAST(SUM(a_mu) AS HUGEINT) AS a_mu,
+                   CAST(SUM(CAST(n AS HUGEINT) * n) AS BIGINT) AS sum_n2
+            FROM grp
+        ),
+        parts AS (
+            SELECT nn, b,
+                   CAST(nn AS HUGEINT) * a_mu
+                       - 1000000 * CAST(ss AS HUGEINT) * ss AS ssb_nu,
+                   1000000 * qq - a_mu AS ssw_mu,
+                   CAST(CAST(nn AS HUGEINT) * nn - sum_n2 AS BIGINT)
+                       AS n0_num
+            FROM tot
+            WHERE b >= 2 AND nn > b
+        )
+        SELECT nn AS n_obs, b AS n_groups,
+               CAST(FLOOR(CAST(CAST(ssb_nu AS VARCHAR) AS DOUBLE)
+                     / (CAST(nn AS DOUBLE) * 1000000.0)) AS BIGINT) AS ssb,
+               CAST(FLOOR(CAST(CAST(ssw_mu AS VARCHAR) AS DOUBLE)
+                     / 1000000.0) AS BIGINT) AS ssw,
+               CASE WHEN CAST(CAST(ssb_nu AS VARCHAR) AS DOUBLE)
+                           / (CAST(nn AS DOUBLE) * 1000000.0 * (b - 1))
+                         + (CAST(n0_num AS DOUBLE) / (CAST(nn AS DOUBLE)
+                             * (b - 1)) - 1.0)
+                           * (CAST(CAST(ssw_mu AS VARCHAR) AS DOUBLE)
+                              / (1000000.0 * (nn - b))) <= 0.0
+                    THEN NULL
+                    ELSE ROUND(
+                        (CAST(CAST(ssb_nu AS VARCHAR) AS DOUBLE)
+                           / (CAST(nn AS DOUBLE) * 1000000.0 * (b - 1))
+                         - CAST(CAST(ssw_mu AS VARCHAR) AS DOUBLE)
+                           / (1000000.0 * (nn - b)))
+                        / (CAST(CAST(ssb_nu AS VARCHAR) AS DOUBLE)
+                             / (CAST(nn AS DOUBLE) * 1000000.0 * (b - 1))
+                           + (CAST(n0_num AS DOUBLE) / (CAST(nn AS DOUBLE)
+                               * (b - 1)) - 1.0)
+                             * (CAST(CAST(ssw_mu AS VARCHAR) AS DOUBLE)
+                                / (1000000.0 * (nn - b)))), 6)
+               END AS icc1
+        FROM parts
+    """,
+    doc="Intraclass correlation ICC(1,1) — how much of purchase-value "
+    "variance lives BETWEEN users vs within them (the reliability / "
+    "clustering-strength readout that tells you whether user is a "
+    "meaningful blocking factor; completes the agreement family "
+    "beside agg_cronbach_alpha/agg_fleiss_kappa/agg_cohens_kappa): "
+    "one-way ANOVA sums where EVERY sum of squares is exact — the "
+    "per-group correction terms 1e6·S_i²//n_i and the grand "
+    "1e6·S²//N use rule-13 integer division in micro-units, so SSB "
+    "and SSW are exact integers with zero float aggregation; the "
+    "unbalanced n0 = (N²-Σn_i²)/(N(b-1)) and the final ICC are ONE "
+    "fixed float expression. Singleton users dropped (HAVING n>=2), "
+    "degenerate zero-denominator emits NULL. Plan at 100 TB: one "
+    "map-side-combinable per-user agg, constant algebra after.",
+)
+def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    x = e.select(
+        "user_id", F.floor(F.col("value") * 1000).cast("long").alias("v3")
+    )
+    grp = (
+        x.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v3").cast("long").alias("s"),
+            F.sum(F.expr("CAST(v3 AS DECIMAL(38,0)) * v3")).alias("q"),
+        )
+        .where("n >= 2")
+        .select(
+            "n",
+            "s",
+            "q",
+            F.expr(
+                "CAST(1000000 * CAST(s AS DECIMAL(38,0)) * s DIV n"
+                " AS DECIMAL(38,0))"
+            ).alias("a_mu"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("b"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("a_mu").alias("a_mu"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).cast("long").alias("sum_n2"),
+    )
+    parts = tot.where("b >= 2 AND nn > b").select(
+        "nn",
+        "b",
+        F.expr(
+            "CAST(nn AS DECIMAL(38,0)) * a_mu"
+            " - 1000000 * CAST(ss AS DECIMAL(38,0)) * ss"
+        ).alias("ssb_nu"),
+        F.expr("1000000 * qq - a_mu").alias("ssw_mu"),
+        F.expr(
+            "CAST(CAST(nn AS DECIMAL(38,0)) * nn - sum_n2 AS BIGINT)"
+        ).alias("n0_num"),
+    )
+    msb = (
+        "CAST(ssb_nu AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000.0 * (b - 1))"
+    )
+    msw = "CAST(ssw_mu AS DOUBLE) / (1000000.0 * (nn - b))"
+    n0m1 = "(CAST(n0_num AS DOUBLE) / (CAST(nn AS DOUBLE) * (b - 1)) - 1.0)"
+    return parts.select(
+        F.col("nn").alias("n_obs"),
+        F.col("b").alias("n_groups"),
+        F.expr(
+            "CAST(FLOOR(CAST(ssb_nu AS DOUBLE)"
+            " / (CAST(nn AS DOUBLE) * 1000000.0)) AS BIGINT)"
+        ).alias("ssb"),
+        F.expr(
+            "CAST(FLOOR(CAST(ssw_mu AS DOUBLE) / 1000000.0) AS BIGINT)"
+        ).alias("ssw"),
+        F.expr(
+            f"CASE WHEN {msb} + {n0m1} * ({msw}) <= 0.0 THEN NULL"
+            f" ELSE ROUND(({msb} - {msw})"
+            f" / ({msb} + {n0m1} * ({msw})), 6) END"
+        ).alias("icc1"),
+    )

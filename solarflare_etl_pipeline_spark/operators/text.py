@@ -7446,3 +7446,77 @@ def llm_eval_clustered_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("design_effect"),
         )
     )
+
+
+@register(
+    "llm_code_detect",
+    oracle="""
+        WITH feats AS (
+            SELECT doc_id, source, LEN(text) AS n_chars_t,
+                   LEN(text) - LEN(REPLACE(text, '{', ''))
+                 + LEN(text) - LEN(REPLACE(text, '}', ''))
+                 + LEN(text) - LEN(REPLACE(text, ';', ''))
+                 + LEN(text) - LEN(REPLACE(text, '=', ''))
+                 + LEN(text) - LEN(REPLACE(text, '(', ''))
+                 + LEN(text) - LEN(REPLACE(text, ')', '')) AS n_sym
+            FROM documents WHERE text IS NOT NULL AND LEN(text) > 0
+        ),
+        scored AS (
+            SELECT source,
+                   CAST(n_sym * 1000000 // n_chars_t AS BIGINT) AS density_ppm
+            FROM feats
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN density_ppm >= 5000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_code_like,
+               CAST(SUM(density_ppm) // COUNT(*) AS BIGINT)
+                   AS avg_density_ppm,
+               CAST(MAX(density_ppm) AS BIGINT) AS max_density_ppm
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Code-vs-prose detection per source — the corpus-mix audit a "
+    "pretraining pipeline runs before routing documents to code vs "
+    "text tokenization (a fasttext-style classifier's zero-"
+    "dependency floor): symbol density = count of {};=() characters "
+    "per character, computed PORTABLY as LENGTH-minus-REPLACE "
+    "arithmetic (no regex — Java and DuckDB regex dialects never "
+    "enter), rule-13 integer ppm per doc, then per-source doc "
+    "counts, code-like share (density ≥ 5000 ppm) and integer-DIV "
+    "average/max densities. Empty texts excluded by contract. Plan "
+    "at 100 TB: pure per-row char arithmetic + one map-side-"
+    "combinable source rollup — no shuffle beyond the ≤|sources| "
+    "aggregate.",
+)
+def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(
+        "text IS NOT NULL AND LENGTH(text) > 0"
+    )
+    sym = " + ".join(
+        f"LENGTH(text) - LENGTH(REPLACE(text, '{ch}', ''))"
+        for ch in ("{", "}", ";", "=", "(", ")")
+    )
+    feats = d.select(
+        "source",
+        F.expr(
+            f"CAST(({sym}) * 1000000 DIV LENGTH(text) AS BIGINT)"
+        ).alias("density_ppm"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                F.expr("CASE WHEN density_ppm >= 5000 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_code_like"),
+            F.expr(
+                "CAST(SUM(density_ppm) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_density_ppm"),
+            F.max("density_ppm").cast("long").alias("max_density_ppm"),
+        )
+        .orderBy("source")
+    )

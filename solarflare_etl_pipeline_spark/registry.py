@@ -144,6 +144,28 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: llm_sft_pairs, llm_data_constrained_epochs, llm_pack_efficiency_curve,
 #: tpch_q3_priority, tpch_q4_order_priority, tpch_q11_important_stock,
 #: sql_pipe_syntax — then the standing round-9 backlog below.
+#: Round-10 LATE-SESSION additions (batches 15-24, never driver-
+#: checked, both-leg green at sf0.001+sf0.01+sf0.1, ordered by
+#: certification value): tpch_q5_local_supplier + tpch_q22_global_sales
+#: (the LAST two classic TPC-H shapes — regional same-nation join and
+#: the scalar-subquery + NOT EXISTS finale), llm_fim_transform (the
+#: PSM infilling reorder with a content hash certifying the emitted
+#: string cross-engine), llm_eval_clustered_se (cluster-robust eval
+#: error bars — the sandwich numerator under the driver hash),
+#: agg_survival_cindex (Harrell's C — survival family's discrimination
+#: readout), ts_granger_lag1 (restricted-vs-unrestricted OLS F via the
+#: factored SSE chain), agg_jonckheere_terpstra + agg_page_trend (the
+#: ordered-trend pair: pooled and blocked), agg_durbin_watson +
+#: agg_breusch_pagan (quantized-residual OLS diagnostics),
+#: llm_mlm_masking + llm_length_bucket_padding (mask-budget and
+#: dataloader-padding accounting), ts_hurst_rs + ts_variance_ratio +
+#: ts_adf (the random-walk triptych), sample_weighted_priority
+#: (Efraimidis-Spirakis one-pass weighted draw), agg_gk_gamma /
+#: agg_cliff_delta / agg_hodges_lehmann (the concordance-effect-size
+#: trio), agg_g_test, agg_stuart_maxwell + agg_bowker_test,
+#: agg_cochran_armitage, agg_sign_test, agg_runs_test, agg_chow_test,
+#: ts_turning_points, ts_pacf, ts_spectral_entropy, graph_reciprocity,
+#: agg_extreme_value_gumbel.
 #:
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the

@@ -197,6 +197,11 @@ SWEEP_QUERIES = (
     # shift 0.0); constant event_type empties one HL arm (empty frame)
     "agg_page_trend",
     "agg_hodges_lehmann",
+    # constant values zero both ICC sums of squares (denominator <= 0
+    # -> NULL icc1); constant text makes every doc the same density
+    # (single band, max = avg — must stay well-formed)
+    "agg_icc",
+    "llm_code_detect",
 )
 
 

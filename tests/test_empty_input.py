@@ -349,6 +349,10 @@ CORE_QUERIES = (
     # fold through b>0 / tw>0 to empty frames
     "agg_page_trend",
     "agg_hodges_lehmann",
+    # reliability + code-mix audit: empty per-user/source tables fold
+    # through HAVING n>=2 / b>=2 / LEN>0 to empty frames
+    "agg_icc",
+    "llm_code_detect",
 )
 
 
