@@ -278,6 +278,9 @@ BENCH_QUERIES = (
     "agg_hodges_lehmann",
     "agg_icc",
     "llm_code_detect",
+    "agg_tost_equivalence",
+    "llm_lexical_diversity",
+    "llm_injection_scan",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -9261,3 +9261,157 @@ def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / ({msb} + {n0m1} * ({msw})), 6) END"
         ).alias("icc1"),
     )
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type = 'purchase'
+        ),
+        s AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v3) AS BIGINT) AS sv,
+                   CAST(SUM(CAST(v3 AS HUGEINT) * v3) AS HUGEINT) AS qv
+            FROM x GROUP BY arm
+        ),
+        piv AS (
+            SELECT
+                MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                MAX(CASE WHEN arm = 0 THEN sv END) AS s0,
+                MAX(CASE WHEN arm = 0 THEN qv END) AS q0,
+                MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                MAX(CASE WHEN arm = 1 THEN sv END) AS s1,
+                MAX(CASE WHEN arm = 1 THEN qv END) AS q1
+            FROM s
+        )
+        SELECT n0, n1,
+               ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                     / 1000.0, 6) AS diff,
+               CASE WHEN n0 < 2 OR n1 < 2
+                         OR (CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                  AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                  * (n0 - 1))
+                             + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                    AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                    * (n1 - 1))) <= 0.0 THEN NULL
+                    ELSE ROUND(
+                        ((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                         - 2000.0)
+                        / SQRT(CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                    AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                    * (n0 - 1))
+                               + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                      AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                      * (n1 - 1))), 6)
+               END AS t_upper,
+               CASE WHEN n0 < 2 OR n1 < 2
+                         OR (CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                  AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                  * (n0 - 1))
+                             + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                    AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                    * (n1 - 1))) <= 0.0 THEN NULL
+                    ELSE ROUND(
+                        ((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                         + 2000.0)
+                        / SQRT(CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                    AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                    * (n0 - 1))
+                               + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                      AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                      * (n1 - 1))), 6)
+               END AS t_lower,
+               CASE WHEN n0 < 2 OR n1 < 2
+                         OR (CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                  AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                  * (n0 - 1))
+                             + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                    AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                    * (n1 - 1))) <= 0.0 THEN NULL
+                    WHEN ((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                          - 2000.0)
+                         / SQRT(CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                     AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                     * (n0 - 1))
+                                + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                       AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                       * (n1 - 1))) < -1.6449
+                     AND ((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                          + 2000.0)
+                         / SQRT(CAST(n0 * q0 - CAST(s0 AS HUGEINT) * s0
+                                     AS DOUBLE) / (CAST(n0 AS DOUBLE) * n0
+                                     * (n0 - 1))
+                                + CAST(n1 * q1 - CAST(s1 AS HUGEINT) * s1
+                                       AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1
+                                       * (n1 - 1))) > 1.6449
+                    THEN 'equivalent'
+                    ELSE 'not_demonstrated'
+               END AS verdict
+        FROM piv
+        WHERE n0 IS NOT NULL OR n1 IS NOT NULL
+    """,
+    doc="TOST equivalence test (Schuirmann's two one-sided tests): can "
+    "we POSITIVELY claim the two arms' purchase values differ by "
+    "less than ±2.0 (the do-no-harm launch gate that a plain t-test "
+    "cannot give — failing to reject is not equivalence)? Welch "
+    "unequal-variance SE from exact 128-bit integer moments (the "
+    "agg_welch_t staging), both one-sided t's and the verdict from "
+    "the SAME fixed float expressions against the injected 1.6449 "
+    "critical value (5% one-sided normal). Degenerate small/zero-"
+    "variance arms emit NULL t's. Plan at 100 TB: ONE map-side-"
+    "combinable 2-row hash agg; constant scalar algebra after.",
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    s = e.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("sv"),
+        F.sum(
+            F.expr(
+                "CAST(CAST(FLOOR(value * 1000) AS BIGINT) AS DECIMAL(38,0))"
+                " * CAST(FLOOR(value * 1000) AS BIGINT)"
+            )
+        ).alias("qv"),
+    )
+    piv = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c[0]}{a}")
+            for a in (0, 1)
+            for c in ("n", "sv", "qv")
+        ]
+    )
+    se2 = (
+        "(CAST(n0 * q0 - CAST(s0 AS DECIMAL(38,0)) * s0 AS DOUBLE)"
+        " / (CAST(n0 AS DOUBLE) * n0 * (n0 - 1))"
+        " + CAST(n1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)"
+        " / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))"
+    )
+    diff = "(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+    guard = f"n0 < 2 OR n1 < 2 OR {se2} <= 0.0"
+    tu = f"({diff} - 2000.0) / SQRT({se2})"
+    tl = f"({diff} + 2000.0) / SQRT({se2})"
+    return piv.where("n0 IS NOT NULL OR n1 IS NOT NULL").select(
+        "n0",
+        "n1",
+        F.expr(f"ROUND({diff} / 1000.0, 6)").alias("diff"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({tu}, 6) END"
+        ).alias("t_upper"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({tl}, 6) END"
+        ).alias("t_lower"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" WHEN {tu} < -1.6449 AND {tl} > 1.6449 THEN 'equivalent'"
+            f" ELSE 'not_demonstrated' END"
+        ).alias("verdict"),
+    )

@@ -7520,3 +7520,153 @@ def llm_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_lexical_diversity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+            FROM toks GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT source, n_tok, n_types,
+                   CAST(n_types * 1000000 // n_tok AS BIGINT) AS ttr_ppm,
+                   CAST(FLOOR(1000.0 * n_types
+                        / SQRT(CAST(n_tok AS DOUBLE))) AS BIGINT)
+                       AS guiraud_milli
+            FROM per_doc WHERE n_tok > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(SUM(ttr_ppm) // COUNT(*) AS BIGINT) AS avg_ttr_ppm,
+               CAST(SUM(guiraud_milli) // COUNT(*) AS BIGINT)
+                   AS avg_guiraud_milli,
+               CAST(MIN(ttr_ppm) AS BIGINT) AS min_ttr_ppm
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Lexical diversity per source — the vocabulary-richness quality "
+    "signal (template/spam farms show LOW type-token ratios; "
+    "complements llm_repetition_stats' within-doc loops and "
+    "llm_vocab_fertility's tokenizer view): per doc the TTR in "
+    "rule-13 integer ppm and Guiraud's length-corrected R = V/√N "
+    "(TTR collapses as docs grow; R does not) FLOOR-quantized to "
+    "milli after one IEEE sqrt+divide on exact integers; per-source "
+    "integer-DIV averages and the min-TTR outlier floor. Plan at "
+    "100 TB: one explode + per-doc distinct agg (shuffle on doc_id, "
+    "the llm_text_stats shape), then a ≤|sources| rollup.",
+)
+def llm_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+    scored = per_doc.where("n_tok > 0").select(
+        "source",
+        "n_tok",
+        F.expr("CAST(n_types * 1000000 DIV n_tok AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST(FLOOR(1000.0 * n_types / SQRT(CAST(n_tok AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("guiraud_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.expr("CAST(SUM(ttr_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "avg_ttr_ppm"
+            ),
+            F.expr(
+                "CAST(SUM(guiraud_milli) DIV COUNT(*) AS BIGINT)"
+            ).alias("avg_guiraud_milli"),
+            F.min("ttr_ppm").cast("long").alias("min_ttr_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Injection-pattern blocklist: lowercase substrings scanned verbatim
+#: (INSTR, not regex — no dialect risk), injected identically into both
+#: engines. Public patterns from the prompt-injection literature.
+INJECTION_PATTERNS = (
+    "ignore previous instructions",
+    "disregard all prior",
+    "you are now",
+    "system prompt",
+    "do anything now",
+)
+
+
+@register(
+    "llm_injection_scan",
+    oracle=f"""
+        WITH scans AS (
+            SELECT doc_id, source,
+                   {" + ".join(
+                       f"CASE WHEN INSTR(LOWER(text), '{p}') > 0"
+                       f" THEN 1 ELSE 0 END"
+                       for p in INJECTION_PATTERNS)} AS n_hits
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS flagged_ppm
+        FROM scans
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Prompt-injection pattern scan — the instruction-data hygiene "
+    "gate a training-corpus pipeline runs before documents can reach "
+    "an instruction-tuned model's context (scrub-or-quarantine, the "
+    "safety sibling of llm_pii_scrub): each doc is scanned for the "
+    "5-phrase public blocklist with case-folded VERBATIM substring "
+    "search (INSTR — regex dialects never enter), per-source doc "
+    "counts, flagged docs, total pattern hits and the flagged share "
+    "in rule-13 integer ppm. Plan at 100 TB: pure per-row scans "
+    "(5 INSTR calls, no explode) + one ≤|sources| rollup — the "
+    "cheapest possible full-corpus pass.",
+)
+def llm_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    hits = " + ".join(
+        f"CASE WHEN INSTR(LOWER(text), '{p}') > 0 THEN 1 ELSE 0 END"
+        for p in INJECTION_PATTERNS
+    )
+    scans = d.select("source", F.expr(f"({hits})").alias("n_hits"))
+    return (
+        scans.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN n_hits > 0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_hits").cast("long").alias("total_hits"),
+            F.expr(
+                "CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -202,6 +202,12 @@ SWEEP_QUERIES = (
     # (single band, max = avg — must stay well-formed)
     "agg_icc",
     "llm_code_detect",
+    # constant values zero both arm variances (TOST se<=0 -> NULL,
+    # verdict NULL); constant user parity empties one arm (n1 NULL);
+    # constant text gives every doc identical TTR/zero hits
+    "agg_tost_equivalence",
+    "llm_lexical_diversity",
+    "llm_injection_scan",
 )
 
 

@@ -353,6 +353,11 @@ CORE_QUERIES = (
     # through HAVING n>=2 / b>=2 / LEN>0 to empty frames
     "agg_icc",
     "llm_code_detect",
+    # equivalence/diversity/safety scans: empty arms/corpora fold to
+    # the NULL-verdict row or empty per-source frames
+    "agg_tost_equivalence",
+    "llm_lexical_diversity",
+    "llm_injection_scan",
 )
 
 
