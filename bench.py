@@ -281,6 +281,9 @@ BENCH_QUERIES = (
     "agg_tost_equivalence",
     "llm_lexical_diversity",
     "llm_injection_scan",
+    "agg_breslow_day",
+    "agg_kappa_weighted",
+    "agg_mood_median",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

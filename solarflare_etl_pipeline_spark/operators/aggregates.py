@@ -9415,3 +9415,436 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE 'not_demonstrated' END"
         ).alias("verdict"),
     )
+
+
+def _bd_cells_sql() -> str:
+    """The agg_mh_odds_ratio 28-cell FILTER pivot, shared verbatim."""
+    return f"""
+        WITH q AS (
+            SELECT (DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+                    + 7) % 7 AS dow,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS exposed,
+                   CASE WHEN value > 35 THEN 1 ELSE 0 END AS outcome
+            FROM events
+        ),
+        s AS (
+            SELECT
+                {", ".join(
+                    f'''CAST(SUM(CASE WHEN dow = {k} AND exposed = 1
+                         AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 1
+                         AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 0
+                         AND outcome = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_{k},
+                    CAST(SUM(CASE WHEN dow = {k} AND exposed = 0
+                         AND outcome = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_{k}'''
+                    for k in MH_STRATA)}
+            FROM q
+        )
+    """
+
+
+def _bd_or_expr() -> str:
+    """OR_MH from the pivoted row — the agg_mh_odds_ratio pooled sums,
+    with empty strata contributing exact zeros (the degenerate tied-ts
+    regime collapses all mass onto one dow; an unguarded n_k=0 divide
+    is an ANSI error in Spark and an inf in DuckDB)."""
+    num = " + ".join(
+        f"(CASE WHEN a_{k} + b_{k} + c_{k} + d_{k} = 0 THEN 0.0"
+        f" ELSE CAST(a_{k} AS DOUBLE) * d_{k}"
+        f" / (a_{k} + b_{k} + c_{k} + d_{k}) END)"
+        for k in MH_STRATA
+    )
+    den = " + ".join(
+        f"(CASE WHEN a_{k} + b_{k} + c_{k} + d_{k} = 0 THEN 0.0"
+        f" ELSE CAST(b_{k} AS DOUBLE) * c_{k}"
+        f" / (a_{k} + b_{k} + c_{k} + d_{k}) END)"
+        for k in MH_STRATA
+    )
+    return num, den
+
+
+def _bd_usable(k: int) -> str:
+    return (
+        f"(a_{k} + b_{k} > 0 AND c_{k} + d_{k} > 0"
+        f" AND a_{k} + c_{k} > 0 AND b_{k} + d_{k} > 0)"
+    )
+
+
+def _bd_term(k: int) -> str:
+    """Breslow-Day stratum term (a-ã)²·(1/ã+1/(r1-ã)+1/(c1-ã)+1/(r0-c1+ã))
+    with ã the in-bounds root of the OR-constrained quadratic — one
+    fixed float expression, identical text in both engines."""
+    r1 = f"(a_{k} + b_{k})"
+    c1 = f"(a_{k} + c_{k})"
+    n = f"(a_{k} + b_{k} + c_{k} + d_{k})"
+    qa = "(1.0 - orx)"
+    qb = f"(({n} - {r1} - {c1}) + orx * ({r1} + {c1}))"
+    qc = f"(0.0 - orx * {r1} * {c1})"
+    disc = f"({qb} * {qb} - 4.0 * {qa} * {qc})"
+    root1 = f"((0.0 - {qb} + SQRT({disc})) / (2.0 * {qa}))"
+    root2 = f"((0.0 - {qb} - SQRT({disc})) / (2.0 * {qa}))"
+    lo = f"GREATEST(0.0, CAST({r1} + {c1} - {n} AS DOUBLE))"
+    hi = f"LEAST(CAST({r1} AS DOUBLE), CAST({c1} AS DOUBLE))"
+    atil = (
+        f"(CASE WHEN ABS(1.0 - orx) < 1e-12"
+        f" THEN CAST({r1} AS DOUBLE) * {c1} / {n}"
+        f" WHEN {root1} >= {lo} AND {root1} <= {hi} THEN {root1}"
+        f" ELSE {root2} END)"
+    )
+    invv = (
+        f"(1.0 / {atil} + 1.0 / ({r1} - {atil})"
+        f" + 1.0 / ({c1} - {atil})"
+        f" + 1.0 / ({n} - {r1} - {c1} + {atil}))"
+    )
+    return (
+        f"(CASE WHEN {_bd_usable(k)} THEN"
+        f" (CAST(a_{k} AS DOUBLE) - {atil})"
+        f" * (CAST(a_{k} AS DOUBLE) - {atil}) * {invv}"
+        f" ELSE 0.0 END)"
+    )
+
+
+_BD_NUM, _BD_DEN = _bd_or_expr()
+_BD_SELECT = f"""
+        SELECT CAST({" + ".join(f"CASE WHEN {_bd_usable(k)} THEN 1 ELSE 0 END"
+                                for k in MH_STRATA)} AS BIGINT)
+                   AS n_strata_used,
+               ROUND(orx, 6) AS or_mh,
+               CASE WHEN orx IS NULL THEN NULL
+                    ELSE ROUND({" + ".join(_bd_term(k) for k in MH_STRATA)},
+                               6)
+               END AS bd_chi2
+        FROM o
+"""
+
+
+@register(
+    "agg_breslow_day",
+    oracle=f"""{_bd_cells_sql()},
+        o AS (
+            SELECT s.*,
+                   CASE WHEN ({_BD_DEN}) = 0.0 THEN NULL
+                        ELSE ({_BD_NUM}) / ({_BD_DEN}) END AS orx
+            FROM s
+        )
+        {_BD_SELECT}
+    """,
+    doc="Breslow-Day homogeneity test: is the purchase->high-value odds "
+    "ratio the SAME across day-of-week strata? Completes the "
+    "stratified-2x2 triad — agg_mh_odds_ratio ESTIMATES the common "
+    "OR, agg_cmh_chi TESTS it against 1, Breslow-Day checks the "
+    "pooling was legitimate at all. Per stratum the OR-constrained "
+    "fitted cell ã solves the quadratic (1-OR)ã² + [(n-r1-c1)+"
+    "OR(r1+c1)]ã - OR·r1·c1 = 0 with the IN-BOUNDS root chosen by "
+    "the same CASE in both engines (OR=1 degenerates to the exact "
+    "independence fit), the asymptotic variance is the standard "
+    "4-term reciprocal sum, and chi2 = Σ(a-ã)²/V folds the 7 fixed "
+    "pivot slots in written order — every branch and float op is "
+    "the IDENTICAL expression text cross-engine (the mh/cmh pivot "
+    "discipline), empty/one-sided strata contribute exact zeros, "
+    "zero MH denominator emits NULL. Plan at 100 TB: ONE map-side-"
+    "combinable 28-cell FILTER pivot; constant scalar algebra after.",
+)
+def agg_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = e.select(
+        F.expr(
+            "pmod(datediff(CAST(ts AS DATE), DATE '2024-01-01'), 7)"
+        ).alias("dow"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "exposed"
+        ),
+        F.when(F.col("value") > 35, 1).otherwise(0).alias("outcome"),
+    )
+    aggs = []
+    for k in MH_STRATA:
+        for name, ex, oc in (
+            (f"a_{k}", 1, 1),
+            (f"b_{k}", 1, 0),
+            (f"c_{k}", 0, 1),
+            (f"d_{k}", 0, 0),
+        ):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("dow") == k)
+                        & (F.col("exposed") == ex)
+                        & (F.col("outcome") == oc),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(name)
+            )
+    s = cells.agg(*aggs)
+    o = s.select(
+        "*",
+        F.expr(
+            f"CASE WHEN ({_BD_DEN}) = 0.0 THEN NULL"
+            f" ELSE ({_BD_NUM}) / ({_BD_DEN}) END"
+        ).alias("orx"),
+    )
+    used = " + ".join(
+        f"CASE WHEN {_bd_usable(k)} THEN 1 ELSE 0 END" for k in MH_STRATA
+    )
+    terms = " + ".join(_bd_term(k) for k in MH_STRATA)
+    return o.select(
+        F.expr(f"CAST({used} AS BIGINT)").alias("n_strata_used"),
+        F.expr("ROUND(orx, 6)").alias("or_mh"),
+        F.expr(
+            f"CASE WHEN orx IS NULL THEN NULL ELSE ROUND({terms}, 6) END"
+        ).alias("bd_chi2"),
+    )
+
+
+@register(
+    "agg_kappa_weighted",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars,
+                   LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 AS wc
+            FROM documents WHERE text IS NOT NULL
+        ),
+        lab AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 370 THEN 1 ELSE 2 END AS la,
+                   CASE WHEN wc < 36 THEN 0
+                        WHEN wc < 66 THEN 1 ELSE 2 END AS lb
+            FROM d
+        ),
+        cells AS (
+            SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY la, lb
+        ),
+        rmarg AS (SELECT la AS k, CAST(SUM(c) AS BIGINT) AS rt
+                  FROM cells GROUP BY la),
+        cmarg AS (SELECT lb AS k, CAST(SUM(c) AS BIGINT) AS ct
+                  FROM cells GROUP BY lb),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        num AS (
+            SELECT CAST(SUM(ABS(la - lb) * c) AS BIGINT) AS wobs
+            FROM cells
+        ),
+        den AS (
+            SELECT CAST(SUM(ABS(r.k - m.k) * CAST(r.rt AS HUGEINT) * m.ct)
+                        AS HUGEINT) AS wexp
+            FROM rmarg r, cmarg m
+        )
+        SELECT tot.n AS n_docs,
+               num.wobs AS weighted_disagreement,
+               CAST(den.wexp AS BIGINT) AS expected_disagreement_n,
+               CASE WHEN den.wexp = 0 THEN NULL
+                    ELSE ROUND(1.0 - CAST(tot.n AS DOUBLE) * num.wobs
+                         / CAST(den.wexp AS DOUBLE), 9)
+               END AS kappa_w
+        FROM tot, num, den
+        WHERE tot.n > 0
+    """,
+    doc="Linearly weighted Cohen's kappa over the same two ordinal "
+    "3-level raters as agg_cohens_kappa (char-count vs word-count "
+    "length bands): unlike plain kappa, adjacent-band disagreements "
+    "cost 1 and opposite-band 2 (w = |i-j|), the right loss for "
+    "ORDERED rating scales. kappa_w = 1 - N·Σw·o / Σw·r_i·c_j with "
+    "BOTH the observed and chance-expected weighted disagreement as "
+    "exact 128-bit integers (the 3x3 marginal product is a 9-term "
+    "bounded join) and ONE float divide at the end; concentrated "
+    "marginals (wexp=0) emit NULL. Plan at 100 TB: one map-side-"
+    "combinable 9-cell agg; constant algebra after.",
+)
+def agg_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lab = d.select(
+        F.expr(
+            "CASE WHEN n_chars < 200 THEN 0"
+            " WHEN n_chars < 370 THEN 1 ELSE 2 END"
+        ).alias("la"),
+        F.expr(
+            "CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 36"
+            " THEN 0 WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1"
+            " < 66 THEN 1 ELSE 2 END"
+        ).alias("lb"),
+    )
+    cells = lab.groupBy("la", "lb").agg(F.count("*").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # ≤9 rows, read four times
+    rmarg = cells.groupBy(F.col("la").alias("k")).agg(
+        F.sum("c").cast("long").alias("rt")
+    )
+    cmarg = cells.groupBy(F.col("lb").alias("k")).agg(
+        F.sum("c").cast("long").alias("ct")
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    num = cells.agg(
+        F.sum(F.expr("ABS(la - lb) * c")).cast("long").alias("wobs")
+    )
+    r, m = rmarg.alias("r"), cmarg.alias("m")
+    den = r.crossJoin(m).agg(
+        F.sum(
+            F.expr(
+                "ABS(r.k - m.k) * CAST(r.rt AS DECIMAL(38,0)) * m.ct"
+            )
+        ).alias("wexp")
+    )
+    return (
+        tot.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .where("n > 0")
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("wobs").alias("weighted_disagreement"),
+            F.expr("CAST(wexp AS BIGINT)").alias("expected_disagreement_n"),
+            F.expr(
+                "CASE WHEN wexp = 0 THEN NULL"
+                " ELSE ROUND(1.0 - CAST(n AS DOUBLE) * wobs"
+                " / CAST(wexp AS DOUBLE), 9) END"
+            ).alias("kappa_w"),
+        )
+    )
+
+
+@register(
+    "agg_mood_median",
+    oracle="""
+        WITH x AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        ranked AS (
+            SELECT grp, v3,
+                   ROW_NUMBER() OVER (ORDER BY v3, grp) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM x
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN rn = (cnt + 1) // 2 THEN v3 END)
+                   + MIN(CASE WHEN rn = (cnt + 2) // 2 THEN v3 END) AS m2
+            FROM ranked
+        ),
+        cls AS (
+            SELECT x.grp,
+                   CAST(SUM(CASE WHEN 2 * x.v3 > med.m2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS above,
+                   CAST(SUM(CASE WHEN 2 * x.v3 <= med.m2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS notabove
+            FROM x, med GROUP BY x.grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(above) AS BIGINT) AS ca,
+                   CAST(SUM(notabove) AS BIGINT) AS cb,
+                   CAST(SUM(above + notabove) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM cls
+        ),
+        terms AS (
+            SELECT
+                CAST(SUM(
+                    CASE WHEN tot.ca > 0 AND cls.above + cls.notabove > 0
+                    THEN (CAST(cls.above AS HUGEINT) * tot.n
+                          - CAST(cls.above + cls.notabove AS HUGEINT)
+                            * tot.ca)
+                         * (CAST(cls.above AS HUGEINT) * tot.n
+                            - CAST(cls.above + cls.notabove AS HUGEINT)
+                              * tot.ca)
+                         * 1000000
+                         // (CAST(tot.n AS HUGEINT)
+                             * (cls.above + cls.notabove) * tot.ca)
+                    ELSE 0 END) AS HUGEINT)
+                  + CAST(SUM(
+                    CASE WHEN tot.cb > 0 AND cls.above + cls.notabove > 0
+                    THEN (CAST(cls.notabove AS HUGEINT) * tot.n
+                          - CAST(cls.above + cls.notabove AS HUGEINT)
+                            * tot.cb)
+                         * (CAST(cls.notabove AS HUGEINT) * tot.n
+                            - CAST(cls.above + cls.notabove AS HUGEINT)
+                              * tot.cb)
+                         * 1000000
+                         // (CAST(tot.n AS HUGEINT)
+                             * (cls.above + cls.notabove) * tot.cb)
+                    ELSE 0 END) AS HUGEINT) AS chi2_ppm,
+                MAX(tot.k) AS k, MAX(tot.n) AS n
+            FROM cls, tot
+        )
+        SELECT n AS n_total, k AS n_groups,
+               CAST(k - 1 AS BIGINT) AS df,
+               CAST(chi2_ppm AS BIGINT) AS mood_chi2_ppm
+        FROM terms
+        WHERE n > 0
+    """,
+    doc="Mood's median test: do the five event types share one median "
+    "value? Each observation is dichotomized against the EXACT "
+    "grand median (2v vs 2·median integer compare — the "
+    "agg_runs_test trick, no float quantile) and the resulting 2xk "
+    "table's chi-square is summed per-cell in rule-13 integer ppm "
+    "((oN - rc)²·1e6 // (N·r·c), exact 128-bit numerators, no "
+    "engine-ordered float sum). The median-based robust cousin of "
+    "agg_kruskal_wallis (KW uses full ranks; Mood only the median "
+    "split — blunt but outlier-immune). Plan at 100 TB: the global "
+    "rank for the median is the one data-scale window (the "
+    "fn_quantile_align distributed-rank shape); everything after is "
+    "a k-row fold.",
+)
+def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    x = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    x = x.localCheckpoint()  # read twice (median + classify)
+    ranked = x.select(
+        "v3",
+        F.row_number().over(W.orderBy("v3", "grp")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    med = ranked.agg(
+        (
+            F.min(F.when(F.col("rn") == F.expr("(cnt + 1) DIV 2"), F.col("v3")))
+            + F.min(F.when(F.col("rn") == F.expr("(cnt + 2) DIV 2"), F.col("v3")))
+        ).alias("m2")
+    )
+    cls = (
+        x.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.expr("CASE WHEN 2 * v3 > m2 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("above"),
+            F.sum(F.expr("CASE WHEN 2 * v3 <= m2 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("notabove"),
+        )
+    )
+    cls = cls.localCheckpoint()  # k rows, read twice
+    tot = cls.agg(
+        F.sum("above").cast("long").alias("ca"),
+        F.sum("notabove").cast("long").alias("cb"),
+        F.sum(F.expr("above + notabove")).cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+    )
+    term = (
+        "CASE WHEN {c} > 0 AND above + notabove > 0 THEN"
+        " (CAST({o} AS DECIMAL(38,0)) * n"
+        "  - CAST(above + notabove AS DECIMAL(38,0)) * {c})"
+        " * (CAST({o} AS DECIMAL(38,0)) * n"
+        "    - CAST(above + notabove AS DECIMAL(38,0)) * {c})"
+        " * 1000000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * (above + notabove) * {c})"
+        " ELSE 0 END"
+    )
+    terms = cls.crossJoin(F.broadcast(tot)).agg(
+        (
+            F.sum(F.expr(term.format(o="above", c="ca")))
+            + F.sum(F.expr(term.format(o="notabove", c="cb")))
+        ).alias("chi2_ppm"),
+        F.max("k").alias("k"),
+        F.max("n").alias("n"),
+    )
+    return terms.where("n > 0").select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        F.expr("CAST(k - 1 AS BIGINT)").alias("df"),
+        F.expr("CAST(chi2_ppm AS BIGINT)").alias("mood_chi2_ppm"),
+    )

@@ -208,6 +208,13 @@ SWEEP_QUERIES = (
     "agg_tost_equivalence",
     "llm_lexical_diversity",
     "llm_injection_scan",
+    # constant event_type zeroes the MH denominator (BD or_mh NULL,
+    # chi2 NULL); constant text concentrates kappa marginals (wexp=0
+    # -> NULL); constant values put every obs AT the median (above=0
+    # everywhere — chi2 terms still exact, no divide-by-zero)
+    "agg_breslow_day",
+    "agg_kappa_weighted",
+    "agg_mood_median",
 )
 
 

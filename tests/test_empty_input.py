@@ -358,6 +358,11 @@ CORE_QUERIES = (
     "agg_tost_equivalence",
     "llm_lexical_diversity",
     "llm_injection_scan",
+    # stratified-homogeneity / agreement / median split: empty pivots
+    # and cell tables fold to zero-strata rows or empty frames
+    "agg_breslow_day",
+    "agg_kappa_weighted",
+    "agg_mood_median",
 )
 
 

@@ -169,6 +169,10 @@ DELIBERATE_CROSS = {
     "agg_survival_cindex",
     # r10: |bins|² bounded histogram product (the cliff_delta shape)
     "agg_hodges_lehmann",
+    # r10: 3×3 bounded marginal product + 1-row scalar folds (kappa);
+    # exact-median scalar + k-row totals broadcast (mood)
+    "agg_kappa_weighted",
+    "agg_mood_median",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
