@@ -284,6 +284,8 @@ BENCH_QUERIES = (
     "agg_breslow_day",
     "agg_kappa_weighted",
     "agg_mood_median",
+    "dq_outliers_gesd",
+    "subq_quantified_any",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

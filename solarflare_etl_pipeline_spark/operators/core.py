@@ -2175,3 +2175,135 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where("rnk <= 50").select(
         "rnk", "doc_id", "n_chars", "key_e12"
     ).orderBy("rnk")
+
+
+def _gesd_pick_sql(src: str, excl: tuple[str, ...]) -> str:
+    """One generalized-ESD round over the remaining day grid: exact
+    integer argmax of |n·x - S| (ties by day), R from the same
+    moments — identical expression text in both engines."""
+    not_in = (
+        " WHERE d NOT IN (" + ", ".join(f"(SELECT d FROM {e})" for e in excl)
+        + ")"
+        if excl
+        else ""
+    )
+    return f"""
+            SELECT d, x, n, s, q,
+                   ROUND(CAST(ABS(CAST(n AS HUGEINT) * x - s) AS DOUBLE)
+                         / (n * SQRT((CAST(CAST(n AS HUGEINT) * q
+                              - CAST(s AS HUGEINT) * s AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * n * (n - 1)))), 6)
+                       AS r_stat
+            FROM (
+                SELECT d, x,
+                       COUNT(*) OVER () AS n,
+                       SUM(x) OVER () AS s,
+                       SUM(CAST(x AS HUGEINT) * x) OVER () AS q
+                FROM {src}{not_in}
+            ) t
+            WHERE CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s > 0
+              AND n >= 3
+            ORDER BY ABS(CAST(n AS HUGEINT) * x - s) DESC, d
+            LIMIT 1
+    """
+
+
+@register(
+    "dq_outliers_gesd",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM orders GROUP BY 1
+        ),
+        p1 AS ({_gesd_pick_sql("daily", ())}),
+        p2 AS ({_gesd_pick_sql("daily", ("p1",))}),
+        p3 AS ({_gesd_pick_sql("daily", ("p1", "p2"))})
+        SELECT 1 AS round, CAST(d AS VARCHAR) AS removed_day, r_stat
+        FROM p1
+        UNION ALL SELECT 2, CAST(d AS VARCHAR), r_stat FROM p2
+        UNION ALL SELECT 3, CAST(d AS VARCHAR), r_stat FROM p3
+        ORDER BY round
+    """,
+    doc="Generalized ESD (Rosner 1983) outlier ledger over the daily "
+    "revenue grid — the ITERATIVE outlier test dq_outlier_iqr cannot "
+    "express (ESD re-estimates mean/std after each removal, so one "
+    "giant day cannot mask a second): three unrolled rounds, each "
+    "picking the EXACT integer argmax of |n·x - S| (n times the "
+    "deviation — no float compare decides the pick, day tie-break) "
+    "and emitting R_i = |x-mean|/std from the same exact moments as "
+    "one fixed float expression; the next round excludes prior picks "
+    "and recomputes moments over the remainder (the k-core/markov "
+    "certified-ledger discipline applied to a DQ screen). Degenerate "
+    "zero-variance or <3-day grids emit fewer rows. Critical values "
+    "are the analyst's lookup — the ledger carries the statistics. "
+    "Plan at 100 TB: one daily hash agg; each round is a window + "
+    "top-1 over the CALENDAR-bounded grid.",
+)
+def dq_outliers_gesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    daily = daily.localCheckpoint()  # calendar-bounded, read 3x
+    r_expr = (
+        "ROUND(CAST(ABS(CAST(n AS DECIMAL(38,0)) * x - s) AS DOUBLE)"
+        " / (n * SQRT((CAST(CAST(n AS DECIMAL(38,0)) * q"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n * (n - 1)))), 6)"
+    )
+
+    def pick(src: DataFrame) -> DataFrame:
+        t = src.select(
+            "d",
+            "x",
+            F.count("*").over(Window.partitionBy()).alias("n"),
+            F.sum("x").over(Window.partitionBy()).alias("s"),
+            F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+            .over(Window.partitionBy())
+            .alias("q"),
+        )
+        return (
+            t.where(
+                "CAST(n AS DECIMAL(38,0)) * q"
+                " - CAST(s AS DECIMAL(38,0)) * s > 0 AND n >= 3"
+            )
+            .orderBy(
+                F.expr("ABS(CAST(n AS DECIMAL(38,0)) * x - s)").desc(),
+                "d",
+            )
+            .limit(1)
+            .select("d", F.expr(r_expr).alias("r_stat"))
+            # day emitted as ISO string downstream (pandas dtype parity)
+        )
+
+    p1 = pick(daily).localCheckpoint()
+    rem1 = daily.join(p1, "d", "left_anti")
+    p2 = pick(rem1).localCheckpoint()
+    rem2 = rem1.join(p2, "d", "left_anti")
+    p3 = pick(rem2)
+    return (
+        p1.select(
+            F.lit(1).alias("round"),
+            F.col("d").cast("string").alias("removed_day"),
+            "r_stat",
+        )
+        .unionAll(
+            p2.select(
+                F.lit(2).alias("round"),
+                F.col("d").cast("string").alias("removed_day"),
+                "r_stat",
+            )
+        )
+        .unionAll(
+            p3.select(
+                F.lit(3).alias("round"),
+                F.col("d").cast("string").alias("removed_day"),
+                "r_stat",
+            )
+        )
+        .orderBy("round")
+    )

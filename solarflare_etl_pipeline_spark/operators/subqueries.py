@@ -321,3 +321,74 @@ def subq_quantified_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "subq_quantified_any",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > ANY (
+            SELECT 3 * o2.o_totalprice FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+              AND o2.o_orderkey <> o.o_orderkey
+        )
+        ORDER BY o.o_orderkey
+    """,
+    doc="Quantified ANY/SOME comparison — the existential dual of "
+    "subq_quantified_all: orders worth more than TRIPLE at least one "
+    "OTHER order by the same customer (a whale-order screen). "
+    "Rewritten for Spark as the aggregate form (x > 3·ANY(S) ⟺ "
+    "x > 3·MIN(S) over the non-self sibling set): per customer the "
+    "two smallest totalprices broadcast back, each order compared "
+    "against the min EXCLUDING itself — the correlated-subquery-to-"
+    "aggregate-join rewrite Catalyst cannot yet do for quantified "
+    "comparisons with self-exclusion. Money compares stay on raw "
+    "doubles (no arithmetic on the compared side; 3·x is exact for "
+    "2-decimal magnitudes). Plan at 100 TB: one per-customer "
+    "aggregate + one shuffle join on o_custkey — never the naive "
+    "per-row re-scan.",
+)
+def subq_quantified_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.min("o_totalprice")
+        .over(Window.partitionBy("o_custkey"))
+        .alias("min_all"),
+        F.count("*").over(Window.partitionBy("o_custkey")).alias("n_sib"),
+    )
+    second = (
+        ranked.where("rk = 2")
+        .select(
+            F.col("o_custkey").alias("ck2"),
+            F.col("o_totalprice").alias("min_second"),
+        )
+    )
+    j = ranked.join(
+        F.broadcast(second), ranked["o_custkey"] == second["ck2"], "left"
+    )
+    # min over siblings EXCLUDING self: the global min unless this row
+    # IS the unique min-holder (rk=1), in which case the second-smallest
+    return (
+        j.where("n_sib >= 2")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.expr(
+                "CASE WHEN rk = 1 THEN min_second ELSE min_all END"
+            ).alias("min_other"),
+        )
+        .where(F.col("o_totalprice") > 3 * F.col("min_other"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

@@ -215,6 +215,11 @@ SWEEP_QUERIES = (
     "agg_breslow_day",
     "agg_kappa_weighted",
     "agg_mood_median",
+    # constant prices zero the GESD variance (every round's guard
+    # trips -> empty ledger) and make every sibling triple-compare
+    # false (ANY -> empty); constant dates leave one day (n>=3 guard)
+    "dq_outliers_gesd",
+    "subq_quantified_any",
 )
 
 

@@ -363,6 +363,10 @@ CORE_QUERIES = (
     "agg_breslow_day",
     "agg_kappa_weighted",
     "agg_mood_median",
+    # iterative-ESD ledger and quantified-ANY: empty grids fold to
+    # empty frames (each pick's n>=3 guard; no sibling pairs)
+    "dq_outliers_gesd",
+    "subq_quantified_any",
 )
 
 

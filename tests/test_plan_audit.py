@@ -173,6 +173,9 @@ DELIBERATE_CROSS = {
     # exact-median scalar + k-row totals broadcast (mood)
     "agg_kappa_weighted",
     "agg_mood_median",
+    # r10: three unrolled top-1 rounds over the CALENDAR-bounded day
+    # grid (certified-ledger shape — single-row anti-join exclusions)
+    "dq_outliers_gesd",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
