@@ -286,6 +286,7 @@ BENCH_QUERIES = (
     "agg_mood_median",
     "dq_outliers_gesd",
     "subq_quantified_any",
+    "agg_raking_ipf",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

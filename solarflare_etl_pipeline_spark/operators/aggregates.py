@@ -9848,3 +9848,132 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(k - 1 AS BIGINT)").alias("df"),
         F.expr("CAST(chi2_ppm AS BIGINT)").alias("mood_chi2_ppm"),
     )
+
+
+@register(
+    "agg_raking_ipf",
+    oracle="""
+        WITH cells AS (
+            SELECT CASE WHEN event_type IN ('click', 'view') THEN 0
+                        WHEN event_type IN ('purchase', 'signup') THEN 1
+                        ELSE 2 END AS r,
+                   CAST(((DATE_DIFF('day', DATE '2024-01-01',
+                         CAST(ts AS DATE)) % 7 + 7) % 7) % 2 AS BIGINT) AS c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                       CAST(COUNT(*) AS BIGINT) AS k FROM cells),
+        w0 AS (
+            SELECT r, c, CAST(n AS HUGEINT) * 1000000 AS w
+            FROM cells
+        ),
+        rs1 AS (
+            SELECT r, CAST(SUM(w) AS HUGEINT) AS rw FROM w0 GROUP BY r
+        ),
+        w1 AS (
+            -- row pass: scale every row to the uniform target nn/3
+            SELECT w0.r, w0.c,
+                   CAST(w0.w * (CAST(tot.nn AS HUGEINT) * 1000000 // 3)
+                        // rs1.rw AS HUGEINT) AS w
+            FROM w0 JOIN rs1 ON rs1.r = w0.r CROSS JOIN tot
+            WHERE rs1.rw > 0
+        ),
+        cs1 AS (
+            SELECT c, CAST(SUM(w) AS HUGEINT) AS cw FROM w1 GROUP BY c
+        ),
+        w2 AS (
+            -- column pass: scale every column to the uniform target nn/2
+            SELECT w1.r, w1.c,
+                   CAST(w1.w * (CAST(tot.nn AS HUGEINT) * 1000000 // 2)
+                        // cs1.cw AS HUGEINT) AS w
+            FROM w1 JOIN cs1 ON cs1.c = w1.c CROSS JOIN tot
+            WHERE cs1.cw > 0
+        ),
+        audit AS (
+            SELECT r, CAST(SUM(w) // 1000000 AS BIGINT) AS row_w
+            FROM w2 GROUP BY r
+        )
+        SELECT w2.r, w2.c,
+               CAST(w2.w // 1000000 AS BIGINT) AS weight_u,
+               audit.row_w AS row_total_u
+        FROM w2 JOIN audit ON audit.r = w2.r
+        ORDER BY w2.r, w2.c
+    """,
+    doc="Raking / iterative proportional fitting (Deming-Stephan), two "
+    "unrolled passes: re-weight the (behavior-class x weekday-parity) "
+    "contingency table so rows hit the uniform 1/3 target and then "
+    "columns the uniform 1/2 target — the survey-calibration / "
+    "post-stratification weighting step, expressed as the same "
+    "certified fixed-point ledger as the kmeans/markov twins. "
+    "Weights live in micro-units and every scale factor is one "
+    "HUGEINT multiply + integer divide (truncation IS the contract, "
+    "identical in both engines — no float ratio ever enters a "
+    "weight); the audit column carries the post-pass row totals so "
+    "the ledger certifies convergence direction, not just the final "
+    "state. Empty rows/columns drop via the rw/cw>0 guards. Plan at "
+    "100 TB: one map-side-combinable 6-cell pivot; the passes are "
+    "joins on a bounded cell table.",
+)
+def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.expr(
+            "CASE WHEN event_type IN ('click', 'view') THEN 0"
+            " WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 2 END"
+        ).alias("r"),
+        F.expr(
+            "CAST(pmod(datediff(CAST(ts AS DATE), DATE '2024-01-01'), 7)"
+            " % 2 AS BIGINT)"
+        ).alias("c"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    cells = cells.localCheckpoint()  # ≤6 rows
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+    )
+    w0 = cells.select(
+        "r", "c", F.expr("CAST(n AS DECIMAL(38,0)) * 1000000").alias("w")
+    )
+    rs1 = w0.groupBy("r").agg(F.sum("w").alias("rw"))
+    w1 = (
+        w0.join(F.broadcast(rs1), "r")
+        .crossJoin(F.broadcast(tot))
+        .where("rw > 0")
+        .select(
+            "r",
+            "c",
+            F.expr(
+                "CAST(w * (CAST(nn AS DECIMAL(38,0)) * 1000000 DIV 3)"
+                " DIV rw AS DECIMAL(38,0))"
+            ).alias("w"),
+        )
+    )
+    cs1 = w1.groupBy("c").agg(F.sum("w").alias("cw"))
+    w2 = (
+        w1.join(F.broadcast(cs1), "c")
+        .crossJoin(F.broadcast(tot))
+        .where("cw > 0")
+        .select(
+            "r",
+            "c",
+            F.expr(
+                "CAST(w * (CAST(nn AS DECIMAL(38,0)) * 1000000 DIV 2)"
+                " DIV cw AS DECIMAL(38,0))"
+            ).alias("w"),
+        )
+    )
+    w2 = w2.localCheckpoint()  # ≤6 rows, read twice
+    audit = w2.groupBy("r").agg(
+        F.expr("CAST(SUM(w) DIV 1000000 AS BIGINT)").alias("row_w")
+    )
+    return (
+        w2.join(F.broadcast(audit), "r")
+        .select(
+            "r",
+            "c",
+            F.expr("CAST(w DIV 1000000 AS BIGINT)").alias("weight_u"),
+            F.col("row_w").alias("row_total_u"),
+        )
+        .orderBy("r", "c")
+    )

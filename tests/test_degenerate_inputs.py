@@ -220,6 +220,9 @@ SWEEP_QUERIES = (
     # false (ANY -> empty); constant dates leave one day (n>=3 guard)
     "dq_outliers_gesd",
     "subq_quantified_any",
+    # constant event_type/ts collapse the IPF table to one cell —
+    # both passes scale a single weight, ledger stays well-formed
+    "agg_raking_ipf",
 )
 
 

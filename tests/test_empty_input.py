@@ -367,6 +367,9 @@ CORE_QUERIES = (
     # empty frames (each pick's n>=3 guard; no sibling pairs)
     "dq_outliers_gesd",
     "subq_quantified_any",
+    # IPF ledger: an empty cell table folds through the rw/cw>0
+    # guards to an empty weight frame
+    "agg_raking_ipf",
 )
 
 

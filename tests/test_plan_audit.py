@@ -176,6 +176,9 @@ DELIBERATE_CROSS = {
     # r10: three unrolled top-1 rounds over the CALENDAR-bounded day
     # grid (certified-ledger shape — single-row anti-join exclusions)
     "dq_outliers_gesd",
+    # r10: SINGLE-ROW grand-total scalar broadcast onto the ≤6-cell
+    # IPF weight table in each unrolled pass (N×1 theorem joins)
+    "agg_raking_ipf",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
