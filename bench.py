@@ -287,6 +287,7 @@ BENCH_QUERIES = (
     "dq_outliers_gesd",
     "subq_quantified_any",
     "agg_raking_ipf",
+    "agg_newcombe_ci",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -9977,3 +9977,108 @@ def agg_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "c")
     )
+
+
+def _wilson_parts(p: str, n: str) -> tuple[str, str]:
+    """Wilson score bounds at z=1.96 as fixed float expression text,
+    emitted identically into both engines ({p}, {n} are SQL
+    sub-expressions producing DOUBLE / BIGINT)."""
+    z2 = "3.8416"  # 1.96^2, injected literal
+    center = f"(({p}) + {z2} / (2.0 * {n})) / (1.0 + {z2} / {n})"
+    half = (
+        f"(1.96 * SQRT(({p}) * (1.0 - ({p})) / {n}"
+        f" + {z2} / (4.0 * CAST({n} AS DOUBLE) * {n})))"
+        f" / (1.0 + {z2} / {n})"
+    )
+    return f"({center} - {half})", f"({center} + {half})"
+
+
+_NC_L1, _NC_U1 = _wilson_parts("CAST(x1 AS DOUBLE) / n1", "n1")
+_NC_L2, _NC_U2 = _wilson_parts("CAST(x2 AS DOUBLE) / n2", "n2")
+_NC_P1 = "CAST(x1 AS DOUBLE) / n1"
+_NC_P2 = "CAST(x2 AS DOUBLE) / n2"
+_NC_D = f"({_NC_P2} - {_NC_P1})"
+_NC_LO = (
+    f"({_NC_D} - SQRT(({_NC_P1} - {_NC_L1}) * ({_NC_P1} - {_NC_L1})"
+    f" + ({_NC_U2} - {_NC_P2}) * ({_NC_U2} - {_NC_P2})))"
+)
+_NC_HI = (
+    f"({_NC_D} + SQRT(({_NC_U1} - {_NC_P1}) * ({_NC_U1} - {_NC_P1})"
+    f" + ({_NC_P2} - {_NC_L2}) * ({_NC_P2} - {_NC_L2})))"
+)
+
+
+@register(
+    "agg_newcombe_ci",
+    oracle=f"""
+        WITH arms AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        piv AS (
+            SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n1,
+                   MAX(CASE WHEN arm = 0 THEN x END) AS x1,
+                   MAX(CASE WHEN arm = 1 THEN n END) AS n2,
+                   MAX(CASE WHEN arm = 1 THEN x END) AS x2
+            FROM arms
+        )
+        SELECT n1, x1, n2, x2,
+               CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 = 0 OR n2 = 0
+                    THEN NULL ELSE ROUND({_NC_D}, 6) END AS diff,
+               CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 = 0 OR n2 = 0
+                    THEN NULL ELSE ROUND({_NC_LO}, 6) END AS ci_lo,
+               CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 = 0 OR n2 = 0
+                    THEN NULL ELSE ROUND({_NC_HI}, 6) END AS ci_hi
+        FROM piv
+        WHERE n1 IS NOT NULL OR n2 IS NOT NULL
+    """,
+    doc="Newcombe hybrid-score confidence interval for a DIFFERENCE of "
+    "proportions (Newcombe 1998 method 10 — the standard two-arm "
+    "conversion-rate readout; agg_wilson_ci covers one arm, this "
+    "composes two Wilson intervals into the difference CI that "
+    "never escapes [-1,1] the way the naive Wald interval does): "
+    "high-value purchase share per user-parity arm, Wilson bounds "
+    "at injected z=1.96 from exact integer counts, the difference "
+    "interval d ∓ sqrt((p1-l1)² + (u2-p2)²) as ONE fixed float "
+    "expression shared by statistic and bounds. Missing/empty arms "
+    "emit NULL interval oracle-mirrored. Plan at 100 TB: ONE "
+    "map-side-combinable 2-row agg; constant algebra after.",
+)
+def agg_newcombe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    arms = e.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    piv = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x2"),
+    )
+    guard = "n1 IS NULL OR n2 IS NULL OR n1 = 0 OR n2 = 0"
+    return piv.where("n1 IS NOT NULL OR n2 IS NOT NULL").select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({_NC_D}, 6) END"
+        ).alias("diff"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({_NC_LO}, 6) END"
+        ).alias("ci_lo"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({_NC_HI}, 6) END"
+        ).alias("ci_hi"),
+    )

@@ -223,6 +223,10 @@ SWEEP_QUERIES = (
     # constant event_type/ts collapse the IPF table to one cell —
     # both passes scale a single weight, ledger stays well-formed
     "agg_raking_ipf",
+    # constant user parity empties one Newcombe arm (NULL interval);
+    # constant values put every purchase on one side (p=0 or 1 —
+    # Wilson bounds stay finite, no divide-by-zero)
+    "agg_newcombe_ci",
 )
 
 

@@ -370,6 +370,8 @@ CORE_QUERIES = (
     # IPF ledger: an empty cell table folds through the rw/cw>0
     # guards to an empty weight frame
     "agg_raking_ipf",
+    # two-arm CI: zero purchases fold to an empty frame
+    "agg_newcombe_ci",
 )
 
 
