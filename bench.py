@@ -288,6 +288,8 @@ BENCH_QUERIES = (
     "subq_quantified_any",
     "agg_raking_ipf",
     "agg_newcombe_ci",
+    "agg_krippendorff_alpha",
+    "llm_bt_ratings_portable",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -10082,3 +10082,113 @@ def agg_newcombe_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE WHEN {guard} THEN NULL ELSE ROUND({_NC_HI}, 6) END"
         ).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_krippendorff_alpha",
+    oracle="""
+        WITH d AS (
+            SELECT n_chars,
+                   LEN(text) - LEN(REPLACE(text, ' ', '')) + 1 AS wc
+            FROM documents WHERE text IS NOT NULL
+        ),
+        lab AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 370 THEN 1 ELSE 2 END AS la,
+                   CASE WHEN wc < 36 THEN 0
+                        WHEN wc < 66 THEN 1 ELSE 2 END AS lb
+            FROM d
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                   CAST(SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS disagree,
+                   CAST(SUM(CASE WHEN la = 0 THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN lb = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN la = 1 THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN lb = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN la = 2 THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN lb = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n2
+            FROM lab
+        )
+        SELECT nu AS n_units, disagree,
+               n0, n1, n2,
+               CASE WHEN 4 * CAST(nu AS HUGEINT) * nu
+                         - (CAST(n0 AS HUGEINT) * n0
+                            + CAST(n1 AS HUGEINT) * n1
+                            + CAST(n2 AS HUGEINT) * n2) = 0 THEN NULL
+                    ELSE ROUND(1.0
+                         - CAST((2 * CAST(nu AS HUGEINT) - 1) * 2 * disagree
+                                AS DOUBLE)
+                           / CAST(4 * CAST(nu AS HUGEINT) * nu
+                               - (CAST(n0 AS HUGEINT) * n0
+                                  + CAST(n1 AS HUGEINT) * n1
+                                  + CAST(n2 AS HUGEINT) * n2) AS DOUBLE), 9)
+               END AS k_alpha
+        FROM s
+        WHERE nu > 0
+    """,
+    doc="Krippendorff's alpha (nominal, two raters, no missing data) — "
+    "THE annotation-reliability standard for labeling pipelines "
+    "(RLHF preference labels, quality tags), chance-corrected "
+    "against the POOLED label distribution unlike Cohen's kappa's "
+    "per-rater marginals (completes the agreement family: kappa, "
+    "weighted kappa, Fleiss, ICC, now alpha): with two raters the "
+    "computational form collapses to alpha = 1 - (n-1)·2D / "
+    "(n² - Σn_c²) where n = 2N pooled ratings, D the disagreeing "
+    "units, n_c the pooled category totals — ALL exact 128-bit "
+    "integers, one float divide. One-category degeneracy emits "
+    "NULL. Same synthetic raters as agg_cohens_kappa (char-count vs "
+    "word-count bands) so the two statistics are directly "
+    "comparable on the same table. Plan at 100 TB: one map-side-"
+    "combinable single-row aggregate.",
+)
+def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lab = d.select(
+        F.expr(
+            "CASE WHEN n_chars < 200 THEN 0"
+            " WHEN n_chars < 370 THEN 1 ELSE 2 END"
+        ).alias("la"),
+        F.expr(
+            "CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 < 36"
+            " THEN 0 WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1"
+            " < 66 THEN 1 ELSE 2 END"
+        ).alias("lb"),
+    )
+    s = lab.agg(
+        F.count("*").cast("long").alias("nu"),
+        F.sum(F.expr("CASE WHEN la <> lb THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("disagree"),
+        *[
+            (
+                F.sum(F.expr(f"CASE WHEN la = {c} THEN 1 ELSE 0 END"))
+                + F.sum(F.expr(f"CASE WHEN lb = {c} THEN 1 ELSE 0 END"))
+            )
+            .cast("long")
+            .alias(f"n{c}")
+            for c in (0, 1, 2)
+        ],
+    )
+    de = (
+        "4 * CAST(nu AS DECIMAL(38,0)) * nu"
+        " - (CAST(n0 AS DECIMAL(38,0)) * n0"
+        " + CAST(n1 AS DECIMAL(38,0)) * n1"
+        " + CAST(n2 AS DECIMAL(38,0)) * n2)"
+    )
+    return s.where("nu > 0").select(
+        F.col("nu").alias("n_units"),
+        "disagree",
+        "n0",
+        "n1",
+        "n2",
+        F.expr(
+            f"CASE WHEN {de} = 0 THEN NULL"
+            f" ELSE ROUND(1.0 - CAST((2 * CAST(nu AS DECIMAL(38,0)) - 1)"
+            f" * 2 * disagree AS DOUBLE) / CAST({de} AS DOUBLE), 9) END"
+        ).alias("k_alpha"),
+    )

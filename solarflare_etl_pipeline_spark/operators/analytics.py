@@ -3862,3 +3862,196 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("weight_reciprocity_ppm"),
     )
+
+
+_BT_SCALE = 10**15
+
+
+@register(
+    "llm_bt_ratings_portable",
+    oracle=f"""
+        WITH per_ut AS (
+            SELECT user_id, event_type,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT user_id, event_type, v3,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY v3 DESC, event_type) AS rk
+            FROM per_ut
+        ),
+        contests AS (
+            SELECT a.event_type AS w, b.event_type AS l
+            FROM ranked a JOIN ranked b
+              ON b.user_id = a.user_id AND a.rk = 1 AND b.rk = 2
+        ),
+        games AS (
+            SELECT w, l, CAST(COUNT(*) AS BIGINT) AS n FROM contests
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_tot FROM (
+                SELECT w AS i, l AS j, n FROM games
+                UNION ALL SELECT l, w, n FROM games
+            ) u GROUP BY 1, 2
+        ),
+        wins AS (
+            SELECT it.i, COALESCE(gw.wn, 0) AS wn, it.g
+            FROM (SELECT i, CAST(SUM(n_tot) AS BIGINT) AS g
+                  FROM pairs GROUP BY i) it
+            LEFT JOIN (SELECT w AS i, CAST(SUM(n) AS BIGINT) AS wn
+                       FROM games GROUP BY w) gw ON gw.i = it.i
+        ),
+        d1 AS (
+            SELECT p.i,
+                   CAST(SUM(CAST(p.n_tot AS HUGEINT) * {_BT_SCALE}
+                        // 2000000) AS HUGEINT) AS den
+            FROM pairs p GROUP BY p.i
+        ),
+        p1 AS (
+            SELECT w.i, w.wn, w.g,
+                   CASE WHEN d1.den = 0 THEN 0
+                        ELSE CAST(CAST(w.wn AS HUGEINT) * {_BT_SCALE}
+                             // d1.den AS BIGINT) END AS pp1
+            FROM wins w JOIN d1 ON d1.i = w.i
+        ),
+        d2 AS (
+            SELECT p.i,
+                   CAST(SUM(CASE WHEN a.pp1 + b.pp1 > 0 THEN
+                        CAST(p.n_tot AS HUGEINT) * {_BT_SCALE}
+                        // (a.pp1 + b.pp1) ELSE 0 END) AS HUGEINT) AS den
+            FROM pairs p
+            JOIN p1 a ON a.i = p.i
+            JOIN p1 b ON b.i = p.j
+            GROUP BY p.i
+        ),
+        p2 AS (
+            SELECT p1.i, p1.wn, p1.g, p1.pp1,
+                   CASE WHEN d2.den = 0 THEN 0
+                        ELSE CAST(CAST(p1.wn AS HUGEINT) * {_BT_SCALE}
+                             // d2.den AS BIGINT) END AS pp2
+            FROM p1 JOIN d2 ON d2.i = p1.i
+        )
+        SELECT i AS item, wn AS wins, g AS games,
+               CAST(wn * 1000000 // g AS BIGINT) AS win_share_ppm,
+               pp1 AS rating_ppm_r1, pp2 AS rating_ppm_r2
+        FROM p2
+        ORDER BY i
+    """,
+    doc="Bradley-Terry preference ratings as a CERTIFIED integer "
+    "fixed-point ledger — the chatbot-arena / RLHF reward-rating "
+    "stage (which response 'wins' more pairwise contests, strength-"
+    "adjusted): contests are each user's top-2 event types by exact "
+    "summed value (rank-1 beats rank-2), and two unrolled MM "
+    "iterations of p'_i = W_i / Σ_j n_ij/(p_i+p_j) run ENTIRELY in "
+    "integers — every reciprocal term is (n·10¹⁵) DIV (pp_i+pp_j) "
+    "and every new rating (W·10¹⁵) DIV Σterms, so the ledger is "
+    "hash-exact cross-engine with zero float aggregation (the "
+    "markov_stationary/kmeans twin discipline applied to the MM "
+    "algorithm of Hunter 2004). Zero-win items rate 0; dead pairs "
+    "guard the DIV. Plan at 100 TB: one per-(user,type) agg + one "
+    "per-user top-2 window (the data-scale stages), then a "
+    "≤|types|² bounded ledger.",
+)
+def llm_bt_ratings_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    per_ut = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    ranked = per_ut.select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("v3").desc(), "event_type"
+            )
+        )
+        .alias("rk"),
+    )
+    a = ranked.where("rk = 1").select(
+        F.col("user_id").alias("ua"), F.col("event_type").alias("w")
+    )
+    b = ranked.where("rk = 2").select(
+        F.col("user_id").alias("ub"), F.col("event_type").alias("l")
+    )
+    contests = a.join(b, F.col("ua") == F.col("ub")).select("w", "l")
+    games = contests.groupBy("w", "l").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    games = games.localCheckpoint()  # ≤|types|² rows
+    pairs = (
+        games.select(F.col("w").alias("i"), F.col("l").alias("j"), "n")
+        .unionAll(
+            games.select(F.col("l").alias("i"), F.col("w").alias("j"), "n")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").cast("long").alias("n_tot"))
+    )
+    pairs = pairs.localCheckpoint()  # read three times
+    it = pairs.groupBy("i").agg(F.sum("n_tot").cast("long").alias("g"))
+    gw = games.groupBy(F.col("w").alias("i")).agg(
+        F.sum("n").cast("long").alias("wn")
+    )
+    wins = it.join(gw, "i", "left").select(
+        "i", F.coalesce("wn", F.lit(0)).alias("wn"), "g"
+    )
+    d1 = pairs.groupBy("i").agg(
+        F.sum(
+            F.expr(
+                f"CAST(n_tot AS DECIMAL(38,0)) * {_BT_SCALE} DIV 2000000"
+            )
+        ).alias("den")
+    )
+    p1 = wins.join(d1, "i").select(
+        "i",
+        "wn",
+        "g",
+        F.expr(
+            f"CASE WHEN den = 0 THEN 0"
+            f" ELSE CAST(CAST(wn AS DECIMAL(38,0)) * {_BT_SCALE}"
+            f" DIV den AS BIGINT) END"
+        ).alias("pp1"),
+    )
+    p1 = p1.localCheckpoint()  # bounded, read three times
+    pa = p1.select(F.col("i").alias("ia"), F.col("pp1").alias("ppa"))
+    pb = p1.select(F.col("i").alias("ib"), F.col("pp1").alias("ppb"))
+    d2 = (
+        pairs.join(pa, F.col("i") == F.col("ia"))
+        .join(pb, F.col("j") == F.col("ib"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN ppa + ppb > 0 THEN"
+                    f" CAST(n_tot AS DECIMAL(38,0)) * {_BT_SCALE}"
+                    f" DIV (ppa + ppb) ELSE 0 END"
+                )
+            ).alias("den")
+        )
+    )
+    p2 = p1.join(d2, "i").select(
+        "i",
+        "wn",
+        "g",
+        "pp1",
+        F.expr(
+            f"CASE WHEN den = 0 THEN 0"
+            f" ELSE CAST(CAST(wn AS DECIMAL(38,0)) * {_BT_SCALE}"
+            f" DIV den AS BIGINT) END"
+        ).alias("pp2"),
+    )
+    return p2.select(
+        F.col("i").alias("item"),
+        F.col("wn").alias("wins"),
+        F.col("g").alias("games"),
+        F.expr("CAST(wn * 1000000 DIV g AS BIGINT)").alias("win_share_ppm"),
+        F.col("pp1").alias("rating_ppm_r1"),
+        F.col("pp2").alias("rating_ppm_r2"),
+    ).orderBy("item")

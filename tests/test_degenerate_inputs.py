@@ -227,6 +227,11 @@ SWEEP_QUERIES = (
     # constant values put every purchase on one side (p=0 or 1 —
     # Wilson bounds stay finite, no divide-by-zero)
     "agg_newcombe_ci",
+    # constant text pools alpha's ratings into one category (De=0 ->
+    # NULL); constant event_type kills every rank-2 contest (BT
+    # ledger empty frame, not a crash)
+    "agg_krippendorff_alpha",
+    "llm_bt_ratings_portable",
 )
 
 

@@ -372,6 +372,10 @@ CORE_QUERIES = (
     "agg_raking_ipf",
     # two-arm CI: zero purchases fold to an empty frame
     "agg_newcombe_ci",
+    # agreement + rating ledgers: empty corpora/contest tables fold
+    # through nu>0 / the pair joins to empty frames
+    "agg_krippendorff_alpha",
+    "llm_bt_ratings_portable",
 )
 
 
