@@ -290,6 +290,8 @@ BENCH_QUERIES = (
     "agg_newcombe_ci",
     "agg_krippendorff_alpha",
     "llm_bt_ratings_portable",
+    "llm_filter_funnel",
+    "agg_confusion_stats",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

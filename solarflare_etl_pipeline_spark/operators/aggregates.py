@@ -10192,3 +10192,133 @@ def agg_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 2 * disagree AS DOUBLE) / CAST({de} AS DOUBLE), 9) END"
         ).alias("k_alpha"),
     )
+
+
+@register(
+    "agg_confusion_stats",
+    oracle="""
+        WITH pred AS (
+            SELECT CASE WHEN value > 35 THEN 1 ELSE 0 END AS yhat,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+            WHERE event_type IN ('purchase', 'view')
+        ),
+        cm AS (
+            SELECT CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN y = 1 AND yhat = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN y = 0 AND yhat = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tn
+            FROM pred
+        )
+        SELECT tp, fp, fn, tn,
+               CASE WHEN tp + fn = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+               END AS sensitivity_ppm,
+               CASE WHEN tn + fp = 0 THEN NULL
+                    ELSE CAST(tn * 1000000 // (tn + fp) AS BIGINT)
+               END AS specificity_ppm,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                    ELSE CAST(2 * tp * 1000000 // (2 * tp + fp + fn)
+                         AS BIGINT)
+               END AS f1_ppm,
+               CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn)
+                         * (tn + fp) * (tn + fn) = 0 THEN NULL
+                    ELSE ROUND(
+                        CAST(CAST(tp AS HUGEINT) * tn
+                             - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+                        / SQRT(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                               * (tn + fp) * (tn + fn) AS DOUBLE)), 6)
+               END AS mcc
+        FROM cm
+        WHERE tp + fp + fn + tn > 0
+    """,
+    doc="Confusion-matrix readout for the value>35 'is this a purchase' "
+    "screen: sensitivity / specificity / precision / F1 in rule-13 "
+    "integer ppm straight from the exact 2x2, plus Matthews "
+    "correlation (the one single-number summary that survives class "
+    "imbalance) with its 128-bit-staged numerator and ONE float "
+    "sqrt — the classifier-quality counterpart of "
+    "agg_calibration_ece (ECE scores probabilities; this scores the "
+    "hard decision) and the supervised sibling of agg_decile_lift. "
+    "Degenerate empty margins emit NULL for exactly the affected "
+    "ratios. Plan at 100 TB: ONE map-side-combinable single-row "
+    "aggregate — nothing follows the scan.",
+)
+def agg_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cm = e.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' AND value > 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type <> 'purchase' AND value > 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' AND value <= 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("fn"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type <> 'purchase' AND value <= 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("tn"),
+    )
+    den = (
+        "CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+        " * (tn + fp) * (tn + fn)"
+    )
+    return cm.where("tp + fp + fn + tn > 0").select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CASE WHEN tp + fn = 0 THEN NULL"
+            " ELSE CAST(tp * 1000000 DIV (tp + fn) AS BIGINT) END"
+        ).alias("sensitivity_ppm"),
+        F.expr(
+            "CASE WHEN tn + fp = 0 THEN NULL"
+            " ELSE CAST(tn * 1000000 DIV (tn + fp) AS BIGINT) END"
+        ).alias("specificity_ppm"),
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE CAST(tp * 1000000 DIV (tp + fp) AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN NULL"
+            " ELSE CAST(2 * tp * 1000000 DIV (2 * tp + fp + fn)"
+            " AS BIGINT) END"
+        ).alias("f1_ppm"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" ELSE ROUND(CAST(CAST(tp AS DECIMAL(38,0)) * tn"
+            f" - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)"
+            f" / SQRT(CAST({den} AS DOUBLE)), 6) END"
+        ).alias("mcc"),
+    )

@@ -7670,3 +7670,120 @@ def llm_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_filter_funnel",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, source, text, n_chars,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        tokfreq AS (
+            SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_tok
+            FROM (
+                SELECT doc_id, tok, COUNT(*) AS cnt
+                FROM (SELECT doc_id,
+                             UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                      FROM base) t
+                GROUP BY doc_id, tok
+            ) c GROUP BY doc_id
+        ),
+        staged AS (
+            SELECT b.doc_id, b.source,
+                   CASE WHEN b.n_chars >= 100 THEN 1 ELSE 0 END AS s1,
+                   CASE WHEN b.n_chars >= 100
+                         AND tf.max_tok * 5 <= b.n_tok THEN 1 ELSE 0 END
+                       AS s2,
+                   CASE WHEN b.n_chars >= 100
+                         AND tf.max_tok * 5 <= b.n_tok
+                         AND ROW_NUMBER() OVER (
+                             PARTITION BY MD5(b.text)
+                             ORDER BY b.doc_id) = 1 THEN 1 ELSE 0 END AS s3
+            FROM base b JOIN tokfreq tf ON tf.doc_id = b.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(s1) AS BIGINT) AS pass_length,
+               CAST(SUM(s2) AS BIGINT) AS pass_repetition,
+               CAST(SUM(s3) AS BIGINT) AS pass_dedup,
+               CAST(SUM(s3) * 1000000 // COUNT(*) AS BIGINT)
+                   AS survival_ppm
+        FROM staged
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Curation-funnel survival ledger — the per-stage retention "
+    "table every published corpus pipeline reports (RefinedWeb/"
+    "FineWeb style): three CASCADED gates (length >= 100 chars; "
+    "repetition: dominant token <= 20% of tokens; exact-text dedup "
+    "keeping the first doc_id per MD5) counted per source, each "
+    "stage conditioned on surviving ALL prior stages so the columns "
+    "read as a funnel, survival in rule-13 integer ppm. The gates "
+    "deliberately COMPOSE the standalone operators' predicates "
+    "(llm_corpus_filter / llm_repetition_stats / llm_dedup_exact) "
+    "into one single-pass audit — at 100 TB you run the funnel "
+    "first, then pay for the full operators only on what survives. "
+    "Plan: one explode for the token census, one MD5 window, one "
+    "map-side-combinable source rollup.",
+)
+def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    toks = base.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tokfreq = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("long").alias("max_tok"))
+    )
+    staged = (
+        base.join(tokfreq, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "n_chars",
+            "n_tok",
+            "max_tok",
+            F.row_number()
+            .over(W.partitionBy(F.md5("text")).orderBy("doc_id"))
+            .alias("dup_rank"),
+        )
+        .select(
+            "source",
+            F.expr("CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END").alias("s1"),
+            F.expr(
+                "CASE WHEN n_chars >= 100 AND max_tok * 5 <= n_tok"
+                " THEN 1 ELSE 0 END"
+            ).alias("s2"),
+            F.expr(
+                "CASE WHEN n_chars >= 100 AND max_tok * 5 <= n_tok"
+                " AND dup_rank = 1 THEN 1 ELSE 0 END"
+            ).alias("s3"),
+        )
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_raw"),
+            F.sum("s1").cast("long").alias("pass_length"),
+            F.sum("s2").cast("long").alias("pass_repetition"),
+            F.sum("s3").cast("long").alias("pass_dedup"),
+            F.expr(
+                "CAST(SUM(s3) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("survival_ppm"),
+        )
+        .orderBy("source")
+    )

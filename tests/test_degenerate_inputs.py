@@ -232,6 +232,11 @@ SWEEP_QUERIES = (
     # ledger empty frame, not a crash)
     "agg_krippendorff_alpha",
     "llm_bt_ratings_portable",
+    # constant text collapses the funnel's dedup stage to ONE survivor
+    # per source partition-of-one-hash; constant event_type empties a
+    # confusion margin (exactly the affected ratios NULL)
+    "llm_filter_funnel",
+    "agg_confusion_stats",
 )
 
 

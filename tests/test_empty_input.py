@@ -376,6 +376,10 @@ CORE_QUERIES = (
     # through nu>0 / the pair joins to empty frames
     "agg_krippendorff_alpha",
     "llm_bt_ratings_portable",
+    # funnel + confusion: empty corpora/event sets fold to empty
+    # frames through the source rollup and the all-zero guard
+    "llm_filter_funnel",
+    "agg_confusion_stats",
 )
 
 
