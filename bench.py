@@ -292,6 +292,8 @@ BENCH_QUERIES = (
     "llm_bt_ratings_portable",
     "llm_filter_funnel",
     "agg_confusion_stats",
+    "ts_cusum_bernoulli",
+    "agg_abc_classes",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

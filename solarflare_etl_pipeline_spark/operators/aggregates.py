@@ -10322,3 +10322,84 @@ def agg_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / SQRT(CAST({den} AS DOUBLE)), 6) END"
         ).alias("mcc"),
     )
+
+
+@register(
+    "agg_abc_classes",
+    oracle="""
+        WITH part_rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev2
+            FROM lineitem GROUP BY 1
+        ),
+        cum AS (
+            SELECT l_partkey, rev2,
+                   SUM(rev2) OVER (ORDER BY rev2 DESC, l_partkey) AS crev,
+                   SUM(rev2) OVER () AS trev
+            FROM part_rev
+        ),
+        classed AS (
+            SELECT CASE WHEN 5 * crev <= 4 * trev THEN 'A'
+                        WHEN 20 * crev <= 19 * trev THEN 'B'
+                        ELSE 'C' END AS abc,
+                   rev2
+            FROM cum
+        )
+        SELECT abc,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(rev2) AS BIGINT) AS revenue_cents,
+               CAST(SUM(rev2) * 1000000 // MAX(trev) AS BIGINT)
+                   AS share_ppm
+        FROM (SELECT classed.*, (SELECT SUM(rev2) FROM part_rev) AS trev
+              FROM classed) t
+        GROUP BY abc
+        ORDER BY abc
+    """,
+    doc="Pareto ABC classification of parts by revenue — the inventory-"
+    "analytics standard (A = the parts carrying the first 80% of "
+    "revenue, B to 95%, C the tail) that agg_lorenz_curve draws as a "
+    "curve and this op hardens into actionable classes: cumulative "
+    "revenue runs in exact integer cents over the (rev DESC, "
+    "partkey) deterministic order, and the class boundaries are "
+    "EXACT integer cross-multiplications (5·cum <= 4·total, 20·cum "
+    "<= 19·total — no float share ever decides a class), shares in "
+    "rule-13 ppm. Plan at 100 TB: one hash agg per part, ONE global "
+    "ordered prefix window over the |parts|-bounded rollup (parts "
+    "are a dimension — the window never sees raw lineitems).",
+)
+def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev2")
+    )
+    cum = part_rev.select(
+        "rev2",
+        F.sum("rev2")
+        .over(W.orderBy(F.col("rev2").desc(), "l_partkey"))
+        .alias("crev"),
+        F.sum("rev2").over(W.partitionBy()).alias("trev"),
+    )
+    classed = cum.select(
+        F.expr(
+            "CASE WHEN 5 * crev <= 4 * trev THEN 'A'"
+            " WHEN 20 * crev <= 19 * trev THEN 'B' ELSE 'C' END"
+        ).alias("abc"),
+        "rev2",
+        "trev",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev2").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST(SUM(rev2) * 1000000 DIV MAX(trev) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("abc")
+    )

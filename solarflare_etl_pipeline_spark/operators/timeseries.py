@@ -4120,3 +4120,119 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _bern_cusum_llr() -> tuple[int, int, int]:
+    """Injected Bernoulli-CUSUM constants (the pgram discipline: no
+    engine libm): ppm-quantized LLR steps for H1 p=0.55 vs H0 p=0.45
+    and the ln(100) decision threshold."""
+    import math
+
+    l1 = int(math.floor(math.log(0.55 / 0.45) * 1_000_000))
+    l0 = int(math.floor(math.log(0.45 / 0.55) * 1_000_000))
+    h = int(math.floor(math.log(100.0) * 1_000_000))
+    return l1, l0, h
+
+
+_BC_L1, _BC_L0, _BC_H = _bern_cusum_llr()
+
+
+@register(
+    "ts_cusum_bernoulli",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                   CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        steps AS (
+            SELECT d, x, n,
+                   x * CAST({_BC_L1} AS BIGINT)
+                   + (n - x) * CAST({_BC_L0} AS BIGINT) AS step_ppm
+            FROM daily
+        ),
+        pfx AS (
+            SELECT d, SUM(step_ppm) OVER (ORDER BY d) AS p
+            FROM steps
+        ),
+        pfx2 AS (
+            SELECT d, p,
+                   MIN(p) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS runmin
+            FROM pfx
+        ),
+        s AS (
+            SELECT d, p - LEAST(runmin, 0) AS s_ppm
+            FROM pfx2
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(MAX(s_ppm) AS BIGINT) AS max_s_ppm,
+               CAST(SUM(CASE WHEN s_ppm >= {_BC_H} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_alarm_days,
+               CAST(MIN(CASE WHEN s_ppm >= {_BC_H}
+                        THEN CAST(d AS VARCHAR) END) AS VARCHAR)
+                   AS first_alarm_day
+        FROM s
+        HAVING COUNT(*) > 0
+    """,
+    doc="Bernoulli-LLR CUSUM for conversion-rate monitoring (Page 1954 "
+    "SPC applied to the high-value purchase share): each day "
+    "contributes the EXACT integer step x·L1 + (n-x)·L0 with the "
+    "log-likelihood ratios ppm-quantized ONCE in Python and injected "
+    "into both engines (the ts_periodogram no-libm rule), and the "
+    "clamped recursion S_t = max(0, S_t-1 + step) is rewritten as "
+    "the prefix-sum identity S_t = P_t - min(0, running-min P) — "
+    "pure windows, no recursion, every value an exact integer. "
+    "Alarm = S >= ln(100)·1e6 (ARL-tuned threshold injected); emits "
+    "the alarm count and first alarm day (ISO string — pandas dtype "
+    "parity). The RATE-monitoring sibling of ts_cusum_drift's "
+    "per-user value CUSUM. Plan at 100 TB: one map-side-combinable "
+    "daily agg; two windows over the CALENDAR-bounded grid.",
+)
+def ts_cusum_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("value") > 35, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.count("*").cast("long").alias("n"),
+    )
+    steps = daily.select(
+        "d",
+        (
+            F.col("x") * F.lit(_BC_L1) + (F.col("n") - F.col("x")) * F.lit(_BC_L0)
+        ).alias("step_ppm"),
+    )
+    w = Window.orderBy("d")
+    pfx = steps.select(
+        "d", F.sum("step_ppm").over(w).alias("p")
+    ).select(
+        "d",
+        "p",
+        F.min("p").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "runmin"
+        ),
+    )
+    s = pfx.select(
+        "d", (F.col("p") - F.least(F.col("runmin"), F.lit(0))).alias("s_ppm")
+    )
+    agg = s.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("s_ppm").cast("long").alias("max_s_ppm"),
+        F.sum(F.expr(f"CASE WHEN s_ppm >= {_BC_H} THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(
+            F.when(
+                F.col("s_ppm") >= _BC_H, F.col("d").cast("string")
+            )
+        ).alias("first_alarm_day"),
+    )
+    return agg.where("n_days > 0")

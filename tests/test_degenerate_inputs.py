@@ -237,6 +237,12 @@ SWEEP_QUERIES = (
     # confusion margin (exactly the affected ratios NULL)
     "llm_filter_funnel",
     "agg_confusion_stats",
+    # constant values drive the CUSUM monotone (all-above or
+    # all-below — S either alarms everywhere or pins at 0); constant
+    # prices make every part equal-revenue (ties broken by partkey,
+    # classes still exact)
+    "ts_cusum_bernoulli",
+    "agg_abc_classes",
 )
 
 

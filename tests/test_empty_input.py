@@ -380,6 +380,10 @@ CORE_QUERIES = (
     # frames through the source rollup and the all-zero guard
     "llm_filter_funnel",
     "agg_confusion_stats",
+    # SPC + Pareto: empty day grids / part tables fold through the
+    # HAVING / rollup to empty frames
+    "ts_cusum_bernoulli",
+    "agg_abc_classes",
 )
 
 
