@@ -294,6 +294,8 @@ BENCH_QUERIES = (
     "agg_confusion_stats",
     "ts_cusum_bernoulli",
     "agg_abc_classes",
+    "agg_deming_regression",
+    "llm_numeric_density",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

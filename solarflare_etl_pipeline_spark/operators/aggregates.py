@@ -10403,3 +10403,103 @@ def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "agg_deming_regression",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(ROUND(l_extendedprice / 1000) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM q
+        ),
+        c AS (
+            SELECT n,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                   n * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+                   sx, sy
+            FROM s
+        )
+        SELECT n,
+               CASE WHEN cxy = 0 THEN NULL
+                    ELSE ROUND(
+                        (CAST(cyy - cxx AS DOUBLE)
+                         + SQRT(CAST(cyy - cxx AS DOUBLE)
+                                * CAST(cyy - cxx AS DOUBLE)
+                                + 4.0 * CAST(cxy AS DOUBLE)
+                                  * CAST(cxy AS DOUBLE)))
+                        / (2.0 * CAST(cxy AS DOUBLE)), 9)
+               END AS deming_slope,
+               CASE WHEN cxy = 0 THEN NULL
+                    ELSE ROUND((CAST(sy AS DOUBLE)
+                         - ((CAST(cyy - cxx AS DOUBLE)
+                             + SQRT(CAST(cyy - cxx AS DOUBLE)
+                                    * CAST(cyy - cxx AS DOUBLE)
+                                    + 4.0 * CAST(cxy AS DOUBLE)
+                                      * CAST(cxy AS DOUBLE)))
+                            / (2.0 * CAST(cxy AS DOUBLE))) * sx) / n, 9)
+               END AS deming_intercept
+        FROM c
+        WHERE n > 0
+    """,
+    doc="Deming regression (orthogonal, error-variance ratio 1): fit "
+    "price-in-thousands on quantity when BOTH variables carry noise "
+    "— the method-comparison fit where OLS (agg_ols2, which blames "
+    "all error on y) is biased toward zero. Closed form: slope = "
+    "(c_yy - c_xx + sqrt((c_yy-c_xx)² + 4c_xy²)) / (2c_xy) from the "
+    "exact 128-bit centered moments of ONE hash aggregate, intercept "
+    "through the exact means — one fixed float expression each, "
+    "c_xy=0 degenerates to NULL. Plan at 100 TB: one map-side-"
+    "combinable single-row moment aggregate, constant algebra after.",
+)
+def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") / 1000).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cyy"),
+        F.expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").alias("cxy"),
+    )
+    slope = (
+        "(CAST(cyy - cxx AS DOUBLE)"
+        " + SQRT(CAST(cyy - cxx AS DOUBLE) * CAST(cyy - cxx AS DOUBLE)"
+        " + 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE)))"
+        " / (2.0 * CAST(cxy AS DOUBLE))"
+    )
+    return c.where("n > 0").select(
+        "n",
+        F.expr(
+            f"CASE WHEN cxy = 0 THEN NULL ELSE ROUND({slope}, 9) END"
+        ).alias("deming_slope"),
+        F.expr(
+            f"CASE WHEN cxy = 0 THEN NULL"
+            f" ELSE ROUND((CAST(sy AS DOUBLE) - ({slope}) * sx) / n, 9) END"
+        ).alias("deming_intercept"),
+    )

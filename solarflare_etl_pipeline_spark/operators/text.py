@@ -7787,3 +7787,79 @@ def llm_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_numeric_density",
+    oracle="""
+        WITH feats AS (
+            SELECT source,
+                   LEN(text) AS nc,
+                   LEN(text)
+                     - LEN(TRANSLATE(text, '0123456789', '')) AS n_digit,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> REGEXP_MATCHES(t, '^[0-9]+$')))
+                       AS n_numtok
+            FROM documents WHERE text IS NOT NULL AND LEN(text) > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_digit) AS BIGINT) AS digit_chars,
+               CAST(SUM(n_numtok) AS BIGINT) AS numeric_tokens,
+               CAST(SUM(n_digit) * 1000000 // SUM(nc) AS BIGINT)
+                   AS digit_char_ppm,
+               CASE WHEN SUM(n_tok) = 0 THEN NULL
+                    ELSE CAST(SUM(n_numtok) * 1000000 // SUM(n_tok)
+                         AS BIGINT)
+               END AS numeric_token_ppm
+        FROM feats
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Numeric-content density per source — the math/data-heavy "
+    "routing signal (tables and price lists want different handling "
+    "than prose; quantitative-corpus upsampling keys on exactly "
+    "this): digit characters counted PORTABLY via LENGTH-minus-"
+    "TRANSLATE (no regex for the char path) and pure-number tokens "
+    "via the one anchored pattern ^[0-9]+$ whose semantics are "
+    "identical across Java regex and RE2, both shares in rule-13 "
+    "integer ppm. Rounds out the per-source audit trio beside "
+    "llm_code_detect (symbols) and llm_lexical_diversity (types). "
+    "Plan at 100 TB: per-row char arithmetic + one filtered array "
+    "length, one ≤|sources| rollup — no explode, no shuffle beyond "
+    "the rollup.",
+)
+def llm_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(
+        "text IS NOT NULL AND LENGTH(text) > 0"
+    )
+    feats = d.select(
+        "source",
+        F.length("text").alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.translate("text", "0123456789", ""))
+        ).alias("n_digit"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.expr(
+            "size(filter(split(text, ' '), t -> t RLIKE '^[0-9]+$'))"
+        ).alias("n_numtok"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_digit").cast("long").alias("digit_chars"),
+            F.sum("n_numtok").cast("long").alias("numeric_tokens"),
+            F.expr(
+                "CAST(SUM(n_digit) * 1000000 DIV SUM(nc) AS BIGINT)"
+            ).alias("digit_char_ppm"),
+            F.expr(
+                "CASE WHEN SUM(n_tok) = 0 THEN NULL"
+                " ELSE CAST(SUM(n_numtok) * 1000000 DIV SUM(n_tok)"
+                " AS BIGINT) END"
+            ).alias("numeric_token_ppm"),
+        )
+        .orderBy("source")
+    )

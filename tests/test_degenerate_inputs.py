@@ -243,6 +243,10 @@ SWEEP_QUERIES = (
     # classes still exact)
     "ts_cusum_bernoulli",
     "agg_abc_classes",
+    # constant quantity/price zero Deming's cxy (NULL slope); constant
+    # digit-free text zeroes both numeric densities (exact zeros)
+    "agg_deming_regression",
+    "llm_numeric_density",
 )
 
 

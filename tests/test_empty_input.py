@@ -384,6 +384,10 @@ CORE_QUERIES = (
     # HAVING / rollup to empty frames
     "ts_cusum_bernoulli",
     "agg_abc_classes",
+    # orthogonal fit + numeric audit: empty scans fold through n>0 /
+    # the source rollup to empty frames
+    "agg_deming_regression",
+    "llm_numeric_density",
 )
 
 
