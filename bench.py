@@ -296,6 +296,7 @@ BENCH_QUERIES = (
     "agg_abc_classes",
     "agg_deming_regression",
     "llm_numeric_density",
+    "stream_update_mode_live",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

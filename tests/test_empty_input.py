@@ -388,6 +388,9 @@ CORE_QUERIES = (
     # the source rollup to empty frames
     "agg_deming_regression",
     "llm_numeric_density",
+    # update-mode stream: an empty source commits zero update rows —
+    # the last-update projection must come back empty, not crash
+    "stream_update_mode_live",
 )
 
 
