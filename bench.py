@@ -297,6 +297,7 @@ BENCH_QUERIES = (
     "agg_deming_regression",
     "llm_numeric_density",
     "stream_update_mode_live",
+    "mm_audio_clipping",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -1529,3 +1529,84 @@ def mm_image_dct_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return payloads.mapInPandas(dct_hash, DCT_HASH_SCHEMA)
+
+
+CLIP_T = 32700  # |int16| at-the-rails threshold for "clipped"
+
+
+@register(
+    "mm_audio_clipping",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, UNNEST(RANGE(0, n_chars % 100 + 10)) AS i,
+                   n_chars % 100 + 10 AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_samples,
+               CAST(SUM(CASE WHEN
+                   ABS((doc_id * 31 + i * 7) % 65536 - 32768) >= {CLIP_T}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               CAST(MAX(ABS((doc_id * 31 + i * 7) % 65536 - 32768))
+                    AS BIGINT) AS peak_amp,
+               CAST(SUM(CASE WHEN
+                   ABS((doc_id * 31 + i * 7) % 65536 - 32768) >= {CLIP_T}
+                   THEN 1 ELSE 0 END) * 1000000 // MAX(n) AS BIGINT)
+                   AS clip_ppm
+        FROM s
+        GROUP BY doc_id
+    """,
+    doc="Audio clipping detector — the recording-quality gate every "
+    "speech-corpus pipeline runs before transcription (clipped "
+    "segments transcribe badly and poison ASR training): each clip's "
+    "REAL WAV container is chunk-walked and int16-LE decoded inside "
+    "the same Arrow mapInPandas stage as mm_audio_zcr, counting "
+    "samples at the rails (|s| >= 32700) and the peak amplitude; "
+    "clip share in rule-13 integer ppm. The oracle replays the "
+    "deterministic sample generator in closed form, so a one-byte "
+    "decode misalignment breaks parity (the mm_decode_wav "
+    "certification carried to the QC stage). Per-clip narrow work, "
+    "no shuffle — at 100 TB the scan/decode IS the cost.",
+)
+def mm_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = spark.read.parquet(ensure_payloads(spark, sf_dir)).select(
+        "doc_id", "wav"
+    )
+
+    def clip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ns, clips, peaks, ppms = [], [], [], [], []
+            for doc_id, wav in zip(pdf["doc_id"], pdf["wav"]):
+                _, samples = decode_wav_samples(bytes(wav))
+                a = np.abs(samples.astype("int64"))
+                n = len(samples)
+                k = int(np.count_nonzero(a >= CLIP_T))
+                ids.append(int(doc_id))
+                ns.append(n)
+                clips.append(k)
+                peaks.append(int(a.max()) if n else 0)
+                ppms.append(k * 1_000_000 // n if n else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "n_clipped": pd.Series(clips, dtype="int64"),
+                    "peak_amp": pd.Series(peaks, dtype="int64"),
+                    "clip_ppm": pd.Series(ppms, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        clip_batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("n_samples", T.LongType()),
+                T.StructField("n_clipped", T.LongType()),
+                T.StructField("peak_amp", T.LongType()),
+                T.StructField("clip_ppm", T.LongType()),
+            ]
+        ),
+    )

@@ -199,6 +199,7 @@ PYTHON_OK = {
     "mm_phash_dedup_planted",
     "mm_audio_zcr",
     "mm_audio_band_energy",  # decode+filter-bank fused in one Arrow stage
+    "mm_audio_clipping",  # decode+rail-count in the same Arrow stage
     "mm_image_edge_density",
     "flagship_multimodal_corpus",
     "llm_tokenizer_apply",
