@@ -298,6 +298,7 @@ BENCH_QUERIES = (
     "llm_numeric_density",
     "stream_update_mode_live",
     "mm_audio_clipping",
+    "agg_pot_gpd",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

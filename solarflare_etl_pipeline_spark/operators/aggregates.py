@@ -10503,3 +10503,109 @@ def agg_deming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND((CAST(sy AS DOUBLE) - ({slope}) * sx) / n, 9) END"
         ).alias("deming_intercept"),
     )
+
+
+POT_THRESHOLD_CENTS = 45_000_000  # u = $450k — ~P90 of o_totalprice
+
+
+@register(
+    "agg_pot_gpd",
+    oracle=f"""
+        WITH exc AS (
+            SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                   - {POT_THRESHOLD_CENTS} AS y
+            FROM orders
+            WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                  > {POT_THRESHOLD_CENTS}
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM orders),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+            FROM exc
+        )
+        SELECT s.k AS n_exceedances,
+               CAST(s.k * 1000000 // tot.n_all AS BIGINT)
+                   AS exceed_rate_ppm,
+               CASE WHEN s.k < 2
+                         OR s.k * s.syy - CAST(s.sy AS HUGEINT) * s.sy <= 0
+                    THEN NULL
+                    ELSE ROUND((1.0
+                         - (CAST(s.sy AS DOUBLE) / s.k)
+                           * (CAST(s.sy AS DOUBLE) / s.k)
+                           / (CAST(s.k * s.syy - CAST(s.sy AS HUGEINT)
+                                   * s.sy AS DOUBLE)
+                              / (CAST(s.k AS DOUBLE) * s.k))) / 2.0, 6)
+               END AS xi,
+               CASE WHEN s.k < 2
+                         OR s.k * s.syy - CAST(s.sy AS HUGEINT) * s.sy <= 0
+                    THEN NULL
+                    ELSE ROUND((CAST(s.sy AS DOUBLE) / s.k)
+                         * (1.0 - (1.0
+                            - (CAST(s.sy AS DOUBLE) / s.k)
+                              * (CAST(s.sy AS DOUBLE) / s.k)
+                              / (CAST(s.k * s.syy - CAST(s.sy AS HUGEINT)
+                                      * s.sy AS DOUBLE)
+                                 / (CAST(s.k AS DOUBLE) * s.k))) / 2.0)
+                         / 100.0, 2)
+               END AS sigma_dollars
+        FROM s, tot
+        WHERE tot.n_all > 0
+    """,
+    doc="Peaks-over-threshold generalized-Pareto fit (method of "
+    "moments): model order values EXCEEDING the $450k threshold — "
+    "the EVT pair-completion to agg_extreme_value_gumbel (block "
+    "maxima model the per-period max; POT models the whole tail and "
+    "uses every exceedance) and the parametric upgrade of "
+    "agg_var_es_tail's empirical quantiles. Exceedances in exact "
+    "integer cents, MoM closed forms xi = (1 - m²/s²)/2 and "
+    "sigma = m(1-xi) over exact 128-bit moments — one fixed float "
+    "expression each (the population-variance m²/v ratio uses the "
+    "same staged numerators as agg_welch_t), degenerate k<2 or "
+    "zero-variance tails emit NULL. xi < 0 on this bounded-support "
+    "fixture is the CORRECT finding (uniform-ish prices have a "
+    "finite endpoint). Plan at 100 TB: the threshold filter pushes "
+    "into the scan; one single-row moment aggregate follows.",
+)
+def agg_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    exc = o.where(
+        F.floor(F.col("o_totalprice") * 100).cast("long")
+        > POT_THRESHOLD_CENTS
+    ).select(
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("long")
+            - F.lit(POT_THRESHOLD_CENTS)
+        ).alias("y")
+    )
+    tot = o.agg(F.count("*").cast("long").alias("n_all"))
+    s = exc.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+    )
+    m = "(CAST(sy AS DOUBLE) / k)"
+    v = (
+        "(CAST(k * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE)"
+        " / (CAST(k AS DOUBLE) * k))"
+    )
+    xi = f"(1.0 - {m} * {m} / {v}) / 2.0"
+    guard = "k < 2 OR k * syy - CAST(sy AS DECIMAL(38,0)) * sy <= 0"
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .where("n_all > 0")
+        .select(
+            F.col("k").alias("n_exceedances"),
+            F.expr("CAST(k * 1000000 DIV n_all AS BIGINT)").alias(
+                "exceed_rate_ppm"
+            ),
+            F.expr(
+                f"CASE WHEN {guard} THEN NULL ELSE ROUND({xi}, 6) END"
+            ).alias("xi"),
+            F.expr(
+                f"CASE WHEN {guard} THEN NULL"
+                f" ELSE ROUND({m} * (1.0 - {xi}) / 100.0, 2) END"
+            ).alias("sigma_dollars"),
+        )
+    )

@@ -247,6 +247,9 @@ SWEEP_QUERIES = (
     # digit-free text zeroes both numeric densities (exact zeros)
     "agg_deming_regression",
     "llm_numeric_density",
+    # constant prices put ALL or NO orders over the POT threshold —
+    # zero-variance exceedances (NULL fit) or k=0 (NULL + rate 0)
+    "agg_pot_gpd",
 )
 
 

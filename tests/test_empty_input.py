@@ -391,6 +391,8 @@ CORE_QUERIES = (
     # update-mode stream: an empty source commits zero update rows —
     # the last-update projection must come back empty, not crash
     "stream_update_mode_live",
+    # POT: zero orders fold through n_all>0 to an empty frame
+    "agg_pot_gpd",
 )
 
 

@@ -179,6 +179,9 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW grand-total scalar broadcast onto the ≤6-cell
     # IPF weight table in each unrolled pass (N×1 theorem joins)
     "agg_raking_ipf",
+    # r10: SINGLE-ROW order-count scalar onto the 1-row exceedance
+    # moment fold (1×1 theorem join)
+    "agg_pot_gpd",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
