@@ -299,6 +299,8 @@ BENCH_QUERIES = (
     "stream_update_mode_live",
     "mm_audio_clipping",
     "agg_pot_gpd",
+    "llm_watermark_detect",
+    "agg_brier_decomposition",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -10609,3 +10609,143 @@ def agg_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sigma_dollars"),
         )
     )
+
+
+@register(
+    "agg_brier_decomposition",
+    oracle="""
+        WITH q AS (
+            SELECT LEAST(2 * CAST(FLOOR(value * 1000) AS BIGINT), 1000000)
+                       AS p_ppm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        binned AS (
+            SELECT LEAST(p_ppm * 10 // 1000000, 9) AS b, p_ppm, y
+            FROM q
+        ),
+        per_bin AS (
+            SELECT b,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p_ppm) AS BIGINT) AS sp,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM binned GROUP BY b
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(sy) AS BIGINT) AS syt
+            FROM per_bin
+        ),
+        terms AS (
+            SELECT
+                CAST(SUM((CAST(sp AS HUGEINT) - 1000000 * sy)
+                     * (CAST(sp AS HUGEINT) - 1000000 * sy) // n)
+                     AS HUGEINT) AS rel_num,
+                CAST(SUM((CAST(sy AS HUGEINT) * tot.nn
+                          - CAST(n AS HUGEINT) * tot.syt)
+                     * (CAST(sy AS HUGEINT) * tot.nn
+                        - CAST(n AS HUGEINT) * tot.syt)
+                     * 1000000000000 // (CAST(n AS HUGEINT) * tot.nn
+                                         * tot.nn)) AS HUGEINT) AS res_num,
+                MAX(tot.nn) AS nn, MAX(tot.syt) AS syt
+            FROM per_bin, tot
+        ),
+        brier AS (
+            SELECT CAST(SUM((CAST(p_ppm AS HUGEINT) - 1000000 * y)
+                        * (CAST(p_ppm AS HUGEINT) - 1000000 * y))
+                        AS HUGEINT) AS bsum
+            FROM q
+        )
+        SELECT terms.nn AS n_obs,
+               CAST(brier.bsum // terms.nn AS BIGINT) AS brier_e12,
+               CAST(terms.rel_num // terms.nn AS BIGINT) AS reliability_e12,
+               CAST(terms.res_num // terms.nn AS BIGINT) AS resolution_e12,
+               CAST(CAST(terms.syt AS HUGEINT) * (terms.nn - terms.syt)
+                    * 1000000000000 // (CAST(terms.nn AS HUGEINT)
+                                        * terms.nn) AS BIGINT)
+                   AS uncertainty_e12
+        FROM terms, brier
+        WHERE terms.nn > 0
+    """,
+    doc="Brier score with the Murphy (1973) decomposition — the proper-"
+    "scoring-rule audit of the value-as-probability purchase "
+    "predictor: Brier = reliability - resolution + uncertainty, "
+    "where reliability is the calibration gap agg_calibration_ece "
+    "L1-summarizes (this is its squared, decomposable form) and "
+    "resolution rewards bins that separate outcomes. EVERYTHING is "
+    "exact integers: forecasts live in ppm, squares in e12 units, "
+    "each bin's (sp - 1e6·sy)²/n and (sy·N - n·S)²·1e12/(n·N²) use "
+    "rule-13 integer division, and the final per-N divides are "
+    "integer too — no float enters at any point. Ten fixed bins, "
+    "single-row output. Plan at 100 TB: one map-side-combinable "
+    "10-bin aggregate + one raw-scan Brier sum; constant algebra "
+    "after.",
+)
+def agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        F.least(
+            2 * F.floor(F.col("value") * 1000).cast("long"), F.lit(1000000)
+        ).alias("p_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    q = q.localCheckpoint()  # read twice (bins + raw brier)
+    binned = q.select(
+        F.expr("LEAST(p_ppm * 10 DIV 1000000, 9)").alias("b"), "p_ppm", "y"
+    )
+    per_bin = binned.groupBy("b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("p_ppm").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sy").cast("long").alias("syt"),
+    )
+    terms = per_bin.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "(CAST(sp AS DECIMAL(38,0)) - 1000000 * sy)"
+                " * (CAST(sp AS DECIMAL(38,0)) - 1000000 * sy) DIV n"
+            )
+        ).alias("rel_num"),
+        F.sum(
+            F.expr(
+                "(CAST(sy AS DECIMAL(38,0)) * nn"
+                " - CAST(n AS DECIMAL(38,0)) * syt)"
+                " * (CAST(sy AS DECIMAL(38,0)) * nn"
+                "    - CAST(n AS DECIMAL(38,0)) * syt)"
+                " * 1000000000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * nn * nn)"
+            )
+        ).alias("res_num"),
+        F.max("nn").alias("nn"),
+        F.max("syt").alias("syt"),
+    )
+    brier = q.agg(
+        F.sum(
+            F.expr(
+                "(CAST(p_ppm AS DECIMAL(38,0)) - 1000000 * y)"
+                " * (CAST(p_ppm AS DECIMAL(38,0)) - 1000000 * y)"
+            )
+        ).alias("bsum")
+    )
+    return (
+        terms.crossJoin(F.broadcast(brier))
+        .where("nn > 0")
+        .select(
+            F.col("nn").alias("n_obs"),
+            F.expr("CAST(bsum DIV nn AS BIGINT)").alias("brier_e12"),
+            F.expr("CAST(rel_num DIV nn AS BIGINT)").alias(
+                "reliability_e12"
+            ),
+            F.expr("CAST(res_num DIV nn AS BIGINT)").alias("resolution_e12"),
+            F.expr(
+                "CAST(CAST(syt AS DECIMAL(38,0)) * (nn - syt)"
+                " * 1000000000000 DIV (CAST(nn AS DECIMAL(38,0)) * nn)"
+                " AS BIGINT)"
+            ).alias("uncertainty_e12"),
+        )
+    )

@@ -7863,3 +7863,104 @@ def llm_numeric_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "llm_watermark_detect",
+    oracle="""
+        WITH tarr AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+            SELECT doc_id, source, r.pos,
+                   ts[r.pos] AS tok,
+                   CASE WHEN r.pos = 1 THEN '' ELSE ts[r.pos - 1] END
+                       AS prev
+            FROM tarr, UNNEST(range(1, LEN(ts) + 1)) AS r(pos)
+        ),
+        coin AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || SUBSTR(MD5('g:' || prev || ':' || tok),
+                        1, 8)) AS BIGINT) % 2 AS green
+            FROM toks
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(green) AS BIGINT) AS g
+            FROM coin GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT source, n, g,
+                   ROUND(CAST(2 * g - n AS DOUBLE)
+                         / SQRT(CAST(n AS DOUBLE)), 6) AS z
+            FROM per_doc WHERE n > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN z > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged,
+               ROUND(MAX(z), 6) AS max_z
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Statistical watermark detection (Kirchenbauer et al. 2023): "
+    "under the green-list scheme each token's membership is a "
+    "context-keyed pseudorandom coin (here md5 of the previous+"
+    "current token — the published hash-partition construction), "
+    "and HUMAN text should sit at green fraction 1/2 while "
+    "watermarked generations skew high; per doc z = (2g-n)/sqrt(n) "
+    "with flagging at z>4 (the paper's operating point), rolled up "
+    "per source — the synthetic-text contamination gate a 100 TB "
+    "pretraining pipeline runs alongside llm_injection_scan. Exact "
+    "integer counts, ONE sqrt per doc; the unwatermarked fixture "
+    "correctly produces ~zero flags. Plan: one explode with a "
+    "previous-token slice (no self-join), per-doc then per-source "
+    "map-side-combinable rollups.",
+)
+def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+        F.split("text", " ").alias("ts"),
+    ).select(
+        "doc_id",
+        "source",
+        "tok",
+        F.expr(
+            "CASE WHEN pos0 = 0 THEN '' ELSE ts[pos0 - 1] END"
+        ).alias("prev"),
+    )
+    coin = toks.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(conv(substr(md5(concat('g:', prev, ':', tok)), 1, 8),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("green"),
+    )
+    per_doc = coin.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("green").cast("long").alias("g"),
+    )
+    scored = per_doc.where("n > 0").select(
+        "source",
+        F.expr(
+            "ROUND(CAST(2 * g - n AS DOUBLE) / SQRT(CAST(n AS DOUBLE)), 6)"
+        ).alias("z"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN z > 4.0 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_flagged"),
+            F.expr("ROUND(MAX(z), 6)").alias("max_z"),
+        )
+        .orderBy("source")
+    )

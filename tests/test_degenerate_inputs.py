@@ -250,6 +250,11 @@ SWEEP_QUERIES = (
     # constant prices put ALL or NO orders over the POT threshold —
     # zero-variance exceedances (NULL fit) or k=0 (NULL + rate 0)
     "agg_pot_gpd",
+    # constant text makes every doc the same green fraction (flags
+    # all-or-none, deterministically); constant values collapse Brier
+    # to one bin (resolution exactly 0, reliability = full gap)
+    "llm_watermark_detect",
+    "agg_brier_decomposition",
 )
 
 

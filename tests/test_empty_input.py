@@ -393,6 +393,9 @@ CORE_QUERIES = (
     "stream_update_mode_live",
     # POT: zero orders fold through n_all>0 to an empty frame
     "agg_pot_gpd",
+    # watermark/Brier: empty corpora/event sets fold to empty frames
+    "llm_watermark_detect",
+    "agg_brier_decomposition",
 )
 
 

@@ -182,6 +182,9 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW order-count scalar onto the 1-row exceedance
     # moment fold (1×1 theorem join)
     "agg_pot_gpd",
+    # r10: SINGLE-ROW totals broadcast onto the 10-bin Brier table
+    # and the 1-row raw-sum fold (N×1 theorem joins)
+    "agg_brier_decomposition",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
