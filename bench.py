@@ -301,6 +301,7 @@ BENCH_QUERIES = (
     "agg_pot_gpd",
     "llm_watermark_detect",
     "agg_brier_decomposition",
+    "agg_lin_ccc",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

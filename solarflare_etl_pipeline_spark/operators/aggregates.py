@@ -10749,3 +10749,92 @@ def agg_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uncertainty_e12"),
         )
     )
+
+
+@register(
+    "agg_lin_ccc",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(l_quantity AS BIGINT) * 10 AS x,
+                   CAST(ROUND(l_extendedprice / 3000) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+                   CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+            FROM q
+        ),
+        c AS (
+            SELECT n,
+                   CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                       AS cxx,
+                   n * syy - CAST(sy AS HUGEINT) * sy AS cyy,
+                   n * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+                   CAST(sx AS HUGEINT) - sy AS dmean_n_num,
+                   sx, sy
+            FROM s
+        )
+        SELECT n,
+               CASE WHEN cxx + cyy = 0 AND sx = sy THEN NULL
+                    ELSE ROUND(
+                        2.0 * CAST(cxy AS DOUBLE)
+                        / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)
+                           + CAST(CAST(sx AS HUGEINT) - sy AS DOUBLE)
+                             * CAST(CAST(sx AS HUGEINT) - sy AS DOUBLE)),
+                        9)
+               END AS lin_ccc
+        FROM c
+        WHERE n > 0
+    """,
+    doc="Lin's concordance correlation coefficient — 'do the two "
+    "measurements AGREE', not merely correlate: CCC = 2s_xy / "
+    "(s_x² + s_y² + (x̄-ȳ)²) punishes both scatter AND location/"
+    "scale shifts, completing the method-agreement trio beside "
+    "agg_deming_regression (the fitted line) and agg_icc (the "
+    "variance split); here quantity-in-tenths vs price-in-3k-units "
+    "as two 'instruments' on a common scale. The n-scaled algebra "
+    "makes every term exact: n²-scaled CCC = 2·c_xy / (c_xx + c_yy "
+    "+ (Sx-Sy)²) with all four 128-bit integers — one fixed float "
+    "divide, all-constant inputs (zero variance AND equal sums) "
+    "emit NULL. Plan at 100 TB: one map-side-combinable single-row "
+    "moment aggregate.",
+)
+def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        (F.col("l_quantity").cast("long") * 10).alias("x"),
+        F.round(F.col("l_extendedprice") / 3000).cast("long").alias("y"),
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+    )
+    c = s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        ).alias("cxx"),
+        F.expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy").alias("cyy"),
+        F.expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy").alias("cxy"),
+    )
+    return c.where("n > 0").select(
+        "n",
+        F.expr(
+            "CASE WHEN cxx + cyy = 0 AND sx = sy THEN NULL"
+            " ELSE ROUND(2.0 * CAST(cxy AS DOUBLE)"
+            " / (CAST(cxx AS DOUBLE) + CAST(cyy AS DOUBLE)"
+            "    + CAST(CAST(sx AS DECIMAL(38,0)) - sy AS DOUBLE)"
+            "      * CAST(CAST(sx AS DECIMAL(38,0)) - sy AS DOUBLE)), 9)"
+            " END"
+        ).alias("lin_ccc"),
+    )

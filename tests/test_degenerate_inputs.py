@@ -255,6 +255,9 @@ SWEEP_QUERIES = (
     # to one bin (resolution exactly 0, reliability = full gap)
     "llm_watermark_detect",
     "agg_brier_decomposition",
+    # constant qty/price zero both variances — CCC collapses to the
+    # pure location-shift form (or NULL when sums also tie)
+    "agg_lin_ccc",
 )
 
 

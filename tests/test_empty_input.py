@@ -396,6 +396,8 @@ CORE_QUERIES = (
     # watermark/Brier: empty corpora/event sets fold to empty frames
     "llm_watermark_detect",
     "agg_brier_decomposition",
+    # CCC: zero lineitems fold through n>0 to an empty frame
+    "agg_lin_ccc",
 )
 
 
