@@ -165,7 +165,23 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: trio), agg_g_test, agg_stuart_maxwell + agg_bowker_test,
 #: agg_cochran_armitage, agg_sign_test, agg_runs_test, agg_chow_test,
 #: ts_turning_points, ts_pacf, ts_spectral_entropy, graph_reciprocity,
-#: agg_extreme_value_gumbel.
+#: agg_extreme_value_gumbel. Batches 26-39 add (same gates):
+#: stream_update_mode_live (the third output-mode certification —
+#: last-update-per-key == batch aggregate), llm_bt_ratings_portable
+#: (Bradley-Terry MM as an all-integer certified ledger — the RLHF
+#: rating stage), llm_watermark_detect (Kirchenbauer green-list
+#: z-test), llm_filter_funnel (the FineWeb-style survival table),
+#: agg_breslow_day (completes MH/CMH/BD), agg_krippendorff_alpha +
+#: agg_kappa_weighted + agg_icc + agg_lin_ccc (agreement family),
+#: agg_tost_equivalence + agg_newcombe_ci + agg_brier_decomposition +
+#: agg_confusion_stats (experiment readouts), dq_outliers_gesd +
+#: agg_raking_ipf (iterative DQ/weighting ledgers), ts_cusum_bernoulli
+#: + agg_pot_gpd + agg_extreme_value_gumbel (SPC/EVT),
+#: agg_deming_regression, agg_mood_median, agg_page_trend,
+#: agg_hodges_lehmann, mm_audio_clipping, llm_code_detect /
+#: llm_injection_scan / llm_lexical_diversity / llm_numeric_density
+#: (the per-source corpus audit quartet), subq_quantified_any,
+#: sample_weighted_priority.
 #:
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
