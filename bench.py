@@ -302,6 +302,8 @@ BENCH_QUERIES = (
     "llm_watermark_detect",
     "agg_brier_decomposition",
     "agg_lin_ccc",
+    "ts_sample_entropy",
+    "llm_embed_isotropy_portable",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -3766,3 +3766,86 @@ def llm_similarity_int8_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rank", "cand_id", "dot_int8")
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "llm_embed_isotropy_portable",
+    oracle="""
+        WITH coords AS (
+            SELECT e.vec_id, r.i,
+                   CAST(FLOOR(CAST(e.embedding[r.i] AS DOUBLE) * 1000)
+                        AS BIGINT) AS q
+            FROM embeddings e,
+                 UNNEST(range(1, LEN(e.embedding) + 1)) AS r(i)
+        ),
+        per_dim AS (
+            SELECT i, CAST(SUM(q) AS BIGINT) AS s
+            FROM coords GROUP BY i
+        ),
+        m AS (
+            SELECT CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS m2,
+                   CAST(COUNT(*) AS BIGINT) AS dims
+            FROM per_dim
+        ),
+        qn AS (
+            SELECT CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+            FROM coords
+        )
+        SELECT qn.n AS n_vecs, m.dims,
+               CASE WHEN qn.qq = 0 OR qn.n = 0 THEN NULL
+                    ELSE CAST(m.m2 * 1000000
+                         // (CAST(qn.n AS HUGEINT) * qn.qq) AS BIGINT)
+               END AS anisotropy_ppm
+        FROM m, qn
+        WHERE qn.n > 0
+    """,
+    doc="Embedding-space isotropy diagnostic (Mu & Viswanath 2018 / "
+    "Ethayarajh 2019: contextual embedding spaces collapse toward a "
+    "dominant mean direction, which poisons cosine retrieval — the "
+    "standard fix subtracts the mean, and THIS measures whether you "
+    "need to): anisotropy = ||mean vec||² / E[||v||²], exactly 0 for "
+    "a perfectly isotropic cloud and →1 when all vectors share one "
+    "direction. Coordinates are FLOOR-quantized to milli-units so "
+    "the per-dimension sums, the mean-norm numerator Σ_i S_i² and "
+    "the energy Σq² are ALL exact 128-bit integers, and the ratio "
+    "is one rule-13 ppm division — hash-exact cross-engine with no "
+    "float aggregation (the int8/pca portable-twin discipline). "
+    "Plan at 100 TB: one explode + per-dim (64-row) and global "
+    "folds, all map-side combinable — no pairwise stage at any "
+    "corpus size.",
+)
+def llm_embed_isotropy_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)").alias("q"),
+    )
+    coords = coords.localCheckpoint()  # read twice (per-dim + energy)
+    per_dim = coords.groupBy("i").agg(F.sum("q").cast("long").alias("s"))
+    m = per_dim.agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("m2"),
+        F.count("*").cast("long").alias("dims"),
+    )
+    qn = coords.agg(
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("qq"),
+        F.countDistinct("vec_id").cast("long").alias("n"),
+    )
+    return (
+        m.crossJoin(F.broadcast(qn))
+        .where("n > 0")
+        .select(
+            F.col("n").alias("n_vecs"),
+            "dims",
+            F.expr(
+                "CASE WHEN qq = 0 OR n = 0 THEN NULL"
+                " ELSE CAST(m2 * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * qq) AS BIGINT) END"
+            ).alias("anisotropy_ppm"),
+        )
+    )

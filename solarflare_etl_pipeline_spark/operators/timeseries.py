@@ -4236,3 +4236,101 @@ def ts_cusum_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("first_alarm_day"),
     )
     return agg.where("n_days > 0")
+
+
+@register(
+    "ts_sample_entropy",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+                        / 100000000.0) AS BIGINT) AS b
+            FROM orders GROUP BY 1
+        ),
+        grams AS (
+            SELECT b,
+                   LEAD(b) OVER (ORDER BY d) AS b2
+            FROM daily
+        ),
+        m1 AS (
+            SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS bb
+            FROM (SELECT b, COUNT(*) AS n FROM grams GROUP BY b) t
+        ),
+        m2 AS (
+            SELECT CAST(SUM(CAST(n AS HUGEINT) * (n - 1)) AS BIGINT) AS aa
+            FROM (SELECT b, b2, COUNT(*) AS n FROM grams
+                  WHERE b2 IS NOT NULL GROUP BY b, b2) t
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+               m1.bb AS template_matches_m1,
+               m2.aa AS template_matches_m2,
+               CASE WHEN m2.aa = 0 OR m1.bb = 0 THEN NULL
+                    ELSE ROUND(-LN(CAST(m2.aa AS DOUBLE)
+                               / CAST(m1.bb AS DOUBLE)), 6)
+               END AS sampen
+        FROM m1, m2
+        WHERE (SELECT COUNT(*) FROM daily) > 0
+    """,
+    doc="Sample entropy (Richman-Moorman SampEn, m=1, binned-template "
+    "contract) of the daily revenue series — the regularity/"
+    "complexity score used in physiological and operational "
+    "monitoring (low SampEn = repetitive dynamics, high = "
+    "unpredictable): a 'match' is two days landing in the SAME "
+    "1M-dollar-wide bin (the Chebyshev tolerance hardened into an "
+    "equi-bin, making template counting a HISTOGRAM problem instead "
+    "of an O(n²) scan — the cliff_delta discipline applied to "
+    "template matching). B = Σn(n-1) over the 1-gram histogram, "
+    "A = Σn(n-1) over the (bin, next-bin) 2-gram histogram (exact "
+    "integers, self-matches excluded by the n(n-1) form), SampEn = "
+    "-ln(A/B) with one LN; A or B = 0 emits NULL. Completes the "
+    "complexity suite beside ts_hurst_rs (memory) and "
+    "ts_spectral_entropy (frequency concentration). Plan at 100 TB: "
+    "one daily hash agg, one LEAD, two bounded-histogram folds.",
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(FLOOR(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))"
+            " / 100000000.0) AS BIGINT)"
+        ).alias("b")
+    )
+    grams = daily.select(
+        "b", F.lead("b").over(Window.orderBy("d")).alias("b2")
+    )
+    grams = grams.localCheckpoint()  # calendar-bounded, read twice
+    m1 = (
+        grams.groupBy("b")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+            .cast("long")
+            .alias("bb")
+        )
+    )
+    m2 = (
+        grams.where("b2 IS NOT NULL")
+        .groupBy("b", "b2")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * (n - 1)"))
+            .cast("long")
+            .alias("aa")
+        )
+    )
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        nd.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .where("n_days > 0")
+        .select(
+            "n_days",
+            F.col("bb").alias("template_matches_m1"),
+            F.col("aa").alias("template_matches_m2"),
+            F.expr(
+                "CASE WHEN aa = 0 OR bb = 0 THEN NULL"
+                " ELSE ROUND(-LN(CAST(aa AS DOUBLE) / CAST(bb AS DOUBLE)),"
+                " 6) END"
+            ).alias("sampen"),
+        )
+    )

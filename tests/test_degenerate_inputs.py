@@ -258,6 +258,9 @@ SWEEP_QUERIES = (
     # constant qty/price zero both variances — CCC collapses to the
     # pure location-shift form (or NULL when sums also tie)
     "agg_lin_ccc",
+    # constant prices put every day in ONE bin (SampEn A=B -> exact 0)
+    # and constant dates leave a single day (bb=0 -> NULL)
+    "ts_sample_entropy",
 )
 
 

@@ -398,6 +398,10 @@ CORE_QUERIES = (
     "agg_brier_decomposition",
     # CCC: zero lineitems fold through n>0 to an empty frame
     "agg_lin_ccc",
+    # complexity/isotropy: empty day grids / vector sets fold through
+    # the n>0 guards to empty frames
+    "ts_sample_entropy",
+    "llm_embed_isotropy_portable",
 )
 
 

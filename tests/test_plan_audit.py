@@ -185,6 +185,9 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW totals broadcast onto the 10-bin Brier table
     # and the 1-row raw-sum fold (N×1 theorem joins)
     "agg_brier_decomposition",
+    # r10: 1-row histogram folds / energy scalars (1×1 theorem joins)
+    "ts_sample_entropy",
+    "llm_embed_isotropy_portable",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
