@@ -304,6 +304,8 @@ BENCH_QUERIES = (
     "agg_lin_ccc",
     "ts_sample_entropy",
     "llm_embed_isotropy_portable",
+    "agg_pr_curve",
+    "llm_text_tiling",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -10838,3 +10838,92 @@ def agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("lin_ccc"),
     )
+
+
+@register(
+    "agg_pr_curve",
+    oracle=f"""
+        WITH pred AS (
+            SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v3,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        cuts AS (
+            SELECT UNNEST([{", ".join(str(c * 50_000) for c in range(10))}])
+                AS cut
+        ),
+        scored AS (
+            SELECT cuts.cut,
+                   CAST(SUM(CASE WHEN pred.v3 >= cuts.cut AND pred.y = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN pred.v3 >= cuts.cut AND pred.y = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(pred.y) AS BIGINT) AS pos
+            FROM pred, cuts
+            GROUP BY cuts.cut
+        )
+        SELECT cut AS threshold_milli,
+               tp, fp,
+               CASE WHEN tp + fp = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN pos = 0 THEN NULL
+                    ELSE CAST(tp * 1000000 // pos AS BIGINT)
+               END AS recall_ppm
+        FROM scored
+        ORDER BY cut
+    """,
+    doc="Precision-recall curve at ten fixed value thresholds (0 to 450 "
+    "in steps of 50) for the value-scores-purchase screen — the "
+    "operating-characteristic sweep agg_confusion_stats freezes at "
+    "one cutoff and agg_decile_lift ranks by quantile: each "
+    "threshold's TP/FP are exact integers from ONE pass (the 10-cut "
+    "fan-out is a bounded broadcast product, every row scored "
+    "against all cuts map-side), precision/recall in rule-13 ppm "
+    "with empty-margin NULLs. Plan at 100 TB: one scan x 10-row "
+    "broadcast, one 10-group map-side-combinable aggregate — the "
+    "curve never re-scans.",
+)
+def agg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    pred = e.select(
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    cuts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c * 50_000) for c in range(10)])
+        ).alias("cut")
+    )
+    scored = (
+        pred.crossJoin(F.broadcast(cuts))
+        .groupBy("cut")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN v3 >= cut AND y = 1 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.expr("CASE WHEN v3 >= cut AND y = 0 THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+    )
+    return scored.select(
+        F.col("cut").alias("threshold_milli"),
+        "tp",
+        "fp",
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN NULL"
+            " ELSE CAST(tp * 1000000 DIV (tp + fp) AS BIGINT) END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN pos = 0 THEN NULL"
+            " ELSE CAST(tp * 1000000 DIV pos AS BIGINT) END"
+        ).alias("recall_ppm"),
+    ).orderBy("threshold_milli")

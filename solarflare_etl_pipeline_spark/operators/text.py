@@ -7964,3 +7964,143 @@ def llm_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TILE_BLOCK = 5  # tokens per TextTiling block
+TILE_BUCKETS = 64  # hashed-BoW dimensionality
+TILE_CUT_PPM = 300_000  # cosine dip below this = topic boundary
+
+
+@register(
+    "llm_text_tiling",
+    oracle=f"""
+        WITH tarr AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS ts
+            FROM documents WHERE text IS NOT NULL
+        ),
+        toks AS (
+            SELECT doc_id,
+                   (r.pos - 1) // {TILE_BLOCK} AS blk,
+                   CAST(('0x' || SUBSTR(MD5(ts[r.pos]), 1, 8)) AS BIGINT)
+                       % {TILE_BUCKETS} AS bucket
+            FROM tarr, UNNEST(range(1, LEN(ts) + 1)) AS r(pos)
+        ),
+        vec AS (
+            SELECT doc_id, blk, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2, 3
+        ),
+        norms AS (
+            SELECT doc_id, blk,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS nrm
+            FROM vec GROUP BY 1, 2
+        ),
+        dots AS (
+            SELECT a.doc_id, a.blk,
+                   CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS dot
+            FROM vec a JOIN vec b
+              ON b.doc_id = a.doc_id AND b.blk = a.blk + 1
+             AND b.bucket = a.bucket
+            GROUP BY 1, 2
+        ),
+        gaps AS (
+            SELECT n1.doc_id, n1.blk,
+                   CAST(FLOOR(1000000.0 * COALESCE(d.dot, 0)
+                        / SQRT(CAST(CAST(n1.nrm AS HUGEINT) * n2.nrm
+                               AS DOUBLE))) AS BIGINT) AS cos_ppm
+            FROM norms n1
+            JOIN norms n2 ON n2.doc_id = n1.doc_id
+                         AND n2.blk = n1.blk + 1
+            LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.blk = n1.blk
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN cos_ppm < {TILE_CUT_PPM} THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_boundaries,
+               CAST(MIN(cos_ppm) AS BIGINT) AS min_cos_ppm
+        FROM gaps
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="TextTiling topic segmentation (Hearst 1997) — the classic "
+    "lexical-cohesion splitter chunking pipelines use when character "
+    "windows (llm_chunk_docs/llm_chunk_sliding) would cut topics in "
+    "half: tokens hash into a 64-bucket bag-of-words per 5-token "
+    "block, adjacent blocks score hashed-BoW cosine — dot and both "
+    "norms EXACT 128-bit integers via a bucket equi-join (never a "
+    "token-pair product), ONE sqrt+divide FLOOR-quantized to ppm — "
+    "and a dip below 0.30 marks a topic boundary. Per doc: block "
+    "count, boundary count, sharpest dip. Single-block docs emit "
+    "nothing (no gaps). Plan at 100 TB: explode → per-(doc, block, "
+    "bucket) agg → two equi-joins on (doc, bucket)/(doc, block) — "
+    "all shuffles key on doc_id, no cross-doc stage anywhere.",
+)
+def llm_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        F.expr(f"pos0 DIV {TILE_BLOCK}").alias("blk"),
+        F.expr(
+            f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+            f" % {TILE_BUCKETS}"
+        ).alias("bucket"),
+    )
+    vec = toks.groupBy("doc_id", "blk", "bucket").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vec = vec.localCheckpoint()  # read three times (norms + both join sides)
+    norms = vec.groupBy("doc_id", "blk").agg(
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).cast("long").alias("nrm")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.blk") == F.col("a.blk") + 1)
+            & (F.col("b.bucket") == F.col("a.bucket")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"), F.col("a.blk").alias("blk"))
+        .agg(
+            F.sum(F.expr("CAST(a.c AS DECIMAL(38,0)) * b.c"))
+            .cast("long")
+            .alias("dot")
+        )
+    )
+    n1, n2 = norms.alias("n1"), norms.alias("n2")
+    dd = dots.alias("dd")
+    gaps = (
+        n1.join(
+            n2,
+            (F.col("n2.doc_id") == F.col("n1.doc_id"))
+            & (F.col("n2.blk") == F.col("n1.blk") + 1),
+        )
+        .join(
+            dd,
+            (F.col("dd.doc_id") == F.col("n1.doc_id"))
+            & (F.col("dd.blk") == F.col("n1.blk")),
+            "left",
+        )
+        .select(
+            F.col("n1.doc_id").alias("doc_id"),
+            F.expr(
+                "CAST(FLOOR(1000000.0 * COALESCE(dd.dot, 0)"
+                " / SQRT(CAST(CAST(n1.nrm AS DECIMAL(38,0)) * n2.nrm"
+                " AS DOUBLE))) AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+    )
+    return (
+        gaps.groupBy("doc_id")
+        .agg(
+            (F.count("*") + 1).cast("long").alias("n_blocks"),
+            F.sum(
+                F.expr(f"CASE WHEN cos_ppm < {TILE_CUT_PPM} THEN 1 ELSE 0 END")
+            )
+            .cast("long")
+            .alias("n_boundaries"),
+            F.min("cos_ppm").cast("long").alias("min_cos_ppm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -261,6 +261,11 @@ SWEEP_QUERIES = (
     # constant prices put every day in ONE bin (SampEn A=B -> exact 0)
     # and constant dates leave a single day (bb=0 -> NULL)
     "ts_sample_entropy",
+    # constant values put every event on one side of every PR cut;
+    # constant text makes all adjacent blocks identical (cos 1e6, no
+    # boundaries) except the ragged tail block
+    "agg_pr_curve",
+    "llm_text_tiling",
 )
 
 

@@ -402,6 +402,10 @@ CORE_QUERIES = (
     # the n>0 guards to empty frames
     "ts_sample_entropy",
     "llm_embed_isotropy_portable",
+    # PR sweep + tiling: empty scans fold to empty frames (the 10-cut
+    # fan-out produces no groups; no gaps without blocks)
+    "agg_pr_curve",
+    "llm_text_tiling",
 )
 
 

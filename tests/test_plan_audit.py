@@ -188,6 +188,9 @@ DELIBERATE_CROSS = {
     # r10: 1-row histogram folds / energy scalars (1×1 theorem joins)
     "ts_sample_entropy",
     "llm_embed_isotropy_portable",
+    # r10: DELIBERATE 10-cut broadcast fan-out onto the scan (the
+    # dq_value_drift_psi bounded-boundary shape)
+    "agg_pr_curve",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
