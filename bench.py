@@ -306,6 +306,8 @@ BENCH_QUERIES = (
     "llm_embed_isotropy_portable",
     "agg_pr_curve",
     "llm_text_tiling",
+    "agg_atkinson_index",
+    "dq_scd2_integrity",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -10927,3 +10927,83 @@ def agg_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(tp * 1000000 DIV pos AS BIGINT) END"
         ).alias("recall_ppm"),
     ).orderBy("threshold_milli")
+
+
+@register(
+    "agg_atkinson_index",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+            FROM orders WHERE o_totalprice > 0
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(CAST(FLOOR(1000000.0 * LN(CAST(v AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS sln_mu,
+                   CAST(SUM(CAST(FLOOR(1e15 / CAST(v AS DOUBLE)) AS BIGINT))
+                        AS BIGINT) AS sinv_f
+            FROM q
+        )
+        SELECT n,
+               CASE WHEN n = 0 OR sv = 0 THEN NULL
+                    ELSE ROUND(1.0
+                         - EXP(CAST(sln_mu AS DOUBLE) / (1000000.0 * n))
+                           / (CAST(sv AS DOUBLE) / n), 6)
+               END AS atkinson_e1,
+               CASE WHEN n = 0 OR sinv_f = 0 THEN NULL
+                    ELSE ROUND(1.0
+                         - (CAST(n AS DOUBLE) * 1e15
+                            / CAST(sinv_f AS DOUBLE))
+                           / (CAST(sv AS DOUBLE) / n), 6)
+               END AS atkinson_e2
+        FROM s
+        WHERE n > 0
+    """,
+    doc="Atkinson inequality index at aversion 1 and 2 — the WELFARE-"
+    "weighted inequality measure completing the family (Gini counts "
+    "rank swaps, Theil decomposes, Atkinson answers 'what fraction "
+    "of total order value could we discard and be as well off under "
+    "equality'): A(1) = 1 - geomean/mean and A(2) = 1 - harmonic/"
+    "mean. Each order's ln(v) and 1/v are FLOOR-quantized to "
+    "micro/femto integer units the moment they exist (rule 22: the "
+    "per-row transform is one identical libm call; the SUM is then "
+    "exact and order-free — a raw float Σln across partitions would "
+    "drift), with one EXP/divide at the end. Zero-value orders "
+    "excluded by contract. Plan at 100 TB: one map-side-combinable "
+    "single-row aggregate.",
+)
+def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where("o_totalprice > 0")
+    q = o.select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    s = q.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(1000000.0 * LN(CAST(v AS DOUBLE))) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("sln_mu"),
+        F.sum(
+            F.expr("CAST(FLOOR(1e15 / CAST(v AS DOUBLE)) AS BIGINT)")
+        )
+        .cast("long")
+        .alias("sinv_f"),
+    )
+    return s.where("n > 0").select(
+        "n",
+        F.expr(
+            "CASE WHEN n = 0 OR sv = 0 THEN NULL"
+            " ELSE ROUND(1.0 - EXP(CAST(sln_mu AS DOUBLE) / (1000000.0 * n))"
+            " / (CAST(sv AS DOUBLE) / n), 6) END"
+        ).alias("atkinson_e1"),
+        F.expr(
+            "CASE WHEN n = 0 OR sinv_f = 0 THEN NULL"
+            " ELSE ROUND(1.0 - (CAST(n AS DOUBLE) * 1e15"
+            " / CAST(sinv_f AS DOUBLE)) / (CAST(sv AS DOUBLE) / n), 6) END"
+        ).alias("atkinson_e2"),
+    )

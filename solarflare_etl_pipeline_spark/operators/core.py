@@ -2307,3 +2307,103 @@ def dq_outliers_gesd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+@register(
+    "dq_scd2_integrity",
+    oracle="""
+        WITH scd AS (
+            SELECT o_custkey AS k,
+                   CAST(o_orderdate AS DATE) AS valid_from,
+                   LEAD(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS valid_to
+            FROM orders
+        ),
+        checks AS (
+            SELECT k, valid_from, valid_to,
+                   LAG(valid_to) OVER (
+                       PARTITION BY k ORDER BY valid_from, valid_to)
+                       AS prev_to,
+                   CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_open
+            FROM scd
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN prev_to IS NOT NULL
+                        AND valid_from < prev_to THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlaps,
+               CAST(SUM(CASE WHEN prev_to IS NOT NULL
+                        AND valid_from > prev_to THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gaps,
+               CAST(SUM(is_open) - COUNT(DISTINCT k) AS BIGINT)
+                   AS n_extra_open,
+               CAST(SUM(CASE WHEN valid_to IS NOT NULL
+                        AND valid_to <= valid_from THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inverted
+        FROM checks
+        HAVING COUNT(*) > 0
+    """,
+    doc="SCD2 validity-chain integrity audit — the warehouse invariants "
+    "every slowly-changing dimension must hold and merge_scd2 "
+    "produces but nothing previously VERIFIED: per key, version "
+    "windows must not overlap, gaps between consecutive windows are "
+    "counted (legal in some designs, a defect in others — reported, "
+    "not judged), exactly ONE open (NULL valid_to) row per key, and "
+    "no inverted window (to <= from). Here the chain is built from "
+    "each customer's order-date history (LEAD = the natural SCD2 "
+    "close-out) so the audit exercises the same window shapes as the "
+    "real dimension; the same-day re-order edge produces legitimate "
+    "inverted/zero-width windows the audit must COUNT, not crash on. "
+    "All counts exact integers from two window passes. Plan at "
+    "100 TB: both windows partition on the dimension key — one "
+    "shuffle, no skew beyond the busiest key.",
+)
+def dq_scd2_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("date")).over(wv).alias("valid_to"),
+    )
+    wc = Window.partitionBy("k").orderBy("valid_from", "valid_to")
+    checks = scd.select(
+        "k",
+        "valid_from",
+        "valid_to",
+        F.lag("valid_to").over(wc).alias("prev_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_open"),
+    )
+    agg = checks.agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.countDistinct("k").cast("long").alias("n_keys"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_gaps"),
+        (F.sum("is_open") - F.countDistinct("k")).cast("long").alias(
+            "n_extra_open"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN valid_to IS NOT NULL AND valid_to <= valid_from"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_inverted"),
+    )
+    return agg.where("n_versions > 0")

@@ -266,6 +266,11 @@ SWEEP_QUERIES = (
     # boundaries) except the ragged tail block
     "agg_pr_curve",
     "llm_text_tiling",
+    # constant prices make geo = harmonic = arithmetic mean (both
+    # Atkinson indices exactly ~0); tied dates make every SCD2 window
+    # zero-width (counted as inverted, not a crash)
+    "agg_atkinson_index",
+    "dq_scd2_integrity",
 )
 
 

@@ -406,6 +406,9 @@ CORE_QUERIES = (
     # fan-out produces no groups; no gaps without blocks)
     "agg_pr_curve",
     "llm_text_tiling",
+    # inequality + SCD2: empty scans fold through n>0 / HAVING
+    "agg_atkinson_index",
+    "dq_scd2_integrity",
 )
 
 
