@@ -308,6 +308,8 @@ BENCH_QUERIES = (
     "llm_text_tiling",
     "agg_atkinson_index",
     "dq_scd2_integrity",
+    "ts_intraday_uniformity",
+    "agg_pinball_loss",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -11007,3 +11007,95 @@ def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(sinv_f AS DOUBLE)) / (CAST(sv AS DOUBLE) / n), 6) END"
         ).alias("atkinson_e2"),
     )
+
+
+@register(
+    "agg_pinball_loss",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM q
+        ),
+        quants AS (
+            SELECT
+                MIN(CASE WHEN rn * 2 >= cnt THEN v END) AS q50,
+                MIN(CASE WHEN rn * 10 >= cnt * 9 THEN v END) AS q90
+            FROM ranked
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n,
+               quants.q50, quants.q90,
+               CAST((SELECT SUM(CASE WHEN v >= quants.q50
+                          THEN (v - quants.q50) * 5
+                          ELSE (quants.q50 - v) * 5 END) FROM q)
+                    // (SELECT COUNT(*) FROM q) AS BIGINT)
+                   AS pinball_q50_x10,
+               CAST((SELECT SUM(CASE WHEN v >= quants.q90
+                          THEN (v - quants.q90) * 9
+                          ELSE (quants.q90 - v) * 1 END) FROM q)
+                    // (SELECT COUNT(*) FROM q) AS BIGINT)
+                   AS pinball_q90_x10
+        FROM quants
+        WHERE (SELECT COUNT(*) FROM q) > 0
+    """,
+    doc="Pinball (quantile) loss of the exact empirical P50/P90 "
+    "forecasts — the proper scoring rule for quantile predictions "
+    "(the forecasting-eval sibling of agg_brier_decomposition's "
+    "probability score): L_tau = mean of tau·(v-q)+ + (1-tau)·(q-v)+ "
+    "with both quantiles from the exact distributed rank (rn·k vs "
+    "cnt cross-multiplication — no float percentile) and every loss "
+    "term an exact integer in 10x milli units (tau = 0.5 and 0.9 "
+    "scaled through x10 so the asymmetric weights 5/5 and 9/1 stay "
+    "integral), divided once by n with rule-13 integer division. By "
+    "construction the empirical quantile minimizes its own pinball "
+    "loss — this op certifies the evaluation plumbing a forecast "
+    "backtest (ts_snaive_backtest) would plug real predictions "
+    "into. Plan at 100 TB: one distributed rank (the "
+    "fn_quantile_align shape) + one scan-sum against two broadcast "
+    "scalars.",
+)
+def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    q = e.select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    q = q.localCheckpoint()  # read twice (rank + loss)
+    ranked = q.select(
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    quants = ranked.agg(
+        F.min(F.when(F.expr("rn * 2 >= cnt"), F.col("v"))).alias("q50"),
+        F.min(F.when(F.expr("rn * 10 >= cnt * 9"), F.col("v"))).alias("q90"),
+    )
+    loss = q.crossJoin(F.broadcast(quants)).agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("q50").alias("q50"),
+        F.max("q90").alias("q90"),
+        F.sum(
+            F.expr(
+                "CASE WHEN v >= q50 THEN (v - q50) * 5"
+                " ELSE (q50 - v) * 5 END"
+            )
+        ).alias("l50"),
+        F.sum(
+            F.expr(
+                "CASE WHEN v >= q90 THEN (v - q90) * 9"
+                " ELSE (q90 - v) * 1 END"
+            )
+        ).alias("l90"),
+    )
+    return loss.where("n > 0").select(
+        "n",
+        "q50",
+        "q90",
+        F.expr("CAST(l50 DIV n AS BIGINT)").alias("pinball_q50_x10"),
+        F.expr("CAST(l90 DIV n AS BIGINT)").alias("pinball_q90_x10"),
+    )

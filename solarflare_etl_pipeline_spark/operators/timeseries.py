@@ -4334,3 +4334,82 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sampen"),
         )
     )
+
+
+@register(
+    "ts_intraday_uniformity",
+    oracle="""
+        WITH mins AS (
+            SELECT CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) * 60
+                        + EXTRACT(MINUTE FROM CAST(ts AS TIMESTAMP))
+                        AS BIGINT) AS m
+            FROM events
+        ),
+        hist AS (
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM mins GROUP BY m
+        ),
+        cum AS (
+            SELECT m, SUM(c) OVER (ORDER BY m) AS cf,
+                   SUM(c) OVER () AS n
+            FROM hist
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(MAX(ABS(CAST(cf AS HUGEINT) * 1440
+                            - CAST(n AS HUGEINT) * (m + 1)) * 1000000
+                        // (CAST(n AS HUGEINT) * 1440)) AS BIGINT)
+                   AS ks_d_ppm,
+               CASE WHEN MAX(n) = 0 THEN NULL
+                    ELSE ROUND(CAST(MAX(ABS(CAST(cf AS HUGEINT) * 1440
+                              - CAST(n AS HUGEINT) * (m + 1)) * 1000000
+                              // (CAST(n AS HUGEINT) * 1440)) AS DOUBLE)
+                         / 1000000.0 * SQRT(CAST(MAX(n) AS DOUBLE)), 6)
+               END AS kuiper_scaled
+        FROM cum
+        HAVING MAX(n) > 0
+    """,
+    doc="Intraday arrival-uniformity KS test: is traffic spread evenly "
+    "across the 1440 minutes of the day, or does it clump? The "
+    "one-sample KS distance against the uniform CDF — D = max_m "
+    "|F_emp(m) - (m+1)/1440| — computed ENTIRELY in integers: the "
+    "minute histogram's prefix sums cross-multiply against the "
+    "uniform line (|cf·1440 - n·(m+1)| — rule-13, no float CDF), D "
+    "in ppm and the sqrt(n)-scaled statistic for the asymptotic "
+    "table. The arrival-PROCESS complement of agg_ks_test's value "
+    "distribution test and agg_overdispersion's count test. Plan at "
+    "100 TB: one map-side-combinable 1440-row histogram; the prefix "
+    "window runs on the bounded minute grid.",
+)
+def ts_intraday_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    mins = e.select(
+        (
+            F.hour(F.col("ts").cast("timestamp")) * 60
+            + F.minute(F.col("ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("m")
+    )
+    hist = mins.groupBy("m").agg(F.count("*").cast("long").alias("c"))
+    cum = hist.select(
+        "m",
+        F.sum("c").over(Window.orderBy("m")).alias("cf"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    d = (
+        "MAX(ABS(CAST(cf AS DECIMAL(38,0)) * 1440"
+        " - CAST(n AS DECIMAL(38,0)) * (m + 1)) * 1000000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * 1440))"
+    )
+    agg = cum.agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.expr(f"CAST({d} AS BIGINT)").alias("ks_d_ppm"),
+    )
+    return agg.where("n_events > 0").select(
+        "n_events",
+        "ks_d_ppm",
+        F.expr(
+            "CASE WHEN n_events = 0 THEN NULL"
+            " ELSE ROUND(CAST(ks_d_ppm AS DOUBLE) / 1000000.0"
+            " * SQRT(CAST(n_events AS DOUBLE)), 6) END"
+        ).alias("kuiper_scaled"),
+    )

@@ -271,6 +271,11 @@ SWEEP_QUERIES = (
     # zero-width (counted as inverted, not a crash)
     "agg_atkinson_index",
     "dq_scd2_integrity",
+    # tied timestamps put every event in ONE minute (KS D -> max);
+    # constant values collapse both quantiles onto the point mass
+    # (pinball losses exactly 0)
+    "ts_intraday_uniformity",
+    "agg_pinball_loss",
 )
 
 

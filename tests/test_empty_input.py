@@ -409,6 +409,9 @@ CORE_QUERIES = (
     # inequality + SCD2: empty scans fold through n>0 / HAVING
     "agg_atkinson_index",
     "dq_scd2_integrity",
+    # KS-uniformity + pinball: empty grids fold through the guards
+    "ts_intraday_uniformity",
+    "agg_pinball_loss",
 )
 
 

@@ -191,6 +191,9 @@ DELIBERATE_CROSS = {
     # r10: DELIBERATE 10-cut broadcast fan-out onto the scan (the
     # dq_value_drift_psi bounded-boundary shape)
     "agg_pr_curve",
+    # r10: SINGLE-ROW exact-quantile scalars broadcast onto the scan
+    # (the fn_quantile_align N×1 shape)
+    "agg_pinball_loss",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
