@@ -310,6 +310,8 @@ BENCH_QUERIES = (
     "dq_scd2_integrity",
     "ts_intraday_uniformity",
     "agg_pinball_loss",
+    "llm_good_turing",
+    "agg_huber_location_portable",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

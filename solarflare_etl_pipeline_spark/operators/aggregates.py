@@ -11099,3 +11099,147 @@ def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(l50 DIV n AS BIGINT)").alias("pinball_q50_x10"),
         F.expr("CAST(l90 DIV n AS BIGINT)").alias("pinball_q90_x10"),
     )
+
+
+def _huber_round_sql(src: str, mname: str) -> str:
+    """One Huber IRLS round: clip values at m ± 1.5·MAD (both integer-
+    FLOOR bounds from the previous round's table {mname}) and emit the
+    clipped mean — identical expression text in both engines."""
+    return f"""
+            SELECT CAST(SUM(
+                       CASE WHEN v > {mname}.hi THEN {mname}.hi
+                            WHEN v < {mname}.lo THEN {mname}.lo
+                            ELSE v END) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM {src}, {mname}
+    """
+
+
+@register(
+    "agg_huber_location_portable",
+    oracle=f"""
+        WITH q AS (
+            SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM q
+        ),
+        med AS (
+            SELECT MIN(CASE WHEN 2 * rn >= cnt THEN v END) AS m0
+            FROM ranked
+        ),
+        dev AS (
+            SELECT ABS(q.v - med.m0) AS a FROM q, med
+        ),
+        devranked AS (
+            SELECT a, ROW_NUMBER() OVER (ORDER BY a) AS rn,
+                   COUNT(*) OVER () AS cnt
+            FROM dev
+        ),
+        mad AS (
+            SELECT MIN(CASE WHEN 2 * rn >= cnt THEN a END) AS mad0
+            FROM devranked
+        ),
+        b1 AS (
+            SELECT med.m0 - (mad.mad0 * 3) // 2 AS lo,
+                   med.m0 + (mad.mad0 * 3) // 2 AS hi
+            FROM med, mad
+        ),
+        r1 AS ({_huber_round_sql("q", "b1")}),
+        b2 AS (
+            SELECT (r1.s - (SELECT mad.mad0 * 3 FROM mad) * r1.n // 2 // r1.n)
+                       AS unused, -- keep optimizer from pruning r1
+                   r1.s // r1.n - (SELECT mad.mad0 * 3 FROM mad) // 2 AS lo,
+                   r1.s // r1.n + (SELECT mad.mad0 * 3 FROM mad) // 2 AS hi
+            FROM r1 WHERE r1.n > 0
+        ),
+        r2 AS ({_huber_round_sql("q", "b2")})
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n,
+               (SELECT m0 FROM med) AS median_milli,
+               (SELECT mad0 FROM mad) AS mad_milli,
+               CAST(r1.s // r1.n AS BIGINT) AS huber_r1_milli,
+               CAST(r2.s // r2.n AS BIGINT) AS huber_r2_milli
+        FROM r1, r2
+        WHERE r1.n > 0 AND r2.n > 0
+    """,
+    doc="Huber M-estimator of location as a certified 2-round IRLS "
+    "ledger (the robust mean that downweights outliers smoothly — "
+    "between the median's 50% breakdown and the mean's zero): round "
+    "0 seeds with the EXACT median and MAD (two distributed ranks), "
+    "each round clips every value at m ± 1.5·MAD using INTEGER "
+    "bounds (floor-division — truncation is the contract, the "
+    "raking/BT ledger discipline) and re-averages with integer "
+    "division; both rounds' locations are emitted so the ledger "
+    "certifies the ITERATION, not just the endpoint. Degenerate "
+    "point masses give MAD 0 and the estimator pins to the median. "
+    "Plan at 100 TB: two distributed ranks + two clipped scans "
+    "against single-row broadcast bounds — no state beyond scalars.",
+)
+def agg_huber_location_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    q = e.select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    q = q.localCheckpoint()  # read four times
+    ranked = q.select(
+        "v",
+        F.row_number().over(W.orderBy("v")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    med = ranked.agg(
+        F.min(F.when(F.expr("2 * rn >= cnt"), F.col("v"))).alias("m0")
+    )
+    dev = q.crossJoin(F.broadcast(med)).select(
+        F.expr("ABS(v - m0)").alias("a")
+    )
+    devranked = dev.select(
+        "a",
+        F.row_number().over(W.orderBy("a")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("cnt"),
+    )
+    mad = devranked.agg(
+        F.min(F.when(F.expr("2 * rn >= cnt"), F.col("a"))).alias("mad0")
+    )
+    b1 = med.crossJoin(F.broadcast(mad)).select(
+        F.expr("m0 - (mad0 * 3) DIV 2").alias("lo"),
+        F.expr("m0 + (mad0 * 3) DIV 2").alias("hi"),
+        "mad0",
+    )
+    clip = (
+        "CASE WHEN v > hi THEN hi WHEN v < lo THEN lo ELSE v END"
+    )
+    r1 = q.crossJoin(F.broadcast(b1)).agg(
+        F.sum(F.expr(clip)).cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+        F.max("mad0").alias("mad0"),
+    )
+    b2 = r1.where("n > 0").select(
+        F.expr("s DIV n - (mad0 * 3) DIV 2").alias("lo"),
+        F.expr("s DIV n + (mad0 * 3) DIV 2").alias("hi"),
+        F.expr("CAST(s DIV n AS BIGINT)").alias("h1"),
+    )
+    r2 = q.crossJoin(F.broadcast(b2)).agg(
+        F.sum(F.expr(clip)).cast("long").alias("s2"),
+        F.count("*").cast("long").alias("n2"),
+        F.max("h1").alias("h1"),
+    )
+    nt = q.agg(F.count("*").cast("long").alias("n"))
+    return (
+        nt.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .crossJoin(F.broadcast(r2.where("n2 > 0")))
+        .select(
+            "n",
+            F.col("m0").alias("median_milli"),
+            F.col("mad0").alias("mad_milli"),
+            F.col("h1").alias("huber_r1_milli"),
+            F.expr("CAST(s2 DIV n2 AS BIGINT)").alias("huber_r2_milli"),
+        )
+    )

@@ -8104,3 +8104,95 @@ def llm_text_tiling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "llm_good_turing",
+    oracle="""
+        WITH toks AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM toks GROUP BY tok
+        ),
+        fof AS (
+            SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM freq
+            WHERE r <= 6 GROUP BY r
+        ),
+        tot AS (
+            SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM freq
+        )
+        SELECT f.r,
+               f.nr,
+               CASE WHEN f.r <= 5 AND nx.nr IS NOT NULL AND f.nr > 0
+                    THEN CAST((f.r + 1) * nx.nr * 1000000 // f.nr AS BIGINT)
+                    ELSE NULL
+               END AS r_star_e6,
+               CAST(f.nr * CAST(f.r AS HUGEINT) * 1000000 // tot.n_tokens
+                    AS BIGINT) AS mass_ppm,
+               CASE WHEN f.r = 1
+                    THEN CAST(f.nr * 1000000 // tot.n_tokens AS BIGINT)
+                    ELSE NULL
+               END AS unseen_mass_ppm
+        FROM fof f
+        LEFT JOIN fof nx ON nx.r = f.r + 1
+        CROSS JOIN tot
+        WHERE f.r <= 5
+        ORDER BY f.r
+    """,
+    doc="Good-Turing frequency-of-frequencies — the smoothing "
+    "diagnostics behind every n-gram LM (and the Kneser-Ney "
+    "discount's empirical justification, llm_kneser_ney_bigram's "
+    "companion): for token counts r = 1..5, the species count N_r, "
+    "the Turing re-estimate r* = (r+1)·N_{r+1}/N_r in e6 fixed-"
+    "point (rule-13 — no float ratio), each class's probability "
+    "mass r·N_r/N in ppm, and the Good-Turing unseen-mass estimate "
+    "P0 = N_1/N — the number that tells a corpus curator how much "
+    "of the token distribution they have NOT yet seen. All exact "
+    "integers. Plan at 100 TB: one explode + token hash agg (the "
+    "data-scale stage), then a <=6-row frequency-of-frequencies "
+    "fold with a self-join on the bounded grid.",
+)
+def llm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("r"))
+    freq = freq.localCheckpoint()  # read twice (fof + totals)
+    fof = (
+        freq.where("r <= 6")
+        .groupBy("r")
+        .agg(F.count("*").cast("long").alias("nr"))
+    )
+    fof = fof.localCheckpoint()  # ≤6 rows, self-joined
+    tot = freq.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    f, nx = fof.alias("f"), fof.alias("nx")
+    return (
+        f.join(nx, F.col("nx.r") == F.col("f.r") + 1, "left")
+        .crossJoin(F.broadcast(tot))
+        .where("f.r <= 5")
+        .select(
+            F.col("f.r").alias("r"),
+            F.col("f.nr").alias("nr"),
+            F.expr(
+                "CASE WHEN f.r <= 5 AND nx.nr IS NOT NULL AND f.nr > 0"
+                " THEN CAST((f.r + 1) * nx.nr * 1000000 DIV f.nr AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("r_star_e6"),
+            F.expr(
+                "CAST(f.nr * CAST(f.r AS DECIMAL(38,0)) * 1000000"
+                " DIV n_tokens AS BIGINT)"
+            ).alias("mass_ppm"),
+            F.expr(
+                "CASE WHEN f.r = 1"
+                " THEN CAST(f.nr * 1000000 DIV n_tokens AS BIGINT)"
+                " ELSE NULL END"
+            ).alias("unseen_mass_ppm"),
+        )
+        .orderBy("r")
+    )

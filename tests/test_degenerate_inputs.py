@@ -276,6 +276,10 @@ SWEEP_QUERIES = (
     # (pinball losses exactly 0)
     "ts_intraday_uniformity",
     "agg_pinball_loss",
+    # saturated corpora put every token at the same r (most N_r empty,
+    # r* NULL); constant values give MAD 0 — Huber pins to the median
+    "llm_good_turing",
+    "agg_huber_location_portable",
 )
 
 

@@ -412,6 +412,10 @@ CORE_QUERIES = (
     # KS-uniformity + pinball: empty grids fold through the guards
     "ts_intraday_uniformity",
     "agg_pinball_loss",
+    # Good-Turing + Huber: empty corpora/value sets fold to empty
+    # frames through the r<=5 grid and the n>0 round guards
+    "llm_good_turing",
+    "agg_huber_location_portable",
 )
 
 

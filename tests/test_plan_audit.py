@@ -194,6 +194,10 @@ DELIBERATE_CROSS = {
     # r10: SINGLE-ROW exact-quantile scalars broadcast onto the scan
     # (the fn_quantile_align N×1 shape)
     "agg_pinball_loss",
+    # r10: SINGLE-ROW clip-bound scalars broadcast per unrolled IRLS
+    # round + the ≤6-row frequency-of-frequencies totals broadcast
+    "agg_huber_location_portable",
+    "llm_good_turing",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
