@@ -312,6 +312,8 @@ BENCH_QUERIES = (
     "agg_pinball_loss",
     "llm_good_turing",
     "agg_huber_location_portable",
+    "llm_dedup_source_flow",
+    "agg_stouffer_combined",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -11243,3 +11243,139 @@ def agg_huber_location_portable(
             F.expr("CAST(s2 DIV n2 AS BIGINT)").alias("huber_r2_milli"),
         )
     )
+
+
+#: The five event types in FIXED combination order for the Stouffer
+#: pivot (engine-ordered float sums are forbidden; the slots are summed
+#: in written order).
+STOUFFER_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_stouffer_combined",
+    oracle=f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS hr,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS v3
+            FROM events GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT event_type, v3,
+                   LAG(v3) OVER (PARTITION BY event_type ORDER BY hr) AS pv,
+                   LEAD(v3) OVER (PARTITION BY event_type ORDER BY hr) AS nv
+            FROM hourly
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                            AND ((pv < v3 AND v3 > nv)
+                                 OR (pv > v3 AND v3 < nv))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM ctx GROUP BY 1
+        ),
+        piv AS (
+            SELECT
+                {", ".join(
+                    f'''MAX(CASE WHEN event_type = '{t}' AND n >= 3
+                           AND 16 * n - 29 > 0 THEN
+                           (tp - CAST(2.0 AS DOUBLE) * (n - 2) / 3.0)
+                           / SQRT((16.0 * n - 29.0) / 90.0) END) AS z_{i},
+                       MAX(CASE WHEN event_type = '{t}' AND n >= 3
+                           AND 16 * n - 29 > 0 THEN 1 ELSE 0 END) AS k_{i}'''
+                    for i, t in enumerate(STOUFFER_TYPES))}
+            FROM s
+        )
+        SELECT CAST({" + ".join(f"COALESCE(k_{i}, 0)"
+                                for i in range(5))} AS BIGINT) AS k_tests,
+               CASE WHEN {" + ".join(f"COALESCE(k_{i}, 0)"
+                                     for i in range(5))} = 0 THEN NULL
+                    ELSE ROUND(({" + ".join(f"COALESCE(z_{i}, 0.0)"
+                                            for i in range(5))})
+                         / SQRT(CAST({" + ".join(f"COALESCE(k_{i}, 0)"
+                                                 for i in range(5))}
+                                AS DOUBLE)), 6)
+               END AS stouffer_z
+        FROM piv
+    """,
+    doc="Stouffer's combined test — the meta-analysis step the registry "
+    "previously lacked: the five per-event-type turning-point z "
+    "statistics (the exact ts_turning_points construction, inlined) "
+    "combine as Z = Σz_i/√k, answering 'is there ANY non-randomness "
+    "across the streams' with one number when no single stream's "
+    "evidence suffices. The five z slots fold in FIXED pivot order "
+    "(the anova/cmh discipline — never an engine-ordered float sum), "
+    "short or degenerate streams drop out of both numerator and k, "
+    "all-degenerate emits NULL. Plan at 100 TB: identical to "
+    "ts_turning_points — one hourly agg, per-type LAG/LEAD on the "
+    "calendar grid, then a 5-slot constant fold.",
+)
+def agg_stouffer_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v3")
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    ctx = hourly.select(
+        "event_type",
+        "v3",
+        F.lag("v3").over(w).alias("pv"),
+        F.lead("v3").over(w).alias("nv"),
+    )
+    s = ctx.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN pv IS NOT NULL AND nv IS NOT NULL"
+                " AND ((pv < v3 AND v3 > nv) OR (pv > v3 AND v3 < nv))"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    zexpr = (
+        "(tp - CAST(2.0 AS DOUBLE) * (n - 2) / 3.0)"
+        " / SQRT((16.0 * n - 29.0) / 90.0)"
+    )
+    piv = s.agg(
+        *[
+            c
+            for i, t in enumerate(STOUFFER_TYPES)
+            for c in (
+                F.max(
+                    F.when(
+                        (F.col("event_type") == t)
+                        & F.expr("n >= 3 AND 16 * n - 29 > 0"),
+                        F.expr(zexpr),
+                    )
+                ).alias(f"z_{i}"),
+                F.max(
+                    F.when(
+                        (F.col("event_type") == t)
+                        & F.expr("n >= 3 AND 16 * n - 29 > 0"),
+                        F.lit(1),
+                    ).otherwise(0)
+                ).alias(f"k_{i}"),
+            )
+        ]
+    )
+    ksum = " + ".join(f"COALESCE(k_{i}, 0)" for i in range(5))
+    zsum = " + ".join(f"COALESCE(z_{i}, 0.0)" for i in range(5))
+    return piv.select(
+        F.expr(f"CAST({ksum} AS BIGINT)").alias("k_tests"),
+        F.expr(
+            f"CASE WHEN {ksum} = 0 THEN NULL"
+            f" ELSE ROUND(({zsum}) / SQRT(CAST({ksum} AS DOUBLE)), 6) END"
+        ).alias("stouffer_z"),
+    )

@@ -8196,3 +8196,61 @@ def llm_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+@register(
+    "llm_dedup_source_flow",
+    oracle="""
+        WITH grp AS (
+            SELECT doc_id, source, MD5(text) AS h,
+                   MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keeper
+            FROM documents WHERE text IS NOT NULL
+        ),
+        winners AS (
+            SELECT h, source AS win_source FROM grp WHERE doc_id = keeper
+        ),
+        losers AS (
+            SELECT h, source AS lose_source FROM grp WHERE doc_id <> keeper
+        )
+        SELECT w.win_source, l.lose_source,
+               CAST(COUNT(*) AS BIGINT) AS n_removed
+        FROM losers l JOIN winners w ON w.h = l.h
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Dedup provenance flow — WHICH sources donate duplicates to "
+    "which: under exact-text dedup (first doc_id keeps, the "
+    "llm_dedup_exact/filter_funnel contract) every removed document "
+    "is attributed to the (winning source, losing source) cell, "
+    "producing the flow matrix a curation team reads to find "
+    "scraper overlap and mirror sites before paying for near-dup "
+    "passes. Counts exact; ties inside one source land on the "
+    "diagonal (self-duplication — usually the biggest cell and the "
+    "first cleanup target). Plan at 100 TB: one window over the "
+    "MD5 shuffle + one equi-join back on the hash — both stages "
+    "key on the dup group, no pairwise explosion (each loser joins "
+    "exactly one winner).",
+)
+def llm_dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    grp = d.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.min("doc_id").over(W.partitionBy(F.md5("text"))).alias("keeper"),
+    )
+    grp = grp.localCheckpoint()  # read twice (winners + losers)
+    winners = grp.where("doc_id = keeper").select(
+        "h", F.col("source").alias("win_source")
+    )
+    losers = grp.where("doc_id <> keeper").select(
+        "h", F.col("source").alias("lose_source")
+    )
+    return (
+        losers.join(winners, "h")
+        .groupBy("win_source", "lose_source")
+        .agg(F.count("*").cast("long").alias("n_removed"))
+        .orderBy("win_source", "lose_source")
+    )

@@ -280,6 +280,11 @@ SWEEP_QUERIES = (
     # r* NULL); constant values give MAD 0 — Huber pins to the median
     "llm_good_turing",
     "agg_huber_location_portable",
+    # a saturated corpus is ONE dup group: the flow matrix collapses
+    # to the single (winner, each-source) row set; constant event_type
+    # leaves one Stouffer slot (k=1, z = that stream alone)
+    "llm_dedup_source_flow",
+    "agg_stouffer_combined",
 )
 
 

@@ -416,6 +416,10 @@ CORE_QUERIES = (
     # frames through the r<=5 grid and the n>0 round guards
     "llm_good_turing",
     "agg_huber_location_portable",
+    # flow matrix + meta-z: empty corpora/streams fold to empty or
+    # NULL-z frames
+    "llm_dedup_source_flow",
+    "agg_stouffer_combined",
 )
 
 
