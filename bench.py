@@ -314,6 +314,8 @@ BENCH_QUERIES = (
     "agg_huber_location_portable",
     "llm_dedup_source_flow",
     "agg_stouffer_combined",
+    "agg_theils_u",
+    "agg_odds_ratio_ci",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -11379,3 +11379,221 @@ def agg_stouffer_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND(({zsum}) / SQRT(CAST({ksum} AS DOUBLE)), 6) END"
         ).alias("stouffer_z"),
     )
+
+
+@register(
+    "agg_theils_u",
+    oracle="""
+        WITH cells AS (
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM lineitem GROUP BY 1, 2
+        ),
+        marg AS (
+            SELECT c.rf, c.ls, c.o, r.ro, k.co, t.n
+            FROM cells c
+            JOIN (SELECT rf, CAST(SUM(o) AS BIGINT) AS ro
+                  FROM cells GROUP BY rf) r ON r.rf = c.rf
+            JOIN (SELECT ls, CAST(SUM(o) AS BIGINT) AS co
+                  FROM cells GROUP BY ls) k ON k.ls = c.ls
+            JOIN (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells) t ON TRUE
+        ),
+        hr AS (
+            -- H(R)·1e6·n in nats, exact: Σ ro·ln(n/ro) quantized per row
+            SELECT CAST(SUM(CAST(FLOOR(1000000.0 * ro * LN(
+                       CAST(n AS DOUBLE) / ro)) AS BIGINT)) AS BIGINT) AS h,
+                   MAX(n) AS n
+            FROM (SELECT DISTINCT rf, ro, n FROM marg) t
+        ),
+        mi AS (
+            -- I(R;C)·1e6·n in nats: Σ o·ln(o·n/(ro·co)) per cell
+            SELECT CAST(SUM(CASE WHEN o > 0 THEN
+                       CAST(FLOOR(1000000.0 * o * LN(
+                           CAST(CAST(o AS HUGEINT) * n AS DOUBLE)
+                           / CAST(CAST(ro AS HUGEINT) * co AS DOUBLE)))
+                           AS BIGINT) ELSE 0 END) AS BIGINT) AS i
+            FROM marg
+        )
+        SELECT hr.n AS n_rows,
+               hr.h AS h_r_e6n,
+               mi.i AS mi_e6n,
+               CASE WHEN hr.h = 0 THEN NULL
+                    ELSE ROUND(CAST(mi.i AS DOUBLE) / CAST(hr.h AS DOUBLE),
+                               6)
+               END AS theils_u
+        FROM hr, mi
+        WHERE hr.n > 0
+    """,
+    doc="Theil's uncertainty coefficient U(returnflag | linestatus) — "
+    "the ASYMMETRIC categorical association: what fraction of "
+    "returnflag's entropy does knowing linestatus remove? Completes "
+    "the trio beside agg_cramers_v (symmetric strength) and "
+    "agg_mutual_info (raw bits): U = I(R;C)/H(R) with BOTH the "
+    "entropy and the mutual information accumulated as per-row/"
+    "per-cell FLOOR-quantized e6 integer terms over exact 128-bit "
+    "log arguments (the g_test discipline — zero engine-ordered "
+    "float sums), one final divide; H(R)=0 (single category) emits "
+    "NULL. Plan at 100 TB: one 6-cell map-side-combinable pivot; "
+    "constant algebra after.",
+)
+def agg_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    cells = cells.localCheckpoint()  # ≤6 rows, read four times
+    r = cells.groupBy("rf").agg(F.sum("o").cast("long").alias("ro"))
+    k = cells.groupBy("ls").agg(F.sum("o").cast("long").alias("co"))
+    t = cells.agg(F.sum("o").cast("long").alias("n"))
+    marg = (
+        cells.join(F.broadcast(r), "rf")
+        .join(F.broadcast(k), "ls")
+        .crossJoin(F.broadcast(t))
+    )
+    hr = (
+        marg.select("rf", "ro", "n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(1000000.0 * ro * LN(CAST(n AS DOUBLE) / ro))"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("h"),
+            F.max("n").alias("n"),
+        )
+    )
+    mi = marg.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN o > 0 THEN CAST(FLOOR(1000000.0 * o * LN("
+                " CAST(CAST(o AS DECIMAL(38,0)) * n AS DOUBLE)"
+                " / CAST(CAST(ro AS DECIMAL(38,0)) * co AS DOUBLE)))"
+                " AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("i")
+    )
+    return (
+        hr.crossJoin(F.broadcast(mi))
+        .where("n > 0")
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("h").alias("h_r_e6n"),
+            F.col("i").alias("mi_e6n"),
+            F.expr(
+                "CASE WHEN h = 0 THEN NULL"
+                " ELSE ROUND(CAST(i AS DOUBLE) / CAST(h AS DOUBLE), 6) END"
+            ).alias("theils_u"),
+        )
+    )
+
+
+@register(
+    "agg_odds_ratio_ci",
+    oracle="""
+        WITH cm AS (
+            SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND value > 35 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN event_type <> 'purchase'
+                        AND value > 35 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        AND value <= 35 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN event_type <> 'purchase'
+                        AND value <= 35 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM events WHERE event_type IN ('purchase', 'view')
+        )
+        SELECT a, b, c, d,
+               CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                    ELSE ROUND(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                         / CAST(CAST(b AS HUGEINT) * c AS DOUBLE), 6)
+               END AS odds_ratio,
+               CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                    ELSE ROUND(EXP(LN(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                              / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                         - 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               END AS ci_lo,
+               CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                    ELSE ROUND(EXP(LN(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+                              / CAST(CAST(b AS HUGEINT) * c AS DOUBLE))
+                         + 1.96 * SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+               END AS ci_hi
+        FROM cm
+        WHERE a + b + c + d > 0
+    """,
+    doc="Woolf logit confidence interval for the 2x2 odds ratio — the "
+    "single-table effect-size readout the stratified family "
+    "(agg_mh_odds_ratio pools, agg_breslow_day tests pooling) "
+    "assumes you already know how to compute: OR = ad/bc from the "
+    "exact 128-bit cross products, ln-scale SE = sqrt(1/a + 1/b + "
+    "1/c + 1/d) (the asymptotic variance of the log odds), bounds "
+    "exponentiated back — one fixed float chain with the injected "
+    "1.96; any empty cell emits NULL (the classic Woolf failure "
+    "mode, surfaced rather than corrected). Plan at 100 TB: one "
+    "single-row map-side-combinable 2x2 aggregate.",
+)
+def agg_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cm = e.agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' AND value > 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type <> 'purchase' AND value > 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase' AND value <= 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type <> 'purchase' AND value <= 35"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    orx = (
+        "CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)"
+        " / CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)"
+    )
+    se = "SQRT(1.0/a + 1.0/b + 1.0/c + 1.0/d)"
+    guard = "a = 0 OR b = 0 OR c = 0 OR d = 0"
+    return cm.where("a + b + c + d > 0").select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL ELSE ROUND({orx}, 6) END"
+        ).alias("odds_ratio"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE ROUND(EXP(LN({orx}) - 1.96 * {se}), 6) END"
+        ).alias("ci_lo"),
+        F.expr(
+            f"CASE WHEN {guard} THEN NULL"
+            f" ELSE ROUND(EXP(LN({orx}) + 1.96 * {se}), 6) END"
+        ).alias("ci_hi"),
+    )

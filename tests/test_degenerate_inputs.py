@@ -285,6 +285,10 @@ SWEEP_QUERIES = (
     # leaves one Stouffer slot (k=1, z = that stream alone)
     "llm_dedup_source_flow",
     "agg_stouffer_combined",
+    # constant returnflag zeros H(R) (U NULL); constant values empty
+    # a Woolf cell (NULL interval — the classic failure surfaced)
+    "agg_theils_u",
+    "agg_odds_ratio_ci",
 )
 
 

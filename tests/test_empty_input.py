@@ -420,6 +420,9 @@ CORE_QUERIES = (
     # NULL-z frames
     "llm_dedup_source_flow",
     "agg_stouffer_combined",
+    # association/OR: empty scans fold through n>0 guards
+    "agg_theils_u",
+    "agg_odds_ratio_ci",
 )
 
 

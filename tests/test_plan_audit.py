@@ -198,6 +198,9 @@ DELIBERATE_CROSS = {
     # round + the ≤6-row frequency-of-frequencies totals broadcast
     "agg_huber_location_portable",
     "llm_good_turing",
+    # r10: ≤6-cell marginal/entropy folds with 1-row totals (the
+    # g_test N×1 theorem shape)
+    "agg_theils_u",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
