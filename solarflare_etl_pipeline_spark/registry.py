@@ -181,7 +181,18 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: agg_hodges_lehmann, mm_audio_clipping, llm_code_detect /
 #: llm_injection_scan / llm_lexical_diversity / llm_numeric_density
 #: (the per-source corpus audit quartet), subq_quantified_any,
-#: sample_weighted_priority.
+#: sample_weighted_priority. Batches 40-46 add: llm_text_tiling
+#: (Hearst lexical-cohesion segmentation — exact-integer hashed-BoW
+#: cosine via bucket equi-joins), llm_good_turing (the smoothing
+#: frequency-of-frequencies + unseen mass), llm_dedup_source_flow
+#: (the scraper-overlap provenance matrix), llm_embed_isotropy_portable
+#: (mean-direction collapse in rule-13 ppm), agg_huber_location_portable
+#: (2-round IRLS robust-location ledger), ts_sample_entropy +
+#: ts_intraday_uniformity + ts_cusum_bernoulli (complexity / arrival /
+#: SPC), agg_pr_curve + agg_pinball_loss + agg_brier_decomposition
+#: (the forecast/classifier proper-scoring suite), agg_atkinson_index,
+#: dq_scd2_integrity, agg_theils_u, agg_odds_ratio_ci,
+#: agg_stouffer_combined, llm_watermark_detect.
 #:
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
