@@ -316,6 +316,7 @@ BENCH_QUERIES = (
     "agg_stouffer_combined",
     "agg_theils_u",
     "agg_odds_ratio_ci",
+    "llm_renyi_entropy",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -8254,3 +8254,71 @@ def llm_dedup_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_removed"))
         .orderBy("win_source", "lose_source")
     )
+
+
+@register(
+    "llm_renyi_entropy",
+    oracle="""
+        WITH toks AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+        ),
+        s AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+            FROM freq
+        )
+        SELECT n AS n_tokens, vocab,
+               CAST(c2 * 1000000000 // (CAST(n AS HUGEINT) * n) AS BIGINT)
+                   AS collision_ppb,
+               CAST(CAST(n AS HUGEINT) * n // c2 AS BIGINT)
+                   AS effective_vocab,
+               CASE WHEN c2 = 0 THEN NULL
+                    ELSE ROUND(-LN(CAST(c2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n)), 6)
+               END AS renyi2_nats
+        FROM s
+        WHERE n > 0
+    """,
+    doc="Rényi-2 (collision) entropy of the token distribution — the "
+    "heavy-hitter-sensitive companion to llm_entropy's Shannon view "
+    "(H2 <= H1 always; a big gap means a few tokens dominate even "
+    "when the tail looks rich): collision probability Σp² computed "
+    "as the EXACT integer Σc²/N² (rule-13 ppb), the effective "
+    "vocabulary e^H2 = N²/Σc² as an exact integer division — the "
+    "'how many tokens does this corpus really use' number that "
+    "tokenizer-budget decisions key on — and H2 itself with one LN. "
+    "Σc² is also exactly what birthday-bound collision estimates "
+    "for hashed features need (the llm_feature_hashing sizing "
+    "question). Plan at 100 TB: one explode + token hash agg, then "
+    "a single-row fold — all map-side combinable.",
+)
+def llm_renyi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    s = freq.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("c2"),
+    )
+    return s.where("n > 0").select(
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.expr(
+            "CAST(c2 * 1000000000 DIV (CAST(n AS DECIMAL(38,0)) * n)"
+            " AS BIGINT)"
+        ).alias("collision_ppb"),
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(38,0)) * n DIV c2 AS BIGINT)"
+        ).alias("effective_vocab"),
+        F.expr(
+            "CASE WHEN c2 = 0 THEN NULL"
+            " ELSE ROUND(-LN(CAST(c2 AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * n)), 6) END"
+        ).alias("renyi2_nats"),
+    )

@@ -289,6 +289,10 @@ SWEEP_QUERIES = (
     # a Woolf cell (NULL interval — the classic failure surfaced)
     "agg_theils_u",
     "agg_odds_ratio_ci",
+    # a saturated corpus repeats ONE document's vocabulary: the
+    # effective vocab pins near that doc's distinct count, H2 stays
+    # well-defined
+    "llm_renyi_entropy",
 )
 
 

@@ -423,6 +423,8 @@ CORE_QUERIES = (
     # association/OR: empty scans fold through n>0 guards
     "agg_theils_u",
     "agg_odds_ratio_ci",
+    # collision entropy: empty corpora fold through n>0
+    "llm_renyi_entropy",
 )
 
 
