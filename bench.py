@@ -317,6 +317,8 @@ BENCH_QUERIES = (
     "agg_theils_u",
     "agg_odds_ratio_ci",
     "llm_renyi_entropy",
+    "graph_degree_gini",
+    "llm_first_token_stats",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -4055,3 +4055,93 @@ def llm_bt_ratings_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pp1").alias("rating_ppm_r1"),
         F.col("pp2").alias("rating_ppm_r2"),
     ).orderBy("item")
+
+
+@register(
+    "graph_degree_gini",
+    oracle="""
+        WITH edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges) u
+            GROUP BY node
+        ),
+        ranked AS (
+            SELECT d, ROW_NUMBER() OVER (ORDER BY d, node) AS i,
+                   COUNT(*) OVER () AS n,
+                   SUM(d) OVER () AS sd
+            FROM deg
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_nodes,
+               CAST(MAX(sd) AS BIGINT) AS total_degree,
+               CASE WHEN MAX(n) < 2 OR MAX(sd) = 0 THEN NULL
+                    ELSE ROUND(
+                        CAST(2 * SUM(CAST(i AS HUGEINT) * d)
+                             - (MAX(n) + 1) * CAST(MAX(sd) AS HUGEINT)
+                             AS DOUBLE)
+                        / (CAST(MAX(n) AS DOUBLE) * MAX(sd)), 6)
+               END AS degree_gini
+        FROM ranked
+        HAVING MAX(n) > 0
+    """,
+    doc="Gini coefficient of the co-purchase degree distribution — the "
+    "one-number scale-free-ness / hub-concentration readout that "
+    "graph_degree_histogram shows as a table and "
+    "graph_assortativity correlates: the exact rank formula "
+    "G = (2Σi·d_(i) - (n+1)Σd)/(nΣd) over degrees sorted with a "
+    "deterministic (degree, node) tie-break — every term an exact "
+    "128-bit integer, ONE float divide. High G = a few hub parts "
+    "dominate co-purchases (salting candidates for the join ops). "
+    "Plan at 100 TB: the edge build is the bounded within-order "
+    "self-join every graph op shares; the rank is one window over "
+    "the |parts|-bounded degree table.",
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("d"))
+    )
+    ranked = deg.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "node")).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+        F.sum("d").over(W.partitionBy()).alias("sd"),
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n_nodes"),
+        F.max("sd").cast("long").alias("total_degree"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * d")).alias("sid"),
+    )
+    return agg.where("n_nodes > 0").select(
+        "n_nodes",
+        "total_degree",
+        F.expr(
+            "CASE WHEN n_nodes < 2 OR total_degree = 0 THEN NULL"
+            " ELSE ROUND(CAST(2 * sid - (n_nodes + 1)"
+            " * CAST(total_degree AS DECIMAL(38,0)) AS DOUBLE)"
+            " / (CAST(n_nodes AS DOUBLE) * total_degree), 6) END"
+        ).alias("degree_gini"),
+    )

@@ -8322,3 +8322,88 @@ def llm_renyi_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (CAST(n AS DOUBLE) * n)), 6) END"
         ).alias("renyi2_nats"),
     )
+
+
+@register(
+    "llm_first_token_stats",
+    oracle="""
+        WITH firsts AS (
+            SELECT STRING_SPLIT(text, ' ')[1] AS ft
+            FROM documents
+            WHERE text IS NOT NULL AND LEN(text) > 0
+        ),
+        cnt AS (
+            SELECT ft, CAST(COUNT(*) AS BIGINT) AS c FROM firsts GROUP BY ft
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_firsts,
+                   CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS c2
+            FROM cnt
+        ),
+        top AS (
+            SELECT ft, c,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, ft) AS rk
+            FROM cnt
+        )
+        SELECT tot.n AS n_docs, tot.distinct_firsts,
+               CAST(tot.c2 * 1000000 // (CAST(tot.n AS HUGEINT) * tot.n)
+                    AS BIGINT) AS first_token_hhi_ppm,
+               (SELECT ft FROM top WHERE rk = 1) AS top_first_token,
+               CAST((SELECT c FROM top WHERE rk = 1) * 1000000 // tot.n
+                    AS BIGINT) AS top_share_ppm
+        FROM tot
+        WHERE tot.n > 0
+    """,
+    doc="First-token concentration — the cheapest boilerplate/template "
+    "detector in the curation toolbox (mirror sites and scraped "
+    "templates make thousands of documents OPEN identically; "
+    "llm_boilerplate_strip removes what this op measures): the "
+    "first-token histogram's HHI in rule-13 ppm (1/vocab for "
+    "diverse corpora, →1e6 when one opener dominates), the "
+    "dominant opener and its share. Exact integers throughout; "
+    "deterministic (count, token) tie-break for the top slot. Plan "
+    "at 100 TB: a ONE-TOKEN-per-doc map (no explode — just the "
+    "first array element), a hash agg, and a top-1.",
+)
+def llm_first_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").where(
+        "text IS NOT NULL AND LENGTH(text) > 0"
+    )
+    firsts = d.select(F.expr("split(text, ' ')[0]").alias("ft"))
+    cnt = firsts.groupBy("ft").agg(F.count("*").cast("long").alias("c"))
+    cnt = cnt.localCheckpoint()  # read twice (totals + top-1)
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("distinct_firsts"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("c2"),
+    )
+    top = (
+        cnt.select(
+            "ft",
+            "c",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), "ft"))
+            .alias("rk"),
+        )
+        .where("rk = 1")
+        .select(F.col("ft").alias("top_first_token"), F.col("c").alias("tc"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .where("n > 0")
+        .select(
+            F.col("n").alias("n_docs"),
+            "distinct_firsts",
+            F.expr(
+                "CAST(c2 * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n)"
+                " AS BIGINT)"
+            ).alias("first_token_hhi_ppm"),
+            "top_first_token",
+            F.expr("CAST(tc * 1000000 DIV n AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+    )

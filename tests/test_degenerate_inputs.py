@@ -293,6 +293,11 @@ SWEEP_QUERIES = (
     # effective vocab pins near that doc's distinct count, H2 stays
     # well-defined
     "llm_renyi_entropy",
+    # a saturated corpus opens every doc with the SAME token (HHI
+    # exactly 1e6, top share 1e6); single-basket orders degenerate
+    # the degree table to equal degrees (gini exactly ~0)
+    "graph_degree_gini",
+    "llm_first_token_stats",
 )
 
 

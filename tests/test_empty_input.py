@@ -425,6 +425,10 @@ CORE_QUERIES = (
     "agg_odds_ratio_ci",
     # collision entropy: empty corpora fold through n>0
     "llm_renyi_entropy",
+    # hub-gini + opener stats: empty graphs/corpora fold through the
+    # HAVING/n>0 guards
+    "graph_degree_gini",
+    "llm_first_token_stats",
 )
 
 

@@ -201,6 +201,8 @@ DELIBERATE_CROSS = {
     # r10: ≤6-cell marginal/entropy folds with 1-row totals (the
     # g_test N×1 theorem shape)
     "agg_theils_u",
+    # r10: 1-row totals × 1-row top-opener fold (1×1 theorem join)
+    "llm_first_token_stats",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
