@@ -192,7 +192,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: SPC), agg_pr_curve + agg_pinball_loss + agg_brier_decomposition
 #: (the forecast/classifier proper-scoring suite), agg_atkinson_index,
 #: dq_scd2_integrity, agg_theils_u, agg_odds_ratio_ci,
-#: agg_stouffer_combined, llm_watermark_detect.
+#: agg_stouffer_combined, llm_watermark_detect. Final batch-47/48
+#: additions: llm_renyi_entropy (collision entropy + effective
+#: vocabulary), graph_degree_gini (hub concentration),
+#: llm_first_token_stats (template-opener HHI).
 #:
 #: Round-8 rotation shortlist (never driver-checked, oracle-backed, in
 #: rough value order) — once the round-7 slots go green, rotate to the
