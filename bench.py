@@ -319,6 +319,7 @@ BENCH_QUERIES = (
     "llm_renyi_entropy",
     "graph_degree_gini",
     "llm_first_token_stats",
+    "llm_length_lognormal_fit",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -8407,3 +8407,82 @@ def llm_first_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_length_lognormal_fit",
+    oracle="""
+        WITH q AS (
+            SELECT source,
+                   CAST(FLOOR(1000000.0 * LN(CAST(n_chars AS DOUBLE)))
+                        AS BIGINT) AS l6
+            FROM documents WHERE n_chars > 0
+        ),
+        s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(l6) AS BIGINT) AS sl,
+                   CAST(SUM(CAST(l6 AS HUGEINT) * l6) AS HUGEINT) AS sll
+            FROM q GROUP BY source
+        )
+        SELECT source, n,
+               ROUND(CAST(sl AS DOUBLE) / (1000000.0 * n), 6) AS mu_ln,
+               CASE WHEN n < 2
+                         OR n * sll - CAST(sl AS HUGEINT) * sl <= 0
+                    THEN NULL
+                    ELSE ROUND(SQRT(CAST(n * sll
+                         - CAST(sl AS HUGEINT) * sl AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * (n - 1)))
+                         / 1000000.0, 6)
+               END AS sigma_ln,
+               CASE WHEN n < 2
+                         OR n * sll - CAST(sl AS HUGEINT) * sl <= 0
+                    THEN NULL
+                    ELSE ROUND(EXP(CAST(sl AS DOUBLE) / (1000000.0 * n)), 2)
+               END AS median_chars_fit
+        FROM s
+        ORDER BY source
+    """,
+    doc="Log-normal fit of document lengths per source — the standard "
+    "corpus length model (web doc lengths are famously log-normal; "
+    "a source whose sigma_ln breaks from its peers is truncated, "
+    "padded, or templated): per-doc ln(n_chars) FLOOR-quantized to "
+    "e6 integer units at birth (the Atkinson rule-22 discipline — "
+    "the ln moments then sum exactly in any order), mu/sigma from "
+    "the exact 128-bit centered moment with one sqrt, and the "
+    "fitted median e^mu — the length a curator should expect, "
+    "robust to the heavy tail that poisons the arithmetic mean. "
+    "Degenerate single-doc / constant-length sources emit NULL "
+    "sigma. Plan at 100 TB: one map-side-combinable per-source "
+    "moment aggregate — nothing follows the scan.",
+)
+def llm_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where("n_chars > 0")
+    q = d.select(
+        "source",
+        F.expr(
+            "CAST(FLOOR(1000000.0 * LN(CAST(n_chars AS DOUBLE))) AS BIGINT)"
+        ).alias("l6"),
+    )
+    s = q.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("l6").cast("long").alias("sl"),
+        F.sum(F.expr("CAST(l6 AS DECIMAL(38,0)) * l6")).alias("sll"),
+    )
+    cvar = "n * sll - CAST(sl AS DECIMAL(38,0)) * sl"
+    return s.select(
+        "source",
+        "n",
+        F.expr("ROUND(CAST(sl AS DOUBLE) / (1000000.0 * n), 6)").alias(
+            "mu_ln"
+        ),
+        F.expr(
+            f"CASE WHEN n < 2 OR {cvar} <= 0 THEN NULL"
+            f" ELSE ROUND(SQRT(CAST({cvar} AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * (n - 1))) / 1000000.0, 6) END"
+        ).alias("sigma_ln"),
+        F.expr(
+            f"CASE WHEN n < 2 OR {cvar} <= 0 THEN NULL"
+            f" ELSE ROUND(EXP(CAST(sl AS DOUBLE) / (1000000.0 * n)), 2) END"
+        ).alias("median_chars_fit"),
+    ).orderBy("source")

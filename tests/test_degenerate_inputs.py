@@ -298,6 +298,9 @@ SWEEP_QUERIES = (
     # the degree table to equal degrees (gini exactly ~0)
     "graph_degree_gini",
     "llm_first_token_stats",
+    # constant-length docs zero the ln variance (NULL sigma, fitted
+    # median = the constant)
+    "llm_length_lognormal_fit",
 )
 
 

@@ -429,6 +429,8 @@ CORE_QUERIES = (
     # HAVING/n>0 guards
     "graph_degree_gini",
     "llm_first_token_stats",
+    # length model: zero docs fold to an empty per-source frame
+    "llm_length_lognormal_fit",
 )
 
 
