@@ -320,6 +320,7 @@ BENCH_QUERIES = (
     "graph_degree_gini",
     "llm_first_token_stats",
     "llm_length_lognormal_fit",
+    "llm_source_jsd",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -8486,3 +8486,129 @@ def llm_length_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND(EXP(CAST(sl AS DOUBLE) / (1000000.0 * n)), 2) END"
         ).alias("median_chars_fit"),
     ).orderBy("source")
+
+
+@register(
+    "llm_source_jsd",
+    oracle="""
+        WITH toks AS (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        sc AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+            FROM toks GROUP BY 1, 2
+        ),
+        cc AS (
+            SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM sc GROUP BY tok
+        ),
+        ns AS (
+            SELECT source, CAST(SUM(cs) AS BIGINT) AS n_s FROM sc
+            GROUP BY source
+        ),
+        nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cc),
+        terms AS (
+            SELECT sc.source,
+                   CAST(FLOOR(1000000000.0 * sc.cs * LN(
+                       CAST(2 * CAST(sc.cs AS HUGEINT) * nt.n AS DOUBLE)
+                       / CAST(CAST(sc.cs AS HUGEINT) * nt.n
+                              + CAST(cc.c AS HUGEINT) * ns.n_s AS DOUBLE))
+                       / ns.n_s) AS BIGINT) AS p_term,
+                   CAST(FLOOR(1000000000.0 * cc.c * LN(
+                       CAST(2 * CAST(cc.c AS HUGEINT) * ns.n_s AS DOUBLE)
+                       / CAST(CAST(sc.cs AS HUGEINT) * nt.n
+                              + CAST(cc.c AS HUGEINT) * ns.n_s AS DOUBLE))
+                       / nt.n) AS BIGINT) AS q_term,
+                   cc.c
+            FROM sc
+            JOIN cc ON cc.tok = sc.tok
+            JOIN ns ON ns.source = sc.source
+            CROSS JOIN nt
+        ),
+        folded AS (
+            SELECT source,
+                   CAST(SUM(p_term) AS BIGINT) AS p_half_ppb,
+                   CAST(SUM(q_term) AS BIGINT) AS q_in_ppb,
+                   CAST(SUM(c) AS BIGINT) AS mass_in
+            FROM terms GROUP BY source
+        )
+        SELECT f.source,
+               ns.n_s AS n_tokens,
+               CAST(f.p_half_ppb + f.q_in_ppb
+                    + CAST(FLOOR(693147180.559945 *
+                          (CAST(nt.n - f.mass_in AS DOUBLE) / nt.n))
+                      AS BIGINT) AS BIGINT) AS jsd_x2_ppb
+        FROM folded f
+        JOIN ns ON ns.source = f.source
+        CROSS JOIN nt
+        ORDER BY f.source
+    """,
+    doc="Jensen-Shannon divergence of each source's token distribution "
+    "from the corpus — the mixture-balance readout that says which "
+    "source is the odd one out BEFORE reweighting "
+    "(llm_mixture_sample / temperature_mixture act on it; "
+    "llm_log_odds_words names the individual words, JSD scores the "
+    "whole source): 2·JSD = Σp·ln(2p/(p+q)) + Σq·ln(2q/(p+q)), with "
+    "every log argument an exact 128-bit integer ratio (2·cs·N vs "
+    "cs·N + c·Ns — common-denominator algebra, no float probability "
+    "ever formed), every term FLOOR-quantized to ppb and summed as "
+    "exact integers, and the corpus-only support handled in CLOSED "
+    "FORM — tokens absent from the source contribute q·ln2, so "
+    "their total is ln2·(1 - in-support mass) with ln2 injected as "
+    "a literal (no tail explode). Plan at 100 TB: token-grain "
+    "shuffles on (source, tok) and tok only; the fold is "
+    "per-source map-side combinable.",
+)
+def llm_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("long").alias("cs")
+    )
+    sc = sc.localCheckpoint()  # read three times
+    cc = sc.groupBy("tok").agg(F.sum("cs").cast("long").alias("c"))
+    ns = sc.groupBy("source").agg(F.sum("cs").cast("long").alias("n_s"))
+    nt = cc.agg(F.sum("c").cast("long").alias("n"))
+    terms = (
+        sc.join(cc, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            F.expr(
+                "CAST(FLOOR(1000000000.0 * cs * LN("
+                " CAST(2 * CAST(cs AS DECIMAL(38,0)) * n AS DOUBLE)"
+                " / CAST(CAST(cs AS DECIMAL(38,0)) * n"
+                "        + CAST(c AS DECIMAL(38,0)) * n_s AS DOUBLE))"
+                " / n_s) AS BIGINT)"
+            ).alias("p_term"),
+            F.expr(
+                "CAST(FLOOR(1000000000.0 * c * LN("
+                " CAST(2 * CAST(c AS DECIMAL(38,0)) * n_s AS DOUBLE)"
+                " / CAST(CAST(cs AS DECIMAL(38,0)) * n"
+                "        + CAST(c AS DECIMAL(38,0)) * n_s AS DOUBLE))"
+                " / n) AS BIGINT)"
+            ).alias("q_term"),
+            "c",
+        )
+    )
+    folded = terms.groupBy("source").agg(
+        F.sum("p_term").cast("long").alias("p_half_ppb"),
+        F.sum("q_term").cast("long").alias("q_in_ppb"),
+        F.sum("c").cast("long").alias("mass_in"),
+    )
+    return (
+        folded.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.expr(
+                "CAST(p_half_ppb + q_in_ppb"
+                " + CAST(FLOOR(693147180.559945"
+                " * (CAST(n - mass_in AS DOUBLE) / n)) AS BIGINT)"
+                " AS BIGINT)"
+            ).alias("jsd_x2_ppb"),
+        )
+        .orderBy("source")
+    )

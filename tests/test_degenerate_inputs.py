@@ -301,6 +301,9 @@ SWEEP_QUERIES = (
     # constant-length docs zero the ln variance (NULL sigma, fitted
     # median = the constant)
     "llm_length_lognormal_fit",
+    # a saturated one-source corpus makes p = q exactly (every log
+    # argument 1, JSD exactly 0 — the floor terms must not drift)
+    "llm_source_jsd",
 )
 
 

@@ -431,6 +431,8 @@ CORE_QUERIES = (
     "llm_first_token_stats",
     # length model: zero docs fold to an empty per-source frame
     "llm_length_lognormal_fit",
+    # JSD: an empty corpus folds to an empty per-source frame
+    "llm_source_jsd",
 )
 
 

@@ -203,6 +203,10 @@ DELIBERATE_CROSS = {
     "agg_theils_u",
     # r10: 1-row totals × 1-row top-opener fold (1×1 theorem join)
     "llm_first_token_stats",
+    # r10: SINGLE-ROW corpus-total scalar broadcast onto the token
+    # table and the per-source fold (N×1 ×2 — the importance_select
+    # token-total shape)
+    "llm_source_jsd",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
