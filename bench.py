@@ -321,6 +321,8 @@ BENCH_QUERIES = (
     "llm_first_token_stats",
     "llm_length_lognormal_fit",
     "llm_source_jsd",
+    # round-11 additions
+    "llm_pack_ffd_portable",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing
@@ -362,9 +364,20 @@ def main() -> None:
 
     table(spark, sf_dir, "events").count()
 
+    # Diagnostic subset mode (VERDICT r10 task #4 — the suite-crowding
+    # experiment): SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those
+    # queries, so a cohort can be measured alone vs inside the full
+    # suite. Never set by the driver; the headline run is unchanged.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    bench_list = (
+        tuple(q.strip() for q in only.split(",") if q.strip())
+        if only
+        else BENCH_QUERIES
+    )
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_list:
         spec = specs.get(name)
         if spec is None:
             continue

@@ -9780,10 +9780,11 @@ def agg_kappa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "((oN - rc)²·1e6 // (N·r·c), exact 128-bit numerators, no "
     "engine-ordered float sum). The median-based robust cousin of "
     "agg_kruskal_wallis (KW uses full ranks; Mood only the median "
-    "split — blunt but outlier-immune). Plan at 100 TB: the global "
-    "rank for the median is the one data-scale window (the "
-    "fn_quantile_align distributed-rank shape); everything after is "
-    "a k-row fold.",
+    "split — blunt but outlier-immune). Plan at 100 TB: the median "
+    "comes from the cumulative distinct-value grid (one hash agg + a "
+    "window over the discretization-bounded grid — the "
+    "fn_quantile_align shape, no data-scale window anywhere); "
+    "everything after is a k-row fold.",
 )
 def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -9794,15 +9795,24 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000).cast("long").alias("v3"),
     )
     x = x.localCheckpoint()  # read twice (median + classify)
-    ranked = x.select(
+    # r11 rewrite (VERDICT r10 What's-wrong #1): the grand median comes
+    # from the cumulative DISTINCT-VALUE grid (bounded by the x1000
+    # discretization — the fn_quantile_align discipline), never from a
+    # global row_number over the raw table. The VALUE at rank t depends
+    # only on the total order of v3 (the oracle's grp tiebreak reorders
+    # equal values, never which value holds a rank): v3 at rank t is the
+    # smallest grid value whose cumulative count reaches t — so the two
+    # middle-rank lookups below are bit-identical to the oracle's window.
+    hist = x.groupBy("v3").agg(F.count("*").cast("long").alias("cnt"))
+    grid = hist.select(
         "v3",
-        F.row_number().over(W.orderBy("v3", "grp")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("cnt"),
+        F.sum("cnt").over(W.orderBy("v3")).cast("long").alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).cast("long").alias("n"),
     )
-    med = ranked.agg(
+    med = grid.agg(
         (
-            F.min(F.when(F.col("rn") == F.expr("(cnt + 1) DIV 2"), F.col("v3")))
-            + F.min(F.when(F.col("rn") == F.expr("(cnt + 2) DIV 2"), F.col("v3")))
+            F.min(F.when(F.expr("cum >= (n + 1) DIV 2"), F.col("v3")))
+            + F.min(F.when(F.expr("cum >= (n + 2) DIV 2"), F.col("v3")))
         ).alias("m2")
     )
     cls = (
@@ -10364,12 +10374,14 @@ def agg_confusion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partkey) deterministic order, and the class boundaries are "
     "EXACT integer cross-multiplications (5·cum <= 4·total, 20·cum "
     "<= 19·total — no float share ever decides a class), shares in "
-    "rule-13 ppm. Plan at 100 TB: one hash agg per part, ONE global "
-    "ordered prefix window over the |parts|-bounded rollup (parts "
-    "are a dimension — the window never sees raw lineitems).",
+    "rule-13 ppm. Plan at 100 TB: one hash agg per part, then the "
+    "scale-safe two-level prefix sum over the part rollup (range-"
+    "repartition + local running sum + bounded offset join, "
+    "plans/rank.py — |parts| scales with the corpus, so no "
+    "single-task ordered window) and a 1-row grand-total broadcast.",
 )
 def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from solarflare_etl_pipeline_spark.plans.rank import with_grouped_prefix_sum
 
     li = table(spark, sf_dir, "lineitem")
     part_rev = li.groupBy("l_partkey").agg(
@@ -10377,13 +10389,21 @@ def agg_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev2")
     )
-    cum = part_rev.select(
+    # r11 rewrite (VERDICT r10 What's-wrong #1): |parts| grows linearly
+    # with the corpus, so the cumulative revenue prefix runs as the
+    # scale-safe two-level prefix sum (range-repartition on the
+    # (rev2 DESC, partkey) total order + partition-local running sum +
+    # bounded per-partition offset join — plans/rank.py), bit-identical
+    # to SUM OVER (ORDER BY rev2 DESC, l_partkey); the grand total is a
+    # 1-row broadcast scalar, not a whole-table window.
+    tot = part_rev.agg(F.sum("rev2").cast("long").alias("trev"))
+    cum = with_grouped_prefix_sum(
+        part_rev,
+        [],
+        [F.col("rev2").desc(), F.col("l_partkey")],
         "rev2",
-        F.sum("rev2")
-        .over(W.orderBy(F.col("rev2").desc(), "l_partkey"))
-        .alias("crev"),
-        F.sum("rev2").over(W.partitionBy()).alias("trev"),
-    )
+        sum_col="crev",
+    ).crossJoin(F.broadcast(tot))
     classed = cum.select(
         F.expr(
             "CASE WHEN 5 * crev <= 4 * trev THEN 'A'"
@@ -11054,9 +11074,10 @@ def agg_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "construction the empirical quantile minimizes its own pinball "
     "loss — this op certifies the evaluation plumbing a forecast "
     "backtest (ts_snaive_backtest) would plug real predictions "
-    "into. Plan at 100 TB: one distributed rank (the "
-    "fn_quantile_align shape) + one scan-sum against two broadcast "
-    "scalars.",
+    "into. Plan at 100 TB: one hash agg onto the discretization-"
+    "bounded value grid (the fn_quantile_align cumulative-grid "
+    "shape — no data-scale window) + one scan-sum against two "
+    "broadcast scalars.",
 )
 def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -11066,14 +11087,22 @@ def agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = e.select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
     q = q.localCheckpoint()  # read twice (rank + loss)
-    ranked = q.select(
+    # r11 rewrite (VERDICT r10 What's-wrong #1): both exact quantiles
+    # come from the cumulative DISTINCT-VALUE grid (bounded by the
+    # x1000 discretization — the fn_quantile_align discipline), not a
+    # global row_number over the raw rows. A value v carries ranks
+    # (cum_prev, cum], so "some rank rn of v satisfies rn*k >= cnt*t"
+    # iff its LAST rank does: cum(v)*k >= cnt*t — and the oracle's
+    # MIN over qualifying values is the smallest such grid value.
+    hist = q.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    grid = hist.select(
         "v",
-        F.row_number().over(W.orderBy("v")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("cnt"),
+        F.sum("c").over(W.orderBy("v")).cast("long").alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("cnt"),
     )
-    quants = ranked.agg(
-        F.min(F.when(F.expr("rn * 2 >= cnt"), F.col("v"))).alias("q50"),
-        F.min(F.when(F.expr("rn * 10 >= cnt * 9"), F.col("v"))).alias("q90"),
+    quants = grid.agg(
+        F.min(F.when(F.expr("cum * 2 >= cnt"), F.col("v"))).alias("q50"),
+        F.min(F.when(F.expr("cum * 10 >= cnt * 9"), F.col("v"))).alias("q90"),
     )
     loss = q.crossJoin(F.broadcast(quants)).agg(
         F.count("*").cast("long").alias("n"),
@@ -11175,8 +11204,10 @@ def _huber_round_sql(src: str, mname: str) -> str:
     "division; both rounds' locations are emitted so the ledger "
     "certifies the ITERATION, not just the endpoint. Degenerate "
     "point masses give MAD 0 and the estimator pins to the median. "
-    "Plan at 100 TB: two distributed ranks + two clipped scans "
-    "against single-row broadcast bounds — no state beyond scalars.",
+    "Plan at 100 TB: two hash aggs onto discretization-bounded value "
+    "grids (the fn_quantile_align cumulative-grid shape — no "
+    "data-scale window) + two clipped scans against single-row "
+    "broadcast bounds — no state beyond scalars.",
 )
 def agg_huber_location_portable(
     spark: SparkSession, sf_dir: str
@@ -11188,24 +11219,32 @@ def agg_huber_location_portable(
     )
     q = e.select(F.floor(F.col("value") * 1000).cast("long").alias("v"))
     q = q.localCheckpoint()  # read four times
-    ranked = q.select(
+    # r11 rewrite (VERDICT r10 What's-wrong #1): both seed medians come
+    # from cumulative DISTINCT-VALUE grids (values AND absolute
+    # deviations are x1000-discretized, so both grids are bounded — the
+    # fn_quantile_align discipline), never a global row_number over raw
+    # rows. A value qualifies iff its LAST rank does (2*cum >= cnt),
+    # and MIN over qualifiers = the oracle's answer, bit-identical.
+    hist = q.groupBy("v").agg(F.count("*").cast("long").alias("c"))
+    gridv = hist.select(
         "v",
-        F.row_number().over(W.orderBy("v")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("cnt"),
+        F.sum("c").over(W.orderBy("v")).cast("long").alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("cnt"),
     )
-    med = ranked.agg(
-        F.min(F.when(F.expr("2 * rn >= cnt"), F.col("v"))).alias("m0")
+    med = gridv.agg(
+        F.min(F.when(F.expr("2 * cum >= cnt"), F.col("v"))).alias("m0")
     )
     dev = q.crossJoin(F.broadcast(med)).select(
         F.expr("ABS(v - m0)").alias("a")
     )
-    devranked = dev.select(
+    dhist = dev.groupBy("a").agg(F.count("*").cast("long").alias("c"))
+    grida = dhist.select(
         "a",
-        F.row_number().over(W.orderBy("a")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("cnt"),
+        F.sum("c").over(W.orderBy("a")).cast("long").alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("cnt"),
     )
-    mad = devranked.agg(
-        F.min(F.when(F.expr("2 * rn >= cnt"), F.col("a"))).alias("mad0")
+    mad = grida.agg(
+        F.min(F.when(F.expr("2 * cum >= cnt"), F.col("a"))).alias("mad0")
     )
     b1 = med.crossJoin(F.broadcast(mad)).select(
         F.expr("m0 - (mad0 * 3) DIV 2").alias("lo"),

@@ -46,6 +46,51 @@ def plan_report(df: DataFrame) -> dict[str, bool | int]:
     }
 
 
+def single_partition_ordered_stages(plan: str) -> list[str]:
+    """Occurrences of an ``Exchange SinglePartition`` feeding a
+    ``Sort`` or ``Window`` — the classic 100 TB killer when the
+    exchanged input is data-scale (VERDICT r6 #2, r10 #1): every row
+    funnels through ONE task for the ordered stage. Returns the parent
+    node header for each hit so the caller can assert/whitelist.
+
+    Bounded inputs (distinct-value grids, calendar grids, the
+    |partitions|-row offset tables inside plans/rank.py, k-row
+    post-aggregate summaries) legitimately use this shape — boundedness
+    is a semantic property the plan text cannot carry, so callers keep
+    an explicit whitelist with per-key justification.
+
+    Known blind spot: ``localCheckpoint()`` truncates lineage, so a
+    single-partition window executed while materializing a checkpoint
+    does not appear in the final plan. Ops that checkpoint mid-chain
+    need their pre-checkpoint shape pinned separately
+    (tests/test_rank_plans.py).
+    """
+    import re
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " +-:":
+            i += 1
+        return i
+
+    def node(line: str) -> str:
+        return re.sub(r"^\*\(\d+\) ", "", line[depth(line):])
+
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = depth(line)
+        for j in range(i - 1, -1, -1):
+            if depth(lines[j]) < d:
+                parent = node(lines[j])
+                if parent.startswith(("Sort ", "Sort\n", "Window")):
+                    hits.append(parent.split("[")[0].strip())
+                break
+    return hits
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     """Guard: deliberate cross joins are the only acceptable ones."""
     report = plan_report(df)

@@ -91,52 +91,59 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-10 rotation). All six
-#: round-9 slots went GREEN under the driver (CORRECTNESS_r09 — the
-#: fourth consecutive fully green window) and rotate out; in come the
-#: six keys VERDICT r9 task #1 names, weighting
-#: subsystem-certification value: markov_stationary_portable +
-#: graph_k_core_portable (the round-9 fixed-point iterative twins —
-#: put the power-iteration and k-core peel ledgers under the driver
-#: hash), llm_tokenizer_apply_portable (the REAL Arrow mapInPandas
-#: greedy tokenize loop, recursive-CTE-certified, under the driver
-#: hash), stream_restart_exactly_once (TWO availableNow queries over
-#: ONE checkpoint with files arriving between them — the
-#: exactly-once-across-restart property, the strongest streaming
-#: certification), graph_bipartite_projection (the
-#: cap-before-self-join co-purchase graph discipline), and
-#: mm_audio_band_energy (decode + integer filter-bank fusion — the
-#: multimodal candidate). Every key here is oracle-backed and was
-#: verified under BOTH comparator legs (fetchall + driver-faithful
-#: pandas, tests/test_oracle_parity.py) at sf0.001 and sf0.01 before
-#: rotating in; none has ever had a driver row.
+#: Slots 45-50 of the driver window (round-11 rotation). All six
+#: round-10 slots went GREEN under the driver (CORRECTNESS_r10 — the
+#: fifth consecutive fully green window, streak 74) and rotate out; in
+#: come the six keys VERDICT r10 task #3 names (the staged shortlist
+#: head, verbatim), weighting subsystem-certification value:
+#: stream_join_state_audit (the statestore-reader JOIN-state path +
+#: min-policy multiple-watermark eviction arithmetic under the driver
+#: hash), stream_session_live (a REAL availableNow session-window run —
+#: cross-batch session MERGE + sentinel-flushed append emission),
+#: llm_bpe_train_portable (the 3-round BPE merge-training ledger:
+#: census -> election -> corpus-wide REPLACE, exact integers —
+#: VERDICT r9 task #3's op under the driver hash),
+#: mm_image_dct_hash (decode+resample+DCT fused in ONE Arrow stage —
+#: the real pHash, closed-form oracle replay), agg_dunn_posthoc (the
+#: 128-bit staged pairwise rank chain over the Kruskal-Wallis
+#: sufficient statistics — the stats-family candidate), and
+#: llm_rag_context_assembly (retrieval->trim->assemble composing the
+#: BM25 oracle verbatim — the RAG render stage). Every key here is
+#: oracle-backed and was verified under BOTH comparator legs
+#: (fetchall + driver-faithful pandas, tests/test_oracle_parity.py)
+#: at sf0.001 and sf0.01 before rotating in; none has ever had a
+#: driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "markov_stationary_portable",
-    "graph_k_core_portable",
-    "llm_tokenizer_apply_portable",
-    "stream_restart_exactly_once",
-    "graph_bipartite_projection",
-    "mm_audio_band_energy",
+    "stream_join_state_audit",
+    "stream_session_live",
+    "llm_bpe_train_portable",
+    "mm_image_dct_hash",
+    "agg_dunn_posthoc",
+    "llm_rag_context_assembly",
 )
 
-#: ROUND-11 ROTATION SHORTLIST HEAD (never driver-checked, both-leg
+#: ROUND-12 ROTATION SHORTLIST HEAD (never driver-checked, both-leg
 #: green at sf0.001+sf0.01+sf0.1, ordered by certification value —
-#: VERDICT r9 task #2 discipline). The six strongest candidates for the
-#: round-11 WINDOW_EXTRAS, each certifying a whole subsystem:
-#:   1. stream_join_state_audit — the statestore-reader JOIN-state path
-#:      + the min-policy multiple-watermark eviction arithmetic under
-#:      the driver hash (streaming/event_windows.py).
-#:   2. stream_session_live — a REAL availableNow session-window run
-#:      (cross-batch session MERGE + sentinel-flushed append emission).
-#:   3. llm_bpe_train_portable — the 3-round BPE merge-training ledger
-#:      (census -> election -> corpus-wide REPLACE, exact integers).
-#:   4. mm_image_dct_hash — decode+resample+DCT fused Arrow stage, the
-#:      real pHash, closed-form oracle replay (multimodal candidate).
-#:   5. agg_dunn_posthoc — the 128-bit staged pairwise rank chain over
-#:      the KW sufficient statistics (stats-family candidate).
-#:   6. llm_rag_context_assembly — retrieval->trim->assemble composing
-#:      the BM25 oracle verbatim (the RAG render stage).
-#: Next in line after those six: stream_interval_join_live,
+#: VERDICT r10 task #5 discipline; the r10-named head went INTO the
+#: round-11 WINDOW_EXTRAS above). The six strongest candidates for the
+#: round-12 rotation, each certifying a whole subsystem:
+#:   1. stream_interval_join_live — a REAL availableNow stream-stream
+#:      interval join run (watermarked event-time range predicate,
+#:      cross-batch state retention exercised live).
+#:   2. llm_pack_ffd_portable — the global first-fit-decreasing
+#:      packing ledger (VERDICT r10 task #6: deterministic exact-
+#:      integer bin assignment via the run-compressed FFD state,
+#:      statically-unrolled per-size-class rounds oracle — the
+#:      training-dataloader stage a 100 TB pipeline runs daily).
+#:   3. tpch_q5_local_supplier — the regional same-nation 6-way join
+#:      (the classic TPC-H shape with the largest join graph).
+#:   4. llm_fim_transform — the PSM infilling reorder with a content
+#:      hash certifying the emitted string cross-engine.
+#:   5. llm_bt_ratings_portable — Bradley-Terry MM as an all-integer
+#:      certified ledger (the RLHF rating stage).
+#:   6. agg_survival_cindex — Harrell's C (the survival family's
+#:      discrimination readout; bounded cell-pair concordance).
+#: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,
 #: agg_fleiss_kappa, agg_cronbach_alpha, agg_wilcoxon_signed_rank,

@@ -433,6 +433,9 @@ CORE_QUERIES = (
     "llm_length_lognormal_fit",
     # JSD: an empty corpus folds to an empty per-source frame
     "llm_source_jsd",
+    # r11 FFD ledger: zero chunks must thread an empty run table
+    # through all 32 unrolled rounds and emit an empty bin frame
+    "llm_pack_ffd_portable",
 )
 
 

@@ -207,6 +207,12 @@ DELIBERATE_CROSS = {
     # table and the per-source fold (N×1 ×2 — the importance_select
     # token-total shape)
     "llm_source_jsd",
+    # r11: SINGLE-ROW round scalars (nbins/ptot/c) broadcast onto the
+    # bounded run ledger each unrolled FFD round (the bpe_train scalar
+    # shape), plus the data-scale probe against the <= few-hundred-row
+    # broadcast assignment ledger via a RANGE predicate (the
+    # llm_ngram_coverage_curve bounded non-equi shape)
+    "llm_pack_ffd_portable",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
@@ -238,6 +244,96 @@ PYTHON_OK = {
     "mm_image_dct_hash",  # decode+resample+DCT fused in one Arrow stage
 }
 
+#: Queries whose executed plan contains a Sort/Window fed by an
+#: `Exchange SinglePartition` — allowed ONLY because the exchanged
+#: input is provably BOUNDED independent of corpus size (a
+#: discretization-bounded distinct-value grid, a calendar grid, the
+#: |partitions|/|groups|-row offset table inside plans/rank.py, or a
+#: k-row post-aggregate summary). An ordered single-partition stage
+#: over DATA-SCALE input is the classic 100 TB killer (VERDICT r6 #2;
+#: five round-10 ops regressed exactly this way, VERDICT r10 #1) —
+#: rewrite onto plans/rank.with_global_rank / with_grouped_prefix_sum
+#: or the cumulative distinct-value grid instead of adding a key here.
+SP_WINDOW_BOUNDED = {
+    # plans/rank.py internals: the two-level rank/prefix-sum stitches
+    # ONE ordered window over the bounded |partitions|(x|groups|)-row
+    # offset table (rank.py:69-72 documents the class). These keys
+    # route their data-scale order through the helper and show exactly
+    # that bounded exchange:
+    "win_ntile",
+    "win_percent_rank",
+    "win_global_running_sum",
+    "sample_systematic",
+    "fn_surrogate_key",
+    "agg_decile_lift",
+    "agg_rfm_segments",
+    "agg_lorenz_curve",
+    "agg_anderson_darling",
+    "agg_abc_classes",
+    "graph_degree_gini",
+    "llm_curriculum_order",
+    "llm_domain_cap",
+    "llm_rank_fusion_rrf",
+    "llm_ngram_coverage_curve",
+    "sample_class_balanced",
+    "fn_quantile_align",  # + the pooled cut-point distinct-value grid
+    # two-level gap/bucket discipline: LAG over the per-bucket
+    # (min, max) summary table — dimension-sized by construction
+    "dq_sequence_gaps",
+    # cumulative DISTINCT-VALUE grids, bounded by value discretization
+    # (x1000 milli / cent quantization), never by row count:
+    "agg_pinball_loss",
+    "agg_huber_location_portable",
+    "agg_kruskal_wallis",
+    "agg_mann_whitney",
+    "agg_wilcoxon_signed_rank",
+    "agg_ks_test",
+    "agg_hodges_lehmann",
+    "agg_dunn_posthoc",
+    "agg_gini_split",  # domain-bounded floor(value) in [0, 1000]
+    "dq_distribution_shift_emd",
+    "dq_value_drift_psi",
+    "graph_degree_histogram",  # distinct-DEGREE grid, not node count
+    "llm_token_len_histogram",  # max-word-length grid (~tens of rows)
+    # CALENDAR-bounded grids (days/hours/minutes — fixed cost at any
+    # corpus scale; the raw scan is a map-side-combinable agg BEFORE
+    # the window):
+    "agg_runs_test",
+    "agg_durbin_watson",
+    "agg_survival_km",
+    "agg_survival_na",
+    "dq_outliers_gesd",
+    "dq_volume_anomaly",
+    "ts_adf",
+    "ts_cusum_bernoulli",
+    "ts_granger_lag1",
+    "ts_intraday_uniformity",
+    "ts_isotonic_daily",
+    "ts_pacf",
+    "ts_periodogram",
+    "ts_sax_words",
+    "ts_spectral_entropy",
+    "ts_variance_ratio",
+    # k-row post-aggregate summaries (|types| x cells, |sources|,
+    # |priorities| — enum/dimension-bounded):
+    "agg_bh_fdr",
+    "agg_chi_square",
+    "agg_cramers_v",
+    "agg_cuped_adjust",
+    "agg_holm_bonferroni",
+    "agg_proportional_allocate",
+    "llm_mixture_reweight_portable",
+    "llm_mixture_sample",
+    "llm_rag_context_assembly",  # 3-row hit-list assembly fold
+    "flagship_span_corpus",  # dimension-sized per-source window
+    "win_share",  # the registered safe-shape DEMO: OVER () on a
+    # pre-aggregated bounded input (its doc names the trap)
+    # r11: per-round capacity prefix over the run-compressed bin
+    # ledger — bounded at <= 4*CHUNK_TOKENS + 2 rows by the FFD
+    # run-compression argument (the op's doc), never corpus-sized
+    "llm_pack_ffd_portable",
+}
+
 #: Queries that read a dimension table and must broadcast it.
 MUST_BROADCAST = {"join_broadcast", "join_multiway"}
 
@@ -257,6 +353,34 @@ def test_no_accidental_python(name, spark, sf_dir):
         assert report["python_stages"] > 0, f"{name}: expected an Arrow Python stage"
     else:
         assert report["python_stages"] == 0, f"{name}: Python leaked into the plan {report}"
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_single_partition_window(name, spark, sf_dir):
+    """Registry-wide gate (VERDICT r10 task #2): no registered query's
+    executed plan may contain an `Exchange SinglePartition` feeding a
+    Sort/Window unless the key is whitelisted with a bounded-input
+    justification above. This turns the round-10 regression class
+    (five exact-median/rank ops through an unpartitioned window) into
+    a test failure at commit time. localCheckpoint-hidden stages are
+    out of reach here (see single_partition_ordered_stages docstring);
+    tests/test_rank_plans.py pins those shapes op by op."""
+    from solarflare_etl_pipeline_spark.plans.explain import (
+        physical_plan,
+        single_partition_ordered_stages,
+    )
+
+    hits = single_partition_ordered_stages(
+        physical_plan(SPECS[name].spark(spark, sf_dir))
+    )
+    if name in SP_WINDOW_BOUNDED:
+        return  # bounded-input exchange, justified at the whitelist
+    assert hits == [], (
+        f"{name}: ordered single-partition stage(s) {hits} over a "
+        f"non-whitelisted input — the 100 TB killer shape. Rewrite via "
+        f"plans/rank.py or the distinct-value grid, or (only if the "
+        f"input is provably bounded) whitelist with a justification."
+    )
 
 
 @pytest.mark.parametrize("name", sorted(MUST_BROADCAST))

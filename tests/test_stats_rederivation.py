@@ -2935,3 +2935,44 @@ def test_kn_doc_scores_rederivation(spark, sf_dir, documents):
         assert r.n_bigrams == len(bgs)
         assert abs(r.sum_lnp_q9 - s) <= len(bgs)  # per-term rounding ulps
         assert r.avg_lnp_q9 == (r.sum_lnp_q9 - (r.sum_lnp_q9 % len(bgs) + len(bgs)) % len(bgs)) // len(bgs)
+
+
+def test_ffd_packing_rederivation(spark, sf_dir, documents):
+    """llm_pack_ffd_portable re-derived as a literal per-item
+    first-fit-decreasing simulation (scan every bin in index order,
+    place in the first that fits) — the run-compressed ledger must
+    reproduce textbook FFD bin-for-bin, not just in aggregate."""
+    items = []
+    for doc_id, text, _, _, _ in documents:
+        if text is None:
+            continue  # split(NULL) -> no chunks on both engines
+        n = len(text.split(" "))
+        for cid in range(0, (n + 31) // 32):
+            items.append((doc_id, cid, min(32, n - cid * 32)))
+    items.sort(key=lambda r: (-r[2], r[0], r[1]))
+    caps: list[int] = []
+    bins: dict[int, list[tuple[str, int]]] = {}
+    for doc_id, _, s in items:
+        b = next((i for i, cap in enumerate(caps) if cap >= s), None)
+        if b is None:
+            caps.append(64)
+            b = len(caps) - 1
+        caps[b] -= s
+        bins.setdefault(b + 1, []).append((doc_id, s))
+    expect = {
+        b: (
+            len(lst),
+            len({d for d, _ in lst}),
+            sum(s for _, s in lst),
+            sum(s for _, s in lst) * 1_000_000 // 64,
+        )
+        for b, lst in bins.items()
+    }
+    got = {
+        r.bin_id: (r.n_chunks, r.n_docs, r.bin_tokens, r.fill_ratio_ppm)
+        for r in SPECS["llm_pack_ffd_portable"].spark(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # every bin respects the budget and a non-fitting later item proves
+    # each earlier bin was genuinely unable to take it (FFD invariant)
+    assert all(v[2] <= 64 for v in got.values())
