@@ -11636,3 +11636,558 @@ def agg_odds_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE ROUND(EXP(LN({orx}) + 1.96 * {se}), 6) END"
         ).alias("ci_hi"),
     )
+
+
+@register(
+    "agg_bartlett_test",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        s AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v3 AS HUGEINT)) AS s1,
+                   SUM(CAST(v3 AS HUGEINT) * v3) AS s2
+            FROM q GROUP BY event_type
+        ),
+        g AS (
+            SELECT n - 1 AS v,
+                   CAST(n AS HUGEINT) * s2 - s1 * s1 AS num,
+                   n
+            FROM s
+            WHERE n >= 2 AND CAST(n AS HUGEINT) * s2 - s1 * s1 > 0
+        ),
+        terms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(v) AS BIGINT) AS nk,
+                   CAST(SUM(v * CAST(FLOOR(1000000000.0 * LN(
+                        CAST(num AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * (n - 1)))) AS HUGEINT))
+                       AS HUGEINT) AS wln_e9,
+                   CAST(SUM(num // n) AS HUGEINT) AS sse_unit,
+                   CAST(SUM(1000000000000000 // v) AS BIGINT) AS inv_f
+            FROM g
+        )
+        SELECT k AS k_groups, nk + k AS n_total,
+               CAST(k - 1 AS BIGINT) AS df,
+               CASE WHEN k < 2 THEN NULL ELSE
+                   ROUND(
+                     (CAST(nk AS DOUBLE)
+                        * FLOOR(1000000000.0 * LN(
+                            CAST(sse_unit AS DOUBLE)
+                            / CAST(nk AS DOUBLE)))
+                      - CAST(wln_e9 AS DOUBLE)) / 1e9
+                     / (1.0 + (CAST(inv_f AS DOUBLE) / 1e15
+                               - 1.0 / nk) / (3.0 * (k - 1))), 6)
+               END AS bartlett_chi2
+        FROM terms
+        WHERE k > 0
+    """,
+    doc="Bartlett's test of variance homogeneity across the five event "
+    "types — the normal-theory counterpart of agg_levene_bf (Levene/BF "
+    "is robust to non-normality; Bartlett is the textbook likelihood "
+    "ratio chi2 on (k-1) df and far more sensitive when normality "
+    "holds): T = [(N-k) ln(sp2) - SUM (n_i-1) ln(s_i2)] / C with the "
+    "Box correction C = 1 + (SUM 1/(n_i-1) - 1/(N-k)) / (3(k-1)). "
+    "Parity discipline: per-group variances come from exact integer "
+    "sufficient statistics (n*S2 - S1^2, 128-bit); each ln lands on a "
+    "bit-identical double and is FLOOR-quantized to 1e-9 units (rule "
+    "22) so the weighted sum is EXACT and order-free; the pooled SSE "
+    "folds as exact integer units per group (num // n — sub-unit "
+    "truncation is 1e-14 relative on milli-quantized data and "
+    "bit-identical cross-engine); "
+    "1/(n_i-1) folds as exact 1e-15 units (the agg_atkinson_index "
+    "move); ONE float expression at the end. Groups with n < 2 or "
+    "zero variance drop out of both N, k and every sum (the standard "
+    "applicability contract); k < 2 emits NULL. Plan at 100 TB: one "
+    "map-side-combinable 5-group aggregate, then constant algebra — "
+    "nothing follows the scan.",
+)
+def agg_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v3")
+    )
+    s = q.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("CAST(v3 AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(v3 AS DECIMAL(19,0)) * v3"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    g = s.where(
+        "n >= 2 AND CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 > 0"
+    ).select(
+        F.expr("n - 1").alias("v"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1").alias("num"),
+        "n",
+    )
+    terms = g.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("v").cast("long").alias("nk"),
+        F.sum(
+            F.expr(
+                "v * CAST(FLOOR(1000000000.0 * LN("
+                " CAST(num AS DOUBLE)"
+                " / (CAST(n AS DOUBLE) * (n - 1)))) AS DECIMAL(38,0))"
+            )
+        ).alias("wln_e9"),
+        F.sum(F.expr("CAST(num DIV n AS DECIMAL(38,0))")).alias("sse_unit"),
+        F.sum(F.expr("1000000000000000 DIV v")).cast("long").alias("inv_f"),
+    )
+    return terms.where("k > 0").select(
+        F.col("k").alias("k_groups"),
+        F.expr("nk + k").alias("n_total"),
+        F.expr("CAST(k - 1 AS BIGINT)").alias("df"),
+        F.expr(
+            "CASE WHEN k < 2 THEN NULL ELSE"
+            " ROUND("
+            "   (CAST(nk AS DOUBLE)"
+            "      * FLOOR(1000000000.0 * LN("
+            "          CAST(sse_unit AS DOUBLE)"
+            "          / CAST(nk AS DOUBLE)))"
+            "    - CAST(wln_e9 AS DOUBLE)) / 1e9"
+            "   / (1.0 + (CAST(inv_f AS DOUBLE) / 1e15"
+            "             - 1.0 / nk) / (3.0 * (k - 1))), 6)"
+            " END"
+        ).alias("bartlett_chi2"),
+    )
+
+
+@register(
+    "agg_somers_d",
+    oracle="""
+        WITH lab AS (
+            SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 370 THEN 1
+                        WHEN n_chars < 600 THEN 2 ELSE 3 END AS x,
+                   CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                             + 1 < 36 THEN 0
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                             + 1 < 66 THEN 1
+                        WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))
+                             + 1 < 100 THEN 2 ELSE 3 END AS y
+            FROM documents WHERE text IS NOT NULL
+        ),
+        cells AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lab GROUP BY x, y
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                     AS HUGEINT) AS conc,
+                CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                     AS HUGEINT) AS disc,
+                CAST(SUM(CASE WHEN a.x < b.x AND a.y = b.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                     AS HUGEINT) AS ty,
+                CAST(SUM(CASE WHEN a.x = b.x AND a.y < b.y
+                         THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END)
+                     AS HUGEINT) AS tx
+            FROM cells a, cells b
+        ),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs FROM cells)
+        SELECT n.n_docs,
+               CAST(conc AS BIGINT) AS concordant,
+               CAST(disc AS BIGINT) AS discordant,
+               CAST(ty AS BIGINT) AS tied_y_only,
+               CAST(tx AS BIGINT) AS tied_x_only,
+               CASE WHEN conc + disc + ty = 0 THEN NULL
+                    ELSE CAST((conc - disc) * 1000000
+                              // (conc + disc + ty) AS BIGINT)
+               END AS d_yx_ppm,
+               CASE WHEN conc + disc + tx = 0 THEN NULL
+                    ELSE CAST((conc - disc) * 1000000
+                              // (conc + disc + tx) AS BIGINT)
+               END AS d_xy_ppm
+        FROM pairs, n
+        WHERE n.n_docs > 0
+    """,
+    doc="Somers' D between two ordinal document gradings (length band "
+    "x -> word-count band y, the agg_kappa_weighted label pair "
+    "extended to 4 levels) — the ASYMMETRIC concordance coefficient "
+    "completing the family: gamma (agg_gk_gamma) ignores all ties, "
+    "Kendall tau-b symmetrizes them, Somers' D_yx conditions on the "
+    "PREDICTOR: (C - D) / (C + D + T_y), i.e. among pairs untied on "
+    "x, how much more often does y move with x than against it — the "
+    "effect size under an ordinal regression / ROC reading (D_yx = "
+    "2*AUC - 1 for binary y). agg_gk_gamma already prints a float "
+    "D_yx as a side column of its events grid; this op promotes "
+    "Somers' D to the first-class readout — BOTH directions, the "
+    "full tie decomposition, exact integer ppm instead of a float "
+    "ratio, over the document grading pair. Pair "
+    "counts come from the bounded 16-cell product with exact 128-bit "
+    "arithmetic, orientation fixed by the x (resp. y) order so every "
+    "unordered pair is counted exactly once; outputs are rule-13 "
+    "integer ppm with a zero-denominator NULL guard. Plan at 100 TB: "
+    "ONE map-side-combinable 16-cell aggregate; the |cells|^2 product "
+    "and the folds are constant-size.",
+)
+def agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lab = d.select(
+        F.expr(
+            "CASE WHEN n_chars < 200 THEN 0"
+            " WHEN n_chars < 370 THEN 1"
+            " WHEN n_chars < 600 THEN 2 ELSE 3 END"
+        ).alias("x"),
+        F.expr(
+            "CASE WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))"
+            " + 1 < 36 THEN 0"
+            " WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))"
+            " + 1 < 66 THEN 1"
+            " WHEN LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))"
+            " + 1 < 100 THEN 2 ELSE 3 END"
+        ).alias("y"),
+    )
+    cells = lab.groupBy("x", "y").agg(F.count("*").cast("long").alias("c"))
+    cells = cells.localCheckpoint()  # <= 16 rows, read three times
+    a, b = cells.alias("a"), cells.alias("b")
+    pair = (
+        "CAST(SUM(CASE WHEN a.x {opx} b.x AND a.y {opy} b.y"
+        " THEN CAST(a.c AS DECIMAL(38,0)) * b.c ELSE 0 END)"
+        " AS DECIMAL(38,0))"
+    )
+    pairs = a.crossJoin(b).agg(
+        F.expr(pair.format(opx="<", opy="<")).alias("conc"),
+        F.expr(pair.format(opx="<", opy=">")).alias("disc"),
+        F.expr(pair.format(opx="<", opy="=")).alias("ty"),
+        F.expr(pair.format(opx="=", opy="<")).alias("tx"),
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .where("n_docs > 0")
+        .select(
+            "n_docs",
+            F.expr("CAST(conc AS BIGINT)").alias("concordant"),
+            F.expr("CAST(disc AS BIGINT)").alias("discordant"),
+            F.expr("CAST(ty AS BIGINT)").alias("tied_y_only"),
+            F.expr("CAST(tx AS BIGINT)").alias("tied_x_only"),
+            F.expr(
+                "CASE WHEN conc + disc + ty = 0 THEN NULL"
+                " ELSE CAST((conc - disc) * 1000000"
+                " DIV (conc + disc + ty) AS BIGINT) END"
+            ).alias("d_yx_ppm"),
+            F.expr(
+                "CASE WHEN conc + disc + tx = 0 THEN NULL"
+                " ELSE CAST((conc - disc) * 1000000"
+                " DIV (conc + disc + tx) AS BIGINT) END"
+            ).alias("d_xy_ppm"),
+        )
+    )
+
+
+def _ab_gsum(x: str) -> str:
+    """Closed form of G(x) = SUM_{p=1..x} 2*min(p, M-p) over positions
+    of the pooled order (M = N+1, a = M DIV 2 = the largest p with
+    2p <= M), as pure integer SQL valid verbatim in BOTH engines (no
+    division, so no dialect split): the ramp-up part is m(m+1) with
+    m = min(x, a); the ramp-down part telescopes to
+    2M(x-a) - (x(x+1) - a(a+1)). Column refs `m2` (=M) and `aa` (=a)
+    must be in scope."""
+    return (
+        f"(LEAST({x}, aa) * (LEAST({x}, aa) + 1)"
+        f" + CASE WHEN {x} > aa THEN 2 * m2 * ({x} - aa)"
+        f" - ({x} * ({x} + 1) - aa * (aa + 1)) ELSE 0 END)"
+    )
+
+
+_AB_GDIFF = f"({_ab_gsum('hi')} - {_ab_gsum('(lo - 1)')})"
+
+
+@register(
+    "agg_ansari_bradley",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        grid AS (
+            SELECT v3,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY v3
+        ),
+        pos AS (
+            SELECT v3, cp, c,
+                   SUM(c) OVER (ORDER BY v3) AS hi,
+                   SUM(c) OVER (ORDER BY v3) - c + 1 AS lo,
+                   SUM(c) OVER () + 1 AS m2,
+                   (SUM(c) OVER () + 1) // 2 AS aa
+            FROM grid
+        ),
+        scored AS (
+            SELECT cp, c,
+                   CAST({_AB_GDIFF} AS HUGEINT) * 1000000 // c
+                       AS score2_ppm
+            FROM pos
+        )
+        SELECT CAST(SUM(cp) AS BIGINT) AS n_purchase,
+               CAST(SUM(c - cp) AS BIGINT) AS n_view,
+               CAST(SUM(c) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(cp AS HUGEINT) * score2_ppm) AS BIGINT)
+                   AS ab_score2_ppm,
+               CASE WHEN SUM(cp) = 0 THEN NULL
+                    ELSE CAST(SUM(CAST(cp AS HUGEINT) * score2_ppm)
+                              // SUM(cp) AS BIGINT)
+               END AS mean_score2_ppm
+        FROM scored
+        HAVING SUM(c) > 0
+    """,
+    doc="Ansari-Bradley rank test of SCALE difference between the "
+    "purchase and view value distributions — the dispersion analogue "
+    "of agg_mann_whitney (MW asks 'is one shifted', AB asks 'is one "
+    "more spread out'): each pooled position p scores min(p, N+1-p), "
+    "small at both extremes, so a compact sample collects a LARGE "
+    "score sum. Runs entirely on the discretization-bounded "
+    "distinct-value grid (the mann_whitney/fn_quantile_align "
+    "discipline — never a data-scale rank): per tied block the "
+    "doubled score sum G(hi)-G(lo-1) is a CLOSED-FORM integer "
+    "telescoping (no per-position expansion), the tie midscore is "
+    "rule-13 ppm-quantized per block ((2G)*1e6 // cnt — identical "
+    "truncation both engines), and the statistic is the exact "
+    "integer fold over the purchase arm. Plan at 100 TB: one hash "
+    "agg onto the value grid + one grid window + one constant fold.",
+)
+def agg_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v3")
+    )
+    grid = q.groupBy("v3").agg(
+        F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("cp"),
+        F.count("*").cast("long").alias("c"),
+    )
+    pos = grid.select(
+        "v3",
+        "cp",
+        "c",
+        F.sum("c").over(W.orderBy("v3")).cast("long").alias("hi"),
+        (F.sum("c").over(W.orderBy("v3")) - F.col("c") + 1)
+        .cast("long")
+        .alias("lo"),
+        (F.sum("c").over(W.partitionBy()) + 1).cast("long").alias("m2"),
+        F.expr("CAST((SUM(c) OVER () + 1) DIV 2 AS BIGINT)").alias("aa"),
+    )
+    scored = pos.select(
+        "cp",
+        "c",
+        F.expr(
+            f"CAST({_AB_GDIFF} AS DECIMAL(38,0)) * 1000000 DIV c"
+        ).alias("score2_ppm"),
+    )
+    out = scored.agg(
+        F.sum("cp").cast("long").alias("n_purchase"),
+        F.sum(F.expr("c - cp")).cast("long").alias("n_view"),
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.expr("CAST(cp AS DECIMAL(38,0)) * score2_ppm")).alias("ab2"),
+    )
+    return out.where("n_total > 0").select(
+        "n_purchase",
+        "n_view",
+        "n_total",
+        F.expr("CAST(ab2 AS BIGINT)").alias("ab_score2_ppm"),
+        F.expr(
+            "CASE WHEN n_purchase = 0 THEN NULL"
+            " ELSE CAST(ab2 DIV n_purchase AS BIGINT) END"
+        ).alias("mean_score2_ppm"),
+    )
+
+
+@register(
+    "agg_yuen_trimmed_t",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        grid AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY event_type, v3
+        ),
+        pos AS (
+            SELECT event_type, v3, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3) AS hi,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3)
+                       - c + 1 AS lo,
+                   SUM(c) OVER (PARTITION BY event_type) AS n,
+                   SUM(c) OVER (PARTITION BY event_type) // 5 AS g
+            FROM grid
+        ),
+        arm AS (
+            SELECT event_type,
+                   MAX(n) AS n, MAX(g) AS g, MAX(n) - 2 * MAX(g) AS h,
+                   CAST(SUM(CAST(v3 AS HUGEINT) * GREATEST(0,
+                        LEAST(hi, n - g) - GREATEST(lo, g + 1) + 1))
+                       AS HUGEINT) AS tsum,
+                   CAST(SUM(CAST(v3 AS HUGEINT) * v3 * GREATEST(0,
+                        LEAST(hi, n - g) - GREATEST(lo, g + 1) + 1))
+                       AS HUGEINT) AS qsum,
+                   MIN(CASE WHEN hi >= g + 1 THEN v3 END) AS vlo,
+                   MIN(CASE WHEN hi >= n - g THEN v3 END) AS vhi
+            FROM pos GROUP BY event_type
+        ),
+        w AS (
+            SELECT event_type, n, g, h,
+                   tsum,
+                   tsum + CAST(g AS HUGEINT) * (vlo + vhi) AS sw,
+                   qsum + CAST(g AS HUGEINT)
+                       * (CAST(vlo AS HUGEINT) * vlo
+                          + CAST(vhi AS HUGEINT) * vhi) AS qw
+            FROM arm
+        ),
+        d AS (
+            SELECT event_type, n, g, h,
+                   CAST(tsum AS DOUBLE) / h AS mt,
+                   CASE WHEN h >= 2 AND n >= 2 THEN
+                       CAST(CAST(n AS HUGEINT) * qw - sw * sw AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1))
+                       * (n - 1) / (CAST(h AS DOUBLE) * (h - 1))
+                   END AS dd
+            FROM w
+        )
+        SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
+               CAST(a.g AS BIGINT) AS g_a, CAST(b.g AS BIGINT) AS g_b,
+               CASE WHEN a.dd IS NULL OR b.dd IS NULL
+                         OR a.dd + b.dd <= 0 THEN NULL
+                    ELSE ROUND((a.mt - b.mt) / SQRT(a.dd + b.dd), 9)
+               END AS yuen_t,
+               CASE WHEN a.dd IS NULL OR b.dd IS NULL
+                         OR a.dd + b.dd <= 0 OR a.h < 2 OR b.h < 2
+                         THEN NULL
+                    ELSE ROUND((a.dd + b.dd) * (a.dd + b.dd)
+                         / (a.dd * a.dd / (a.h - 1)
+                            + b.dd * b.dd / (b.h - 1)), 9)
+               END AS yuen_df
+        FROM (SELECT * FROM d WHERE event_type = 'purchase') a,
+             (SELECT * FROM d WHERE event_type = 'view') b
+    """,
+    doc="Yuen's trimmed-mean t test (purchase vs view, 20% symmetric "
+    "trim) — the robust companion of agg_welch_t: outliers that drag "
+    "the ordinary t are removed from the means and WINSORIZED into "
+    "the variances, per Yuen (1974): t = (mt1-mt2)/sqrt(d1+d2) with "
+    "d = (n-1)*s_w^2/(h(h-1)), h = n-2g, g = n//5, and a "
+    "Welch-Satterthwaite df on the trimmed counts. Everything before "
+    "the final float runs EXACT on the per-arm distinct-value grid "
+    "(the fn_quantile_align discipline): the trim window [g+1, n-g] "
+    "intersects each tied block by pure integer overlap arithmetic, "
+    "the g-th/(n-g)-th order statistics come from cumulative-count "
+    "lookups (no data-scale rank), and the winsorized sums/squares "
+    "are 128-bit integers. Degenerate arms (h < 2, zero spread) "
+    "emit NULL oracle-mirrored. Plan at 100 TB: one hash agg onto "
+    "two bounded value grids + per-arm grid windows + a 1x1 join.",
+)
+def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v3")
+    )
+    grid = q.groupBy("event_type", "v3").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wo = W.partitionBy("event_type").orderBy("v3")
+    wa = W.partitionBy("event_type")
+    pos = grid.select(
+        "event_type",
+        "v3",
+        "c",
+        F.sum("c").over(wo).cast("long").alias("hi"),
+        (F.sum("c").over(wo) - F.col("c") + 1).cast("long").alias("lo"),
+        F.sum("c").over(wa).cast("long").alias("n"),
+        F.expr("SUM(c) OVER (PARTITION BY event_type) DIV 5")
+        .cast("long")
+        .alias("g"),
+    )
+    ov = "GREATEST(0, LEAST(hi, n - g) - GREATEST(lo, g + 1) + 1)"
+    arm = pos.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.expr("MAX(n) - 2 * MAX(g)").alias("h"),
+        F.sum(F.expr(f"CAST(v3 AS DECIMAL(38,0)) * {ov}")).alias("tsum"),
+        F.sum(F.expr(f"CAST(v3 AS DECIMAL(19,0)) * v3 * {ov}"))
+        .cast("decimal(38,0)")
+        .alias("qsum"),
+        F.min(F.when(F.expr("hi >= g + 1"), F.col("v3"))).alias("vlo"),
+        F.min(F.when(F.expr("hi >= n - g"), F.col("v3"))).alias("vhi"),
+    )
+    w = arm.select(
+        "event_type",
+        "n",
+        "g",
+        "h",
+        "tsum",
+        F.expr("tsum + CAST(g AS DECIMAL(38,0)) * (vlo + vhi)").alias("sw"),
+        F.expr(
+            "qsum + CAST(g AS DECIMAL(38,0))"
+            " * (CAST(vlo AS DECIMAL(19,0)) * vlo"
+            "    + CAST(vhi AS DECIMAL(19,0)) * vhi)"
+        ).alias("qw"),
+    )
+    d = w.select(
+        "event_type",
+        "n",
+        "g",
+        "h",
+        F.expr("CAST(tsum AS DOUBLE) / h").alias("mt"),
+        F.expr(
+            "CASE WHEN h >= 2 AND n >= 2 THEN"
+            " CAST(CAST(n AS DECIMAL(38,0)) * qw - sw * sw AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * (n - 1))"
+            " * (n - 1) / (CAST(h AS DOUBLE) * (h - 1))"
+            " END"
+        ).alias("dd"),
+    )
+    a = d.where("event_type = 'purchase'").select(
+        F.col("n").alias("n_a"),
+        F.col("h").alias("h_a"),
+        F.col("g").alias("g_a"),
+        F.col("mt").alias("mt_a"),
+        F.col("dd").alias("dd_a"),
+    )
+    b = d.where("event_type = 'view'").select(
+        F.col("n").alias("n_b"),
+        F.col("h").alias("h_b"),
+        F.col("g").alias("g_b"),
+        F.col("mt").alias("mt_b"),
+        F.col("dd").alias("dd_b"),
+    )
+    return a.join(b).select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(h_a AS BIGINT)").alias("h_a"),
+        F.expr("CAST(h_b AS BIGINT)").alias("h_b"),
+        F.expr("CAST(g_a AS BIGINT)").alias("g_a"),
+        F.expr("CAST(g_b AS BIGINT)").alias("g_b"),
+        F.expr(
+            "CASE WHEN dd_a IS NULL OR dd_b IS NULL"
+            " OR dd_a + dd_b <= 0 THEN NULL"
+            " ELSE ROUND((mt_a - mt_b) / SQRT(dd_a + dd_b), 9) END"
+        ).alias("yuen_t"),
+        F.expr(
+            "CASE WHEN dd_a IS NULL OR dd_b IS NULL"
+            " OR dd_a + dd_b <= 0 OR h_a < 2 OR h_b < 2 THEN NULL"
+            " ELSE ROUND((dd_a + dd_b) * (dd_a + dd_b)"
+            " / (dd_a * dd_a / (h_a - 1)"
+            "    + dd_b * dd_b / (h_b - 1)), 9) END"
+        ).alias("yuen_df"),
+    )

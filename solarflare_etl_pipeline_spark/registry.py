@@ -143,6 +143,16 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #:      certified ledger (the RLHF rating stage).
 #:   6. agg_survival_cindex — Harrell's C (the survival family's
 #:      discrimination readout; bounded cell-pair concordance).
+#: Round-11 additions (never driver-checked, both-leg green at
+#: sf0.001+sf0.01(+sf0.1 via the builder sweep), each with a pure-
+#: Python re-derivation in tests/test_stats_rederivation.py):
+#: graph_cc_portable (min-label-propagation CC ledger — puts the
+#: dedup-clustering arithmetic under the oracle hash, converges to
+#: union-find truth on every fixture), agg_bartlett_test (variance-
+#: homogeneity LRT completing levene_bf), agg_yuen_trimmed_t (robust
+#: trimmed-mean t completing welch_t), agg_ansari_bradley (rank scale
+#: test completing mann_whitney), agg_somers_d (asymmetric
+#: concordance in exact ppm, both directions).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

@@ -304,6 +304,24 @@ SWEEP_QUERIES = (
     # a saturated one-source corpus makes p = q exactly (every log
     # argument 1, JSD exactly 0 — the floor terms must not drift)
     "llm_source_jsd",
+    # r11: a constant-value regime zeroes every group variance —
+    # Bartlett's applicability contract must drop ALL groups and emit
+    # NULL/zero-k identically on both engines; Yuen's winsorized
+    # spread hits zero (NULL t); Ansari's grid collapses to one tied
+    # block (midscore = mean score exactly); Somers' grid collapses
+    # to one cell (all denominators 0 -> NULL ppm)
+    "agg_bartlett_test",
+    "agg_yuen_trimmed_t",
+    "agg_ansari_bradley",
+    "agg_somers_d",
+    # r11: the single-basket regime collapses the co-purchase graph
+    # to one clique — one component, label = min partkey, converged
+    # in round 1 (rounds 2-4 must be provable no-ops)
+    "graph_cc_portable",
+    # r11: saturated/constant corpora pack into identical-size chunk
+    # classes — most FFD rounds are no-ops and the run table stays
+    # at <= 2 rows; the ledger must thread them bit-identically
+    "llm_pack_ffd_portable",
 )
 
 

@@ -207,6 +207,12 @@ DELIBERATE_CROSS = {
     # table and the per-source fold (N×1 ×2 — the importance_select
     # token-total shape)
     "llm_source_jsd",
+    # r11: bounded 16-cell product (the gk_gamma/dunn theorem shape)
+    # plus a SINGLE-ROW doc-count broadcast
+    "agg_somers_d",
+    # r11: the two 1-row per-arm folds combine via a 1x1 join (the
+    # agg_welch_t shape)
+    "agg_yuen_trimmed_t",
     # r11: SINGLE-ROW round scalars (nbins/ptot/c) broadcast onto the
     # bounded run ledger each unrolled FFD round (the bpe_train scalar
     # shape), plus the data-scale probe against the <= few-hundred-row
@@ -332,6 +338,9 @@ SP_WINDOW_BOUNDED = {
     # ledger — bounded at <= 4*CHUNK_TOKENS + 2 rows by the FFD
     # run-compression argument (the op's doc), never corpus-sized
     "llm_pack_ffd_portable",
+    # r11: cumulative position window over the pooled distinct-value
+    # grid (discretization-bounded — the mann_whitney class)
+    "agg_ansari_bradley",
 }
 
 #: Queries that read a dimension table and must broadcast it.

@@ -2976,3 +2976,159 @@ def test_ffd_packing_rederivation(spark, sf_dir, documents):
     # every bin respects the budget and a non-fitting later item proves
     # each earlier bin was genuinely unable to take it (FFD invariant)
     assert all(v[2] <= 64 for v in got.values())
+
+
+def test_bartlett_rederivation(spark, sf_dir, events):
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    vars_, ns = {}, {}
+    for k_, vs in groups.items():
+        n = len(vs)
+        if n < 2:
+            continue
+        mu = sum(vs) / n
+        var = sum((x - mu) ** 2 for x in vs) / (n - 1)
+        if var > 0:
+            vars_[k_], ns[k_] = var, n
+    k = len(vars_)
+    N = sum(ns.values())
+    nk = N - k
+    sp2 = sum((ns[i] - 1) * vars_[i] for i in vars_) / nk
+    t_num = nk * math.log(sp2) - sum(
+        (ns[i] - 1) * math.log(vars_[i]) for i in vars_
+    )
+    c = 1 + (sum(1 / (ns[i] - 1) for i in vars_) - 1 / nk) / (3 * (k - 1))
+    row = SPECS["agg_bartlett_test"].spark(spark, sf_dir).collect()[0]
+    assert row.k_groups == k and row.n_total == N
+    # the op quantizes each ln to 1e-9 and the SSE to integer units —
+    # tolerance covers that deliberate truncation, not float noise
+    assert _close(row.bartlett_chi2, t_num / c, 1e-4)
+
+
+def test_ansari_bradley_rederivation(spark, sf_dir, events):
+    vals = sorted(
+        (math.floor(v * 1000), et)
+        for _, _, et, v in events
+        if et in ("purchase", "view")
+    )
+    n = len(vals)
+    cnt = Counter(v for v, _ in vals)
+    pos, score_ppm = 0, {}
+    for v in sorted(cnt):
+        c = cnt[v]
+        lo, hi = pos + 1, pos + c
+        pos += c
+        g = sum(2 * min(p, n + 1 - p) for p in range(lo, hi + 1))
+        score_ppm[v] = g * 1_000_000 // c
+    ab2 = sum(score_ppm[v] for v, et in vals if et == "purchase")
+    row = SPECS["agg_ansari_bradley"].spark(spark, sf_dir).collect()[0]
+    assert row.n_total == n
+    assert row.ab_score2_ppm == ab2  # exact — closed form vs literal sum
+
+
+def test_yuen_rederivation(spark, sf_dir, events):
+    def arm(et):
+        vs = sorted(
+            math.floor(v * 1000) for _, _, t, v in events if t == et
+        )
+        n = len(vs)
+        g = n // 5
+        h = n - 2 * g
+        trim = vs[g : n - g]
+        mt = sum(trim) / h
+        wins = [vs[g]] * g + trim + [vs[n - g - 1]] * g
+        mw = sum(wins) / n
+        sw2 = sum((x - mw) ** 2 for x in wins) / (n - 1)
+        return mt, (n - 1) * sw2 / (h * (h - 1)), h
+
+    mta, da, ha = arm("purchase")
+    mtb, db, hb = arm("view")
+    t = (mta - mtb) / math.sqrt(da + db)
+    df = (da + db) ** 2 / (da * da / (ha - 1) + db * db / (hb - 1))
+    row = SPECS["agg_yuen_trimmed_t"].spark(spark, sf_dir).collect()[0]
+    assert row.h_a == ha and row.h_b == hb
+    assert _close(row.yuen_t, t, 1e-6)
+    assert _close(row.yuen_df, df, 1e-6)
+
+
+def test_somers_d_rederivation(spark, sf_dir, documents):
+    def bx(nc):
+        return 0 if nc < 200 else 1 if nc < 370 else 2 if nc < 600 else 3
+
+    def by(w):
+        return 0 if w < 36 else 1 if w < 66 else 2 if w < 100 else 3
+
+    pts = [
+        (bx(nc), by(len(t.split(" "))))
+        for _, t, _, _, nc in documents
+        if t is not None
+    ]
+    conc = disc = ty = tx = 0
+    cells = Counter(pts)
+    for (xa, ya), na in cells.items():
+        for (xb, yb), nb in cells.items():
+            if xa < xb and ya < yb:
+                conc += na * nb
+            elif xa < xb and ya > yb:
+                disc += na * nb
+            elif xa < xb and ya == yb:
+                ty += na * nb
+            elif xa == xb and ya < yb:
+                tx += na * nb
+    row = SPECS["agg_somers_d"].spark(spark, sf_dir).collect()[0]
+    assert (row.concordant, row.discordant, row.tied_y_only, row.tied_x_only) == (
+        conc,
+        disc,
+        ty,
+        tx,
+    )
+    assert row.d_yx_ppm == (conc - disc) * 1_000_000 // (conc + disc + ty) or (
+        conc + disc + ty
+    ) == 0
+
+
+def test_cc_portable_rederivation(spark, sf_dir):
+    """graph_cc_portable re-derived two independent ways: a literal
+    4-round min-label propagation (the ledger contract) AND union-find
+    true components — on this fixture the dense co-purchase graph
+    collapses within 4 rounds, so all three must agree."""
+    import duckdb
+
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+            FROM read_parquet('{sf_dir}/lineitem.parquet') a
+            JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey"""
+    ).fetchall()
+    nodes = {n for e in edges for n in e}
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    lab = {n: n for n in nodes}
+    for _ in range(4):
+        lab = {
+            n: min([lab[n]] + [lab[m] for m in adj[n]]) for n in nodes
+        }
+    prop = Counter(lab.values())
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    true_cc = Counter(find(n) for n in nodes)
+    got = {
+        r.component_seed: r.n_nodes
+        for r in SPECS["graph_cc_portable"].spark(spark, sf_dir).collect()
+    }
+    assert got == dict(prop)
+    assert got == dict(true_cc), "fixture did not converge in 4 rounds"
