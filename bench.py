@@ -329,6 +329,9 @@ BENCH_QUERIES = (
     "agg_ansari_bradley",
     "agg_yuen_trimmed_t",
     "graph_cc_portable",
+    "fn_variant_extract",
+    "funnel_time_to_convert",
+    "ts_matrix_profile",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -1155,3 +1155,64 @@ def fn_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_soundex_sql("word", "")).alias("soundex_code"),
         "n_parts",
     ).orderBy("word")
+
+
+@register(
+    "fn_variant_extract",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(j, '$.meta.k') AS BIGINT) AS meta_k,
+               json_extract_string(j, '$.type') AS etype,
+               CAST(json_extract_string(j, '$.v') AS BIGINT) AS v3,
+               json_extract_string(j, '$.meta.absent') AS missing_path,
+               TRY_CAST(json_extract_string(j, '$.type') AS BIGINT)
+                   AS bad_cast
+        FROM (
+            SELECT event_id,
+                   '{"meta":' || props || ',"type":"' || event_type
+                       || '","v":' || CAST(CAST(FLOOR(value * 1000)
+                                          AS BIGINT) AS VARCHAR) || '}'
+                       AS j
+            FROM events
+        )
+    """,
+    doc="Spark 4 VARIANT ingestion — the modern engine path for "
+    "semi-structured columns that fn_json's get_json_object predates: "
+    "a nested JSON document (built in-row from props + typed columns, "
+    "so the fixture exercises REAL nesting) is parsed ONCE into a "
+    "VARIANT value (binary-encoded, no per-access re-parse — the "
+    "whole point vs string JSON at 100 TB: parse cost paid once per "
+    "row, every later path access is a tree walk) and fields come "
+    "out through typed variant_get paths: a nested BIGINT, a top "
+    "string, a missing path (NULL, not an error), and a deliberate "
+    "type-mismatch through try_variant_get (NULL, the TRY_CAST "
+    "contract). The DuckDB oracle replays the same paths with "
+    "json_extract_string + TRY_CAST, certifying path semantics and "
+    "NULL/cast behavior cross-engine. Per-row narrow work: no "
+    "shuffle, codegen'd, parallelism = input partitions.",
+)
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    j = (
+        "CONCAT('{\"meta\":', props, ',\"type\":\"', event_type,"
+        " '\",\"v\":', CAST(CAST(FLOOR(value * 1000) AS BIGINT)"
+        " AS STRING), '}')"
+    )
+    return e.select(
+        "event_id",
+        F.expr(
+            f"variant_get(parse_json({j}), '$.meta.k', 'bigint')"
+        ).alias("meta_k"),
+        F.expr(
+            f"variant_get(parse_json({j}), '$.type', 'string')"
+        ).alias("etype"),
+        F.expr(f"variant_get(parse_json({j}), '$.v', 'bigint')").alias(
+            "v3"
+        ),
+        F.expr(
+            f"variant_get(parse_json({j}), '$.meta.absent', 'string')"
+        ).alias("missing_path"),
+        F.expr(
+            f"try_variant_get(parse_json({j}), '$.type', 'bigint')"
+        ).alias("bad_cast"),
+    )

@@ -4259,3 +4259,117 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("lab").cast("long").alias("component_seed"), "n_nodes"
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id,
+                   MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        fp AS (
+            SELECT e.user_id,
+                   MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+            FROM events e JOIN fv ON e.user_id = fv.user_id
+            WHERE e.event_type = 'purchase'
+              AND CAST(e.ts AS TIMESTAMP) >= fv.v_ts
+            GROUP BY e.user_id
+        ),
+        lat AS (
+            SELECT CAST(DATEDIFF('second', fv.v_ts, fp.p_ts) // 60
+                        AS BIGINT) AS mins
+            FROM fv JOIN fp ON fv.user_id = fp.user_id
+        ),
+        grid AS (
+            SELECT mins, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY mins
+        ),
+        q AS (
+            SELECT mins,
+                   SUM(c) OVER (ORDER BY mins) AS cum,
+                   SUM(c) OVER () AS n
+            FROM grid
+        ),
+        quants AS (
+            SELECT MIN(CASE WHEN cum * 2 >= n THEN mins END) AS p50,
+                   MIN(CASE WHEN cum * 10 >= n * 9 THEN mins END) AS p90,
+                   CAST(MAX(n) AS BIGINT) AS n_converted
+            FROM q
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewers,
+               COALESCE(quants.n_converted, 0) AS n_converted,
+               CAST(COALESCE(quants.n_converted, 0) * 1000000
+                    // (SELECT COUNT(*) FROM fv) AS BIGINT)
+                   AS conversion_ppm,
+               quants.p50 AS p50_minutes,
+               quants.p90 AS p90_minutes
+        FROM quants
+        WHERE (SELECT COUNT(*) FROM fv) > 0
+    """,
+    doc="Funnel latency: how FAST do viewers convert, not just how "
+    "many — the readout funnel_steps (counts) and funnel_sessionized "
+    "(visit-grain counts) leave open: per user, the first view and "
+    "the first purchase AT OR AFTER it define the conversion latency; "
+    "exact P50/P90 come from the cumulative distinct-value grid over "
+    "minute-quantized latencies (the agg_pinball_loss discipline — "
+    "bounded by the time-range discretization, never a data-scale "
+    "rank), conversion rate in rule-13 ppm. Latency quantiles are THE "
+    "product-analytics SLA number (median time-to-purchase) and the "
+    "same shape a training pipeline uses for data-arrival lag. Plan "
+    "at 100 TB: two per-user hash aggs (map-side combinable) + one "
+    "equi-join on user_id + one bounded grid window — no window ever "
+    "sees raw events.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    fv = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("v_ts"))
+    )
+    fv = fv.localCheckpoint()  # read three times (join + two counts)
+    fp = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("timestamp").alias("p_raw"))
+        .join(fv, "user_id")
+        .where(F.col("p_raw") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    lat = fv.join(fp, "user_id").select(
+        F.expr(
+            "CAST(CAST(unix_seconds(p_ts) - unix_seconds(v_ts) AS BIGINT)"
+            " DIV 60 AS BIGINT)"
+        ).alias("mins")
+    )
+    grid = lat.groupBy("mins").agg(F.count("*").cast("long").alias("c"))
+    q = grid.select(
+        "mins",
+        F.sum("c").over(W.orderBy("mins")).cast("long").alias("cum"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    quants = q.agg(
+        F.min(F.when(F.expr("cum * 2 >= n"), F.col("mins"))).alias("p50"),
+        F.min(F.when(F.expr("cum * 10 >= n * 9"), F.col("mins"))).alias(
+            "p90"
+        ),
+        F.max("n").cast("long").alias("n_converted"),
+    )
+    nv = fv.agg(F.count("*").cast("long").alias("n_viewers"))
+    return (
+        nv.crossJoin(F.broadcast(quants))
+        .where("n_viewers > 0")
+        .select(
+            "n_viewers",
+            F.coalesce(F.col("n_converted"), F.lit(0)).alias("n_converted"),
+            F.expr(
+                "CAST(COALESCE(n_converted, 0) * 1000000"
+                " DIV n_viewers AS BIGINT)"
+            ).alias("conversion_ppm"),
+            F.col("p50").alias("p50_minutes"),
+            F.col("p90").alias("p90_minutes"),
+        )
+    )

@@ -4413,3 +4413,117 @@ def ts_intraday_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * SQRT(CAST(n_events AS DOUBLE)), 6) END"
         ).alias("kuiper_scaled"),
     )
+
+
+#: Matrix-profile subsequence length (days). Pairs closer than W are
+#: excluded as trivial matches, per the matrix-profile convention.
+MP_WINDOW = 7
+
+
+@register(
+    "ts_matrix_profile",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, v,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        vec AS (
+            SELECT day, i,
+                   {", ".join(
+                       f"LEAD(v, {t}) OVER (ORDER BY i) AS v{t}"
+                       for t in range(MP_WINDOW))}
+            FROM idx
+        ),
+        valid AS (
+            SELECT * FROM vec WHERE v{MP_WINDOW - 1} IS NOT NULL
+        ),
+        pairs AS (
+            SELECT a.day, a.i,
+                   MIN(({" + ".join(
+                       f"CAST(a.v{t} - b.v{t} AS HUGEINT)"
+                       f" * (a.v{t} - b.v{t})"
+                       for t in range(MP_WINDOW))})
+                       * 100000 + b.i) AS key
+            FROM valid a JOIN valid b
+              ON b.i >= a.i + {MP_WINDOW} OR b.i <= a.i - {MP_WINDOW}
+            GROUP BY a.day, a.i
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, i AS idx,
+               CAST(key // 100000 AS BIGINT) AS nn_dist2,
+               CAST(key % 100000 AS BIGINT) AS nn_idx
+        FROM pairs
+    """,
+    doc=f"Matrix profile (non-normalized, exact-integer) of the daily "
+    f"purchase series — motif/anomaly discovery: for every "
+    f"{MP_WINDOW}-day subsequence, the squared Euclidean distance to "
+    f"its NEAREST non-overlapping neighbor and that neighbor's index. "
+    f"A low profile value = a repeated motif (weekly pattern), a "
+    f"spike = a discord (anomalous week) — the readout "
+    f"ts_zscore_anomaly (pointwise) and ts_sax_words (symbolic) "
+    f"cannot give: SHAPE similarity. Everything is exact: "
+    f"milli-quantized daily sums, 128-bit squared distances, and the "
+    f"argmin is decided by one integer key (dist*1e5 + j — "
+    f"deterministic smallest-index tie-break, no engine-ordered "
+    f"arg_min). Trivial matches (overlap < {MP_WINDOW} days apart) "
+    f"are excluded per the matrix-profile convention. Plan at "
+    f"100 TB: ONE map-side-combinable daily hash agg over the scan; "
+    f"the {MP_WINDOW} LEADs, the O(days^2) pair triangle, and the "
+    f"min-fold all run on the CALENDAR-bounded grid (~365 rows/yr "
+    f"regardless of corpus size — the ts_isotonic_daily exemption "
+    f"class).",
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    wd = W.orderBy("day")
+    idx = daily.select(
+        "day", "v", F.row_number().over(wd).cast("long").alias("i")
+    )
+    wi = W.orderBy("i")
+    vec = idx.select(
+        "day",
+        "i",
+        *[
+            F.lead("v", t).over(wi).alias(f"v{t}")
+            for t in range(MP_WINDOW)
+        ],
+    )
+    valid = vec.where(F.col(f"v{MP_WINDOW - 1}").isNotNull())
+    valid = valid.localCheckpoint()  # calendar-bounded, read twice
+    a, b = valid.alias("a"), valid.alias("b")
+    dist = " + ".join(
+        f"CAST(a.v{t} - b.v{t} AS DECIMAL(38,0)) * (a.v{t} - b.v{t})"
+        for t in range(MP_WINDOW)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.i") >= F.col("a.i") + MP_WINDOW)
+            | (F.col("b.i") <= F.col("a.i") - MP_WINDOW),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.i").alias("i"))
+        .agg(F.min(F.expr(f"({dist}) * 100000 + b.i")).alias("key"))
+    )
+    return pairs.select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("i").alias("idx"),
+        F.expr("CAST(key DIV 100000 AS BIGINT)").alias("nn_dist2"),
+        F.expr("CAST(key % 100000 AS BIGINT)").alias("nn_idx"),
+    )

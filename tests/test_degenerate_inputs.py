@@ -322,6 +322,15 @@ SWEEP_QUERIES = (
     # classes — most FFD rounds are no-ops and the run table stays
     # at <= 2 rows; the ledger must thread them bit-identically
     "llm_pack_ffd_portable",
+    # r11: a constant event_type regime can have viewers without any
+    # purchase (n_converted 0, NULL quantiles) or vice versa (empty
+    # output) — both engines must agree on the empty/zero fold
+    "funnel_time_to_convert",
+    # r11: a constant-value regime makes every subsequence identical
+    # (profile exactly 0, nearest index = smallest eligible j); tied
+    # timestamps collapse the day grid below the window length
+    # (empty output) — the argmin key must not drift on either
+    "ts_matrix_profile",
 )
 
 

@@ -210,6 +210,12 @@ DELIBERATE_CROSS = {
     # r11: bounded 16-cell product (the gk_gamma/dunn theorem shape)
     # plus a SINGLE-ROW doc-count broadcast
     "agg_somers_d",
+    # r11: SINGLE-ROW quantile fold broadcast onto the 1-row viewer
+    # count (1x1 theorem join)
+    "funnel_time_to_convert",
+    # r11: DELIBERATE bounded O(days^2) pair triangle over the
+    # CALENDAR-bounded daily grid (the ts_isotonic_daily exemption)
+    "ts_matrix_profile",
     # r11: the two 1-row per-arm folds combine via a 1x1 join (the
     # agg_welch_t shape)
     "agg_yuen_trimmed_t",
@@ -341,6 +347,9 @@ SP_WINDOW_BOUNDED = {
     # r11: cumulative position window over the pooled distinct-value
     # grid (discretization-bounded — the mann_whitney class)
     "agg_ansari_bradley",
+    # r11: cumulative window over the minute-quantized latency grid
+    # (time-range-bounded — the pinball/quantile grid class)
+    "funnel_time_to_convert",
 }
 
 #: Queries that read a dimension table and must broadcast it.

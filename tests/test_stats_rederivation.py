@@ -3132,3 +3132,86 @@ def test_cc_portable_rederivation(spark, sf_dir):
     }
     assert got == dict(prop)
     assert got == dict(true_cc), "fixture did not converge in 4 rounds"
+
+
+def test_matrix_profile_rederivation(spark, sf_dir, events):
+    """ts_matrix_profile re-derived as the literal O(n^2 w) triple
+    loop over the daily series — closed-form pair-join arithmetic and
+    the integer argmin-key trick must reproduce it exactly."""
+    import duckdb
+
+    daily = duckdb.sql(
+        f"""SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vs = [v for _, v in daily]
+    n, w = len(vs), 7
+    expect = {}
+    for i in range(n - w + 1):
+        best = None
+        for j in range(n - w + 1):
+            if abs(i - j) < w:
+                continue
+            d = sum((vs[i + t] - vs[j + t]) ** 2 for t in range(w))
+            if best is None or (d, j) < best:
+                best = (d, j)
+        if best is not None:
+            expect[i + 1] = (best[0], best[1] + 1)
+    got = {
+        r.idx: (r.nn_dist2, r.nn_idx)
+        for r in SPECS["ts_matrix_profile"].spark(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_funnel_latency_rederivation(spark, sf_dir, events):
+    """funnel_time_to_convert re-derived per user with literal
+    sorting: first view, first purchase at/after it, minute floor,
+    exact P50/P90 as the smallest value whose cumulative count
+    crosses the rank threshold."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE event_type IN ('view', 'purchase')"""
+    ).fetchall()
+    views, purch = defaultdict(list), defaultdict(list)
+    for u, et, t in rows:
+        (views if et == "view" else purch)[u].append(t)
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+
+    def floor_sec(t):
+        # the op's contract is DATEDIFF('second') == second-BOUNDARY
+        # counting == floor(epoch(p)) - floor(epoch(v)), not the true
+        # delta — sub-second components truncate per endpoint
+        return math.floor((t - epoch).total_seconds())
+
+    lats = []
+    n_viewers = 0
+    for u, vt in views.items():
+        n_viewers += 1
+        v0 = min(vt)
+        after = [p for p in purch.get(u, []) if p >= v0]
+        if after:
+            lats.append((floor_sec(min(after)) - floor_sec(v0)) // 60)
+    lats.sort()
+    m = len(lats)
+
+    def q(mult, num, den):
+        # smallest value whose cumulative rank r satisfies r*den >= m*num
+        for r, v in enumerate(lats, 1):
+            if r * den >= m * num:
+                return v
+        return None
+
+    row = SPECS["funnel_time_to_convert"].spark(spark, sf_dir).collect()[0]
+    assert row.n_viewers == n_viewers and row.n_converted == m
+    assert row.conversion_ppm == m * 1_000_000 // n_viewers
+    if m:
+        assert row.p50_minutes == q(1, 1, 2)
+        assert row.p90_minutes == q(1, 9, 10)
