@@ -8761,7 +8761,14 @@ def _ffd_oracle(budget: int, chunk: int) -> str:
     f"{CHUNK_TOKENS} constant-size ledger rounds + one broadcast "
     f"probe + one hash agg — no data-scale window, sort, or pairwise "
     f"stage anywhere; the ledger certifies the ITERATION (run table + "
-    f"per-round assignment ranges), not just the endpoint.",
+    f"per-round assignment ranges), not just the endpoint. Measured "
+    f"cost note: ~16s at sf0.1 is 64 fixed-overhead scheduler jobs "
+    f"(2 bounded localCheckpoints x {CHUNK_TOKENS} rounds), CONSTANT "
+    f"at any corpus size — the data-scale work is the two shuffles; "
+    f"alternative layouts (lazy checkpoints, sentinel-row state, "
+    f"uncheckpointed scalars) were measured slower or blew up "
+    f"analyzer time (DeduplicateRelations recursion) and are "
+    f"deliberately not used.",
 )
 def llm_pack_ffd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -8782,9 +8789,10 @@ def llm_pack_ffd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Run-compressed bin state: pos = absolute index of the run's first
     # bin, cap = remaining capacity of every bin in the run, cnt = bins.
     state = spark.createDataFrame([], "pos long, cap long, cnt long")
-    # Bounded-run-table windows (<= 4*CHUNK_TOKENS + 2 rows by the run-
-    # compression argument above — the fn_quantile_align grid class).
-    w_pre = W.orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    # Bounded-run-table window (<= 4*CHUNK_TOKENS + 2 rows by the run-
+    # compression argument above — the fn_quantile_align grid class);
+    # the exclusive prefix falls out of the inclusive one
+    # (cp0 == cp1 - cnt*t exactly), so one window pass serves both.
     w_cur = W.orderBy("pos").rowsBetween(W.unboundedPreceding, W.currentRow)
     assigns = []
     for s in range(CHUNK_TOKENS, 0, -1):
@@ -8828,9 +8836,6 @@ def llm_pack_ffd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "*",
-                F.coalesce(F.sum(F.expr("cnt * t")).over(w_pre), F.lit(0))
-                .cast("long")
-                .alias("cp0"),
                 F.sum(F.expr("cnt * t")).over(w_cur).cast("long").alias("cp1"),
             )
             .crossJoin(F.broadcast(g))
@@ -8842,7 +8847,7 @@ def llm_pack_ffd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nbins",
                 "ptot",
                 "c",
-                F.expr("LEAST(c, cp0)").alias("q0"),
+                F.expr("LEAST(c, cp1 - cnt * t)").alias("q0"),
                 F.expr("LEAST(c, cp1)").alias("q1"),
             )
             .select(

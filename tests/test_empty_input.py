@@ -436,6 +436,17 @@ CORE_QUERIES = (
     # r11 FFD ledger: zero chunks must thread an empty run table
     # through all 32 unrolled rounds and emit an empty bin frame
     "llm_pack_ffd_portable",
+    # r11 stats/graph/analytics batch: every one must fold zero rows
+    # to an empty well-formed frame through its n>0 / k>0 guard, not
+    # a null-division crash
+    "agg_bartlett_test",
+    "agg_somers_d",
+    "agg_ansari_bradley",
+    "agg_yuen_trimmed_t",
+    "graph_cc_portable",
+    "funnel_time_to_convert",
+    "ts_matrix_profile",
+    "fn_variant_extract",
 )
 
 

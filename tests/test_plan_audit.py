@@ -210,6 +210,10 @@ DELIBERATE_CROSS = {
     # r11: bounded 16-cell product (the gk_gamma/dunn theorem shape)
     # plus a SINGLE-ROW doc-count broadcast
     "agg_somers_d",
+    # r11 rewrite: the grand revenue total became a SINGLE-ROW scalar
+    # broadcast onto the per-part prefix-sum table (replacing the
+    # whole-table window — the dq_freshness N x 1 shape)
+    "agg_abc_classes",
     # r11: SINGLE-ROW quantile fold broadcast onto the 1-row viewer
     # count (1x1 theorem join)
     "funnel_time_to_convert",
