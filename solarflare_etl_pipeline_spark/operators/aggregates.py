@@ -9827,7 +9827,11 @@ def agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("notabove"),
         )
     )
-    cls = cls.localCheckpoint()  # k rows, read twice
+    # cls is NOT checkpointed (k <= 5 rows, read twice): recomputing
+    # it costs two cheap aggregates over the checkpointed x, and the
+    # full lineage stays VISIBLE to the registry-wide
+    # single-partition-window gate (localCheckpoint is that gate's
+    # documented blind spot — r11).
     tot = cls.agg(
         F.sum("above").cast("long").alias("ca"),
         F.sum("notabove").cast("long").alias("cb"),

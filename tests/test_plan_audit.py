@@ -354,6 +354,11 @@ SP_WINDOW_BOUNDED = {
     # r11: cumulative window over the minute-quantized latency grid
     # (time-range-bounded — the pinball/quantile grid class)
     "funnel_time_to_convert",
+    # r11 rewrite: the grand-median lookup runs on the cumulative
+    # distinct-value grid (discretization-bounded — the
+    # fn_quantile_align class); visible since the k-row classify
+    # table stopped being checkpointed
+    "agg_mood_median",
 }
 
 #: Queries that read a dimension table and must broadcast it.
