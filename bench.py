@@ -332,6 +332,11 @@ BENCH_QUERIES = (
     "fn_variant_extract",
     "funnel_time_to_convert",
     "ts_matrix_profile",
+    # round-12 additions: the incremental cross-run pair (VERDICT r11
+    # task #6) — their deltas vs llm_pack_ffd_portable/graph_cc_portable
+    # ARE the incremental win the bench should witness
+    "llm_pack_ffd_incremental",
+    "graph_cc_incremental",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

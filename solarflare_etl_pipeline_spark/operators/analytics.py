@@ -4261,6 +4261,255 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cc_round_oracle2(k: int, edges: str, prefix: str) -> str:
+    """One generated min-label round over an arbitrary symmetric edge
+    CTE — the _cc_round_oracle recurrence parametrized so the
+    incremental op can unroll TWO propagation phases (history graph,
+    then contracted batch graph) in one oracle."""
+    prev = f"{prefix}{k - 1}"
+    return f"""
+        {prefix}{k} AS MATERIALIZED (
+            SELECT n.node,
+                   LEAST(n.lab, COALESCE(m.mn, n.lab)) AS lab
+            FROM {prev} n LEFT JOIN (
+                SELECT e.src AS node, MIN(l.lab) AS mn
+                FROM {edges} e JOIN {prev} l ON e.dst = l.node
+                GROUP BY e.src
+            ) m ON n.node = m.node
+        )"""
+
+
+#: Cross-run label store for graph_cc_incremental, keyed by sf_dir —
+#: the persisted state a daily CC job carries forward (the
+#: ensure_signature_store discipline from llm_dedup_near_incremental).
+_CC_STORE: dict[str, str] = {}
+
+
+def _cc_history_labels(spark: SparkSession, sf_dir: str):
+    """CC_ROUNDS min-label propagation over the HISTORY co-purchase
+    graph (orders with l_orderkey % 5 != 0) — the from-scratch pass the
+    store replays once; identical recurrence to graph_cc_portable."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 != 0)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges2 = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges2.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            edges2.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlab").alias("mn"))
+        )
+        labels = (
+            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
+def ensure_cc_label_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the history graph's node -> component-label table once
+    per (process, sf) — the state a daily incremental CC job carries
+    forward."""
+    import os
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    path = _CC_STORE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"solarflare_cc_store_{os.path.basename(key)}_{os.getpid()}",
+        )
+        _cc_history_labels(spark, sf_dir).write.mode("overwrite").parquet(path)
+        _CC_STORE[key] = path
+    return path
+
+
+@register(
+    "graph_cc_incremental",
+    oracle=f"""
+        WITH hedges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 <> 0
+        ),
+        hedges2 AS MATERIALIZED (
+            SELECT src, dst FROM hedges UNION ALL SELECT dst, src FROM hedges
+        ),
+        h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS lab FROM hedges2
+        ),
+        {",".join(_cc_round_oracle2(k, "hedges2", "h") for k in range(1, CC_ROUNDS + 1))},
+        store AS MATERIALIZED (SELECT node, lab FROM h{CC_ROUNDS}),
+        bedges AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_orderkey % 5 = 0
+        ),
+        bedges2 AS MATERIALIZED (
+            SELECT src, dst FROM bedges UNION ALL SELECT dst, src FROM bedges
+        ),
+        cedges AS MATERIALIZED (
+            SELECT DISTINCT COALESCE(sa.lab, e.src) AS src,
+                            COALESCE(sb.lab, e.dst) AS dst
+            FROM bedges2 e
+            LEFT JOIN store sa ON e.src = sa.node
+            LEFT JOIN store sb ON e.dst = sb.node
+            WHERE COALESCE(sa.lab, e.src) <> COALESCE(sb.lab, e.dst)
+        ),
+        c0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS lab FROM cedges
+        ),
+        {",".join(_cc_round_oracle2(k, "cedges", "c") for k in range(1, CC_ROUNDS + 1))},
+        remap AS MATERIALIZED (SELECT node, lab FROM c{CC_ROUNDS}),
+        allnodes AS MATERIALIZED (
+            SELECT node, lab FROM store
+            UNION ALL
+            SELECT DISTINCT e.src AS node, e.src AS lab
+            FROM bedges2 e LEFT JOIN store s ON e.src = s.node
+            WHERE s.node IS NULL
+        ),
+        final AS (
+            SELECT a.node, COALESCE(r.lab, a.lab) AS lab
+            FROM allnodes a LEFT JOIN remap r ON a.lab = r.node
+        )
+        SELECT CAST(lab AS BIGINT) AS component_seed,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM final GROUP BY lab
+    """,
+    doc="INCREMENTAL connected components — the missing cross-run form "
+    "VERDICT r11 task #6 names: a daily corpus append must NOT "
+    "re-propagate the whole graph. The history graph's node -> label "
+    "table (orders with l_orderkey % 5 != 0, ~80%) is persisted state "
+    "(ensure_cc_label_store — the llm_dedup_near_incremental "
+    "append-only discipline); each run self-joins ONLY the new batch "
+    "(l_orderkey % 5 = 0) into edges, CONTRACTS both endpoints through "
+    "the stored labels (unseen nodes keep their own id), and runs the "
+    "CC_ROUNDS min-label recurrence over the contracted graph — whose "
+    "size is O(batch components), not O(corpus): contraction collapses "
+    "every settled history component to one node, so per-day cost is "
+    "the batch self-join + a propagation over a graph bounded by the "
+    "batch. Output is the same component histogram as "
+    "graph_cc_portable over ALL nodes (stored nodes remapped through "
+    "the contracted labels + new batch-only nodes) — "
+    "tests/test_semantics.py proves incremental == from-scratch == "
+    "union-find truth on every fixture. Plan at 100 TB: the history "
+    "store is a bucketed-by-node parquet table (point-lookup joins, "
+    "no history shuffle); only batch-sized frames enter the rounds. "
+    "The oracle unrolls BOTH phases (history propagation -> store, "
+    "contraction -> batch propagation -> remap) so the incremental "
+    "arithmetic itself is under the driver hash, not just the result.",
+)
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = spark.read.parquet(ensure_cc_label_store(spark, sf_dir))
+    bli = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
+    a, b = bli.alias("a"), bli.alias("b")
+    bedges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    bedges2 = bedges.unionAll(
+        bedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # read by cedges AND the new-node scan
+    sa = store.select(F.col("node").alias("src"), F.col("lab").alias("la"))
+    sb = store.select(F.col("node").alias("dst"), F.col("lab").alias("lb"))
+    cedges = (
+        bedges2.join(sa, "src", "left")
+        .join(sb, "dst", "left")
+        .select(
+            F.coalesce(F.col("la"), F.col("src")).alias("src"),
+            F.coalesce(F.col("lb"), F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # batch-bounded, read once per round
+    )
+    remap = (
+        cedges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_ROUNDS):
+        nbr = (
+            cedges.join(
+                remap.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlab").alias("mn"))
+        )
+        remap = (
+            remap.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+    new_nodes = (
+        bedges2.select(F.col("src").alias("node"))
+        .distinct()
+        .join(store.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lab"))
+    )
+    allnodes = store.unionByName(new_nodes)
+    final = allnodes.join(
+        remap.select(F.col("node").alias("lab"), F.col("lab").alias("rlab")),
+        "lab",
+        "left",
+    ).select("node", F.coalesce(F.col("rlab"), F.col("lab")).alias("lab"))
+    return final.groupBy("lab").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    ).select(
+        F.col("lab").cast("long").alias("component_seed"), "n_nodes"
+    )
+
+
 @register(
     "funnel_time_to_convert",
     oracle="""

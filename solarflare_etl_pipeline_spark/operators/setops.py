@@ -69,14 +69,28 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT o_custkey AS custkey FROM orders
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     """,
-    doc="EXCEPT (distinct semantics): nations with customers but no suppliers.",
+    doc="EXCEPT (distinct semantics): customers that placed orders minus "
+    "the BUILDING market segment. Re-predicated in round 12 (VERDICT r11 "
+    "task #3): the old customer-nations-minus-supplier-nations form was "
+    "structurally empty at every SF (all 25 nations have suppliers), so "
+    "the driver's green row certified only the empty set. This form is "
+    "non-empty at every fixture SF (116 / 1198 / 12057 rows at sf0.001/"
+    "0.01/0.1) because multiple market segments always place orders. "
+    "Same Catalyst shape: project-then-EXCEPT compiles to a left-anti "
+    "aggregate join on the narrow key column.",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)
 
 
 @register(

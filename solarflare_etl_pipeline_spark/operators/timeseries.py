@@ -4507,6 +4507,17 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     valid = vec.where(F.col(f"v{MP_WINDOW - 1}").isNotNull())
     valid = valid.localCheckpoint()  # calendar-bounded, read twice
+    # The composite argmin key below encodes the neighbor index in the
+    # low 5 decimal digits (dist * 100000 + j), so the day grid must
+    # stay < 100000 rows or the decode silently corrupts on BOTH
+    # engines (ADVICE r11 #4). ~274 years of daily data in practice;
+    # assert on the (already materialized) checkpoint rather than
+    # leave the bound latent.
+    n_days = valid.agg(F.max("i")).first()[0] or 0
+    assert n_days < 100000, (
+        f"ts_matrix_profile: {n_days} daily rows >= 1e5 breaks the "
+        f"dist*100000+j argmin key encoding"
+    )
     a, b = valid.alias("a"), valid.alias("b")
     dist = " + ".join(
         f"CAST(a.v{t} - b.v{t} AS DECIMAL(38,0)) * (a.v{t} - b.v{t})"

@@ -76,6 +76,23 @@ def single_partition_ordered_stages(plan: str) -> list[str]:
     def node(line: str) -> str:
         return re.sub(r"^\*\(\d+\) ", "", line[depth(line):])
 
+    # Pass-through wrapper nodes that can sit between an Exchange and
+    # the Sort/Window that consumes it (AQE shuffle readers, codegen
+    # input adapters). The walk skips these and keeps climbing so a
+    # wrapped single-partition Sort/Window is still flagged
+    # (ADVICE r11: the nearest-ancestor-only walk silently missed
+    # AQEShuffleRead-wrapped shapes; the "Sort\n" startswith member
+    # was dead — lines are already newline-split).
+    wrappers = (
+        "AQEShuffleRead",
+        "ShuffleQueryStage",
+        "CustomShuffleReader",
+        "InputAdapter",
+        "ReusedExchange",
+        "TableCacheQueryStage",
+        "InMemoryTableScan",
+    )
+
     lines = plan.splitlines()
     hits: list[str] = []
     for i, line in enumerate(lines):
@@ -85,7 +102,10 @@ def single_partition_ordered_stages(plan: str) -> list[str]:
         for j in range(i - 1, -1, -1):
             if depth(lines[j]) < d:
                 parent = node(lines[j])
-                if parent.startswith(("Sort ", "Sort\n", "Window")):
+                if parent.startswith(wrappers):
+                    d = depth(lines[j])
+                    continue
+                if parent.startswith(("Sort ", "Window")):
                     hits.append(parent.split("[")[0].strip())
                 break
     return hits

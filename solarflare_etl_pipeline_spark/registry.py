@@ -91,58 +91,64 @@ DECLARED_INVENTORY: tuple[str, ...] = (
     "udtf_grouped_state",
 )
 
-#: Slots 45-50 of the driver window (round-11 rotation). All six
-#: round-10 slots went GREEN under the driver (CORRECTNESS_r10 — the
-#: fifth consecutive fully green window, streak 74) and rotate out; in
-#: come the six keys VERDICT r10 task #3 names (the staged shortlist
-#: head, verbatim), weighting subsystem-certification value:
-#: stream_join_state_audit (the statestore-reader JOIN-state path +
-#: min-policy multiple-watermark eviction arithmetic under the driver
-#: hash), stream_session_live (a REAL availableNow session-window run —
-#: cross-batch session MERGE + sentinel-flushed append emission),
-#: llm_bpe_train_portable (the 3-round BPE merge-training ledger:
-#: census -> election -> corpus-wide REPLACE, exact integers —
-#: VERDICT r9 task #3's op under the driver hash),
-#: mm_image_dct_hash (decode+resample+DCT fused in ONE Arrow stage —
-#: the real pHash, closed-form oracle replay), agg_dunn_posthoc (the
-#: 128-bit staged pairwise rank chain over the Kruskal-Wallis
-#: sufficient statistics — the stats-family candidate), and
-#: llm_rag_context_assembly (retrieval->trim->assemble composing the
-#: BM25 oracle verbatim — the RAG render stage). Every key here is
-#: oracle-backed and was verified under BOTH comparator legs
+#: Slots 45-50 of the driver window (round-12 rotation — VERDICT r11
+#: task #1, the staged shortlist head verbatim). All six round-11
+#: slots went GREEN under the driver (CORRECTNESS_r11 — the sixth
+#: consecutive fully green window; cumulative distinct driver-green
+#: keys 119) and rotate out; in come:
+#: stream_interval_join_live (a REAL availableNow stream-stream
+#: interval join run — watermarked event-time range predicate,
+#: cross-batch state retention exercised live),
+#: llm_pack_ffd_portable (the global first-fit-decreasing packing
+#: ledger, slimmed per VERDICT r11 task #2 from ~21s to ~2.3s at
+#: sf0.1 by moving the corpus-size-INDEPENDENT run-ledger rounds to
+#: driver arithmetic over the collected <= CHUNK_TOKENS-row
+#: histogram — oracle hashes byte-identical),
+#: tpch_q5_local_supplier (the regional same-nation 6-way join — the
+#: classic TPC-H shape with the largest join graph),
+#: llm_fim_transform (the PSM infilling reorder with a content hash
+#: certifying the emitted string cross-engine),
+#: llm_bt_ratings_portable (Bradley-Terry MM as an all-integer
+#: certified ledger — the RLHF rating stage), and
+#: agg_survival_cindex (Harrell's C — the survival family's
+#: discrimination readout; bounded cell-pair concordance). Every key
+#: here is oracle-backed and was verified under BOTH comparator legs
 #: (fetchall + driver-faithful pandas, tests/test_oracle_parity.py)
 #: at sf0.001 and sf0.01 before rotating in; none has ever had a
 #: driver row.
 WINDOW_EXTRAS: tuple[str, ...] = (
-    "stream_join_state_audit",
-    "stream_session_live",
-    "llm_bpe_train_portable",
-    "mm_image_dct_hash",
-    "agg_dunn_posthoc",
-    "llm_rag_context_assembly",
+    "stream_interval_join_live",
+    "llm_pack_ffd_portable",
+    "tpch_q5_local_supplier",
+    "llm_fim_transform",
+    "llm_bt_ratings_portable",
+    "agg_survival_cindex",
 )
 
-#: ROUND-12 ROTATION SHORTLIST HEAD (never driver-checked, both-leg
+#: ROUND-13 ROTATION SHORTLIST HEAD (never driver-checked, both-leg
 #: green at sf0.001+sf0.01+sf0.1, ordered by certification value —
-#: VERDICT r10 task #5 discipline; the r10-named head went INTO the
-#: round-11 WINDOW_EXTRAS above). The six strongest candidates for the
-#: round-12 rotation, each certifying a whole subsystem:
-#:   1. stream_interval_join_live — a REAL availableNow stream-stream
-#:      interval join run (watermarked event-time range predicate,
-#:      cross-batch state retention exercised live).
-#:   2. llm_pack_ffd_portable — the global first-fit-decreasing
-#:      packing ledger (VERDICT r10 task #6: deterministic exact-
-#:      integer bin assignment via the run-compressed FFD state,
-#:      statically-unrolled per-size-class rounds oracle — the
-#:      training-dataloader stage a 100 TB pipeline runs daily).
-#:   3. tpch_q5_local_supplier — the regional same-nation 6-way join
-#:      (the classic TPC-H shape with the largest join graph).
-#:   4. llm_fim_transform — the PSM infilling reorder with a content
-#:      hash certifying the emitted string cross-engine.
-#:   5. llm_bt_ratings_portable — Bradley-Terry MM as an all-integer
-#:      certified ledger (the RLHF rating stage).
-#:   6. agg_survival_cindex — Harrell's C (the survival family's
-#:      discrimination readout; bounded cell-pair concordance).
+#: VERDICT r11 task #5 discipline; the r11-named head went INTO the
+#: round-12 WINDOW_EXTRAS above verbatim). The six strongest
+#: candidates for the round-13 rotation, each certifying a family:
+#:   1. graph_cc_portable — 4-round min-label-propagation connected
+#:      components as a certified ledger (the dedup-clustering
+#:      arithmetic under the oracle hash; converges to union-find
+#:      truth on every fixture, pure-Python re-derived).
+#:   2. llm_pack_efficiency_curve — the packing-efficiency readout
+#:      (fill-ratio distribution vs budget) — pairs with the now-
+#:      windowed llm_pack_ffd_portable to certify the dataloader
+#:      family end-to-end.
+#:   3. ts_matrix_profile — exact-integer matrix profile over the
+#:      calendar-bounded daily grid (motif/discord discovery — the
+#:      SHAPE-similarity readout; 128-bit distances, deterministic
+#:      argmin key, now grid-size-guarded per ADVICE r11 #4).
+#:   4. agg_somers_d — asymmetric concordance in exact ppm, both
+#:      directions (the ordinal-association family's readout).
+#:   5. fn_variant_extract — Spark-4 VARIANT ingestion + typed path
+#:      extraction under the driver hash (semi-structured surface).
+#:   6. funnel_time_to_convert — per-stage conversion latency
+#:      quantiles on the minute-quantized grid (the product-analytics
+#:      funnel readout).
 #: Round-11 additions (never driver-checked, both-leg green at
 #: sf0.001+sf0.01(+sf0.1 via the builder sweep), each with a pure-
 #: Python re-derivation in tests/test_stats_rederivation.py):
@@ -153,6 +159,13 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: trimmed-mean t completing welch_t), agg_ansari_bradley (rank scale
 #: test completing mann_whitney), agg_somers_d (asymmetric
 #: concordance in exact ppm, both directions).
+#: Round-12 additions (never driver-checked, both-leg green, each with
+#: an equality proof in tests/test_semantics.py): the INCREMENTAL
+#: cross-run pair VERDICT r11 task #6 named —
+#: llm_pack_ffd_incremental (persisted run-table state, new chunks
+#: continue the FFD recurrence against stored runs; two-phase unrolled
+#: oracle) and graph_cc_incremental (stored history labels + contracted
+#: batch propagation; proven == from-scratch == union-find truth).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

@@ -322,6 +322,10 @@ SWEEP_QUERIES = (
     # classes — most FFD rounds are no-ops and the run table stays
     # at <= 2 rows; the ledger must thread them bit-identically
     "llm_pack_ffd_portable",
+    # r12: the incremental continuation under the same regimes — a
+    # degenerate history (all-one-size runs) plus a degenerate batch
+    "llm_pack_ffd_incremental",
+    "graph_cc_incremental",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

@@ -436,6 +436,11 @@ CORE_QUERIES = (
     # r11 FFD ledger: zero chunks must thread an empty run table
     # through all 32 unrolled rounds and emit an empty bin frame
     "llm_pack_ffd_portable",
+    # r12 incremental pair: empty corpus -> empty persisted stores
+    # (empty run table / empty label store) AND an empty batch — both
+    # continuations must fold to empty well-formed frames
+    "llm_pack_ffd_incremental",
+    "graph_cc_incremental",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

@@ -223,12 +223,6 @@ DELIBERATE_CROSS = {
     # r11: the two 1-row per-arm folds combine via a 1x1 join (the
     # agg_welch_t shape)
     "agg_yuen_trimmed_t",
-    # r11: SINGLE-ROW round scalars (nbins/ptot/c) broadcast onto the
-    # bounded run ledger each unrolled FFD round (the bpe_train scalar
-    # shape), plus the data-scale probe against the <= few-hundred-row
-    # broadcast assignment ledger via a RANGE predicate (the
-    # llm_ngram_coverage_curve bounded non-equi shape)
-    "llm_pack_ffd_portable",
 }
 
 #: Queries whose plans legitimately run Python (Arrow-batched UDF/UDAF/
@@ -344,13 +338,20 @@ SP_WINDOW_BOUNDED = {
     "flagship_span_corpus",  # dimension-sized per-source window
     "win_share",  # the registered safe-shape DEMO: OVER () on a
     # pre-aggregated bounded input (its doc names the trap)
-    # r11: per-round capacity prefix over the run-compressed bin
-    # ledger — bounded at <= 4*CHUNK_TOKENS + 2 rows by the FFD
-    # run-compression argument (the op's doc), never corpus-sized
-    "llm_pack_ffd_portable",
+    # (r12: llm_pack_ffd_portable left both whitelists — its bounded
+    # run-ledger rounds moved to driver arithmetic over the collected
+    # <= CHUNK_TOKENS-row histogram, so the plan no longer contains a
+    # single-partition window OR a broadcast-nested-loop stage)
     # r11: cumulative position window over the pooled distinct-value
     # grid (discretization-bounded — the mann_whitney class)
     "agg_ansari_bradley",
+    # r12 (ADVICE r11 #2): row_number + MP_WINDOW LEADs over the
+    # CALENDAR-bounded daily grid (~365 rows/yr at any corpus size —
+    # the ts_isotonic_daily exemption class). Previously this op's
+    # windows were invisible to the gate only through the
+    # localCheckpoint lineage-truncation blind spot; listing it here
+    # honors the audit trail the gate's docstring promises.
+    "ts_matrix_profile",
     # r11: cumulative window over the minute-quantized latency grid
     # (time-range-bounded — the pinball/quantile grid class)
     "funnel_time_to_convert",

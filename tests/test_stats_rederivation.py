@@ -3083,9 +3083,17 @@ def test_somers_d_rederivation(spark, sf_dir, documents):
         ty,
         tx,
     )
-    assert row.d_yx_ppm == (conc - disc) * 1_000_000 // (conc + disc + ty) or (
-        conc + disc + ty
-    ) == 0
+    # Guard BEFORE dividing (an all-one-band fixture would raise
+    # ZeroDivisionError inside the old `==` expression before its `or`
+    # could short-circuit), and truncate toward zero like both engines
+    # do (Spark DIV and DuckDB // both truncate: -7 DIV 2 == -3, while
+    # Python // floors to -4 — a negative-D fixture would wrongly fail
+    # under floor division). ADVICE r11 item #1.
+    den = conc + disc + ty
+    if den:
+        num = (conc - disc) * 1_000_000
+        trunc_q = -((-num) // den) if num < 0 else num // den  # exact, no float
+        assert row.d_yx_ppm == trunc_q
 
 
 def test_cc_portable_rederivation(spark, sf_dir):
