@@ -337,6 +337,10 @@ BENCH_QUERIES = (
     # ARE the incremental win the bench should witness
     "llm_pack_ffd_incremental",
     "graph_cc_incremental",
+    # round-12 new-surface pair: Spark-4 collation grouping and the
+    # classical decomposition ledger
+    "fn_collation_group",
+    "ts_classical_decompose",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -1216,3 +1216,100 @@ def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"try_variant_get(parse_json({j}), '$.type', 'bigint')"
         ).alias("bad_cast"),
     )
+
+
+@register(
+    "fn_collation_group",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, pos, tok,
+                   CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR) || '#'
+                        || CAST(pos AS VARCHAR)), 1, 2)) AS BIGINT) % 3 AS sel
+            FROM (
+                SELECT doc_id,
+                       UNNEST(RANGE(1, LEN(STRING_SPLIT(text, ' ')) + 1)) AS pos,
+                       UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            )
+        ),
+        cased AS (
+            SELECT CASE sel
+                       WHEN 0 THEN tok
+                       WHEN 1 THEN UPPER(tok)
+                       ELSE UPPER(SUBSTR(tok, 1, 1)) || SUBSTR(tok, 2)
+                   END AS w
+            FROM toks
+        )
+        SELECT LOWER(w) AS token,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_case_variants
+        FROM cased
+        GROUP BY LOWER(w)
+    """,
+    doc="Spark 4 COLLATION surface under the driver hash: tokens are "
+    "given deterministic case variants (md5-selected per (doc_id, pos): "
+    "as-is / UPPER / leading-capital — the same arithmetic on both "
+    "engines), then grouped under the UTF8_LCASE collation via "
+    "F.collate — the first-class case-insensitive path Spark 4 added, "
+    "certified against a LOWER()-grouping DuckDB oracle (same result "
+    "set by collation semantics; n_case_variants > 1 rows prove the "
+    "collation actually merged distinct binary strings, not just "
+    "re-grouped identical ones). The output token is emitted through "
+    "LOWER(CAST(.. AS STRING)) because the group representative under "
+    "a collation is engine-chosen. At 100 TB the point of the "
+    "collation path is that the scan groups/joins case-insensitively "
+    "WITHOUT materializing a second lowercased copy of the key column "
+    "(the comparison happens in the collation-aware codegen'd "
+    "comparator), and collated group keys shuffle-partition "
+    "consistently — same two-shuffle hash-agg plan as any groupBy.",
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    sel = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    cased = toks.select(
+        F.when(sel == 0, F.col("tok"))
+        .when(sel == 1, F.upper("tok"))
+        .otherwise(
+            F.concat(
+                F.upper(F.substring("tok", 1, 1)), F.expr("SUBSTR(tok, 2)")
+            )
+        )
+        .alias("w")
+    )
+    return (
+        cased.groupBy(F.collate(F.col("w"), "UTF8_LCASE").alias("ck"))
+        .agg(
+            # the un-collated w is still in scope inside the aggregate:
+            # its binary-comparator MIN is a deterministic group
+            # representative (the collated key itself is engine-chosen),
+            # and its DISTINCT count proves the collation merged
+            # genuinely different binary strings
+            F.lower(F.min("w")).alias("token"),
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct("w").cast("long").alias("n_case_variants"),
+        )
+        .select("token", "n", "n_case_variants")
+    )

@@ -4538,3 +4538,104 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(key DIV 100000 AS BIGINT)").alias("nn_dist2"),
         F.expr("CAST(key % 100000 AS BIGINT)").alias("nn_idx"),
     )
+
+
+@register(
+    "ts_classical_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        tr AS (
+            SELECT day, v,
+                   CASE WHEN COUNT(*) OVER w = 7
+                        THEN CAST(SUM(v) OVER w AS BIGINT) END AS trend7_sum,
+                   CAST(DATEDIFF('day', DATE '1970-01-05', day) % 7
+                        AS BIGINT) AS dow
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ),
+        dt AS (
+            SELECT day, v, trend7_sum, dow,
+                   CAST(7 * v - trend7_sum AS BIGINT) AS detr7
+            FROM tr
+        ),
+        seas AS (
+            SELECT dow, CAST(SUM(detr7) AS BIGINT) AS seas_num,
+                   CAST(COUNT(detr7) AS BIGINT) AS seas_cnt
+            FROM dt GROUP BY dow
+        )
+        SELECT CAST(d.day AS TIMESTAMP) AS day, d.v AS v_milli,
+               d.trend7_sum, d.detr7, d.dow, s.seas_num, s.seas_cnt,
+               CAST(d.detr7 * s.seas_cnt - s.seas_num AS BIGINT) AS resid_x
+        FROM dt d JOIN seas s ON d.dow = s.dow
+    """,
+    doc="Classical additive seasonal decomposition of the daily purchase "
+    "series — the trend / seasonal / residual readout that completes "
+    "the seasonality family (ts_seasonal_strength scores it, "
+    "ts_seasonality_profile averages it; this op emits the full "
+    "decomposition ledger): trend = centered 7-observation moving "
+    "window over the day grid (emitted as the exact SUM, NULL unless "
+    "the window is full — no division), detrended = 7*v - trend7_sum "
+    "(exact integers at 7x scale), seasonal = per-day-of-week mean of "
+    "the detrended series emitted as (seas_num, seas_cnt), and the "
+    "residual at combined scale resid_x = detr7*seas_cnt - seas_num — "
+    "every column BIGINT, zero float accumulation, so the driver hash "
+    "certifies the whole decomposition. Day-of-week comes from "
+    "DATEDIFF against the 1970-01-05 Monday anchor (engine-neutral; "
+    "DAYOFWEEK numbering differs across engines). Plan at 100 TB: ONE "
+    "map-side-combinable hash agg collapses the scan to the "
+    "CALENDAR-bounded day grid (~365 rows/yr at any corpus size — the "
+    "ts_isotonic_daily exemption class); the centered window, the "
+    "7-row seasonal agg, and the broadcast join back all run on that "
+    "grid at constant cost.",
+)
+def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "v",
+        F.when(F.count("*").over(w) == 7, F.sum("v").over(w).cast("long"))
+        .alias("trend7_sum"),
+        F.pmod(
+            F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")), F.lit(7)
+        )
+        .cast("long")
+        .alias("dow"),
+    )
+    dt = tr.withColumn(
+        "detr7", (F.lit(7) * F.col("v") - F.col("trend7_sum")).cast("long")
+    ).localCheckpoint()  # calendar-bounded grid, read twice
+    seas = dt.groupBy("dow").agg(
+        F.sum("detr7").cast("long").alias("seas_num"),
+        F.count("detr7").cast("long").alias("seas_cnt"),
+    )
+    return dt.join(F.broadcast(seas), "dow").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("v").alias("v_milli"),
+        "trend7_sum",
+        "detr7",
+        "dow",
+        "seas_num",
+        "seas_cnt",
+        (F.col("detr7") * F.col("seas_cnt") - F.col("seas_num"))
+        .cast("long")
+        .alias("resid_x"),
+    )

@@ -166,6 +166,11 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: continue the FFD recurrence against stored runs; two-phase unrolled
 #: oracle) and graph_cc_incremental (stored history labels + contracted
 #: batch propagation; proven == from-scratch == union-find truth).
+#: Plus the r12 new-surface pair: fn_collation_group (Spark 4
+#: UTF8_LCASE collation grouping certified against a LOWER() oracle,
+#: with proof the collation merged distinct binary strings) and
+#: ts_classical_decompose (the trend/seasonal/residual decomposition
+#: ledger on the calendar day grid — all-BIGINT, identity-pinned).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

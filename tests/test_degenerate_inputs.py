@@ -326,6 +326,11 @@ SWEEP_QUERIES = (
     # degenerate history (all-one-size runs) plus a degenerate batch
     "llm_pack_ffd_incremental",
     "graph_cc_incremental",
+    # r12: constant-value / single-day regimes collapse the trend
+    # window (never full -> all-NULL trend) and the dow grid to one
+    # row; single-token corpora collapse collation groups to one
+    "ts_classical_decompose",
+    "fn_collation_group",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

@@ -441,6 +441,11 @@ CORE_QUERIES = (
     # continuations must fold to empty well-formed frames
     "llm_pack_ffd_incremental",
     "graph_cc_incremental",
+    # r12: decomposition must fold an empty day grid (no trend window
+    # ever fills, no seasonal groups) and collation grouping must fold
+    # zero tokens — both to empty well-formed frames
+    "ts_classical_decompose",
+    "fn_collation_group",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

@@ -352,6 +352,9 @@ SP_WINDOW_BOUNDED = {
     # localCheckpoint lineage-truncation blind spot; listing it here
     # honors the audit trail the gate's docstring promises.
     "ts_matrix_profile",
+    # r12: centered 7-observation trend window over the same
+    # calendar-bounded day grid (the decomposition ledger)
+    "ts_classical_decompose",
     # r11: cumulative window over the minute-quantized latency grid
     # (time-range-bounded — the pinball/quantile grid class)
     "funnel_time_to_convert",

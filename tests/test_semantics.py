@@ -1794,3 +1794,21 @@ def test_ffd_incremental_continuation(spark, sf_dir):
     assert got == expect
     # state reuse: at least one batch chunk landed inside a history bin
     assert got and min(got) <= n_hist_bins
+
+
+def test_collation_group_merges_case_variants(spark, sf_dir):
+    """fn_collation_group's UTF8_LCASE grouping must (a) produce exactly
+    the lowercase vocabulary, (b) demonstrably merge DISTINCT binary
+    strings (n_case_variants > 1 somewhere — otherwise the collation
+    path was never exercised), and (c) conserve the total token count."""
+    import duckdb
+
+    rows = SPECS["fn_collation_group"].spark(spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT SUM(LEN(STRING_SPLIT(text, ' '))) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') WHERE text IS NOT NULL"
+    ).fetchone()[0]
+    assert sum(r.n for r in rows) == total
+    assert all(r.token == r.token.lower() for r in rows)
+    assert any(r.n_case_variants > 1 for r in rows)
+    assert all(r.n_case_variants <= 3 for r in rows)  # 3 generated casings

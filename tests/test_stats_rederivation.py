@@ -3223,3 +3223,60 @@ def test_funnel_latency_rederivation(spark, sf_dir, events):
     if m:
         assert row.p50_minutes == q(1, 1, 2)
         assert row.p90_minutes == q(1, 9, 10)
+
+
+def test_classical_decompose_rederivation(spark, sf_dir, events):
+    """ts_classical_decompose re-derived literally: daily milli sums,
+    centered 7-observation trend sums, detrended at 7x scale, per-dow
+    seasonal numerators, residual at combined scale."""
+    import datetime
+
+    daily = defaultdict(int)
+    ev = duckdb.sql(
+        f"SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_type = 'purchase'"
+    ).fetchall()
+    for d, v in ev:
+        daily[d] += math.floor(v * 1000)
+    days = sorted(daily)
+    anchor = datetime.date(1970, 1, 5)  # a Monday
+    rows = {}
+    for i, d in enumerate(days):
+        lo, hi = i - 3, i + 3
+        trend = (
+            sum(daily[days[j]] for j in range(lo, hi + 1))
+            if lo >= 0 and hi < len(days)
+            else None
+        )
+        detr = 7 * daily[d] - trend if trend is not None else None
+        rows[d] = [daily[d], trend, detr, (d - anchor).days % 7]
+    seas = defaultdict(lambda: [0, 0])
+    for v_, t_, detr, dow in rows.values():
+        if detr is not None:
+            seas[dow][0] += detr
+            seas[dow][1] += 1
+    got = {
+        r.day.date(): (
+            r.v_milli,
+            r.trend7_sum,
+            r.detr7,
+            r.dow,
+            r.seas_num,
+            r.seas_cnt,
+            r.resid_x,
+        )
+        for r in SPECS["ts_classical_decompose"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(rows)
+    for d, (v_, t_, detr, dow) in rows.items():
+        num, cnt = seas[dow]
+        resid = detr * cnt - num if detr is not None else None
+        assert got[d] == (v_, t_, detr, dow, num, cnt, resid)
+    # decomposition identity: per dow, the seasonal mean of residuals
+    # is exactly zero at combined scale (sum over dow of resid_x = 0
+    # when every detrended day in the dow group is counted)
+    by_dow = defaultdict(int)
+    for d, (_, _, detr, dow, num, cnt, resid) in got.items():
+        if resid is not None:
+            by_dow[dow] += resid
+    assert all(s == 0 for s in by_dow.values())
