@@ -35,13 +35,18 @@ pytestmark = pytest.mark.skipif(
     not SWEEP, reason="opt-in 10x scale sweep (set SPARK_GRAFT_SCALE_SWEEP=1)"
 )
 
-#: The five most expensive registered families per the r11 steady bench.
+#: The five most expensive registered families per the r11 steady bench,
+#: plus the round-12 incremental pair (their steady cost must scale with
+#: the BATCH, which grows 10x here like everything else — the best-of-two
+#: protocol charges the one-time store build to the discarded first run).
 SWEEP_OPS = (
     "llm_pack_ffd_portable",
     "graph_k_core_portable",
     "graph_cc_portable",
     "llm_winnowing_overlap",
     "llm_dedup_simhash_pairs",
+    "llm_pack_ffd_incremental",
+    "graph_cc_incremental",
 )
 
 N_DOCS_1X = 5_000  # sf0.1 documents rows
