@@ -341,6 +341,7 @@ BENCH_QUERIES = (
     # classical decomposition ledger
     "fn_collation_group",
     "ts_classical_decompose",
+    "agg_cramer_von_mises",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -2101,6 +2101,119 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_cramer_von_mises",
+    oracle="""
+        WITH q AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ),
+        cells AS (
+            SELECT v3,
+                   CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                   CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cb
+            FROM q GROUP BY v3
+        ),
+        cum AS (
+            SELECT ca, cb,
+                   SUM(ca) OVER (ORDER BY v3 ROWS UNBOUNDED PRECEDING)
+                     AS cum_a,
+                   SUM(cb) OVER (ORDER BY v3 ROWS UNBOUNDED PRECEDING)
+                     AS cum_b,
+                   SUM(ca) OVER () AS n_a,
+                   SUM(cb) OVER () AS n_b
+            FROM cells
+        ),
+        s AS (
+            SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+                   CAST(MAX(n_b) AS BIGINT) AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_grid,
+                   SUM(CAST(ca + cb AS DECIMAL(38,0))
+                       * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))
+                       * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0)))
+                     AS snum
+            FROM cum
+        )
+        SELECT n_a, n_b, n_grid,
+               -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL operands
+               -- routes through double and can land one ULP off Spark's
+               -- exact integral DECIMAL DIV (observed at sf0.01)
+               CAST(CAST(snum AS HUGEINT) * 1000000
+                    // (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+                        * n_a * n_b) AS BIGINT) AS t_ppm
+        FROM s
+    """,
+    doc="Two-sample Cramer-von Mises criterion, EXACT — the INTEGRAL "
+    "companion to agg_ks_test's supremum (KS sees the single worst "
+    "ECDF gap; CvM accumulates the squared gap over the whole "
+    "distribution, so it catches broad shifts KS under-weights, and "
+    "agg_anderson_darling's tail weighting completes the trio): on "
+    "the same distinct-milli-value grid, each pooled observation at "
+    "value v contributes [ECDF_a(v) - ECDF_b(v)]^2, cross-multiplied "
+    "to the integer D_v = cum_a*n_b - cum_b*n_a so the whole "
+    "accumulation is (ca+cb) * D_v^2 in DECIMAL(38,0) — no float "
+    "anywhere; the single final division emits T in exact ppm via "
+    "truncating integer division (T = sum / (N^2 * n_a * n_b), "
+    "N = n_a + n_b). The 38-digit headroom holds to ~1e6 rows per "
+    "arm x the milli-quantized value grid; beyond that drop the "
+    "emission to per-mille. Plan: one hash agg to the "
+    "value-cardinality-bounded grid, one ordered window over it "
+    "(the agg_mann_whitney class), one fold — the raw scan is "
+    "touched exactly once at any corpus size.",
+)
+def agg_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    q = e.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+    )
+    cells = q.groupBy("v3").agg(
+        F.sum((F.col("grp") == "purchase").cast("int"))
+        .cast("long")
+        .alias("ca"),
+        F.sum((F.col("grp") == "view").cast("int")).cast("long").alias("cb"),
+    )
+    cum_w = W.orderBy("v3").rowsBetween(W.unboundedPreceding, W.currentRow)
+    all_w = W.partitionBy()
+    cum = cells.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(cum_w).alias("cum_a"),
+        F.sum("cb").over(cum_w).alias("cum_b"),
+        F.sum("ca").over(all_w).alias("n_a"),
+        F.sum("cb").over(all_w).alias("n_b"),
+    )
+    s = cum.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("n_grid"),
+        F.sum(
+            F.expr(
+                "CAST(ca + cb AS DECIMAL(38,0))"
+                " * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))"
+                " * CAST(cum_a * n_b - cum_b * n_a AS DECIMAL(38,0))"
+            )
+        ).alias("snum"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_grid",
+        F.expr(
+            "CAST(CAST(snum * 1000000 AS DECIMAL(38,0))"
+            " DIV (CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b)"
+            "      * n_a * n_b) AS BIGINT)"
+        ).alias("t_ppm"),
+    )
+
+
 HLL_M = 1024  # registers (p=10): standard error 1.04/sqrt(m) ~ 3.3%
 HLL_WBITS = 50  # 60-bit portable hash minus 10 register-index bits
 

@@ -170,7 +170,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: UTF8_LCASE collation grouping certified against a LOWER() oracle,
 #: with proof the collation merged distinct binary strings) and
 #: ts_classical_decompose (the trend/seasonal/residual decomposition
-#: ledger on the calendar day grid — all-BIGINT, identity-pinned).
+#: ledger on the calendar day grid — all-BIGINT, identity-pinned), and
+#: agg_cramer_von_mises (the integral two-sample distribution test on
+#: agg_ks_test's distinct-value grid — DECIMAL(38,0) accumulation,
+#: exact-ppm emission; completes the KS/CvM/AD trio).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

@@ -446,6 +446,9 @@ CORE_QUERIES = (
     # zero tokens — both to empty well-formed frames
     "ts_classical_decompose",
     "fn_collation_group",
+    # r12: an empty grid must fold to the empty/zero CvM frame, not a
+    # divide-by-zero in the N^2*n*m denominator
+    "agg_cramer_von_mises",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

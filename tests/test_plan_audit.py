@@ -298,6 +298,9 @@ SP_WINDOW_BOUNDED = {
     "agg_mann_whitney",
     "agg_wilcoxon_signed_rank",
     "agg_ks_test",
+    # r12: same distinct-milli-value grid as agg_ks_test, integral
+    # (CvM) instead of supremum — identical ordered-window class
+    "agg_cramer_von_mises",
     "agg_hodges_lehmann",
     "agg_dunn_posthoc",
     "agg_gini_split",  # domain-bounded floor(value) in [0, 1000]

@@ -3280,3 +3280,31 @@ def test_classical_decompose_rederivation(spark, sf_dir, events):
         if resid is not None:
             by_dow[dow] += resid
     assert all(s == 0 for s in by_dow.values())
+
+
+def test_cramer_von_mises_rederivation(spark, sf_dir, events):
+    """agg_cramer_von_mises re-derived exactly: per pooled observation,
+    the cross-multiplied squared ECDF gap, divided once at the end via
+    truncating integer division (pure int — no float anywhere)."""
+    a = sorted(
+        math.floor(v * 1000) for _, _, et, v in events if et == "purchase"
+    )
+    b = sorted(math.floor(v * 1000) for _, _, et, v in events if et == "view")
+    n, m = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    ca = cb = 0
+    snum = 0
+    from collections import Counter as C
+
+    cnt_a, cnt_b = C(a), C(b)
+    for v in grid:
+        ca += cnt_a.get(v, 0)
+        cb += cnt_b.get(v, 0)
+        d = ca * m - cb * n
+        snum += (cnt_a.get(v, 0) + cnt_b.get(v, 0)) * d * d
+    row = SPECS["agg_cramer_von_mises"].spark(spark, sf_dir).collect()[0]
+    assert (row.n_a, row.n_b, row.n_grid) == (n, m, len(grid))
+    assert row.t_ppm == (snum * 1_000_000) // ((n + m) ** 2 * n * m)
+    # scipy-free sanity: T in ppm must sit in [0, 1e6/3 + small] — the
+    # two-sample CvM criterion is bounded by N/3 after normalization
+    assert 0 <= row.t_ppm <= 340_000
