@@ -342,6 +342,7 @@ BENCH_QUERIES = (
     "fn_collation_group",
     "ts_classical_decompose",
     "agg_cramer_von_mises",
+    "fn_ansi_try_ops",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -1313,3 +1313,95 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "n", "n_case_variants")
     )
+
+
+@register(
+    "fn_ansi_try_ops",
+    oracle="""
+        WITH x AS (
+            SELECT l_orderkey,
+                   CAST(l_linenumber % 3 AS BIGINT) AS den,
+                   CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+                   9223372036854775807 - 1000
+                     + (l_orderkey % 2000) AS addend_guarded,
+                   CASE WHEN l_orderkey % 2000 > 1000
+                        THEN NULL
+                        ELSE 9223372036854775807 - 1000
+                             + (l_orderkey % 2000) END AS add_res,
+                   CASE WHEN l_linenumber % 2 = 0
+                        THEN CAST(l_orderkey AS VARCHAR)
+                        ELSE l_returnflag END AS casty
+            FROM lineitem
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN den = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_div_null,
+               CAST(SUM(CASE WHEN den > 0 THEN cents // den END) AS BIGINT)
+                 AS sum_div_floor,
+               CAST(SUM(CASE WHEN add_res IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_add_overflow,
+               CAST(SUM(add_res % 1000003) AS BIGINT) AS add_ok_mod_sum,
+               CAST(SUM(CASE WHEN TRY_CAST(casty AS BIGINT) IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+               CAST(SUM(TRY_CAST(casty AS BIGINT)) AS BIGINT) AS cast_ok_sum
+        FROM x
+    """,
+    doc="Spark 4 ANSI-mode TRY_* surface under the driver hash: since "
+    "4.0 ANSI SQL is the DEFAULT (spark.sql.ansi.enabled=true), so "
+    "division by zero, BIGINT overflow, and bad casts RAISE unless "
+    "routed through the TRY variants — the exact error-tolerance "
+    "contract a 100 TB batch job needs (one malformed row must not "
+    "kill a 6-hour run; the TRY result is NULL, countable and "
+    "quarantinable). Certified against constructed per-row hazards: "
+    "try_divide with a modular zero denominator, try_add pushed over "
+    "BIGINT max on exactly the rows where l_orderkey % 2000 > 1000 "
+    "(the oracle computes the same guard arithmetically — DuckDB has "
+    "no try_add and would error on the overflow), and TRY_CAST of a "
+    "column that alternates numeric strings and flag letters (DuckDB "
+    "TRY_CAST matches directly). Division results are floor-quantized "
+    "BIGINT (rule 25) and the overflow-survivor sum is taken mod "
+    "1000003 to stay in range. Narrow per-row map + one hash agg — "
+    "codegen'd, no shuffle before the single fold.",
+)
+def fn_ansi_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    x = l.select(
+        "l_orderkey",
+        (F.col("l_linenumber") % 3).cast("long").alias("den"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.expr(
+            "try_add(CAST(9223372036854775807 - 1000 AS BIGINT),"
+            " CAST(l_orderkey % 2000 AS BIGINT))"
+        ).alias("add_res"),
+        F.expr(
+            "CASE WHEN l_linenumber % 2 = 0 THEN CAST(l_orderkey AS STRING)"
+            " ELSE l_returnflag END"
+        ).alias("casty"),
+    )
+    return x.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.expr("try_divide(cents, den)").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_div_null"),
+        F.sum(F.expr("CASE WHEN den > 0 THEN cents DIV den END"))
+        .cast("long")
+        .alias("sum_div_floor"),
+        F.sum(F.when(F.col("add_res").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_add_overflow"),
+        F.sum(F.col("add_res") % 1000003)
+        .cast("long")
+        .alias("add_ok_mod_sum"),
+        F.sum(
+            F.when(F.expr("try_cast(casty AS BIGINT)").isNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_cast_null"),
+        F.sum(F.expr("try_cast(casty AS BIGINT)"))
+        .cast("long")
+        .alias("cast_ok_sum"),
+    )

@@ -173,7 +173,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: ledger on the calendar day grid — all-BIGINT, identity-pinned), and
 #: agg_cramer_von_mises (the integral two-sample distribution test on
 #: agg_ks_test's distinct-value grid — DECIMAL(38,0) accumulation,
-#: exact-ppm emission; completes the KS/CvM/AD trio).
+#: exact-ppm emission; completes the KS/CvM/AD trio), and
+#: fn_ansi_try_ops (Spark 4 ANSI-default TRY_* error-tolerance
+#: surface: try_divide / try_add overflow / TRY_CAST certified
+#: against arithmetically-guarded oracle equivalents).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

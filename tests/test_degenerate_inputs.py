@@ -334,6 +334,9 @@ SWEEP_QUERIES = (
     # r12: constant values collapse the grid to ONE cell (D == 0
     # everywhere -> t_ppm exactly 0); a missing arm zeroes n_a or n_b
     "agg_cramer_von_mises",
+    # r12: degenerate lineitem regimes flip the TRY hazards all-null /
+    # all-ok; both engines must agree on every guard boundary
+    "fn_ansi_try_ops",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

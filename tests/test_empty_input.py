@@ -449,6 +449,9 @@ CORE_QUERIES = (
     # r12: an empty grid must fold to the empty/zero CvM frame, not a
     # divide-by-zero in the N^2*n*m denominator
     "agg_cramer_von_mises",
+    # r12: ANSI TRY_* fold over zero rows -> count 0, NULL sums on
+    # both engines
+    "fn_ansi_try_ops",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

@@ -1812,3 +1812,40 @@ def test_collation_group_merges_case_variants(spark, sf_dir):
     assert all(r.token == r.token.lower() for r in rows)
     assert any(r.n_case_variants > 1 for r in rows)
     assert all(r.n_case_variants <= 3 for r in rows)  # 3 generated casings
+
+
+def test_ansi_try_ops_guards(spark, sf_dir):
+    """fn_ansi_try_ops re-derived from the raw lineitem rows: the TRY
+    variants must null exactly the constructed hazard rows (zero
+    denominators, guarded BIGINT overflows, non-numeric casts) while
+    ANSI mode stays enabled session-wide."""
+    import duckdb
+    import math
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    rows = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    n_div_null = sum(1 for _, ln, _, _ in rows if ln % 3 == 0)
+    sum_div = sum(
+        math.floor(p * 100) // (ln % 3) for _, ln, p, _ in rows if ln % 3 > 0
+    )
+    n_over = sum(1 for ok, _, _, _ in rows if ok % 2000 > 1000)
+    add_mod = sum(
+        (9223372036854775807 - 1000 + ok % 2000) % 1000003
+        for ok, _, _, _ in rows
+        if ok % 2000 <= 1000
+    )
+    n_cast_null = sum(1 for _, ln, _, _ in rows if ln % 2 != 0)
+    cast_sum = sum(ok for ok, ln, _, _ in rows if ln % 2 == 0)
+    r = SPECS["fn_ansi_try_ops"].spark(spark, sf_dir).collect()[0]
+    assert (
+        r.n_rows,
+        r.n_div_null,
+        r.sum_div_floor,
+        r.n_add_overflow,
+        r.add_ok_mod_sum,
+        r.n_cast_null,
+        r.cast_ok_sum,
+    ) == (len(rows), n_div_null, sum_div, n_over, add_mod, n_cast_null, cast_sum)
