@@ -343,6 +343,7 @@ BENCH_QUERIES = (
     "ts_classical_decompose",
     "agg_cramer_von_mises",
     "fn_ansi_try_ops",
+    "ts_theil_sen",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -4639,3 +4639,121 @@ def ts_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("resid_x"),
     )
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        ),
+        idx AS (
+            SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+            FROM daily
+        ),
+        pairs AS (
+            SELECT CAST((b.v - a.v) * 1000 // (b.i - a.i) AS BIGINT) AS q
+            FROM idx a JOIN idx b ON b.i > a.i
+        ),
+        grid AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY q),
+        cum AS (
+            SELECT q, SUM(c) OVER (ORDER BY q) AS cm, SUM(c) OVER () AS n
+            FROM grid
+        ),
+        med AS (
+            SELECT CAST(MIN(q) AS BIGINT) AS slope_q,
+                   CAST(MAX(n) AS BIGINT) AS n_pairs
+            FROM cum WHERE cm >= (n + 1) // 2
+        ),
+        res AS (
+            SELECT CAST(1000 * idx.v - med.slope_q * idx.i AS BIGINT) AS r
+            FROM idx, med
+        ),
+        rgrid AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS c FROM res GROUP BY r),
+        rcum AS (
+            SELECT r, SUM(c) OVER (ORDER BY r) AS cm, SUM(c) OVER () AS n
+            FROM rgrid
+        ),
+        rmed AS (
+            SELECT CAST(MIN(r) AS BIGINT) AS intercept_q,
+                   CAST(MAX(n) AS BIGINT) AS n_days
+            FROM rcum WHERE cm >= (n + 1) // 2
+        )
+        SELECT rmed.n_days, med.n_pairs, med.slope_q, rmed.intercept_q
+        FROM med, rmed
+    """,
+    doc="Theil-Sen robust trend of the daily purchase series — the "
+    "median of all pairwise slopes (29% breakdown point: a third of "
+    "the days can be corrupted before the slope moves, where the OLS "
+    "family (agg_ols2, ts_granger_lag1) follows every outlier) plus "
+    "the matching median intercept, completing the robust-regression "
+    "family (agg_deming_regression handles errors-in-both-variables, "
+    "agg_huber_location_portable robust location; this is robust "
+    "TREND). Exact arithmetic end to end: slopes are micro-units/day "
+    "via (dv*1000) DIV di (both engines truncate identically, rule "
+    "25), the median comes off the cumulative distinct-slope grid "
+    "(the agg_mood_median lower-median convention, deterministic "
+    "under ties), and the intercept is the median of 1000*v - "
+    "slope_q*i offsets on the same grid machinery. Plan at 100 TB: "
+    "ONE map-side-combinable hash agg collapses the scan to the "
+    "CALENDAR-bounded day grid; the O(days^2) pair triangle "
+    "(~66k pairs/yr regardless of corpus size — the "
+    "ts_matrix_profile exemption class), both distinct-value-grid "
+    "medians, and the 1-row folds are constant work above it.",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    idx = daily.select(
+        "v",
+        F.row_number().over(W.orderBy("day")).cast("long").alias("i"),
+    ).localCheckpoint()  # calendar-bounded; read by pairs AND residuals
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        F.expr("CAST((b.v - a.v) * 1000 DIV (b.i - a.i) AS BIGINT)").alias(
+            "q"
+        )
+    )
+    grid = pairs.groupBy("q").agg(F.count("*").cast("long").alias("c"))
+    w_cum = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    cum = grid.select(
+        "q",
+        F.sum("c").over(w_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = cum.where(F.expr("cm >= (n + 1) DIV 2")).agg(
+        F.min("q").cast("long").alias("slope_q"),
+        F.max("n").cast("long").alias("n_pairs"),
+    )
+    res = idx.crossJoin(F.broadcast(med)).select(
+        F.expr("CAST(1000 * v - slope_q * i AS BIGINT)").alias("r")
+    )
+    rgrid = res.groupBy("r").agg(F.count("*").cast("long").alias("c"))
+    rw_cum = W.orderBy("r").rowsBetween(W.unboundedPreceding, W.currentRow)
+    rcum = rgrid.select(
+        "r",
+        F.sum("c").over(rw_cum).alias("cm"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    rmed = rcum.where(F.expr("cm >= (n + 1) DIV 2")).agg(
+        F.min("r").cast("long").alias("intercept_q"),
+        F.max("n").cast("long").alias("n_days"),
+    )
+    return rmed.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "slope_q", "intercept_q"
+    )

@@ -176,7 +176,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: exact-ppm emission; completes the KS/CvM/AD trio), and
 #: fn_ansi_try_ops (Spark 4 ANSI-default TRY_* error-tolerance
 #: surface: try_divide / try_add overflow / TRY_CAST certified
-#: against arithmetically-guarded oracle equivalents).
+#: against arithmetically-guarded oracle equivalents), and
+#: ts_theil_sen (robust pairwise-slope trend + median intercept on
+#: the calendar pair triangle — completes the robust-regression
+#: family; all-integer, lower-median deterministic).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

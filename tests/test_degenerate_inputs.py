@@ -337,6 +337,9 @@ SWEEP_QUERIES = (
     # r12: degenerate lineitem regimes flip the TRY hazards all-null /
     # all-ok; both engines must agree on every guard boundary
     "fn_ansi_try_ops",
+    # r12: constant values make every pairwise slope exactly 0 and
+    # tied timestamps collapse the grid to one day (zero pairs)
+    "ts_theil_sen",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

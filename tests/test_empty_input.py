@@ -452,6 +452,9 @@ CORE_QUERIES = (
     # r12: ANSI TRY_* fold over zero rows -> count 0, NULL sums on
     # both engines
     "fn_ansi_try_ops",
+    # r12: Theil-Sen over an empty day grid -> empty/zero medians,
+    # no (n+1)/2 selection crash
+    "ts_theil_sen",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

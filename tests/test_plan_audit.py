@@ -220,6 +220,9 @@ DELIBERATE_CROSS = {
     # r11: DELIBERATE bounded O(days^2) pair triangle over the
     # CALENDAR-bounded daily grid (the ts_isotonic_daily exemption)
     "ts_matrix_profile",
+    # r12: the same calendar-bounded pair triangle (all pairwise
+    # slopes over the day grid), plus the 1-row median broadcasts
+    "ts_theil_sen",
     # r11: the two 1-row per-arm folds combine via a 1x1 join (the
     # agg_welch_t shape)
     "agg_yuen_trimmed_t",
@@ -358,6 +361,10 @@ SP_WINDOW_BOUNDED = {
     # r12: centered 7-observation trend window over the same
     # calendar-bounded day grid (the decomposition ledger)
     "ts_classical_decompose",
+    # r12: day-grid row_number + the two cumulative distinct-value-
+    # grid medians (slope keys / intercept offsets — the mood_median
+    # discretization-bounded class)
+    "ts_theil_sen",
     # r11: cumulative window over the minute-quantized latency grid
     # (time-range-bounded — the pinball/quantile grid class)
     "funnel_time_to_convert",

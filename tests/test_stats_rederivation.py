@@ -3308,3 +3308,38 @@ def test_cramer_von_mises_rederivation(spark, sf_dir, events):
     # scipy-free sanity: T in ppm must sit in [0, 1e6/3 + small] — the
     # two-sample CvM criterion is bounded by N/3 after normalization
     assert 0 <= row.t_ppm <= 340_000
+
+
+def test_theil_sen_rederivation(spark, sf_dir):
+    """ts_theil_sen re-derived literally: all pairwise truncated
+    micro-slopes over the day grid, lower-median selection, then the
+    median intercept offset — pure int arithmetic with the engines'
+    truncate-toward-zero division. (Fetches its own rows: the shared
+    events fixture drops the ts column this derivation needs.)"""
+    daily = defaultdict(int)
+    rows = duckdb.sql(
+        f"SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, value FROM "
+        f"read_parquet('{sf_dir}/events.parquet') WHERE event_type = 'purchase'"
+    ).fetchall()
+    for d, v in rows:
+        daily[d] += math.floor(v * 1000)
+    vs = [daily[d] for d in sorted(daily)]
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b  # truncate like DIV
+
+    slopes = sorted(
+        tdiv((vs[j] - vs[i]) * 1000, j - i)
+        for i in range(len(vs))
+        for j in range(i + 1, len(vs))
+    )
+    slope = slopes[(len(slopes) + 1) // 2 - 1]  # lower median
+    offs = sorted(1000 * v - slope * (i + 1) for i, v in enumerate(vs))
+    intercept = offs[(len(offs) + 1) // 2 - 1]
+    row = SPECS["ts_theil_sen"].spark(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.n_pairs, row.slope_q, row.intercept_q) == (
+        len(vs),
+        len(slopes),
+        slope,
+        intercept,
+    )
