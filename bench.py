@@ -344,6 +344,7 @@ BENCH_QUERIES = (
     "agg_cramer_von_mises",
     "fn_ansi_try_ops",
     "ts_theil_sen",
+    "agg_quade_test",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

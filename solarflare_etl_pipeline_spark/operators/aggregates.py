@@ -12308,3 +12308,136 @@ def agg_yuen_trimmed_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + dd_b * dd_b / (h_b - 1)), 9) END"
         ).alias("yuen_df"),
     )
+
+
+@register(
+    "agg_quade_test",
+    oracle="""
+        WITH x AS (
+            SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+                        AS TIMESTAMP) AS d,
+                   event_type AS grp,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                     AS v
+            FROM events GROUP BY 1, 2
+        ),
+        kk AS (SELECT COUNT(DISTINCT grp) AS k FROM x),
+        cb AS (
+            SELECT d FROM x GROUP BY d
+            HAVING COUNT(*) = (SELECT k FROM kk)
+        ),
+        xx AS (SELECT x.* FROM x JOIN cb ON cb.d = x.d),
+        r AS (
+            SELECT d, grp,
+                   2 * (RANK() OVER (PARTITION BY d ORDER BY v) - 1)
+                   + COUNT(*) OVER (PARTITION BY d, v) + 1 AS rank2
+            FROM xx
+        ),
+        blk AS (
+            SELECT d, CAST(MAX(v) - MIN(v) AS BIGINT) AS rng
+            FROM xx GROUP BY d
+        ),
+        qw AS (
+            SELECT d,
+                   2 * (RANK() OVER (ORDER BY rng) - 1)
+                   + COUNT(*) OVER (PARTITION BY rng) + 1 AS q2
+            FROM blk
+        ),
+        s AS (
+            SELECT r.grp,
+                   CAST(qw.q2 * (r.rank2
+                        - ((SELECT k FROM kk) + 1)) AS BIGINT) AS s4
+            FROM r JOIN qw ON r.d = qw.d
+        ),
+        tot AS (
+            SELECT CAST(SUM(s4 * s4) AS BIGINT) AS a16,
+                   CAST(COUNT(*) / (SELECT k FROM kk) AS BIGINT) AS n_blocks
+            FROM s
+        )
+        SELECT s.grp, CAST(SUM(s.s4) AS BIGINT) AS sj4,
+               tot.a16, tot.n_blocks,
+               CAST((SELECT k FROM kk) AS BIGINT) AS k
+        FROM s, tot
+        GROUP BY s.grp, tot.a16, tot.n_blocks
+        ORDER BY s.grp
+    """,
+    doc="Quade test sufficient statistics — the RANGE-WEIGHTED blocked "
+    "rank test completing the blocked-design family (agg_friedman_test "
+    "weights every block equally; Quade ranks blocks by their value "
+    "RANGE and weights within-block rank deviations by that block "
+    "rank, so blocks where treatments actually differ dominate — more "
+    "powerful than Friedman at small k): within each complete calendar "
+    "day, treatments get doubled average ranks (2*below+ties+1, exact "
+    "under ties); blocks get doubled average range-ranks q2 the same "
+    "way; the score S_bj = q2 * (rank2 - (k+1)) is exact at combined "
+    "scale 4. Emitted per treatment: sj4 = sum of scores, plus A16 = "
+    "sum of squared scores (scale 16), n_blocks, k — the Quade F "
+    "statistic F = (n-1)*B/(A-B) with B = sum(sj^2)/n derives in one "
+    "post-processing line with zero in-engine floats. Plan: the same "
+    "two-shuffle shape as Friedman (one hash agg to the day x type "
+    "grid, day-partitioned rank windows, one |days|-row range-rank "
+    "window — calendar-bounded) plus one broadcast join of the "
+    "day-weight table.",
+)
+def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    x = e.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.col("event_type").alias("grp"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    kk = x.agg(F.count_distinct("grp").alias("k"))
+    counts = x.groupBy("d").agg(F.count("*").alias("c"))
+    cb = (
+        counts.crossJoin(F.broadcast(kk))
+        .where(F.col("c") == F.col("k"))
+        .select("d")
+    )
+    xx = x.join(cb, "d").localCheckpoint()  # calendar-bounded grid, read 2x
+    r = xx.select(
+        "d",
+        "grp",
+        (
+            2 * (F.rank().over(W.partitionBy("d").orderBy("v")) - 1)
+            + F.count("*").over(W.partitionBy("d", "v"))
+            + 1
+        ).alias("rank2"),
+    )
+    blk = xx.groupBy("d").agg(
+        (F.max("v") - F.min("v")).cast("long").alias("rng")
+    )
+    qw = blk.select(
+        "d",
+        (
+            2 * (F.rank().over(W.orderBy("rng")) - 1)
+            + F.count("*").over(W.partitionBy("rng"))
+            + 1
+        ).alias("q2"),
+    )
+    s = (
+        r.join(F.broadcast(qw), "d")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "grp",
+            (F.col("q2") * (F.col("rank2") - (F.col("k") + 1)))
+            .cast("long")
+            .alias("s4"),
+        )
+    ).localCheckpoint()  # grid-sized; read by totals AND per-treatment sums
+    tot = s.crossJoin(F.broadcast(kk)).agg(
+        F.sum(F.col("s4") * F.col("s4")).cast("long").alias("a16"),
+        (F.count("*") / F.first("k")).cast("long").alias("n_blocks"),
+    )
+    return (
+        s.groupBy("grp")
+        .agg(F.sum("s4").cast("long").alias("sj4"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(kk.select(F.col("k").cast("long").alias("k"))))
+        .select("grp", "sj4", "a16", "n_blocks", "k")
+        .orderBy("grp")
+    )

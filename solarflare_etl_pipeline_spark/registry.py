@@ -179,7 +179,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: against arithmetically-guarded oracle equivalents), and
 #: ts_theil_sen (robust pairwise-slope trend + median intercept on
 #: the calendar pair triangle — completes the robust-regression
-#: family; all-integer, lower-median deterministic).
+#: family; all-integer, lower-median deterministic), and
+#: agg_quade_test (range-weighted blocked ranks — completes the
+#: Friedman/Page blocked-design family; exact scale-4 scores with the
+#: centered-sum identity pinned).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

@@ -340,6 +340,9 @@ SWEEP_QUERIES = (
     # r12: constant values make every pairwise slope exactly 0 and
     # tied timestamps collapse the grid to one day (zero pairs)
     "ts_theil_sen",
+    # r12: constant values tie every within-block rank AND every
+    # block range (all q2 equal) -> all scores exactly 0
+    "agg_quade_test",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

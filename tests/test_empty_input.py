@@ -455,6 +455,8 @@ CORE_QUERIES = (
     # r12: Theil-Sen over an empty day grid -> empty/zero medians,
     # no (n+1)/2 selection crash
     "ts_theil_sen",
+    # r12: Quade over zero blocks -> empty frame, no k=0 division
+    "agg_quade_test",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

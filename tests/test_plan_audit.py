@@ -87,6 +87,9 @@ DELIBERATE_CROSS = {
     "agg_kruskal_wallis",
     "agg_cohens_kappa",
     "agg_friedman_test",
+    # r12: same k-row/1-row scalar broadcasts as friedman, plus the
+    # broadcast day-weight table (all dimension-sized)
+    "agg_quade_test",
     # r7 batch 19: 5-row strata × SINGLE-ROW weight total broadcast
     "agg_neyman_allocation",
     # r7 batch 20: domain-bounded value grid (<=1001 rows) × SINGLE-ROW
@@ -365,6 +368,9 @@ SP_WINDOW_BOUNDED = {
     # grid medians (slope keys / intercept offsets — the mood_median
     # discretization-bounded class)
     "ts_theil_sen",
+    # r12: the |days|-row block range-rank window (calendar-bounded —
+    # the friedman/quade blocked-design class)
+    "agg_quade_test",
     # r11: cumulative window over the minute-quantized latency grid
     # (time-range-bounded — the pinball/quantile grid class)
     "funnel_time_to_convert",

@@ -3343,3 +3343,45 @@ def test_theil_sen_rederivation(spark, sf_dir):
         slope,
         intercept,
     )
+
+
+def test_quade_rederivation(spark, sf_dir):
+    """agg_quade_test re-derived literally: complete blocks, doubled
+    within-block average ranks, doubled block range-ranks, exact
+    scale-4 scores — plus the structural identity that centered scores
+    sum to zero across treatments."""
+    cells = defaultdict(dict)
+    rows = duckdb.sql(
+        f"SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),"
+        f" event_type, CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    for d, g, v in rows:
+        cells[d][g] = v
+    k = len({g for _, g, _ in rows})
+    blocks = {d: m for d, m in cells.items() if len(m) == k}
+
+    def rank2s(vals):
+        out = {}
+        for key, v in vals.items():
+            below = sum(1 for w in vals.values() if w < v)
+            ties = sum(1 for w in vals.values() if w == v)
+            out[key] = 2 * below + ties + 1
+        return out
+
+    rngs = {d: max(m.values()) - min(m.values()) for d, m in blocks.items()}
+    q2 = rank2s(rngs)
+    sj4 = defaultdict(int)
+    a16 = 0
+    for d, m in blocks.items():
+        r2 = rank2s(m)
+        for g in m:
+            s4 = q2[d] * (r2[g] - (k + 1))
+            sj4[g] += s4
+            a16 += s4 * s4
+    got = {
+        r.grp: (r.sj4, r.a16, r.n_blocks, r.k)
+        for r in SPECS["agg_quade_test"].spark(spark, sf_dir).collect()
+    }
+    assert got == {g: (sj4[g], a16, len(blocks), k) for g in sj4}
+    assert sum(v[0] for v in got.values()) == 0  # centered scores
