@@ -345,6 +345,7 @@ BENCH_QUERIES = (
     "fn_ansi_try_ops",
     "ts_theil_sen",
     "agg_quade_test",
+    "flagship_incremental_daily",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -4622,3 +4622,79 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p90").alias("p90_minutes"),
         )
     )
+
+
+# --- Daily incremental pipeline flagship -----------------------------------
+# Registered here because analytics loads AFTER text and similarity in
+# registry.load_all(), so the three component oracles are available in
+# REGISTRY at import time; the explicit imports below make a direct
+# `import analytics` equally safe.
+from solarflare_etl_pipeline_spark.operators import (  # noqa: E402
+    similarity as _similarity,  # noqa: F401  (registers llm_dedup_near_incremental)
+    text as _text,  # noqa: F401  (registers llm_pack_ffd_incremental)
+)
+from solarflare_etl_pipeline_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_FFD_INC_ORACLE = _REG["llm_pack_ffd_incremental"].oracle
+_NEAR_INC_ORACLE = _REG["llm_dedup_near_incremental"].oracle
+_CC_INC_ORACLE = _REG["graph_cc_incremental"].oracle
+
+
+@register(
+    "flagship_incremental_daily",
+    oracle=f"""
+        SELECT f.bins_touched, f.batch_chunks, f.batch_tokens,
+               g.n_components, g.n_nodes, h.batch_dup_pairs
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS bins_touched,
+                   CAST(COALESCE(SUM(n_new_chunks), 0) AS BIGINT)
+                     AS batch_chunks,
+                   CAST(COALESCE(SUM(new_tokens), 0) AS BIGINT)
+                     AS batch_tokens
+            FROM ({_FFD_INC_ORACLE}) ffd
+        ) f, (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+                   CAST(COALESCE(SUM(n_nodes), 0) AS BIGINT) AS n_nodes
+            FROM ({_CC_INC_ORACLE}) cc
+        ) g, (
+            SELECT CAST(COUNT(*) AS BIGINT) AS batch_dup_pairs
+            FROM ({_NEAR_INC_ORACLE}) nd
+        ) h
+    """,
+    doc="The DAILY-APPEND pipeline in one query — the operational story "
+    "the round-12 incremental family exists for: yesterday's corpus "
+    "state is persisted (MinHash banding store, FFD run table, CC "
+    "label store) and today's batch flows through near-dedup -> "
+    "sequence packing -> co-purchase component merge touching ONLY "
+    "O(batch) data, never re-reading history. Emits the one-row daily "
+    "ops readout: bins the packer touched, batch chunks/tokens placed, "
+    "component count and covered nodes after the label merge, and "
+    "near-duplicate pairs involving the batch. Each component is "
+    "itself oracle-certified (llm_pack_ffd_incremental, "
+    "graph_cc_incremental, llm_dedup_near_incremental) and this "
+    "flagship's oracle composes those three oracles verbatim, so the "
+    "composite hash certifies the pipeline END TO END. Plan: three "
+    "independent batch-sized subplans folded to one row each, "
+    "combined by 1x1x1 broadcast cross joins — at 100 TB the nightly "
+    "cost is the three batch passes, constant state reads, and "
+    "nothing else.",
+)
+def flagship_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ffd = _REG["llm_pack_ffd_incremental"].spark(spark, sf_dir)
+    cc = _REG["graph_cc_incremental"].spark(spark, sf_dir)
+    nd = _REG["llm_dedup_near_incremental"].spark(spark, sf_dir)
+    f = ffd.agg(
+        F.count("*").cast("long").alias("bins_touched"),
+        F.coalesce(F.sum("n_new_chunks"), F.lit(0))
+        .cast("long")
+        .alias("batch_chunks"),
+        F.coalesce(F.sum("new_tokens"), F.lit(0))
+        .cast("long")
+        .alias("batch_tokens"),
+    )
+    g = cc.agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.coalesce(F.sum("n_nodes"), F.lit(0)).cast("long").alias("n_nodes"),
+    )
+    h = nd.agg(F.count("*").cast("long").alias("batch_dup_pairs"))
+    return f.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(h))

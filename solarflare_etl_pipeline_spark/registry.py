@@ -182,7 +182,10 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: family; all-integer, lower-median deterministic), and
 #: agg_quade_test (range-weighted blocked ranks — completes the
 #: Friedman/Page blocked-design family; exact scale-4 scores with the
-#: centered-sum identity pinned).
+#: centered-sum identity pinned), capped by
+#: flagship_incremental_daily (the daily-append pipeline in one query:
+#: near-dedup -> packing -> component merge over persisted state, its
+#: oracle composing the three component oracles verbatim).
 #: Next in line after those six: tpch_q22_global_sales,
 #: stream_tumbling_live, stream_sliding_live, stream_dedup_live,
 #: llm_mixture_reweight_portable, ts_croston_portable, agg_corr_matrix,

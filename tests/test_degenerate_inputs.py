@@ -343,6 +343,9 @@ SWEEP_QUERIES = (
     # r12: constant values tie every within-block rank AND every
     # block range (all q2 equal) -> all scores exactly 0
     "agg_quade_test",
+    # r12: the daily flagship under every degenerate regime — the
+    # three component folds must agree engine-for-engine
+    "flagship_incremental_daily",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

@@ -457,6 +457,9 @@ CORE_QUERIES = (
     "ts_theil_sen",
     # r12: Quade over zero blocks -> empty frame, no k=0 division
     "agg_quade_test",
+    # r12: the daily flagship must fold three empty component frames
+    # to one all-zero readout row
+    "flagship_incremental_daily",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

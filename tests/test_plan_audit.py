@@ -90,6 +90,9 @@ DELIBERATE_CROSS = {
     # r12: same k-row/1-row scalar broadcasts as friedman, plus the
     # broadcast day-weight table (all dimension-sized)
     "agg_quade_test",
+    # r12: the daily-pipeline flagship combines its three 1-row
+    # component folds via 1x1x1 broadcast cross joins
+    "flagship_incremental_daily",
     # r7 batch 19: 5-row strata × SINGLE-ROW weight total broadcast
     "agg_neyman_allocation",
     # r7 batch 20: domain-bounded value grid (<=1001 rows) × SINGLE-ROW
