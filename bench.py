@@ -346,6 +346,7 @@ BENCH_QUERIES = (
     "ts_theil_sen",
     "agg_quade_test",
     "flagship_incremental_daily",
+    "agg_winsorized_mean",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -12441,3 +12441,129 @@ def agg_quade_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("grp", "sj4", "a16", "n_blocks", "k")
         .orderBy("grp")
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v3
+            FROM events
+        ),
+        grid AS (
+            SELECT event_type, v3, CAST(COUNT(*) AS BIGINT) AS c
+            FROM q GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, v3, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY v3
+                                ROWS UNBOUNDED PRECEDING) - c AS below,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM grid
+        ),
+        b AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN below + c >= n // 10 + 1
+                            THEN v3 END) AS BIGINT) AS winsor_lo_milli,
+                   CAST(MIN(CASE WHEN below + c >= n - n // 10
+                            THEN v3 END) AS BIGINT) AS winsor_hi_milli
+            FROM cum GROUP BY event_type
+        ),
+        kept AS (
+            SELECT event_type, v3,
+                   GREATEST(0, LEAST(below + c, n - n // 10)
+                               - GREATEST(below + 1, n // 10 + 1) + 1)
+                     AS keep_c
+            FROM cum
+        )
+        SELECT k.event_type, b.n, b.winsor_lo_milli, b.winsor_hi_milli,
+               ROUND(CAST(SUM(CAST(v3 AS HUGEINT) * keep_c)
+                     + (b.n // 10) * (CAST(b.winsor_lo_milli AS HUGEINT)
+                                      + b.winsor_hi_milli) AS DOUBLE)
+                     / b.n / 1000, 9) AS winsorized_mean
+        FROM kept k JOIN b ON k.event_type = b.event_type
+        GROUP BY k.event_type, b.n, b.winsor_lo_milli, b.winsor_hi_milli
+        ORDER BY k.event_type
+    """,
+    doc="10%-winsorized mean per event type — the CLAMPING sibling of "
+    "agg_trimmed_mean (trimming DROPS the k = n//10 extreme "
+    "observations and changes the sample size; winsorizing REPLACES "
+    "them with the nearest interior order statistics, keeping n and "
+    "with it the comparability of variances across metrics — the "
+    "standard choice for bounded-influence averages of latency/value "
+    "metrics). Same lossless distinct-value-grid machinery: the "
+    "interior rank-interval overlap gives each grid row's kept "
+    "multiplicity, the winsorizing boundaries are the values at ranks "
+    "k+1 and n-k read off the same cumulative counts (MIN over "
+    "qualifying grid rows — no per-row ranking), and the clamped tail "
+    "mass contributes k*(lo+hi) exactly. HUGEINT/DECIMAL sums, ONE "
+    "float division per type (ROUND 9, modest magnitude — rule 26). "
+    "Grid size is bounded by the value domain, not the row count — "
+    "the agg_mann_whitney 100x argument.",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    grid = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("v3"),
+        )
+        .groupBy("event_type", "v3")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("v3")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        "v3",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).alias("below"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    ).localCheckpoint()  # domain-bounded grid, read by boundaries + interior
+    b = cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.expr("CASE WHEN below + c >= n DIV 10 + 1 THEN v3 END"))
+        .cast("long")
+        .alias("winsor_lo_milli"),
+        F.min(F.expr("CASE WHEN below + c >= n - n DIV 10 THEN v3 END"))
+        .cast("long")
+        .alias("winsor_hi_milli"),
+    )
+    kept = cum.select(
+        "event_type",
+        "v3",
+        F.expr(
+            "GREATEST(0, LEAST(below + c, n - n DIV 10)"
+            " - GREATEST(below + 1, n DIV 10 + 1) + 1)"
+        ).alias("keep_c"),
+    )
+    return (
+        kept.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "n", "winsor_lo_milli", "winsor_hi_milli")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.expr("CAST(v3 AS DECIMAL(38,0)) * keep_c")
+                    )
+                    + F.expr(
+                        "(n DIV 10) * (CAST(winsor_lo_milli AS DECIMAL(38,0))"
+                        " + winsor_hi_milli)"
+                    )
+                ).cast("double")
+                / F.col("n")
+                / 1000,
+                9,
+            ).alias("winsorized_mean")
+        )
+        .select(
+            "event_type", "n", "winsor_lo_milli", "winsor_hi_milli",
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )

@@ -182,7 +182,9 @@ WINDOW_EXTRAS: tuple[str, ...] = (
 #: family; all-integer, lower-median deterministic), and
 #: agg_quade_test (range-weighted blocked ranks — completes the
 #: Friedman/Page blocked-design family; exact scale-4 scores with the
-#: centered-sum identity pinned), capped by
+#: centered-sum identity pinned), agg_winsorized_mean (the clamping
+#: sibling of agg_trimmed_mean on the same distinct-value grid —
+#: bounded-influence averages with n preserved), capped by
 #: flagship_incremental_daily (the daily-append pipeline in one query:
 #: near-dedup -> packing -> component merge over persisted state, its
 #: oracle composing the three component oracles verbatim).

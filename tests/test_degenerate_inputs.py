@@ -346,6 +346,9 @@ SWEEP_QUERIES = (
     # r12: the daily flagship under every degenerate regime — the
     # three component folds must agree engine-for-engine
     "flagship_incremental_daily",
+    # r12: a constant-value regime collapses the grid to one cell
+    # (boundaries == the single value; winsorized mean == plain mean)
+    "agg_winsorized_mean",
     # r11: a constant event_type regime can have viewers without any
     # purchase (n_converted 0, NULL quantiles) or vice versa (empty
     # output) — both engines must agree on the empty/zero fold

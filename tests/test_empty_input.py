@@ -460,6 +460,9 @@ CORE_QUERIES = (
     # r12: the daily flagship must fold three empty component frames
     # to one all-zero readout row
     "flagship_incremental_daily",
+    # r12: winsorized mean over zero rows -> empty frame, no n=0
+    # division or NULL boundary crash
+    "agg_winsorized_mean",
     # r11 stats/graph/analytics batch: every one must fold zero rows
     # to an empty well-formed frame through its n>0 / k>0 guard, not
     # a null-division crash

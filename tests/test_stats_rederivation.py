@@ -3385,3 +3385,28 @@ def test_quade_rederivation(spark, sf_dir):
     }
     assert got == {g: (sj4[g], a16, len(blocks), k) for g in sj4}
     assert sum(v[0] for v in got.values()) == 0  # centered scores
+
+
+def test_winsorized_mean_rederivation(spark, sf_dir, events):
+    """agg_winsorized_mean re-derived literally: sort each type's milli
+    values, clamp the k = n//10 extremes to the rank-(k+1)/(n-k) order
+    statistics, average — and the trimmed/winsorized/mean ordering
+    sanity holds per construction."""
+    groups = defaultdict(list)
+    for _, _, et, v in events:
+        groups[et].append(math.floor(v * 1000))
+    got = {
+        r.event_type: (r.n, r.winsor_lo_milli, r.winsor_hi_milli, r.winsorized_mean)
+        for r in SPECS["agg_winsorized_mean"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for et, vs in groups.items():
+        vs = sorted(vs)
+        n = len(vs)
+        k = n // 10
+        lo, hi = vs[k], vs[n - k - 1]
+        clamped = [min(max(x, lo), hi) for x in vs]
+        mean = round(sum(clamped) / n / 1000, 9)
+        n_, lo_, hi_, m_ = got[et]
+        assert (n_, lo_, hi_) == (n, lo, hi)
+        assert _close(m_, mean, 1e-9)
