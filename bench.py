@@ -347,6 +347,14 @@ BENCH_QUERIES = (
     "agg_quade_test",
     "flagship_incremental_daily",
     "agg_winsorized_mean",
+    # round-13 additions: store lifecycle (compaction + TTL ledgers) —
+    # the maintenance passes the incremental family schedules daily —
+    # and the incremental ANN probe (persisted IVF index, batch-only
+    # probe + in-cell rerank; its delta vs llm_similarity_ivf IS the
+    # incremental win)
+    "maintenance_store_compact",
+    "maintenance_store_ttl",
+    "llm_similarity_ivf_incremental",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing
@@ -387,6 +395,34 @@ def main() -> None:
     from solarflare_etl_pipeline_spark.catalog import table
 
     table(spark, sf_dir, "events").count()
+
+    # Pre-build the incremental family's persisted stores UNTIMED
+    # (VERDICT r12 "What's wrong" #4): in production the signature
+    # banding store / FFD run table / CC label store are yesterday's
+    # run — a daily job never pays the history build. Without this,
+    # whichever of llm_dedup_near_incremental / llm_pack_ffd_incremental
+    # / graph_cc_incremental / flagship_incremental_daily /
+    # maintenance_store_* ran FIRST absorbed the one-time store build
+    # into its cold number (BENCH_r12 read 8.0s cold vs 1.9s steady for
+    # graph_cc_incremental — store build, not regression). The steady
+    # numbers were always store-warm; now the cold ones are too, and
+    # the store-build cost is reported separately on stderr.
+    t0 = time.perf_counter()
+    from solarflare_etl_pipeline_spark.operators.analytics import ensure_cc_label_store
+    from solarflare_etl_pipeline_spark.operators.similarity import ensure_signature_store
+    from solarflare_etl_pipeline_spark.operators.text import ensure_ffd_run_store
+
+    from solarflare_etl_pipeline_spark.operators.similarity import ensure_ivf_index_store
+
+    ensure_signature_store(spark, sf_dir)
+    ensure_ffd_run_store(spark, sf_dir)
+    ensure_cc_label_store(spark, sf_dir)
+    ensure_ivf_index_store(spark, sf_dir)
+    print(
+        f"[bench] store build (untimed, one-time): "
+        f"{time.perf_counter() - t0:.2f}s",
+        file=sys.stderr,
+    )
 
     # Diagnostic subset mode (VERDICT r10 task #4 — the suite-crowding
     # experiment): SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those

@@ -2470,8 +2470,8 @@ BH_ALPHA_INV = 20  # alpha = 0.05 spelled as the exact rational 1/20
     oracle="""
         WITH cells AS (
             SELECT event_type,
-                   CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
-                        AS BIGINT) AS dow,
+                   CAST((((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7)
+                         + 7) % 7 AS BIGINT) AS dow,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
                         AS BIGINT) AS conv
@@ -7100,8 +7100,8 @@ def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MC_CELLS_SQL = """
         WITH cells AS (
             SELECT event_type,
-                   CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
-                        AS BIGINT) AS dow,
+                   CAST((((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7)
+                         + 7) % 7 AS BIGINT) AS dow,
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CASE WHEN value > 35 THEN 1 ELSE 0 END)
                         AS BIGINT) AS conv
@@ -7490,8 +7490,8 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cmh_strata_sql() -> str:
     return """
-        SELECT CAST((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7
-                    AS BIGINT) AS dow,
+        SELECT CAST((((CAST(ts AS TIMESTAMP)::DATE - DATE '2024-01-01') % 7)
+                     + 7) % 7 AS BIGINT) AS dow,
                CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 35
                         THEN 1 ELSE 0 END) AS BIGINT) AS a,
                CAST(SUM(CASE WHEN event_type = 'purchase'

@@ -1384,11 +1384,22 @@ def _k_core_portable_oracle() -> str:
     f"fixpoint loop's convergence test reads). Plan per round: one "
     f"degree aggregate + two semi joins on node id — identical "
     f"shuffles to graph_k_core; the ledger rows are four single-row "
-    f"folds over the bounded degree table.",
+    f"folds over the bounded degree table. FIXPOINT SHORT-CIRCUIT "
+    f"(VERDICT r12 task #3, the FFD lesson): when a round's "
+    f"n_below_k is 0, keep = every node, so the surviving edge set "
+    f"is provably invariant and every remaining round emits the "
+    f"SAME ledger row — those rows are replicated driver-side from "
+    f"the one-row fold already in hand instead of re-scanning the "
+    f"edges (a round is one edge-set shuffle; the sweep measured the "
+    f"unrolled form at 6.5x per 10x data, pure rounds-x-scan "
+    f"constant). The per-round collect is ONE row (the ledger fold) "
+    f"— dimension-table legitimacy, same as the FFD size histogram; "
+    f"oracle hashes unchanged (the oracle still unrolls all "
+    f"{KCP_ROUNDS} rounds independently), and the genuinely-peeling "
+    f"path is equality-proved against pure-Python peeling on a "
+    f"synthetic degenerate graph in tests/test_semantics.py.",
 )
 def graph_k_core_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = l.alias("a"), l.alias("b")
     edges = (
@@ -1408,44 +1419,57 @@ def graph_k_core_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     below = F.col("deg") < K_CORE
-    ledgers = []
+    rows: list[tuple[int, int, int, int, int]] = []
     for r in range(1, KCP_ROUNDS + 1):
         deg = (
             sym.groupBy("src")
             .agg(F.count("*").cast("long").alias("deg"))
             .localCheckpoint()  # feeds the ledger fold AND the keep filter
         )
-        ledgers.append(
-            deg.agg(
-                F.count("*").cast("long").alias("n_nodes"),
-                F.coalesce(F.sum("deg"), F.lit(0))
-                .cast("long")
-                .alias("n_halfedges"),
-                F.count(F.when(below, 1)).cast("long").alias("n_below_k"),
-                (
-                    F.coalesce(
-                        F.sum(F.when(below, F.col("src").cast("decimal(38,0)"))),
-                        F.lit(0).cast("decimal(38,0)"),
-                    )
-                    % 1000000000
+        led = deg.agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.coalesce(F.sum("deg"), F.lit(0))
+            .cast("long")
+            .alias("n_halfedges"),
+            F.count(F.when(below, 1)).cast("long").alias("n_below_k"),
+            (
+                F.coalesce(
+                    F.sum(F.when(below, F.col("src").cast("decimal(38,0)"))),
+                    F.lit(0).cast("decimal(38,0)"),
                 )
-                .cast("long")
-                .alias("sum_below_mod9"),
-            ).select(
-                F.lit(r).cast("long").alias("round"),
-                "n_nodes",
-                "n_halfedges",
-                "n_below_k",
-                "sum_below_mod9",
+                % 1000000000
+            )
+            .cast("long")
+            .alias("sum_below_mod9"),
+        ).collect()[0]  # bounded: ONE ledger row per executed round
+        rows.append(
+            (
+                r,
+                int(led["n_nodes"]),
+                int(led["n_halfedges"]),
+                int(led["n_below_k"]),
+                int(led["sum_below_mod9"]),
             )
         )
-        keep = deg.where(F.col("deg") >= K_CORE).select("src")
-        sym = (
-            sym.join(keep, "src", "left_semi")
-            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint()
-        )
-    return reduce(DataFrame.unionAll, ledgers).orderBy("round")
+        if led["n_below_k"] == 0:
+            # Fixpoint: keep = every node, so the surviving edge set is
+            # invariant and rounds r+1..KCP_ROUNDS provably emit this
+            # exact row — replicate driver-side, skip the edge rescans.
+            fixed = rows[-1][1:]
+            rows.extend((rr,) + fixed for rr in range(r + 1, KCP_ROUNDS + 1))
+            break
+        if r < KCP_ROUNDS:
+            keep = deg.where(F.col("deg") >= K_CORE).select("src")
+            sym = (
+                sym.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .localCheckpoint()
+            )
+    return spark.createDataFrame(
+        rows,
+        "round long, n_nodes long, n_halfedges long, "
+        "n_below_k long, sum_below_mod9 long",
+    ).orderBy("round")
 
 
 @register(
@@ -4340,18 +4364,15 @@ def ensure_cc_label_store(spark: SparkSession, sf_dir: str) -> str:
     """Persist the history graph's node -> component-label table once
     per (process, sf) — the state a daily incremental CC job carries
     forward."""
-    import os
-    import tempfile
+    from solarflare_etl_pipeline_spark.state import store_path
 
-    key = os.path.abspath(sf_dir)
-    path = _CC_STORE.get(key)
-    if path is None:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"solarflare_cc_store_{os.path.basename(key)}_{os.getpid()}",
-        )
+    # Content-addressed path (abspath + source fingerprint — ADVICE
+    # r12 #1): equal-basename fixture dirs can't collide, and an
+    # in-process rewrite of sf_dir yields a fresh path -> rebuild.
+    path = store_path("cc", sf_dir)
+    if path not in _CC_STORE:
         _cc_history_labels(spark, sf_dir).write.mode("overwrite").parquet(path)
-        _CC_STORE[key] = path
+        _CC_STORE[path] = path
     return path
 
 
@@ -4433,7 +4454,21 @@ def ensure_cc_label_store(spark: SparkSession, sf_dir: str) -> str:
     "arithmetic itself is under the driver hash, not just the result.",
 )
 def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = spark.read.parquet(ensure_cc_label_store(spark, sf_dir))
+    return cc_incremental_from_store(
+        spark, sf_dir, ensure_cc_label_store(spark, sf_dir)
+    )
+
+
+def cc_incremental_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """graph_cc_incremental against an EXPLICIT label-store path — the
+    seam the maintenance ops certify through: the equality-proof tests
+    run this against a file-compacted copy of the store and assert
+    identical components. The registered op always reads the canonical
+    ensure_cc_label_store path, so maintenance runs never mutate
+    shared in-process state."""
+    store = spark.read.parquet(store_path)
     bli = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
     a, b = bli.alias("a"), bli.alias("b")
     bedges = (

@@ -1099,18 +1099,14 @@ _SIG_STORE: dict[str, str] = {}
 def ensure_signature_store(spark: SparkSession, sf_dir: str) -> str:
     """Persist the banding table of the existing corpus once per
     (process, sf) — the state a daily near-dedup job carries forward."""
-    import os
-    import tempfile
-
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
+    from solarflare_etl_pipeline_spark.state import store_path
 
-    key = os.path.abspath(sf_dir)
-    path = _SIG_STORE.get(key)
-    if path is None:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"solarflare_sig_store_{os.path.basename(key)}_{os.getpid()}",
-        )
+    # Content-addressed path (abspath + source fingerprint — ADVICE
+    # r12 #1): equal-basename fixture dirs can't collide, and an
+    # in-process rewrite of sf_dir yields a fresh path -> rebuild.
+    path = store_path("sig", sf_dir)
+    if path not in _SIG_STORE:
         store_docs = with_shingles(
             repartition_compute(
                 table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 != 0),
@@ -1120,7 +1116,7 @@ def ensure_signature_store(spark: SparkSession, sf_dir: str) -> str:
         _band_explode(_minhash_from_shingles(store_docs)).write.mode(
             "overwrite"
         ).parquet(path)
-        _SIG_STORE[key] = path
+        _SIG_STORE[path] = path
     return path
 
 
@@ -1163,9 +1159,24 @@ def ensure_signature_store(spark: SparkSession, sf_dir: str) -> str:
     "co-locates without a shuffle of history.",
 )
 def llm_dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return near_dedup_incremental_from_store(
+        spark, sf_dir, ensure_signature_store(spark, sf_dir)
+    )
+
+
+def near_dedup_incremental_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """llm_dedup_near_incremental against an EXPLICIT signature-store
+    path — the seam the maintenance ops certify through: the
+    equality-proof tests run this against a compacted / TTL'd copy of
+    the store and assert the results are identical (compaction) or
+    equal to a store rebuilt from the reduced corpus (TTL). The
+    registered op always reads the canonical ensure_signature_store
+    path, so maintenance runs never mutate shared in-process state."""
     from solarflare_etl_pipeline_spark.operators.text import with_shingles
 
-    store_bands = spark.read.parquet(ensure_signature_store(spark, sf_dir))
+    store_bands = spark.read.parquet(store_path)
     batch_docs = with_shingles(
         repartition_compute(
             table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0), "doc_id"
@@ -3848,4 +3859,319 @@ def llm_embed_isotropy_portable(
                 " DIV (CAST(n AS DECIMAL(38,0)) * qq) AS BIGINT) END"
             ).alias("anisotropy_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------- r13:
+# incremental ANN — the fourth pillar of the daily-append pipeline
+# (near-dedup / packing / components got their incremental forms in
+# r12; similarity search gets its own here: a persisted IVF index over
+# the existing corpus, with each day's batch probed against it at
+# O(batch x probed-cell) cost instead of a full re-index or an
+# all-pairs scan).
+
+IVFI_SEED_CAP = 10  # seeds = history vec_ids < 10 (k <= 8 cells)
+IVFI_CK = 16        # argmin composite stride: > max seed id (9)
+IVFI_NPROBE = 3     # cells probed per batch vector
+IVFI_TOPK = 3       # neighbors returned per batch vector
+
+#: (store path) -> path of the persisted IVF index (centroids + lists)
+_IVF_STORE: dict[str, str] = {}
+
+
+def ensure_ivf_index_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the IVF coarse index of the HISTORY vectors (vec_id % 5
+    != 0) once per (process, source identity): ``<path>/centroids`` =
+    the (cid, pos, cq) table after two exact-integer Lloyd rounds
+    (the llm_kmeans_portable arithmetic — quantized coords, composite
+    argmin, pmod floor-means — restricted to history, seeds = history
+    vec_ids < IVFI_SEED_CAP), ``<path>/lists`` = the (vec_id, cid)
+    inverted lists. This is the state a daily ANN job carries forward;
+    the batch never re-trains it."""
+    from solarflare_etl_pipeline_spark.state import store_path
+
+    path = store_path("ivf", sf_dir)
+    if path not in _IVF_STORE:
+        x = (
+            table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 5 != 0)
+            .select(
+                "vec_id",
+                F.posexplode(
+                    F.transform(
+                        _vec_double(),
+                        lambda xi: F.round(xi * KMP_Q, 0).cast("long"),
+                    )
+                ).alias("pos", "xq"),
+            )
+            .localCheckpoint()  # reused across both Lloyd rounds
+        )
+
+        def floor_mean() -> F.Column:
+            return F.expr(
+                "CAST((SUM(xq) - (((SUM(xq) % COUNT(*)) + COUNT(*))"
+                " % COUNT(*))) DIV COUNT(*) AS BIGINT)"
+            ).alias("cq")
+
+        def assign(cent: DataFrame) -> DataFrame:
+            d = (
+                x.join(F.broadcast(cent), "pos")
+                .groupBy("vec_id", "cid")
+                .agg(
+                    F.sum(
+                        (F.col("xq") - F.col("cq"))
+                        * (F.col("xq") - F.col("cq"))
+                    )
+                    .cast("long")
+                    .alias("dist")
+                )
+            )
+            key = F.col("dist") * IVFI_CK + F.col("cid")
+            return d.groupBy("vec_id").agg(F.min_by("cid", key).alias("cid"))
+
+        def update(assigned: DataFrame) -> DataFrame:
+            return (
+                x.join(assigned, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(floor_mean())
+            )
+
+        c0 = x.where(F.col("vec_id") < IVFI_SEED_CAP).select(
+            F.col("vec_id").alias("cid"), "pos", F.col("xq").alias("cq")
+        )
+        if c0.limit(1).count() == 0:
+            # no seeds (empty/degenerate corpus): empty index
+            spark.createDataFrame([], "cid long, pos int, cq long").write.mode(
+                "overwrite"
+            ).parquet(path + "/centroids")
+            spark.createDataFrame([], "vec_id long, cid long").write.mode(
+                "overwrite"
+            ).parquet(path + "/lists")
+            _IVF_STORE[path] = path
+            return path
+        a1 = assign(c0)
+        c1 = update(a1)
+        a2 = assign(c1)
+        c2 = update(a2)
+        c2.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        a2.coalesce(1).write.mode("overwrite").parquet(path + "/lists")
+        _IVF_STORE[path] = path
+    return path
+
+
+def _ivf_inc_oracle() -> str:
+    """History-phase kmeans unroll (the llm_kmeans_portable CTE chain
+    restricted to history vectors) feeding the batch probe + in-cell
+    exact rerank — every quantity an exact BIGINT."""
+    return f"""
+        WITH x AS MATERIALIZED (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {KMP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+            WHERE e.vec_id % 5 <> 0
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, pos, xq AS cq FROM x
+            WHERE vec_id < {IVFI_SEED_CAP}
+        ),
+        d1 AS (
+            SELECT x.vec_id, c0.cid,
+                   CAST(SUM((x.xq - c0.cq) * (x.xq - c0.cq)) AS BIGINT)
+                       AS dist
+            FROM x JOIN c0 USING (pos)
+            GROUP BY x.vec_id, c0.cid
+        ),
+        a1 AS (
+            SELECT vec_id, ARG_MIN(cid, dist * {IVFI_CK} + cid) AS cid
+            FROM d1 GROUP BY vec_id
+        ),
+        c1 AS (
+            SELECT a1.cid, x.pos,
+                   CAST((SUM(x.xq)
+                         - ((((SUM(x.xq) % COUNT(*)) + COUNT(*))
+                             % COUNT(*))))
+                        // COUNT(*) AS BIGINT) AS cq
+            FROM x JOIN a1 USING (vec_id)
+            GROUP BY a1.cid, x.pos
+        ),
+        d2 AS (
+            SELECT x.vec_id, c1.cid,
+                   CAST(SUM((x.xq - c1.cq) * (x.xq - c1.cq)) AS BIGINT)
+                       AS dist
+            FROM x JOIN c1 USING (pos)
+            GROUP BY x.vec_id, c1.cid
+        ),
+        a2 AS (
+            SELECT vec_id, ARG_MIN(cid, dist * {IVFI_CK} + cid) AS cid
+            FROM d2 GROUP BY vec_id
+        ),
+        c2 AS (
+            SELECT a2.cid, x.pos,
+                   CAST((SUM(x.xq)
+                         - ((((SUM(x.xq) % COUNT(*)) + COUNT(*))
+                             % COUNT(*))))
+                        // COUNT(*) AS BIGINT) AS cq
+            FROM x JOIN a2 USING (vec_id)
+            GROUP BY a2.cid, x.pos
+        ),
+        xb AS MATERIALIZED (
+            SELECT e.vec_id, i.pos,
+                   CAST(ROUND(CAST(e.embedding[i.pos + 1] AS DOUBLE)
+                              * {KMP_Q}, 0) AS BIGINT) AS xq
+            FROM embeddings e, (SELECT UNNEST(RANGE(0, {DIM})) AS pos) i
+            WHERE e.vec_id % 5 = 0
+        ),
+        pd AS (
+            SELECT xb.vec_id, c2.cid,
+                   CAST(SUM((xb.xq - c2.cq) * (xb.xq - c2.cq)) AS BIGINT)
+                       AS dist
+            FROM xb JOIN c2 USING (pos)
+            GROUP BY xb.vec_id, c2.cid
+        ),
+        pr AS (
+            SELECT vec_id, cid
+            FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rk
+                FROM pd
+            ) WHERE rk <= {IVFI_NPROBE}
+        ),
+        qarr AS MATERIALIZED (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding,
+                       v -> CAST(ROUND(CAST(v AS DOUBLE) * {KMP_Q}, 0)
+                                 AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        cand AS (
+            SELECT pr.vec_id AS qv, l.vec_id AS hv
+            FROM pr JOIN a2 l USING (cid)
+        ),
+        rer AS (
+            SELECT c.qv, c.hv,
+                   CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {DIM} + 1),
+                       i -> (qa.q[i] - qb.q[i]) * (qa.q[i] - qb.q[i])))
+                        AS BIGINT) AS dist
+            FROM cand c
+            JOIN qarr qa ON qa.vec_id = c.qv
+            JOIN qarr qb ON qb.vec_id = c.hv
+        )
+        SELECT qv AS vec_id, CAST(rk AS BIGINT) AS rank,
+               hv AS neighbor, dist
+        FROM (
+            SELECT qv, hv, dist,
+                   ROW_NUMBER() OVER (PARTITION BY qv
+                        ORDER BY dist, hv) AS rk
+            FROM rer
+        ) WHERE rk <= {IVFI_TOPK}
+        ORDER BY vec_id, rank
+    """
+
+
+@register(
+    "llm_similarity_ivf_incremental",
+    oracle=_ivf_inc_oracle(),
+    doc=f"INCREMENTAL IVF similarity search — the ANN form a daily "
+    f"100 TB ingest actually runs, completing the incremental family "
+    f"(near-dedup r8, packing/CC r12): the coarse index over the "
+    f"EXISTING corpus (two exact-integer Lloyd rounds restricted to "
+    f"history vectors — the llm_kmeans_portable arithmetic, seeds = "
+    f"history vec_ids < {IVFI_SEED_CAP} — plus the (vec, cell) "
+    f"inverted lists) is PERSISTED state (ensure_ivf_index_store); "
+    f"each day only the NEW batch (vec_id % 5 = 0) is quantized, "
+    f"probed against the {IVFI_CK // 2}-cell broadcast centroid "
+    f"table ({IVFI_NPROBE} nearest cells each, ROW_NUMBER over the "
+    f"bounded per-vector cell-distance frame), and exactly re-ranked "
+    f"ONLY against the probed cells' lists (zip_with/aggregate "
+    f"integer distance on the quantized arrays — JVM-side, no "
+    f"explode in the pair stage) for the top-{IVFI_TOPK} neighbors "
+    f"(deterministic (dist, id) order). Per-day cost is O(batch x "
+    f"probed-cell size) — never an all-pairs scan, never a "
+    f"re-train; at real scale k grows ~sqrt(N), the lists are "
+    f"bucketed by cell so the probe join co-locates, and the batch "
+    f"side broadcasts. The oracle unrolls BOTH phases (history "
+    f"kmeans -> index; batch probe -> rerank) so the index build "
+    f"arithmetic itself is under the driver hash. Recall vs the "
+    f"exact nearest history neighbor is measured and pinned in "
+    f"tests/test_semantics.py.",
+)
+def llm_similarity_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_incremental_from_store(
+        spark, sf_dir, ensure_ivf_index_store(spark, sf_dir)
+    )
+
+
+def ivf_incremental_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """llm_similarity_ivf_incremental against an EXPLICIT index-store
+    path — the maintenance-equality seam (same contract as the other
+    *_from_store forms)."""
+    out_schema = "vec_id long, rank long, neighbor long, dist long"
+    cent = spark.read.parquet(store_path + "/centroids")
+    lists = spark.read.parquet(store_path + "/lists")
+    if cent.limit(1).count() == 0:
+        return spark.createDataFrame([], out_schema)
+    emb = table(spark, sf_dir, "embeddings")
+    xb = emb.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                _vec_double(),
+                lambda xi: F.round(xi * KMP_Q, 0).cast("long"),
+            )
+        ).alias("pos", "xq"),
+    )
+    pd = (
+        xb.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    pr = (
+        pd.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= IVFI_NPROBE)
+        .select("vec_id", "cid")
+    )
+    qarr = emb.select(
+        "vec_id",
+        F.transform(
+            _vec_double(), lambda xi: F.round(xi * KMP_Q, 0).cast("long")
+        ).alias("q"),
+    ).localCheckpoint()  # keyed fetch target for both pair sides
+    cand = pr.join(
+        lists.select(F.col("vec_id").alias("hv"), "cid"), "cid"
+    ).select(F.col("vec_id").alias("qv"), "hv")
+    sq = F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(
+        sq, F.lit(0).cast("long"), lambda acc, v: acc + v
+    ).alias("dist")
+    rer = (
+        cand.join(
+            qarr.select(F.col("vec_id").alias("qv"), F.col("q").alias("qa")),
+            "qv",
+        )
+        .join(
+            qarr.select(F.col("vec_id").alias("hv"), F.col("q").alias("qb")),
+            "hv",
+        )
+        .select("qv", "hv", dist)
+    )
+    wk = Window.partitionBy("qv").orderBy("dist", "hv")
+    return (
+        rer.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .where(F.col("rank") <= IVFI_TOPK)
+        .select(
+            F.col("qv").alias("vec_id"),
+            "rank",
+            F.col("hv").alias("neighbor"),
+            "dist",
+        )
+        .orderBy("vec_id", "rank")
     )

@@ -9014,16 +9014,13 @@ def ensure_ffd_run_store(spark: SparkSession, sf_dir: str) -> str:
     """Persist the run-compressed bin table left after FFD-packing the
     HISTORY chunks (doc_id % 5 != 0) once per (process, sf) — the
     <= ~130-row state tomorrow's batch continues packing from."""
-    import os
-    import tempfile
+    from solarflare_etl_pipeline_spark.state import store_path
 
-    key = os.path.abspath(sf_dir)
-    path = _FFD_STORE.get(key)
-    if path is None:
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"solarflare_ffd_store_{os.path.basename(key)}_{os.getpid()}",
-        )
+    # Content-addressed path (abspath + source fingerprint — ADVICE
+    # r12 #1): equal-basename fixture dirs can't collide, and an
+    # in-process rewrite of sf_dir yields a fresh path -> rebuild.
+    path = store_path("ffd", sf_dir)
+    if path not in _FFD_STORE:
         hist_docs = table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 5 != 0
         )
@@ -9035,7 +9032,7 @@ def ensure_ffd_run_store(spark: SparkSession, sf_dir: str) -> str:
         spark.createDataFrame(
             run_state, "pos long, cap long, cnt long"
         ).coalesce(1).write.mode("overwrite").parquet(path)
-        _FFD_STORE[key] = path
+        _FFD_STORE[path] = path
     return path
 
 
@@ -9066,14 +9063,26 @@ def ensure_ffd_run_store(spark: SparkSession, sf_dir: str) -> str:
     f"the oracle's two-phase replay and that history bins are reused.",
 )
 def llm_pack_ffd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ffd_incremental_from_store(
+        spark, sf_dir, ensure_ffd_run_store(spark, sf_dir)
+    )
+
+
+def ffd_incremental_from_store(
+    spark: SparkSession, sf_dir: str, store_path: str
+) -> DataFrame:
+    """llm_pack_ffd_incremental against an EXPLICIT run-store path —
+    the seam the maintenance ops certify through: the equality-proof
+    tests run this against a run-merged (compacted) copy of the store
+    and assert bin-for-bin identical placement. The registered op
+    always reads the canonical ensure_ffd_run_store path, so
+    maintenance runs never mutate shared in-process state."""
     from solarflare_etl_pipeline_spark.plans.rank import with_grouped_rank
 
     budget = PACK_BUDGET
     run_state = sorted(
         (int(r["pos"]), int(r["cap"]), int(r["cnt"]))
-        for r in spark.read.parquet(
-            ensure_ffd_run_store(spark, sf_dir)
-        ).collect()
+        for r in spark.read.parquet(store_path).collect()
     )
     batch_docs = table(spark, sf_dir, "documents").where(
         F.col("doc_id") % 5 == 0

@@ -3051,7 +3051,8 @@ HOLIDAYS = ("2024-01-05", "2024-01-15", "2024-01-25")  # audited event days
         ),
         dowd AS (
             SELECT day, y,
-                   CAST((day - DATE '2024-01-01') % 7 AS BIGINT) AS dow
+                   CAST((((day - DATE '2024-01-01') % 7) + 7) % 7
+                        AS BIGINT) AS dow
             FROM daily
         ),
         hol AS (
@@ -4511,13 +4512,16 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # low 5 decimal digits (dist * 100000 + j), so the day grid must
     # stay < 100000 rows or the decode silently corrupts on BOTH
     # engines (ADVICE r11 #4). ~274 years of daily data in practice;
-    # assert on the (already materialized) checkpoint rather than
-    # leave the bound latent.
+    # check on the (already materialized) checkpoint rather than
+    # leave the bound latent. ValueError, not assert: asserts are
+    # stripped under ``python -O`` (ADVICE r12 #3 / the repo's own
+    # round-6 multimodal-guard standard).
     n_days = valid.agg(F.max("i")).first()[0] or 0
-    assert n_days < 100000, (
-        f"ts_matrix_profile: {n_days} daily rows >= 1e5 breaks the "
-        f"dist*100000+j argmin key encoding"
-    )
+    if n_days >= 100000:
+        raise ValueError(
+            f"ts_matrix_profile: {n_days} daily rows >= 1e5 breaks "
+            f"the dist*100000+j argmin key encoding"
+        )
     a, b = valid.alias("a"), valid.alias("b")
     dist = " + ".join(
         f"CAST(a.v{t} - b.v{t} AS DECIMAL(38,0)) * (a.v{t} - b.v{t})"
@@ -4554,7 +4558,8 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT day, v,
                    CASE WHEN COUNT(*) OVER w = 7
                         THEN CAST(SUM(v) OVER w AS BIGINT) END AS trend7_sum,
-                   CAST(DATEDIFF('day', DATE '1970-01-05', day) % 7
+                   CAST(((DATEDIFF('day', DATE '1970-01-05', day) % 7)
+                         + 7) % 7
                         AS BIGINT) AS dow
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING

@@ -252,7 +252,11 @@ def ensure_documents_avro(spark: SparkSession, sf_dir: str, n_shards: int = 4) -
             .mapInPandas(write_shard, "path string")
             .collect()  # bounded: one row per shard
         )
-        assert len(paths) == n_shards
+        if len(paths) != n_shards:  # not assert: stripped under -O
+            raise ValueError(
+                f"avro shard write produced {len(paths)} of "
+                f"{n_shards} expected shards"
+            )
         _DOCS_AVRO[key] = path
     return path
 

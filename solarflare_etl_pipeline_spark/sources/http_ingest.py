@@ -84,7 +84,8 @@ def fetch_json(url: str, *, retries: int = 3, timeout: float = 5.0, backoff: flo
             last_err = err
             if attempt + 1 < max(1, retries) and backoff > 0:
                 time.sleep(backoff * (attempt + 1))
-    assert last_err is not None
+    if last_err is None:  # unreachable: >=1 attempt always records err
+        raise RuntimeError("fetch_json: no attempt recorded an error")
     raise last_err
 
 

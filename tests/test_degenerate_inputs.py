@@ -358,6 +358,15 @@ SWEEP_QUERIES = (
     # timestamps collapse the day grid below the window length
     # (empty output) — the argmin key must not drift on either
     "ts_matrix_profile",
+    # r13: degenerate corpora (saturated dup regime, one-basket
+    # graph) change every store's size but the before/after ledger
+    # arithmetic must stay engine-identical
+    "maintenance_store_compact",
+    "maintenance_store_ttl",
+    # r13: degenerate vector regimes (constant embeddings collapse
+    # every distance to 0 -> ties broken by id identically on both
+    # engines; empty clusters drop out of the index)
+    "llm_similarity_ivf_incremental",
 )
 
 

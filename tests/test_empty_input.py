@@ -474,6 +474,14 @@ CORE_QUERIES = (
     "funnel_time_to_convert",
     "ts_matrix_profile",
     "fn_variant_extract",
+    # r13: the store-lifecycle ledgers must build + compact + TTL
+    # EMPTY stores (zero docs/edges/runs) to all-zero ledger rows,
+    # not crash on empty parquet writes or null-sum folds
+    "maintenance_store_compact",
+    "maintenance_store_ttl",
+    # r13: an empty corpus means no seeds -> empty index -> empty
+    # well-formed result, not a crash in the probe or rerank
+    "llm_similarity_ivf_incremental",
 )
 
 

@@ -130,7 +130,7 @@ def _best_of_two(fn) -> float:
     return min(ts)
 
 
-def test_scale_sweep_linear(spark, sweep_dirs):
+def test_scale_sweep_linear(spark, sweep_dirs, tmp_path):
     from solarflare_etl_pipeline_spark.registry import load_all
 
     specs = load_all()
@@ -140,6 +140,13 @@ def test_scale_sweep_linear(spark, sweep_dirs):
         q = specs[name].spark
         t1 = _best_of_two(lambda: q(spark, d1).count())
         t10 = _best_of_two(lambda: q(spark, d10).count())
+        if t10 > RATIO_BOUND * t1 + GRACE_SEC:
+            # One retry before failing: SCALING.md records a contended
+            # run hitting 14.4x (within 4% of the bound) on a shared
+            # box — re-measure both legs so one noisy sample doesn't
+            # fail the sweep (ADVICE r12 #4).
+            t1 = min(t1, _best_of_two(lambda: q(spark, d1).count()))
+            t10 = min(t10, _best_of_two(lambda: q(spark, d10).count()))
         ratio = t10 / t1 if t1 > 0 else float("inf")
         curve[name] = {
             "t_1x_sec": round(t1, 2),
@@ -151,7 +158,15 @@ def test_scale_sweep_linear(spark, sweep_dirs):
             f"{name}: 10x data cost {t10:.2f}s vs 1x {t1:.2f}s — "
             f"superlinear growth (> {RATIO_BOUND}x + {GRACE_SEC}s grace)"
         )
-    out = os.path.join(os.path.dirname(os.path.dirname(__file__)), "SCALING_SWEEP.json")
+    # Default to tmp_path so the opt-in run doesn't mutate the working
+    # tree as a pytest side effect; set SPARK_GRAFT_SWEEP_WRITE=1 to
+    # refresh the committed repo-root curve (ADVICE r12 #4).
+    if os.environ.get("SPARK_GRAFT_SWEEP_WRITE"):
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "SCALING_SWEEP.json"
+        )
+    else:
+        out = str(tmp_path / "SCALING_SWEEP.json")
     with open(out, "w") as f:
         json.dump(curve, f, indent=1, sort_keys=True)
     print(f"curve written to {out}")
@@ -183,10 +198,17 @@ def test_ffd_ledger_overhead_flat(sweep_dirs):
             if n % CHUNK_TOKENS:
                 hist[n % CHUNK_TOKENS] += c
         assert len(hist) <= CHUNK_TOKENS  # bounded input, any corpus size
-        t0 = time.time()
-        for _ in range(100):
-            ledger, _ = ffd_assignment_ledger(dict(hist), PACK_BUDGET, CHUNK_TOKENS)
-        per_call = (time.time() - t0) / 100
+        # Best of 3 batches of 100 calls: the wall-clock bound below is
+        # box-load-sensitive (ADVICE r12 #4) — take the least-contended
+        # sample rather than one fixed batch.
+        per_call = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(100):
+                ledger, _ = ffd_assignment_ledger(
+                    dict(hist), PACK_BUDGET, CHUNK_TOKENS
+                )
+            per_call = min(per_call, (time.time() - t0) / 100)
         stats[tag] = (per_call, len(ledger))
         print(f"ffd ledger {tag}: {per_call * 1000:.3f} ms, {len(ledger)} rows")
     # FLAT: bounded row count and sub-millisecond cost at BOTH scales —
