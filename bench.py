@@ -355,6 +355,8 @@ BENCH_QUERIES = (
     "maintenance_store_compact",
     "maintenance_store_ttl",
     "llm_similarity_ivf_incremental",
+    # q6 completes the classic TPC-H 22 — the min-IO pushdown readout
+    "tpch_q6_forecast_revenue",
 )
 
 #: Drift-calibration CANARY (VERDICT r7 task #3): a FIXED, never-changing

@@ -4231,7 +4231,11 @@ def _cc_round_oracle(k: int) -> str:
     "table + a map-side-combinable min — the textbook large-graph CC "
     "sweep (rounds ~ diameter; at web scale swap in the alternating "
     "large-star/small-star variant, same per-round plan shape); no "
-    "driver-side state anywhere, unlike the union-find it certifies.",
+    "driver-side state anywhere, unlike the union-find it certifies. "
+    "(A k-core-style fixpoint short-circuit was tried in r13 and "
+    "reverted on measurement — see the in-body note; the >4-diameter "
+    "chain-graph test added then remains, pinning the exactly-4-"
+    "rounds semantics.)",
 )
 def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
@@ -4257,6 +4261,15 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("lab"))
         .localCheckpoint()
     )
+    # NOTE (r13): a k-core-style fixpoint short-circuit was tried here
+    # and REVERTED on measurement: min-label propagation discovers its
+    # fixpoint one round late (l_k == l_{k-1} is only known after
+    # round k ran), and every fixture — including the 10x sweep's
+    # synthetic graph — still changes labels at round CC_ROUNDS-1, so
+    # the change-probe (one node-scale action between rounds, ~0.4s
+    # each at sf0.1) never skipped a round and cost ~1s net. The
+    # 4-round contract keeps the loop simple; the chain-graph test in
+    # tests/test_semantics.py pins the exactly-4-rounds semantics.
     for _ in range(CC_ROUNDS):
         nbr = (
             edges2.join(

@@ -1191,3 +1191,45 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+        SELECT COUNT(*) AS n_lineitems,
+               {sql_dsum('l_extendedprice * l_discount', 'revenue_delta')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="Q6 (forecasting revenue change): the canonical single-scan "
+    "filter-aggregate — what revenue would have been gained had these "
+    "discounts not applied (one ship-year, a discount band, a quantity "
+    "cap). Completes the classic 22-query coverage (q1 = agg_hash's "
+    "pricing summary, q13 = agg_custdist). The whole plan is one "
+    "parquet scan with EVERY predicate pushed to the reader "
+    "(PushedFilters on l_shipdate/l_discount/l_quantity) and a "
+    "two-column ReadSchema, folding map-side into a single partial "
+    "aggregate — at 100 TB this is the min-IO plan: no shuffle beyond "
+    "the final 1-row merge, scan bytes bounded by the column pruning "
+    "and rowgroup min/max pruning on the date band. Money arithmetic "
+    "follows the exact-decimal discipline (dsum) so the driver hash "
+    "is bit-stable cross-engine.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue_delta"),
+        )
+    )

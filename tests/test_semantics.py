@@ -2151,3 +2151,58 @@ def test_ivf_incremental_recall_and_store_seam(spark, sf_dir):
         ).collect()
     )
     assert seam == sorted(tuple(r) for r in rows)
+
+
+def test_cc_portable_exactly_four_round_semantics(spark, tmp_path):
+    """graph_cc_portable's contract is EXACTLY CC_ROUNDS min-label
+    propagation rounds, converged or not: on a 12-node CHAIN (diameter
+    11 — labels still changing at the last round) the result must
+    equal the literal 4-round pure-Python propagation (NOT true
+    connected components — the chain has not converged, which is
+    exactly what the certified ledger must preserve); on a star graph
+    (fixpoint after round 1) it must equal true CC. Added with the r13
+    short-circuit experiment (reverted on measurement — see the
+    in-body note in analytics.py) and kept as the semantics pin."""
+    import pandas as pd
+
+    from solarflare_etl_pipeline_spark.operators.analytics import CC_ROUNDS
+
+    cases = {
+        "chain": [(i, i + 1) for i in range(1, 12)],  # 1-2-...-12
+        "star": [(1, i) for i in range(2, 8)],  # converges round 1
+    }
+    for tag, edges in cases.items():
+        d = tmp_path / tag
+        d.mkdir()
+        rows = []
+        for o, (a, b) in enumerate(edges):
+            rows.append((o, a))
+            rows.append((o, b))
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).to_parquet(
+            d / "lineitem.parquet"
+        )
+        got = {
+            r.component_seed: r.n_nodes
+            for r in SPECS["graph_cc_portable"].spark(spark, str(d)).collect()
+        }
+        sym: dict[int, set[int]] = {}
+        for a, b in edges:
+            sym.setdefault(a, set()).add(b)
+            sym.setdefault(b, set()).add(a)
+        lab = {n: n for n in sym}
+        changed_at_last = False
+        for r in range(CC_ROUNDS):
+            new = {
+                n: min([lab[n]] + [lab[m] for m in sym[n]]) for n in sym
+            }
+            changed_at_last = new != lab
+            lab = new
+        expect: dict[int, int] = {}
+        for n, l in lab.items():
+            expect[l] = expect.get(l, 0) + 1
+        assert got == expect, f"{tag}: diverged from 4-round propagation"
+        if tag == "chain":
+            # the contract under test: a >4-diameter graph is STILL
+            # changing at the last round (no early fixpoint existed)
+            assert changed_at_last
+            assert len(expect) > 1  # not fully converged to one seed

@@ -3410,3 +3410,70 @@ def test_winsorized_mean_rederivation(spark, sf_dir, events):
         n_, lo_, hi_, m_ = got[et]
         assert (n_, lo_, hi_) == (n, lo, hi)
         assert _close(m_, mean, 1e-9)
+
+
+def test_ivf_incremental_rederived_in_python(spark, sf_dir):
+    """llm_similarity_ivf_incremental re-derived end-to-end in pure
+    Python (numpy-free): quantize, 2 Lloyd rounds over history with
+    the composite argmin and pmod floor-means, probe nprobe cells per
+    batch vector, exact in-cell rerank with (dist, id) ordering —
+    the registered op must reproduce every (vec, rank, neighbor,
+    dist) row."""
+    import duckdb
+
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        DIM,
+        IVFI_CK,
+        IVFI_NPROBE,
+        IVFI_SEED_CAP,
+        IVFI_TOPK,
+        KMP_Q,
+    )
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = {
+        v: [int(round(float(x) * KMP_Q)) for x in emb] for v, emb in rows
+    }
+    hist = sorted(v for v in q if v % 5 != 0)
+    batch = sorted(v for v in q if v % 5 == 0)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def floor_div(s, n):
+        return (s - (((s % n) + n) % n)) // n
+
+    cent = {v: list(q[v]) for v in hist if v < IVFI_SEED_CAP}
+    assign = {}
+    for _ in range(2):
+        assign = {
+            v: min(cent, key=lambda c: d2(q[v], cent[c]) * IVFI_CK + c)
+            for v in hist
+        }
+        cent = {}
+        for c in set(assign.values()):
+            members = [v for v in hist if assign[v] == c]
+            cent[c] = [
+                floor_div(sum(q[v][p] for v in members), len(members))
+                for p in range(DIM)
+            ]
+    expect = []
+    for b in batch:
+        cells = sorted(cent, key=lambda c: (d2(q[b], cent[c]), c))[
+            :IVFI_NPROBE
+        ]
+        cand = [v for v in hist if assign[v] in cells]
+        top = sorted(cand, key=lambda h: (d2(q[b], q[h]), h))[:IVFI_TOPK]
+        for rk, h in enumerate(top, 1):
+            expect.append((b, rk, h, d2(q[b], q[h])))
+    got = [
+        (r.vec_id, r.rank, r.neighbor, r.dist)
+        for r in load_all()["llm_similarity_ivf_incremental"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert sorted(got) == sorted(expect)
