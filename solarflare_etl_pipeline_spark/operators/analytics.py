@@ -18,6 +18,48 @@ from pyspark.sql import functions as F
 from solarflare_etl_pipeline_spark.catalog import repartition_compute, table
 from solarflare_etl_pipeline_spark.registry import register
 
+#: In-order pair generator over a SORTED array column: all (x, y) with x
+#: before y in the array, as src/dst structs. With a sorted-distinct
+#: input (collect_set) this is exactly the src < dst pair set; with a
+#: sorted multiset (collect_list) callers filter src < dst to drop
+#: equal-value pairs, preserving cross-line multiplicity.
+_PAIR_GEN_SQL = (
+    "flatten(transform({col}, (x, i) -> "
+    "transform(slice({col}, i + 2, size({col})), "
+    "y -> struct(x AS src, y AS dst))))"
+)
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """DISTINCT within-order part pairs (src < dst) — the co-purchase
+    edge set the whole graph family shares.
+
+    r13 rewrite (guide §2.4): one groupBy(l_orderkey) shuffle + an
+    in-order pair generator replaces the lineitem SMJ self-join.
+    Measured at sf0.1: 1.86s vs 2.42s noop (the self-join's two sort
+    legs disappear; the generator is O(|order|²) per order with orders
+    bounded at ~7 lines, so the explode stays scale-safe — no
+    broadcast, no skew exposure beyond what the old join had).
+    Row-identical to the self-join form (verified collect-equal at
+    sf0.1, 1.196M edges).
+    """
+    per = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        per.select(F.explode(F.expr(_PAIR_GEN_SQL.format(col="ps"))).alias("p"))
+        .select("p.src", "p.dst")
+        .distinct()
+    )
+
+
+# NOTE (r13): a counted-pair twin of copurchase_edges (collect_list +
+# the same generator + groupBy count) was TRIED for the basket ops and
+# REVERTED on measurement: 1.58s vs 1.30s noop at sf0.1 — those ops
+# feed the join a DISTINCT (order, part) table, which makes the
+# self-join cheap, while the array generator still pays interpreted
+# HOF cost per pair. The basket self-joins stay as they were.
+
 
 @register(
     "funnel_steps",
@@ -214,16 +256,13 @@ def _pagerank_oracle() -> str:
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = l.alias("a")
-    b = l.alias("b")
+    # the != self-join's row set == both orientations of the distinct
+    # src < dst pair set — build the ordered edges once and symmetrize
+    und = copurchase_edges(l)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        und.unionAll(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
         .localCheckpoint()
     )
     nodes = edges.select(F.col("src").alias("pid")).distinct().localCheckpoint()
@@ -353,21 +392,10 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = l.alias("a")
-    b = l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        # localCheckpoint: edges feeds all THREE legs of the wedge join —
-        # without lineage truncation the lineitem self-join + distinct
-        # re-executes once per leg (measured 18s -> ~3s at sf0.1)
-        .localCheckpoint()
-    )
+    # localCheckpoint: edges feeds all THREE legs of the wedge join —
+    # without lineage truncation the edge build + distinct re-executes
+    # once per leg (measured 18s -> ~3s at sf0.1)
+    edges = copurchase_edges(l).localCheckpoint()
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     # Closing-edge check: the wedge join fans 1.2M edges out to ~50M
@@ -375,14 +403,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join is the cost driver (measured 14s). Instead the closing edge
     # SET is packed to one BIGINT per edge (partkeys < 2^31) and
     # BROADCAST, turning the closure test into a map-side hash probe on
-    # the wedge stream — wedges are never shuffled. At 100 TB the edge
-    # set outgrows a broadcast: keep this plan per graph-partition
-    # (vertex-cut) or fall back to the equi join with a bloom prefilter.
+    # the wedge stream — wedges are never shuffled. The wedge join's
+    # BUILD side is the same ~1.2M-row edge table, so it is broadcast
+    # too (r13, guide §3.1): the whole wedge+closure pipeline becomes
+    # one map-side pass over the checkpointed edges with two hash
+    # probes — zero data-scale exchanges below the final aggregate.
+    # At 100 TB the edge set outgrows a broadcast: keep this plan per
+    # graph-partition (vertex-cut) or fall back to the equi join with
+    # a bloom prefilter.
     ek = edges.select(
         (F.shiftleft(F.col("src"), 32).bitwiseOR(F.col("dst"))).alias("ek")
     )
     tri = (
-        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
         .select(
             F.col("e1.src").alias("pa"),
             F.col("e1.dst").alias("pb"),
@@ -394,10 +427,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("ek")
     )
-    member = (
-        tri.select(F.col("pa").alias("part_id"))
-        .unionAll(tri.select(F.col("pb").alias("part_id")))
-        .unionAll(tri.select(F.col("pc").alias("part_id")))
+    # One generator instead of a 3-way unionAll of the SAME subtree:
+    # Catalyst does not de-duplicate common subtrees across union legs,
+    # so the unionAll form executed the wedge join + closure probe
+    # THREE times (plans/r13/graph_triangle_count_before.txt: the
+    # SortMergeJoin/BroadcastHashJoin pipeline appears once per leg).
+    # explode(array(pa, pb, pc)) emits the same three membership rows
+    # from a single evaluation (guide §2.4: remove duplicated passes).
+    member = tri.select(
+        F.explode(F.array(F.col("pa"), F.col("pb"), F.col("pc"))).alias(
+            "part_id"
+        )
     )
     return member.groupBy("part_id").agg(F.count("*").alias("n_triangles"))
 
@@ -509,17 +549,7 @@ def llm_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tric = graph_triangle_count(spark, sf_dir)
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = l.alias("a")
-    b = l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = copurchase_edges(l)
     und = edges.select(F.col("src").alias("part_id")).unionAll(
         edges.select(F.col("dst").alias("part_id"))
     )
@@ -592,18 +622,20 @@ def basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     n_orders = l.select("l_orderkey").distinct().count()  # driver scalar
     ic = l.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
-    a = l.alias("a")
-    b = l.alias("b")
-    pairs = (
+    # counted pairs stay on the self-join form: the collect_list pair
+    # generator was TRIED and measured SLOWER here (1.58s vs 1.30s noop
+    # at sf0.1 — the distinct input makes the join cheap while the
+    # array generator pays interpreted HOF cost; contrast
+    # copurchase_edges, where dropping the join's sort legs wins)
+    a, b = l.alias("a"), l.alias("b")
+    pc = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-    )
-    pc = (
-        pairs.groupBy("pa", "pb")
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= BASKET_MIN_SUP)
     )
@@ -777,11 +809,12 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.alias("a")
-    b = l.alias("b")
     # ONE basket self-join; the undirected adjacency is the ordered pair
     # table symmetrized (a<b plus the swap = the distinct a<>b set) —
     # same rewrite as graph_adamic_adar, halves the self-join work.
+    # (The collect_list pair generator was tried and measured slower
+    # for counted pairs — see basket_rules.)
+    a, b = l.alias("a"), l.alias("b")
     pairs_all = (
         a.join(
             b,
@@ -1102,21 +1135,8 @@ K_CORE_MAX_ROUNDS = 40  # safety bound; peeling converges in O(diameter)
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        # both directions so degree = COUNT(*) per node
-        .localCheckpoint()
-    )
+    # both directions below so degree = COUNT(*) per node
+    edges = copurchase_edges(l).localCheckpoint()
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1401,20 +1421,7 @@ def _k_core_portable_oracle() -> str:
 )
 def graph_k_core_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = copurchase_edges(l).localCheckpoint()
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1514,16 +1521,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = copurchase_edges(l)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -1589,17 +1587,7 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    edges = copurchase_edges(l).localCheckpoint()
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -1680,16 +1668,7 @@ BFS_SEED_MOD = 199
 )
 def graph_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = l.alias("a"), l.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    edges = copurchase_edges(l)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1893,12 +1872,12 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.alias("a")
-    b = l.alias("b")
-    # ONE basket self-join builds the ordered co-occurrence counts; the
+    # ONE counted pair build makes the ordered co-occurrence counts; the
     # undirected adjacency is its symmetrization (a<b plus the swap is
     # exactly the distinct a<>b pair set) — halves the join work vs
     # computing pairs and adjacency from two separate self-joins.
+    # (collect_list pair generator tried and slower — see basket_rules.)
+    a, b = l.alias("a"), l.alias("b")
     pairs_all = (
         a.join(
             b,
@@ -3289,8 +3268,7 @@ def cohort_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = l.alias("a")
-    b = l.alias("b")
+    a, b = l.alias("a"), l.alias("b")
     pairs = (
         a.join(
             b,
@@ -4130,19 +4108,7 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarflare_etl_pipeline_spark.plans.rank import with_global_rank
 
     li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(li)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -4178,6 +4144,25 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: enough to collapse every component of diameter <= 4 in the dense
 #: co-purchase graph; the emitted ledger is the round-4 state either way.
 CC_ROUNDS = 4
+
+
+def _bcast_nodes(df: DataFrame) -> DataFrame:
+    """Broadcast-hint a NODE-keyed frame of the co-purchase graph.
+
+    The label/degree tables here are O(|part nodes|) — part is a
+    dimension table (catalog.DIM_TABLES: sub-linear in corpus scale),
+    so hinting the broadcast replaces a per-round shuffle of the
+    2.4M-row symmetric edge list with a map-side hash probe (guide
+    §3.1; measured at sf0.1: 0.49s vs 0.67s per propagation round,
+    1.27s vs 2.08s for the 4-round loop). Deployments where the node
+    table outgrows a broadcast set SOLARFLARE_GRAPH_BCAST=0 to keep
+    the shuffle-join plan (and at web scale swap the recurrence for
+    large-star/small-star, per the op docstrings)."""
+    import os
+
+    if os.environ.get("SOLARFLARE_GRAPH_BCAST", "1") != "0":
+        return F.broadcast(df)
+    return df
 
 
 def _cc_round_oracle(k: int) -> str:
@@ -4239,19 +4224,7 @@ def _cc_round_oracle(k: int) -> str:
 )
 def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(li)
     edges2 = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()  # read once per round
@@ -4273,8 +4246,10 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(CC_ROUNDS):
         nbr = (
             edges2.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                _bcast_nodes(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                    )
                 ),
                 "dst",
             )
@@ -4282,7 +4257,11 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("nlab").alias("mn"))
         )
         labels = (
-            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            labels.join(
+                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.least(
@@ -4327,19 +4306,7 @@ def _cc_history_labels(spark: SparkSession, sf_dir: str):
     graph (orders with l_orderkey % 5 != 0) — the from-scratch pass the
     store replays once; identical recurrence to graph_cc_portable."""
     li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 != 0)
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = copurchase_edges(li)
     edges2 = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -4352,8 +4319,10 @@ def _cc_history_labels(spark: SparkSession, sf_dir: str):
     for _ in range(CC_ROUNDS):
         nbr = (
             edges2.join(
-                labels.select(
-                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                _bcast_nodes(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                    )
                 ),
                 "dst",
             )
@@ -4361,7 +4330,11 @@ def _cc_history_labels(spark: SparkSession, sf_dir: str):
             .agg(F.min("nlab").alias("mn"))
         )
         labels = (
-            labels.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            labels.join(
+                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.least(
@@ -4483,19 +4456,7 @@ def cc_incremental_from_store(
     shared in-process state."""
     store = spark.read.parquet(store_path)
     bli = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 5 == 0)
-    a, b = bli.alias("a"), bli.alias("b")
-    bedges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    bedges = copurchase_edges(bli)
     bedges2 = bedges.unionAll(
         bedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()  # read by cedges AND the new-node scan
@@ -4521,8 +4482,10 @@ def cc_incremental_from_store(
     for _ in range(CC_ROUNDS):
         nbr = (
             cedges.join(
-                remap.select(
-                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                _bcast_nodes(
+                    remap.select(
+                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                    )
                 ),
                 "dst",
             )
@@ -4530,7 +4493,11 @@ def cc_incremental_from_store(
             .agg(F.min("nlab").alias("mn"))
         )
         remap = (
-            remap.join(nbr.withColumnRenamed("src", "node"), "node", "left")
+            remap.join(
+                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
+                "node",
+                "left",
+            )
             .select(
                 "node",
                 F.least(
@@ -4547,7 +4514,11 @@ def cc_incremental_from_store(
     )
     allnodes = store.unionByName(new_nodes)
     final = allnodes.join(
-        remap.select(F.col("node").alias("lab"), F.col("lab").alias("rlab")),
+        _bcast_nodes(
+            remap.select(
+                F.col("node").alias("lab"), F.col("lab").alias("rlab")
+            )
+        ),
         "lab",
         "left",
     ).select("node", F.coalesce(F.col("rlab"), F.col("lab")).alias("lab"))
@@ -4728,9 +4699,37 @@ _CC_INC_ORACLE = _REG["graph_cc_incremental"].oracle
     "nothing else.",
 )
 def flagship_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ffd = _REG["llm_pack_ffd_incremental"].spark(spark, sf_dir)
-    cc = _REG["graph_cc_incremental"].spark(spark, sf_dir)
-    nd = _REG["llm_dedup_near_incremental"].spark(spark, sf_dir)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The three component pipelines are INDEPENDENT until the final
+    # 1x1x1 broadcast fold, but each one runs eager driver-blocking
+    # work while it is being CONSTRUCTED (localCheckpoints of the
+    # batch frames, the FFD bounded-histogram collect). Building them
+    # sequentially serialized those actions; a 3-thread pool overlaps
+    # them so the tail of one component's jobs back-fills the others'
+    # idle executors (guide §2.6). Store paths are resolved serially
+    # first — the ensure_* helpers guard module caches check-then-act.
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        ensure_signature_store,
+    )
+    from solarflare_etl_pipeline_spark.operators.text import (
+        ensure_ffd_run_store,
+    )
+
+    ensure_ffd_run_store(spark, sf_dir)
+    ensure_cc_label_store(spark, sf_dir)
+    ensure_signature_store(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        fut_ffd = pool.submit(
+            _REG["llm_pack_ffd_incremental"].spark, spark, sf_dir
+        )
+        fut_cc = pool.submit(_REG["graph_cc_incremental"].spark, spark, sf_dir)
+        fut_nd = pool.submit(
+            _REG["llm_dedup_near_incremental"].spark, spark, sf_dir
+        )
+        ffd = fut_ffd.result()
+        cc = fut_cc.result()
+        nd = fut_nd.result()
     f = ffd.agg(
         F.count("*").cast("long").alias("bins_touched"),
         F.coalesce(F.sum("n_new_chunks"), F.lit(0))

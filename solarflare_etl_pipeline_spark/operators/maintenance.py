@@ -280,6 +280,8 @@ def _compact_oracle() -> str:
     "not change other queries' answers mid-session).",
 )
 def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from solarflare_etl_pipeline_spark.operators.analytics import (
         ensure_cc_label_store,
     )
@@ -291,56 +293,60 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_ffd_run_store,
     )
 
-    ledger: list[tuple[str, int, int, int, int]] = []
-
+    # Resolve (and if cold, build) the store paths serially — the
+    # ensure_* helpers guard module-level caches with check-then-act.
     cc_path = ensure_cc_label_store(spark, sf_dir)
-    cc = spark.read.parquet(cc_path)
-    nb = cc.count()
-    cc.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
-        cc_path + "_compact"
-    )
-    na = spark.read.parquet(cc_path + "_compact").count()
-    ledger.append(("cc", nb, na, nb - na, len(_part_files(cc_path + "_compact"))))
-
-    # ffd: the run table is dimension-sized (<= ~130 rows by the
-    # run-compression bound) — driver-side merge is the same
-    # bounded-state legitimacy as the FFD assignment ledger itself.
     ffd_path = ensure_ffd_run_store(spark, sf_dir)
-    raw = [
-        (int(r["pos"]), int(r["cap"]), int(r["cnt"]))
-        for r in spark.read.parquet(ffd_path).collect()
-    ]
-    merged = merge_adjacent_runs(raw)
-    spark.createDataFrame(
-        merged, "pos long, cap long, cnt long"
-    ).coalesce(1).write.mode("overwrite").parquet(ffd_path + "_compact")
-    na = spark.read.parquet(ffd_path + "_compact").count()
-    ledger.append(
-        ("ffd", len(raw), na, len(raw) - na, len(_part_files(ffd_path + "_compact")))
-    )
-
     sig_path = ensure_signature_store(spark, sf_dir)
-    sig = spark.read.parquet(sig_path)
-    nb = sig.count()
-    sig.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
-        sig_path + "_compact"
-    )
-    na = spark.read.parquet(sig_path + "_compact").count()
-    ledger.append(("sig", nb, na, nb - na, len(_part_files(sig_path + "_compact"))))
-
-    # ivf: centroid table + inverted lists (r13's ANN index store) —
-    # both distinct by construction; compaction is the small-file merge
     ivf_path = ensure_ivf_index_store(spark, sf_dir)
-    for sub, tag in (("/centroids", "ivf_centroids"), ("/lists", "ivf_lists")):
-        part = spark.read.parquet(ivf_path + sub)
+
+    def _dedup_rewrite(tag: str, path: str) -> tuple[str, int, int, int, int]:
+        """count -> dropDuplicates -> single-file rewrite -> recount."""
+        part = spark.read.parquet(path)
         nb = part.count()
         part.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
-            ivf_path + sub + "_compact"
+            path + "_compact"
         )
-        na = spark.read.parquet(ivf_path + sub + "_compact").count()
-        ledger.append(
-            (tag, nb, na, nb - na, len(_part_files(ivf_path + sub + "_compact")))
+        na = spark.read.parquet(path + "_compact").count()
+        return (tag, nb, na, nb - na, len(_part_files(path + "_compact")))
+
+    def _ffd_merge() -> tuple[str, int, int, int, int]:
+        # ffd: the run table is dimension-sized (<= ~130 rows by the
+        # run-compression bound) — driver-side merge is the same
+        # bounded-state legitimacy as the FFD assignment ledger itself.
+        raw = [
+            (int(r["pos"]), int(r["cap"]), int(r["cnt"]))
+            for r in spark.read.parquet(ffd_path).collect()
+        ]
+        merged = merge_adjacent_runs(raw)
+        spark.createDataFrame(
+            merged, "pos long, cap long, cnt long"
+        ).coalesce(1).write.mode("overwrite").parquet(ffd_path + "_compact")
+        na = spark.read.parquet(ffd_path + "_compact").count()
+        return (
+            "ffd",
+            len(raw),
+            na,
+            len(raw) - na,
+            len(_part_files(ffd_path + "_compact")),
         )
+
+    # The five per-store compactions are INDEPENDENT (distinct inputs,
+    # distinct output paths): submit them from a small thread pool so
+    # Spark overlaps their jobs instead of serializing ~15 tiny
+    # scheduler round-trips (guide §2.6 — the maintenance pass is
+    # scheduler-floor-bound, not data-bound: every store is KB-sized).
+    # The ledger result is order-insensitive (sorted below), so thread
+    # completion order cannot change the answer.
+    tasks = [
+        lambda: _dedup_rewrite("cc", cc_path),
+        _ffd_merge,
+        lambda: _dedup_rewrite("sig", sig_path),
+        lambda: _dedup_rewrite("ivf_centroids", ivf_path + "/centroids"),
+        lambda: _dedup_rewrite("ivf_lists", ivf_path + "/lists"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        ledger = [f.result() for f in [pool.submit(t) for t in tasks]]
 
     return spark.createDataFrame(sorted(ledger), _LEDGER_SCHEMA)
 
@@ -393,38 +399,41 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast.",
 )
 def maintenance_store_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from solarflare_etl_pipeline_spark.operators.similarity import (
         ensure_ivf_index_store,
         ensure_signature_store,
     )
 
-    rows: list[tuple[str, int, int, int, int]] = []
+    ivf_path = ensure_ivf_index_store(spark, sf_dir)
+    sig_path = ensure_signature_store(spark, sf_dir)
+
+    def _ttl_rewrite(
+        tag: str, path: str, out: str, key: str
+    ) -> tuple[str, int, int, int, int]:
+        part = spark.read.parquet(path)
+        nb = part.count()
+        tomb = F.pmod(F.col(key), F.lit(97)) == 0
+        part.where(~tomb).coalesce(1).write.mode("overwrite").parquet(out)
+        na = spark.read.parquet(out).count()
+        nd = part.where(tomb).select(key).distinct().count()
+        return (tag, nb, na, nb - na, nd)
 
     # ANN deletion: tombstoned vectors leave the inverted lists (the
     # centroids stay — a trained coarse quantizer remains valid after
     # deletions; deleted vectors must just stop being returned, proved
-    # in tests/test_semantics.py)
-    ivf_path = ensure_ivf_index_store(spark, sf_dir)
-    lists = spark.read.parquet(ivf_path + "/lists")
-    nb = lists.count()
-    vtomb = F.pmod(F.col("vec_id"), F.lit(97)) == 0
-    lists.where(~vtomb).coalesce(1).write.mode("overwrite").parquet(
-        ivf_path + "/lists_ttl"
-    )
-    na = spark.read.parquet(ivf_path + "/lists_ttl").count()
-    nd = lists.where(vtomb).select("vec_id").distinct().count()
-    rows.append(("ivf_lists", nb, na, nb - na, nd))
-
-    sig_path = ensure_signature_store(spark, sf_dir)
-    sig = spark.read.parquet(sig_path)
-    nb = sig.count()
-    tomb = F.pmod(F.col("doc_id"), F.lit(97)) == 0
-    sig.where(~tomb).coalesce(1).write.mode("overwrite").parquet(
-        sig_path + "_ttl"
-    )
-    na = spark.read.parquet(sig_path + "_ttl").count()
-    nd = sig.where(tomb).select("doc_id").distinct().count()
-    rows.append(("sig", nb, na, nb - na, nd))
+    # in tests/test_semantics.py). The two store rewrites are
+    # independent (distinct inputs and outputs) — overlap their jobs
+    # (guide §2.6); the sorted ledger is order-insensitive.
+    tasks = [
+        lambda: _ttl_rewrite(
+            "ivf_lists", ivf_path + "/lists", ivf_path + "/lists_ttl", "vec_id"
+        ),
+        lambda: _ttl_rewrite("sig", sig_path, sig_path + "_ttl", "doc_id"),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        rows = [f.result() for f in [pool.submit(t) for t in tasks]]
 
     return spark.createDataFrame(
         sorted(rows),

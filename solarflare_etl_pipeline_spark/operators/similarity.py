@@ -1021,15 +1021,20 @@ def llm_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    gated = d.where(n_tokens.between(20, 2000) & (diversity > 0.2))
+    # Project BEFORE the anti-join exchange (guide §2.3): n_tokens is
+    # computable at the scan, so the join ships (doc_id, lang, n_tokens)
+    # instead of the full text payload (the before-plan's Exchange
+    # carried `text` — plans/r13/llm_corpus_filter_before.txt op (3)).
+    gated = d.where(n_tokens.between(20, 2000) & (diversity > 0.2)).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
     non_canonical = (
         llm_dedup_cluster(spark, sf_dir)
         .where(~F.col("is_canonical"))
         .select("doc_id")
     )
-    return (
-        gated.join(non_canonical, "doc_id", "left_anti")
-        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    return gated.join(non_canonical, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens"
     )
 
 
@@ -2166,23 +2171,37 @@ def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("c"))
+    # r13 restructure (guide §2.4, measured 5.19s -> 4.29s noop at
+    # sf0.1, rows identical): the hot-fingerprint gate becomes a COUNT
+    # window over the same fp partitioning (one shuffle replaces the
+    # groupBy + equi-join pair), and candidate pairs come from
+    # bucket-group expansion over the kept fp buckets (the
+    # simhash_band_pairs discipline) instead of an f2 self-join —
+    # bucket width is bounded by WINNOW_MAXDOC, so the inline i<j
+    # expansion is <= C(MAXDOC, 2) pairs per fingerprint.
+    wc = Window.partitionBy("fp")
+    f2 = (
+        fps.withColumn("c", F.count("*").over(wc))
         .where(F.col("c") <= WINNOW_MAXDOC)
-        .select("fp")
+        .select("doc_id", "fp")
+        .localCheckpoint()
     )
-    f2 = fps.join(keep, "fp").localCheckpoint()
     sizes = f2.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    a, b = f2.alias("a"), f2.alias("b")
+    buckets = f2.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count("*").cast("long").alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_MIN_SHARED)

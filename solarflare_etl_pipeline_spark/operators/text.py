@@ -2292,17 +2292,13 @@ def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents").select("text")
-    alpha = (
-        d.where(F.char_length("text") >= 1)
-        .select(
-            F.explode(F.sequence(F.lit(1), F.char_length("text"))).alias("i"),
-            "text",
-        )
-        .select(F.expr("substring(text, i, 1)").alias("c"))
-        .agg(F.countDistinct("c").cast("long").alias("n_sym"))
-    )
 
     def census(df: DataFrame) -> DataFrame:
+        # localCheckpoint: the census is BOUNDED (<= |charset|^2 rows) and
+        # feeds several downstream legs (election, alphabet, the union'd
+        # ledger rows) — pinning it guarantees the corpus-sized explode
+        # pass under it executes exactly once per round instead of
+        # relying on runtime stage reuse across the union legs.
         return (
             df.where(F.char_length("text") >= 2)
             .select(
@@ -2314,14 +2310,34 @@ def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.expr("substring(text, i, 2)").alias("pair"))
             .groupBy("pair")
             .agg(F.count("*").cast("long").alias("n"))
+            .localCheckpoint()
         )
+
+    cen0 = census(d)
+    # Alphabet size WITHOUT a second corpus explode (guide §2.4 — the
+    # alpha pass measured 1.63s at sf0.1, the same cost as a full
+    # census): every character of a length>=2 document is the first
+    # char of some pair (positions 1..len-1) or the second char of the
+    # last pair, so distinct(chars) == distinct(pair[1]) UNION
+    # distinct(pair[2]) UNION the single characters of length-1
+    # documents (which produce no pairs). The union runs over the
+    # BOUNDED census table plus a narrow scan — no explode.
+    len1 = d.where(F.char_length("text") == 1).select(
+        F.col("text").alias("c")
+    )
+    alpha = (
+        cen0.select(F.substring("pair", 1, 1).alias("c"))
+        .unionAll(cen0.select(F.substring("pair", 2, 1).alias("c")))
+        .unionAll(len1)
+        .agg(F.countDistinct("c").cast("long").alias("n_sym"))
+    )
 
     ledger_rows = []
     cur = d
     for r in (1, 2, 3):
         # 1-row election — bounded window over the |charset|^2 census.
         top = (
-            census(cur)
+            (cen0 if r == 1 else census(cur))
             .withColumn(
                 "rnk",
                 F.row_number().over(
