@@ -129,7 +129,7 @@ def register_managed_tables(
 
 def repartition_compute(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition with the partition count PINNED to the cluster's
-    default parallelism.
+    default parallelism — skipped when the input is already parallel.
 
     ``df.repartition(cols...)`` without a count leaves the exchange
     eligible for AQE partition coalescing, which decides by SHUFFLE BYTES
@@ -139,5 +139,19 @@ def repartition_compute(df: DataFrame, *cols: str) -> DataFrame:
     sf0.1: AQE coalesced the post-repartition stage to ONE task on 32
     cores and the simhash signature pass ran 2x slower. An explicit count
     (REPARTITION_BY_NUM) is exempt from coalescing, so the compute stage
-    keeps cluster-wide parallelism at any data size."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, *cols)
+    keeps cluster-wide parallelism at any data size.
+
+    r13: when the input ALREADY has >= default-parallelism partitions
+    (a 100 TB table is thousands of splits), the repartition is pure
+    shuffle cost — skip it. Locally the fixtures are single-row-group
+    parquet (every scan is ONE task — the guide §2.5 unsplittable-input
+    case), so the repartition still fires where it matters. The check
+    compiles the physical plan but runs no job."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass  # un-plannable edge (streaming source): keep the repartition
+    return df.repartition(n, *cols)

@@ -2669,7 +2669,12 @@ BOOT_HI_RANK = 96  # 96th smallest = 95th percentile (ceil(0.95*100)+1 form)
 def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = table(spark, sf_dir, "events")
+    from solarflare_etl_pipeline_spark.catalog import repartition_compute
+
+    # repartition first (guide §2.5): the single-split fixture scan
+    # would otherwise run the per-row double-md5 + x100 replicate
+    # explode + partial aggregation as ONE task
+    e = repartition_compute(table(spark, sf_dir, "events"), "event_id")
     # ONE md5 per ROW (not per row x replicate), parsed ONCE into two
     # 60-bit integer words: replicate b's coin flip is bit b%60 of word
     # b//60, so the x100 explode carries only integer div/mod into the

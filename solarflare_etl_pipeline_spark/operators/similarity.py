@@ -2136,9 +2136,13 @@ WINNOW_MIN_SHARED = 5
     f"on fp buckets, never all-pairs.",
 )
 def llm_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").where(
-        F.length("text") >= WINNOW_K + WINNOW_W - 1
-    )
+    # repartition first (guide §2.5 / catalog.repartition_compute): the
+    # fixture scan is a single split, so without this the 1.4M-gram
+    # explode+md5 map stage runs as ONE task (measured 2.08s noop; the
+    # whole stage is compute, not bytes)
+    d = repartition_compute(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).where(F.length("text") >= WINNOW_K + WINNOW_W - 1)
     # explode bare POSITIONS, then hash at row level: md5/conv inside a
     # transform() lambda runs interpreted per element (measured 2.9s for
     # 1.4M grams at sf0.1); as top-level column expressions the same
@@ -4167,20 +4171,42 @@ def ivf_incremental_from_store(
     cand = pr.join(
         lists.select(F.col("vec_id").alias("hv"), "cid"), "cid"
     ).select(F.col("vec_id").alias("qv"), "hv")
-    sq = F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b))
-    dist = F.aggregate(
-        sq, F.lit(0).cast("long"), lambda acc, v: acc + v
-    ).alias("dist")
-    rer = (
-        cand.join(
-            qarr.select(F.col("vec_id").alias("qv"), F.col("q").alias("qa")),
-            "qv",
-        )
-        .join(
-            qarr.select(F.col("vec_id").alias("hv"), F.col("q").alias("qb")),
-            "hv",
-        )
-        .select("qv", "hv", dist)
+    attached = cand.join(
+        qarr.select(F.col("vec_id").alias("qv"), F.col("q").alias("qa")),
+        "qv",
+    ).join(
+        qarr.select(F.col("vec_id").alias("hv"), F.col("q").alias("qb")),
+        "hv",
+    )
+
+    # In-cell rerank distances via one vectorized Arrow stage (guide
+    # §4.2): the candidate stream is pairs x 64 quantized coordinates,
+    # and the per-element zip_with/aggregate lambdas are interpreted —
+    # measured 2.43s vs 1.41s for the numpy batch form at sf0.1
+    # (240k pairs), row-identical (exact int64 arithmetic either way;
+    # coords are <= ~1000 so diff^2 sums stay far below 2^63). Only
+    # the four needed columns cross the boundary (explicit select).
+    def _sqdist_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qa = np.stack(batch.column("qa").to_numpy(zero_copy_only=False))
+            qb = np.stack(batch.column("qb").to_numpy(zero_copy_only=False))
+            d = qa - qb
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("qv"),
+                    batch.column("hv"),
+                    pa.array(np.einsum("ij,ij->i", d, d), pa.int64()),
+                ],
+                names=["qv", "hv", "dist"],
+            )
+
+    rer = attached.select("qv", "hv", "qa", "qb").mapInArrow(
+        _sqdist_batches, "qv long, hv long, dist long"
     )
     wk = Window.partitionBy("qv").orderBy("dist", "hv")
     return (

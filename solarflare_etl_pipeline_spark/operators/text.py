@@ -1498,7 +1498,12 @@ def llm_tokenizer_apply_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import types as T
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # repartition first (guide §2.5): the fixture scan is one split —
+    # without this both the census explode AND the Arrow tokenize loop
+    # run as a single task / single Python worker.
+    d = repartition_compute(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     pairs = (
         d.where(F.char_length("text") >= 2)
         .select(
@@ -2291,14 +2296,22 @@ def llm_bpe_train2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents").select("text")
+    # repartition first (guide §2.5): the fixture scan is one split, so
+    # the census explodes below would otherwise run single-task; the
+    # round-robin exchange of raw text is one narrow pass that every
+    # census/replace/corpus stage downstream inherits 32-way.
+    d = repartition_compute(
+        table(spark, sf_dir, "documents").select("text")
+    )
 
     def census(df: DataFrame) -> DataFrame:
-        # localCheckpoint: the census is BOUNDED (<= |charset|^2 rows) and
-        # feeds several downstream legs (election, alphabet, the union'd
-        # ledger rows) — pinning it guarantees the corpus-sized explode
-        # pass under it executes exactly once per round instead of
-        # relying on runtime stage reuse across the union legs.
+        # Deliberately LAZY (a localCheckpoint here was tried and
+        # reverted: pinning each census serialized the three explode
+        # passes that the single final job otherwise runs as
+        # overlapping independent stages — measured slower overall).
+        # Duplicate census subtrees across the union legs dedupe at
+        # runtime via AQE stage reuse; the census output is bounded
+        # (<= |charset|^2 rows) either way.
         return (
             df.where(F.char_length("text") >= 2)
             .select(
@@ -2310,10 +2323,15 @@ def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.expr("substring(text, i, 2)").alias("pair"))
             .groupBy("pair")
             .agg(F.count("*").cast("long").alias("n"))
-            .localCheckpoint()
         )
 
-    cen0 = census(d)
+    # The ROUND-1 census is consumed by several legs (the round-1
+    # election, the alphabet below, and transitively every ledger row's
+    # lineage) — checkpoint it ONCE so the corpus-sized explode under
+    # it executes exactly once; the table itself is bounded
+    # (<= |charset|^2 rows), so the pin is dimension-cheap. Later
+    # censuses stay lazy (see census()).
+    cen0 = census(d).localCheckpoint()
     # Alphabet size WITHOUT a second corpus explode (guide §2.4 — the
     # alpha pass measured 1.63s at sf0.1, the same cost as a full
     # census): every character of a length>=2 document is the first
@@ -2321,13 +2339,18 @@ def llm_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # last pair, so distinct(chars) == distinct(pair[1]) UNION
     # distinct(pair[2]) UNION the single characters of length-1
     # documents (which produce no pairs). The union runs over the
-    # BOUNDED census table plus a narrow scan — no explode.
+    # BOUNDED checkpointed census plus a narrow scan — no explode.
     len1 = d.where(F.char_length("text") == 1).select(
         F.col("text").alias("c")
     )
     alpha = (
-        cen0.select(F.substring("pair", 1, 1).alias("c"))
-        .unionAll(cen0.select(F.substring("pair", 2, 1).alias("c")))
+        cen0.select(
+            F.explode(
+                F.array(
+                    F.substring("pair", 1, 1), F.substring("pair", 2, 1)
+                )
+            ).alias("c")
+        )
         .unionAll(len1)
         .agg(F.countDistinct("c").cast("long").alias("n_sym"))
     )
@@ -2815,7 +2838,9 @@ CONTAM_NGRAM = 4  # shingle width for the cross-source overlap matrix
     f"llm_dedup_near discipline.",
 )
 def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    d = repartition_compute(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).withColumn("toks", F.split("text", " "))
     # short docs (< ngram tokens) contribute NO shingles — filtered on
     # BOTH sides (a greatest(1, ...) sequence bound would emit a short
     # gram in Spark while DuckDB's exclusive RANGE emits none: the
@@ -3111,9 +3136,9 @@ SUBDUP_S = 25
     f"acceptable (kept exact here for the oracle contract).",
 )
 def llm_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").where(
-        F.length("text") >= SUBDUP_W
-    )
+    d = repartition_compute(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).where(F.length("text") >= SUBDUP_W)
     w = d.select(
         "doc_id",
         F.explode(
@@ -3370,7 +3395,9 @@ LEAK_PAIR_MAXDF = 20
 def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    # repartition first (guide §2.5): single-split fixture scan would
+    # run the shingle explode as one task
+    d = repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
     b = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int")
@@ -4367,7 +4394,9 @@ def llm_vocab_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..plans.rank import with_grouped_prefix_sum
 
-    d = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    d = repartition_compute(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).where(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -4481,9 +4510,9 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle by actual table size.",
 )
 def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").withColumn(
-        "__toks", F.split("text", " ")
-    )
+    d = repartition_compute(
+        table(spark, sf_dir, "documents"), "doc_id"
+    ).withColumn("__toks", F.split("text", " "))
     bg = d.select(
         "doc_id", F.explode(F.expr(sliding_ngrams_sql(2, "__toks"))).alias("bigram")
     )
@@ -4761,7 +4790,7 @@ RARE_N = 5  # token n-gram order for the memorization-uniqueness screen
 )
 def llm_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
-        table(spark, sf_dir, "documents")
+        repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("__toks", F.split("text", " "))
         .where(F.size("__toks") >= RARE_N)
     )
@@ -4838,7 +4867,7 @@ XLC_N = 3  # shingle order for the cross-language template screen
 )
 def llm_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
-        table(spark, sf_dir, "documents")
+        repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("__toks", F.split("text", " "))
         .where(F.size("__toks") >= XLC_N)
     )
@@ -4937,7 +4966,7 @@ def llm_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def llm_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
-        table(spark, sf_dir, "documents")
+        repartition_compute(table(spark, sf_dir, "documents"), "doc_id")
         .withColumn("__toks", F.split("text", " "))
         .where(F.size("__toks") >= 2)
     )

@@ -261,6 +261,13 @@ PYTHON_OK = {
     "udaf_arrow_grouped",  # Spark 4 applyInArrow (zero-copy grouped map)
     "udf_arrow_map",  # Spark 4 mapInArrow (zero-copy batch map)
     "mm_image_dct_hash",  # decode+resample+DCT fused in one Arrow stage
+    # r13 optimization: in-cell rerank distances run as one vectorized
+    # numpy mapInArrow over the candidate-pair stream (columns pruned
+    # to qv/hv/qa/qb before the boundary) — the interpreted per-element
+    # zip_with/aggregate form measured 2.43s vs 1.41s at sf0.1 with
+    # row-identical exact-int64 output; the stage is candidate-bounded
+    # (nprobe cells per batch vector), never a corpus scan
+    "llm_similarity_ivf_incremental",
 }
 
 #: Queries whose executed plan contains a Sort/Window fed by an

@@ -583,3 +583,82 @@ if __name__ == "__main__":
     table(spark, SF, "events").count()
     for name in sys.argv[1:]:
         globals()[f"exp_{name}"](spark)
+
+
+def exp_C2(spark):
+    print("C2. bpe full op after lazy-census + derived alpha")
+    from solarflare_etl_pipeline_spark.registry import load_all
+
+    spec = load_all()["llm_bpe_train_portable"]
+    t("full op (count)", lambda: spec.spark(spark, SF).count(), n=3)
+
+
+def exp_E3(spark):
+    print("E3. ivf rerank: numpy mapInArrow vs zip_with")
+    import pyarrow as pa
+    from pyspark.sql import Window
+    from solarflare_etl_pipeline_spark.operators.similarity import (
+        IVFI_NPROBE,
+        KMP_Q,
+        _vec_double,
+        ensure_ivf_index_store,
+    )
+
+    store_path = ensure_ivf_index_store(spark, SF)
+    cent = spark.read.parquet(store_path + "/centroids")
+    lists = spark.read.parquet(store_path + "/lists")
+    emb = table(spark, SF, "embeddings")
+    xb = emb.where(F.col("vec_id") % 5 == 0).select(
+        "vec_id",
+        F.posexplode(
+            F.transform(_vec_double(), lambda xi: F.round(xi * KMP_Q, 0).cast("long"))
+        ).alias("pos", "xq"),
+    )
+    pd_ = (
+        xb.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    pr = (
+        pd_.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= IVFI_NPROBE)
+        .select("vec_id", "cid")
+    )
+    qarr = emb.select(
+        "vec_id",
+        F.transform(_vec_double(), lambda xi: F.round(xi * KMP_Q, 0).cast("long")).alias("q"),
+    ).localCheckpoint()
+    cand = pr.join(lists.select(F.col("vec_id").alias("hv"), "cid"), "cid").select(
+        F.col("vec_id").alias("qv"), "hv"
+    )
+    attached = cand.join(
+        qarr.select(F.col("vec_id").alias("qv"), F.col("q").alias("qa")), "qv"
+    ).join(qarr.select(F.col("vec_id").alias("hv"), F.col("q").alias("qb")), "hv")
+
+    def sqdist_batches(batches):
+        import numpy as np
+
+        for batch in batches:
+            qa = np.stack(batch.column("qa").to_numpy(zero_copy_only=False))
+            qb = np.stack(batch.column("qb").to_numpy(zero_copy_only=False))
+            d = qa - qb
+            dist = np.einsum("ij,ij->i", d, d)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("qv"), batch.column("hv"), pa.array(dist, pa.int64())],
+                names=["qv", "hv", "dist"],
+            )
+
+    rer_np = attached.mapInArrow(sqdist_batches, "qv long, hv long, dist long")
+    t("rerank numpy mapInArrow (noop)", lambda: noop(rer_np))
+    sq = F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b))
+    dist = F.aggregate(sq, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("dist")
+    rer = attached.select("qv", "hv", dist)
+    t("rerank zip_with (noop)", lambda: noop(rer))
+    a = sorted(map(tuple, rer.collect()))
+    b = sorted(map(tuple, rer_np.collect()))
+    print(f"  equal={a == b} rows={len(a)}")
