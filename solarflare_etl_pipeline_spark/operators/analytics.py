@@ -2969,6 +2969,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             key, F.expr(f"{col} DIV {d}").cast("long").alias(col)
         )
 
+    # Score tables are NODE-keyed (parts / customers — dimension-sized):
+    # broadcast them into the per-round join so the static edge side is
+    # probed map-side instead of re-shuffled every round (_bcast_nodes —
+    # same part-dimension justification as the CC rounds; at broadcast-
+    # exceeding scales SOLARFLARE_GRAPH_BCAST=0 restores the shuffle).
     a = norm(
         edges.groupBy("part").agg(
             (F.count("*").cast("long") * HITS_SCALE).alias("a")
@@ -2977,17 +2982,23 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
     )
     h = norm(
-        edges.join(a, "part").groupBy("cust").agg(F.sum("a").cast("long").alias("h")),
+        edges.join(_bcast_nodes(a), "part")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("long").alias("h")),
         "cust",
         "h",
     )
     a = norm(
-        edges.join(h, "cust").groupBy("part").agg(F.sum("h").cast("long").alias("a")),
+        edges.join(_bcast_nodes(h), "cust")
+        .groupBy("part")
+        .agg(F.sum("h").cast("long").alias("a")),
         "part",
         "a",
     )
     h = norm(
-        edges.join(a, "part").groupBy("cust").agg(F.sum("a").cast("long").alias("h")),
+        edges.join(_bcast_nodes(a), "part")
+        .groupBy("cust")
+        .agg(F.sum("a").cast("long").alias("h")),
         "cust",
         "h",
     )
