@@ -13,6 +13,12 @@ to stderr + ``BENCH_cold.json`` (a side file, not the driver line),
 and the recall gate runs BEFORE the print so the JSON line is the
 absolute last thing on stdout.
 
+VERDICT r13 task #2 (r14): the per-query steady map is ADDITIONALLY
+printed as its own single-line JSON (``{"metric": "per_query_steady",
+"queries": {...}}``) immediately before the headline line, so the
+driver's PERF analysis gets per_query / n_common / scaling data back.
+The headline line itself is unchanged and still the final stdout line.
+
 Measurement protocol (labels match what is measured):
   * One untimed trivial action first warms the JVM/session so no query is
     charged for session startup.
@@ -534,6 +540,26 @@ def main() -> None:
     except OSError:
         pass
     sys.stderr.flush()
+    # Per-query map as its OWN single-line JSON immediately before the
+    # headline (VERDICT r13 task #2): PERF_r13 came back with empty
+    # per_query / n_common=0 because the per-query timings lived only in
+    # BENCH_steady.json and stderr — neither reaches the driver's
+    # parser. This line is ADDITIVE (the headline line below is
+    # unchanged, still last on stdout, still under its length assert);
+    # the driver scans stdout for JSON lines, so the per-query map and
+    # the scaling block can now be populated.
+    print(
+        json.dumps(
+            {
+                "metric": "per_query_steady",
+                "queries": timings,
+                "canary_value": canary_total,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
     # The compact JSON line is the absolute final stdout output.
     line = json.dumps(
         {

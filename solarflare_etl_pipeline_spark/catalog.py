@@ -146,12 +146,20 @@ def repartition_compute(df: DataFrame, *cols: str) -> DataFrame:
     shuffle cost — skip it. Locally the fixtures are single-row-group
     parquet (every scan is ONE task — the guide §2.5 unsplittable-input
     case), so the repartition still fires where it matters. The check
-    compiles the physical plan but runs no job."""
+    compiles the physical plan but runs no job.
+
+    CONTRACT (ADVICE r13): this helper guarantees PARALLELISM ONLY —
+    when the skip branch fires, rows are NOT hash-clustered by ``cols``.
+    Every call site must treat the keys as a locality hint for compute
+    spread, never as a co-location guarantee; a caller that needs key
+    clustering must call ``df.repartition(cols...)`` itself."""
+    from pyspark.errors import AnalysisException
+
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     try:
         if df.rdd.getNumPartitions() >= n:
             return df
-    except Exception:
+    except AnalysisException:
         pass  # un-plannable edge (streaming source): keep the repartition
     return df.repartition(n, *cols)

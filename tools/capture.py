@@ -1,11 +1,12 @@
-"""Round-13 optimization tooling: capture .explain("formatted") plans and
+"""Optimization-round tooling: capture .explain("formatted") plans and
 noop-sink timings for named registry queries (guide §1.1/§1.4/§1.5).
 
 Usage:
-  python tools/capture.py plan  <suffix> q1 q2 ...   # plans/r13/<q>_<suffix>.txt
+  python tools/capture.py plan  <suffix> q1 q2 ...   # plans/$ROUND/<q>_<suffix>.txt
   python tools/capture.py time  <n_runs> q1 q2 ...   # noop-sink timings to stdout
 
-Honors SPARK_GRAFT_SF_DIR (default sf0.1) and SPARK_GRAFT_CPUS.
+Honors SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS, and
+SPARK_GRAFT_PLAN_ROUND (default r14) for the plans/ subdirectory.
 Not part of the driver contract or the bench; measurement-only.
 """
 
@@ -28,17 +29,19 @@ def main() -> None:
     arg = sys.argv[2]
     names = sys.argv[3:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("r13-capture")
+    spark = get_spark("opt-capture")
     specs = load_all()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    round_dir = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
 
     if mode == "plan":
+        os.makedirs(os.path.join(here, "plans", round_dir), exist_ok=True)
         for name in names:
             df = specs[name].spark(spark, sf_dir)
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            out = os.path.join(here, "plans", "r13", f"{name}_{arg}.txt")
+            out = os.path.join(here, "plans", round_dir, f"{name}_{arg}.txt")
             with open(out, "w") as fh:
                 fh.write(buf.getvalue())
             print(f"[plan] wrote {out} ({len(buf.getvalue())} chars)")
