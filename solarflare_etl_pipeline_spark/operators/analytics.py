@@ -861,29 +861,41 @@ def graph_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs_all.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
-    y = und.select(F.col("u").alias("pb"), F.col("v").alias("w"))
-    common = (
-        pairs.join(x, "pa").join(y, ["pb", "w"]).groupBy("pa", "pb").agg(
-            F.count("*").alias("n_common")
-        )
-    )
-    da = deg.select(F.col("u").alias("pa"), F.col("d").alias("deg_a"))
-    db = deg.select(F.col("u").alias("pb"), F.col("d").alias("deg_b"))
+    # r14 (VERDICT r13 #6, guide §2.4): adjacency-ARRAY form replaces
+    # the wedge join. One groupBy(u) collect_set builds sorted neighbor
+    # lists (und rows are distinct — pairs_all is a groupBy output —
+    # so the set IS the neighborhood and its size the degree); the
+    # candidate pairs then join the (node -> array) table twice and
+    # n_common = size(array_intersect(...)) per pair. The old plan
+    # shuffled the |cand| x avg-degree wedge stream AND the full 2|E|
+    # adjacency through a second (pb, w) join. Measured in one session
+    # interleaved: 3.46s -> 1.97s noop at sf0.1, collect-equal. NO
+    # broadcast hint on the adjacency joins on purpose: the array
+    # table's BYTES are edge-scale (O(|E|)), so the planner/AQE picks
+    # broadcast only while runtime stats fit (hinted vs unhinted
+    # measured a wash locally) and degrades to shuffle at 100 TB.
+    adj = und.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbr"))
+    aa = adj.select(F.col("u").alias("pa"), F.col("nbr").alias("na"))
+    ab = adj.select(F.col("u").alias("pb"), F.col("nbr").alias("nb"))
     return (
-        pairs.join(F.broadcast(da), "pa")
-        .join(F.broadcast(db), "pb")
-        .join(common, ["pa", "pb"], "left")
+        pairs.join(aa, "pa")
+        .join(ab, "pb")
         .select(
             "pa",
             "pb",
-            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.size(F.array_intersect("na", "nb")).cast("long").alias("n_common"),
+            F.size("na").cast("long").alias("deg_a"),
+            F.size("nb").cast("long").alias("deg_b"),
+        )
+        .select(
+            "pa",
+            "pb",
+            "n_common",
             "deg_a",
             "deg_b",
             F.expr(
-                "CAST(COALESCE(n_common, 0) * 1000000"
-                " DIV (deg_a + deg_b - COALESCE(n_common, 0)) AS BIGINT)"
+                "CAST(n_common * 1000000"
+                " DIV (deg_a + deg_b - n_common) AS BIGINT)"
             ).alias("jaccard_ppm"),
         )
     )
@@ -1924,14 +1936,31 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs_all.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
     )
-    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
-    x = und.select(F.col("u").alias("pa"), F.col("v").alias("w"))
-    y = und.select(F.col("u").alias("pb"), F.col("v").alias("w"))
-    wedges = pairs.join(x, "pa").join(y, ["pb", "w"])
+    # r14 (VERDICT r13 #6, guide §2.4): adjacency-array form — the
+    # graph_jaccard_candidates rewrite, with the common neighbors
+    # EXPLODED (bounded: sum of per-candidate intersection sizes) so
+    # each keeps its 1/ln(deg) term. Degrees come from the same array
+    # table (und rows distinct ⇒ size(nbr) = degree). Replaces the
+    # wedge join that shuffled |cand| x avg-degree wedges against the
+    # full 2|E| adjacency on (pb, w). Measured interleaved in one
+    # session: 3.51s -> 2.24s noop at sf0.1, collect-equal. The deg
+    # lookup keeps its broadcast hint (node-keyed scalars — dimension
+    # bytes); the adjacency joins are UNhinted (array bytes are
+    # edge-scale): the planner broadcasts while stats fit, shuffles
+    # beyond.
+    adj = und.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbr"))
+    deg = adj.select(
+        F.col("u").alias("w"), F.size("nbr").cast("long").alias("d")
+    )
+    na = adj.select(F.col("u").alias("pa"), F.col("nbr").alias("na"))
+    nb = adj.select(F.col("u").alias("pb"), F.col("nbr").alias("nb"))
     terms = (
-        wedges.join(
-            F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w"
+        pairs.join(na, "pa")
+        .join(nb, "pb")
+        .select(
+            "pa", "pb", F.explode(F.array_intersect("na", "nb")).alias("w")
         )
+        .join(F.broadcast(deg), "w")
         .where(F.col("d") >= 2)
         .select(
             "pa",

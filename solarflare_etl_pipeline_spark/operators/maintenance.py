@@ -301,13 +301,28 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_path = ensure_ivf_index_store(spark, sf_dir)
 
     def _dedup_rewrite(tag: str, path: str) -> tuple[str, int, int, int, int]:
-        """count -> dropDuplicates -> single-file rewrite -> recount."""
+        """dropDuplicates -> single-file rewrite, with the before/after
+        counts OBSERVED inside the write job (r14, guide §2.6/§5): the
+        pre-r13 form ran three jobs per store (count, write, recount);
+        observation nodes below and above the dedup count the same rows
+        those jobs counted — input rows (nb) and deduped rows written
+        (na) — in one pass, so the 5-store ledger pays 5 scheduler
+        round-trips instead of 15. Values are identical by
+        construction: every input row flows through the first observe,
+        every written row through the second."""
+        from pyspark.sql import Observation
+
+        ob, oa = Observation(), Observation()
         part = spark.read.parquet(path)
-        nb = part.count()
-        part.dropDuplicates().coalesce(1).write.mode("overwrite").parquet(
-            path + "_compact"
+        (
+            part.observe(ob, F.count(F.lit(1)).alias("n"))
+            .dropDuplicates()
+            .observe(oa, F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(path + "_compact")
         )
-        na = spark.read.parquet(path + "_compact").count()
+        nb, na = int(ob.get["n"]), int(oa.get["n"])
         return (tag, nb, na, nb - na, len(_part_files(path + "_compact")))
 
     def _ffd_merge() -> tuple[str, int, int, int, int]:
@@ -322,12 +337,15 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(
             merged, "pos long, cap long, cnt long"
         ).coalesce(1).write.mode("overwrite").parquet(ffd_path + "_compact")
-        na = spark.read.parquet(ffd_path + "_compact").count()
+        # rows_after == len(merged) by construction (the write is the
+        # local list, one file); the read-back recount job it replaces
+        # measured the same number (r14: one fewer job on the ledger's
+        # critical path).
         return (
             "ffd",
             len(raw),
-            na,
-            len(raw) - na,
+            len(merged),
+            len(raw) - len(merged),
             len(_part_files(ffd_path + "_compact")),
         )
 
@@ -418,11 +436,25 @@ def maintenance_store_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _ttl_rewrite(
         tag: str, path: str, out: str, key: str
     ) -> tuple[str, int, int, int, int]:
+        from pyspark.sql import Observation
+
+        # nb/na observed inside the write job (r14 — the store-compact
+        # pattern: same values, two fewer scheduler round-trips per
+        # store). nd needs COUNT(DISTINCT) over the TOMBSTONED rows,
+        # which observe() cannot express (distinct aggregates are
+        # rejected) — it stays its own tiny job.
+        ob, oa = Observation(), Observation()
         part = spark.read.parquet(path)
-        nb = part.count()
         tomb = F.pmod(F.col(key), F.lit(97)) == 0
-        part.where(~tomb).coalesce(1).write.mode("overwrite").parquet(out)
-        na = spark.read.parquet(out).count()
+        (
+            part.observe(ob, F.count(F.lit(1)).alias("n"))
+            .where(~tomb)
+            .observe(oa, F.count(F.lit(1)).alias("n"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        nb, na = int(ob.get["n"]), int(oa.get["n"])
         nd = part.where(tomb).select(key).distinct().count()
         return (tag, nb, na, nb - na, nd)
 

@@ -2845,10 +2845,23 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BOTH sides (a greatest(1, ...) sequence bound would emit a short
     # gram in Spark while DuckDB's exclusive RANGE emits none: the
     # latent-divergence class ADVICE r6 flagged in ingest_json_corrupt)
-    # shingle ONCE (the similarity.py localCheckpoint discipline): both
-    # self-join sides and the sizes agg reuse the materialized distinct
-    # shingle set instead of re-running the explode+distinct lineage 3x.
-    sh = (
+    #
+    # r14 (guide §2.4): ONE per-gram source-set census replaces the
+    # (source, g) distinct + gram self-join. Sources are a BOUNDED
+    # dimension (20 on the fixtures; a corpus has dozens, not
+    # millions), so collect_set(source) per gram is a tiny array and
+    # the i<j in-array pair generator expands at most |sources|²/2
+    # rows per gram — the winnowing/simhash bucket discipline. The
+    # census groupBy shuffles exactly the bytes the old distinct did;
+    # everything downstream (pair expansion, per-source sizes) reads
+    # the checkpointed census. The removed self-join had auto-
+    # broadcast the multi-million-row gram table (stats under the
+    # 64 MB threshold at sf0.1 — a driver-memory liability that only
+    # grows with the corpus); no data-scale broadcast remains here.
+    # Equality: shared(a,b) = #grams with {a,b} ⊆ source-set = the old
+    # equi-join count over distinct (source, g); sizes(source) =
+    # #grams whose set contains source = the old per-source count.
+    cen = (
         d.where(F.expr(f"size(toks) >= {CONTAM_NGRAM}"))
         .select(
             "source",
@@ -2859,15 +2872,27 @@ def llm_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .distinct()
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .localCheckpoint()
     )
-    sizes = sh.groupBy("source").agg(F.count("*").cast("long").alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "g")
-    b = sh.select(F.col("source").alias("src_b"), "g")
+    sizes = (
+        cen.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
     shared = (
-        a.join(b, "g")
-        .where(F.col("src_a") < F.col("src_b"))
+        cen.where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
@@ -3418,24 +3443,48 @@ def llm_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    train_sh = sh.where(F.col("b") < 8).select("sh", F.col("doc_id").alias("trdoc")).distinct()
+    # (doc_id, sh) rows are DISTINCT BY CONSTRUCTION: sh explodes
+    # array_distinct per doc and doc_id is the documents PK — so the
+    # pre-r14 train_sh.distinct() was a no-op the planner cannot prove
+    # (a full extra shuffle + hash-dedup of ~80% of the shingle table),
+    # and count_distinct in the containment aggregate equals count(*).
+    train_sh = sh.where(F.col("b") < 8).select("sh", F.col("doc_id").alias("trdoc"))
     test_sh = sh.where(F.col("b") >= 8).select("doc_id", "sh")
     sizes = test_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    # ONE shingle census feeds BOTH legs (r14, guide §2.4): df = global
+    # document frequency (sh distinct per doc ⇒ count(*) = df) and
+    # in_train = whether any train doc carries the shingle. Previously
+    # the train shingle SET (distinct) and the rare-df table were two
+    # separate full-shingle shuffles; the census is one, checkpointed
+    # because Catalyst will not CSE it across the two consumers.
+    cen = (
+        sh.groupBy("sh")
+        .agg(
+            F.count("*").alias("df"),
+            F.max((F.col("b") < 8).cast("int")).alias("in_train"),
+        )
+        .localCheckpoint()
+    )
+    # Containment-leg prefilter (VERDICT r13 #4): a shingle with df = 1
+    # occurs in exactly ONE (doc, shingle) row corpus-wide, so it can
+    # never sit in both train and test — dropping df = 1 rows from the
+    # train-set side of the semi join cannot change any test doc's hit
+    # count (any test occurrence of a train shingle forces df >= 2).
+    # Most 5-gram shingles are df = 1, so the probe set collapses.
     hits = (
-        test_sh.join(train_sh.select("sh").distinct(), "sh", "left_semi")
+        test_sh.join(
+            cen.where((F.col("in_train") == 1) & (F.col("df") >= 2)).select("sh"),
+            "sh",
+            "left_semi",
+        )
         .groupBy("doc_id")
-        .agg(F.count_distinct("sh").cast("long").alias("n_hit"))
+        .agg(F.count("*").cast("long").alias("n_hit"))
     )
     # PAIR leg only: drop Zipf-head shingles (df > LEAK_PAIR_MAXDF over
-    # the whole corpus — sh is already distinct per doc, so count(*) is
-    # document frequency). Caps pair volume at df^2 per shingle; the
-    # containment leg above stays uncapped.
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= LEAK_PAIR_MAXDF)
-        .select("sh")
-    )
+    # the whole corpus). Caps pair volume at df^2 per shingle; the
+    # containment leg above stays uncapped (df >= 2 is an equality
+    # rewrite, not a cap).
+    rare = cen.where(F.col("df") <= LEAK_PAIR_MAXDF).select("sh")
     pair = (
         test_sh.join(rare, "sh", "left_semi")
         .join(train_sh, "sh")
@@ -4400,8 +4449,14 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    n_total = toks.count()
+    # r14: the corpus token total used to be a SECOND full pass over
+    # the explode (toks.count()); it is exactly sum(cnt) over the
+    # unigram census, so checkpoint the census once and read the
+    # scalar from it — the big explode runs once, the vocab join below
+    # probes the materialized (stats-known) table, and the same total
+    # comes back by construction.
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    n_total = vocab.agg(F.sum("cnt")).collect()[0][0]
     terms = toks.join(vocab, "tok").select(
         "doc_id",
         "lang",
