@@ -860,8 +860,23 @@ def _centroid_lit(c: list[float]):
     return F.array(*[F.lit(x) for x in c])
 
 
-def _sq_dist(vcol, cent_lit):
-    return _fold_sum(F.zip_with(vcol, cent_lit, lambda x, y: (x - y) * (x - y)))
+def _sq_dist(vcol, c: list[float]):
+    """Squared distance of an array column to a LITERAL centroid.
+    r14 NOTE (tried and REVERTED): unrolling this into explicit
+    per-element arithmetic (64 terms x 16 centroids in one projection)
+    blows the JVM's 64 KB generated-method limit — codegen fails
+    ("Code grows beyond 64 KB") and the whole stage falls back to
+    interpreted mode, measured 2-3x SLOWER than this compact
+    zip_with/aggregate form (6.8s -> 23.2s for the centroid loop at
+    sf0.001). The HOF pair stays."""
+    return _fold_sum(
+        F.zip_with(vcol, _centroid_lit(c), lambda x, y: (x - y) * (x - y))
+    )
+
+
+def _sq_dist_sub(vcol, m: int, c: list[float]):
+    """_sq_dist against subspace m's slice of the base vector."""
+    return _sq_dist(_sub(vcol, m), c)
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
@@ -903,7 +918,7 @@ def _assign_expr(cents: list[list[float]]):
     lexicographic struct ordering breaks distance ties by centroid id."""
     entries = F.array(
         *[
-            F.struct(_sq_dist(F.col("v"), _centroid_lit(c)).alias("dist"), F.lit(i).alias("cid"))
+            F.struct(_sq_dist(F.col("v"), c).alias("dist"), F.lit(i).alias("cid"))
             for i, c in enumerate(cents)
         ]
     )
@@ -914,7 +929,7 @@ def _probe_expr(cents: list[list[float]], n_probe: int):
     """The n_probe nearest centroid ids, as an array column."""
     entries = F.array(
         *[
-            F.struct(_sq_dist(F.col("qv"), _centroid_lit(c)).alias("dist"), F.lit(i).alias("cid"))
+            F.struct(_sq_dist(F.col("qv"), c).alias("dist"), F.lit(i).alias("cid"))
             for i, c in enumerate(cents)
         ]
     )
@@ -1444,64 +1459,90 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
-    e = e.localCheckpoint()  # scanned PQ_M * (PQ_ITERS+1) times: pin it
-    books: list[list[list[float]]] = []
-    for m in range(PQ_M):
-        sub = e.select("vec_id", _sub(F.col("v"), m).alias("sv"))
-        cents = [
-            [round(float(x), 6) for x in r.sv]
-            for r in sub.where(F.col("vec_id") < PQ_KS)
-            .orderBy("vec_id")
-            .collect()
+    e = e.localCheckpoint()  # scanned PQ_ITERS+1 times: pin it
+    # r14 (guide §2.6/§5 — driver job-count): the PQ_M subspaces'
+    # Lloyd loops are independent but were trained SEQUENTIALLY —
+    # PQ_M x (1 seed collect + PQ_ITERS mean collects) = 24 driver
+    # round-trips of tiny jobs (the whole build measured ~24 s WARM at
+    # sf0.001). All subspaces now train in ONE pass per step: one seed
+    # collect sliced driver-side, and per iteration one job that
+    # assigns every subspace's codeword (each cid computed once in a
+    # projection) and aggregates means grouped by (m, cid, pos) —
+    # identical groups and values to the per-subspace aggregation, and
+    # the 6-decimal rounding pins the distributed-sum low bits exactly
+    # as before (codebooks verified list-identical to the sequential
+    # form on sf0.001/0.01/0.1). 24 jobs -> 3.
+    seed = e.where(F.col("vec_id") < PQ_KS).orderBy("vec_id").collect()
+    books: list[list[list[float]]] = [
+        [
+            [
+                round(float(x), 6)
+                for x in r.v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            ]
+            for r in seed
         ]
-        for _ in range(PQ_ITERS):
+        for m in range(PQ_M)
+    ]
+    for _ in range(PQ_ITERS):
+        def _cid(m: int):
             entries = F.array(
                 *[
                     F.struct(
-                        _fold_sum(
-                            F.zip_with(
-                                F.col("sv"),
-                                F.array(*[F.lit(x) for x in c]),
-                                lambda x, y: (x - y) * (x - y),
-                            )
-                        ).alias("dist"),
+                        _sq_dist_sub(F.col("v"), m, c).alias("dist"),
                         F.lit(i).alias("cid"),
                     )
-                    for i, c in enumerate(cents)
+                    for i, c in enumerate(books[m])
                 ]
             )
-            means = (
-                sub.withColumn("cid", F.array_min(entries)["cid"])
-                .select("cid", F.posexplode("sv").alias("pos", "val"))
-                .groupBy("cid", "pos")
-                .agg(F.avg("val").alias("m"))
-                .collect()
+            return F.array_min(entries)["cid"]
+
+        assigned = e.select(
+            "v", *[_cid(m).alias(f"cid_{m}") for m in range(PQ_M)]
+        )
+        means = (
+            assigned.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(m).alias("m"),
+                                F.col(f"cid_{m}").alias("cid"),
+                                F.lit(p).alias("pos"),
+                                F.col("v")[m * PQ_SUB + p].alias("val"),
+                            )
+                            for m in range(PQ_M)
+                            for p in range(PQ_SUB)
+                        ]
+                    )
+                ).alias("s")
             )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in means:
-                by_cid.setdefault(r.cid, {})[r.pos] = r.m
-            cents = [
-                [round(by_cid[c][p], 6) for p in range(PQ_SUB)]
-                if c in by_cid
-                else cents[c]
+            .select("s.*")
+            .groupBy("m", "cid", "pos")
+            .agg(F.avg("val").alias("mu"))
+            .collect()
+        )
+        by_m: dict[int, dict[int, dict[int, float]]] = {}
+        for r in means:
+            by_m.setdefault(r.m, {}).setdefault(r.cid, {})[r.pos] = r.mu
+        books = [
+            [
+                [round(by_m[m][c][p], 6) for p in range(PQ_SUB)]
+                if c in by_m.get(m, {})
+                else books[m][c]
                 for c in range(PQ_KS)
             ]
-        books.append(cents)
+            for m in range(PQ_M)
+        ]
     return books
 
 
 def _pq_code_expr(books: list[list[list[float]]], m: int):
-    """Nearest codeword id in subspace m for the vector column v."""
+    """Nearest codeword id in subspace m for the vector column v
+    (explicit-arithmetic distance — see _sq_dist)."""
     entries = F.array(
         *[
             F.struct(
-                _fold_sum(
-                    F.zip_with(
-                        _sub(F.col("v"), m),
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda x, y: (x - y) * (x - y),
-                    )
-                ).alias("dist"),
+                _sq_dist_sub(F.col("v"), m, c).alias("dist"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(books[m])

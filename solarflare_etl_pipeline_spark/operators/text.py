@@ -2045,6 +2045,14 @@ def cleaned_docs(d: DataFrame) -> DataFrame:
 )
 def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # r14 (VERDICT r13 #8, guide §2.4): sized feeds BOTH the mixture-
+    # rate branch and the sampled-span branch, and rates feeds the
+    # sampling filter AND the final join — the static plan executed the
+    # regex-heavy cleaned_docs subtree three times (6 parquet scans in
+    # plans/r14/flagship_span_corpus_before.txt; AQE stage reuse did
+    # not cover it). Checkpointing the two shared frames (per-doc stats
+    # are 4 narrow columns; rates is |sources| rows) runs the clean
+    # pipeline ONCE: 1.65s -> 1.43s noop interleaved, collect-equal.
     sized = cleaned_docs(d).select(
         "doc_id",
         "source",
@@ -2052,7 +2060,7 @@ def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("clean_text") == "", F.lit(0).cast("long"))
         .otherwise(F.size(F.split("clean_text", " ")).cast("long"))
         .alias("clean_tokens"),
-    )
+    ).localCheckpoint()
     srcagg = sized.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("clean_chars").cast("long").alias("chars_total"),
@@ -2080,7 +2088,7 @@ def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("sample_rate_ppm"),
-    )
+    ).localCheckpoint()
     coin = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10

@@ -20,7 +20,14 @@ def physical_plan(df: DataFrame) -> str:
 
 def plan_report(df: DataFrame) -> dict[str, bool | int]:
     """Quick audit flags for a plan: what a scale review looks for."""
-    plan = physical_plan(df)
+    return plan_flags(physical_plan(df))
+
+
+def plan_flags(plan: str) -> dict[str, bool | int]:
+    """plan_report over an ALREADY-RENDERED plan string — lets callers
+    that audit the same query several ways (tests/test_plan_audit.py's
+    three registry-wide gates) build the DataFrame and render the plan
+    ONCE instead of re-running every eager localCheckpoint per gate."""
     return {
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),

@@ -166,21 +166,38 @@ def assert_parity(spark_df, con, sql, *, check_values=True):
     order-insensitive normalized values — two legs. Leg 1 (fetchall)
     compares Python-native values; leg 2 (pandas) mirrors the driver's
     actual canonicalization path and is the one that catches dtype traps
-    (ORACLE_PARITY.md rules 18–19)."""
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.sql(sql)
-    o_cols = rel.columns
-    o_rows = rel.fetchall()
+    (ORACLE_PARITY.md rules 18–19).
 
-    assert len(s_rows) == len(o_rows), f"row count: spark={len(s_rows)} oracle={len(o_rows)}"
-    assert sorted(s_cols) == sorted(o_cols), f"columns: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
-    if not check_values:
-        return
-    _, s_norm = _normalize(s_cols, s_rows)
-    _, o_norm = _normalize(o_cols, o_rows)
-    mismatches = [
-        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
-    ]
-    assert not mismatches, f"first value mismatches (spark vs oracle): {mismatches[:3]}"
-    assert_pandas_parity(spark_df, con, sql)
+    r14 (VERDICT r13 #3 — suite wall-clock): BOTH engines used to
+    execute twice per test. The Spark frame is persist()ed so the
+    collect leg computes and caches and the toPandas leg re-reads the
+    cached rows through the unchanged Arrow/pandas serialization path;
+    the oracle SQL is materialized ONCE into a temp table and both
+    DuckDB legs read it back (fetchall and .df() conversions — where
+    the dtype traps live — are decided by the stored COLUMN TYPES,
+    which CTAS preserves: HUGEINT still reaches pandas as float64,
+    DATE as datetime64, exactly as before). The slowest parity tests
+    were paying 30-40 s per redundant DuckDB execution at sf0.001."""
+    spark_df = spark_df.persist()
+    try:
+        s_cols = spark_df.columns
+        con.execute(f"CREATE OR REPLACE TEMP TABLE _parity_oracle AS {sql}")
+        sql = "SELECT * FROM _parity_oracle"
+        s_rows = [tuple(r) for r in spark_df.collect()]
+        rel = con.sql(sql)
+        o_cols = rel.columns
+        o_rows = rel.fetchall()
+
+        assert len(s_rows) == len(o_rows), f"row count: spark={len(s_rows)} oracle={len(o_rows)}"
+        assert sorted(s_cols) == sorted(o_cols), f"columns: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+        if not check_values:
+            return
+        _, s_norm = _normalize(s_cols, s_rows)
+        _, o_norm = _normalize(o_cols, o_rows)
+        mismatches = [
+            (i, a, b) for i, (a, b) in enumerate(zip(s_norm, o_norm)) if a != b
+        ]
+        assert not mismatches, f"first value mismatches (spark vs oracle): {mismatches[:3]}"
+        assert_pandas_parity(spark_df, con, sql)
+    finally:
+        spark_df.unpersist()
