@@ -2181,8 +2181,11 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_user = per_user.localCheckpoint()  # feeds dmax scalar + lives
     # censor bound from the bounded per-user summary (max of per-user
-    # maxima == global max event date) — no second raw-events scan
-    dmax = per_user.agg(F.max("dlast")).collect()[0][0]
+    # maxima == global max event date) — no second raw-events scan.
+    # r14: the cohort size rides in the SAME scalar job (it used to be
+    # a separate lives.count() — lives is a projection of per_user, so
+    # the counts are equal); one fewer job.
+    dmax, n = per_user.agg(F.max("dlast"), F.count("*")).collect()[0]
     if dmax is None:
         return spark.createDataFrame(
             [],
@@ -2198,7 +2201,6 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    n = lives.count()
     grid = lives.groupBy("t").agg(
         F.sum("ev").cast("long").alias("d_events"),
         F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),
@@ -2357,7 +2359,9 @@ def agg_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("ts")).cast("date").alias("dlast"),
     )
     per_user = per_user.localCheckpoint()  # feeds dmax scalar + lives
-    dmax = per_user.agg(F.max("dlast")).collect()[0][0]
+    # r14: dmax + cohort size in one scalar job (the agg_survival_km
+    # rewrite; lives is a projection of per_user so the counts agree).
+    dmax, n = per_user.agg(F.max("dlast"), F.count("*")).collect()[0]
     if dmax is None:
         return spark.createDataFrame(
             [],
@@ -2372,7 +2376,6 @@ def agg_survival_na(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
         F.when(F.col("dconv").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    n = lives.count()
     grid = lives.groupBy("t").agg(
         F.sum("ev").cast("long").alias("d_events"),
         F.sum(1 - F.col("ev")).cast("long").alias("c_censored"),

@@ -322,7 +322,16 @@ def maintenance_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(path + "_compact")
         )
-        nb, na = int(ob.get["n"]), int(oa.get["n"])
+        try:
+            nb, na = int(ob.get["n"]), int(oa.get["n"])
+        except Exception:
+            # A zero-task plan (EMPTY store parquet → zero scan splits)
+            # never materializes the CollectMetrics row and
+            # Observation.get asserts — recount the classic way; the
+            # degenerate store is free to scan (test_empty_input pins
+            # this path).
+            nb = part.count()
+            na = spark.read.parquet(path + "_compact").count()
         return (tag, nb, na, nb - na, len(_part_files(path + "_compact")))
 
     def _ffd_merge() -> tuple[str, int, int, int, int]:
@@ -454,7 +463,12 @@ def maintenance_store_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(out)
         )
-        nb, na = int(ob.get["n"]), int(oa.get["n"])
+        try:
+            nb, na = int(ob.get["n"]), int(oa.get["n"])
+        except Exception:
+            # zero-task plan (empty store): see _dedup_rewrite
+            nb = part.count()
+            na = spark.read.parquet(out).count()
         nd = part.where(tomb).select(key).distinct().count()
         return (tag, nb, na, nb - na, nd)
 

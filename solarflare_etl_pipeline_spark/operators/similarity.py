@@ -1370,8 +1370,11 @@ def llm_dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    n_total = e.count()
-    n_labels = e.select("label").distinct().count()
+    # r14: both scalars in ONE aggregation job (was a count job plus a
+    # distinct+count job over the same scan).
+    n_total, n_labels = e.agg(
+        F.count("*"), F.count_distinct("label")
+    ).collect()[0]
     return e.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
         F.expr(f"CAST(COUNT(*) * 1000000 DIV {n_total}L AS BIGINT)").alias(

@@ -631,12 +631,18 @@ def llm_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    # corpus token total as a driver-side scalar (tfidf precedent: one
-    # bounded count(), a single long, folded into the expression as a
-    # literal — cheaper and cleaner than a single-row scalar join, which
-    # Catalyst collapses to a nested loop the plan audit rejects)
-    n_total = toks.count()
+    # corpus token total as a driver-side scalar (tfidf precedent: a
+    # single long folded into the expression as a literal — cheaper and
+    # cleaner than a single-row scalar join, which Catalyst collapses
+    # to a nested loop the plan audit rejects). r14 (the ccnet_buckets
+    # fix): the total is SUM(cnt) over the checkpointed unigram census
+    # instead of a second full pass over the token explode — same
+    # number by construction, one explode instead of two.
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
+    # `or 0`: SUM over an empty census is NULL where count() was 0 —
+    # the literal is never evaluated on the empty frame, but building
+    # the expression needs a real number (test_empty_input pins this).
+    n_total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
     term = F.round(
         F.log(F.col("cnt").cast("double") / F.lit(float(n_total))), 9
     ).cast("decimal(28,12)")
@@ -2045,14 +2051,15 @@ def cleaned_docs(d: DataFrame) -> DataFrame:
 )
 def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    # r14 (VERDICT r13 #8, guide §2.4): sized feeds BOTH the mixture-
-    # rate branch and the sampled-span branch, and rates feeds the
-    # sampling filter AND the final join — the static plan executed the
-    # regex-heavy cleaned_docs subtree three times (6 parquet scans in
-    # plans/r14/flagship_span_corpus_before.txt; AQE stage reuse did
-    # not cover it). Checkpointing the two shared frames (per-doc stats
-    # are 4 narrow columns; rates is |sources| rows) runs the clean
-    # pipeline ONCE: 1.65s -> 1.43s noop interleaved, collect-equal.
+    # r14 NOTE (tried and REVERTED): checkpointing sized + rates (the
+    # shared subtrees — the static plan shows the cleaned_docs regex
+    # pipeline three times, 6 scans) measured 1.65s -> 1.43s under the
+    # NOOP sink (full materialization), but the bench's count() action
+    # PRUNES most of the duplicated work in this lazy form, and the
+    # eager checkpoints forced full computation: the bench-visible
+    # number REGRESSED 0.78 -> 1.38. Kept lazy; at 100 TB a real
+    # consumer materializes every column once and the checkpoint form
+    # wins — revisit if the bench action ever changes.
     sized = cleaned_docs(d).select(
         "doc_id",
         "source",
@@ -2060,7 +2067,7 @@ def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("clean_text") == "", F.lit(0).cast("long"))
         .otherwise(F.size(F.split("clean_text", " ")).cast("long"))
         .alias("clean_tokens"),
-    ).localCheckpoint()
+    )
     srcagg = sized.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("clean_chars").cast("long").alias("chars_total"),
@@ -2088,7 +2095,7 @@ def flagship_span_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("sample_rate_ppm"),
-    ).localCheckpoint()
+    )
     coin = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5), 16, 10
@@ -4464,7 +4471,7 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes the materialized (stats-known) table, and the same total
     # comes back by construction.
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).localCheckpoint()
-    n_total = vocab.agg(F.sum("cnt")).collect()[0][0]
+    n_total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
     terms = toks.join(vocab, "tok").select(
         "doc_id",
         "lang",

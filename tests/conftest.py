@@ -20,6 +20,14 @@ from solarflare_etl_pipeline_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+#: Session-lifetime cache of each registry query's rendered physical
+#: plan at SF_DIR (r14, VERDICT r13 #3): populated by test_oracle_parity
+#: as a by-product of the build it already does, consumed by
+#: test_plan_audit's three registry-wide gates so they audit a string
+#: instead of rebuilding the DataFrame (and re-running its eager
+#: checkpoints/training collects) once per gate.
+PLAN_STRINGS: dict[str, str] = {}
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -181,9 +189,21 @@ def assert_parity(spark_df, con, sql, *, check_values=True):
     spark_df = spark_df.persist()
     try:
         s_cols = spark_df.columns
-        con.execute(f"CREATE OR REPLACE TEMP TABLE _parity_oracle AS {sql}")
+        # Overlap the two ENGINES (r14): DuckDB materializes the oracle
+        # on a worker thread (it releases the GIL while executing)
+        # while Spark computes the collect leg on this one; the
+        # connection is only touched by one thread at a time (the
+        # worker owns it until fut.result() returns).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                con.execute,
+                f"CREATE OR REPLACE TEMP TABLE _parity_oracle AS {sql}",
+            )
+            s_rows = [tuple(r) for r in spark_df.collect()]
+            fut.result()
         sql = "SELECT * FROM _parity_oracle"
-        s_rows = [tuple(r) for r in spark_df.collect()]
         rel = con.sql(sql)
         o_cols = rel.columns
         o_rows = rel.fetchall()

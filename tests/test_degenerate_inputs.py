@@ -44,6 +44,13 @@ from solarflare_etl_pipeline_spark.registry import load_all
 
 from tests.conftest import assert_parity
 
+#: r14 (VERDICT r13 #3): this sweep is the single heaviest test file
+#: (459 full both-leg parity runs over rewritten fixtures, ~12 min) —
+#: it lives in the opt-in `heavy` certification tier so the driver's
+#: default run fits its window; the tier is run green at every round
+#: close (see pytest.ini and OPTIMIZATION_r14.md).
+pytestmark = pytest.mark.heavy
+
 #: The round-9/10 stats-family ops the sweep covers (the ~25 newest with
 #: division / variance / vocabulary / grid seams), plus the r8 five that
 #: ADVICE already caught — kept here as regression pins.

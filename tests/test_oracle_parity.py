@@ -14,10 +14,46 @@ from solarflare_etl_pipeline_spark.registry import load_all
 SPECS = load_all()
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+#: r14 (VERDICT r13 #3): the parity tests that run 15-60 s each at
+#: sf0.001 — either the DuckDB oracle is window/self-join-heavy
+#: MATERIALIZED-CTE SQL (the oracle is the spec; restructuring it would
+#: change the driver contract) or the query build itself runs iterative
+#: training collects (ivfpq). They ride the opt-in `heavy` tier so the
+#: driver's default pytest fits its window; the tier is run green at
+#: every round close, and the driver's own CORRECTNESS sweep checks
+#: these queries against the same oracles independently.
+SLOW_ORACLE = {
+    "llm_dedup_cluster_stats",
+    "llm_winnowing_overlap",
+    "llm_corpus_filter",
+    "llm_dedup_cluster",
+    "llm_tokenizer_apply_portable",
+    "flagship_incremental_daily",
+    "llm_similarity_ivfpq",
+    "llm_pack_ffd_incremental",
+    "llm_dedup_near",
+    "llm_dedup_prefix_join",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.heavy) if n in SLOW_ORACLE else n
+        for n in sorted(SPECS)
+    ],
+)
 def test_query_parity(name, spark, oracle, sf_dir):
     spec = SPECS[name]
     df = spec.spark(spark, sf_dir)
+    # Feed the session-wide plan cache (r14, VERDICT r13 #3): this test
+    # already paid the DataFrame build; rendering the plan string here
+    # lets test_plan_audit's three registry-wide gates skip their own
+    # builds entirely in a full-suite run.
+    from solarflare_etl_pipeline_spark.plans.explain import physical_plan
+    from tests.conftest import PLAN_STRINGS
+
+    PLAN_STRINGS.setdefault(name, physical_plan(df))
     if spec.oracle is None:
         rows = df.collect()
         assert rows is not None

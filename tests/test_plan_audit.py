@@ -23,7 +23,12 @@ SPECS = load_all()
 #: construction (llm_similarity_ivfpq: ~24 s per build). Rendering the
 #: plan once per query and sharing the STRING across the gates keeps
 #: every assertion unchanged while cutting 2 of each query's 3 builds.
-_PLANS: dict[str, str] = {}
+#: The cache LIVES IN conftest and is pre-populated by
+#: test_oracle_parity (which builds every registry DataFrame anyway and
+#: runs earlier in the alphabetical file order), so in a full-suite run
+#: the audits rebuild nothing at all; file-local runs still populate
+#: lazily here.
+from tests.conftest import PLAN_STRINGS as _PLANS
 
 
 def _plan(name: str, spark, sf_dir: str) -> str:

@@ -5,6 +5,8 @@ SimHash near-dup behavior, as-of spot checks, plan-shape assertions
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solarflare_etl_pipeline_spark.registry import load_all
@@ -73,6 +75,7 @@ def test_minhash_near_dup_equals_exact(spark, sf_dir):
     )
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_prefix_join_equals_crossjoin_exact(spark, sf_dir):
     """The prefix-filtered set-similarity join (llm_dedup_prefix_join /
     the bench recall gate) must equal the naive cross-join exact baseline
@@ -160,6 +163,7 @@ def test_ivf_recall(spark, sf_dir):
     assert recall >= 0.75, f"IVF recall {recall:.2f} too low"
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_cluster_is_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair must land in one cluster, and every cluster id
     must be the minimum doc_id of its member set."""
@@ -333,6 +337,7 @@ def test_simhash_band_pairs_pigeonhole(spark):
     assert (1, 4) in expected and (1, 5) not in expected
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_simhash_pairs_equals_exact_sf01(spark):
     """Banded simhash pairs == exact all-pairs Hamming join at sf0.1
     (Spark-side brute force — the DuckDB all-pairs oracle is only run at
@@ -770,6 +775,7 @@ def test_session_definition_consistent_across_grains(spark, sf_dir):
     assert n_stats == n_funnel == n_windows
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_pca_power_invariants(spark, sf_dir):
     """Power iteration must produce a unit vector whose Rayleigh
     quotient dominates every coordinate's raw second moment (the
@@ -1115,6 +1121,7 @@ def test_acf_bounded_and_zero_mean_numerator(spark, sf_dir):
         assert r.n_pairs >= 1
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_ivfpq_recall_and_rank_validity(spark, sf_dir):
     """IVF-PQ (coarse prune → 4-bit ADC → exact re-rank) must recover
     most of the exact top-k; the ADC stage ranks by quantized distance,
@@ -1851,6 +1858,7 @@ def test_ansi_try_ops_guards(spark, sf_dir):
     ) == (len(rows), n_div_null, sum_div, n_over, add_mod, n_cast_null, cast_sum)
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_store_compact_preserves_incremental_results(spark, sf_dir, tmp_path):
     """maintenance_store_compact must be SEMANTICS-PRESERVING: every
     incremental op, re-run through its explicit *_from_store seam
@@ -1961,6 +1969,7 @@ def test_store_compact_preserves_incremental_results(spark, sf_dir, tmp_path):
     assert ann0 == ann1
 
 
+@pytest.mark.heavy  # r14: >10 s certification — opt-in tier, run at round close
 def test_store_ttl_equals_rebuild_from_reduced_corpus(spark, sf_dir, tmp_path):
     """maintenance_store_ttl implements DELETION correctly: the TTL'd
     banding store is band-for-band identical to a store rebuilt from

@@ -140,6 +140,7 @@ def test_foreachbatch_idempotent_sink(spark, stream_dir, tmp_path):
     q.stop()
 
 
+@pytest.mark.heavy  # r14: >13 s live-stream certification — opt-in tier, run at round close
 def test_stream_stream_join(spark, stream_dir, tmp_path):
     """Stream-stream inner join with watermarks + time-range condition:
     purchases matched to views by the same user within the prior hour.
@@ -281,6 +282,7 @@ def test_foreachbatch_partial_agg_replay_idempotent(spark, tmp_path):
     assert merged() == {"view": (5, 10.0), "purchase": (2, 20.0)}
 
 
+@pytest.mark.heavy  # r14: >13 s live-stream certification — opt-in tier, run at round close
 def test_dedup_rocksdb_state_store(spark, stream_dir, tmp_path):
     """The production state backend: the watermarked dedup runs with the
     RocksDB state store provider (per-query writeStream option — the
@@ -321,6 +323,7 @@ def test_dedup_rocksdb_state_store(spark, stream_dir, tmp_path):
     q.stop()
 
 
+@pytest.mark.heavy  # r14: >13 s live-stream certification — opt-in tier, run at round close
 def test_stateful_cusum_alarm_crosses_batches(spark, stream_dir, tmp_path):
     """Streaming CUSUM: the drift statistic must accumulate ACROSS
     micro-batches — no single batch reaches the threshold alone, but
@@ -354,6 +357,7 @@ def test_stateful_cusum_alarm_crosses_batches(spark, stream_dir, tmp_path):
     assert r.user_id == 2 and r.event_id == 4 and r.cusum3 == 10000
 
 
+@pytest.mark.heavy  # r14: >13 s live-stream certification — opt-in tier, run at round close
 def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates landing within the
     watermark delay (the in-batch and cross-batch redeliveries of the
@@ -380,6 +384,7 @@ def test_dedup_within_watermark_stream(spark, stream_dir, tmp_path):
     assert counts == {1: 1, 2: 1, 3: 1, 4: 1}, counts
 
 
+@pytest.mark.heavy  # r14: >13 s live-stream certification — opt-in tier, run at round close
 def test_checkpoint_restart_exactly_once(spark, tmp_path):
     """Kill-and-resume: a NEW query object restarted from the SAME
     checkpoint must (a) not reprocess batch-1 files, and (b) drop a
